@@ -10,6 +10,8 @@ import graft.ops._
   * equivalent ANSI SQL for the driver's DuckDB oracle. Column names are
   * aliased identically on both sides; every query ends in a deterministic
   * ORDER BY; double aggregates are rounded (float summation order).
+  * Queries without an oracle entry get the driver's rows-only check —
+  * reserved for ops DuckDB 1.0 cannot express (sketches, MinHash, ANN).
   */
 object SparkEntry {
 
@@ -19,7 +21,23 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (Relational.q01PricingSummary _)
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_star_join" -> (Relational.q02StarJoin _),
+    "q03_top_orders" -> (Relational.q03TopOrders _),
+    "q04_semi_join" -> (Relational.q04SemiJoin _),
+    "q05_anti_join" -> (Relational.q05AntiJoin _),
+    "q06_range_join" -> (Relational.q06RangeJoin _),
+    "q07_count_distinct" -> (Relational.q07CountDistinct _),
+    "q08_rollup" -> (Relational.q08Rollup _),
+    "q09_cube" -> (Relational.q09Cube _),
+    "q10_grouping_sets" -> (Relational.q10GroupingSets _),
+    "q11_window_topk" -> (Relational.q11WindowTopK _),
+    "q12_window_running" -> (Relational.q12WindowRunning _),
+    "q13_set_ops" -> (Relational.q13SetOps _),
+    "q14_scalar_subquery" -> (Relational.q14ScalarSubquery _),
+    "q15_exists_subquery" -> (Relational.q15ExistsSubquery _),
+    "q16_asof_join" -> (Relational.q16AsOfJoin _),
+    "q17_approx_distinct" -> (Relational.q17ApproxDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,6 +56,147 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_star_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_orderpriority, revenue
+        |FROM (SELECT l_orderkey,
+        |        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |      FROM lineitem GROUP BY l_orderkey) r
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_range_join" ->
+      """SELECT bucket, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM (VALUES ('low', 0.0, 15.0), ('mid', 15.0, 35.0), ('high', 35.0, 51.0))
+        |     b(bucket, lo, hi)
+        |JOIN lineitem ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    "q07_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q08_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    "q09_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "q10_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q11_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q12_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER w, 2) AS running_total,
+        |  lag(o_totalprice, 1) OVER w2 AS prev_price,
+        |  lead(o_totalprice, 1) OVER w2 AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q13_set_ops" ->
+      """SELECT * FROM (
+        |  SELECT 'high_only' AS tag, count(*) AS n FROM (
+        |    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |    EXCEPT SELECT o_custkey FROM orders) t1
+        |  UNION ALL
+        |  SELECT 'high_and_buyer' AS tag, count(*) AS n FROM (
+        |    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |    INTERSECT SELECT o_custkey FROM orders) t2
+        |  UNION ALL
+        |  SELECT 'high_or_buyer' AS tag, count(*) AS n FROM (
+        |    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |    UNION SELECT o_custkey FROM orders) t3
+        |) u ORDER BY tag""".stripMargin,
+
+    "q14_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q15_exists_subquery" ->
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q16_asof_join" ->
+      """SELECT e.event_id AS event_id, epoch_us(max(c.ts)) AS last_click_us
+        |FROM events e
+        |JOIN events c ON c.user_id = e.user_id
+        |             AND c.event_type = 'click' AND c.ts <= e.ts
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY e.event_id
+        |ORDER BY event_id""".stripMargin
   )
 }

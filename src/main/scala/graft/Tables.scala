@@ -11,7 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects
+      // outright (PARQUET_TYPE_ILLEGAL). Read it as a long (nanos since
+      // epoch) and convert to a regular microsecond TimestampType here so
+      // every downstream operator sees a plain timestamp column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every harness table as a temp view (for spark.sql queries).
     * Idempotent; cheap (views are lazy plans, no I/O happens here). */

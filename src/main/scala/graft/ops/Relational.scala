@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -40,5 +41,271 @@ object Relational {
         round(avg($"l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** q02 — 5-way star join: revenue per nation for one region.
+    * region/nation/customer are dimension tables: explicitly
+    * `broadcast()`-ed so the only shuffle is the big lineitem⋈orders
+    * equi-join on l_orderkey (AQE can still convert it if one side
+    * shrinks under the filter). The region filter prunes 4/5 of the dim
+    * rows before the broadcast is built. At 100 TB customer may be too
+    * big to broadcast — AQE's size check then demotes it to shuffle join
+    * automatically; the declarative plan is unchanged.
+    */
+  def q02StarJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region").filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"n_name")
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .groupBy($"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** q03 — big-big shuffle join + top-k: 10 highest-revenue orders.
+    * lineitem⋈orders shuffles on the join key; the per-order aggregate is
+    * partial-combined map-side. `orderBy().limit()` compiles to
+    * TakeOrderedAndProject: each task keeps a 10-row heap, the driver
+    * merges 32 heaps — no global sort at any scale.
+    */
+  def q03TopOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderkey", $"o_orderpriority", $"revenue")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** q04 — left-semi join: customers having >=1 big order, by segment.
+    * Semi join never materializes the probe payload — only existence.
+    * The orders side is pre-filtered (pushed to parquet) and deduplicated
+    * by the semi-join itself; no distinct needed.
+    */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders").filter($"o_totalprice" > 400000),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** q05 — left-anti join: customers who never placed a >400k order. */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders").filter($"o_totalprice" > 400000),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** q06 — non-equi (range) join: quantity histogram via a bucket dim.
+    * The bucket table is 3 rows → `broadcast()` forces
+    * BroadcastNestedLoopJoin, which is the *right* physical op here: the
+    * big side streams once, each row probes 3 in-memory buckets. Never
+    * let a range join shuffle both sides.
+    */
+  def q06RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq(("low", 0.0, 15.0), ("mid", 15.0, 35.0), ("high", 35.0, 51.0))
+      .toDF("bucket", "lo", "hi")
+    Tables(s, dir, "lineitem")
+      .join(broadcast(buckets), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_items"), round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .orderBy($"bucket")
+  }
+
+  /** q07 — exact distinct aggregation. Spark expands count(distinct x, …)
+    * into a two-stage aggregate (dedup on (group, x) then count) —
+    * map-side partial dedup keeps the shuffle proportional to the number
+    * of distinct values, not input rows. */
+  def q07CountDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("nd_parts"),
+        countDistinct($"l_suppkey").as("nd_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** q08 — ROLLUP with grouping_id. Grouping keys are coalesced to 'ALL'
+    * so the output has no NULL keys (Spark sorts NULLS FIRST, DuckDB
+    * NULLS LAST — coalescing sidesteps the oracle mismatch). */
+  def q08Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"gid", $"sum_qty", $"n_rows")
+      .orderBy($"gid", $"returnflag", $"linestatus")
+  }
+
+  /** q09 — CUBE over two keys (all 4 grouping sets). */
+  def q09Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        round(sum($"o_totalprice"), 2).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"gid", $"sum_price", $"n_orders")
+      .orderBy($"gid", $"status", $"priority")
+  }
+
+  /** q10 — explicit GROUPING SETS via SQL (spark.sql path of the engine). */
+  def q10GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** q11 — window top-k per group: 3 priciest orders per customer.
+    * One shuffle on the partition key; row_number is evaluated streaming
+    * within each sorted partition. At scale beware skewed customers —
+    * here the key is well distributed; for skew, pre-aggregate or salt.
+    */
+  def q11WindowTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** q12 — running/sliding window frame: cumulative spend + lag/lead.
+    * Explicit ROWS frame (unique sort key) so Spark and the oracle agree
+    * on tie semantics. Single shuffle; frame evaluation is incremental.
+    */
+  def q12WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sorted = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val frame = sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(
+        $"o_custkey", $"o_orderkey",
+        round(sum($"o_totalprice").over(frame), 2).as("running_total"),
+        lag($"o_totalprice", 1).over(sorted).as("prev_price"),
+        lead($"o_totalprice", 1).over(sorted).as("next_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** q13 — set operations: EXCEPT / INTERSECT / UNION over two key sets
+    * (high-balance customers vs customers who ever ordered), tagged and
+    * unioned into one deterministic 3-row result. Each set op is a
+    * shuffle on the full row — fine for key-only projections.
+    */
+  def q13SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val high = Tables(s, dir, "customer").filter($"c_acctbal" > 5000).select($"c_custkey")
+    val buyers = Tables(s, dir, "orders").select($"o_custkey".as("c_custkey")).distinct()
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("tag"), $"n")
+    tag("high_only", high.except(buyers))
+      .unionByName(tag("high_and_buyer", high.intersect(buyers)))
+      .unionByName(tag("high_or_buyer", high.union(buyers).distinct()))
+      .orderBy($"tag")
+  }
+
+  /** q14 — scalar subquery: orders 1.5x over the global average price.
+    * The subquery is a 1-row broadcast; no per-row recomputation. */
+  def q14ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q15 — correlated EXISTS (planned as a left-semi join by Catalyst):
+    * suppliers with at least one near-max-quantity lineitem, per nation. */
+  def q15ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  /** q16 — as-of join: for each purchase event, the most recent click at
+    * or before it by the same user. Implemented the scale-right way: tag
+    * both streams, union, ONE shuffle on user_id, and a running
+    * `max(click_ts)` window — no range join, no nested loop. (The
+    * join+groupBy formulation shuffles twice and explodes on skewed
+    * users; the oracle SQL uses it only because it is the obvious
+    * relational spelling.) Timestamps are emitted as epoch micros so the
+    * ns-parquet vs µs-Spark representations hash identically.
+    */
+  def q16AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val tagged = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+      .unionByName(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", lit(1).as("kind"), $"event_id"))
+    // clicks sort before purchases at equal ts => ts <= purchase.ts semantics
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_us",
+        max(when($"kind" === 0, unix_micros($"ts"))).over(w))
+      .filter($"kind" === 1 && $"last_click_us".isNotNull)
+      .select($"event_id", $"last_click_us")
+      .orderBy($"event_id")
+  }
+
+  /** q17 — approximate distinct (HLL++) next to the exact count.
+    * approx_count_distinct shuffles fixed-size sketches instead of key
+    * sets — at 100 TB this is the difference between megabytes and
+    * terabytes on the wire. No oracle: DuckDB's approx_distinct uses a
+    * different sketch; the driver records a rows-only check.
+    */
+  def q17ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        approx_count_distinct($"o_custkey", 0.01).as("approx_customers"),
+        countDistinct($"o_custkey").as("exact_customers"))
+      .orderBy($"o_orderpriority")
   }
 }
