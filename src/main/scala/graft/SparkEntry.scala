@@ -37,7 +37,22 @@ object SparkEntry {
     "q14_scalar_subquery" -> (Relational.q14ScalarSubquery _),
     "q15_exists_subquery" -> (Relational.q15ExistsSubquery _),
     "q16_asof_join" -> (Relational.q16AsOfJoin _),
-    "q17_approx_distinct" -> (Relational.q17ApproxDistinct _)
+    "q17_approx_distinct" -> (Relational.q17ApproxDistinct _),
+    "f01_struct_splat" -> (Flatten.f01StructSplat _),
+    "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
+    "f03_explode_nested_parent" -> (Flatten.f03ExplodeNestedParent _),
+    "f04_map_extract" -> (Flatten.f04MapExtract _),
+    "f05_mask_id" -> (Flatten.f05MaskId _),
+    "f06_source_key" -> (Flatten.f06SourceKey _),
+    "f07_date_reassembly" -> (Flatten.f07DateReassembly _),
+    "f08_stringify_array" -> (Flatten.f08StringifyArray _),
+    "f09_coalesce_chain" -> (Flatten.f09CoalesceChain _),
+    "f10_string_battery" -> (Flatten.f10StringBattery _),
+    "f11_json_extract" -> (Scalar.f11JsonExtract _),
+    "f12_regexp" -> (Scalar.f12Regexp _),
+    "f13_date_math" -> (Scalar.f13DateMath _),
+    "f14_pivot" -> (Scalar.f14Pivot _),
+    "f15_unpivot" -> (Scalar.f15Unpivot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,6 +212,106 @@ object SparkEntry {
         |             AND c.event_type = 'click' AND c.ts <= e.ts
         |WHERE e.event_type = 'purchase'
         |GROUP BY e.event_id
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "f01_struct_splat" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f02_explode_roundtrip" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber
+        |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin,
+
+    "f03_explode_nested_parent" ->
+      """SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+        |       l_linenumber AS linenumber, l_quantity AS quantity
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |ORDER BY orderkey, linenumber, quantity""".stripMargin,
+
+    "f04_map_extract" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |       l_quantity AS qty, CAST(0.0 AS DOUBLE) AS missing_stat
+        |FROM lineitem ORDER BY orderkey, linenumber, qty""".stripMargin,
+
+    "f05_mask_id" ->
+      """SELECT c_custkey, 'XXXX' || substr(c_name, 4) AS mask_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f06_source_key" ->
+      """SELECT doc_id, regexp_replace(source, '[0-9]+$', '') AS source_kind,
+        |       substr(source, 1, 3) AS source_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f07_date_reassembly" ->
+      """SELECT event_id,
+        |  substr(d,1,4) || '-' || substr(d,5,2) || '-' || substr(d,7,2) || ' ' ||
+        |  substr(t,1,2) || ':' || substr(t,3,2) || ':' || substr(t,5,2) AS report_dt
+        |FROM (SELECT event_id, strftime(ts, '%Y%m%d') AS d,
+        |             strftime(ts, '%H%M%S') AS t FROM events) x
+        |ORDER BY event_id""".stripMargin,
+
+    "f08_stringify_array" ->
+      """SELECT l_orderkey AS orderkey,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS line_list
+        |FROM lineitem GROUP BY l_orderkey ORDER BY orderkey""".stripMargin,
+
+    "f09_coalesce_chain" ->
+      """SELECT c_custkey,
+        |  coalesce(CASE WHEN c_acctbal >= 0 THEN c_name END,
+        |           'Customer ' || CAST(c_custkey AS VARCHAR),
+        |           'Not specified') AS display_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f10_string_battery" ->
+      """SELECT p_partkey,
+        |  p_brand || ' ' || p_name AS full_name,
+        |  upper(p_type) AS type_upper,
+        |  lower(p_brand) AS brand_lower,
+        |  trim('  padded  ') AS trimmed,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |  length(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f11_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f12_regexp" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        |FROM part
+        |WHERE regexp_matches(p_name, '^(cold|small)\b')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "f13_date_math" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+        |  year(o_orderdate) AS order_year,
+        |  month(o_orderdate) AS order_mm,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+        |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_up,
+        |  abs(o_totalprice - 250000) AS dist_from_mid,
+        |  round(o_totalprice / 7, 3) AS price_sevenths
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f14_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2) AS "A",
+        |  round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS "N",
+        |  round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "f15_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) u
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin
   )
 }

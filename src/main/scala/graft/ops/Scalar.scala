@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function battery (SURVEY.md §2b "scalar fn library"): JSON,
+  * regex, date/math, pivot/unpivot. Everything is
+  * `org.apache.spark.sql.functions` built-ins — codegen'd, no UDFs
+  * (SURVEY.md §4: custom Catalyst work unnecessary for these).
+  */
+object Scalar {
+
+  /** f11 — JSON field extraction, both engine paths: string-path
+    * `get_json_object` and typed `from_json` -> map -> element_at
+    * (events.props is a JSON string column). Both stay inside
+    * whole-stage codegen; at 100 TB prefer from_json once + multiple
+    * field reads over repeated get_json_object parses. */
+  def f11JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k_path"),
+        element_at(
+          from_json($"props", org.apache.spark.sql.types.DataType.fromDDL("map<string,long>")),
+          "k").as("k_typed"))
+      .orderBy($"event_id")
+  }
+
+  /** f12 — regex battery: extract, rlike filter, replace. */
+  def f12Regexp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .filter($"p_name".rlike("^(cold|small)\\b"))
+      .select($"p_partkey",
+        regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"))
+      .orderBy($"p_partkey")
+  }
+
+  /** f13 — date/math battery: truncation, extraction, day arithmetic,
+    * floor/ceil/abs/round. date_trunc is emitted as a formatted string so
+    * the oracle compare is timestamp-representation-proof. */
+  def f13DateMath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("order_month"),
+        year($"o_orderdate").cast("long").as("order_year"),
+        month($"o_orderdate").cast("long").as("order_mm"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("days_since_95"),
+        floor($"o_totalprice" / 1000).as("price_k"),
+        ceil($"o_totalprice" / 1000).as("price_k_up"),
+        abs($"o_totalprice" - 250000).as("dist_from_mid"),
+        round($"o_totalprice" / 7, 3).as("price_sevenths"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** f14 — pivot (wide aggregation): quantity sums per linestatus x
+    * returnflag. Explicit pivot values keep the plan static (no
+    * values-discovery pre-query) — required practice at scale. */
+  def f14Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum($"l_quantity"), 2))
+      .orderBy($"l_linestatus")
+  }
+
+  /** f15 — unpivot/melt (long form): lineitem measures to (metric, value)
+    * pairs. Spark's native unpivot (no UNION-of-scans: one pass). */
+  def f15Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_discount", $"l_tax"),
+        "metric", "value")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric", $"value")
+  }
+}
