@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (SURVEY.md §2a S5): the reference appends every table to SQL
+  * Server via SQLAlchemy `to_sql(..., schema='sample_main',
+  * if_exists='append')` (`P:311-366`, `P:667-763`), swallowing per-table
+  * failures (P17). */
+object Sinks {
+
+  /** JDBC append — the reference's `to_sql` equivalent. Partitioned
+    * writes: each task opens its own connection, `batchsize` rows per
+    * round trip (the reference writes row-at-a-time through pyodbc).
+    * Unlike pandas `to_sql`, no synthetic index column is written
+    * (reference bug noted in SURVEY §2a). */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      user: String, password: String, batchSize: Int = 10000): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchSize.toString)
+      .mode("append")
+      .save()
+
+  /** Parquet append — the harness-native sink (Verify.scala dumps with
+    * it); partitioned columnar output is the 100 TB default. */
+  def parquetAppend(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Fan a map of tables out to a sink, tolerating per-table failures
+    * exactly like the reference's try/except-per-append (P17,
+    * `P:667-763`) — one broken table must not kill the other 21. Returns
+    * (table -> error) for the failures. */
+  def fanOut(tables: Map[String, DataFrame], sink: (String, DataFrame) => Unit)
+      : Map[String, Throwable] =
+    tables.flatMap { case (name, df) =>
+      try { sink(name, df); None }
+      catch { case e: Throwable => Some(name -> e) }
+    }
+}
