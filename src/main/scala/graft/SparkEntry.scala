@@ -52,7 +52,20 @@ object SparkEntry {
     "f12_regexp" -> (Scalar.f12Regexp _),
     "f13_date_math" -> (Scalar.f13DateMath _),
     "f14_pivot" -> (Scalar.f14Pivot _),
-    "f15_unpivot" -> (Scalar.f15Unpivot _)
+    "f15_unpivot" -> (Scalar.f15Unpivot _),
+    "d01_exact_dedup" -> (TextDedup.d01ExactDedup _),
+    "d02_minhash_lsh" -> (TextDedup.d02MinhashLsh _),
+    "d03_simhash" -> (TextDedup.d03Simhash _),
+    "d04_ngram_jaccard" -> (TextDedup.d04NgramJaccard _),
+    "d05_embedding_dedup" -> (Similarity.d05EmbeddingDedup _),
+    "s01_cosine_topk" -> (Similarity.s01CosineTopK _),
+    "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
+    "t01_langid" -> (TextAnalysis.t01LangId _),
+    "t02_quality" -> (TextAnalysis.t02Quality _),
+    "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
+    "t04_term_freq" -> (TextAnalysis.t04TermFreq _),
+    "t05_winnow" -> (TextAnalysis.t05Winnow _),
+    "m01_media_features" -> (Multimodal.m01MediaFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -312,6 +325,46 @@ object SparkEntry {
         |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) u
-        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+
+    "d01_exact_dedup" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "t02_quality" ->
+      """SELECT doc_id, len(tokens) AS n_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tokens), 4) AS avg_word_len,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |        / length(text), 4) AS punct_ratio,
+        |  round(CAST(len(list_filter(tokens, x -> list_contains(
+        |          ['the','and','of','to','in','is','you','that','it','for'], x))) AS DOUBLE)
+        |        / len(tokens), 4) AS stopword_ratio,
+        |  CASE WHEN len(tokens) BETWEEN 10 AND 1000 THEN 'good' ELSE 'low' END AS quality
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS tokens
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "t03_token_stats" ->
+      """SELECT doc_id, len(tokens) AS n_tokens,
+        |  len(list_distinct(tokens)) AS n_distinct,
+        |  round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 4) AS ttr
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS tokens
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "t04_term_freq" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |      FROM documents) t
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.AbstractDataType
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: cosine similarity of two float vectors.
+  *
+  * Why a custom Expression and not a UDF or `zip_with`+`aggregate`
+  * (builder prompt preference order (b)): a Scala UDF boxes both arrays
+  * per row and breaks whole-stage codegen; the HOF spelling allocates a
+  * zipped intermediate array per row and walks it twice (dot, norms).
+  * This expression generates a single fused primitive loop inside the
+  * stage — no allocation, no virtual calls — which is what you want when
+  * scoring 10^11 vector pairs. `doGenCode` emits the loop; `nullSafeEval`
+  * is the interpreted fallback (both paths agree — see
+  * CosineSimilaritySpec).
+  *
+  * Semantics: vectors of differing length compare over the common
+  * prefix; null elements count as 0; zero-norm input yields 0.0 (never
+  * NaN/null) so downstream top-k never sees NaN ordering surprises.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // (covariant narrowing: AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (x.isNullAt(i)) 0f else x.getFloat(i)
+      val yi = if (y.isNullAt(i)) 0f else y.getFloat(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val d = math.sqrt(nx) * math.sqrt(ny)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  float xi = $a.isNullAt(i) ? 0f : $a.getFloat(i);
+         |  float yi = $b.isNullAt(i) ? 0f : $b.getFloat(i);
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |double d = Math.sqrt(nx) * Math.sqrt(ny);
+         |${ev.value} = (d == 0.0) ? 0.0 : dot / d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: [[GraftExtensions]] for
+  * `spark.sql.extensions=graft.GraftExtensions` deployments, and
+  * [[GraftFunctions.register]] for sessions the caller doesn't build
+  * (the driver harness owns the SparkSession — queries self-register,
+  * idempotently). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+}

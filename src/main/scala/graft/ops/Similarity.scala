@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Similarity search over the `embeddings` table (ArrayType(Float),
+  * dim 64) — builder-prompt first-class component; absent in the
+  * reference (SURVEY.md §2b "similarity search").
+  *
+  * Two paths, as the prompt prescribes:
+  *  - [[s01CosineTopK]]: brute-force exact top-k — the baseline and the
+  *    recall oracle for the approximate path.
+  *  - [[s02IvfTopK]]: IVF-style two-level search — assign vectors to
+  *    centroid buckets once, probe only the nProbe nearest buckets per
+  *    query. At 100 TB the assignment is a materialized (bucketed!)
+  *    table; a probe touches ~nProbe/nCentroids of the corpus, which is
+  *    the difference between scanning 100 TB and scanning 1 TB.
+  *
+  * The kernel is the codegen'd native expression
+  * [[graft.functions.CosineSimilarity]] (see its scaladoc for why not a
+  * UDF). The embeddings here are synthetic-random (max pairwise cosine
+  * ~0.48) so queries rank, not threshold.
+  */
+object Similarity {
+
+  /** Registered-function handle for the native expression. */
+  def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    GraftFunctions.register(s)
+    call_function("cosine_sim", a, b)
+  }
+
+  private val K = 5
+  private val NQueries = 10
+
+  /** Queries = the first NQueries vectors (deterministic). Broadcast:
+    * 10 x 64 floats is nothing; the big side streams once. */
+  private def queriesOf(emb: DataFrame): DataFrame =
+    broadcast(emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q")))
+
+  /** s01 — exact brute-force cosine top-k per query vector.
+    * crossJoin(broadcast) -> fused cosine loop -> per-query top-k via
+    * row_number (a 10-partition window; at scale use many queries ->
+    * the window shuffle is on query_id and scales linearly). */
+  def s01CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val scored = emb.crossJoin(queriesOf(emb))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosine(s, $"q", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s02 — IVF-style ANN: centroids are the first 16 vectors (a real
+    * deployment k-means a sample; deterministic here), every vector is
+    * assigned to its nearest centroid (one argmax pass, broadcast
+    * centroids), queries probe the 2 nearest buckets. Bucket assignment
+    * + probe-join replaces the full scan. Exactness is not guaranteed —
+    * recall vs s01 is asserted in SimilaritySpec. */
+  def s02IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nProbe = 2
+    val emb = Tables(s, dir, "embeddings")
+    val centroids = broadcast(emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c")))
+
+    // argmax via max(struct(cos, centroid_id)): one aggregation, no join
+    // back. Assignment would be written bucketed-by-centroid at scale.
+    val assigned = emb.crossJoin(centroids)
+      .select($"vec_id", $"embedding", $"centroid_id",
+        cosine(s, $"embedding", $"c").as("cos"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"cos", $"centroid_id", $"embedding")).as("best"))
+      .select($"vec_id", $"best.centroid_id".as("bucket"), $"best.embedding".as("embedding"))
+
+    val probes = queriesOf(emb).crossJoin(centroids)
+      .select($"query_id", $"q", $"centroid_id", cosine(s, $"q", $"c").as("cos"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"centroid_id")))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"q", $"centroid_id".as("bucket"))
+
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    probes.join(assigned, "bucket")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine(s, $"q", $"embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** d05 — embedding-cosine near-dup: 12-bit random-hyperplane LSH
+    * signatures bucket the corpus; same-bucket pairs get exact cosine;
+    * ranked head emitted (production: threshold ~0.95 — random corpus
+    * has none). Hyperplanes are seed-fixed literals — no runtime RNG. */
+  def d05EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nBits = 12
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    val planes: Array[Array[Double]] =
+      Array.fill(nBits, dim)(rnd.nextGaussian())
+    def sigOf(v: Column): Column =
+      (0 until nBits).map { b =>
+        val plane = lit(planes(b))
+        when(aggregate(zip_with(v, plane, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      }.reduce(_ + _)
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", sigOf($"embedding").as("sig"))
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(s, col("a.embedding"), col("b.embedding")).as("cos"))
+    pairs
+      .select($"id_a", $"id_b", round($"cos", 6).as("cos"))
+      .orderBy($"cos".desc, $"id_a", $"id_b")
+      .limit(20)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextDedup.tokens
+
+/** Text-analysis operators over `documents` (builder-prompt first-class
+  * components; SURVEY.md §2b "text analysis"): language ID, quality
+  * scoring, token statistics, term frequency, winnowing fingerprints.
+  * All higher-order-function expressions — one narrow pass per doc, no
+  * UDFs; the only shuffles are the final aggregations/sorts.
+  */
+object TextAnalysis {
+
+  /** Tiny public stopword profiles for the n-gram/stopword language-ID
+    * heuristic (the corpus's `lang` column is synthetic ground truth;
+    * the heuristic is the operator under test, not a trained model). */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "un", "une", "que", "pour"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "zh" -> Seq("的", "是", "了", "在", "我",
+      "有", "和", "就", "不", "人"))
+
+  /** t01 — language ID: score = stopword hits per profile, argmax wins
+    * (ties resolve to the lexicographically last code via struct-max —
+    * deterministic). One pass, no shuffle beyond the output sort. */
+  def t01LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = tokens($"text")
+    val scored = profiles.map { case (code, words) =>
+      struct(
+        size(filter(ts, t => array_contains(lit(words.toArray), t))).as("score"),
+        lit(code).as("code"))
+    }
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        array_max(array(scored: _*)).getField("code").as("predicted"),
+        array_max(array(scored: _*)).getField("score").as("hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** t02 — quality scoring: token count, average word length,
+    * punctuation ratio, stopword ratio, bucketed verdict. Every ratio is
+    * an explicit double division rounded to 4 — oracle-exact. */
+  def t02Quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = tokens($"text")
+    val nTokens = size(ts).cast("long")
+    val noSpace = length(regexp_replace($"text", " ", "")).cast("double")
+    val punct = (length($"text") -
+      length(regexp_replace($"text", "[.,!?;:]", ""))).cast("double")
+    val stopHits = size(filter(ts,
+      t => array_contains(lit(profiles.head._2.toArray), t))).cast("double")
+    Tables(s, dir, "documents")
+      .select($"doc_id", nTokens.as("n_tokens"),
+        round(noSpace / nTokens, 4).as("avg_word_len"),
+        round(punct / length($"text"), 4).as("punct_ratio"),
+        round(stopHits / nTokens, 4).as("stopword_ratio"),
+        when(nTokens.between(10, 1000), "good").otherwise("low").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** t03 — per-doc token statistics: counts, distincts, type-token
+    * ratio. */
+  def t03TokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = tokens($"text")
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(ts).cast("long").as("n_tokens"),
+        size(array_distinct(ts)).cast("long").as("n_distinct"),
+        round(size(array_distinct(ts)).cast("double") / size(ts), 4).as("ttr"))
+      .orderBy($"doc_id")
+  }
+
+  /** t04 — corpus term frequency, top 20. explode -> partial-combined
+    * hash agg: the shuffle carries one row per distinct term per task,
+    * not one per token — at 100 TB this is the only viable shape. */
+  def t04TermFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token")
+      .limit(20)
+  }
+
+  /** t05 — document fingerprinting by winnowing (Schleimer et al.,
+    * SIGMOD'03, public): rolling char-8-gram hashes, keep the min of
+    * every 4-hash window, dedup. Emits fingerprint count + global min
+    * per doc (the full set feeds copy-detection joins at scale). */
+  def t05Winnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = transform(
+      sequence(lit(1), greatest(length($"text") - 7, lit(0))),
+      i => xxhash64(substring($"text", i, lit(8))))
+    Tables(s, dir, "documents")
+      .select($"doc_id", hashes.as("h"))
+      .filter(size($"h") >= 4)
+      .select($"doc_id",
+        array_distinct(transform(
+          sequence(lit(0), size($"h") - 4),
+          w => array_min(slice($"h", w + 1, lit(4))))).as("fps"))
+      .select($"doc_id", size($"fps").cast("long").as("n_fingerprints"),
+        array_min($"fps").as("min_fingerprint"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Large-scale training-data deduplication operators over `documents`
+  * (builder prompt: first-class components; absent in the reference —
+  * SURVEY.md §2b "dedup"). All composition of built-ins — shingling,
+  * MinHash, banding, SimHash are higher-order-function expressions that
+  * stay inside whole-stage codegen; no UDFs, no driver loops.
+  *
+  * Scale design: every op is shuffle-bounded by the *candidate* set, not
+  * the pair space. LSH banding turns O(n²) pair comparison into
+  * groupBy(band_key) — at 100 TB the band join is the only exchange and
+  * its fan-in is controlled by bands x rows (tune rows up to push the
+  * jaccard threshold up and bucket sizes down). Skewed buckets (boiler-
+  * plate docs) are the classic hazard: cap bucket size before pairing
+  * (done below via a bucket-size filter) and let AQE split stragglers.
+  */
+object TextDedup {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Distinct word k-shingles ("w1 w2 w3") as an array column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ts = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(ts) - k, lit(0)) - 1),
+      i => concat_ws(" ", (0 until k).map(o => element_at(ts, i + o + 1)): _*)))
+  }
+
+  /** MinHash signature columns via explode -> groupBy -> 64 partial
+    * `min(xxhash64(shingle, j))` aggregates. This shape matters: the
+    * nested-HOF spelling (`transform(seq, j -> array_min(transform(sh,
+    * xxhash64)))`) looks tidy but CollapseProject re-inlines the shingle
+    * expression into every hash lambda — measured 60x slower at sf0.1.
+    * explode+partial-agg is also the 100 TB shape: map-side combine
+    * reduces each doc to 64 longs before any exchange. */
+  def minhashSig(docs: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val aggs = (0 until numHashes).map(j => min(xxhash64(col("sh"), lit(j))).as(s"h$j"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** d01 — exact dedup: keep the lowest doc_id per normalized text
+    * (lower + trim + whitespace-collapse). Window row_number over the
+    * content key — one shuffle on the hash of the key; at 100 TB dedup
+    * on xxhash64(norm) instead of the full text to keep shuffle rows
+    * narrow (hash collision risk 2^-64 per pair). The synthetic corpus
+    * has no dupes — the op is still exercised end-to-end and unit
+    * tests prove the dedup path with real duplicates. */
+  def d01ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+    val w = Window.partitionBy($"norm").orderBy($"doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("norm", norm)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Candidate pairs via MinHash-LSH banding. bands x rowsPerBand =
+    * numHashes; collision threshold ~ (1/bands)^(1/rowsPerBand). */
+  def minhashCandidates(docs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = 64): DataFrame = {
+    val sig = minhashSig(docs, bands * rowsPerBand)
+    // Band key = one hash over the band's rows (xxhash64 is variadic).
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+        xxhash64(rows :+ lit(b): _*)
+      }: _*)).as(Seq("band", "bucket")))
+      .persist() // self-joined below; avoid recomputing the signatures
+    // Cap pathological buckets (boilerplate text at scale): a bucket of
+    // size m yields m^2/2 pairs — bound it.
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+    sized.as("a").join(sized.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for a pair table (verification step of
+    * the LSH pipeline: candidates are tiny relative to the corpus, so
+    * re-shingling via join is cheap). */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** d02 — MinHash+LSH near-dup: shingle -> 64-hash signature -> 16x4
+    * banding -> bucket self-join -> exact-jaccard verify -> top-20 most
+    * similar pairs. On this synthetic corpus no pair clears a production
+    * threshold (~0.8); emitting the ranked head keeps the op observable
+    * and deterministic. No oracle: not expressible in DuckDB SQL. */
+  def d02MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val pairs = minhashCandidates(docs, bands = 16, rowsPerBand = 4)
+    jaccardVerify(docs, pairs)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"jaccard".desc, $"id_a", $"id_b")
+      .limit(20)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: hash each token once, then
+    * per-bit majority vote — bit k of the fingerprint is 1 iff more
+    * token hashes have bit k set than not. */
+  def simhash(text: Column): Column = simhashOfHashes(
+    transform(tokens(text), t => xxhash64(t)))
+
+  /** Per-bit majority vote over pre-hashed tokens. The 64 bit positions
+    * unroll at plan-build time (bit index must be a literal for the
+    * shift), producing one fused codegen'd expression. */
+  def simhashOfHashes(hs: Column): Column =
+    (0 until 64).map { k =>
+      when(
+        aggregate(hs, lit(0),
+          (c, h) => c + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+        lit(1L << k)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** d03 — SimHash fingerprints (deterministic per doc). Near-dup at
+    * scale = same 16-bit block in >=1 of 4 blocks -> hamming<=3 verify
+    * via bit_count(a^b) (see [[simhashPairs]], unit-tested with real
+    * near-dups; random corpus has none). */
+  def d03Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", simhash($"text").as("simhash64"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup pairs: block-LSH (4 x 16-bit blocks) then hamming
+    * distance <= maxHamming via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val blocked = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), b * 16).bitwiseAND(0xFFFF)): _*)).as(Seq("block", "key")))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** d04 — n-gram Jaccard similarity kernel: word-3-gram and char-3-gram
+    * Jaccard for adjacent doc_id pairs (a deterministic pair source that
+    * exercises the kernel on every doc; production pairs come from LSH
+    * candidates — see d02). Self-join on doc_id+1 is an equi-join:
+    * single shuffle, no pair explosion. */
+  def d04NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    def charGrams(c: Column): Column = array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - 2, lit(0))),
+      i => substring(c, i, lit(3))))
+    val feat = docs.select($"doc_id",
+      shingles($"text").as("wg"), charGrams(lower($"text")).as("cg"))
+    def jac(a: Column, b: Column): Column =
+      when(size(array_union(a, b)) === 0, 0.0)
+        .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+    feat.as("a")
+      .join(feat.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(jac(col("a.wg"), col("b.wg")), 4).as("jaccard_word3"),
+        round(jac(col("a.cg"), col("b.cg")), 4).as("jaccard_char3"))
+      .orderBy(col("id_a"))
+  }
+}

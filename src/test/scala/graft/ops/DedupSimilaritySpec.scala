@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkSuiteBase
+import graft.functions.{CosineSimilarity, GraftFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Kernel-level tests with REAL duplicates/near-duplicates (the harness
+  * corpus is random so the e2e queries exercise but can't prove the
+  * dedup paths — these do). */
+class DedupSimilaritySpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (4L, "completely different text about spark query engines and shuffles and joins"),
+    (5L, "another unrelated document discussing parquet column pruning and pushdown")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val cand = TextDedup.minhashCandidates(docs, bands = 16, rowsPerBand = 4)
+    val verified = TextDedup.jaccardVerify(docs, cand)
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(verified.contains((1L, 2L)))
+    assert(verified.contains((1L, 3L)) || verified.contains((2L, 3L)))
+    assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard of identical docs is 1.0") {
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = TextDedup.jaccardVerify(docs, cand).select($"jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs equal, near-dups within hamming 8, unrelated far") {
+    val fp = docs.select($"doc_id", TextDedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 8)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 8)
+  }
+
+  test("simhashPairs surfaces the duplicate cluster via block LSH") {
+    val pairs = TextDedup.simhashPairs(docs, maxHamming = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine_sim native expression: known values, null/zero semantics") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),   // identical -> 1
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),   // orthogonal -> 0
+      (Array(1f, 1f, 0f), Array(1f, 0f, 0f)),   // 45 deg -> ~0.7071
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f))    // zero norm -> 0 (not NaN)
+    ).toDF("a", "b")
+    val got = df.select(call_function("cosine_sim", $"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-9)
+    assert(math.abs(got(1)) < 1e-9)
+    assert(math.abs(got(2) - math.sqrt(0.5)) < 1e-6)
+    assert(got(3) == 0.0)
+  }
+
+  test("cosine_sim codegen and interpreted paths agree") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(50)((Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = data.toDF("a", "b")
+    GraftFunctions.register(spark)
+    val viaPlan = df.select(call_function("cosine_sim", $"a", $"b"))
+      .as[Double].collect()
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val interpreted: Seq[Double] = data.map { case (a, b) =>
+      CosineSimilarity(
+        Literal.create(a, ArrayType(FloatType)),
+        Literal.create(b, ArrayType(FloatType))).eval(null).asInstanceOf[Double]
+    }
+    viaPlan.toSeq.zip(interpreted).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-12)
+    }
+  }
+
+  test("IVF probe search achieves high recall vs brute force on harness data") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Similarity.s01CosineTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.s02IvfTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall") // 2/16 buckets probed, random vectors
+  }
+
+  test("exact dedup keeps lowest doc_id per normalized text") {
+    val dd = Seq((10L, "Hello  World "), (11L, "hello world"), (12L, "other"))
+      .toDF("doc_id", "text")
+    dd.createOrReplaceTempView("dedup_in")
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+    val w = Window.partitionBy($"norm").orderBy($"doc_id")
+    val kept = dd.withColumn("norm", norm)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L))
+  }
+}
