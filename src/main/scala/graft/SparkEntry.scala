@@ -65,7 +65,9 @@ object SparkEntry {
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
     "t04_term_freq" -> (TextAnalysis.t04TermFreq _),
     "t05_winnow" -> (TextAnalysis.t05Winnow _),
-    "m01_media_features" -> (Multimodal.m01MediaFeatures _)
+    "m01_media_features" -> (Multimodal.m01MediaFeatures _),
+    "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
+    "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -365,6 +367,30 @@ object SparkEntry {
         |      FROM documents) t
         |GROUP BY token
         |ORDER BY cnt DESC, token
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "st01_tumbling_windows" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "st02_session_windows" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT epoch_us(min(ts)) AS session_start_us, user_id,
+        |       count(*) AS n_events
+        |FROM numbered
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin
   )
 }

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Structured Streaming surface (SURVEY.md §2b "streaming"; the
+  * reference's only streaming-ish behavior is the blob file queue,
+  * S2/S6 — see [[graft.sources.FileQueue.stream]] for that part).
+  *
+  * The same `window`/`session_window` expressions run identically in
+  * batch — the harness queries st01/st02 execute them over the batch
+  * `events` table with a DuckDB oracle, and StreamingSpec drives the
+  * genuinely incremental paths (watermark drops, session merge, custom
+  * state) through MemoryStream micro-batches.
+  *
+  * Scale notes: streaming aggregation state lives in the state store,
+  * partitioned by grouping key — the watermark bounds state size (here
+  * 10 min of event-time), which is what makes a 100 TB/day stream
+  * feasible. `session_window` merges adjacent sessions within a key
+  * partition; keys (user_id) are the parallelism unit.
+  */
+object Streams {
+
+  /** Tumbling 1-hour windowed counts per event type with a 10-minute
+    * watermark (streaming plan; works on any streaming events frame). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows (10-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Custom streaming state via mapGroupsWithState: per-user running
+    * totals that survive across micro-batches (the kind of bespoke
+    * accumulator `flatMapGroupsWithState` exists for). */
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((c, s), e) => (c + 1, s + e.value)
+          }
+          val next = UserStats(user, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  // ---- batch-equivalent harness queries (same window expressions) ----
+
+  /** st01 — tumbling event-time windows in batch mode. Window starts are
+    * emitted as epoch micros (timestamp-representation-proof for the
+    * oracle). */
+  def st01TumblingWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select(unix_micros($"window.start").as("window_start_us"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_start_us", $"event_type")
+  }
+
+  /** st02 — session windows (10-minute gap) per user in batch mode.
+    * Oracle: the classic gaps-and-islands SQL. */
+  def st02SessionWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros($"session_window.start").as("session_start_us"),
+        $"user_id", $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSuiteBase
+import graft.sources.FileQueue
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.functions._
+
+/** Drives the genuinely incremental streaming paths: micro-batches via
+  * MemoryStream (windowed agg with watermark, custom state) and the
+  * archiving file source (the reference's blob queue, S2/S6). */
+class StreamsSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+  private def ev(minute: Int, typ: String, v: Double, u: Long = 1L) =
+    Ev(Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), typ, v, u)
+
+  test("tumbling window aggregation accumulates across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(5, "click", 1.0), ev(10, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(ev(20, "click", 3.0), ev(25, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT event_type, max(n_events) AS n, max(sum_value) AS s
+          |FROM tumbling GROUP BY event_type""".stripMargin)
+        .as[(String, Long, Double)].collect()
+        .map { case (k, n, s) => k -> ((n, s)) }.toMap
+      assert(rows("click") == ((3L, 6.0))) // all three clicks in the 10:00 window
+      assert(rows("view") == ((1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("session windows split on gap > timeout and merge within it") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // session aggregation only supports Append: sessions emit once the
+    // watermark passes their end — advance it with later flush batches.
+    val q = Streams.sessionCounts(in.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // minutes 1,5,9 chain (gaps < 10) -> one session; 30 -> a new one
+      in.addData(ev(1, "click", 1.0), ev(5, "click", 1.0),
+        ev(9, "click", 1.0), ev(30, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(ev(59, "flush", 0.0, u = 99L)) // watermark -> 10:20
+      q.processAllAvailable()
+      in.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "flush", 0.0, 99L))
+      q.processAllAvailable() // watermark -> 10:49, session2 finalized
+      val rows = spark.sql(
+        "SELECT session_start, n_events FROM sessions WHERE user_id = 1")
+        .as[(Timestamp, Long)].collect().sortBy(_._1.getTime)
+      assert(rows.map(_._2).toSeq == Seq(3L, 1L))
+      assert(rows(0)._1 == Timestamp.valueOf("2024-01-01 10:01:00"))
+      assert(rows(1)._1 == Timestamp.valueOf("2024-01-01 10:30:00"))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps per-user running totals across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streams.UserEvent]
+    val q = Streams.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("userstats")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Streams.UserEvent(1L, 10.0), Streams.UserEvent(2L, 5.0))
+      q.processAllAvailable()
+      in.addData(Streams.UserEvent(1L, 7.0))
+      q.processAllAvailable()
+      val latest = spark.sql(
+        """SELECT user_id, max(n_events), max(total_value)
+          |FROM userstats GROUP BY user_id""".stripMargin)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(latest(1L) == ((2L, 17.0))) // state carried across batches
+      assert(latest(2L) == ((1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("file-queue stream reads docs and archives consumed files (S6)") {
+    val in = Files.createTempDirectory("graft-stream-in")
+    val archive = Files.createTempDirectory("graft-stream-archive")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val out = Files.createTempDirectory("graft-stream-out")
+    Files.writeString(in.resolve("a_action.json"), """{"v": 1}""")
+    Files.writeString(in.resolve("b_action.json"), """{"v": 2}""")
+    val schema = FileQueue.inferSchema(spark, in.toString)
+    def runOnce(): Unit = {
+      val q = FileQueue.stream(spark, in.toString, archive.toString, schema)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    runOnce()
+    val read = spark.read.parquet(out.toString)
+    assert(read.count() == 2)
+    assert(read.columns.contains("source_file"))
+    // The source archives batch N's files when committing it, which
+    // happens as the NEXT batch is constructed — run a second cycle
+    // (new file -> new batch) to observe the archival of the first two.
+    Files.writeString(in.resolve("c_action.json"), """{"v": 3}""")
+    runOnce()
+    val archived = Files.walk(archive).filter(_.toString.endsWith(".json")).count()
+    assert(archived >= 2, s"expected first batch archived, got $archived")
+    assert(spark.read.parquet(out.toString).count() == 3)
+  }
+}
