@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.SparkSuiteBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator property tests (SURVEY.md §5.3) for the scalar
+  * kernels — cheap invariants the oracle can't state. (Generators are
+  * sampled with a fixed seed — scalatestplus isn't in the offline
+  * cache, and determinism is a feature here anyway.) */
+class PropertySpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  /** Deterministic sampling of a generator (fixed seed per call site). */
+  private def samples[A](g: Gen[A], n: Int, seedNo: Long = 42L): Seq[A] = {
+    var seed = Seed(seedNo)
+    (1 to n).flatMap { _ =>
+      val r = g.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      r
+    }
+  }
+
+  private def forAll[A](g: Gen[A], n: Int = 12)(body: A => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  test("mask preserves length+1 and the suffix (P8 intent)") {
+    forAll(Gen.listOfN(8, word.suchThat(_.length >= 4))) { words =>
+      whenever(words.nonEmpty) {
+        val out = words.toDF("account")
+          .select($"account",
+            concat(lit("XXXX"), expr("substring(account, 4)")).as("mask"))
+          .as[(String, String)].collect()
+        out.foreach { case (acc, mask) =>
+          assert(mask.startsWith("XXXX"))
+          assert(mask.drop(4) == acc.drop(3))
+          assert(mask.length == acc.length + 1)
+        }
+      }
+    }
+  }
+
+  test("date reassembly round-trips any timestamp at second precision (P10)") {
+    val tsGen = Gen.choose(0L, 4102444800L) // 1970..2100 epoch seconds
+    forAll(Gen.listOfN(8, tsGen)) { secs =>
+      whenever(secs.nonEmpty) {
+        val out = secs.toDF("s")
+          .select(timestamp_seconds($"s").as("ts"))
+          .select($"ts",
+            date_format($"ts", "yyyyMMdd").as("d"),
+            date_format($"ts", "HHmmss").as("t"))
+          .select($"ts", to_timestamp(concat(
+            substring($"d", 1, 4), lit("-"), substring($"d", 5, 2), lit("-"),
+            substring($"d", 7, 2), lit(" "),
+            substring($"t", 1, 2), lit(":"), substring($"t", 3, 2), lit(":"),
+            substring($"t", 5, 2))).as("rt"))
+          .as[(java.sql.Timestamp, java.sql.Timestamp)].collect()
+        out.foreach { case (ts, rt) => assert(rt == ts) }
+      }
+    }
+  }
+
+  test("explode row count equals the sum of array sizes (P5/P6)") {
+    val arrGen = Gen.listOf(Gen.choose(0, 100))
+    forAll(Gen.listOfN(6, arrGen)) { arrays =>
+      val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "xs")
+      val exploded = df.select($"id", explode($"xs")).count()
+      assert(exploded == arrays.map(_.size).sum)
+      // explode_outer additionally keeps one row per empty array
+      val outer = df.select($"id", explode_outer($"xs")).count()
+      assert(outer == arrays.map(a => math.max(a.size, 1)).sum)
+    }
+  }
+
+  test("jaccard is 1 for identical, 0 for disjoint, symmetric otherwise") {
+    forAll(Gen.zip(Gen.listOfN(12, word), Gen.listOfN(12, word))) { case (as, bs) =>
+      whenever(as.nonEmpty && bs.nonEmpty) {
+        val textA = as.mkString(" ") + " " + as.mkString(" ") // >= 2x3 tokens
+        val textB = bs.mkString(" ") + " " + bs.mkString(" ")
+        val docs = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+        val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+        val j = TextDedup.jaccardVerify(docs, pairs)
+          .select($"jaccard").as[Double].head()
+        assert(j >= 0.0 && j <= 1.0)
+        val jSwap = TextDedup.jaccardVerify(
+          Seq((1L, textB), (2L, textA)).toDF("doc_id", "text"), pairs)
+          .select($"jaccard").as[Double].head()
+        assert(math.abs(j - jSwap) < 1e-12) // symmetric
+      }
+    }
+  }
+}
