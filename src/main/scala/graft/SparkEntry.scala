@@ -38,6 +38,7 @@ object SparkEntry {
     "q15_exists_subquery" -> (Relational.q15ExistsSubquery _),
     "q16_asof_join" -> (Relational.q16AsOfJoin _),
     "q17_approx_distinct" -> (Relational.q17ApproxDistinct _),
+    "q18_custom_udaf" -> (Relational.q18CustomUdaf _),
     "f01_struct_splat" -> (Flatten.f01StructSplat _),
     "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
     "f03_explode_nested_parent" -> (Flatten.f03ExplodeNestedParent _),
@@ -65,6 +66,7 @@ object SparkEntry {
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
     "t04_term_freq" -> (TextAnalysis.t04TermFreq _),
     "t05_winnow" -> (TextAnalysis.t05Winnow _),
+    "t06_bpe_tokens" -> (TextAnalysis.t06BpeTokens _),
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _)
@@ -368,6 +370,21 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY cnt DESC, token
         |LIMIT 20""".stripMargin,
+
+    "q18_custom_udaf" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "t06_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "st01_tumbling_windows" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,

@@ -293,6 +293,19 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** q18 — custom typed UDAF: quantity-weighted average price per
+    * returnflag through [[graft.functions.WeightedAvg]] (Aggregator API
+    * -> two-phase partial/final like any built-in agg). */
+  def q18CustomUdaf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wavg = udaf(graft.functions.WeightedAvg)
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(round(wavg($"l_extendedprice", $"l_quantity"), 2).as("wavg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   /** q17 — approximate distinct (HLL++) next to the exact count.
     * approx_count_distinct shuffles fixed-size sketches instead of key
     * sets — at 100 TB this is the difference between megabytes and

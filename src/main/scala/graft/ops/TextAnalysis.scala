@@ -89,6 +89,23 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** t06 — token counting two ways (builder prompt: "whitespace + a
+    * BPE-ish regex"): the whitespace count and a GPT-2-style-lite
+    * pretokenizer regex (letter runs / digit runs / punctuation runs,
+    * each with optional leading space) via regexp_extract_all. The
+    * pattern uses only portable constructs so Java regex (Spark) and
+    * RE2 (DuckDB oracle) agree. */
+  def t06BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(tokens($"text")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower($"text"), lit(pat), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** t05 — document fingerprinting by winnowing (Schleimer et al.,
     * SIGMOD'03, public): rolling char-8-gram hashes, keep the min of
     * every 4-hash window, dedup. Emits fingerprint count + global min

