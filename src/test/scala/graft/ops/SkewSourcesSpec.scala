@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.nio.file.Files
+import graft.SparkSuiteBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Skew-salting equivalence + the remaining source formats from
+  * SURVEY.md §2b row 1 (csv; json corrupt-record tolerance). */
+class SkewSourcesSpec extends SparkSuiteBase {
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join returns exactly the rows of the plain join, shuffled on (key, salt)") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val supp = graft.Tables(spark, sf, "supplier")
+    val plain = li.join(supp, $"l_suppkey" === $"s_suppkey")
+    val salted = Skew.saltedJoin(
+      li.withColumnRenamed("l_suppkey", "k"),
+      supp.withColumnRenamed("s_suppkey", "k"), "k", n = 4)
+    assert(salted.count() == plain.count())
+    val revPlain = plain.agg(round(sum($"l_extendedprice"), 2)).head().getDouble(0)
+    val revSalted = salted.agg(round(sum($"l_extendedprice"), 2)).head().getDouble(0)
+    assert(revPlain == revSalted)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try { // suppress broadcast so the salt actually reaches an exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Skew.saltedJoin(
+        li.withColumnRenamed("l_suppkey", "k"),
+        supp.withColumnRenamed("s_suppkey", "k"), "k", 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"salt missing from plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("q"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    val salted = Skew.saltedAgg(li, "l_returnflag", 8,
+        partial = scala.collection.immutable.ListMap(
+          "l_quantity" -> (sum(_)), "l_orderkey" -> (c => count(c))),
+        merge = scala.collection.immutable.ListMap(
+          "l_quantity" -> (sum(_)), "l_orderkey" -> (sum(_))))
+      .select($"l_returnflag", round($"l_quantity", 2), $"l_orderkey")
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("csv source round-trips with explicit schema and header") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val orig = graft.Tables(spark, sf, "region")
+    orig.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read
+      .schema(StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))
+      .option("header", "true").csv(dir)
+    assert(back.as[(Int, String)].collect().toSet ==
+      orig.as[(Int, String)].collect().toSet)
+  }
+
+  test("json PERMISSIVE mode captures corrupt records instead of failing (P17 analogue)") {
+    val dir = Files.createTempDirectory("graft-badjson")
+    Files.writeString(dir.resolve("good.json"), """{"a": 1, "b": "x"}""")
+    Files.writeString(dir.resolve("bad.json"), """{"a": broken""")
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.getAs[String]("_corrupt_record") != null) == 1)
+    assert(rows.exists(r => r.getAs[Any]("a") == 1L && r.getAs[String]("b") == "x"))
+  }
+}
