@@ -109,7 +109,14 @@ object TextDedup {
     * the LSH pipeline: candidates are tiny relative to the corpus, so
     * re-shingling via join is cheap). */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // Only candidate docs need re-shingling: semi-join the corpus down
+    // to ids appearing in a pair before computing arrays. At 100 TB the
+    // candidate set is orders of magnitude smaller than the corpus —
+    // shingling everything twice (once per join side) is the naive trap.
+    val ids = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -126,7 +133,10 @@ object TextDedup {
   def d02MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-    val pairs = minhashCandidates(docs, bands = 16, rowsPerBand = 4)
+    // Candidates are referenced three times downstream (two id-set
+    // branches + the verify join) — cache the tiny pair set instead of
+    // re-running the LSH pipeline per reference.
+    val pairs = minhashCandidates(docs, bands = 16, rowsPerBand = 4).persist()
     jaccardVerify(docs, pairs)
       .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
       .orderBy($"jaccard".desc, $"id_a", $"id_b")

@@ -43,6 +43,26 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding 10 minutes. Both sides carry watermarks
+    * so the join state is bounded — Spark retires a click row once the
+    * purchase-side watermark passes click.ts + 10 min. This is the
+    * streaming form of the q16 as-of pattern (there: union + window). */
+  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      expr("""c_user = p_user AND
+              click_ts BETWEEN purchase_ts - INTERVAL 10 MINUTES AND purchase_ts"""))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_ts"))
+  }
+
   /** Custom streaming state via mapGroupsWithState: per-user running
     * totals that survive across micro-batches (the kind of bespoke
     * accumulator `flatMapGroupsWithState` exists for). */

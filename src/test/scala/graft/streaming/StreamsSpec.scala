@@ -85,6 +85,26 @@ class StreamsSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks only") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.clickToPurchaseJoin(in.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(5, "click", 1.0),       // within 10 min of the purchase -> joins
+        ev(12, "purchase", 99.0),
+        ev(20, "click", 1.0),      // AFTER the purchase -> must not join
+        ev(40, "click", 1.0))      // a later click, no purchase follows
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, click_ts FROM ssjoin")
+        .as[(Long, Timestamp)].collect()
+      assert(rows.length == 1)
+      assert(rows.head._2 == Timestamp.valueOf("2024-01-01 10:05:00"))
+    } finally q.stop()
+  }
+
   test("file-queue stream reads docs and archives consumed files (S6)") {
     val in = Files.createTempDirectory("graft-stream-in")
     val archive = Files.createTempDirectory("graft-stream-archive")
