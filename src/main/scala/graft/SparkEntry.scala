@@ -39,6 +39,7 @@ object SparkEntry {
     "q16_asof_join" -> (Relational.q16AsOfJoin _),
     "q17_approx_distinct" -> (Relational.q17ApproxDistinct _),
     "q18_custom_udaf" -> (Relational.q18CustomUdaf _),
+    "q19_set_ops_all" -> (Relational.q19SetOpsAll _),
     "f01_struct_splat" -> (Flatten.f01StructSplat _),
     "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
     "f03_explode_nested_parent" -> (Flatten.f03ExplodeNestedParent _),
@@ -54,6 +55,7 @@ object SparkEntry {
     "f13_date_math" -> (Scalar.f13DateMath _),
     "f14_pivot" -> (Scalar.f14Pivot _),
     "f15_unpivot" -> (Scalar.f15Unpivot _),
+    "f16_array_hof" -> (Scalar.f16ArrayHof _),
     "d01_exact_dedup" -> (TextDedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (TextDedup.d02MinhashLsh _),
     "d03_simhash" -> (TextDedup.d03Simhash _),
@@ -378,6 +380,33 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q19_set_ops_all" ->
+      """SELECT * FROM (
+        |  SELECT 'big_minus_urgent_all' AS tag, count(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |    EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t1
+        |  UNION ALL
+        |  SELECT 'big_and_urgent_all' AS tag, count(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |    INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t2
+        |  UNION ALL
+        |  SELECT 'big_plus_urgent_all' AS tag, count(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |    UNION ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t3
+        |) u ORDER BY tag""".stripMargin,
+
+    "f16_array_hof" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  ((0.0 + l_quantity * 2) + l_discount * 2) + l_tax * 2 AS doubled_sum,
+        |  CAST((CASE WHEN l_quantity > 0.02 THEN 1 ELSE 0 END +
+        |        CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END +
+        |        CASE WHEN l_tax > 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  least(l_quantity, l_discount, l_tax) AS min_el,
+        |  greatest(l_quantity, l_discount, l_tax) AS max_el,
+        |  ((0.0 + l_quantity * 1.0) + l_discount * 2.0) + l_tax * 3.0 AS weighted
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, weighted""".stripMargin,
 
     "t06_bpe_tokens" ->
       """SELECT doc_id,

@@ -293,6 +293,23 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** q19 — multiset (ALL) set operations over bags with duplicates
+    * (o_custkey repeats across orders): intersectAll / exceptAll keep
+    * multiplicities — distinct semantics are q13. */
+  def q19SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables(s, dir, "orders").filter($"o_totalprice" > 300000)
+      .select($"o_custkey".as("k"))
+    val urgent = Tables(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("k"))
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("tag"), $"n")
+    tag("big_minus_urgent_all", big.exceptAll(urgent))
+      .unionByName(tag("big_and_urgent_all", big.intersectAll(urgent)))
+      .unionByName(tag("big_plus_urgent_all", big.unionAll(urgent)))
+      .orderBy($"tag")
+  }
+
   /** q18 — custom typed UDAF: quantity-weighted average price per
     * returnflag through [[graft.functions.WeightedAvg]] (Aggregator API
     * -> two-phase partial/final like any built-in agg). */

@@ -68,6 +68,25 @@ object Scalar {
       .orderBy($"l_linestatus")
   }
 
+  /** f16 — array higher-order-function battery (SURVEY.md §2b scalar
+    * library: element_at/transform/filter/aggregate/zip_with). Folds
+    * are left-associative in both engines, so the oracle spells the
+    * same floating-point evaluation order and matches bit-exactly. */
+  def f16ArrayHof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arr = array($"l_quantity", $"l_discount", $"l_tax")
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        aggregate(transform(arr, x => x * 2), lit(0.0), (acc, x) => acc + x)
+          .as("doubled_sum"),
+        size(filter(arr, x => x > 0.02)).cast("long").as("n_above"),
+        array_min(arr).as("min_el"),
+        array_max(arr).as("max_el"),
+        aggregate(zip_with(arr, array(lit(1.0), lit(2.0), lit(3.0)), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("weighted"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"weighted")
+  }
+
   /** f15 — unpivot/melt (long form): lineitem measures to (metric, value)
     * pairs. Spark's native unpivot (no UNION-of-scans: one pass). */
   def f15Unpivot(s: SparkSession, dir: String): DataFrame = {
