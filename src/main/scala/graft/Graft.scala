@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-facing facade: the engine's reusable operators, parameterized
+  * over arbitrary DataFrames (the `SparkEntry` queries are these same
+  * operators bound to the harness tables). A reference user migrates by
+  * pointing [[pipelines.Router.route]] at their document directory and
+  * using these for everything the reference never had.
+  */
+object Graft {
+
+  // ---- relational conveniences ----
+
+  /** Top-k rows per group, deterministic under ties via `tieBreak`. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], orderCol: Column,
+      tieBreak: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCol.desc, tieBreak)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** As-of join: for each `left` row, the greatest `rightTs` <= its
+    * `leftTs` within the same `key` — union + single window pass, no
+    * range join (see PERF.md / q16). Emits left rows with a
+    * `asof_<valueCol>` column (null when nothing precedes). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCol: String): DataFrame = {
+    val l = left.withColumn("__kind", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+        col(valueCol).as("__v"))
+      .withColumn("__kind", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(s"asof_$valueCol",
+        last(when(col("__kind") === 0, col("__v")), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .drop("__kind", "__ts", "__v")
+  }
+
+  // ---- dedup / similarity / text ----
+
+  /** Exact dedup on normalized content: keeps the lowest `idCol` per
+    * normalized key; shuffle carries only an 8-byte hash. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val w = Window.partitionBy(xxhash64(norm)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    * threshold ~ (1/bands)^(1/rowsPerBand); see ops.TextDedup. */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val cand = ops.TextDedup.minhashCandidates(docs, bands, rowsPerBand).persist()
+    ops.TextDedup.jaccardVerify(docs, cand).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact cosine top-k neighbors for each query row (broadcast
+    * queries, fused codegen'd kernel). Both frames: (id, vector). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    functions.GraftFunctions.register(s)
+    val q = broadcast(queries.select(col(queries.columns(0)).as("query_id"),
+      col(queries.columns(1)).as("__q")))
+    val c = corpus.select(col(corpus.columns(0)).as("vec_id"),
+      col(corpus.columns(1)).as("__v"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        call_function("cosine_sim", col("__q"), col("__v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Whitespace + BPE-ish token counts (see TextAnalysis.t06). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_ws_tokens",
+        size(ops.TextDedup.tokens(col(textCol))).cast("long"))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(lower(col(textCol)),
+          lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))).cast("long"))
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.SparkSuiteBase
+import org.apache.spark.sql.functions._
+
+/** The facade operators over arbitrary frames (not the harness tables):
+  * the "switch from the reference" API surface. */
+class GraftFacadeSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  test("topKPerGroup keeps k rows per group with deterministic ties") {
+    val df = Seq((1, "a", 10.0), (1, "b", 10.0), (1, "c", 5.0), (2, "d", 1.0))
+      .toDF("g", "id", "score")
+    val top = Graft.topKPerGroup(df, Seq($"g"), $"score", $"id", 2)
+      .select($"id").as[String].collect().toSet
+    assert(top == Set("a", "b", "d"))
+  }
+
+  test("asOfJoin attaches the latest preceding right value per key") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 25L, "t2"), (2L, 5L, "t3"))
+      .toDF("k", "trade_ts", "trade")
+    val quotes = Seq((1L, 8L, 1.0), (1L, 20L, 2.0), (2L, 9L, 9.9))
+      .toDF("k", "quote_ts", "px")
+    val out = Graft.asOfJoin(trades, quotes, "k", "trade_ts", "quote_ts", "px")
+      .select($"trade", $"asof_px").as[(String, Option[Double])].collect().toMap
+    assert(out("t1") == Some(1.0)) // quote@8 precedes trade@10
+    assert(out("t2") == Some(2.0)) // quote@20 precedes trade@25
+    assert(out("t3") == None)      // quote@9 is AFTER trade@5
+  }
+
+  test("dedupExact keeps lowest id per normalized text") {
+    val df = Seq((5L, "Hello  World"), (3L, "hello world "), (9L, "bye"))
+      .toDF("id", "text")
+    val kept = Graft.dedupExact(df, "text", "id").select($"id").as[Long].collect().toSet
+    assert(kept == Set(3L, 9L))
+  }
+
+  test("nearDupPairs finds the near-duplicate above threshold") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog by the river shore"),
+      (3L, "spark catalyst optimizer rules rewrite logical plans into physical plans")
+    ).toDF("id", "text")
+    val pairs = Graft.nearDupPairs(df, "text", "id", minJaccard = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosineTopK ranks by cosine with the native kernel") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0f, 1f)))
+      .toDF("id", "vec")
+    val queries = Seq((10L, Array(1f, 0f))).toDF("id", "vec")
+    val top = Graft.cosineTopK(corpus, queries, 2)
+      .select($"rank", $"vec_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(top.map(_._2).toSeq == Seq(11L, 12L))
+  }
+
+  test("tokenCounts adds both counters") {
+    val out = Graft.tokenCounts(Seq((1, "abc de-f 42")).toDF("id", "t"), "t")
+      .select($"n_ws_tokens", $"n_bpe_tokens").as[(Long, Long)].head()
+    // ws: [abc, de-f, 42]; bpe: [abc, " de", "-", "f", " 42"]
+    assert(out == ((3L, 5L)))
+  }
+}
