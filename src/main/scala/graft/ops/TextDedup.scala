@@ -195,9 +195,14 @@ object TextDedup {
   def d04NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-    def charGrams(c: Column): Column = array_distinct(transform(
-      sequence(lit(1), greatest(length(c) - 2, lit(0))),
-      i => substring(c, i, lit(3))))
+    // same bind-once trick as shingles(): `c` is a computed expression
+    // (lower(text)); referencing it per element re-lowercases the whole
+    // string per gram -> quadratic. Bind it to a lambda variable.
+    def charGrams(c: Column): Column = element_at(
+      transform(array(c), s => array_distinct(transform(
+        sequence(lit(1), greatest(length(s) - 2, lit(0))),
+        i => substring(s, i, lit(3))))),
+      1)
     val feat = docs.select($"doc_id",
       shingles($"text").as("wg"), charGrams(lower($"text")).as("cg"))
     def jac(a: Column, b: Column): Column =

@@ -172,6 +172,20 @@ class RefPipelinesSpec extends SparkSuiteBase {
     assert(recs.map(_.getAs[String]("rec")).toSet == Set("approve", "review"))
   }
 
+  test("creditpipe tolerates absent OnFileDate with null fallback (P12, P:175-178)") {
+    val dir = Files.createTempDirectory("graft-nofiledate")
+    writeDoc(dir, "NOFD_credit_report.json",
+      """{"Date": "20200101", "Time": "010203", "MemberCode": "M1",
+        |"TU_FFR_Report": [{"Hit": false,
+        |  "Trades": [{"trade_id": 9, "balance": 1.0}]}]}""".stripMargin)
+    val out = Router.route(spark, dir.toString)
+    val base = out("base_credit").collect()
+    assert(base.length == 1)
+    assert(base.head.getAs[String]("FFR_filedate") == null) // np.nan analogue
+    assert(!base.head.getAs[Boolean]("Hit"))
+    assert(out("trades").count() == 1)
+  }
+
   test("file queue consume-then-archive moves files only on commit (S6)") {
     val in = Files.createTempDirectory("graft-queue")
     val archive = in.resolve("archive")
