@@ -40,6 +40,8 @@ object SparkEntry {
     "q17_approx_distinct" -> (Relational.q17ApproxDistinct _),
     "q18_custom_udaf" -> (Relational.q18CustomUdaf _),
     "q19_set_ops_all" -> (Relational.q19SetOpsAll _),
+    "q20_range_frame" -> (Relational.q20RangeFrame _),
+    "q21_stats_agg" -> (Relational.q21StatsAgg _),
     "f01_struct_splat" -> (Flatten.f01StructSplat _),
     "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
     "f03_explode_nested_parent" -> (Flatten.f03ExplodeNestedParent _),
@@ -395,6 +397,27 @@ object SparkEntry {
         |    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
         |    UNION ALL SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t3
         |) u ORDER BY tag""".stripMargin,
+
+    "q20_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+        |FROM orders
+        |ORDER BY o_custkey, days, o_orderkey""".stripMargin,
+
+    "q21_stats_agg" ->
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "f16_array_hof" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

@@ -293,6 +293,39 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** q20 — RANGE window frame: 30-day trailing spend per customer.
+    * Unlike the ROWS frames of q12, the frame extent is defined by the
+    * ORDER-BY value distance — peers at the same day aggregate
+    * together regardless of row order. */
+  def q20RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy($"o_custkey").orderBy($"days")
+      .rangeBetween(-30, Window.currentRow)
+    Tables(s, dir, "orders")
+      .withColumn("days", days)
+      .select($"o_custkey", $"o_orderkey", $"days",
+        round(sum($"o_totalprice").over(w), 2).as("trailing_30d"))
+      .orderBy($"o_custkey", $"days", $"o_orderkey")
+  }
+
+  /** q21 — statistical aggregates: exact median / percentile
+    * (interpolated), sample stddev, correlation, covariance. Moment
+    * accumulations are order-sensitive in the last ulps — rounded for
+    * the oracle. */
+  def q21StatsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        median($"l_quantity").as("med_qty"),
+        percentile($"l_quantity", lit(0.25)).as("p25_qty"),
+        round(stddev_samp($"l_extendedprice"), 2).as("sd_price"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
   /** q19 — multiset (ALL) set operations over bags with duplicates
     * (o_custkey repeats across orders): intersectAll / exceptAll keep
     * multiplicities — distinct semantics are q13. */
