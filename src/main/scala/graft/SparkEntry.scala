@@ -72,6 +72,7 @@ object SparkEntry {
     "t05_winnow" -> (TextAnalysis.t05Winnow _),
     "t06_bpe_tokens" -> (TextAnalysis.t06BpeTokens _),
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
+    "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _)
   )

@@ -46,21 +46,68 @@ object Multimodal {
       f2 = math.round(sum.toDouble / math.max(bytes.length, 1)) / 255.0)
   }
 
+  /** STUB — stands in for an image resize (??? in a real deployment:
+    * decode, scale, re-encode). Deterministic: output byte length
+    * scales with the target area so downstream size accounting is
+    * testable. Metadata is updated alongside the payload — the
+    * invariant a real resize must keep. */
+  def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
+    val scale = (targetW.toLong * targetH).toDouble / (r.width.toLong * r.height)
+    val outLen = math.max(1, math.round(r.media.length * scale).toInt)
+    val out = Array.tabulate[Byte](outLen)(i => r.media(i % r.media.length))
+    MediaRecord(r.doc_id, out, targetW, targetH)
+  }
+
+  /** STUB — stands in for video frame sampling: the payload is treated
+    * as a sequence of fixed-size frames; every `stride`-th frame is
+    * kept (??? in a real deployment: container demux + keyframe
+    * select). Returns (doc_id, frame_idx, frame_bytes) rows — the
+    * explode shape a caption/embedding stage consumes. */
+  def frameSampleStub(r: MediaRecord, frameBytes: Int, stride: Int)
+      : Iterator[(Long, Int, Array[Byte])] = {
+    val nFrames = r.media.length / frameBytes
+    Iterator.range(0, nFrames).filter(_ % stride == 0).map { i =>
+      (r.doc_id, i, r.media.slice(i * frameBytes, (i + 1) * frameBytes))
+    }
+  }
+
+  private[graft] def fakeMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        encode($"text", "UTF-8").as("media"),
+        (pmod(xxhash64($"text"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(xxhash64($"text", lit(1)), lit(480)) + 1).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  /** m02 — resize + frame-sample pipeline: every doc's fake media is
+    * resized to 64x64 then sampled every 3rd 16-byte "frame"; output
+    * is per-doc sampled-frame count + a deterministic checksum. The
+    * flatMap inside mapPartitions is the demux shape: one input row
+    * fans out to frame rows without materializing all frames per doc. */
+  def m02FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fakeMedia(s, dir)
+      .mapPartitions(_.flatMap(r =>
+        frameSampleStub(resizeStub(r, 64, 64), frameBytes = 16, stride = 3)))
+      .toDF("doc_id", "frame_idx", "frame")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        // xor-fold, not sum: hash sums overflow LongType under ANSI mode
+        expr("bit_xor(xxhash64(frame))").as("frames_checksum"))
+      .orderBy($"doc_id")
+  }
+
   /** m01 — end-to-end multimodal pipeline over fake media: documents'
     * text bytes stand in for blobs, width/height metadata is derived
     * deterministically, decode runs batchwise per partition, features
     * aggregate downstream. */
   def m01MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables(s, dir, "documents")
-      .select($"doc_id",
-        encode($"text", "UTF-8").as("media"),
-        (pmod(xxhash64($"text"), lit(640)) + 1).cast("int").as("width"),
-        (pmod(xxhash64($"text", lit(1)), lit(480)) + 1).cast("int").as("height"))
-      .as[MediaRecord]
     // Batch shape: one iterator per partition — a JNI/py decoder would
     // amortize model/codec init across the partition exactly here.
-    media.mapPartitions(_.map(stubDecode))
+    fakeMedia(s, dir).mapPartitions(_.map(stubDecode))
       .toDF()
       .select($"doc_id", $"n_bytes",
         round($"f0", 4).as("f0"), round($"f1", 4).as("f1"), round($"f2", 4).as("f2"))
