@@ -35,10 +35,13 @@ object TextAnalysis {
         size(filter(ts, t => array_contains(lit(words.toArray), t))).as("score"),
         lit(code).as("code"))
     }
+    val best = array_max(array(scored: _*))
     Tables(s, dir, "documents")
       .select($"doc_id", $"lang",
-        array_max(array(scored: _*)).getField("code").as("predicted"),
-        array_max(array(scored: _*)).getField("score").as("hits"))
+        // zero stopword hits = no evidence -> 'und', not an arbitrary code
+        when(best.getField("score") === 0, "und")
+          .otherwise(best.getField("code")).as("predicted"),
+        best.getField("score").as("hits"))
       .orderBy($"doc_id")
   }
 
