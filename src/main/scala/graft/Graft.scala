@@ -66,8 +66,14 @@ object Graft {
   }
 
   /** Exact cosine top-k neighbors for each query row (broadcast
-    * queries, fused codegen'd kernel). Both frames: (id, vector). */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * queries, fused codegen'd kernel). Both frames: (id, vector) by
+    * position. `excludeSelf` drops corpus rows whose id equals the
+    * query id — only meaningful when queries share the corpus id space
+    * (querying the corpus by its own members); pass false for an
+    * unrelated query id domain or same-numbered ids get silently
+    * excluded. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val s = corpus.sparkSession
     functions.GraftFunctions.register(s)
     val q = broadcast(queries.select(col(queries.columns(0)).as("query_id"),
@@ -76,7 +82,7 @@ object Graft {
       col(corpus.columns(1)).as("__v"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     c.crossJoin(q)
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id"),
         call_function("cosine_sim", col("__q"), col("__v")).as("cos"))
       .withColumn("rank", row_number().over(w))

@@ -52,16 +52,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per local: two cosine_sim calls can be inlined into
+      // the same codegen scope — fixed names would redeclare and break
+      // janino compilation (silent interpreted fallback).
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val d = ctx.freshName("d")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  float xi = $a.isNullAt(i) ? 0f : $a.getFloat(i);
-         |  float yi = $b.isNullAt(i) ? 0f : $b.getFloat(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $xi = $a.isNullAt($i) ? 0f : $a.getFloat($i);
+         |  float $yi = $b.isNullAt($i) ? 0f : $b.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |double d = Math.sqrt(nx) * Math.sqrt(ny);
-         |${ev.value} = (d == 0.0) ? 0.0 : dot / d;
+         |double $d = Math.sqrt($nx) * Math.sqrt($ny);
+         |${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
        """.stripMargin
     })
 

@@ -52,6 +52,7 @@ object Multimodal {
     * testable. Metadata is updated alongside the payload — the
     * invariant a real resize must keep. */
   def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
+    if (r.media.isEmpty) return MediaRecord(r.doc_id, r.media, targetW, targetH)
     val scale = (targetW.toLong * targetH).toDouble / (r.width.toLong * r.height)
     val outLen = math.max(1, math.round(r.media.length * scale).toInt)
     val out = Array.tabulate[Byte](outLen)(i => r.media(i % r.media.length))

@@ -36,11 +36,16 @@ object TextDedup {
     * O(1). */
   def shingles(text: Column, k: Int = 3): Column = {
     val ts = tokens(text)
+    // i ranges over shingle START indices 0..size-k inclusive. The
+    // guard matters twice over: with fewer than k tokens there are no
+    // shingles (and an unguarded sequence(0, negative) yields a
+    // DESCENDING [0,-1,…] whose -1 index crashes element_at).
     element_at(
       transform(array(ts), tsv =>
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(tsv) - k, lit(0)) - 1),
-          i => concat_ws(" ", (0 until k).map(o => element_at(tsv, i + o + 1)): _*)))),
+        when(size(tsv) < k, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(0), size(tsv) - k),
+            i => concat_ws(" ", (0 until k).map(o => element_at(tsv, i + o + 1)): _*))))),
       1)
   }
 
@@ -92,7 +97,12 @@ object TextDedup {
         val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
         xxhash64(rows :+ lit(b): _*)
       }: _*)).as(Seq("band", "bucket")))
-      .persist() // self-joined below; avoid recomputing the signatures
+      // Self-joined below; avoids recomputing the signatures. Cached
+      // blocks live until the session ends (or the caller unpersists) —
+      // lazily-returned DataFrames can't unpersist behind themselves;
+      // long-lived sessions calling this repeatedly should wrap the
+      // terminal action and unpersist.
+      .persist()
     // Cap pathological buckets (boilerplate text at scale): a bucket of
     // size m yields m^2/2 pairs — bound it.
     val sized = banded
@@ -199,9 +209,13 @@ object TextDedup {
     // (lower(text)); referencing it per element re-lowercases the whole
     // string per gram -> quadratic. Bind it to a lambda variable.
     def charGrams(c: Column): Column = element_at(
-      transform(array(c), s => array_distinct(transform(
-        sequence(lit(1), greatest(length(s) - 2, lit(0))),
-        i => substring(s, i, lit(3))))),
+      transform(array(c), s =>
+        // guard: sequence(1, 0) is DESCENDING [1,0] and substring pos 0
+        // aliases pos 1 — a <3-char text would emit a spurious gram
+        when(length(s) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), length(s) - 2),
+            i => substring(s, i, lit(3)))))),
       1)
     val feat = docs.select($"doc_id",
       shingles($"text").as("wg"), charGrams(lower($"text")).as("cg"))

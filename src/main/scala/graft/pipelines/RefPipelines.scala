@@ -295,13 +295,17 @@ object RefPipelines {
   def jsonpipe(docs: DataFrame): Map[String, DataFrame] = {
     if (docs.columns.isEmpty) return Map.empty
     // P12/P13 (`P:378-397`): 3-level customer-name fallback chain.
+    // concat_ws never returns null (null,null -> "") — nullif restores
+    // null so the next coalesce level actually fires (P12 chain).
+    def nameOf(first: Column, last: Column): Column =
+      nullif(concat_ws(" ", first, last), lit(""))
     val name = coalesce(
       (Seq(colOrNull(docs, "BankScrapeData.name")) ++
         (if (has(docs, "CustomerInformation.FirstName"))
-          Seq(concat_ws(" ", col("CustomerInformation.FirstName"),
+          Seq(nameOf(col("CustomerInformation.FirstName"),
             col("CustomerInformation.LastName"))) else Nil) ++
         (if (has(docs, "CreditReportData.TU_FFR_Report.Names.FirstName"))
-          Seq(concat_ws(" ",
+          Seq(nameOf(
             col("CreditReportData.TU_FFR_Report").getItem(0).getField("Names").getField("FirstName"),
             col("CreditReportData.TU_FFR_Report").getItem(0).getField("Names").getField("LastName")))
         else Nil) :+ lit("Not specified")): _*)

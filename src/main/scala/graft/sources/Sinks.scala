@@ -40,6 +40,8 @@ object Sinks {
       : Map[String, Throwable] =
     tables.flatMap { case (name, df) =>
       try { sink(name, df); None }
-      catch { case e: Throwable => Some(name -> e) }
+      // NonFatal only: an OOM/VM error must propagate, not masquerade
+      // as one more tolerated per-table failure
+      catch { case scala.util.control.NonFatal(e) => Some(name -> e) }
     }
 }

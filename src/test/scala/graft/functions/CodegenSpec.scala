@@ -27,4 +27,29 @@ class CodegenSpec extends SparkSuiteBase {
     assert(sources.exists(_._2.contains("Math.sqrt")),
       "generated code missing the cosine kernel")
   }
+
+  test("two cosine_sim calls in one projection codegen without name collisions") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // distinct argument trees: identical calls get merged by Spark's
+    // common-subexpression elimination and only one kernel would inline
+    val df = emb.select(
+      call_function("cosine_sim", $"embedding", $"embedding").as("c1"),
+      call_function("cosine_sim", $"embedding", reverse($"embedding")).as("c2"))
+    val plan = df.queryExecution.executedPlan
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("cosine_sim")))
+    // both columns must evaluate (janino compile failure would fall
+    // back to interpreted — still correct, so also check the source
+    // compiled by asserting two distinct kernel loops were emitted)
+    val src = org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
+      .map(_._2).find(_.contains("Math.sqrt")).getOrElse("")
+    assert(src.sliding("Math.sqrt".length).count(_ == "Math.sqrt") >= 4,
+      "expected two fused kernels (2 sqrt calls each)")
+    val row = df.head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
 }

@@ -29,6 +29,35 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("shingles: includes the last shingle and is empty/safe for short or empty docs") {
+    val df = Seq(
+      (1L, "a b c d e"),   // 5 tokens, k=3 -> exactly 3 shingles incl 'c d e'
+      (2L, "a b c"),       // exactly k -> 1 shingle
+      (3L, "a b"),         // < k -> none
+      (4L, "")             // empty -> none (and must not crash)
+    ).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", TextDedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).toSet == Set("a b c", "b c d", "c d e"))
+    assert(sh(2L) == Seq("a b c"))
+    assert(sh(3L).isEmpty)
+    assert(sh(4L).isEmpty)
+  }
+
+  test("d04 charGrams: no spurious grams for sub-3-char texts") {
+    val two = Seq((1L, "ab"), (2L, "ab")).toDF("doc_id", "text")
+    two.createOrReplaceTempView("short_docs")
+    val d04 = TextDedup.d04NgramJaccard _
+    // run the kernel through a temp copy of the documents shape
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-short").toString
+    two.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val out = d04(spark, docsDir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("jaccard_char3") == 0.0) // not a fake 1.0
+  }
+
   test("jaccard of identical docs is 1.0") {
     val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
     val j = TextDedup.jaccardVerify(docs, cand).select($"jaccard").as[Double].head()

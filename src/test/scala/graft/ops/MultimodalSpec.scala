@@ -26,6 +26,12 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(resizeStub(rec, 20, 20).media.toSeq == bigger.media.toSeq) // deterministic
   }
 
+  test("resizeStub survives empty media") {
+    val empty = MediaRecord(1L, Array.empty[Byte], 10, 10)
+    val out = resizeStub(empty, 64, 64)
+    assert(out.media.isEmpty && out.width == 64 && out.height == 64)
+  }
+
   test("frameSampleStub keeps every stride-th complete frame") {
     val frames = frameSampleStub(rec, frameBytes = 10, stride = 3).toSeq
     assert(frames.map(_._2) == Seq(0, 3, 6, 9)) // 10 frames, every 3rd
