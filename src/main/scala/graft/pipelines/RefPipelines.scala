@@ -67,6 +67,22 @@ object Tolerant {
       case _ => None
     }
 
+  /** Star-expansion requires the node to actually BE a struct — a
+    * batch where the field is always null infers StringType, and
+    * `col(path).*` on a string throws AnalysisException. Presence alone
+    * is not tolerance (the reference's try/except would skip it). */
+  def structAt(df: DataFrame, path: String): Option[StructType] =
+    typeAt(df.schema, path) match {
+      case Some(st: StructType) => Some(st)
+      case _ => None
+    }
+
+  /** `getItem(0)` is only valid on an ARRAY node — an object-valued
+    * field infers as a struct, where ordinal access throws. The
+    * reference's `[0]` on a dict raises KeyError -> table skipped. */
+  def isStructArray(df: DataFrame, path: String): Boolean =
+    structArrayAt(df, path).isDefined
+
   /** `col(path)` when present, typed null otherwise — the engine's
     * spelling of the reference's per-field try/except (P17). */
   def colOrNull(df: DataFrame, path: String, dt: DataType = StringType): Column =
@@ -104,13 +120,22 @@ object Router {
       spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new Path(dir)).filter(_.isFile)
       .map(_.getPath.toString).filter(_.endsWith(".json")).toSeq
+    // persist: each pipeline derives many tables from one parsed source
+    // (and Demo counts + writes each) — without caching, every action
+    // re-lists, re-infers, and re-parses the JSON (the pandas
+    // `data_dict` reuse of SURVEY §4, done distributed).
     def read(paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
       else Some(spark.read.option("multiLine", "true").json(paths: _*)
-        .withColumn("source_file", input_file_name()))
-    val (bank, r1) = files.partition(_.matches(".*_bank_scrape\\.json$"))
-    val (credit, r2) = r1.partition(_.matches(".*_credit_report\\.json$"))
-    val (action, rest) = r2.partition(_.matches(".*_action\\.json$"))
+        .withColumn("source_file", input_file_name()).persist())
+    // substring match, not suffix: the reference routes on
+    // re.search('_bank_scrape', name) (`P:798`), so `SF1_bank_scrape_v2
+    // .json` still goes to bankpipe. Precedence bank > credit > action
+    // mirrors the reference's if/elif chain.
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val (bank, r1) = files.partition(p => base(p).contains("_bank_scrape"))
+    val (credit, r2) = r1.partition(p => base(p).contains("_credit_report"))
+    val (action, rest) = r2.partition(p => base(p).contains("_action"))
     val outputs = Seq(
       read(action).map(RefPipelines.recpipe),
       read(bank).map(RefPipelines.bankpipe),
@@ -129,12 +154,14 @@ object Router {
 object RefPipelines {
   import Tolerant._
 
-  /** Filename minus a fixed-length suffix (P9: `str(json_file)[:-17]`
-    * at `P:35`, `[:-19]` at `P:156`) — expressed as an anchored regex
-    * strip of the form suffix, robust to any path prefix. */
-  private def sfIdFromFile(suffix: String): Column =
+  /** Filename minus the form marker onward (P9 intent:
+    * `str(json_file)[:-17]` at `P:35`, `[:-19]` at `P:156` strip
+    * "_bank_scrape.json"/"_credit_report.json"); expressed as a marker
+    * strip so substring-routed names (e.g. `_bank_scrape_v2.json`) get
+    * a sane id instead of the reference's garbled fixed-length slice. */
+  private def sfIdFromFile(marker: String): Column =
     regexp_replace(regexp_extract(col("source_file"), "([^/]+)$", 1),
-      suffix + "\\.json$", "")
+      marker + ".*$", "")
 
   /** P8 mask intent: `"XXXX" + account[3:]` (`P:115`), char slice. */
   private def maskId(account: Column): Column =
@@ -169,8 +196,12 @@ object RefPipelines {
     val info = d.drop("contacts", "accounts", "source_file")
 
     val contacts = structArrayAt(docs, "contacts").map { _ =>
-      d.select(col("SF_ID"), col("Report_date"), explode(col("contacts")).as("c"))
-        .select(col("SF_ID"), col("Report_date"), col("c.*"))
+      // reference stamps the holder's name on every contact row
+      // (`P:59-60`), overwriting any contact-level 'name' field
+      d.select(col("SF_ID"), col("Report_date"),
+          colOrNull(docs, "name").as("__holder"), explode(col("contacts")).as("c"))
+        .select(col("SF_ID"), col("Report_date"), col("__holder"), col("c.*"))
+        .withColumn("name", col("__holder")).drop("__holder")
     }
     val accountTables = accountsOf(d, docs, col("SF_ID"), col("Report_date"))
     Map("bank_scrape_info" -> info) ++
@@ -203,11 +234,19 @@ object RefPipelines {
           case _ => lit(null).cast(DoubleType)
         }
       }
+      // ALL account fields survive minus the consumed nested ones — the
+      // reference only drops 'statistics' and 'transactions'
+      // (`P:93-99`); a fixed column list would silently lose real
+      // account attributes (balance, institution, …).
+      val acctCols = accSchema.fieldNames
+        .filterNot(Set("statistics", "transactions")).toSeq
+        .map(c => col(s"a.$c").as(c))
       val bankAccount = acc.select(
-        col("sf_id").as("SF_ID"), col("Report_Date"),
-        col("account_id").as("account"), col("mask_id"),
-        stat("mean_closing_balance").as("mean_close"),
-        stat("mean_closing_balance_30").as("mean_close_30"))
+        (acctCols ++ Seq(
+          stat("mean_closing_balance").as("mean_close"),
+          stat("mean_closing_balance_30").as("mean_close_30"),
+          col("mask_id"),
+          col("sf_id").as("SF_ID"), col("Report_Date").as("Report_date"))): _*)
 
       val txns = if (accSchema.find(_.name == "transactions").map(_.dataType)
           .exists(_.isInstanceOf[ArrayType])) {
@@ -231,34 +270,45 @@ object RefPipelines {
     * CreditSummary struct (P15), and base fields. `reg_items` uses the
     * CORRECT path (the reference's always-fails bug at `P:640` is not
     * replicated). */
+  // Table names exactly as the reference's to_sql targets (`P:311-364`,
+  // `P:697-761`): bankruptcy (singular), credit_details, misc_statements.
   private val creditArrays = Seq(
-    "Bankruptcies" -> "bankruptcies", "Trades" -> "trades",
-    "CreditSummaryDetails" -> "credit_summary_details",
+    "Bankruptcies" -> "bankruptcy", "Trades" -> "trades",
+    "CreditSummaryDetails" -> "credit_details",
     "ScoreProducts" -> "score_products", "Bankings" -> "bankings",
     "Employments" -> "employments", "Collections" -> "collections",
     "Inquiries" -> "inquiries", "Legals" -> "legals",
     "ConsumerStatements" -> "consumer_statements",
-    "MiscellaneousStatements" -> "miscellaneous_statements",
+    "MiscellaneousStatements" -> "misc_statements",
     "RegisteredItems" -> "reg_items")
 
+  /** `stamps` parameterizes the per-row keys: creditpipe stamps
+    * (Credit_Member_ID, Report_Date) (`P:189-190` etc.), jsonpipe
+    * stamps (SF_ID, Report_Date) (`P:530-531` etc.) — they are NOT the
+    * same key in the reference. */
   private def creditTables(d: DataFrame, docs: DataFrame, root: String,
-      memberId: Column, reportDate: Column): Map[String, DataFrame] = {
+      stamps: Seq[(String, Column)]): Map[String, DataFrame] = {
     val ffr = if (root.isEmpty) "TU_FFR_Report" else s"$root.TU_FFR_Report"
+    // getItem(0) needs an ARRAY of structs; an object-form report is
+    // skipped wholesale (the reference's `[0]` on a dict KeyErrors and
+    // every sub-table's try/except fires, P17).
+    if (!isStructArray(docs, ffr)) return Map.empty
+    val stampCols = stamps.map { case (n, c) => c.as(n) }
+    val stampRefs = stamps.map { case (n, _) => col(n) }
     val sub = creditArrays.flatMap { case (field, table) =>
       structArrayAt(docs, s"$ffr.$field").map { _ =>
         table -> d
-          .select(memberId.as("Credit_Member_ID"), reportDate.as("Report_Date"),
-            explode(col(ffr).getItem(0).getField(field)).as("x"))
-          .select(col("Credit_Member_ID"), col("Report_Date"), col("x.*"))
+          .select((stampCols :+
+            explode(col(ffr).getItem(0).getField(field)).as("x")): _*)
+          .select((stampRefs :+ col("x.*")): _*)
       }
     }.toMap
-    val summary = ifPresent(docs, s"$ffr.CreditSummary") {
+    val summary = structAt(docs, s"$ffr.CreditSummary").map { _ =>
       "credit_summary" -> d
         .filter(col(ffr).getItem(0).getField("CreditSummary").isNotNull)
-        .select(
-        (Seq(memberId.as("Credit_Member_ID"), reportDate.as("Report_Date")) :+
+        .select((stampCols :+
           col(ffr).getItem(0).getField("CreditSummary").as("cs")): _*)
-        .select(col("Credit_Member_ID"), col("Report_Date"), col("cs.*"))
+        .select((stampRefs :+ col("cs.*")): _*)
     }
     sub ++ summary
   }
@@ -269,23 +319,28 @@ object RefPipelines {
     val reportDate = if (has(docs, "Date") && has(docs, "Time"))
       reassembleDate(col("Date"), col("Time")) else lit(null).cast(StringType)
     val d = docs
-      .withColumn("sf_id", sfIdFromFile("_credit_report"))
-      .withColumn("Report_date", reportDate)
-    // base_credit (`P:165-184`): doc scalars + Hit + optional
-    // OnFileDate with null fallback (P12, `P:175-178`).
+      .withColumn("SF_ID", sfIdFromFile("_credit_report"))
+      .withColumn("Report_Date", reportDate)
+    // base_credit (`P:165-184`): doc scalars + SF_ID + Credit_Member_ID
+    // (= MemberCode, `P:167`) + TU_FFR_HIT (reference column name,
+    // `P:168`) + OnFileDate with null fallback (P12, `P:175-178`).
+    // getItem(0) only when the report is really an array (type guard).
+    val ffrOk = isStructArray(docs, "TU_FFR_Report")
     val base = d
-      .withColumn("Hit",
-        if (has(docs, "TU_FFR_Report.Hit"))
+      .withColumn("Credit_Member_ID", colOrNull(docs, "MemberCode"))
+      .withColumn("TU_FFR_HIT",
+        if (ffrOk && has(docs, "TU_FFR_Report.Hit"))
           col("TU_FFR_Report").getItem(0).getField("Hit")
         else lit(null).cast(BooleanType))
       .withColumn("FFR_filedate",
-        if (has(docs, "TU_FFR_Report.OnFileDate"))
+        if (ffrOk && has(docs, "TU_FFR_Report.OnFileDate"))
           col("TU_FFR_Report").getItem(0).getField("OnFileDate")
         else lit(null).cast(StringType))
       .drop("TU_FFR_Report", "source_file")
-    val member = colOrNull(docs, "MemberCode")
     Map("base_credit" -> base) ++
-      creditTables(d, docs, "", member, col("Report_date"))
+      creditTables(d, docs, "", Seq(
+        "Credit_Member_ID" -> colOrNull(docs, "MemberCode"),
+        "Report_Date" -> col("Report_Date")))
   }
 
   /** jsonpipe (`P:372-763`): the combined envelope form -> ~20 tables.
@@ -327,43 +382,51 @@ object RefPipelines {
     // sub-tree: the schema is merged batch-wide, but the reference's
     // per-doc try/except means a doc without the payload contributes no
     // row to that table (P17).
-    val customerInfo = ifPresent(docs, "CustomerInformation") {
+    // Struct-derived tables require the node to BE a struct (type
+    // guard, not just presence — an always-null batch infers string).
+    val customerInfo = structAt(docs, "CustomerInformation").map { _ =>
       "customer_info" -> d.filter(col("CustomerInformation").isNotNull)
         .select(sfId.as("SalesforceID"),
           created.as("Report_date"), col("CustomerInformation.*"))
     }
     val miscContact = structArrayAt(docs, "BankScrapeData.contacts").map { _ =>
+      // holder's name stamped on each contact row (`P:418`)
       "misc_contact" -> d
         .select(sfId.as("SF_ID"), created.as("Report_date"),
+          colOrNull(docs, "BankScrapeData.name").as("__holder"),
           explode(col("BankScrapeData.contacts")).as("c"))
-        .select(col("SF_ID"), col("Report_date"), col("c.*"))
+        .select(col("SF_ID"), col("Report_date"), col("__holder"), col("c.*"))
+        .withColumn("name", col("__holder")).drop("__holder")
     }
     // bank_scrape_info (`P:431-437`): struct->row minus its arrays.
-    val bankInfo = ifPresent(docs, "BankScrapeData") {
-      val cols = docs.select(col("BankScrapeData.*")).drop("accounts", "contacts").columns
+    val bankInfo = structAt(docs, "BankScrapeData").map { st =>
+      val cols = st.fieldNames.filterNot(Set("accounts", "contacts")).toSeq
       "bank_scrape_info" -> d.filter(col("BankScrapeData").isNotNull).select(
         (cols.map(c => col(s"BankScrapeData.$c")) ++
           Seq(sfId.as("SF_ID"), created.as("Report_date"))): _*)
     }
     val accounts = accountsOf(d, docs, sfId, created, "BankScrapeData.accounts")
 
-    // base_credit (`P:506-522`).
-    val baseCredit = ifPresent(docs, "CreditReportData") {
-      val scalarCols = docs.select(col("CreditReportData.*"))
-        .drop("TU_FFR_Report").columns
-      val hit = if (has(docs, "CreditReportData.TU_FFR_Report.Hit"))
+    // base_credit (`P:506-522`): reference columns SF_ID,
+    // Credit_Member_ID, TU_FFR_HIT, Report_Date.
+    val ffrOk = isStructArray(docs, "CreditReportData.TU_FFR_Report")
+    val baseCredit = structAt(docs, "CreditReportData").map { st =>
+      val scalarCols = st.fieldNames.filterNot(_ == "TU_FFR_Report").toSeq
+      val hit = if (ffrOk && has(docs, "CreditReportData.TU_FFR_Report.Hit"))
         col("CreditReportData.TU_FFR_Report").getItem(0).getField("Hit")
       else lit(null).cast(BooleanType)
-      val fileDate = if (has(docs, "CreditReportData.TU_FFR_Report.OnFileDate"))
+      val fileDate = if (ffrOk && has(docs, "CreditReportData.TU_FFR_Report.OnFileDate"))
         col("CreditReportData.TU_FFR_Report").getItem(0).getField("OnFileDate")
       else lit(null).cast(StringType)
       "base_credit" -> d.filter(col("CreditReportData").isNotNull).select(
         (scalarCols.map(c => col(s"CreditReportData.$c")) ++ Seq(
-          hit.as("Hit"), fileDate.as("FFR_filedate"),
-          col("Credit_Member_ID"), sfId.as("SF_ID"), created.as("Report_date"))): _*)
+          hit.as("TU_FFR_HIT"), fileDate.as("FFR_filedate"),
+          col("Credit_Member_ID"), sfId.as("SF_ID"), created.as("Report_Date"))): _*)
     }
-    val credit = creditTables(d, docs, "CreditReportData",
-      col("Credit_Member_ID"), created)
+    // jsonpipe stamps SF_ID (not member code) on every credit
+    // sub-table (`P:530-531` and onward).
+    val credit = creditTables(d, docs, "CreditReportData", Seq(
+      "SF_ID" -> sfId, "Report_Date" -> created))
 
     val recs = structArrayAt(docs, "Recommendations").map { _ =>
       "reccomendations" -> d

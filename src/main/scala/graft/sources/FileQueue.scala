@@ -57,12 +57,21 @@ object FileQueue {
       spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new Path(inDir)).filter(_.isFile)
       .map(_.getPath).filter(_.getName.endsWith(".json"))
+    // drained queue (steady state): empty frame, no-op commit — a
+    // zero-path json() read would throw UNABLE_TO_INFER_SCHEMA
+    if (files.isEmpty) return (spark.emptyDataFrame, () => ())
     val df = spark.read.option("multiLine", "true")
       .json(files.map(_.toString).toIndexedSeq: _*)
       .withColumn("source_file", input_file_name())
     val commit = () => {
       fs.mkdirs(new Path(archiveDir))
-      files.foreach(f => fs.rename(f, new Path(archiveDir, f.getName)))
+      // Hadoop rename signals failure by BOOLEAN (dest exists,
+      // cross-filesystem move) — ignoring it would silently re-consume
+      // the file next run. Fail loudly instead.
+      val failed = files.filterNot(f => fs.rename(f, new Path(archiveDir, f.getName)))
+      if (failed.nonEmpty) throw new java.io.IOException(
+        s"archive rename failed (dest exists or cross-fs?): " +
+          failed.map(_.getName).mkString(", "))
     }
     (df, commit)
   }

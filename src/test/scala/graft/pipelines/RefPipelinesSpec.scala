@@ -135,8 +135,8 @@ class RefPipelinesSpec extends SparkSuiteBase {
     val base = tables("base_credit").collect()
     assert(base.length == 2) // CR77 (creditpipe) + SF001 (jsonpipe); SF002 filtered
     val cr77 = base.find(_.getAs[String]("MemberCode") == "MBR9").get
-    assert(cr77.getAs[String]("Report_date") == "2019-10-03 14:30:15")
-    assert(cr77.getAs[Boolean]("Hit"))
+    assert(cr77.getAs[String]("Report_Date") == "2019-10-03 14:30:15")
+    assert(cr77.getAs[Boolean]("TU_FFR_HIT"))
     assert(cr77.getAs[String]("FFR_filedate") == "2015-01-01")
   }
 
@@ -144,8 +144,10 @@ class RefPipelinesSpec extends SparkSuiteBase {
     val trades = tables("trades").collect()
     assert(trades.length === 3) // 2 standalone + 1 from the combined doc
     assert(trades.map(_.getAs[Long]("trade_id")).toSet == Set(1L, 2L, 7L))
-    assert(trades.forall(_.getAs[String]("Credit_Member_ID") != null))
-    assert(!tables.contains("bankruptcies")) // [] infers no struct -> skipped
+    // creditpipe rows carry Credit_Member_ID; jsonpipe rows carry SF_ID
+    assert(trades.count(_.getAs[String]("Credit_Member_ID") == "MBR9") == 2)
+    assert(trades.count(_.getAs[String]("SF_ID") == "SF001") == 1)
+    assert(!tables.contains("bankruptcy")) // [] infers no struct -> skipped
     val cs = tables("credit_summary").collect()
     assert(cs.map(_.getAs[Long]("score")).toSet == Set(700L, 650L))
   }
@@ -182,7 +184,7 @@ class RefPipelinesSpec extends SparkSuiteBase {
     val base = out("base_credit").collect()
     assert(base.length == 1)
     assert(base.head.getAs[String]("FFR_filedate") == null) // np.nan analogue
-    assert(!base.head.getAs[Boolean]("Hit"))
+    assert(!base.head.getAs[Boolean]("TU_FFR_HIT"))
     assert(out("trades").count() == 1)
   }
 
