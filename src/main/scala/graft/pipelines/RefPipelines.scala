@@ -88,11 +88,6 @@ object Tolerant {
   def colOrNull(df: DataFrame, path: String, dt: DataType = StringType): Column =
     if (has(df, path)) col(path) else lit(null).cast(dt)
 
-  /** Run `f` only if `path` exists — per-TABLE tolerance: an omitted
-    * sub-tree means that one output table is skipped, everything else
-    * proceeds (`P:12`, P17). */
-  def ifPresent[A](df: DataFrame, path: String)(f: => A): Option[A] =
-    if (has(df, path)) Some(f) else None
 }
 
 object Router {
@@ -354,12 +349,14 @@ object RefPipelines {
     // null so the next coalesce level actually fires (P12 chain).
     def nameOf(first: Column, last: Column): Column =
       nullif(concat_ws(" ", first, last), lit(""))
+    // getItem(0) on the report is only legal when it really is an array
+    val ffrIsArray = isStructArray(docs, "CreditReportData.TU_FFR_Report")
     val name = coalesce(
       (Seq(colOrNull(docs, "BankScrapeData.name")) ++
         (if (has(docs, "CustomerInformation.FirstName"))
           Seq(nameOf(col("CustomerInformation.FirstName"),
             col("CustomerInformation.LastName"))) else Nil) ++
-        (if (has(docs, "CreditReportData.TU_FFR_Report.Names.FirstName"))
+        (if (ffrIsArray && has(docs, "CreditReportData.TU_FFR_Report.Names.FirstName"))
           Seq(nameOf(
             col("CreditReportData.TU_FFR_Report").getItem(0).getField("Names").getField("FirstName"),
             col("CreditReportData.TU_FFR_Report").getItem(0).getField("Names").getField("LastName")))
