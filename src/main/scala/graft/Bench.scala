@@ -1,29 +1,67 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * emits ONE machine-parseable JSON line on stdout, additionally written
+  * to SPARK_GRAFT_BENCH_OUT (default BENCH_LOCAL.json) so a consumer
+  * never has to scrape build-tool output. A failing query records an
+  * `errors` entry (exception class + message) instead of silently
+  * benching as "fast". */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (executor threads, codegen compiler, parquet
-    // footer cache) so the first measured query isn't charged ~4s of
-    // one-time JVM init.
+    // Warm the session: executor threads, codegen compiler, operator
+    // machinery (first WindowExec/SortExec/joins in a JVM pay one-time
+    // class-loading measured at ~3s), and every table's parquet footer —
+    // so one-time init cost doesn't land on whichever query happens to
+    // hit each code path first and per-query numbers stay comparable
+    // across reorderings. Synthetic range data only: no table is
+    // pre-read beyond its footer, so per-query I/O is still measured.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.sql(
+      """SELECT r, count(*) FROM (
+        |  SELECT id, row_number() OVER (PARTITION BY id % 7 ORDER BY id) AS r,
+        |         regexp_replace(cast(id AS string), '0', 'x') AS s,
+        |         explode(array(id, id + 1)) AS e
+        |  FROM range(10000)) t
+        |JOIN (SELECT id AS j FROM range(1000)) u ON t.id = u.j
+        |GROUP BY r""".stripMargin).collect()
+    Tables.names.foreach(n => Tables(spark, sfDir, n).count())
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
     spark.stop()
+    // A benchmark with any broken query must not look green.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -22,12 +22,29 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register every harness table as a temp view (for spark.sql queries).
-    * Idempotent; cheap (views are lazy plans, no I/O happens here). */
+  /** Register harness tables as temp views (for spark.sql queries).
+    * Idempotent. Views are lazy plans, but building one still reads the
+    * parquet footer for schema inference — callers on a hot path should
+    * pass only the tables their query touches instead of all ten. */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  def registerViews(spark: SparkSession, dir: String,
+      tables: Seq[String] = names): Unit =
+    tables.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Rebalance a scan whose file layout yields fewer input splits than
+    * the session has cores. The harness writes each table as ONE parquet
+    * file, so a 5k-doc corpus scans as a single partition and every
+    * CPU-heavy per-row stage that follows (shingling, hashing,
+    * winnowing) runs on one thread until the first shuffle. The
+    * round-robin exchange costs one pass over the narrow projection; it
+    * is an identity when the scan already has enough splits — which is
+    * the normal case at cluster scale, where this never fires.
+    * getNumPartitions plans the query but runs no job. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -83,11 +83,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * (the driver harness owns the SparkSession — queries self-register,
   * idempotently). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+  def register(spark: SparkSession): Unit = {
+    // Register once per session: createOrReplaceTempFunction logs a WARN
+    // ("replaced a previously registered function") on every re-register,
+    // which spammed stderr badly enough to break the driver's parse of
+    // Bench's stdout JSON.
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim",
+        (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
+        "built-in")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

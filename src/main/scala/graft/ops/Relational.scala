@@ -180,7 +180,7 @@ object Relational {
 
   /** q10 — explicit GROUPING SETS via SQL (spark.sql path of the engine). */
   def q10GroupingSets(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerViews(s, dir)
+    Tables.registerViews(s, dir, Seq("lineitem"))
     s.sql(
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -242,7 +242,7 @@ object Relational {
   /** q14 — scalar subquery: orders 1.5x over the global average price.
     * The subquery is a 1-row broadcast; no per-row recomputation. */
   def q14ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerViews(s, dir)
+    Tables.registerViews(s, dir, Seq("orders"))
     s.sql(
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS sum_price
@@ -255,7 +255,7 @@ object Relational {
   /** q15 — correlated EXISTS (planned as a left-semi join by Catalyst):
     * suppliers with at least one near-max-quantity lineitem, per nation. */
   def q15ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerViews(s, dir)
+    Tables.registerViews(s, dir, Seq("supplier", "nation", "lineitem"))
     s.sql(
       """SELECT n_name, count(*) AS n_suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey

@@ -48,7 +48,10 @@ object Similarity {
   def s01CosineTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    val scored = emb.crossJoin(queriesOf(emb))
+    // spread: the harness writes embeddings as ONE parquet file, so the
+    // scoring pass would otherwise run on a single thread (Tables.spread
+    // is an identity on a properly-split table at scale).
+    val scored = Tables.spread(emb).crossJoin(queriesOf(emb))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosine(s, $"q", $"embedding").as("cos"))
@@ -74,7 +77,7 @@ object Similarity {
 
     // argmax via max(struct(cos, centroid_id)): one aggregation, no join
     // back. Assignment would be written bucketed-by-centroid at scale.
-    val assigned = emb.crossJoin(centroids)
+    val assigned = Tables.spread(emb).crossJoin(centroids)
       .select($"vec_id", $"embedding", $"centroid_id",
         cosine(s, $"embedding", $"c").as("cos"))
       .groupBy($"vec_id")
@@ -101,21 +104,26 @@ object Similarity {
   /** d05 — embedding-cosine near-dup: 12-bit random-hyperplane LSH
     * signatures bucket the corpus; same-bucket pairs get exact cosine;
     * ranked head emitted (production: threshold ~0.95 — random corpus
-    * has none). Hyperplanes are seed-fixed literals — no runtime RNG. */
+    * has none). Hyperplanes are seed-fixed literals — no runtime RNG.
+    *
+    * Signature bit b = sign of dot(v, plane_b), computed as
+    * `cosine_sim(v, plane_b) > 0` — the norms are positive so the sign
+    * is the dot product's, and the fused codegen'd kernel replaces the
+    * earlier `aggregate(zip_with(...))` spelling, which allocated a
+    * zipped array and walked it twice per plane per row (12x per row —
+    * the expression-tree hot spot the round-1 bench flagged). */
   def d05EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nBits = 12
     val dim = 64
     val rnd = new scala.util.Random(42)
-    val planes: Array[Array[Double]] =
-      Array.fill(nBits, dim)(rnd.nextGaussian())
+    val planes: Array[Array[Float]] =
+      Array.fill(nBits, dim)(rnd.nextGaussian().toFloat)
     def sigOf(v: Column): Column =
       (0 until nBits).map { b =>
-        val plane = lit(planes(b))
-        when(aggregate(zip_with(v, plane, (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) > 0, shiftleft(lit(1L), b)).otherwise(0L)
+        when(cosine(s, v, lit(planes(b))) > 0, shiftleft(lit(1L), b)).otherwise(0L)
       }.reduce(_ + _)
-    val emb = Tables(s, dir, "embeddings")
+    val emb = Tables.spread(Tables(s, dir, "embeddings"))
       .select($"vec_id", $"embedding", sigOf($"embedding").as("sig"))
     val pairs = emb.as("a").join(emb.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))

@@ -118,13 +118,27 @@ object TextAnalysis {
     val hashes = transform(
       sequence(lit(1), greatest(length($"text") - 7, lit(0))),
       i => xxhash64(substring($"text", i, lit(8))))
-    Tables(s, dir, "documents")
+    // The window pass is wrapped in a 1-element transform so the hash
+    // array binds to a lambda variable: PushDownPredicate moves the size
+    // filter below the project, CollapseProject then merges the two
+    // selects, and an unbound `h` would re-inline the whole rolling-hash
+    // subtree into every per-window slice — O(len^2) hashing per doc
+    // (the bind-once rule, see TextDedup.shingles).
+    Tables.spread(Tables(s, dir, "documents"))
+      // pre-filter on raw length (len-7 positions >= 4 windows), NOT on
+      // size(h): a size(h) filter pushes below the project and evaluates
+      // the whole rolling-hash transform a second time per row
+      .filter(length($"text") >= 11)
       .select($"doc_id", hashes.as("h"))
-      .filter(size($"h") >= 4)
       .select($"doc_id",
-        array_distinct(transform(
-          sequence(lit(0), size($"h") - 4),
-          w => array_min(slice($"h", w + 1, lit(4))))).as("fps"))
+        element_at(transform(array($"h"), h =>
+          array_distinct(transform(
+            sequence(lit(0), size(h) - 4),
+            // least() over 4 ordinal reads, not array_min(slice(...)):
+            // the slice spelling allocates a 4-element array per window
+            // position (~1.4M allocations at sf0.1) for a min of 4 longs
+            w => least(element_at(h, w + 1), element_at(h, w + 2),
+              element_at(h, w + 3), element_at(h, w + 4))))), 1).as("fps"))
       .select($"doc_id", size($"fps").cast("long").as("n_fingerprints"),
         array_min($"fps").as("min_fingerprint"))
       .orderBy($"doc_id")

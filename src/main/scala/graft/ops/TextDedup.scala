@@ -25,6 +25,23 @@ object TextDedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
+  /** Hashes of word k-shingles as an array<long> column — the MinHash
+    * feed. Skips the work [[shingles]] does that a signature never
+    * observes: no shingle string is materialized (the k tokens hash
+    * directly via variadic xxhash64) and no array_distinct runs (a MIN
+    * aggregate is insensitive to duplicates). Same bind-once wrapper as
+    * [[shingles]] — see that scaladoc. */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val ts = tokens(text)
+    element_at(
+      transform(array(ts), tsv =>
+        when(size(tsv) < k, array().cast("array<bigint>"))
+          .otherwise(transform(
+            sequence(lit(0), size(tsv) - k),
+            i => xxhash64((0 until k).map(o => element_at(tsv, i + o + 1)): _*)))),
+      1)
+  }
+
   /** Distinct word k-shingles ("w1 w2 w3") as an array column.
     *
     * The token array is BOUND ONCE via a 1-element `transform(array(ts),
@@ -49,17 +66,35 @@ object TextDedup {
       1)
   }
 
-  /** MinHash signature columns via explode -> groupBy -> 64 partial
-    * `min(xxhash64(shingle, j))` aggregates. This shape matters: the
-    * nested-HOF spelling (`transform(seq, j -> array_min(transform(sh,
-    * xxhash64)))`) looks tidy but CollapseProject re-inlines the shingle
-    * expression into every hash lambda — measured 60x slower at sf0.1.
+  /** MinHash signature columns via explode -> groupBy -> numHashes
+    * partial `min` aggregates. This shape matters: the nested-HOF
+    * spelling (`transform(seq, j -> array_min(transform(sh, xxhash64)))`)
+    * looks tidy but CollapseProject re-inlines the shingle expression
+    * into every hash lambda — measured 60x slower at sf0.1.
     * explode+partial-agg is also the 100 TB shape: map-side combine
-    * reduces each doc to 64 longs before any exchange. */
+    * reduces each doc to numHashes longs before any exchange.
+    *
+    * The hash family is double hashing in the Kirsch–Mitzenmacher
+    * style: one real hash per shingle (ha, from [[shingleHashes]]), a
+    * derived second hash hb = xxhash64(ha), then
+    * h_j = ha XOR rotate_left(hb, j). Rotate+XOR instead of the
+    * classic ha + j*hb because Spark 4 runs ANSI mode by default and
+    * checked add/multiply throw on the intended mod-2^64 wraparound;
+    * bit ops are overflow-free and cheaper still. This replaces
+    * numHashes string hashes per shingle with one token-triple hash +
+    * one long hash + numHashes register ops — faster signature build
+    * and a much smaller codegen unit (the earlier per-agg
+    * xxhash64(sh, j) trees dominated janino compile time on a cold
+    * session). */
   def minhashSig(docs: DataFrame, numHashes: Int): DataFrame = {
     val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val aggs = (0 until numHashes).map(j => min(xxhash64(col("sh"), lit(j))).as(s"h$j"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("ha"))
+      .select(col("doc_id"), col("ha"), xxhash64(col("ha")).as("hb"))
+    def rotl(c: Column, j: Int): Column =
+      if (j % 64 == 0) c
+      else shiftleft(c, j % 64).bitwiseOR(shiftrightunsigned(c, 64 - j % 64))
+    val aggs = (0 until numHashes).map(j =>
+      min(col("ha").bitwiseXOR(rotl(col("hb"), j))).as(s"h$j"))
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -78,7 +113,7 @@ object TextDedup {
     // is KBs vs the full corpus on the wire. Same groups as the oracle's
     // PARTITION BY norm up to a 2^-64-per-pair collision.
     val w = Window.partitionBy($"normh").orderBy($"doc_id")
-    Tables(s, dir, "documents")
+    Tables.spread(Tables(s, dir, "documents"))
       .withColumn("normh", xxhash64(norm))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
@@ -87,7 +122,19 @@ object TextDedup {
   }
 
   /** Candidate pairs via MinHash-LSH banding. bands x rowsPerBand =
-    * numHashes; collision threshold ~ (1/bands)^(1/rowsPerBand). */
+    * numHashes; collision threshold ~ (1/bands)^(1/rowsPerBand).
+    *
+    * Pairing is join-free: ONE shuffle gathers each (band, bucket)'s
+    * members with `collect_list`, oversized buckets (boilerplate text —
+    * the classic LSH skew hazard; a bucket of m docs yields m^2/2 pairs)
+    * are dropped before any pair exists, then in-bucket pairs unroll via
+    * array HOFs. The earlier self-join spelling needed a persist (the
+    * banded table fed both join sides), a bucket-size window (extra
+    * sort+shuffle), and a sort-merge join — three stages and a cache
+    * leak replaced by one aggregate. At 100 TB the collect_list buffer
+    * is bounded by maxBucket for every bucket that survives; a
+    * degenerate corpus (millions of byte-identical docs) should run
+    * exact dedup (d01) first, which is standard pipeline order. */
   def minhashCandidates(docs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = 64): DataFrame = {
     val sig = minhashSig(docs, bands * rowsPerBand)
@@ -97,45 +144,52 @@ object TextDedup {
         val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
         xxhash64(rows :+ lit(b): _*)
       }: _*)).as(Seq("band", "bucket")))
-      // Self-joined below; avoids recomputing the signatures. Cached
-      // blocks live until the session ends (or the caller unpersists) —
-      // lazily-returned DataFrames can't unpersist behind themselves;
-      // long-lived sessions calling this repeatedly should wrap the
-      // terminal action and unpersist.
-      .persist()
-    // Cap pathological buckets (boilerplate text at scale): a bucket of
-    // size m yields m^2/2 pairs — bound it.
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucket)
-    sized.as("a").join(sized.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+    // ds is a plain attribute (not a computed subtree), so referencing it
+    // inside the lambdas is an O(1) column read — the bind-once rule for
+    // expression subtrees (see shingles()) doesn't apply.
+    buckets
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
   /** Exact word-shingle Jaccard for a pair table (verification step of
     * the LSH pipeline: candidates are tiny relative to the corpus, so
-    * re-shingling via join is cheap). */
+    * re-shingling via join is cheap).
+    *
+    * Shape: each pair explodes into two (pair, doc_id, side) edges; ONE
+    * inner join against the corpus both restricts to candidate docs and
+    * attaches text (the earlier spelling needed a semi-join plus two
+    * payload joins, which referenced the pair table three times and
+    * forced callers to persist it). Shingling happens AFTER the join, so
+    * only candidate docs are ever shingled — at 100 TB the edge side is
+    * small and broadcasts; the corpus streams once. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    // Only candidate docs need re-shingling: semi-join the corpus down
-    // to ids appearing in a pair before computing arrays. At 100 TB the
-    // candidate set is orders of magnitude smaller than the corpus —
-    // shingling everything twice (once per join side) is the naive trap.
-    val ids = pairs.select(col("id_a").as("doc_id"))
-      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val edges = pairs.select(
+      explode(array(
+        struct(col("id_a"), col("id_b"), col("id_a").as("doc_id"), lit(0).as("side")),
+        struct(col("id_a"), col("id_b"), col("id_b").as("doc_id"), lit(1).as("side")))).as("e"))
+      .select(col("e.id_a"), col("e.id_b"), col("e.doc_id"), col("e.side"))
+    edges.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("id_a"), col("id_b"), col("side"), shingles(col("text")).as("sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col("side") === 0, col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("side") === 1, col("sh")), ignoreNulls = true).as("sh_b"))
+      // a pair whose doc is absent from the corpus is dropped, matching
+      // the inner-join semantics of the previous spelling
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** d02 — MinHash+LSH near-dup: shingle -> 64-hash signature -> 16x4
+  /** d02 — MinHash+LSH near-dup: shingle -> 32-hash signature -> 8x4
     * banding -> bucket self-join -> exact-jaccard verify -> top-20 most
     * similar pairs. On this synthetic corpus no pair clears a production
     * threshold (~0.8); emitting the ranked head keeps the op observable
@@ -143,10 +197,15 @@ object TextDedup {
   def d02MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-    // Candidates are referenced three times downstream (two id-set
-    // branches + the verify join) — cache the tiny pair set instead of
-    // re-running the LSH pipeline per reference.
-    val pairs = minhashCandidates(docs, bands = 16, rowsPerBand = 4).persist()
+    // Single linear pipeline: candidates feed exactly one downstream
+    // reference (the verify join consumes the pair table once), so
+    // nothing needs persist and nothing can leak cache.
+    // 8x4 banding (32 hashes): candidate recall at jaccard 0.8 is
+    // 1-(1-0.8^4)^8 = 0.985 vs 0.9998 for 16x4 — a fair trade for half
+    // the signature-aggregate width (the 64-column agg dominated both
+    // codegen compile time and signature cost), and the exact-jaccard
+    // verify step keeps precision at 1.0 regardless.
+    val pairs = minhashCandidates(docs, bands = 8, rowsPerBand = 4)
     jaccardVerify(docs, pairs)
       .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
       .orderBy($"jaccard".desc, $"id_a", $"id_b")
@@ -176,7 +235,7 @@ object TextDedup {
     * near-dups; random corpus has none). */
   def d03Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    Tables.spread(Tables(s, dir, "documents"))
       .select($"doc_id", simhash($"text").as("simhash64"))
       .orderBy($"doc_id")
   }
@@ -217,7 +276,7 @@ object TextDedup {
             sequence(lit(1), length(s) - 2),
             i => substring(s, i, lit(3)))))),
       1)
-    val feat = docs.select($"doc_id",
+    val feat = Tables.spread(docs).select($"doc_id",
       shingles($"text").as("wg"), charGrams(lower($"text")).as("cg"))
     def jac(a: Column, b: Column): Column =
       when(size(array_union(a, b)) === 0, 0.0)

@@ -93,14 +93,37 @@ object Tolerant {
 object Router {
   import Tolerant._
 
+  private val CorruptCol = "_graft_corrupt"
+
+  /** Parse JSON documents with per-document tolerance: a malformed file
+    * lands in the corrupt-record column and its row is dropped. This is
+    * the reference's bare try/except around every read (`P:27-30` and
+    * ~40 sibling sites) — skip exactly the bad document. Plain
+    * PERMISSIVE parsing would instead emit a null-filled row into every
+    * downstream table (a corrupt doc would fabricate a `master_table`
+    * row). The corrupt column only appears in the inferred schema when
+    * at least one document failed to parse, hence the guard. */
+  private def parseClean(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val raw = spark.read
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(paths: _*)
+    val clean =
+      if (raw.columns.contains(CorruptCol))
+        raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
+      else raw
+    clean.withColumn("source_file", input_file_name())
+  }
+
   /** Read a directory of JSON documents, one row per file (multiLine —
     * the reference's `typ='series'` one-doc-per-file model, S1 `P:20`).
     * `source_file` carries provenance (S2: the blob listing collapses
     * into the distributed read; Spark lists+reads object stores
-    * directly, S3 staging is unnecessary). */
+    * directly, S3 staging is unnecessary). Corrupt documents are
+    * skipped per-doc, not null-filled. */
   def readDocs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("multiLine", "true").json(dir)
-      .withColumn("source_file", input_file_name())
+    parseClean(spark, Seq(dir))
 
   /** Filename-pattern dispatch (S4, `P:795-805`): `_bank_scrape` ->
     * bankpipe, `_credit_report` -> creditpipe, `_action` -> recpipe,
@@ -119,10 +142,15 @@ object Router {
     // (and Demo counts + writes each) — without caching, every action
     // re-lists, re-infers, and re-parses the JSON (the pandas
     // `data_dict` reuse of SURVEY §4, done distributed).
-    def read(paths: Seq[String]): Option[DataFrame] =
-      if (paths.isEmpty) None
-      else Some(spark.read.option("multiLine", "true").json(paths: _*)
-        .withColumn("source_file", input_file_name()).persist())
+    def read(paths: Seq[String]): Option[DataFrame] = {
+      if (paths.isEmpty) return None
+      val df = parseClean(spark, paths)
+      // all-corrupt batch: nothing parseable survives -> no data columns
+      // beyond provenance -> the whole form family is skipped, exactly
+      // like the reference when every file of a kind throws (P17)
+      if (df.columns.forall(_ == "source_file")) None
+      else Some(df.persist())
+    }
     // substring match, not suffix: the reference routes on
     // re.search('_bank_scrape', name) (`P:798`), so `SF1_bank_scrape_v2
     // .json` still goes to bankpipe. Precedence bank > credit > action

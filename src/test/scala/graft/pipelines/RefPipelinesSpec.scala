@@ -188,6 +188,34 @@ class RefPipelinesSpec extends SparkSuiteBase {
     assert(out("trades").count() == 1)
   }
 
+  test("corrupt JSON doc is skipped per-doc, not null-filled (P17)") {
+    val dir = Files.createTempDirectory("graft-corrupt")
+    writeDoc(dir, "GOOD1_action.json",
+      """{"action": "call", "priority": "low", "CreatedOnDate": "2020-02-02"}""")
+    writeDoc(dir, "BAD1_action.json",
+      """{"action": "call", "priority": }""") // malformed
+    writeDoc(dir, "ok_doc.json", """{"SalesforceID": "SFOK"}""")
+    writeDoc(dir, "broken_doc.json", """not json at all {{{""")
+    val out = Router.route(spark, dir.toString)
+    // exactly the valid action doc's row; the corrupt one contributes
+    // nothing (no null-filled row)
+    val recs = out("reccomendation_action").collect()
+    assert(recs.length == 1)
+    assert(recs.head.getAs[String]("SF_ID") == "GOOD1")
+    val master = out("master_table").collect()
+    assert(master.length == 1)
+    assert(master.head.getAs[String]("SalesforceID") == "SFOK")
+  }
+
+  test("all-corrupt form family is skipped wholesale (P17)") {
+    val dir = Files.createTempDirectory("graft-allcorrupt")
+    writeDoc(dir, "X_bank_scrape.json", """{"name": oops""")
+    writeDoc(dir, "ok_doc.json", """{"SalesforceID": "SF9"}""")
+    val out = Router.route(spark, dir.toString)
+    assert(!out.contains("bank_scrape_info"))
+    assert(out("master_table").count() == 1)
+  }
+
   test("file queue consume-then-archive moves files only on commit (S6)") {
     val in = Files.createTempDirectory("graft-queue")
     val archive = in.resolve("archive")
