@@ -61,7 +61,9 @@ object Graft {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val cand = ops.TextDedup.minhashCandidates(docs, bands, rowsPerBand).persist()
+    // single linear pipeline: the verify join consumes the candidate
+    // table exactly once, so no persist (and no cache leak) is needed
+    val cand = ops.TextDedup.minhashCandidates(docs, bands, rowsPerBand)
     ops.TextDedup.jaccardVerify(docs, cand).filter(col("jaccard") >= minJaccard)
   }
 

@@ -62,6 +62,8 @@ object SparkEntry {
     "d02_minhash_lsh" -> (TextDedup.d02MinhashLsh _),
     "d03_simhash" -> (TextDedup.d03Simhash _),
     "d04_ngram_jaccard" -> (TextDedup.d04NgramJaccard _),
+    "d06_neardup_pairs" -> (TextDedup.d06NearDupPairs _),
+    "d07_simhash_pairs" -> (TextDedup.d07SimhashPairs _),
     "d05_embedding_dedup" -> (Similarity.d05EmbeddingDedup _),
     "s01_cosine_topk" -> (Similarity.s01CosineTopK _),
     "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
@@ -344,6 +346,88 @@ object SparkEntry {
         |      ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "d06_neardup_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(toks)-1, 1)),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d04_ngram_jaccard" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks)-1, 1)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS wg,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(lower(text))-1, 1)),
+        |      i -> substr(lower(text), i, 3))) AS cg
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.wg, b.wg))) = 0 THEN 0.0
+        |        ELSE len(list_intersect(a.wg, b.wg))::DOUBLE
+        |             / len(list_distinct(list_concat(a.wg, b.wg))) END, 4) AS jaccard_word3,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.cg, b.cg))) = 0 THEN 0.0
+        |        ELSE len(list_intersect(a.cg, b.cg))::DOUBLE
+        |             / len(list_distinct(list_concat(a.cg, b.cg))) END, 4) AS jaccard_char3
+        |FROM feat a JOIN feat b ON a.doc_id + 1 = b.doc_id
+        |ORDER BY id_a""".stripMargin,
+
+    "t01_langid" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN hits = 0 THEN 'und'
+        |       WHEN s_zh = hits THEN 'zh'
+        |       WHEN s_fr = hits THEN 'fr'
+        |       WHEN s_es = hits THEN 'es'
+        |       WHEN s_en = hits THEN 'en'
+        |       ELSE 'de' END AS predicted,
+        |  hits
+        |FROM (
+        |  SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+        |         greatest(s_en, s_de, s_fr, s_es, s_zh) AS hits
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','and','of','to','in','is','you','that','it','for'], x))) AS s_en,
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['der','die','das','und','ist','nicht','mit','ein','ich','zu'], x))) AS s_de,
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['le','la','les','et','des','est','un','une','que','pour'], x))) AS s_fr,
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['el','los','de','que','y','en','un','es','por','con'], x))) AS s_es,
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['的','是','了','在','我','有','和','就','不','人'], x))) AS s_zh
+        |    FROM (SELECT doc_id, lang,
+        |            list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |          FROM documents) t) u) v
+        |ORDER BY doc_id""".stripMargin,
+
+    "t05_winnow" ->
+      """SELECT doc_id, len(fps) AS n_fingerprints,
+        |       list_aggregate(fps, 'min') AS min_fingerprint
+        |FROM (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(0, len(h) - 3),
+        |           w -> least(h[w+1], h[w+2], h[w+3], h[w+4]))) AS fps
+        |  FROM (
+        |    SELECT doc_id, list_transform(
+        |             range(1, length(text) - 6),
+        |             i -> md5(substr(text, i, 8))) AS h
+        |    FROM documents
+        |    WHERE length(text) >= 11) t) u
+        |ORDER BY doc_id""".stripMargin,
 
     "t02_quality" ->
       """SELECT doc_id, len(tokens) AS n_tokens,

@@ -41,7 +41,7 @@ object TextAnalysis {
         // zero stopword hits = no evidence -> 'und', not an arbitrary code
         when(best.getField("score") === 0, "und")
           .otherwise(best.getField("code")).as("predicted"),
-        best.getField("score").as("hits"))
+        best.getField("score").cast("long").as("hits"))
       .orderBy($"doc_id")
   }
 
@@ -112,12 +112,18 @@ object TextAnalysis {
   /** t05 — document fingerprinting by winnowing (Schleimer et al.,
     * SIGMOD'03, public): rolling char-8-gram hashes, keep the min of
     * every 4-hash window, dedup. Emits fingerprint count + global min
-    * per doc (the full set feeds copy-detection joins at scale). */
+    * per doc (the full set feeds copy-detection joins at scale).
+    *
+    * The gram hash is md5 (hex string) rather than xxhash64: both Spark
+    * and DuckDB compute identical md5 of the same UTF-8 bytes, which
+    * upgrades this query from a rows-only check to a full value-hash
+    * oracle. Fingerprint selection (min over window, distinct, global
+    * min) is hash-agnostic, so winnowing semantics are unchanged. */
   def t05Winnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hashes = transform(
       sequence(lit(1), greatest(length($"text") - 7, lit(0))),
-      i => xxhash64(substring($"text", i, lit(8))))
+      i => md5(substring($"text", i, lit(8)).cast("binary")))
     // The window pass is wrapped in a 1-element transform so the hash
     // array binds to a lambda variable: PushDownPredicate moves the size
     // filter below the project, CollapseProject then merges the two

@@ -212,6 +212,34 @@ object TextDedup {
       .limit(20)
   }
 
+  /** d06 — the d02 LSH pipeline as a THRESHOLDED dedup (the production
+    * shape): emit every pair whose exact word-3-shingle jaccard clears
+    * 0.8. The synthetic corpus contains genuinely planted near-dups
+    * (25 pairs >= 0.9 at sf0.01, nothing else above 0.3), so this query
+    * is oracle-checkable against a DuckDB brute-force all-pairs jaccard
+    * — proving the banded LSH + verify pipeline catches every real
+    * near-duplicate, not merely that it ranks text. */
+  def d06NearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val pairs = minhashCandidates(docs, bands = 8, rowsPerBand = 4)
+    jaccardVerify(docs, pairs)
+      .filter($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** d07 — SimHash near-dup pairs, driver-visible: block-LSH bucketing
+    * then hamming verify over the corpus's planted near-dups. No oracle
+    * (fingerprints are xxhash64-derived, which DuckDB cannot compute);
+    * the rows-only check still pins the caught-pair count. */
+  def d07SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashPairs(Tables(s, dir, "documents"), maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** 64-bit SimHash over whitespace tokens: hash each token once, then
     * per-bit majority vote — bit k of the fingerprint is 1 iff more
     * token hashes have bit k set than not. */
@@ -241,17 +269,28 @@ object TextDedup {
   }
 
   /** SimHash near-dup pairs: block-LSH (4 x 16-bit blocks) then hamming
-    * distance <= maxHamming via bit_count(xor). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    * distance <= maxHamming via bit_count(xor). Same join-free
+    * collect_list pairing as [[minhashCandidates]] — the earlier
+    * self-join referenced the fingerprint table twice, recomputing the
+    * (expensive) simhash per side; here each fingerprint is computed
+    * exactly once and buckets are capped before any pair exists. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    val fp = Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), simhash(col("text")).as("fp"))
     val blocked = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(0xFFFF)): _*)).as(Seq("block", "key")))
-    blocked.as("a").join(blocked.as("b"),
-        col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+    blocked.groupBy(col("block"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
+          struct(a.getField("doc_id").as("id_a"),
+            b.getField("doc_id").as("id_b"),
+            bit_count(a.getField("fp").bitwiseXOR(b.getField("fp")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
