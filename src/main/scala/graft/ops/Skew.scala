@@ -25,20 +25,63 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Typed aggregate specs for [[saltedAgg]]: each spec derives BOTH its
+    * partial (per key+salt) and merge (per key) expressions, so the two
+    * phases cannot be mismatched — the failure mode of the earlier API,
+    * which made callers hand-spell matching partial/merge pairs. A
+    * nonexistent column fails at plan time with Spark's
+    * unresolved-column AnalysisException. */
+  sealed abstract class SaltedSpec {
+    private[ops] def partials: Seq[Column]
+    private[ops] def merges: Seq[Column]
+    private[ops] def output: Column
+  }
+  /** sum(column) AS as */
+  final case class SaltedSum(column: String, as: String) extends SaltedSpec {
+    private[ops] def partials = Seq(sum(col(column)).as(as))
+    private[ops] def merges = Seq(sum(col(as)).as(as))
+    private[ops] def output = col(as)
+  }
+  /** count(*) AS as */
+  final case class SaltedCount(as: String) extends SaltedSpec {
+    private[ops] def partials = Seq(count(lit(1)).as(as))
+    private[ops] def merges = Seq(sum(col(as)).as(as))
+    private[ops] def output = col(as)
+  }
+  /** min(column) AS as */
+  final case class SaltedMin(column: String, as: String) extends SaltedSpec {
+    private[ops] def partials = Seq(min(col(column)).as(as))
+    private[ops] def merges = Seq(min(col(as)).as(as))
+    private[ops] def output = col(as)
+  }
+  /** max(column) AS as */
+  final case class SaltedMax(column: String, as: String) extends SaltedSpec {
+    private[ops] def partials = Seq(max(col(column)).as(as))
+    private[ops] def merges = Seq(max(col(as)).as(as))
+    private[ops] def output = col(as)
+  }
+  /** avg(column) AS as — decomposes to (sum, count) partials so the
+    * merge is exact (an avg-of-avgs would weight salt groups wrongly). */
+  final case class SaltedAvg(column: String, as: String) extends SaltedSpec {
+    private def s = s"__sum_$as"; private def c = s"__cnt_$as"
+    private[ops] def partials =
+      Seq(sum(col(column)).as(s), count(col(column)).as(c))
+    private[ops] def merges = Seq(sum(col(s)).as(s), sum(col(c)).as(c))
+    private[ops] def output = (col(s) / col(c)).as(as)
+  }
+
   /** Salted two-phase aggregation: aggregate on (key, salt) first
     * (spreads a hot key over n partial groups), then re-aggregate on
-    * key. `merge` must re-combine the partials (sum->sum, count->sum,
-    * min->min, …). */
+    * key. Output columns: key, then one column per spec in order. */
   def saltedAgg(df: DataFrame, key: String, n: Int,
-      partial: Map[String, Column => Column], merge: Map[String, Column => Column])
-      : DataFrame = {
+      specs: Seq[SaltedSpec]): DataFrame = {
+    require(specs.nonEmpty, "saltedAgg needs at least one aggregate spec")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(n)).cast("int"))
-    val phase1 = salted.groupBy(col(key), col("__salt"))
-      .agg(partial.head._2(col(partial.head._1)).as(partial.head._1),
-        partial.tail.map { case (c, f) => f(col(c)).as(c) }.toSeq: _*)
-    phase1.groupBy(col(key))
-      .agg(merge.head._2(col(merge.head._1)).as(merge.head._1),
-        merge.tail.map { case (c, f) => f(col(c)).as(c) }.toSeq: _*)
+    val p = specs.flatMap(_.partials)
+    val phase1 = salted.groupBy(col(key), col("__salt")).agg(p.head, p.tail: _*)
+    val m = specs.flatMap(_.merges)
+    phase1.groupBy(col(key)).agg(m.head, m.tail: _*)
+      .select(col(key) +: specs.map(_.output): _*)
   }
 }

@@ -29,6 +29,19 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedup queries leave no cached blocks behind (no persist leaks)") {
+    val sf = "/root/testdata/sf0.001"
+    val before = spark.sharedState.cacheManager.isEmpty
+    TextDedup.d02MinhashLsh(spark, sf).count()
+    TextDedup.d06NearDupPairs(spark, sf).count()
+    graft.Graft.nearDupPairs(
+      TextDedup.d01ExactDedup(spark, sf).sparkSession
+        .read.parquet(s"$sf/documents.parquet"), "text", "doc_id").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a dedup query persisted a DataFrame and never unpersisted it")
+    assert(before, "suite entered with pre-existing cached blocks")
+  }
+
   test("shingles: includes the last shingle and is empty/safe for short or empty docs") {
     val df = Seq(
       (1L, "a b c d e"),   // 5 tokens, k=3 -> exactly 3 shingles incl 'c d e'

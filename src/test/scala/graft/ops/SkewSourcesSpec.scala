@@ -38,14 +38,29 @@ class SkewSourcesSpec extends SparkSuiteBase {
     val direct = li.groupBy($"l_returnflag")
       .agg(round(sum($"l_quantity"), 2).as("q"), count(lit(1)).as("n"))
       .as[(String, Double, Long)].collect().toSet
-    val salted = Skew.saltedAgg(li, "l_returnflag", 8,
-        partial = scala.collection.immutable.ListMap(
-          "l_quantity" -> (sum(_)), "l_orderkey" -> (c => count(c))),
-        merge = scala.collection.immutable.ListMap(
-          "l_quantity" -> (sum(_)), "l_orderkey" -> (sum(_))))
-      .select($"l_returnflag", round($"l_quantity", 2), $"l_orderkey")
+    val salted = Skew.saltedAgg(li, "l_returnflag", 8, Seq(
+        Skew.SaltedSum("l_quantity", "q"), Skew.SaltedCount("n")))
+      .select($"l_returnflag", round($"q", 2), $"n")
       .as[(String, Double, Long)].collect().toSet
     assert(salted == direct)
+  }
+
+  test("salted avg merges exactly and misuse fails at plan time") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val direct = li.groupBy($"l_returnflag")
+      .agg(round(avg($"l_quantity"), 6).as("a"))
+      .as[(String, Double)].collect().toSet
+    val salted = Skew.saltedAgg(li, "l_returnflag", 8, Seq(
+        Skew.SaltedAvg("l_quantity", "a"),
+        Skew.SaltedMin("l_quantity", "mn"), Skew.SaltedMax("l_quantity", "mx")))
+      .select($"l_returnflag", round($"a", 6))
+      .as[(String, Double)].collect().toSet
+    assert(salted == direct)
+    // a typo'd column is an analysis-time error, not silent wrong data
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Skew.saltedAgg(li, "l_returnflag", 8, Seq(
+        Skew.SaltedSum("no_such_column", "x"))).queryExecution.analyzed
+    }
   }
 
   test("csv source round-trips with explicit schema and header") {
