@@ -94,13 +94,28 @@ object GraftFunctions {
         "cosine_sim",
         (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
         "built-in")
+    if (!reg.functionExists(FunctionIdentifier("simhash64")))
+      reg.createOrReplaceTempFunction(
+        "simhash64",
+        (exprs: Seq[Expression]) => SimHash64(exprs(0)),
+        "built-in")
+    if (!reg.functionExists(FunctionIdentifier("simhash_text")))
+      reg.createOrReplaceTempFunction(
+        "simhash_text",
+        (exprs: Seq[Expression]) => SimHashText(exprs(0)),
+        "built-in")
   }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+  }
 }

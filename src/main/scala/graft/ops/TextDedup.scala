@@ -242,20 +242,25 @@ object TextDedup {
 
   /** 64-bit SimHash over whitespace tokens: hash each token once, then
     * per-bit majority vote — bit k of the fingerprint is 1 iff more
-    * token hashes have bit k set than not. */
-  def simhash(text: Column): Column = simhashOfHashes(
-    transform(tokens(text), t => xxhash64(t)))
+    * token hashes have bit k set than not. Uses the native
+    * [[graft.functions.SimHashText]] expression: tokenize + hash +
+    * tally in one codegen'd pass, no token/hash array materialized. */
+  def simhash(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(graft.functions.GraftFunctions.register)
+    call_function("simhash_text", text)
+  }
 
-  /** Per-bit majority vote over pre-hashed tokens. The 64 bit positions
-    * unroll at plan-build time (bit index must be a literal for the
-    * shift), producing one fused codegen'd expression. */
-  def simhashOfHashes(hs: Column): Column =
-    (0 until 64).map { k =>
-      when(
-        aggregate(hs, lit(0),
-          (c, h) => c + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-        lit(1L << k)).otherwise(0L)
-    }.reduce(_ + _)
+  /** Per-bit majority vote over pre-hashed tokens, via the native
+    * [[graft.functions.SimHash64]] expression — one fused codegen loop.
+    * (The HOF spelling — 64 independent `aggregate()` passes over the
+    * array — walked the array 64x per row and its expression tree
+    * dominated cold-session compile time.) Registration rides the
+    * thread's active session, which exists wherever a Column can be
+    * used in a query. */
+  def simhashOfHashes(hs: Column): Column = {
+    SparkSession.getActiveSession.foreach(graft.functions.GraftFunctions.register)
+    call_function("simhash64", hs)
+  }
 
   /** d03 — SimHash fingerprints (deterministic per doc). Near-dup at
     * scale = same 16-bit block in >=1 of 4 blocks -> hamming<=3 verify

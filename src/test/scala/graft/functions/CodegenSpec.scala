@@ -28,6 +28,39 @@ class CodegenSpec extends SparkSuiteBase {
       "generated code missing the cosine kernel")
   }
 
+  test("simhash_text evaluates inside codegen and matches interpreted + HOF spellings") {
+    GraftFunctions.register(spark)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val hs = transform(graft.ops.TextDedup.tokens($"text"), t => xxhash64(t))
+    val df = docs.select($"doc_id", call_function("simhash_text", $"text").as("fp"))
+    val plan = df.queryExecution.executedPlan
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("simhash_text")),
+      s"simhash_text not inside codegen:\n$plan")
+    // the retired HOF spelling, kept here as the semantic oracle
+    def hofSimhash(h: org.apache.spark.sql.Column) =
+      (0 until 64).map { k =>
+        when(
+          aggregate(h, lit(0),
+            (c, x) => c + when(shiftright(x, k).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+          lit(1L << k)).otherwise(0L)
+      }.reduce(_ + _)
+    val expected = docs.select($"doc_id", hofSimhash(hs).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // interpreted path agrees (empty + null-element edge cases)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = SimHash64(Literal.create(Seq.empty[Long], ArrayType(LongType)))
+    assert(e.eval(null) == 0L)
+    val withNull = SimHash64(Literal.create(Seq[java.lang.Long](-1L, null),
+      ArrayType(LongType)))
+    assert(withNull.eval(null) == 0L) // +1 and -1 votes tie -> bit unset
+  }
+
   test("two cosine_sim calls in one projection codegen without name collisions") {
     GraftFunctions.register(spark)
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
