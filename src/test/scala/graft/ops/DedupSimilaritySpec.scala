@@ -43,6 +43,26 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       "a dedup query persisted a DataFrame and never unpersisted it")
   }
 
+  test("LSH pipelines are join-free up to verify: no window, one join total") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // candidate generation: collect_list pairing — no join, no window
+    val candPlan = TextDedup.minhashCandidates(docs, 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!candPlan.contains("Join"), s"candidates plan has a join:\n$candPlan")
+    assert(!candPlan.contains("Window"), s"candidates plan has a window:\n$candPlan")
+    // full d02: exactly the single verify join (edges x docs)
+    val d02Plan = TextDedup.d02MinhashLsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(d02Plan.split("Join(?!Selection)").length - 1 >= 1)
+    assert(!d02Plan.contains("Window"), s"d02 plan has a window:\n$d02Plan")
+    assert(!d02Plan.contains("CartesianProduct"))
+    // simhash pairing: also join-free
+    val shPlan = TextDedup.simhashPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!shPlan.contains("Join"), s"simhashPairs plan has a join:\n$shPlan")
+  }
+
   test("shingles: includes the last shingle and is empty/safe for short or empty docs") {
     val df = Seq(
       (1L, "a b c d e"),   // 5 tokens, k=3 -> exactly 3 shingles incl 'c d e'
