@@ -64,6 +64,7 @@ object SparkEntry {
     "d04_ngram_jaccard" -> (TextDedup.d04NgramJaccard _),
     "d06_neardup_pairs" -> (TextDedup.d06NearDupPairs _),
     "d07_simhash_pairs" -> (TextDedup.d07SimhashPairs _),
+    "d08_neardup_dedup" -> (TextDedup.d08NearDupDedup _),
     "d05_embedding_dedup" -> (Similarity.d05EmbeddingDedup _),
     "s01_cosine_topk" -> (Similarity.s01CosineTopK _),
     "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
@@ -362,6 +363,30 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d08_neardup_dedup" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(toks)-1, 1)),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |roots AS (SELECT a AS doc_id, min(b) AS kept_id FROM reach GROUP BY a)
+        |SELECT doc_id, kept_id FROM roots
+        |WHERE kept_id < doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "d04_ngram_jaccard" ->
       """WITH feat AS (

@@ -113,7 +113,9 @@ object TextDedup {
     // is KBs vs the full corpus on the wire. Same groups as the oracle's
     // PARTITION BY norm up to a 2^-64-per-pair collision.
     val w = Window.partitionBy($"normh").orderBy($"doc_id")
-    Tables.spread(Tables(s, dir, "documents"))
+    // no spread: normalize+hash is light per-row work and the window's
+    // own exchange redistributes immediately anyway
+    Tables(s, dir, "documents")
       .withColumn("normh", xxhash64(norm))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
@@ -229,6 +231,61 @@ object TextDedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Component-minimum labels for an undirected pair graph: returns
+    * (id, root) where root is the smallest id reachable from id. This
+    * is the "which duplicate do we keep" step of near-dedup — clusters
+    * are tiny (near-dup groups), so iterative min-label propagation
+    * converges in a handful of rounds (diameter of the largest
+    * cluster). A distributed iterative algorithm, not a driver-side
+    * data loop: each round is a join+aggregate over distributed frames,
+    * the driver only checks the converged flag. Rounds are
+    * localCheckpoint'ed to sever lineage (the classic iterative-algo
+    * discipline — without it round N replans rounds 1..N-1); blocks are
+    * freed by the ContextCleaner when unreferenced, so nothing lands in
+    * the cache manager. One round propagates labels one hop, so rounds
+    * needed = eccentricity of each cluster's minimum node; near-dup
+    * clusters are shallow and maxRounds=16 is generous (pathological
+    * million-doc chains belong to exact dedup, which runs first). */
+  def componentMin(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("root"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // candidate = min over neighbors' current roots
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("root")).as("nroot"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("root", "prev"), "id")
+        .filter(col("root") =!= col("prev")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** d08 — near-duplicate REMOVAL (the step a pipeline actually runs):
+    * thresholded LSH pairs -> connected components -> every non-minimum
+    * member maps to the kept (minimum-id) document of its cluster.
+    * Oracle-checked against a DuckDB recursive-CTE transitive closure
+    * over the same exact-jaccard pair set. */
+  def d08NearDupDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val cand = minhashCandidates(docs, bands = 8, rowsPerBand = 4)
+    val pairs = jaccardVerify(docs, cand).filter($"jaccard" >= 0.8)
+    componentMin(pairs)
+      .filter($"root" < $"id")
+      .select($"id".as("doc_id"), $"root".as("kept_id"))
+      .orderBy($"doc_id")
+  }
+
   /** d07 — SimHash near-dup pairs, driver-visible: block-LSH bucketing
     * then hamming verify over the corpus's planted near-dups. No oracle
     * (fingerprints are xxhash64-derived, which DuckDB cannot compute);
@@ -268,7 +325,9 @@ object TextDedup {
     * near-dups; random corpus has none). */
   def d03Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.spread(Tables(s, dir, "documents"))
+    // no spread: the fused simhash_text expression made the projection
+    // cheap enough that the rebalance exchange cost more than it saved
+    Tables(s, dir, "documents")
       .select($"doc_id", simhash($"text").as("simhash64"))
       .orderBy($"doc_id")
   }

@@ -92,6 +92,17 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(out.head.getAs[Double]("jaccard_char3") == 0.0) // not a fake 1.0
   }
 
+  test("componentMin labels every member of a cluster with its minimum id") {
+    // two components: {1,2,3,7} via a chain, {10,11}; 20-21-22 chain
+    // checks multi-hop propagation (3 needs two hops to see 1)
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 7L), (10L, 11L),
+      (21L, 22L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = TextDedup.componentMin(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("jaccard of identical docs is 1.0") {
     val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
     val j = TextDedup.jaccardVerify(docs, cand).select($"jaccard").as[Double].head()
