@@ -98,4 +98,25 @@ object Graft {
       .withColumn("n_bpe_tokens",
         size(regexp_extract_all(lower(col(textCol)),
           lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))).cast("long"))
+
+  /** Near-duplicate REMOVAL: LSH + exact-jaccard pairs above
+    * `minJaccard`, connected components, keep the minimum-id member of
+    * each cluster. Returns `df` minus the dropped duplicates — the
+    * operation a training-data pipeline actually applies (see
+    * TextDedup.d08 for the oracle-checked harness binding). */
+  def dedupNear(df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, bands, rowsPerBand, minJaccard)
+    val dropped = ops.TextDedup.componentMin(pairs)
+      .filter(col("root") < col("id"))
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-dup pairs over an arbitrary frame (block-LSH +
+    * hamming verify; see TextDedup.simhashPairs). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    ops.TextDedup.simhashPairs(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), maxHamming)
 }

@@ -62,4 +62,28 @@ class GraftFacadeSpec extends SparkSuiteBase {
     // ws: [abc, de-f, 42]; bpe: [abc, " de", "-", "f", " 42"]
     assert(out == ((3L, 5L)))
   }
+
+  test("dedupNear removes every non-minimum member of a near-dup cluster") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog by the river shore"),
+      (4L, "the quick brown fox jumps over the lazy dog by the river delta"),
+      (3L, "spark catalyst optimizer rules rewrite logical plans into physical plans")
+    ).toDF("id", "text")
+    val kept = Graft.dedupNear(df, "text", "id", minJaccard = 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // 2 and 4 collapse into 1's cluster
+  }
+
+  test("simhashPairs facade surfaces the duplicate pair") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "totally different words about query engines and shuffles here")
+    ).toDF("id", "text")
+    val pairs = Graft.simhashPairs(df, "text", "id", maxHamming = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
