@@ -454,6 +454,50 @@ object SparkEntry {
         |    WHERE length(text) >= 11) t) u
         |ORDER BY doc_id""".stripMargin,
 
+    // Exact-cosine oracles: DuckDB's list_cosine_similarity over the
+    // embeddings cast to DOUBLE[] accumulates the same values in the
+    // same order as the native cosine_sim kernel (floats are exactly
+    // representable in double), so even round(,6) matches bit-for-bit.
+    "s01_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS c
+        |  FROM q, e WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(c, 6) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s02_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, v, centroid_id AS bucket FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id DESC) AS rn
+        |    FROM e, c) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id AS bucket FROM (
+        |    SELECT q.query_id, q.qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS pr
+        |    FROM q, c) t WHERE pr <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
+        |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "t02_quality" ->
       """SELECT doc_id, len(tokens) AS n_tokens,
         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tokens), 4) AS avg_word_len,
