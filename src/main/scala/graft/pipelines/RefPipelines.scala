@@ -125,6 +125,22 @@ object Router {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     parseClean(spark, Seq(dir))
 
+  /** A route() result plus a release handle: the ~22 output tables all
+    * derive from a handful of persisted parsed sources (the pandas
+    * `data_dict` reuse, done distributed); `release()` unpersists them
+    * once the caller has consumed the tables. Short-lived programs
+    * (Demo) can skip it — session shutdown frees the cache — but a
+    * long-lived session routing many directories must call it or leak
+    * cache. */
+  final case class Routed(tables: Map[String, DataFrame], release: () => Unit)
+
+  /** [[route]] with an unpersist handle for long-lived sessions. */
+  def routeManaged(spark: SparkSession, dir: String): Routed = {
+    val sources = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val tables = routeImpl(spark, dir, sources += _)
+    Routed(tables, () => sources.foreach(_.unpersist()))
+  }
+
   /** Filename-pattern dispatch (S4, `P:795-805`): `_bank_scrape` ->
     * bankpipe, `_credit_report` -> creditpipe, `_action` -> recpipe,
     * else jsonpipe. The listing is driver-side metadata only (as the
@@ -132,7 +148,11 @@ object Router {
     * into the distributed read); each form family is read separately so
     * it infers its OWN schema, exactly like the reference's per-file
     * `pd.read_json`. */
-  def route(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+  def route(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    routeImpl(spark, dir, _ => ())
+
+  private def routeImpl(spark: SparkSession, dir: String,
+      onPersist: DataFrame => Unit): Map[String, DataFrame] = {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val fs = FileSystem.get(java.net.URI.create(dir),
       spark.sparkContext.hadoopConfiguration)
@@ -149,7 +169,11 @@ object Router {
       // beyond provenance -> the whole form family is skipped, exactly
       // like the reference when every file of a kind throws (P17)
       if (df.columns.forall(_ == "source_file")) None
-      else Some(df.persist())
+      else {
+        val p = df.persist()
+        onPersist(p)
+        Some(p)
+      }
     }
     // substring match, not suffix: the reference routes on
     // re.search('_bank_scrape', name) (`P:798`), so `SF1_bank_scrape_v2

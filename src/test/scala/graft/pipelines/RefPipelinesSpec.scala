@@ -216,6 +216,19 @@ class RefPipelinesSpec extends SparkSuiteBase {
     assert(out("master_table").count() == 1)
   }
 
+  test("routeManaged releases every persisted source on release()") {
+    val dir = Files.createTempDirectory("graft-managed")
+    writeDoc(dir, "M1_action.json", """{"action": "x"}""")
+    writeDoc(dir, "m_doc.json", """{"SalesforceID": "SFM"}""")
+    spark.sharedState.cacheManager.clearCache()
+    val routed = Router.routeManaged(spark, dir.toString)
+    routed.tables.values.foreach(_.count())
+    assert(!spark.sharedState.cacheManager.isEmpty, "sources should be cached")
+    routed.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must unpersist every parsed source")
+  }
+
   test("file queue consume-then-archive moves files only on commit (S6)") {
     val in = Files.createTempDirectory("graft-queue")
     val archive = in.resolve("archive")
