@@ -48,10 +48,10 @@ object Similarity {
   def s01CosineTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    // spread: the harness writes embeddings as ONE parquet file, so the
-    // scoring pass would otherwise run on a single thread (Tables.spread
-    // is an identity on a properly-split table at scale).
-    val scored = Tables.spread(emb).crossJoin(queriesOf(emb))
+    // no rebalance exchange: the fused kernel makes scoring 2k vectors
+    // trivial, and at scale the corpus scan has its own splits — the
+    // extra stage cost more than the single-thread map it parallelized
+    val scored = emb.crossJoin(queriesOf(emb))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosine(s, $"q", $"embedding").as("cos"))
@@ -77,7 +77,7 @@ object Similarity {
 
     // argmax via max(struct(cos, centroid_id)): one aggregation, no join
     // back. Assignment would be written bucketed-by-centroid at scale.
-    val assigned = Tables.spread(emb).crossJoin(centroids)
+    val assigned = emb.crossJoin(centroids)
       .select($"vec_id", $"embedding", $"centroid_id",
         cosine(s, $"embedding", $"c").as("cos"))
       .groupBy($"vec_id")
@@ -123,7 +123,7 @@ object Similarity {
       (0 until nBits).map { b =>
         when(cosine(s, v, lit(planes(b))) > 0, shiftleft(lit(1L), b)).otherwise(0L)
       }.reduce(_ + _)
-    val emb = Tables.spread(Tables(s, dir, "embeddings"))
+    val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding", sigOf($"embedding").as("sig"))
     val pairs = emb.as("a").join(emb.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
