@@ -345,8 +345,10 @@ object TextDedup {
     * exactly once and buckets are capped before any pair exists. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {
-    val fp = Tables.spread(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), simhash(col("text")).as("fp"))
+    // no rebalance: the fused simhash_text expression fingerprints the
+    // corpus in one cheap codegen'd pass, and the bucket groupBy's own
+    // exchange redistributes immediately after
+    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
     val blocked = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(0xFFFF)): _*)).as(Seq("block", "key")))
