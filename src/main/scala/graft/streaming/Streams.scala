@@ -63,6 +63,23 @@ object Streams {
         col("purchase_value"), col("click_ts"))
   }
 
+  /** Streaming exact dedup at ingest: drop re-deliveries of the same
+    * content key within the watermark horizon. State carries one entry
+    * per distinct key seen inside the horizon and is evicted as the
+    * watermark advances — the property that makes dedup-at-ingest
+    * feasible on an unbounded stream (an unwatermarked dropDuplicates
+    * grows state forever). Keyed on xxhash64 of the normalized text, as
+    * in the batch exact dedup (d01): the shuffle and the state store
+    * carry 8-byte keys, never document bodies. */
+  def streamingDedup(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("__key",
+        xxhash64(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+
   /** Custom streaming state via mapGroupsWithState: per-user running
     * totals that survive across micro-batches (the kind of bespoke
     * accumulator `flatMapGroupsWithState` exists for). */

@@ -105,6 +105,28 @@ class StreamsSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("streamingDedup drops watermark-horizon re-deliveries, keeps firsts") {
+    implicit val sc = spark.sqlContext
+    case class Doc(ts: Timestamp, text: String)
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams.streamingDedup(
+        in.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode(OutputMode.Append).start()
+    def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    try {
+      in.addData((t(1), "hello world"), (t(2), "Hello  World"), (t(3), "other"))
+      q.processAllAvailable()
+      in.addData((t(4), "hello world")) // re-delivery in a later batch
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedupstream")
+        .as[String].collect().toSeq
+      // normalized dup ("Hello  World") and the cross-batch re-delivery
+      // are both dropped; exactly one hello + one other survive
+      assert(texts.sorted == Seq("hello world", "other"))
+    } finally q.stop()
+  }
+
   test("file-queue stream reads docs and archives consumed files (S6)") {
     val in = Files.createTempDirectory("graft-stream-in")
     val archive = Files.createTempDirectory("graft-stream-archive")
