@@ -26,18 +26,27 @@ import org.apache.spark.sql.types.StructType
   */
 object FileQueue {
 
+  private val CorruptCol = "_graft_corrupt"
+
   /** Streaming read of a JSON document directory with post-commit
     * archival. Caller supplies the schema (streaming sources require
-    * one — infer it once from a batch sample via [[inferSchema]]). */
+    * one — infer it once from a batch sample via [[inferSchema]]).
+    * A malformed document is dropped per-doc (same contract as the
+    * batch Router) — and still archived, since the file WAS consumed;
+    * re-delivering a poison file forever is the alternative nobody
+    * wants. */
   def stream(spark: SparkSession, inDir: String, archiveDir: String,
       schema: StructType, maxFilesPerTrigger: Int = 1000): DataFrame =
     spark.readStream
-      .schema(schema)
+      .schema(schema.add(CorruptCol, org.apache.spark.sql.types.StringType))
       .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .option("cleanSource", "archive")
       .option("sourceArchiveDir", archiveDir)
       .json(inDir)
+      .filter(col(CorruptCol).isNull).drop(CorruptCol)
       .withColumn("source_file", input_file_name())
 
   /** Schema bootstrap for [[stream]] — one batch pass over (a sample

@@ -134,6 +134,7 @@ class StreamsSpec extends SparkSuiteBase {
     val out = Files.createTempDirectory("graft-stream-out")
     Files.writeString(in.resolve("a_action.json"), """{"v": 1}""")
     Files.writeString(in.resolve("b_action.json"), """{"v": 2}""")
+    Files.writeString(in.resolve("z_corrupt.json"), """{"v": broken""")
     val schema = FileQueue.inferSchema(spark, in.toString)
     def runOnce(): Unit = {
       val q = FileQueue.stream(spark, in.toString, archive.toString, schema)
