@@ -69,8 +69,14 @@ object FileQueue {
     // drained queue (steady state): empty frame, no-op commit — a
     // zero-path json() read would throw UNABLE_TO_INFER_SCHEMA
     if (files.isEmpty) return (spark.emptyDataFrame, () => ())
-    val df = spark.read.option("multiLine", "true")
+    val raw = spark.read.option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
       .json(files.map(_.toString).toIndexedSeq: _*)
+    // corrupt docs dropped per-doc, same contract as stream()/Router
+    val df = (if (raw.columns.contains(CorruptCol))
+        raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
+      else raw)
       .withColumn("source_file", input_file_name())
     val commit = () => {
       fs.mkdirs(new Path(archiveDir))
