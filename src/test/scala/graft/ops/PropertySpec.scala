@@ -78,6 +78,28 @@ class PropertySpec extends SparkSuiteBase {
     }
   }
 
+  test("minhash signature agreement estimates jaccard (K-M rotate-XOR family)") {
+    // docs sharing a known fraction of shingles: the per-component
+    // collision probability of a MinHash signature IS the jaccard, so
+    // the match fraction over 64 components concentrates around it
+    // (sd ~ sqrt(j(1-j)/64) ~ 0.06) — a broken hash family (correlated
+    // components) blows this bound
+    val base = (1 to 30).map(i => s"w$i")
+    for (keep <- Seq(30, 20, 10)) {
+      val a = base.mkString(" ")
+      val b = (base.take(keep) ++ (1 to (30 - keep)).map(i => s"v$i")).mkString(" ")
+      val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val trueJ = TextDedup.jaccardVerify(docs, Seq((1L, 2L)).toDF("id_a", "id_b"))
+        .select($"jaccard").as[Double].head()
+      val sig = TextDedup.minhashSig(docs, 64).collect()
+        .map(r => r.getLong(0) -> (1 to 64).map(j => r.getLong(j)))
+        .toMap
+      val est = sig(1L).zip(sig(2L)).count { case (x, y) => x == y } / 64.0
+      assert(math.abs(est - trueJ) < 0.25,
+        s"keep=$keep: estimate $est vs true $trueJ — hash family broken?")
+    }
+  }
+
   test("jaccard is 1 for identical, 0 for disjoint, symmetric otherwise") {
     forAll(Gen.zip(Gen.listOfN(12, word), Gen.listOfN(12, word))) { case (as, bs) =>
       whenever(as.nonEmpty && bs.nonEmpty) {
