@@ -12,12 +12,12 @@ import graft.Tables
   * stay inside whole-stage codegen; no UDFs, no driver loops.
   *
   * Scale design: every op is shuffle-bounded by the *candidate* set, not
-  * the pair space. LSH banding turns O(n²) pair comparison into
-  * groupBy(band_key) — at 100 TB the band join is the only exchange and
-  * its fan-in is controlled by bands x rows (tune rows up to push the
-  * jaccard threshold up and bucket sizes down). Skewed buckets (boiler-
-  * plate docs) are the classic hazard: cap bucket size before pairing
-  * (done below via a bucket-size filter) and let AQE split stragglers.
+  * the pair space. LSH banding turns O(n²) pair comparison into ONE
+  * groupBy(band, bucket) aggregate whose fan-in is controlled by
+  * bands x rows (tune rows up to push the jaccard threshold up and
+  * bucket sizes down). Skewed buckets (boilerplate docs) are the
+  * classic hazard: bucket size is capped before any pair is emitted
+  * and AQE splits residual stragglers.
   */
 object TextDedup {
 
@@ -102,9 +102,9 @@ object TextDedup {
     * (lower + trim + whitespace-collapse). Window row_number over the
     * content key — one shuffle on the hash of the key; at 100 TB dedup
     * on xxhash64(norm) instead of the full text to keep shuffle rows
-    * narrow (hash collision risk 2^-64 per pair). The synthetic corpus
-    * has no dupes — the op is still exercised end-to-end and unit
-    * tests prove the dedup path with real duplicates. */
+    * narrow (hash collision risk 2^-64 per pair). The sf0.1 corpus
+    * contains 8 exact duplicates (4992 rows survive); unit tests prove
+    * the normalization path with hand-built duplicates. */
   def d01ExactDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
@@ -192,10 +192,11 @@ object TextDedup {
   }
 
   /** d02 — MinHash+LSH near-dup: shingle -> 32-hash signature -> 8x4
-    * banding -> bucket self-join -> exact-jaccard verify -> top-20 most
-    * similar pairs. On this synthetic corpus no pair clears a production
-    * threshold (~0.8); emitting the ranked head keeps the op observable
-    * and deterministic. No oracle: not expressible in DuckDB SQL. */
+    * banding -> bucket gather -> exact-jaccard verify -> top-20 most
+    * similar pairs (the ranked-head diagnostic view; the thresholded
+    * production form is d06, and removal is d08). No oracle for the
+    * top-20 head: the candidate ordering below the planted-dup band is
+    * LSH-dependent; d06 carries the value-checked form. */
   def d02MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
@@ -326,8 +327,8 @@ object TextDedup {
 
   /** d03 — SimHash fingerprints (deterministic per doc). Near-dup at
     * scale = same 16-bit block in >=1 of 4 blocks -> hamming<=3 verify
-    * via bit_count(a^b) (see [[simhashPairs]], unit-tested with real
-    * near-dups; random corpus has none). */
+    * via bit_count(a^b) — see [[simhashPairs]]/d07, which catches the
+    * corpus's planted near-dups (17 pairs at sf0.01). */
   def d03Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // no spread: the fused simhash_text expression made the projection
