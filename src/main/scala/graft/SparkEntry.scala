@@ -348,6 +348,28 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // Valid because the corpus's planted near-dups occupy the entire
+    // top-20 band (all >= 0.96 at sf0.01, next candidate < 0.3) and the
+    // banded LSH provably catches every pair in that band (d06's oracle
+    // checks the full thresholded set) — so LSH top-20 = brute-force
+    // top-20. Ordering compares the ROUNDED jaccard, as the engine does.
+    "d02_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(toks)-1, 1)),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE
+        |          / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p
+        |ORDER BY jaccard DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
+
     "d06_neardup_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
