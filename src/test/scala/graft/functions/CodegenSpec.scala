@@ -61,6 +61,36 @@ class CodegenSpec extends SparkSuiteBase {
     assert(withNull.eval(null) == 0L) // +1 and -1 votes tie -> bit unset
   }
 
+  test("GraftExtensions injects the native functions into a fresh session (SQL path)") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    // build a second session over the SAME SparkContext, this time wired
+    // through the extensions hook — the spark.sql.extensions deployment
+    // path a SQL-only user configures
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(s2 ne prev, "expected a fresh session")
+      val r = s2.sql(
+        """SELECT
+          |  cosine_sim(CAST(array(1.0, 0.0) AS array<float>),
+          |             CAST(array(1.0, 0.0) AS array<float>)) AS c,
+          |  simhash_text('hello world hello') AS sh,
+          |  simhash64(array(CAST(-1 AS bigint), CAST(-1 AS bigint))) AS s64
+          |""".stripMargin).head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(r.getLong(1) != 0L)
+      assert(r.getLong(2) == -1L) // two all-ones votes -> all bits set
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("two cosine_sim calls in one projection codegen without name collisions") {
     GraftFunctions.register(spark)
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
