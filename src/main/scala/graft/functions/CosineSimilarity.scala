@@ -104,6 +104,13 @@ object GraftFunctions {
         "simhash_text",
         (exprs: Seq[Expression]) => SimHashText(exprs(0)),
         "built-in")
+    if (!reg.functionExists(FunctionIdentifier("minhash_sketch")))
+      reg.createOrReplaceTempFunction(
+        "minhash_sketch",
+        // third argument must be a literal (sketch width is plan-time)
+        (exprs: Seq[Expression]) => MinHashSketch(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue),
+        "built-in")
   }
 }
 
@@ -121,5 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       (exprs: Seq[Expression]) => SimHashText(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+      (exprs: Seq[Expression]) => MinHashSketch(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue)))
   }
 }

@@ -66,36 +66,33 @@ object TextDedup {
       1)
   }
 
-  /** MinHash signature columns via explode -> groupBy -> numHashes
-    * partial `min` aggregates. This shape matters: the nested-HOF
-    * spelling (`transform(seq, j -> array_min(transform(sh, xxhash64)))`)
-    * looks tidy but CollapseProject re-inlines the shingle expression
-    * into every hash lambda — measured 60x slower at sf0.1.
-    * explode+partial-agg is also the 100 TB shape: map-side combine
-    * reduces each doc to numHashes longs before any exchange.
+  /** MinHash signature per doc as ONE `sig: array<long>` column, via
+    * explode -> groupBy -> the custom [[graft.functions.MinHashSketch]]
+    * aggregate. Two shapes were measured and rejected on the way here:
+    * the nested-HOF spelling (`transform(seq, j -> array_min(transform(
+    * sh, xxhash64)))`) re-inlines the shingle expression into every hash
+    * lambda — 60x slower; and numHashes separate `min(...)` agg columns
+    * — correct and map-side-combined, but the widest codegen unit in
+    * the engine (janino compile dominated d02's cold run) and numHashes
+    * expression-tree evaluations per row. The sketch aggregate is one
+    * tight update loop with an elementwise-min merge — same map-side
+    * combine, tiny plan. explode+partial-agg remains the 100 TB shape:
+    * each doc reduces to numHashes longs before any exchange.
     *
     * The hash family is double hashing in the Kirsch–Mitzenmacher
     * style: one real hash per shingle (ha, from [[shingleHashes]]), a
     * derived second hash hb = xxhash64(ha), then
-    * h_j = ha XOR rotate_left(hb, j). Rotate+XOR instead of the
-    * classic ha + j*hb because Spark 4 runs ANSI mode by default and
-    * checked add/multiply throw on the intended mod-2^64 wraparound;
-    * bit ops are overflow-free and cheaper still. This replaces
-    * numHashes string hashes per shingle with one token-triple hash +
-    * one long hash + numHashes register ops — faster signature build
-    * and a much smaller codegen unit (the earlier per-agg
-    * xxhash64(sh, j) trees dominated janino compile time on a cold
-    * session). */
+    * h_j = ha XOR rotate_left(hb, j) (bit ops — ANSI-safe, no overflow
+    * wraparound to throw on). One token-triple hash + one long hash +
+    * numHashes register ops per shingle. */
   def minhashSig(docs: DataFrame, numHashes: Int): DataFrame = {
-    val exploded = docs
+    SparkSession.getActiveSession.foreach(graft.functions.GraftFunctions.register)
+    docs
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("ha"))
       .select(col("doc_id"), col("ha"), xxhash64(col("ha")).as("hb"))
-    def rotl(c: Column, j: Int): Column =
-      if (j % 64 == 0) c
-      else shiftleft(c, j % 64).bitwiseOR(shiftrightunsigned(c, 64 - j % 64))
-    val aggs = (0 until numHashes).map(j =>
-      min(col("ha").bitwiseXOR(rotl(col("hb"), j))).as(s"h$j"))
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .groupBy(col("doc_id"))
+      .agg(call_function("minhash_sketch",
+        col("ha"), col("hb"), lit(numHashes)).as("sig"))
   }
 
   /** d01 — exact dedup: keep the lowest doc_id per normalized text
@@ -140,10 +137,12 @@ object TextDedup {
   def minhashCandidates(docs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = 64): DataFrame = {
     val sig = minhashSig(docs, bands * rowsPerBand)
-    // Band key = one hash over the band's rows (xxhash64 is variadic).
+    // Band key = one hash over the band's rows (xxhash64 is variadic);
+    // sig is a materialized attribute, so per-element reads are O(1).
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
-        val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+        val rows = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(j => element_at(col("sig"), j + 1))
         xxhash64(rows :+ lit(b): _*)
       }: _*)).as(Seq("band", "bucket")))
     val buckets = banded.groupBy(col("band"), col("bucket"))

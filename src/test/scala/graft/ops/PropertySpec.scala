@@ -92,7 +92,7 @@ class PropertySpec extends SparkSuiteBase {
       val trueJ = TextDedup.jaccardVerify(docs, Seq((1L, 2L)).toDF("id_a", "id_b"))
         .select($"jaccard").as[Double].head()
       val sig = TextDedup.minhashSig(docs, 64).collect()
-        .map(r => r.getLong(0) -> (1 to 64).map(j => r.getLong(j)))
+        .map(r => r.getLong(0) -> r.getSeq[Long](1))
         .toMap
       val est = sig(1L).zip(sig(2L)).count { case (x, y) => x == y } / 64.0
       assert(math.abs(est - trueJ) < 0.25,
