@@ -17,6 +17,17 @@ class PlanAuditSpec extends SparkSuiteBase {
     }
   }
 
+  test("Bench records a broken query as an error, not a silent timing") {
+    val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame](
+      "ok_query" -> ((s, _) => s.range(10).toDF("id")),
+      "broken_query" -> ((s, _) => s.sql("SELECT * FROM no_such_table_xyz")))
+    val (timings, errors) = Bench.run(spark, sf, queries)
+    assert(timings.map(_._1) == Seq("broken_query", "ok_query"))
+    assert(errors.keySet == Set("broken_query"))
+    assert(errors("broken_query").contains("AnalysisException"))
+  }
+
   test("every nested-loop join broadcasts its small side") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
