@@ -35,7 +35,9 @@ case class MinHashSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
 
-  require(numHashes > 0 && numHashes <= 512, s"numHashes out of range: $numHashes")
+  // rotations of a 64-bit word give at most 64 distinct hash functions:
+  // h_{64+k} would equal h_k, silently duplicating signature components
+  require(numHashes > 0 && numHashes <= 64, s"numHashes out of range: $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
