@@ -41,8 +41,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (x.isNullAt(i)) 0f else x.getFloat(i)
-      val yi = if (y.isNullAt(i)) 0f else y.getFloat(i)
+      // widen BEFORE multiplying: a float*float product rounds to 24-bit
+      // mantissa first, which would diverge from any double-precision
+      // reference (incl. the DuckDB oracle) by ~1e-8 per term
+      val xi: Double = if (x.isNullAt(i)) 0d else x.getFloat(i).toDouble
+      val yi: Double = if (y.isNullAt(i)) 0d else y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -63,8 +66,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  float $xi = $a.isNullAt($i) ? 0f : $a.getFloat($i);
-         |  float $yi = $b.isNullAt($i) ? 0f : $b.getFloat($i);
+         |  double $xi = $a.isNullAt($i) ? 0d : (double) $a.getFloat($i);
+         |  double $yi = $b.isNullAt($i) ? 0d : (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |double $d = Math.sqrt($nx) * Math.sqrt($ny);

@@ -24,8 +24,9 @@ import org.apache.spark.sql.types._
   * gives built-ins, via ObjectHashAggregate.
   *
   * Buffer = Array[Long] of current minima; serialize is the raw 8-byte
-  * little-endian concatenation. Null inputs contribute nothing (xxhash64
-  * never yields null in the feeding pipeline).
+  * big-endian (ByteBuffer default) concatenation, symmetric with
+  * deserialize. Null inputs contribute nothing (xxhash64 never yields
+  * null in the feeding pipeline).
   */
 case class MinHashSketch(
     left: Expression,

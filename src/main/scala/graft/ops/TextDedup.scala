@@ -86,7 +86,10 @@ object TextDedup {
     * wraparound to throw on). One token-triple hash + one long hash +
     * numHashes register ops per shingle. */
   def minhashSig(docs: DataFrame, numHashes: Int): DataFrame = {
-    SparkSession.getActiveSession.foreach(graft.functions.GraftFunctions.register)
+    // register on the frame's OWN session — getActiveSession is a
+    // thread-local and is unset on threads that didn't create the
+    // session (e.g. service handler threads calling the Graft facade)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("ha"))
       .select(col("doc_id"), col("ha"), xxhash64(col("ha")).as("hb"))
@@ -272,6 +275,12 @@ object TextDedup {
       labels = next
       rounds += 1
     }
+    // a silently-unconverged result would hand out non-minimal roots —
+    // wrong dedup decisions with no symptom. Fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"componentMin did not converge in $maxRounds rounds — a duplicate " +
+        "cluster has diameter beyond the bound; raise maxRounds (or run " +
+        "exact dedup first to collapse degenerate chains)")
     labels
   }
 
@@ -330,6 +339,7 @@ object TextDedup {
     * corpus's planted near-dups (17 pairs at sf0.01). */
   def d03Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     // no spread: the fused simhash_text expression made the projection
     // cheap enough that the rebalance exchange cost more than it saved
     Tables(s, dir, "documents")
@@ -348,6 +358,7 @@ object TextDedup {
     // no rebalance: the fused simhash_text expression fingerprints the
     // corpus in one cheap codegen'd pass, and the bucket groupBy's own
     // exchange redistributes immediately after
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
     val blocked = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
@@ -362,8 +373,12 @@ object TextDedup {
             bit_count(a.getField("fp").bitwiseXOR(b.getField("fp")))
               .as("hamming")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is deterministic per pair, so
+      // the result is identical and the dedup shuffle only carries
+      // pairs that survive (the large majority of same-bucket pairs in
+      // a random corpus fail the hamming bound)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** d04 — n-gram Jaccard similarity kernel: word-3-gram and char-3-gram

@@ -93,28 +93,21 @@ object Tolerant {
 object Router {
   import Tolerant._
 
-  private val CorruptCol = "_graft_corrupt"
-
-  /** Parse JSON documents with per-document tolerance: a malformed file
-    * lands in the corrupt-record column and its row is dropped. This is
-    * the reference's bare try/except around every read (`P:27-30` and
-    * ~40 sibling sites) — skip exactly the bad document. Plain
-    * PERMISSIVE parsing would instead emit a null-filled row into every
+  /** Parse JSON documents with per-document tolerance: DROPMALFORMED
+    * discards an unparseable file at the source. This is the
+    * reference's bare try/except around every read (`P:27-30` and ~40
+    * sibling sites) — skip exactly the bad document. The default
+    * PERMISSIVE mode would instead emit a null-filled row into every
     * downstream table (a corrupt doc would fabricate a `master_table`
-    * row). The corrupt column only appears in the inferred schema when
-    * at least one document failed to parse, hence the guard. */
-  private def parseClean(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val raw = spark.read
+    * row), and the filter-on-corrupt-column alternative leaves a trap:
+    * a count()-style query prunes every data column, and Spark refuses
+    * raw-JSON queries that reference only the corrupt column. */
+  private def parseClean(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read
       .option("multiLine", "true")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("mode", "DROPMALFORMED")
       .json(paths: _*)
-    val clean =
-      if (raw.columns.contains(CorruptCol))
-        raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
-      else raw
-    clean.withColumn("source_file", input_file_name())
-  }
+      .withColumn("source_file", input_file_name())
 
   /** Read a directory of JSON documents, one row per file (multiLine —
     * the reference's `typ='series'` one-doc-per-file model, S1 `P:20`).

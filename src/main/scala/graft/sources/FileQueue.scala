@@ -26,33 +26,32 @@ import org.apache.spark.sql.types.StructType
   */
 object FileQueue {
 
-  private val CorruptCol = "_graft_corrupt"
-
   /** Streaming read of a JSON document directory with post-commit
     * archival. Caller supplies the schema (streaming sources require
     * one — infer it once from a batch sample via [[inferSchema]]).
-    * A malformed document is dropped per-doc (same contract as the
-    * batch Router) — and still archived, since the file WAS consumed;
-    * re-delivering a poison file forever is the alternative nobody
-    * wants. */
+    * A malformed document is dropped per-doc at the source
+    * (DROPMALFORMED — same contract as the batch Router) and still
+    * archived, since the file WAS consumed; re-delivering a poison file
+    * forever is the alternative nobody wants. */
   def stream(spark: SparkSession, inDir: String, archiveDir: String,
       schema: StructType, maxFilesPerTrigger: Int = 1000): DataFrame =
     spark.readStream
-      .schema(schema.add(CorruptCol, org.apache.spark.sql.types.StringType))
+      .schema(schema)
       .option("multiLine", "true")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("mode", "DROPMALFORMED")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .option("cleanSource", "archive")
       .option("sourceArchiveDir", archiveDir)
       .json(inDir)
-      .filter(col(CorruptCol).isNull).drop(CorruptCol)
       .withColumn("source_file", input_file_name())
 
   /** Schema bootstrap for [[stream]] — one batch pass over (a sample
-    * of) the existing files. */
+    * of) the existing files. DROPMALFORMED keeps a corrupt sample file
+    * from polluting the inferred schema with a corrupt-record column
+    * that every downstream sink row would then carry. */
   def inferSchema(spark: SparkSession, dir: String): StructType =
-    spark.read.option("multiLine", "true").json(dir).schema
+    spark.read.option("multiLine", "true").option("mode", "DROPMALFORMED")
+      .json(dir).schema
 
   /** Batch consume-then-archive for backfills: returns the parsed docs;
     * call the returned `commit()` AFTER all downstream sinks succeed to
@@ -69,14 +68,11 @@ object FileQueue {
     // drained queue (steady state): empty frame, no-op commit — a
     // zero-path json() read would throw UNABLE_TO_INFER_SCHEMA
     if (files.isEmpty) return (spark.emptyDataFrame, () => ())
-    val raw = spark.read.option("multiLine", "true")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
+    // corrupt docs dropped per-doc at the source, same contract as
+    // stream()/Router (see parseClean's rationale)
+    val df = spark.read.option("multiLine", "true")
+      .option("mode", "DROPMALFORMED")
       .json(files.map(_.toString).toIndexedSeq: _*)
-    // corrupt docs dropped per-doc, same contract as stream()/Router
-    val df = (if (raw.columns.contains(CorruptCol))
-        raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
-      else raw)
       .withColumn("source_file", input_file_name())
     val commit = () => {
       fs.mkdirs(new Path(archiveDir))

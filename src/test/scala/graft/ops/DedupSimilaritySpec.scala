@@ -103,6 +103,16 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("componentMin fails loudly on a chain exceeding the round bound") {
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      TextDedup.componentMin(chain, maxRounds = 3)
+    }
+    val roots = TextDedup.componentMin(chain, maxRounds = 32)
+      .select($"root").distinct().as[Long].collect().toSeq
+    assert(roots == Seq(1L)) // fully converged: one component, min id 1
+  }
+
   test("jaccard of identical docs is 1.0") {
     val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
     val j = TextDedup.jaccardVerify(docs, cand).select($"jaccard").as[Double].head()

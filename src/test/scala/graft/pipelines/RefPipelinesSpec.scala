@@ -205,6 +205,11 @@ class RefPipelinesSpec extends SparkSuiteBase {
     val master = out("master_table").collect()
     assert(master.length == 1)
     assert(master.head.getAs[String]("SalesforceID") == "SFOK")
+    // count()-only path: column pruning once left only the internal
+    // corrupt-record column referenced, which raw-JSON queries reject —
+    // DROPMALFORMED has no such column to prune down to
+    assert(out("master_table").count() == 1)
+    assert(out("reccomendation_action").count() == 1)
   }
 
   test("all-corrupt form family is skipped wholesale (P17)") {
@@ -234,11 +239,12 @@ class RefPipelinesSpec extends SparkSuiteBase {
     val archive = in.resolve("archive")
     writeDoc(in, "one_action.json", """{"a": 1}""")
     writeDoc(in, "two_action.json", """{"a": 2}""")
+    writeDoc(in, "bad_action.json", """{"a": [broken""")
     val (df, commit) = FileQueue.consumeBatch(spark, in.toString, archive.toString)
-    assert(df.count() == 2)
-    assert(Files.list(in).filter(_.toString.endsWith(".json")).count() == 2)
+    assert(df.count() == 2) // count()-only on a batch containing a corrupt doc
+    assert(Files.list(in).filter(_.toString.endsWith(".json")).count() == 3)
     commit()
     assert(Files.list(in).filter(_.toString.endsWith(".json")).count() == 0)
-    assert(Files.list(archive).count() == 2)
+    assert(Files.list(archive).count() == 3) // corrupt file archived too
   }
 }
