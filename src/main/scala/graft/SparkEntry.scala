@@ -73,6 +73,7 @@ object SparkEntry {
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
     "t04_term_freq" -> (TextAnalysis.t04TermFreq _),
     "t05_winnow" -> (TextAnalysis.t05Winnow _),
+    "t07_winnow_pairs" -> (TextAnalysis.t07WinnowPairs _),
     "t06_bpe_tokens" -> (TextAnalysis.t06BpeTokens _),
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
@@ -519,6 +520,25 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t07_winnow_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) - 6),
+        |           i -> md5(substr(text, i, 8))) AS h
+        |  FROM documents WHERE length(text) >= 11),
+        |f AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(h) - 3),
+        |           w -> least(h[w+1], h[w+2], h[w+3], h[w+4]))) AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |g AS (SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+        |e2 AS (SELECT e.doc_id, e.fp FROM e JOIN g USING (fp)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |      FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared FROM p
+        |WHERE shared >= 50
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "t02_quality" ->
       """SELECT doc_id, len(tokens) AS n_tokens,

@@ -119,34 +119,65 @@ object TextAnalysis {
     * upgrades this query from a rows-only check to a full value-hash
     * oracle. Fingerprint selection (min over window, distinct, global
     * min) is hash-agnostic, so winnowing semantics are unchanged. */
+  /** Winnowing fingerprint set (Schleimer et al., SIGMOD'03): rolling
+    * md5 char-8-gram hashes, min of every 4-hash window, distinct. The
+    * caller MUST pre-filter `length(text) >= 11` on the raw column
+    * (len-7 positions >= 4 windows; a size(h)-based filter would push
+    * below the project and evaluate the rolling-hash array twice per
+    * row). The window pass binds the hash array via the 1-element
+    * transform wrapper (bind-once rule, see TextDedup.shingles), and
+    * takes window minima with `least()` over ordinal reads — the
+    * array_min(slice(...)) spelling allocated a 4-element array per
+    * window position (~1.4M per sf0.1 run). md5 (not xxhash64) so a
+    * DuckDB oracle reproduces fingerprint values. */
+  def winnowFps(text: Column): Column = {
+    val hashes = transform(
+      sequence(lit(1), greatest(length(text) - 7, lit(0))),
+      i => md5(substring(text, i, lit(8)).cast("binary")))
+    element_at(transform(array(hashes), h =>
+      array_distinct(transform(
+        sequence(lit(0), size(h) - 4),
+        w => least(element_at(h, w + 1), element_at(h, w + 2),
+          element_at(h, w + 3), element_at(h, w + 4))))), 1)
+  }
+
   def t05Winnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = transform(
-      sequence(lit(1), greatest(length($"text") - 7, lit(0))),
-      i => md5(substring($"text", i, lit(8)).cast("binary")))
-    // The window pass is wrapped in a 1-element transform so the hash
-    // array binds to a lambda variable: PushDownPredicate moves the size
-    // filter below the project, CollapseProject then merges the two
-    // selects, and an unbound `h` would re-inline the whole rolling-hash
-    // subtree into every per-window slice — O(len^2) hashing per doc
-    // (the bind-once rule, see TextDedup.shingles).
     Tables.spread(Tables(s, dir, "documents"))
-      // pre-filter on raw length (len-7 positions >= 4 windows), NOT on
-      // size(h): a size(h) filter pushes below the project and evaluates
-      // the whole rolling-hash transform a second time per row
       .filter(length($"text") >= 11)
-      .select($"doc_id", hashes.as("h"))
-      .select($"doc_id",
-        element_at(transform(array($"h"), h =>
-          array_distinct(transform(
-            sequence(lit(0), size(h) - 4),
-            // least() over 4 ordinal reads, not array_min(slice(...)):
-            // the slice spelling allocates a 4-element array per window
-            // position (~1.4M allocations at sf0.1) for a min of 4 longs
-            w => least(element_at(h, w + 1), element_at(h, w + 2),
-              element_at(h, w + 3), element_at(h, w + 4))))), 1).as("fps"))
+      .select($"doc_id", winnowFps($"text").as("fps"))
       .select($"doc_id", size($"fps").cast("long").as("n_fingerprints"),
         array_min($"fps").as("min_fingerprint"))
       .orderBy($"doc_id")
+  }
+
+  /** t07 — copy-detection pairs by winnow-fingerprint overlap: docs
+    * sharing >= 50 fingerprints (the corpus's planted near-dups share
+    * 60-190; unrelated docs never exceed ~46 — a dead zone either
+    * side of the threshold). Third dedup family next to MinHash-LSH
+    * (d02/d06) and SimHash (d07), and the only one whose candidate
+    * structure is value-checkable end-to-end (md5 fingerprints are
+    * oracle-reproducible). Same join-free pairing as the LSH ops: one
+    * groupBy per fingerprint with a bucket cap, pairs unrolled by HOF,
+    * shared-count aggregated per pair — pair multiplicity across
+    * fingerprints IS the overlap count, so no distinct. At 100 TB the
+    * fingerprint strings would be folded to 8-byte hashes before the
+    * shuffle (kept as strings here for oracle exactness). */
+  def t07WinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.spread(Tables(s, dir, "documents"))
+      .filter(length($"text") >= 11)
+      .select($"doc_id", explode(winnowFps($"text")).as("fp"))
+    e.groupBy($"fp")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds").between(2, 64))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 50)
+      .orderBy($"id_a", $"id_b")
   }
 }
