@@ -109,38 +109,38 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** t05 — document fingerprinting by winnowing (Schleimer et al.,
-    * SIGMOD'03, public): rolling char-8-gram hashes, keep the min of
-    * every 4-hash window, dedup. Emits fingerprint count + global min
-    * per doc (the full set feeds copy-detection joins at scale).
-    *
-    * The gram hash is md5 (hex string) rather than xxhash64: both Spark
-    * and DuckDB compute identical md5 of the same UTF-8 bytes, which
-    * upgrades this query from a rows-only check to a full value-hash
-    * oracle. Fingerprint selection (min over window, distinct, global
-    * min) is hash-agnostic, so winnowing semantics are unchanged. */
   /** Winnowing fingerprint set (Schleimer et al., SIGMOD'03): rolling
-    * md5 char-8-gram hashes, min of every 4-hash window, distinct. The
-    * caller MUST pre-filter `length(text) >= 11` on the raw column
-    * (len-7 positions >= 4 windows; a size(h)-based filter would push
-    * below the project and evaluate the rolling-hash array twice per
-    * row). The window pass binds the hash array via the 1-element
-    * transform wrapper (bind-once rule, see TextDedup.shingles), and
-    * takes window minima with `least()` over ordinal reads — the
+    * md5 char-8-gram hashes, min of every 4-hash window, distinct.
+    * Texts too short for a full window (< 11 chars: len-7 positions
+    * < 4) yield an empty array — guarded in-expression like
+    * TextDedup.shingles, because an unguarded sequence(0, negative) is
+    * DESCENDING and its index-0 element_at throws under ANSI mode.
+    * Callers on a hot path should STILL pre-filter
+    * `length(text) >= 11` on the raw column: a size(h)-based filter
+    * would push below the project and evaluate the rolling-hash array
+    * twice per row. The window pass binds the hash array via the
+    * 1-element transform wrapper (bind-once rule), and takes window
+    * minima with `least()` over ordinal reads — the
     * array_min(slice(...)) spelling allocated a 4-element array per
-    * window position (~1.4M per sf0.1 run). md5 (not xxhash64) so a
-    * DuckDB oracle reproduces fingerprint values. */
+    * window position (~1.4M per sf0.1 run). md5 (hex string) rather
+    * than xxhash64 so both Spark and DuckDB compute identical values
+    * from the same UTF-8 bytes — what makes t05/t07 value-checkable.
+    * Fingerprint selection is hash-agnostic, so winnowing semantics
+    * are unchanged. */
   def winnowFps(text: Column): Column = {
     val hashes = transform(
       sequence(lit(1), greatest(length(text) - 7, lit(0))),
       i => md5(substring(text, i, lit(8)).cast("binary")))
     element_at(transform(array(hashes), h =>
-      array_distinct(transform(
-        sequence(lit(0), size(h) - 4),
-        w => least(element_at(h, w + 1), element_at(h, w + 2),
-          element_at(h, w + 3), element_at(h, w + 4))))), 1)
+      when(size(h) < 4, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(h) - 4),
+          w => least(element_at(h, w + 1), element_at(h, w + 2),
+            element_at(h, w + 3), element_at(h, w + 4)))))), 1)
   }
 
+  /** t05 — per-doc fingerprint count + global min over [[winnowFps]]
+    * (the full set feeds copy-detection joins — see t07). */
   def t05Winnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.spread(Tables(s, dir, "documents"))
@@ -171,9 +171,8 @@ object TextAnalysis {
     e.groupBy($"fp")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
       .filter(size($"ds").between(2, 64))
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(explode(TextDedup.unrollPairs(col("ds"),
+        (a, b) => struct(a.as("id_a"), b.as("id_b")))).as("p"))
       .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
       .groupBy($"id_a", $"id_b")
       .agg(count(lit(1)).as("shared"))

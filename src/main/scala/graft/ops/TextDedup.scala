@@ -25,6 +25,27 @@ object TextDedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
+  /** Unroll all unordered pairs of a (sorted) bucket-member array into
+    * one flat array, `pair(a, b)` struct per pair with a before b —
+    * the shared kernel of every join-free LSH pairing here (minhash,
+    * simhash, winnow-overlap). `ds` must be a plain attribute, not a
+    * computed subtree: it is referenced per element, which is an O(1)
+    * column read for an attribute but would re-evaluate a subtree (the
+    * bind-once rule, see [[shingles]]). slice() is 1-based; start i+2
+    * selects the elements strictly after 0-based position i. */
+  private[ops] def unrollPairs(ds: Column,
+      pair: (Column, Column) => Column): Column =
+    flatten(transform(ds, (a, i) =>
+      transform(slice(ds, i + lit(2), size(ds)), b => pair(a, b))))
+
+  /** Register the native graft functions for a Column-only helper: the
+    * thread-local active session when present, else the JVM-wide
+    * default session (covers foreign threads — request handlers etc. —
+    * which have no active session but do see the default one). */
+  private def registerForColumns(): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(graft.functions.GraftFunctions.register)
+
   /** Hashes of word k-shingles as an array<long> column — the MinHash
     * feed. Skips the work [[shingles]] does that a signature never
     * observes: no shingle string is materialized (the k tokens hash
@@ -151,13 +172,9 @@ object TextDedup {
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-    // ds is a plain attribute (not a computed subtree), so referencing it
-    // inside the lambdas is an O(1) column read — the bind-once rule for
-    // expression subtrees (see shingles()) doesn't apply.
     buckets
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(explode(unrollPairs(col("ds"),
+        (a, b) => struct(a.as("id_a"), b.as("id_b")))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
@@ -317,7 +334,7 @@ object TextDedup {
     * [[graft.functions.SimHashText]] expression: tokenize + hash +
     * tally in one codegen'd pass, no token/hash array materialized. */
   def simhash(text: Column): Column = {
-    SparkSession.getActiveSession.foreach(graft.functions.GraftFunctions.register)
+    registerForColumns()
     call_function("simhash_text", text)
   }
 
@@ -325,11 +342,9 @@ object TextDedup {
     * [[graft.functions.SimHash64]] expression — one fused codegen loop.
     * (The HOF spelling — 64 independent `aggregate()` passes over the
     * array — walked the array 64x per row and its expression tree
-    * dominated cold-session compile time.) Registration rides the
-    * thread's active session, which exists wherever a Column can be
-    * used in a query. */
+    * dominated cold-session compile time.) */
   def simhashOfHashes(hs: Column): Column = {
-    SparkSession.getActiveSession.foreach(graft.functions.GraftFunctions.register)
+    registerForColumns()
     call_function("simhash64", hs)
   }
 
@@ -366,12 +381,11 @@ object TextDedup {
     blocked.groupBy(col("block"), col("key"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
-          struct(a.getField("doc_id").as("id_a"),
-            b.getField("doc_id").as("id_b"),
-            bit_count(a.getField("fp").bitwiseXOR(b.getField("fp")))
-              .as("hamming")))))).as("p"))
+      .select(explode(unrollPairs(col("ds"), (a, b) =>
+        struct(a.getField("doc_id").as("id_a"),
+          b.getField("doc_id").as("id_b"),
+          bit_count(a.getField("fp").bitwiseXOR(b.getField("fp")))
+            .as("hamming")))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       // filter BEFORE distinct: hamming is deterministic per pair, so
       // the result is identical and the dedup shuffle only carries

@@ -61,14 +61,18 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     val shPlan = TextDedup.simhashPairs(docs)
       .queryExecution.executedPlan.toString
     assert(!shPlan.contains("Join"), s"simhashPairs plan has a join:\n$shPlan")
-    // column pruning survives the whole LSH pipeline: both documents
+    // column pruning survives the whole LSH pipeline: BOTH documents
     // scans (signature side and verify side) read exactly doc_id+text —
     // a full-width scan here is the difference between reading 2 columns
     // and reading the whole corpus at 100 TB
     val d06Plan = TextDedup.d06NearDupPairs(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(d06Plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
-      s"documents scan not pruned to doc_id+text:\n$d06Plan")
+    val pruned = "ReadSchema: struct<doc_id:bigint,text:string>"
+    val scans = "ReadSchema: struct".r.findAllIn(d06Plan).size
+    val prunedScans = java.util.regex.Pattern.quote(pruned).r.findAllIn(d06Plan).size
+    assert(scans == 2 && prunedScans == 2,
+      s"expected 2 documents scans, both pruned to doc_id+text " +
+        s"(got $scans scans, $prunedScans pruned):\n$d06Plan")
   }
 
   test("shingles: includes the last shingle and is empty/safe for short or empty docs") {
