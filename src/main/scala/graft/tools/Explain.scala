@@ -11,6 +11,11 @@ import graft.SparkEntry
   * partial aggregation, and WholeStageCodegen spans. */
 object Explain {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.tools.Explain <queryName> [sfDir]\n" +
+        "queries:\n  " + SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
