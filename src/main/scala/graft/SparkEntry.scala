@@ -42,6 +42,7 @@ object SparkEntry {
     "q19_set_ops_all" -> (Relational.q19SetOpsAll _),
     "q20_range_frame" -> (Relational.q20RangeFrame _),
     "q21_stats_agg" -> (Relational.q21StatsAgg _),
+    "q22_range_join_binned" -> (Relational.q22RangeJoinBinned _),
     "f01_struct_splat" -> (Flatten.f01StructSplat _),
     "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
     "f03_explode_nested_parent" -> (Flatten.f03ExplodeNestedParent _),
@@ -239,6 +240,15 @@ object SparkEntry {
         |WHERE e.event_type = 'purchase'
         |GROUP BY e.event_id
         |ORDER BY event_id""".stripMargin,
+
+    "q22_range_join_binned" ->
+      """SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM (SELECT range AS band_id, range * 10.0 AS lo,
+        |             range * 10.0 + 15.0 AS hi
+        |      FROM range(0, 50)) b
+        |JOIN events ON value >= lo AND value < hi
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin,
 
     "f01_struct_splat" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment

@@ -356,6 +356,37 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q22 — big-big range join via interval BINNING: each interval
+    * replicates into every fixed-width bin it overlaps, each point maps
+    * to its bin, and the theta join becomes an equi-join on bin plus a
+    * residual range filter. q06 shows the broadcast-BNLJ shape for a
+    * TINY interval side; this is the shape for the case broadcast can't
+    * handle — both sides large — where a nested-loop join would stream
+    * one side per partition of the other. Replication factor =
+    * avg(interval width / bin width) + 1, the knob trading shuffle
+    * volume against bin selectivity. The bands here are generated
+    * in-plan (50 overlapping [10i, 10i+15) intervals) so the oracle can
+    * spell the same relation. */
+  def q22RangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 10.0
+    val bands = s.range(0, 50).select(
+      $"id".as("band_id"),
+      ($"id" * 10.0).as("lo"),
+      ($"id" * 10.0 + 15.0).as("hi"))
+    // last overlapped bin for a right-open [lo, hi): ceil(hi/w) - 1
+    val binnedBands = bands.withColumn("bin",
+      explode(sequence(floor($"lo" / w).cast("long"),
+        ceil($"hi" / w).cast("long") - 1)))
+    Tables(s, dir, "events")
+      .withColumn("bin", floor($"value" / w).cast("long"))
+      .join(binnedBands, Seq("bin"))
+      .filter($"value" >= $"lo" && $"value" < $"hi")
+      .groupBy($"band_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"band_id")
+  }
+
   /** q17 — approximate distinct (HLL++) next to the exact count.
     * approx_count_distinct shuffles fixed-size sketches instead of key
     * sets — at 100 TB this is the difference between megabytes and

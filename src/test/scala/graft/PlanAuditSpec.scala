@@ -17,6 +17,14 @@ class PlanAuditSpec extends SparkSuiteBase {
     }
   }
 
+  test("q22 binned range join is an equi join, never a nested loop") {
+    val plan = ops.Relational.q22RangeJoinBinned(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"no join in plan:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"binning failed to produce an equi join:\n$plan")
+  }
+
   test("Bench records a broken query as an error, not a silent timing") {
     val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame](
