@@ -75,6 +75,7 @@ object SparkEntry {
     "t04_term_freq" -> (TextAnalysis.t04TermFreq _),
     "t05_winnow" -> (TextAnalysis.t05Winnow _),
     "t07_winnow_pairs" -> (TextAnalysis.t07WinnowPairs _),
+    "t08_hash_split" -> (TextAnalysis.t08HashSplit _),
     "t06_bpe_tokens" -> (TextAnalysis.t06BpeTokens _),
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
@@ -549,6 +550,16 @@ object SparkEntry {
         |SELECT id_a, id_b, shared FROM p
         |WHERE shared >= 50
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "t08_hash_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 52429 THEN 'train'
+        |       WHEN bucket < 58982 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     "t02_quality" ->
       """SELECT doc_id, len(tokens) AS n_tokens,

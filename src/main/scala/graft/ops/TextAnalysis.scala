@@ -151,6 +151,25 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t08 — deterministic train/val/test assignment by content-id hash
+    * (80/10/10): bucket = first 16 bits of md5(doc_id). The pattern a
+    * training pipeline needs instead of `sample()`: stable under any
+    * repartitioning or re-run (sample() draws per-partition and changes
+    * with layout), reproducible across engines (md5 — value-checked
+    * against DuckDB), and joinable (the same doc always lands in the
+    * same split everywhere it appears). */
+  def t08HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = conv(substring(md5($"doc_id".cast("string").cast("binary")),
+      1, 4), 16, 10).cast("long")
+    Tables(s, dir, "documents")
+      .select($"doc_id", bucket.as("bucket"),
+        when(bucket < 52429, "train")
+          .when(bucket < 58982, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** t07 — copy-detection pairs by winnow-fingerprint overlap: docs
     * sharing >= 50 fingerprints (the corpus's planted near-dups share
     * 60-190; unrelated docs never exceed ~46 — a dead zone either
