@@ -179,14 +179,25 @@ object TextAnalysis {
     * oracle-reproducible). Same join-free pairing as the LSH ops: one
     * groupBy per fingerprint with a bucket cap, pairs unrolled by HOF,
     * shared-count aggregated per pair — pair multiplicity across
-    * fingerprints IS the overlap count, so no distinct. At 100 TB the
-    * fingerprint strings would be folded to 8-byte hashes before the
-    * shuffle (kept as strings here for oracle exactness). */
+    * fingerprints IS the overlap count, so no distinct.
+    *
+    * The md5 hex fingerprints are folded to 8-byte `xxhash64` longs in
+    * the projection right after the explode, BEFORE any exchange: the
+    * query's output is only (id_a, id_b, shared), so the fold changes
+    * pairs only on an xxhash64 collision among ~10^6 fingerprints
+    * (P < 10^-7) and the DuckDB oracle (which pairs on the md5 strings
+    * themselves) still matches value-for-value. Both shuffles — the
+    * per-fingerprint groupBy and the pair count — now carry/key on
+    * longs instead of 32-char strings: round-2 measured this exact
+    * query at 14.5 s with string keys (30 % of the whole bench); the
+    * fold is what makes it scale-safe at 100 TB, where fingerprint
+    * traffic dominates. */
   def t07WinnowPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.spread(Tables(s, dir, "documents"))
       .filter(length($"text") >= 11)
-      .select($"doc_id", explode(winnowFps($"text")).as("fp"))
+      .select($"doc_id", explode(winnowFps($"text")).as("fp_md5"))
+      .select($"doc_id", xxhash64($"fp_md5").as("fp"))
     e.groupBy($"fp")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
       .filter(size($"ds").between(2, 64))
