@@ -488,6 +488,11 @@ object SparkEntry {
         |    WHERE length(text) >= 11) t) u
         |ORDER BY doc_id""".stripMargin,
 
+    // Generated from the same seed-fixed hyperplane literals the Spark
+    // signature uses — see Similarity.d05OracleSql for the exactness
+    // argument (sign parity + the s01 bit-for-bit cosine note below).
+    "d05_embedding_dedup" -> Similarity.d05OracleSql,
+
     // Exact-cosine oracles: DuckDB's list_cosine_similarity over the
     // embeddings cast to DOUBLE[] accumulates the same values in the
     // same order as the native cosine_sim kernel (floats are exactly

@@ -101,6 +101,15 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** d05's seed-fixed random hyperplanes (12 x 64): shared between the
+    * Spark signature and the generated DuckDB oracle SQL, so both sides
+    * bucket on the identical planes. */
+  private val D05Bits = 12
+  private[graft] val d05Planes: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(D05Bits, 64)(rnd.nextGaussian().toFloat)
+  }
+
   /** d05 — embedding-cosine near-dup: 12-bit random-hyperplane LSH
     * signatures bucket the corpus; same-bucket pairs get exact cosine;
     * ranked head emitted (production: threshold ~0.95 — random corpus
@@ -111,27 +120,61 @@ object Similarity {
     * is the dot product's, and the fused codegen'd kernel replaces the
     * earlier `aggregate(zip_with(...))` spelling, which allocated a
     * zipped array and walked it twice per plane per row (12x per row —
-    * the expression-tree hot spot the round-1 bench flagged). */
+    * the expression-tree hot spot the round-1 bench flagged).
+    *
+    * Pairing is the same join-free capped-bucket gather as
+    * [[TextDedup.minhashCandidates]]/[[TextDedup.simhashPairs]]: ONE
+    * groupBy(sig) collects each bucket, oversized buckets (> maxBucket
+    * members — a degenerate corpus of identical/near-zero embeddings)
+    * are dropped before any pair exists, in-bucket pairs unroll via
+    * array HOFs. The earlier sig-equality self-join had no cap: a
+    * bucket of m vectors emitted m²/2 pairs, the one LSH op here that
+    * could go quadratic. */
   def d05EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nBits = 12
-    val dim = 64
-    val rnd = new scala.util.Random(42)
-    val planes: Array[Array[Float]] =
-      Array.fill(nBits, dim)(rnd.nextGaussian().toFloat)
+    val maxBucket = 64
     def sigOf(v: Column): Column =
-      (0 until nBits).map { b =>
-        when(cosine(s, v, lit(planes(b))) > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      (0 until D05Bits).map { b =>
+        when(cosine(s, v, lit(d05Planes(b))) > 0, shiftleft(lit(1L), b)).otherwise(0L)
       }.reduce(_ + _)
-    val emb = Tables(s, dir, "embeddings")
+    Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding", sigOf($"embedding").as("sig"))
-    val pairs = emb.as("a").join(emb.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine(s, col("a.embedding"), col("b.embedding")).as("cos"))
-    pairs
-      .select($"id_a", $"id_b", round($"cos", 6).as("cos"))
+      .groupBy($"sig")
+      .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("ds"))
+      .filter(size($"ds").between(2, maxBucket))
+      .select(explode(TextDedup.unrollPairs(col("ds"), (a, b) =>
+        struct(a.getField("vec_id").as("id_a"),
+          b.getField("vec_id").as("id_b"),
+          cosine(s, a.getField("embedding"), b.getField("embedding"))
+            .as("cos")))).as("p"))
+      .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"),
+        round($"p.cos", 6).as("cos"))
       .orderBy($"cos".desc, $"id_a", $"id_b")
       .limit(20)
+  }
+
+  /** Generated DuckDB oracle for d05: the hyperplanes are printed as
+    * exponent-form literals (DuckDB parses scientific notation straight
+    * to DOUBLE — no DECIMAL round-trip), %.17e round-trips every float
+    * exactly, and `list_cosine_similarity(v, plane) > 0` spells the same
+    * sign the fused kernel computes (floats are exact in double; both
+    * kernels accumulate the same products, see the s01 oracle note).
+    * The bucket cap is mirrored with a HAVING count BETWEEN 2 AND 64. */
+  private[graft] def d05OracleSql: String = {
+    val sigExpr = (0 until D05Bits).map { b =>
+      val lits = d05Planes(b).map(f => f"${f.toDouble}%.17e").mkString(", ")
+      s"(CASE WHEN list_cosine_similarity(v, [$lits]) > 0 THEN 1 ELSE 0 END)" +
+        (if (b == 0) "" else s" * ${1L << b}")
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
+       |g AS (SELECT sig FROM s GROUP BY sig HAVING count(*) BETWEEN 2 AND 64),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |      JOIN g ON g.sig = a.sig)
+       |SELECT id_a, id_b, cos FROM p
+       |ORDER BY cos DESC, id_a, id_b
+       |LIMIT 20""".stripMargin
   }
 }

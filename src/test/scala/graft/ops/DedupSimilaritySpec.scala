@@ -61,6 +61,12 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     val shPlan = TextDedup.simhashPairs(docs)
       .queryExecution.executedPlan.toString
     assert(!shPlan.contains("Join"), s"simhashPairs plan has a join:\n$shPlan")
+    // d05 embedding LSH: the capped collect_list gather replaced the
+    // sig-equality self-join — the plan must stay join-free so a
+    // degenerate corpus can't go quadratic through an uncapped bucket
+    val d05Plan = Similarity.d05EmbeddingDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!d05Plan.contains("Join"), s"d05 plan has a join:\n$d05Plan")
     // column pruning survives the whole LSH pipeline: BOTH documents
     // scans (signature side and verify side) read exactly doc_id+text —
     // a full-width scan here is the difference between reading 2 columns
