@@ -16,7 +16,16 @@ object Tables {
       // outright (PARQUET_TYPE_ILLEGAL). Read it as a long (nanos since
       // epoch) and convert to a regular microsecond TimestampType here so
       // every downstream operator sees a plain timestamp column.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The nanosAsLong flag must be a SESSION-BUILDER config (it is in
+      // Bench/Verify/Explain/Profile and the test base): a library
+      // reader must not mutate caller session state, and the flag has no
+      // per-read DataFrameReader option equivalent — so check and fail
+      // with the remedy instead of silently flipping the caller's conf.
+      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"),
+        "reading events.parquet (TIMESTAMP(NANOS)) requires " +
+          "spark.sql.legacy.parquet.nanosAsLong=true on the session " +
+          "builder — see graft.Tables scaladoc")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
