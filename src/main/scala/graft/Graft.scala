@@ -76,8 +76,6 @@ object Graft {
     * excluded. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val s = corpus.sparkSession
-    functions.GraftFunctions.register(s)
     val q = broadcast(queries.select(col(queries.columns(0)).as("query_id"),
       col(queries.columns(1)).as("__q")))
     val c = corpus.select(col(corpus.columns(0)).as("vec_id"),
@@ -86,7 +84,7 @@ object Graft {
     c.crossJoin(q)
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id"),
-        call_function("cosine_sim", col("__q"), col("__v")).as("cos"))
+        ops.Similarity.cosine(col("__q"), col("__v")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -51,9 +51,22 @@ object Tables {
     * round-robin exchange costs one pass over the narrow projection; it
     * is an identity when the scan already has enough splits — which is
     * the normal case at cluster scale, where this never fires.
-    * getNumPartitions plans the query but runs no job. */
+    *
+    * MUST be applied directly to a scan (optionally under projections/
+    * filters): there, `df.rdd.getNumPartitions` only plans. On a frame
+    * containing exchanges, `.rdd` under AQE MATERIALIZES query stages —
+    * runs real jobs — so this guards by walking the analyzed plan and
+    * becomes a no-op (the exchange's own partitioning already spreads
+    * the data in that case anyway). */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case Project(_, c) => scanShaped(c)
+      case Filter(_, c) => scanShaped(c)
+      case leaf => leaf.children.isEmpty // a relation/range/local scan
+    }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (!scanShaped(df.queryExecution.analyzed)) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

@@ -86,6 +86,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * (the driver harness owns the SparkSession — queries self-register,
   * idempotently). */
 object GraftFunctions {
+
+  /** Shared minhash_sketch builder: the sketch width is a plan-time
+    * constructor parameter, so the third argument must be a foldable
+    * integer — checked HERE so SQL misuse (a column, a string) fails at
+    * function resolution with the reason, not with an eval()
+    * ClassCastException deep in planning. (Input TYPES of ha/hb are
+    * checked by the expression's own ExpectsInputTypes.) */
+  private[functions] val buildMinHashSketch: Seq[Expression] => Expression =
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        s"minhash_sketch(ha, hb, numHashes) takes 3 arguments, got ${exprs.length}")
+      val w = exprs(2)
+      require(w.foldable && (w.dataType == IntegerType || w.dataType == LongType),
+        s"minhash_sketch numHashes must be an integer literal, got ${w.sql}")
+      MinHashSketch(exprs(0), exprs(1), w.eval().asInstanceOf[Number].intValue)
+    }
+
   def register(spark: SparkSession): Unit = {
     // Register once per session: createOrReplaceTempFunction logs a WARN
     // ("replaced a previously registered function") on every re-register,
@@ -109,11 +126,7 @@ object GraftFunctions {
         "built-in")
     if (!reg.functionExists(FunctionIdentifier("minhash_sketch")))
       reg.createOrReplaceTempFunction(
-        "minhash_sketch",
-        // third argument must be a literal (sketch width is plan-time)
-        (exprs: Seq[Expression]) => MinHashSketch(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Number].intValue),
-        "built-in")
+        "minhash_sketch", GraftFunctions.buildMinHashSketch, "built-in")
   }
 }
 
@@ -134,7 +147,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
-      (exprs: Seq[Expression]) => MinHashSketch(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue)))
+      GraftFunctions.buildMinHashSketch))
   }
 }

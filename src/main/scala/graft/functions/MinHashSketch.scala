@@ -34,7 +34,16 @@ case class MinHashSketch(
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with BinaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  // The expression is SQL-exposed (GraftExtensions), so type misuse —
+  // minhash_sketch(string_col, long_col, 32) — must fail at ANALYSIS
+  // with a plan-time error, not as a ClassCastException mid-execution.
+  // (Covariant Seq[DataType] narrowing: AbstractDataType is
+  // private[sql], same trick as CosineSimilarity.)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   // rotations of a 64-bit word give at most 64 distinct hash functions:
   // h_{64+k} would equal h_k, silently duplicating signature components

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (ArrayType(Float),
   * dim 64) — builder-prompt first-class component; absent in the
@@ -26,11 +25,13 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
-  /** Registered-function handle for the native expression. */
-  def cosine(s: SparkSession, a: Column, b: Column): Column = {
-    GraftFunctions.register(s)
-    call_function("cosine_sim", a, b)
-  }
+  /** Column over the native [[graft.functions.CosineSimilarity]]
+    * expression, constructed directly — no session-registration
+    * dependence (SQL users get the `cosine_sim` name via
+    * GraftFunctions/GraftExtensions). */
+  def cosine(a: Column, b: Column): Column =
+    TextDedup.nativeCol(graft.functions.CosineSimilarity(
+      TextDedup.exprOf(a), TextDedup.exprOf(b)))
 
   private val K = 5
   private val NQueries = 10
@@ -54,7 +55,7 @@ object Similarity {
     val scored = emb.crossJoin(queriesOf(emb))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
-        cosine(s, $"q", $"embedding").as("cos"))
+        cosine($"q", $"embedding").as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= K)
@@ -79,13 +80,13 @@ object Similarity {
     // back. Assignment would be written bucketed-by-centroid at scale.
     val assigned = emb.crossJoin(centroids)
       .select($"vec_id", $"embedding", $"centroid_id",
-        cosine(s, $"embedding", $"c").as("cos"))
+        cosine($"embedding", $"c").as("cos"))
       .groupBy($"vec_id")
       .agg(max(struct($"cos", $"centroid_id", $"embedding")).as("best"))
       .select($"vec_id", $"best.centroid_id".as("bucket"), $"best.embedding".as("embedding"))
 
     val probes = queriesOf(emb).crossJoin(centroids)
-      .select($"query_id", $"q", $"centroid_id", cosine(s, $"q", $"c").as("cos"))
+      .select($"query_id", $"q", $"centroid_id", cosine($"q", $"c").as("cos"))
       .withColumn("pr", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cos".desc, $"centroid_id")))
       .filter($"pr" <= nProbe)
@@ -94,7 +95,7 @@ object Similarity {
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     probes.join(assigned, "bucket")
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", cosine(s, $"q", $"embedding").as("cos"))
+      .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= K)
       .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
@@ -135,7 +136,7 @@ object Similarity {
     val maxBucket = 64
     def sigOf(v: Column): Column =
       (0 until D05Bits).map { b =>
-        when(cosine(s, v, lit(d05Planes(b))) > 0, shiftleft(lit(1L), b)).otherwise(0L)
+        when(cosine(v, lit(d05Planes(b))) > 0, shiftleft(lit(1L), b)).otherwise(0L)
       }.reduce(_ + _)
     Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding", sigOf($"embedding").as("sig"))
@@ -145,7 +146,7 @@ object Similarity {
       .select(explode(TextDedup.unrollPairs(col("ds"), (a, b) =>
         struct(a.getField("vec_id").as("id_a"),
           b.getField("vec_id").as("id_b"),
-          cosine(s, a.getField("embedding"), b.getField("embedding"))
+          cosine(a.getField("embedding"), b.getField("embedding"))
             .as("cos")))).as("p"))
       .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"),
         round($"p.cos", 6).as("cos"))

@@ -38,13 +38,22 @@ object TextDedup {
     flatten(transform(ds, (a, i) =>
       transform(slice(ds, i + lit(2), size(ds)), b => pair(a, b))))
 
-  /** Register the native graft functions for a Column-only helper: the
-    * thread-local active session when present, else the JVM-wide
-    * default session (covers foreign threads — request handlers etc. —
-    * which have no active session but do see the default one). */
-  private def registerForColumns(): Unit =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .foreach(graft.functions.GraftFunctions.register)
+  /** Build a Column directly over a native graft expression.
+    * Column-only helpers used to register the SQL function name against
+    * the thread-local active (or JVM default) session at
+    * Column-CONSTRUCTION time — a Column built on a thread with no
+    * active session, or used against a different session than the one
+    * active at construction, failed later at analysis with an
+    * unresolved function. Constructing the Catalyst expression directly
+    * has no session dependence at all; SQL-name registration remains in
+    * [[graft.functions.GraftFunctions]]/GraftExtensions for spark.sql
+    * users. */
+  private[ops] def nativeCol(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(e)
+
+  private[ops] def exprOf(c: Column) =
+    org.apache.spark.sql.graftshim.ColumnBridge.expression(c)
 
   /** Hashes of word k-shingles as an array<long> column — the MinHash
     * feed. Skips the work [[shingles]] does that a signature never
@@ -106,18 +115,14 @@ object TextDedup {
     * h_j = ha XOR rotate_left(hb, j) (bit ops — ANSI-safe, no overflow
     * wraparound to throw on). One token-triple hash + one long hash +
     * numHashes register ops per shingle. */
-  def minhashSig(docs: DataFrame, numHashes: Int): DataFrame = {
-    // register on the frame's OWN session — getActiveSession is a
-    // thread-local and is unset on threads that didn't create the
-    // session (e.g. service handler threads calling the Graft facade)
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+  def minhashSig(docs: DataFrame, numHashes: Int): DataFrame =
     docs
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("ha"))
       .select(col("doc_id"), col("ha"), xxhash64(col("ha")).as("hb"))
       .groupBy(col("doc_id"))
-      .agg(call_function("minhash_sketch",
-        col("ha"), col("hb"), lit(numHashes)).as("sig"))
-  }
+      .agg(nativeCol(graft.functions.MinHashSketch(
+        exprOf(col("ha")), exprOf(col("hb")), numHashes)
+        .toAggregateExpression()).as("sig"))
 
   /** d01 — exact dedup: keep the lowest doc_id per normalized text
     * (lower + trim + whitespace-collapse). Window row_number over the
@@ -189,7 +194,14 @@ object TextDedup {
     * payload joins, which referenced the pair table three times and
     * forced callers to persist it). Shingling happens AFTER the join, so
     * only candidate docs are ever shingled — at 100 TB the edge side is
-    * small and broadcasts; the corpus streams once. */
+    * small and broadcasts; the corpus streams once.
+    *
+    * Contract: the output has ONE row per distinct (id_a, id_b) — the
+    * groupBy collapses duplicate rows in the input pair table (jaccard
+    * is deterministic per pair, so values are unaffected; only
+    * multiplicity is). Internal callers pass distinct() candidate sets
+    * already; external callers wanting per-occurrence rows should join
+    * the result back to their pair table. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(
       explode(array(
@@ -333,20 +345,16 @@ object TextDedup {
     * token hashes have bit k set than not. Uses the native
     * [[graft.functions.SimHashText]] expression: tokenize + hash +
     * tally in one codegen'd pass, no token/hash array materialized. */
-  def simhash(text: Column): Column = {
-    registerForColumns()
-    call_function("simhash_text", text)
-  }
+  def simhash(text: Column): Column =
+    nativeCol(graft.functions.SimHashText(exprOf(text)))
 
   /** Per-bit majority vote over pre-hashed tokens, via the native
     * [[graft.functions.SimHash64]] expression — one fused codegen loop.
     * (The HOF spelling — 64 independent `aggregate()` passes over the
     * array — walked the array 64x per row and its expression tree
     * dominated cold-session compile time.) */
-  def simhashOfHashes(hs: Column): Column = {
-    registerForColumns()
-    call_function("simhash64", hs)
-  }
+  def simhashOfHashes(hs: Column): Column =
+    nativeCol(graft.functions.SimHash64(exprOf(hs)))
 
   /** d03 — SimHash fingerprints (deterministic per doc). Near-dup at
     * scale = same 16-bit block in >=1 of 4 blocks -> hamming<=3 verify
@@ -354,7 +362,6 @@ object TextDedup {
     * corpus's planted near-dups (17 pairs at sf0.01). */
   def d03Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.functions.GraftFunctions.register(s)
     // no spread: the fused simhash_text expression made the projection
     // cheap enough that the rebalance exchange cost more than it saved
     Tables(s, dir, "documents")
@@ -373,7 +380,6 @@ object TextDedup {
     // no rebalance: the fused simhash_text expression fingerprints the
     // corpus in one cheap codegen'd pass, and the bucket groupBy's own
     // exchange redistributes immediately after
-    graft.functions.GraftFunctions.register(docs.sparkSession)
     val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
     val blocked = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>

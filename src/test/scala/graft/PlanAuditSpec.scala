@@ -9,7 +9,16 @@ class PlanAuditSpec extends SparkSuiteBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("no registered query plans a cartesian product") {
+  test("no registered query plans a cartesian product or unbroadcast nested loop") {
+    // Spark's only non-broadcast nested-loop fallback is
+    // CartesianProductExec (printed "CartesianProduct"); there is no
+    // "ShuffledNestedLoopJoin" operator. So this single string check
+    // covers both "no cartesian" and "every nested-loop join broadcasts
+    // its small side" — BroadcastNestedLoopJoin remains legitimate
+    // (q06's tiny range dim). String match, not collect-by-class:
+    // executedPlan is a LeafExecNode AdaptiveSparkPlanExec under AQE,
+    // so collectWithSubqueries can't see inside it, but toString
+    // prints the full initial plan.
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -36,13 +45,4 @@ class PlanAuditSpec extends SparkSuiteBase {
     assert(errors("broken_query").contains("AnalysisException"))
   }
 
-  test("every nested-loop join broadcasts its small side") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      // BroadcastNestedLoopJoin is legitimate (q06's tiny range dim);
-      // a ShuffledNestedLoop / plain NestedLoop would stream both sides
-      assert(!plan.contains("ShuffledNestedLoopJoin"),
-        s"$name shuffles a nested-loop join:\n$plan")
-    }
-  }
 }

@@ -115,4 +115,21 @@ class CodegenSpec extends SparkSuiteBase {
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
     assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
   }
+
+  test("minhash_sketch misuse fails at analysis, not mid-execution") {
+    GraftFunctions.register(spark)
+    val df = Seq(("abc", 1L)).toDF("s", "h")
+    // wrong input type: ExpectsInputTypes -> analysis error, plan never runs
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy().agg(call_function("minhash_sketch", $"s", $"h", lit(32)))
+        .collect()
+    }
+    // non-literal width: rejected at function resolution with the reason
+    val e = intercept[Exception] {
+      df.groupBy().agg(call_function("minhash_sketch", $"h", $"h", $"h"))
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"),
+      s"expected the width-literal message, got: ${e.getMessage}")
+  }
 }
