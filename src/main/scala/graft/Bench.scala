@@ -56,6 +56,26 @@ object Bench {
         |JOIN (SELECT id AS j FROM range(1000)) u ON t.id = u.j
         |GROUP BY r""".stripMargin).collect()
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
+    // Streaming machinery warmup (same rationale as the operator warmup
+    // above): the FIRST streaming query in a JVM pays state-store +
+    // micro-batch-engine + streaming-codegen init measured at ~2.5s.
+    // Three synthetic rows through a windowed agg touch all of it; no
+    // harness table is pre-aggregated.
+    locally {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val q = graft.streaming.Streams.tumblingCounts(
+          ms.toDF().toDF("ts", "event_type", "value"))
+        .writeStream.format("memory").queryName("graft_warmup_stream")
+        .outputMode("complete").start()
+      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "a", 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "b", 3.0))
+      q.processAllAvailable()
+      q.stop()
+    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"

@@ -80,7 +80,8 @@ object SparkEntry {
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
-    "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _)
+    "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _),
+    "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -664,6 +665,17 @@ object SparkEntry {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
+    // Identical aggregation to st01 — by construction: complete-mode
+    // streaming over all data converges to the batch aggregation, which
+    // is exactly what makes the incremental path oracle-checkable.
+    "st03_streaming_tumbling" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id % 10 = 0
         |GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin,
 

@@ -128,4 +128,69 @@ object Streams {
         $"user_id", $"n_events")
       .orderBy($"user_id", $"session_start_us")
   }
+
+  private val st03Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** st03 — the GENUINELY INCREMENTAL streaming path, driver-visible:
+    * replays the events table through a MemoryStream in several
+    * micro-batches and runs [[tumblingCounts]] as a real streaming
+    * query (micro-batch execution, state store, cross-batch state
+    * merge) into a memory sink, then returns the sink's final table.
+    *
+    * Complete output mode makes the final emission equal the batch
+    * aggregation over all data by construction — which is what makes
+    * this oracle-checkable with st01's exact SQL while still exercising
+    * incremental execution (the same aggregation state is built up and
+    * merged across batches; watermark-driven DROPPING of late data is
+    * covered by StreamsSpec's MemoryStream tests, since any
+    * deterministic oracle precludes discarding rows).
+    *
+    * The driver-side collect is the REPLAY HARNESS, not the operator:
+    * MemoryStream is fed (and row-encoded) from the driver by design.
+    * That makes replay volume a pure harness tax, so the replay takes a
+    * DETERMINISTIC 1-in-10 user slice (mirrored in the oracle's WHERE)
+    * — the incremental machinery under test is identical at any volume.
+    * Production code would readStream from the source directly. */
+  def st03StreamingTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // no orderBy: complete mode never drops late rows, so replay order
+    // is irrelevant to the final table — no sort needed
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 0)
+      .select($"ts", $"event_type", $"value")
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect()
+    // Run the streaming query in a CLONED session (same SparkContext,
+    // own SQLConf) with state partitions sized to the state: the state
+    // store commits one delta file per partition per trigger and each
+    // micro-batch schedules shuffle-partition-many tasks, so 32
+    // partitions for ~3k window keys paid ~2x the trigger latency of 4.
+    // Sizing shuffle partitions to the data is the same discipline as
+    // the batch side, applied to state. The caller's session is not
+    // touched.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(java.sql.Timestamp, String, Double)]],
+        s2.sqlContext)
+    // unique sink name per run: Bench/Verify may both invoke this in
+    // one session, and a memory sink table outlives its query
+    val name = s"graft_st03_sink_${st03Runs.incrementAndGet()}"
+    val q = tumblingCounts(in.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val nChunks = 2
+      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toSeq: _*)
+        q.processAllAvailable() // force a real micro-batch per chunk
+      }
+    } finally q.stop()
+    s2.table(name)
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_start_us", $"event_type")
+  }
 }
