@@ -75,11 +75,12 @@ object Bench {
           ms.toDF().toDF("ts", "event_type", "value"))
         .writeStream.format("memory").queryName("graft_warmup_stream")
         .outputMode("complete").start()
-      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a", 1.0),
-        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "a", 2.0),
-        (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "b", 3.0))
-      q.processAllAvailable()
-      q.stop()
+      try {
+        ms.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a", 1.0),
+          (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "a", 2.0),
+          (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "b", 3.0))
+        q.processAllAvailable()
+      } finally q.stop()
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -105,7 +106,11 @@ object Bench {
     // compile latency. The timed tables are never pre-aggregated or
     // cached — only footers were read above.
     val primeDir = "/root/testdata/sf0.001"
-    if (new java.io.File(primeDir).isDirectory && primeDir != sfDir)
+    // canonical-path compare: a trailing slash or relative spelling of
+    // the same dir must not defeat the guard and prime on (page-cache
+    // warm) the dataset about to be timed
+    def canon(p: String) = new java.io.File(p).getCanonicalPath
+    if (new java.io.File(primeDir).isDirectory && canon(primeDir) != canon(sfDir))
       selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, primeDir).count() catch { case _: Throwable => () }
       }

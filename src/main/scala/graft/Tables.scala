@@ -22,7 +22,7 @@ object Tables {
       // per-read DataFrameReader option equivalent — so check and fail
       // with the remedy instead of silently flipping the caller's conf.
       require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-          .contains("true"),
+          .exists(_.equalsIgnoreCase("true")),
         "reading events.parquet (TIMESTAMP(NANOS)) requires " +
           "spark.sql.legacy.parquet.nanosAsLong=true on the session " +
           "builder — see graft.Tables scaladoc")

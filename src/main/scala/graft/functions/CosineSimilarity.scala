@@ -100,7 +100,10 @@ object GraftFunctions {
       val w = exprs(2)
       require(w.foldable && (w.dataType == IntegerType || w.dataType == LongType),
         s"minhash_sketch numHashes must be an integer literal, got ${w.sql}")
-      MinHashSketch(exprs(0), exprs(1), w.eval().asInstanceOf[Number].intValue)
+      val v = w.eval()
+      // a foldable CAST(NULL AS INT) passes the type check above
+      require(v != null, "minhash_sketch numHashes must not be NULL")
+      MinHashSketch(exprs(0), exprs(1), v.asInstanceOf[Number].intValue)
     }
 
   def register(spark: SparkSession): Unit = {

@@ -29,9 +29,11 @@ object Similarity {
     * expression, constructed directly — no session-registration
     * dependence (SQL users get the `cosine_sim` name via
     * GraftFunctions/GraftExtensions). */
-  def cosine(a: Column, b: Column): Column =
-    TextDedup.nativeCol(graft.functions.CosineSimilarity(
-      TextDedup.exprOf(a), TextDedup.exprOf(b)))
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   private val K = 5
   private val NQueries = 10
@@ -163,7 +165,12 @@ object Similarity {
     * The bucket cap is mirrored with a HAVING count BETWEEN 2 AND 64. */
   private[graft] def d05OracleSql: String = {
     val sigExpr = (0 until D05Bits).map { b =>
-      val lits = d05Planes(b).map(f => f"${f.toDouble}%.17e").mkString(", ")
+      // Locale.ROOT: the default-locale f-interpolator renders a
+      // decimal COMMA under e.g. de_DE, which is a DuckDB syntax error
+      // (or silently a 2-element list literal)
+      val lits = d05Planes(b).map(f =>
+        String.format(java.util.Locale.ROOT, "%.17e", Double.box(f.toDouble)))
+        .mkString(", ")
       s"(CASE WHEN list_cosine_similarity(v, [$lits]) > 0 THEN 1 ELSE 0 END)" +
         (if (b == 0) "" else s" * ${1L << b}")
     }.mkString(" + ")

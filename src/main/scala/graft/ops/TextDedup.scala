@@ -48,11 +48,11 @@ object TextDedup {
     * has no session dependence at all; SQL-name registration remains in
     * [[graft.functions.GraftFunctions]]/GraftExtensions for spark.sql
     * users. */
-  private[ops] def nativeCol(
+  private def nativeCol(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(e)
 
-  private[ops] def exprOf(c: Column) =
+  private def exprOf(c: Column) =
     org.apache.spark.sql.graftshim.ColumnBridge.expression(c)
 
   /** Hashes of word k-shingles as an array<long> column — the MinHash

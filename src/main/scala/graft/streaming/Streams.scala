@@ -145,6 +145,14 @@ object Streams {
     * covered by StreamsSpec's MemoryStream tests, since any
     * deterministic oracle precludes discarding rows).
     *
+    * EAGER BY DESIGN (like d08's component loop): the streaming query
+    * runs inside this builder — the memory sink must be populated
+    * before the returned frame can exist, so calling this executes a
+    * multi-second job and the returned frame's own plan is just the
+    * sink read. Plan tooling (Explain, PlanAuditSpec) sees the sink
+    * read; the streaming aggregation plan itself is asserted in
+    * StreamsSpec.
+    *
     * The driver-side collect is the REPLAY HARNESS, not the operator:
     * MemoryStream is fed (and row-encoded) from the driver by design.
     * That makes replay volume a pure harness tax, so the replay takes a
