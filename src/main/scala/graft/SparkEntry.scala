@@ -77,6 +77,8 @@ object SparkEntry {
     "t07_winnow_pairs" -> (TextAnalysis.t07WinnowPairs _),
     "t08_hash_split" -> (TextAnalysis.t08HashSplit _),
     "t06_bpe_tokens" -> (TextAnalysis.t06BpeTokens _),
+    "t09_contamination" -> (TextAnalysis.t09Contamination _),
+    "t10_repetition" -> (TextAnalysis.t10RepetitionRatio _),
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
@@ -556,6 +558,41 @@ object SparkEntry {
         |SELECT id_a, id_b, shared FROM p
         |WHERE shared >= 50
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The Spark side joins on xxhash64(gram) (the gram string never
+    // shuffles); the oracle joins on the gram strings themselves —
+    // identical result up to a 2^-64-per-pair hash collision.
+    "t09_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |      FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, greatest(len(toks)-6, 1)),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |             toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+        |             toks[i+6] || ' ' || toks[i+7]))) AS g
+        |      FROM t),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 7)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM g JOIN b USING (g)
+        |WHERE doc_id % 100 <> 7
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "t10_repetition" ->
+      """SELECT doc_id,
+        |  greatest(len(toks) - 2, 0) AS n_grams,
+        |  len(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_distinct,
+        |  CASE WHEN len(toks) <= 2 THEN 0.0
+        |       ELSE round(1.0 -
+        |         len(list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE
+        |         / (len(toks) - 2), 4) END AS dup_ratio
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     "t08_hash_split" ->
       """SELECT doc_id, bucket,

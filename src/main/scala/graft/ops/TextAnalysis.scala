@@ -209,4 +209,51 @@ object TextAnalysis {
       .filter($"shared" >= 50)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** t09 — benchmark contamination detection (the decontamination step
+    * an LLM training pipeline runs before training: drop/flag corpus
+    * documents that overlap an evaluation set). Benchmark = the
+    * deterministic `doc_id % 100 == 7` slice standing in for an eval
+    * suite; a corpus doc is contaminated if it shares >= 1 distinct
+    * word-8-gram with ANY benchmark doc (8 is the classic
+    * contamination n-gram order — long enough that chance overlap is
+    * negligible, short enough to catch partial copies).
+    *
+    * Scale shape: grams fold to `xxhash64` longs before any exchange
+    * (same discipline as t07 — the gram STRING never shuffles); the
+    * benchmark side is the distinct gram set of the eval suite — small
+    * by nature (eval suites are thousands of docs, not billions) — and
+    * broadcasts, so the corpus streams exactly once with no shuffle at
+    * all. The oracle brute-forces the same join on the gram strings
+    * themselves (collision odds 2^-64 per gram pair). */
+  def t09Contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.spread(Tables(s, dir, "documents"))
+      .select($"doc_id", explode(TextDedup.shingles($"text", 8)).as("g"))
+      .select($"doc_id", xxhash64($"g").as("gh"))
+    val bench = broadcast(
+      grams.filter($"doc_id" % 100 === 7).select($"gh").distinct())
+    grams.filter($"doc_id" % 100 =!= 7)
+      .join(bench, "gh") // inner: one row per shared distinct gram
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  /** t10 — repetition ratio (Gopher-style quality heuristic: heavily
+    * repetitive documents are low-quality training data). Per doc:
+    * total word-3-grams, distinct word-3-grams, and the duplicate
+    * fraction 1 - distinct/total. One narrow pass, no shuffle beyond
+    * the output sort; the gram arrays never leave their projection. */
+  def t10RepetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val total = greatest(size(tokens($"text")) - 2, lit(0)).cast("long")
+    val distinctG = size(TextDedup.shingles($"text", 3)).cast("long")
+    Tables(s, dir, "documents")
+      .select($"doc_id", total.as("n_grams"), distinctG.as("n_distinct"),
+        when(total === 0, 0.0)
+          .otherwise(round(lit(1.0) - distinctG.cast("double") / total, 4))
+          .as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
 }

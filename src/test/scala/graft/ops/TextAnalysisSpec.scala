@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSuiteBase
+import org.apache.spark.sql.functions._
+
+/** Kernel-level tests for the text-analysis operators with PLANTED
+  * structure (the harness corpus is random, so the oracle gate proves
+  * value-parity but not the semantics these prove: a contaminated doc
+  * is flagged, a repetitive doc scores high, clean docs score zero). */
+class TextAnalysisSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  /** Write a documents-shaped table to a temp dir (the operator entry
+    * points read the harness layout). */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ta").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t09: doc sharing an 8-gram with the benchmark slice is flagged, others are not") {
+    val eval = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val dir = docsDir(Seq(
+      107L -> eval,                                     // benchmark member (107 % 100 == 7)
+      1L -> s"prefix words then $eval and a suffix",    // contains the full eval text -> contaminated
+      2L -> "completely unrelated text about spark shuffles and parquet readers today ok",
+      3L -> "alpha bravo charlie delta echo foxtrot golf different tail words here"
+    ))                                                  // 7-gram overlap only -> NOT contaminated at k=8
+    val got = TextAnalysis.t09Contamination(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L), s"expected only doc 1 flagged, got $got")
+    // eval text has 10 tokens -> 3 distinct 8-grams, all inside doc 1
+    assert(got(1L) == 3L)
+  }
+
+  test("t10: repetitive doc scores high, all-distinct doc scores zero, short doc is safe") {
+    val dir = docsDir(Seq(
+      1L -> "spam spam spam spam spam spam spam spam spam spam", // 8 identical 3-grams
+      2L -> "one two three four five six seven eight nine ten",  // all distinct
+      3L -> "ab cd"                                              // < 3 tokens -> no grams
+    ))
+    val got = TextAnalysis.t10RepetitionRatio(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((8L, 1L, 0.875)))
+    assert(got(2L) == ((8L, 8L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("t09 plan: benchmark side broadcasts; corpus side has no shuffle before the join") {
+    val dir = docsDir(Seq(107L -> "a b c d e f g h i", 1L -> "a b c d e f g h i j"))
+    val plan = TextAnalysis.t09Contamination(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark gram set should broadcast:\n$plan")
+  }
+}
