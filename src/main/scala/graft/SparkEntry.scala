@@ -79,6 +79,7 @@ object SparkEntry {
     "t06_bpe_tokens" -> (TextAnalysis.t06BpeTokens _),
     "t09_contamination" -> (TextAnalysis.t09Contamination _),
     "t10_repetition" -> (TextAnalysis.t10RepetitionRatio _),
+    "t11_sequence_pack" -> (TextAnalysis.t11SequencePack _),
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
@@ -592,6 +593,16 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
         |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "t11_sequence_pack" ->
+      """SELECT doc_id, shard, n_tokens, cum // 512 AS bin FROM (
+        |  SELECT doc_id, doc_id % 32 AS shard, len(toks) AS n_tokens,
+        |    coalesce(sum(len(toks)) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t) u
         |ORDER BY doc_id""".stripMargin,
 
     "t08_hash_split" ->

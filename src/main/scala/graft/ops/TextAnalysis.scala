@@ -240,6 +240,36 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t11 — sequence packing assignment (the step that turns a cleaned
+    * corpus into fixed-token-budget training sequences): greedy
+    * contiguous fill — each doc lands in bin
+    * `floor(tokens_before_it_in_shard / capacity)` for capacity 512.
+    *
+    * Scale shape: packing is inherently sequential, so it is SHARDED —
+    * the running sum windows over `doc_id % 32` shards, each shard
+    * packs independently, and the window shuffle partitions by shard
+    * (at 100 TB: one shard per output file group; a single global
+    * window would serialize the corpus through one task). Docs longer
+    * than the capacity spill over bin boundaries by construction
+    * (greedy fill does not split or reorder documents — the industry
+    * default; re-chunking oversized docs is an upstream op). */
+  def t11SequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val capacity = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(s, dir, "documents")
+      .select($"doc_id", ($"doc_id" % 32).as("shard"),
+        size(tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      // `div` = exact integer division: a double `/` + cast would be
+      // fine at 2^53 tokens per shard but exactness costs nothing
+      .withColumn("bin", expr(s"cum_before div $capacity"))
+      .drop("cum_before")
+      .orderBy($"doc_id")
+  }
+
   /** t10 — repetition ratio (Gopher-style quality heuristic: heavily
     * repetitive documents are low-quality training data). Per doc:
     * total word-3-grams, distinct word-3-grams, and the duplicate

@@ -51,6 +51,20 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("t11: greedy fill crosses bin boundary on cumulative tokens, shards pack independently") {
+    val w300 = Seq.fill(300)("tok").mkString(" ") // 300 tokens
+    val dir = docsDir(Seq(0L -> w300, 32L -> w300, 64L -> w300, 1L -> w300))
+    val got = TextAnalysis.t11SequencePack(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // shard 0: cum_before = 0, 300, 600 -> bins 0, 0, 1 (capacity 512)
+    assert(got(0L) == ((0L, 300L, 0L)))
+    assert(got(32L) == ((0L, 300L, 0L)))
+    assert(got(64L) == ((0L, 300L, 1L)))
+    // shard 1 packs from zero, unaffected by shard 0's fill level
+    assert(got(1L) == ((1L, 300L, 0L)))
+  }
+
   test("t09 plan: benchmark side broadcasts; corpus side has no shuffle before the join") {
     val dir = docsDir(Seq(107L -> "a b c d e f g h i", 1L -> "a b c d e f g h i j"))
     val plan = TextAnalysis.t09Contamination(spark, dir)
