@@ -37,10 +37,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the generated-class cache defaults to 100 entries; 61 queries x
-      // several codegen units each would evict the primed classes
-      // before the timed run reaches them (static conf — must be set
-      // before the first codegen compile in the JVM)
+      // the generated-class cache defaults to 100 entries; the
+      // registered queries (64 and growing) x several codegen units
+      // each would evict the primed classes before the timed run
+      // reaches them (static conf — must be set before the first
+      // codegen compile in the JVM)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -111,8 +112,16 @@ object Bench {
     // warm) the dataset about to be timed
     def canon(p: String) = new java.io.File(p).getCanonicalPath
     if (new java.io.File(primeDir).isDirectory && canon(primeDir) != canon(sfDir))
-      selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, primeDir).count() catch { case _: Throwable => () }
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        // a failed prime is survivable (the timed run just pays the
+        // compile) but must not be SILENT — stderr only, stdout stays
+        // machine-parseable JSON. NonFatal: an OOM/interrupt should
+        // abort the bench, not be swallowed here.
+        try fn(spark, primeDir).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] priming $name failed: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
       }
     val (results, errors) = run(spark, sfDir, selected)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

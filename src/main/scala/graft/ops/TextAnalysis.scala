@@ -220,19 +220,24 @@ object TextAnalysis {
     * negligible, short enough to catch partial copies).
     *
     * Scale shape: grams fold to `xxhash64` longs before any exchange
-    * (same discipline as t07 — the gram STRING never shuffles); the
-    * benchmark side is the distinct gram set of the eval suite — small
-    * by nature (eval suites are thousands of docs, not billions) — and
-    * broadcasts, so the corpus streams exactly once with no shuffle at
-    * all. The oracle brute-forces the same join on the gram strings
-    * themselves (collision odds 2^-64 per gram pair). */
+    * (same discipline as t07 — the gram STRING never shuffles). In
+    * production the benchmark side is an eval suite — thousands of
+    * docs, bounded — and Spark broadcasts it, so the corpus streams
+    * once with no shuffle. HERE the benchmark is a 1% corpus slice,
+    * i.e. proportional to the input, so there is deliberately NO
+    * `broadcast()` hint: a forced broadcast cannot be demoted and
+    * would OOM the driver when the stand-in benchmark grows with the
+    * corpus; AQE picks broadcast at runtime whenever the built side is
+    * actually small (asserted in TextAnalysisSpec) and degrades to a
+    * shuffle join beyond that. The oracle brute-forces the same join
+    * on the gram strings themselves (collision odds 2^-64 per gram
+    * pair). */
   def t09Contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = Tables.spread(Tables(s, dir, "documents"))
       .select($"doc_id", explode(TextDedup.shingles($"text", 8)).as("g"))
       .select($"doc_id", xxhash64($"g").as("gh"))
-    val bench = broadcast(
-      grams.filter($"doc_id" % 100 === 7).select($"gh").distinct())
+    val bench = grams.filter($"doc_id" % 100 === 7).select($"gh").distinct()
     grams.filter($"doc_id" % 100 =!= 7)
       .join(bench, "gh") // inner: one row per shared distinct gram
       .groupBy($"doc_id")
@@ -279,7 +284,9 @@ object TextAnalysis {
     import s.implicits._
     val total = greatest(size(tokens($"text")) - 2, lit(0)).cast("long")
     val distinctG = size(TextDedup.shingles($"text", 3)).cast("long")
-    Tables(s, dir, "documents")
+    // spread: shingling is the CPU-heavy single-split shape (PERF.md
+    // lesson 6), same as t05/t07/t09/d04
+    Tables.spread(Tables(s, dir, "documents"))
       .select($"doc_id", total.as("n_grams"), distinctG.as("n_distinct"),
         when(total === 0, 0.0)
           .otherwise(round(lit(1.0) - distinctG.cast("double") / total, 4))
