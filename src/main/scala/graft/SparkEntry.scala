@@ -80,6 +80,7 @@ object SparkEntry {
     "t09_contamination" -> (TextAnalysis.t09Contamination _),
     "t10_repetition" -> (TextAnalysis.t10RepetitionRatio _),
     "t11_sequence_pack" -> (TextAnalysis.t11SequencePack _),
+    "t12_quality_filter" -> (TextAnalysis.t12QualityFilter _),
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
@@ -593,6 +594,23 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
         |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "t12_quality_filter" ->
+      """SELECT doc_id, n_tokens, reason, reason = 'keep' AS keep FROM (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) < 10 THEN 'too_short'
+        |         WHEN len(toks) > 1000 THEN 'too_long'
+        |         WHEN (CASE WHEN len(toks) <= 2 THEN 0.0
+        |               ELSE 1.0 -
+        |                 len(list_distinct(list_transform(
+        |                   range(1, greatest(len(toks)-1, 1)),
+        |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE
+        |                 / (len(toks) - 2) END) > 0.2 THEN 'repetitive'
+        |         ELSE 'keep' END AS reason
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t) u
         |ORDER BY doc_id""".stripMargin,
 
     "t11_sequence_pack" ->

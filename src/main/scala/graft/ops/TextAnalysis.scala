@@ -275,6 +275,31 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t12 — composed quality FILTER (the keep/drop decision a pipeline
+    * actually executes after scoring): first failing rule wins, in a
+    * fixed precedence — too_short (< 10 tokens), too_long (> 1000),
+    * repetitive (duplicate-3-gram fraction > 0.2), else keep. All
+    * comparisons are on exact integer-derived doubles (no rounding
+    * before the threshold), so the DuckDB oracle decides identically
+    * at every boundary. One narrow pass; composition stays inside one
+    * projection — scoring signals are never materialized separately. */
+  def t12QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nTokens = size(tokens($"text")).cast("long")
+    val total = greatest(size(tokens($"text")) - 2, lit(0))
+    val distinctG = size(TextDedup.shingles($"text", 3))
+    val dupRatio = when(total === 0, 0.0)
+      .otherwise(lit(1.0) - distinctG.cast("double") / total)
+    val reason = when(nTokens < 10, "too_short")
+      .when(nTokens > 1000, "too_long")
+      .when(dupRatio > 0.2, "repetitive")
+      .otherwise("keep")
+    Tables.spread(Tables(s, dir, "documents"))
+      .select($"doc_id", nTokens.as("n_tokens"), reason.as("reason"),
+        (reason === "keep").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** t10 — repetition ratio (Gopher-style quality heuristic: heavily
     * repetitive documents are low-quality training data). Per doc:
     * total word-3-grams, distinct word-3-grams, and the duplicate

@@ -65,6 +65,19 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(1L) == ((1L, 300L, 0L)))
   }
 
+  test("t12: rule precedence — short beats repetitive, boundary docs keep") {
+    val spam11 = Seq.fill(11)("spam").mkString(" ")  // 11 tokens, dup_ratio 8/9 > 0.2
+    val spam5 = Seq.fill(5)("spam").mkString(" ")    // < 10 tokens AND repetitive
+    val clean10 = (1 to 10).map(i => s"w$i").mkString(" ") // exactly 10 -> keep
+    val dir = docsDir(Seq(1L -> spam11, 2L -> spam5, 3L -> clean10))
+    val got = TextAnalysis.t12QualityFilter(spark, dir)
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(1L) == (("repetitive", false)))
+    assert(got(2L) == (("too_short", false))) // precedence: short wins over repetitive
+    assert(got(3L) == (("keep", true)))
+  }
+
   test("t09 plan: AQE broadcasts the small benchmark side at runtime (no forced hint)") {
     val dir = docsDir(Seq(107L -> "a b c d e f g h i", 1L -> "a b c d e f g h i j"))
     val df = TextAnalysis.t09Contamination(spark, dir)
