@@ -75,6 +75,34 @@ class SkewSourcesSpec extends SparkSuiteBase {
       orig.as[(Int, String)].collect().toSet)
   }
 
+  test("orc source round-trips with predicate pushdown on read") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val orig = graft.Tables(spark, sf, "nation")
+    orig.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter($"n_regionkey" === 1)
+    // same rows as parquet-side filter
+    assert(back.select($"n_nationkey").as[Long].collect().toSet ==
+      orig.filter($"n_regionkey" === 1).select($"n_nationkey").as[Long].collect().toSet)
+    // the filter reaches the ORC scan, not a post-scan Filter only
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"expected pushed filter on the ORC scan:\n$plan")
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    graft.Tables(spark, sf, "nation")
+      .write.mode("overwrite").partitionBy("n_regionkey").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"n_regionkey" === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter prunes directories at planning — the scan's
+    // PartitionFilters carries it and row results match
+    assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"),
+      s"expected partition filter on the scan:\n$plan")
+    assert(pruned.count() ==
+      graft.Tables(spark, sf, "nation").filter($"n_regionkey" === 2).count())
+  }
+
   test("json PERMISSIVE mode captures corrupt records instead of failing (P17 analogue)") {
     val dir = Files.createTempDirectory("graft-badjson")
     Files.writeString(dir.resolve("good.json"), """{"a": 1, "b": "x"}""")
