@@ -117,4 +117,57 @@ object Graft {
       maxHamming: Int = 3): DataFrame =
     ops.TextDedup.simhashPairs(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), maxHamming)
+
+  /** Benchmark contamination: corpus rows sharing >= 1 distinct word
+    * k-gram with the benchmark set, with the shared count. Grams fold
+    * to 8-byte hashes before any exchange; a bounded benchmark
+    * (eval suites) broadcasts via AQE and the corpus streams once.
+    * See TextAnalysis.t09 for the oracle-checked harness binding. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    def grams(df: DataFrame, withId: Boolean): DataFrame = {
+      val base = if (withId)
+        df.select(col(idCol), explode(ops.TextDedup.shingles(col(textCol), k)).as("__g"))
+      else df.select(explode(ops.TextDedup.shingles(col(textCol), k)).as("__g"))
+      base.withColumn("__gh", xxhash64(col("__g"))).drop("__g")
+    }
+    grams(corpus, withId = true)
+      .join(grams(benchmark, withId = false).distinct(), "__gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Composed quality filter: keep/drop with a reason code, first
+    * failing rule wins (see TextAnalysis.t12 for the oracle-checked
+    * thresholds). Appends `reason` and `keep` columns. */
+  def qualityFilter(df: DataFrame, textCol: String,
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      maxDupRatio: Double = 0.2): DataFrame = {
+    val nTokens = size(ops.TextDedup.tokens(col(textCol))).cast("long")
+    val total = greatest(size(ops.TextDedup.tokens(col(textCol))) - 2, lit(0))
+    val distinctG = size(ops.TextDedup.shingles(col(textCol), 3))
+    val dupRatio = when(total === 0, 0.0)
+      .otherwise(lit(1.0) - distinctG.cast("double") / total)
+    val reason = when(nTokens < minTokens, "too_short")
+      .when(nTokens > maxTokens, "too_long")
+      .when(dupRatio > maxDupRatio, "repetitive")
+      .otherwise("keep")
+    df.withColumn("reason", reason).withColumn("keep", reason === "keep")
+  }
+
+  /** Sharded sequence-packing assignment: greedy contiguous fill of
+    * `capacity`-token bins, packed independently per shard (packing is
+    * inherently sequential — the shard count is the parallelism; see
+    * TextAnalysis.t11). Appends `shard` and `bin`. `tokensCol` must be
+    * a numeric token count. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      capacity: Int = 512, shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", col(idCol) % shards)
+      .withColumn("__cum",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div $capacity"))
+      .drop("__cum")
+  }
 }

@@ -86,4 +86,37 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("contamination facade flags the overlapping doc against a separate benchmark frame") {
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (2L, "totally different words in this document about nothing at all")
+    ).toDF("id", "body")
+    val bench = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet")
+    ).toDF("id", "body")
+    val got = Graft.contamination(corpus, bench, "body", "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L)) // 9 tokens -> 2 of the bench doc's 3 8-grams
+  }
+
+  test("qualityFilter facade appends reason/keep with custom thresholds") {
+    val df = Seq((1L, "a b c d e"), (2L, "one two three four five six")).toDF("id", "body")
+    val got = Graft.qualityFilter(df, "body", minTokens = 6)
+      .select($"id", $"reason", $"keep").as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("too_short", false)))
+    assert(got(2L) == (("keep", true)))
+  }
+
+  test("packSequences facade fills bins per shard") {
+    val df = Seq((0L, 300L), (2L, 300L), (4L, 300L), (1L, 300L)).toDF("id", "n_tok")
+    val got = Graft.packSequences(df, "id", "n_tok", capacity = 512, shards = 2)
+      .select($"id", $"shard", $"bin").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((0L, 0L)))
+    assert(got(2L) == ((0L, 0L)))
+    assert(got(4L) == ((0L, 1L))) // 600 tokens before it in shard 0
+    assert(got(1L) == ((1L, 0L)))
+  }
 }
