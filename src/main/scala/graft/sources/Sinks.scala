@@ -32,6 +32,29 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Parquet write with SIZE-AWARE file compaction — the small-files
+    * discipline a 100 TB pipeline needs at every materialization
+    * point: a 1000-executor shuffle left alone writes
+    * shuffle-partition-many files per partition (tiny files murder
+    * the next scan's split planning and the object store's listing);
+    * one giant file serializes the next reader. Target file count =
+    * optimizer-estimated bytes / targetBytes, clamped to >= 1.
+    * The estimate is plan-time statistics (no job runs to size the
+    * data); `sortBy` optionally sorts WITHIN partitions for locality
+    * (run-length/delta encoding friendly) without a global sort. */
+  def writeCompacted(df: DataFrame, path: String,
+      targetBytes: Long = 128L << 20,
+      sortBy: Seq[String] = Nil): Unit = {
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = (estBytes / targetBytes).toLong.max(1L).min(100000L).toInt
+    val shaped0 = df.repartition(files)
+    val shaped =
+      if (sortBy.nonEmpty)
+        shaped0.sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+      else shaped0
+    shaped.write.mode("overwrite").parquet(path)
+  }
+
   /** Fan a map of tables out to a sink, tolerating per-table failures
     * exactly like the reference's try/except-per-append (P17,
     * `P:667-763`) — one broken table must not kill the other 21. Returns

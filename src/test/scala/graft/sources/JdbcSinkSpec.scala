@@ -39,4 +39,21 @@ class JdbcSinkSpec extends SparkSuiteBase {
       .option("url", url).option("dbtable", "ok_table").load()
     assert(back.count() == 1) // the good table landed despite the bad one
   }
+
+  test("writeCompacted bounds output file count by estimated size") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // ~80 KB of rows with a 4 KB target -> several files, but far fewer
+    // than the session's shuffle-partition default would write
+    val df = spark.range(10000).select($"id", concat(lit("pad-"), $"id").as("s"))
+    Sinks.writeCompacted(df, dir, targetBytes = 64 << 10)
+    val files = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files >= 1 && files <= 16, s"unexpected file count $files")
+    assert(spark.read.parquet(dir).count() == 10000)
+    // sortBy variant: data intact, still bounded
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    Sinks.writeCompacted(df, dir2, targetBytes = 64 << 10, sortBy = Seq("id"))
+    assert(spark.read.parquet(dir2).count() == 10000)
+  }
 }
