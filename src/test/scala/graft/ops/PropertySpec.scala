@@ -117,4 +117,67 @@ class PropertySpec extends SparkSuiteBase {
       }
     }
   }
+
+  test("winnow fingerprints are a subset of the rolling hashes and nonempty iff len >= 11") {
+    forAll(Gen.listOfN(8, word)) { ws =>
+      val text = ws.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val fps = df.select(TextAnalysis.winnowFps($"text").as("f"))
+        .as[Seq[String]].head()
+      if (text.length < 11) assert(fps.isEmpty)
+      else {
+        assert(fps.nonEmpty)
+        // every selected fingerprint is one of the doc's 8-gram hashes
+        val all = df.select(transform(
+            sequence(lit(1), greatest(length($"text") - 7, lit(0))),
+            i => md5(substring($"text", i, lit(8)).cast("binary"))).as("h"))
+          .as[Seq[String]].head().toSet
+        assert(fps.forall(all.contains))
+        assert(fps.distinct == fps) // distinct by construction
+      }
+    }
+  }
+
+  test("quality filter partitions every corpus: exactly one reason per doc, keep iff 'keep'") {
+    forAll(Gen.listOfN(6, Gen.chooseNum(0, 30)), n = 6) { sizes =>
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)(s"w${i % 3}").mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = TextAnalysis.t12QualityFilter(spark, dir)
+        .as[(Long, Long, String, Boolean)].collect()
+      assert(rows.length == docs.length) // a FILTER decision for every doc
+      rows.foreach { case (_, _, reason, keep) =>
+        assert(Set("too_short", "too_long", "repetitive", "keep")(reason))
+        assert(keep == (reason == "keep"))
+      }
+    }
+  }
+
+  test("sequence packing: bins are consecutive from 0 per shard; no doc precedes its fill") {
+    forAll(Gen.listOfN(10, Gen.chooseNum(1, 700)), n = 6) { tokenCounts =>
+      val df = tokenCounts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.toLong) }.toDF("id", "n_tok")
+      val got = graft.Graft.packSequences(df, "id", "n_tok", capacity = 512, shards = 3)
+        .select($"id", $"shard", $"bin", $"n_tok")
+        .as[(Long, Long, Long, Long)].collect()
+      got.groupBy(_._2).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        // bin ids are non-decreasing in doc order and start at 0
+        assert(sorted.head._3 == 0L)
+        assert(sorted.map(_._3).toSeq.sliding(2).forall(w =>
+          w.length < 2 || w(1) >= w(0)))
+        // bin = cumulative-before div capacity, recomputed independently
+        var cum = 0L
+        sorted.foreach { case (_, _, bin, t) =>
+          assert(bin == cum / 512, s"bin mismatch at cum=$cum")
+          cum += t
+        }
+      }
+    }
+  }
 }
