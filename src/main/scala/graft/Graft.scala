@@ -138,28 +138,29 @@ object Graft {
   }
 
   /** Composed quality filter: keep/drop with a reason code, first
-    * failing rule wins (see TextAnalysis.t12 for the oracle-checked
-    * thresholds). Appends `reason` and `keep` columns. */
+    * failing rule wins. This IS the implementation the oracle-checked
+    * harness query (TextAnalysis.t12) binds — one expression, no
+    * drift. Null text is its own reason (`null_text`, dropped): under
+    * ANSI null semantics an unguarded when-chain would fall through
+    * every null comparison to 'keep'. Appends `reason` and `keep`. */
   def qualityFilter(df: DataFrame, textCol: String,
       minTokens: Int = 10, maxTokens: Int = 1000,
       maxDupRatio: Double = 0.2): DataFrame = {
-    val nTokens = size(ops.TextDedup.tokens(col(textCol))).cast("long")
-    val total = greatest(size(ops.TextDedup.tokens(col(textCol))) - 2, lit(0))
-    val distinctG = size(ops.TextDedup.shingles(col(textCol), 3))
-    val dupRatio = when(total === 0, 0.0)
-      .otherwise(lit(1.0) - distinctG.cast("double") / total)
-    val reason = when(nTokens < minTokens, "too_short")
-      .when(nTokens > maxTokens, "too_long")
-      .when(dupRatio > maxDupRatio, "repetitive")
-      .otherwise("keep")
+    val reason = ops.TextAnalysis.qualityReason(
+      col(textCol), minTokens, maxTokens, maxDupRatio)
     df.withColumn("reason", reason).withColumn("keep", reason === "keep")
   }
 
-  /** Sharded sequence-packing assignment: greedy contiguous fill of
-    * `capacity`-token bins, packed independently per shard (packing is
-    * inherently sequential — the shard count is the parallelism; see
-    * TextAnalysis.t11). Appends `shard` and `bin`. `tokensCol` must be
-    * a numeric token count. */
+  /** Sharded sequence-packing ASSIGNMENT: bin = floor(cumulative
+    * tokens before the doc in its shard / capacity) — offset-based,
+    * so a bin EXCEEDS capacity whenever a document straddles its
+    * boundary (documents are never split or reordered; re-chunking
+    * oversized docs is an upstream op, and consumers needing hard
+    * budgets split at read time). Packed independently per shard —
+    * packing is inherently sequential, the shard count is the
+    * parallelism (see TextAnalysis.t11, the oracle-checked binding of
+    * this same method). Appends `shard` and `bin`; `tokensCol` must
+    * be a numeric token count. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       capacity: Int = 512, shards: Int = 32): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))

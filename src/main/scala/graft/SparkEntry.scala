@@ -599,7 +599,8 @@ object SparkEntry {
     "t12_quality_filter" ->
       """SELECT doc_id, n_tokens, reason, reason = 'keep' AS keep FROM (
         |  SELECT doc_id, len(toks) AS n_tokens,
-        |    CASE WHEN len(toks) < 10 THEN 'too_short'
+        |    CASE WHEN text IS NULL THEN 'null_text'
+        |         WHEN len(toks) < 10 THEN 'too_short'
         |         WHEN len(toks) > 1000 THEN 'too_long'
         |         WHEN (CASE WHEN len(toks) <= 2 THEN 0.0
         |               ELSE 1.0 -
@@ -608,7 +609,7 @@ object SparkEntry {
         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE
         |                 / (len(toks) - 2) END) > 0.2 THEN 'repetitive'
         |         ELSE 'keep' END AS reason
-        |  FROM (SELECT doc_id,
+        |  FROM (SELECT doc_id, text,
         |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
         |        FROM documents) t) u
         |ORDER BY doc_id""".stripMargin,

@@ -234,14 +234,11 @@ object TextAnalysis {
     * pair). */
   def t09Contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.spread(Tables(s, dir, "documents"))
-      .select($"doc_id", explode(TextDedup.shingles($"text", 8)).as("g"))
-      .select($"doc_id", xxhash64($"g").as("gh"))
-    val bench = grams.filter($"doc_id" % 100 === 7).select($"gh").distinct()
-    grams.filter($"doc_id" % 100 =!= 7)
-      .join(bench, "gh") // inner: one row per shared distinct gram
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shared"))
+    val docs = Tables.spread(Tables(s, dir, "documents"))
+    graft.Graft.contamination(
+        corpus = docs.filter($"doc_id" % 100 =!= 7),
+        benchmark = docs.filter($"doc_id" % 100 === 7),
+        textCol = "text", idCol = "doc_id")
       .orderBy($"doc_id")
   }
 
@@ -260,18 +257,12 @@ object TextAnalysis {
     * default; re-chunking oversized docs is an upstream op). */
   def t11SequencePack(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val capacity = 512
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables(s, dir, "documents")
-      .select($"doc_id", ($"doc_id" % 32).as("shard"),
-        size(tokens($"text")).cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
-      // `div` = exact integer division: a double `/` + cast would be
-      // fine at 2^53 tokens per shard but exactness costs nothing
-      .withColumn("bin", expr(s"cum_before div $capacity"))
-      .drop("cum_before")
+    graft.Graft.packSequences(
+        Tables(s, dir, "documents")
+          .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens")),
+        idCol = "doc_id", tokensCol = "n_tokens",
+        capacity = 512, shards = 32)
+      .select($"doc_id", $"shard", $"n_tokens", $"bin")
       .orderBy($"doc_id")
   }
 
@@ -283,20 +274,33 @@ object TextAnalysis {
     * before the threshold), so the DuckDB oracle decides identically
     * at every boundary. One narrow pass; composition stays inside one
     * projection — scoring signals are never materialized separately. */
-  def t12QualityFilter(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val nTokens = size(tokens($"text")).cast("long")
-    val total = greatest(size(tokens($"text")) - 2, lit(0))
-    val distinctG = size(TextDedup.shingles($"text", 3))
+  /** The shared reason expression behind t12 and
+    * [[graft.Graft.qualityFilter]] — ONE implementation so the
+    * oracle-checked harness binding guards the facade. `null_text`
+    * first: under ANSI null semantics every later comparison on a
+    * null text is null (not matched) and an unguarded chain would
+    * fall through to 'keep' — the opposite of what a quality filter
+    * is for. */
+  private[graft] def qualityReason(text: Column, minTokens: Int,
+      maxTokens: Int, maxDupRatio: Double): Column = {
+    val nTokens = size(tokens(text)).cast("long")
+    val total = greatest(size(tokens(text)) - 2, lit(0))
+    val distinctG = size(TextDedup.shingles(text, 3))
     val dupRatio = when(total === 0, 0.0)
       .otherwise(lit(1.0) - distinctG.cast("double") / total)
-    val reason = when(nTokens < 10, "too_short")
-      .when(nTokens > 1000, "too_long")
-      .when(dupRatio > 0.2, "repetitive")
+    when(text.isNull, "null_text")
+      .when(nTokens < minTokens, "too_short")
+      .when(nTokens > maxTokens, "too_long")
+      .when(dupRatio > maxDupRatio, "repetitive")
       .otherwise("keep")
+  }
+
+  def t12QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reason = qualityReason($"text", 10, 1000, 0.2)
     Tables.spread(Tables(s, dir, "documents"))
-      .select($"doc_id", nTokens.as("n_tokens"), reason.as("reason"),
-        (reason === "keep").as("keep"))
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"),
+        reason.as("reason"), (reason === "keep").as("keep"))
       .orderBy($"doc_id")
   }
 

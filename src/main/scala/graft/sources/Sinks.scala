@@ -38,15 +38,26 @@ object Sinks {
     * shuffle-partition-many files per partition (tiny files murder
     * the next scan's split planning and the object store's listing);
     * one giant file serializes the next reader. Target file count =
-    * optimizer-estimated bytes / targetBytes, clamped to >= 1.
+    * ceil(optimizer-estimated bytes / targetBytes), clamped.
     * The estimate is plan-time statistics (no job runs to size the
     * data); `sortBy` optionally sorts WITHIN partitions for locality
-    * (run-length/delta encoding friendly) without a global sort. */
+    * (run-length/delta encoding friendly) without a global sort.
+    *
+    * Stats guard: sources without statistics (JDBC, RDD-backed, some
+    * DSv2) report `defaultSizeInBytes` = Long.MaxValue, and
+    * join-multiplied estimates can exceed Long range entirely — both
+    * would turn "compaction" into a 100k-tiny-file explosion (or a
+    * negative wrap). Estimates that are absurd or missing fall back
+    * to the session's default parallelism. BigInt arithmetic end to
+    * end; `.toInt` only after the clamp. */
   def writeCompacted(df: DataFrame, path: String,
       targetBytes: Long = 128L << 20,
       sortBy: Seq[String] = Nil): Unit = {
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val files = (estBytes / targetBytes).toLong.max(1L).min(100000L).toInt
+    val est: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknown = est <= 0 || est >= BigInt(Long.MaxValue) / 4
+    val files =
+      if (unknown) df.sparkSession.sparkContext.defaultParallelism
+      else (((est + targetBytes - 1) / targetBytes).max(1).min(100000)).toInt
     val shaped0 = df.repartition(files)
     val shaped =
       if (sortBy.nonEmpty)

@@ -109,6 +109,16 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got(2L) == (("keep", true)))
   }
 
+  test("qualityFilter drops null text (ANSI null comparisons must not fall through to keep)") {
+    val df = Seq((1L, null: String), (2L, "plenty of perfectly normal words right here today ok"))
+      .toDF("id", "body")
+    val got = Graft.qualityFilter(df, "body", minTokens = 3)
+      .select($"id", $"reason", $"keep").as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("null_text", false)))
+    assert(got(2L) == (("keep", true)))
+  }
+
   test("packSequences facade fills bins per shard") {
     val df = Seq((0L, 300L), (2L, 300L), (4L, 300L), (1L, 300L)).toDF("id", "n_tok")
     val got = Graft.packSequences(df, "id", "n_tok", capacity = 512, shards = 2)

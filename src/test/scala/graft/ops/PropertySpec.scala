@@ -119,7 +119,9 @@ class PropertySpec extends SparkSuiteBase {
   }
 
   test("winnow fingerprints are a subset of the rolling hashes and nonempty iff len >= 11") {
-    forAll(Gen.listOfN(8, word)) { ws =>
+    // 0-8 words so BOTH branches are exercised (a fixed 8 nonempty
+    // words is always >= 15 chars and the short side would be dead)
+    forAll(Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, word))) { ws =>
       val text = ws.mkString(" ")
       val df = Seq((1L, text)).toDF("doc_id", "text")
       val fps = df.select(TextAnalysis.winnowFps($"text").as("f"))
