@@ -43,6 +43,7 @@ object SparkEntry {
     "q20_range_frame" -> (Relational.q20RangeFrame _),
     "q21_stats_agg" -> (Relational.q21StatsAgg _),
     "q22_range_join_binned" -> (Relational.q22RangeJoinBinned _),
+    "q23_left_join" -> (Relational.q23LeftJoin _),
     "f01_struct_splat" -> (Flatten.f01StructSplat _),
     "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
     "f03_explode_nested_parent" -> (Flatten.f03ExplodeNestedParent _),
@@ -255,6 +256,17 @@ object SparkEntry {
         |JOIN events ON value >= lo AND value < hi
         |GROUP BY band_id
         |ORDER BY band_id""".stripMargin,
+
+    "q23_left_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  count(o_orderkey) AS n_big_orders,
+        |  round(coalesce(sum(o_totalprice), 0.0), 2) AS big_spend
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+        |           FROM orders WHERE o_totalprice > 400000) o
+        |       ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
 
     "f01_struct_splat" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment

@@ -402,4 +402,28 @@ object Relational {
         countDistinct($"o_custkey").as("exact_customers"))
       .orderBy($"o_orderpriority")
   }
+
+  /** q23 — LEFT OUTER join with null-side aggregation: every customer
+    * with their big-order count and spend, INCLUDING customers with no
+    * qualifying orders (the rows an inner join silently drops — the
+    * classic outer-join correctness trap). count($"o_orderkey") counts
+    * only matched rows (count of a column skips nulls) so the
+    * null-side customers report 0, not 1; spend coalesces to 0.00.
+    * Shape: the filter on the RIGHT side applies before the join (a
+    * WHERE on the right side of a left join would wrongly drop the
+    * null-extended rows — pushed as a join-input filter instead), then
+    * one shuffle per side on c_custkey. */
+  def q23LeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables(s, dir, "orders")
+      .filter($"o_totalprice" > 400000)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(count($"o_orderkey").as("n_big_orders"),
+        round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("big_spend"))
+      .orderBy($"c_custkey")
+  }
 }
