@@ -44,6 +44,7 @@ object SparkEntry {
     "q21_stats_agg" -> (Relational.q21StatsAgg _),
     "q22_range_join_binned" -> (Relational.q22RangeJoinBinned _),
     "q23_left_join" -> (Relational.q23LeftJoin _),
+    "q24_sql_cte" -> (Relational.q24SqlCte _),
     "f01_struct_splat" -> (Flatten.f01StructSplat _),
     "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
     "f03_explode_nested_parent" -> (Flatten.f03ExplodeNestedParent _),
@@ -267,6 +268,16 @@ object SparkEntry {
         |       ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_mktsegment
         |ORDER BY c_custkey""".stripMargin,
+
+    "q24_sql_cte" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
 
     "f01_struct_splat" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment

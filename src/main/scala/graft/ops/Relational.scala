@@ -413,6 +413,25 @@ object Relational {
     * WHERE on the right side of a left join would wrongly drop the
     * null-extended rows — pushed as a join-input filter instead), then
     * one shuffle per side on c_custkey. */
+  /** q24 — the SQL SURFACE end-to-end: a CTE + window query through
+    * `spark.sql` over a registered view (every other registered query
+    * declares its plan via the DataFrame API; a user of this engine
+    * also gets the parser/analyzer path, and this proves it against
+    * the same oracle discipline). Same Catalyst plan either way —
+    * SQL text and DataFrame calls meet in the same logical plan. */
+  def q24SqlCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir, Seq("orders"))
+    s.sql(
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
   def q23LeftJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bigOrders = Tables(s, dir, "orders")
