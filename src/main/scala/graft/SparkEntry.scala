@@ -45,6 +45,7 @@ object SparkEntry {
     "q22_range_join_binned" -> (Relational.q22RangeJoinBinned _),
     "q23_left_join" -> (Relational.q23LeftJoin _),
     "q24_sql_cte" -> (Relational.q24SqlCte _),
+    "q25_full_outer" -> (Relational.q25FullOuter _),
     "f01_struct_splat" -> (Flatten.f01StructSplat _),
     "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
     "f03_explode_nested_parent" -> (Flatten.f03ExplodeNestedParent _),
@@ -268,6 +269,18 @@ object SparkEntry {
         |       ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_mktsegment
         |ORDER BY c_custkey""".stripMargin,
+
+    "q25_full_outer" ->
+      """SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+        |  coalesce(n_suppliers, 0) AS n_suppliers,
+        |  coalesce(n_customers, 0) AS n_customers
+        |FROM (SELECT s_nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY s_nationkey) s
+        |FULL OUTER JOIN
+        |     (SELECT c_nationkey, count(*) AS n_customers
+        |      FROM customer GROUP BY c_nationkey) c
+        |  ON s_nationkey = c_nationkey
+        |ORDER BY nationkey""".stripMargin,
 
     "q24_sql_cte" ->
       """WITH ranked AS (

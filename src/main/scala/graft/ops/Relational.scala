@@ -413,6 +413,26 @@ object Relational {
     * WHERE on the right side of a left join would wrongly drop the
     * null-extended rows — pushed as a join-input filter instead), then
     * one shuffle per side on c_custkey. */
+  /** q25 — FULL OUTER join of two aggregates: per-nation supplier
+    * count vs customer count, each side surviving when the other has
+    * no row (coalesced key + zero-filled counts — the standard
+    * reconciliation-report shape). Both inputs pre-aggregate BEFORE
+    * the join, so the join sees one row per key per side: at 100 TB
+    * the shuffle carries two tiny keyed aggregates, never the base
+    * tables. */
+  def q25FullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sups = Tables(s, dir, "supplier")
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+    val custs = Tables(s, dir, "customer")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+    sups.join(custs, $"s_nationkey" === $"c_nationkey", "full_outer")
+      .select(coalesce($"s_nationkey", $"c_nationkey").as("nationkey"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"))
+      .orderBy($"nationkey")
+  }
+
   /** q24 — the SQL SURFACE end-to-end: a CTE + window query through
     * `spark.sql` over a registered view (every other registered query
     * declares its plan via the DataFrame API; a user of this engine
