@@ -15,6 +15,11 @@ run / fork := true
 // prefix) — the driver parses Bench's one-line JSON from stdout, and
 // sbt's default LoggedOutput strategy would wrap it.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line: the driver
+// locates Bench's JSON within the LAST 2000 chars of stdout, and that
+// ~75-char epilogue ate into the window (BENCH_r03 failed to parse
+// because the 68-query line no longer fit behind it).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

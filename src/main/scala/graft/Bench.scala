@@ -124,15 +124,22 @@ object Bench {
         }
       }
     val (results, errors) = run(spark, sfDir, selected)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outPath), json + "\n")
-    println(json)
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    // File artifact keeps full double precision; the stdout line is
+    // parsed by the driver out of the LAST 2000 chars of captured
+    // output, so it must stay short: 2-decimal values (Locale.ROOT —
+    // the f-interpolator is locale-sensitive) keep the 68-query line
+    // at ~1.7k chars. BenchFormatSpec guards the budget as queries
+    // grow.
+    Files.writeString(Paths.get(outPath), line(_.toString) + "\n")
+    println(line(v => String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))))
     spark.stop()
     // A benchmark with any broken query must not look green.
     if (errors.nonEmpty) sys.exit(1)

@@ -651,7 +651,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "t11_sequence_pack" ->
-      """SELECT doc_id, shard, n_tokens, cum // 512 AS bin FROM (
+      """SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS bin FROM (
         |  SELECT doc_id, doc_id % 32 AS shard, len(toks) AS n_tokens,
         |    coalesce(sum(len(toks)) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum

@@ -44,6 +44,16 @@ def main(sf_dir, out_dir):
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_bad += 1; continue
         import pandas as pd
+        # Driver's hash compare distinguishes 0 from 0.0 — a DuckDB
+        # HUGEINT (e.g. sum(BIGINT)) fetches as float64 and hash-fails
+        # against a Spark long even when numerically equal. Flag kind
+        # mismatches (int vs float) as failures here too.
+        kind_bad = [c for c in got.columns
+                    if {got[c].dtype.kind, exp[c].dtype.kind} == {"i", "f"}]
+        if kind_bad:
+            print(f"FAIL {name}: int-vs-float dtype mismatch on {kind_bad} "
+                  f"(cast the oracle column to BIGINT)")
+            n_bad += 1; continue
         try:
             pd.testing.assert_frame_equal(
                 got.reset_index(drop=True), exp.reset_index(drop=True),
