@@ -20,6 +20,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ~75-char epilogue ate into the window (BENCH_r03 failed to parse
 // because the 68-query line no longer fit behind it).
 ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another task —
+// exclude it from the unused-key lint (which would warn every build).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -72,6 +72,7 @@ object SparkEntry {
     "d05_embedding_dedup" -> (Similarity.d05EmbeddingDedup _),
     "s01_cosine_topk" -> (Similarity.s01CosineTopK _),
     "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
+    "s03_centroids" -> (Similarity.s03Centroids _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -84,6 +85,8 @@ object SparkEntry {
     "t10_repetition" -> (TextAnalysis.t10RepetitionRatio _),
     "t11_sequence_pack" -> (TextAnalysis.t11SequencePack _),
     "t12_quality_filter" -> (TextAnalysis.t12QualityFilter _),
+    "t13_stratified" -> (TextAnalysis.t13Stratified _),
+    "t14_bm25" -> (TextAnalysis.t14Bm25 _),
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
@@ -577,6 +580,48 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s03_centroids" ->
+      """SELECT label, i AS dim, round(avg(embedding[i+1]), 4) AS c, count(*) AS n
+        |FROM embeddings, range(0, 64) t(i)
+        |GROUP BY label, i
+        |ORDER BY label, dim""".stripMargin,
+
+    "t13_stratified" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    "t14_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |tf AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(ts, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(ts, x -> x = 'window')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(ts, x -> x = 'batch')) AS DOUBLE) AS tf2
+        |  FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM tf)
+        |SELECT doc_id, score FROM (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * (1.2 + 1.0)
+        |        / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0)
+        |        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0)
+        |        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM tf, stats
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |  ORDER BY score DESC, doc_id LIMIT 50) q
+        |ORDER BY doc_id""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

@@ -185,4 +185,25 @@ object Similarity {
        |ORDER BY cos DESC, id_a, id_b
        |LIMIT 20""".stripMargin
   }
+
+  /** s03 — per-label centroids: the distributed vector-mean that
+    * trains an IVF/k-means index (one assignment pass + this agg per
+    * Lloyd iteration — s02 PROBES such centroids; this is the op that
+    * PRODUCES them). Long layout: posexplode to (label, dim, value)
+    * and hash-aggregate elementwise means — partial aggregation
+    * combines map-side, so the shuffle carries at most
+    * |labels| x dim x partials, never vectors, and no executor needs a
+    * whole label's vectors resident (a groupBy(label) + array-fold
+    * spelling would). Output is one row per (label, dim) — 640 here —
+    * rounded to 4 (float sums accumulate in double in both engines;
+    * summation order differs, agreement at 4 decimals is ~1e-12 slack). */
+  def s03Centroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(round(avg($"v"), 4).as("c"), count(lit(1)).as("n"))
+      .select($"label", $"dim".cast("long").as("dim"), $"c", $"n")
+      .orderBy($"label", $"dim")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TextDedup.tokens
@@ -320,6 +321,73 @@ object TextAnalysis {
         when(total === 0, 0.0)
           .otherwise(round(lit(1.0) - distinctG.cast("double") / total, 4))
           .as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** t13 — stratified (per-language) deterministic sampling: the quota
+    * step of corpus balancing — keep the QUOTA "first" docs per lang
+    * where "first" is an md5 order on a salted doc id, so the sample is
+    * reproducible, uncorrelated with ingestion order, and independent
+    * of t08's train/val/test hash (different salt = independent hash).
+    *
+    * Scale shape: one shuffle partitioned by lang, ranking via
+    * row_number — and Catalyst inserts WindowGroupLimit on BOTH sides
+    * of the exchange (asserted in TextAnalysisSpec), so every map task
+    * pre-truncates to the quota per lang before shuffling: the
+    * exchange carries at most |langs| x quota x tasks rows, never the
+    * corpus, which is exactly the pre-filter a hand-rolled quota
+    * sampler would need at 100 TB. Group skew is therefore bounded by
+    * quota, not group size. */
+  def t13Stratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quota = 20
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("strat:"), $"doc_id".cast("string"))))
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= quota)
+      .orderBy($"doc_id")
+  }
+
+  /** t14 — BM25 relevance scoring (k1=1.2, b=0.75) of the corpus
+    * against a fixed term set, top-50 by score: the retrieval kernel
+    * behind contamination-by-retrieval checks and data curation by
+    * query relevance.
+    *
+    * Two passes over the token projection — pass 1 aggregates the
+    * corpus stats BM25 needs (N, avgdl, per-term document frequency)
+    * into ONE row that broadcasts; pass 2 scores each doc against the
+    * broadcast stats and TakeOrdered's the top-k. No collect(): the
+    * stats row stays a DataFrame in the same plan (the q14 scalar-
+    * subquery shape). At 100 TB the stats pass is a cheap columnar
+    * aggregate and the score pass streams once; the only global
+    * operator is top-k, which is per-partition-heap + driver merge,
+    * not a sort. Scores round to 4 before ranking; doc_id breaks
+    * rank-boundary ties so the top-50 SET is engine-independent. */
+  def t14Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "window", "batch")
+    val k1 = 1.2; val b = 0.75
+    val tf = Tables.spread(Tables(s, dir, "documents"))
+      .select($"doc_id" +: size(tokens($"text")).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(tokens($"text"), x => x === t)).cast("double").as(s"tf$i")
+        }: _*)
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      avg($"dl").as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = broadcast(tf.agg(aggs.head, aggs.tail: _*))
+    val score = terms.indices.map { i =>
+      val idf = log(($"n" - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      idf * col(s"tf$i") * (k1 + 1.0) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0) - b + lit(b) * $"dl" / $"avgdl"))
+    }.reduce(_ + _)
+    tf.crossJoin(stats)
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select($"doc_id", round(score, 4).as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(50)
       .orderBy($"doc_id")
   }
 }

@@ -196,6 +196,25 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(recall >= 0.2, s"IVF recall $recall") // 2/16 buckets probed, random vectors
   }
 
+  test("s03: centroids are exact elementwise means, partial-aggregated before the shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s03").toString
+    Seq(
+      (0L, Array(1.0f, 2.0f), 0), (1L, Array(3.0f, 6.0f), 0),
+      (2L, Array(10.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Similarity.s03Centroids(spark, dir)
+    val got = df.as[(Int, Long, Double, Long)].collect().toSeq
+    assert(got == Seq((0, 0L, 2.0, 2L), (0, 1L, 4.0, 2L),
+      (1, 0L, 10.0, 1L), (1, 1L, 0.0, 1L)), s"got $got")
+    // the shuffle must carry per-(label,dim) partials, not vectors:
+    // partial HashAggregate sits below the exchange
+    val plan = df.queryExecution.executedPlan.toString
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && plan.indexOf("HashAggregate", aggIdx + 1) >= 0,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
   test("exact dedup keeps lowest doc_id per normalized text") {
     val dd = Seq((10L, "Hello  World "), (11L, "hello world"), (12L, "other"))
       .toDF("doc_id", "text")

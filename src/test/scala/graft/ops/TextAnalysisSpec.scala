@@ -89,4 +89,71 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"AQE should broadcast the tiny benchmark gram set:\n$plan")
   }
+
+  /** documents dir with controlled languages (docsDir pins lang=en). */
+  private def langDocsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ta").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t13: per-lang quota respected, sample deterministic, independent of t08's split hash") {
+    val rows = (0L until 60L).map(i =>
+      (i, s"doc number $i", if (i % 3 == 0) "en" else "de"))
+    val dir = langDocsDir(rows)
+    val got = TextAnalysis.t13Stratified(spark, dir)
+      .as[(Long, String, Long)].collect()
+    // quota is 20 per lang: en has 20 members (all kept), de has 40 (20 kept)
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 20, "de" -> 20), s"got $byLang")
+    assert(got.forall(_._3 <= 20))
+    // deterministic: same input -> same sample
+    val again = TextAnalysis.t13Stratified(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // the salt decorrelates from t08's md5(doc_id) split: the de sample
+    // must not simply be the 20 smallest md5(doc_id) values
+    val deIds = rows.filter(_._3 == "de").map(_._1)
+    val t08Order = deIds.sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString).take(20).toSet
+    val deSample = got.filter(_._2 == "de").map(_._1).toSet
+    assert(deSample != t08Order,
+      "stratified sample must use a different hash order than the split bucket")
+  }
+
+  test("t13 plan: WindowGroupLimit prunes to the quota on both sides of the exchange") {
+    val dir = langDocsDir((0L until 50L).map(i => (i, "x", "en")))
+    val plan = TextAnalysis.t13Stratified(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected map- and reduce-side WindowGroupLimit:\n$plan")
+  }
+
+  test("t14: BM25 ranks by term frequency and penalizes document length") {
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> "spark spark spark window batch and some other words here",
+      2L -> "spark appears once in this doc of comparable length overall",
+      3L -> s"spark appears once but this document is much longer $filler",
+      4L -> "no query terms at all in this one just noise words"))
+    val got = TextAnalysis.t14Bm25(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    assert(!got.contains(4L), "doc without any query term must not score")
+    assert(got(1L) > got(2L), "higher tf must outrank")
+    assert(got(2L) > got(3L), "same tf, shorter doc must outrank (length norm)")
+  }
+
+  test("t14 plan: stats broadcast, top-k via TakeOrderedAndProject (no global sort)") {
+    val dir = docsDir(Seq(1L -> "spark window batch", 2L -> "spark only here"))
+    val plan = TextAnalysis.t14Bm25(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the one-row stats side must broadcast:\n$plan")
+  }
 }
