@@ -28,6 +28,29 @@ object Bench {
     (results, errors.toMap)
   }
 
+  /** The trimmed stdout JSON line (the file artifact keeps full
+    * precision — see main). Exposed so BenchFormatSpec budgets the
+    * worst case against the REAL builder, not a reimplementation. */
+  private[graft] def stdoutLine(results: Seq[(String, Double)],
+      errors: Map[String, String], sfDir: String): String = {
+    def f1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f1(v) }
+      .mkString("{", ",", "}")
+    val errPart =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString(""","errors":{""", ",", "}")
+    val sf = new java.io.File(sfDir).getName
+    s"""{"metric":"total","value":${f1(results.map(_._2).sum)},"unit":"sec","queries":$qs$errPart,"sf":"$sf"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -132,14 +155,15 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     }
-    // File artifact keeps full double precision; the stdout line is
-    // parsed by the driver out of the LAST 2000 chars of captured
-    // output, so it must stay short: 2-decimal values (Locale.ROOT —
-    // the f-interpolator is locale-sensitive) keep the 68-query line
-    // at ~1.7k chars. BenchFormatSpec guards the budget as queries
-    // grow.
+    // File artifact keeps full double precision, full sfDir, and the
+    // errors map; the stdout line is parsed by the driver out of the
+    // LAST 2000 chars of captured output (BENCH_r03 measured the window
+    // at exactly 2000), so it is trimmed: 1-decimal values (Locale.ROOT
+    // — the f-interpolator is locale-sensitive), errors omitted when
+    // empty, sfDir shortened to its basename. BenchFormatSpec guards
+    // the worst-case budget through this same builder as queries grow.
     Files.writeString(Paths.get(outPath), line(_.toString) + "\n")
-    println(line(v => String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))))
+    println(Bench.stdoutLine(results, errors, sfDir))
     spark.stop()
     // A benchmark with any broken query must not look green.
     if (errors.nonEmpty) sys.exit(1)

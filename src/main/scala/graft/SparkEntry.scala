@@ -46,6 +46,13 @@ object SparkEntry {
     "q23_left_join" -> (Relational.q23LeftJoin _),
     "q24_sql_cte" -> (Relational.q24SqlCte _),
     "q25_full_outer" -> (Relational.q25FullOuter _),
+    "q26_salted" -> (Relational.q26SaltedAgg _),
+    "q27_lateral" -> (Relational.q27Lateral _),
+    "d09_chunks" -> (TextDedup.d09ChunkDedup _),
+    "d10_fuzzy" -> (Relational.d10FuzzyJoin _),
+    "t15_pii" -> (TextAnalysis.t15Pii _),
+    "s04_radius" -> (Similarity.s04Radius _),
+    "st04_sliding" -> (graft.streaming.Streams.st04SlidingWindows _),
     "f01_struct_splat" -> (Flatten.f01StructSplat _),
     "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
     "f03_explode_nested_parent" -> (Flatten.f03ExplodeNestedParent _),
@@ -487,6 +494,97 @@ object SparkEntry {
         |             / len(list_distinct(list_concat(a.cg, b.cg))) END, 4) AS jaccard_char3
         |FROM feat a JOIN feat b ON a.doc_id + 1 = b.doc_id
         |ORDER BY id_a""".stripMargin,
+
+    "q26_salted" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows, round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q27_lateral" ->
+      """SELECT n_name, t.s_name, t.s_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier s
+        |  WHERE s.s_nationkey = nation.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
+
+    // The Spark side windows over xxhash64(chunk) (the chunk string
+    // never shuffles); the oracle partitions by the chunk itself —
+    // identical up to a 2^-64-per-pair hash collision (t07's note).
+    "d09_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |      FROM documents WHERE text IS NOT NULL),
+        |ch0 AS (SELECT doc_id, ts,
+        |          unnest(range(0, greatest(CAST(ceil(len(ts)/20.0) AS BIGINT), 1)))
+        |            AS chunk_idx
+        |        FROM toks),
+        |ch AS (SELECT doc_id, chunk_idx,
+        |         array_to_string(list_slice(ts, chunk_idx*20+1, chunk_idx*20+20), ' ')
+        |           AS chunk
+        |       FROM ch0),
+        |r AS (SELECT doc_id, chunk_idx,
+        |        row_number() OVER (PARTITION BY chunk
+        |                           ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(min(CASE WHEN rn > 1 THEN chunk_idx END), -1) AS first_dup_idx
+        |FROM r GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "d10_fuzzy" ->
+      """SELECT c_custkey, s_suppkey,
+        |  CAST(levenshtein(substr(c_name, 10, 9), substr(s_name, 10, 9)) AS BIGINT)
+        |    AS dist
+        |FROM customer JOIN supplier
+        |  ON substr(c_name, 10, 7) = substr(s_name, 10, 7)
+        |WHERE levenshtein(substr(c_name, 10, 9), substr(s_name, 10, 9)) <= 1
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "t15_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' contact user' || doc_id || '@mail.example.com now'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |                 || ' today'
+        |            ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    AS n_emails,
+        |  len(regexp_extract_all(txt, '555-[0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(txt,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    "s04_radius" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT query_id, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos
+        |FROM q, e
+        |WHERE vec_id <> query_id AND list_cosine_similarity(qv, v) >= 0.2
+        |ORDER BY query_id, vec_id""".stripMargin,
+
+    "st04_sliding" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b,
+        |             event_type, value
+        |           FROM events),
+        |x AS (SELECT b AS ws, event_type, value FROM w
+        |      UNION ALL
+        |      SELECT b - INTERVAL '5 minutes', event_type, value FROM w)
+        |SELECT epoch_us(ws) AS window_start_us, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM x
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin,
 
     "t01_langid" ->
       """SELECT doc_id, lang,

@@ -452,6 +452,84 @@ object Relational {
         |ORDER BY o_custkey""".stripMargin)
   }
 
+  /** d10 — blocked fuzzy match (record linkage, the entity-resolution
+    * member of the dedup family): customer names against supplier names
+    * with edit distance <= 1 on the 9-digit name suffix. The operator
+    * contract IS "block + verify": candidates come from an equi-join on
+    * a blocking key (here the first 7 suffix digits — differences must
+    * be confined to the last two), then the expensive `levenshtein`
+    * runs on candidates only. A naive fuzzy join is O(n*m) distance
+    * computations; blocking makes it O(sum of block products), the only
+    * shape that survives 100 TB. The oracle applies the identical
+    * block+verify contract, so results match exactly — blocking
+    * recall loss is a property of the CONTRACT, not an engine
+    * divergence. Supplier side broadcasts (dimension-sized); the
+    * customer side streams with no shuffle at all. */
+  def d10FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey", substring($"c_name", 10, 9).as("cnum"))
+    val supp = Tables(s, dir, "supplier")
+      .select($"s_suppkey", substring($"s_name", 10, 9).as("snum"))
+    cust.join(broadcast(supp), substring($"cnum", 1, 7) === substring($"snum", 1, 7))
+      .select($"c_custkey", $"s_suppkey",
+        levenshtein($"cnum", $"snum").cast("long").as("dist"))
+      .filter($"dist" <= 1)
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+
+  /** q26 — salted two-phase aggregation, driver-visible: the
+    * [[Skew.saltedAgg]] hot-key mitigation registered as a harness
+    * query so its correctness contract (identical to the plain
+    * groupBy) is oracle-checked, not just unit-tested. The plan
+    * aggregates on (l_suppkey, salt) first — a hot supplier spreads
+    * over 8 partial groups — then merges per key; SaltedAvg decomposes
+    * to (sum, count) so the merge is exact. The oracle is the PLAIN
+    * GROUP BY: equality is the whole point.
+    *
+    * Aggregates run over `l_quantity` — integer-valued doubles whose
+    * sums are EXACT (well under 2^53), so the salted reordering is
+    * bit-identical to any other order and the avg (exact sum / exact
+    * count) divides to the same double in both engines. A price
+    * column would NOT be safe here: summing arbitrary doubles in a
+    * different order drifts ~1e-11 relative, and with 1000 output
+    * groups some round(x, 2) lands within that drift of a .005
+    * boundary — measured at sf0.1 (1 of 1000 groups flipped a cent).
+    * Float-summation determinism under REORDERING is exactly what a
+    * salted aggregate changes, so its oracle-checked demo must
+    * aggregate values where reordering is lossless. */
+  def q26SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Skew.saltedAgg(
+        Tables(s, dir, "lineitem").select($"l_suppkey", $"l_quantity"),
+        key = "l_suppkey", n = 8,
+        specs = Seq(Skew.SaltedSum("l_quantity", "sum_qty"),
+          Skew.SaltedCount("n_rows"),
+          Skew.SaltedAvg("l_quantity", "avg_qty")))
+      .select($"l_suppkey", round($"sum_qty", 2).as("sum_qty"),
+        $"n_rows", round($"avg_qty", 4).as("avg_qty"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** q27 — correlated LATERAL subquery through the SQL parser: top-2
+    * suppliers per nation, spelled as `FROM nation, LATERAL (...ORDER
+    * BY...LIMIT 2)`. Catalyst decorrelates the lateral limit into the
+    * same window/rank shape q11 writes by hand — asserted in
+    * RelationalSpec: the point of the parser surface is that a
+    * user's LATERAL spelling lands on the scalable plan, not a
+    * per-row re-execution (which is what the reference's eager loops
+    * would do). */
+  def q27Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir, Seq("nation", "supplier"))
+    s.sql(
+      """SELECT n_name, t.s_name, t.s_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier s
+        |  WHERE s.s_nationkey = nation.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+  }
+
   def q23LeftJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bigOrders = Tables(s, dir, "orders")

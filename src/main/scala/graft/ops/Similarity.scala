@@ -186,6 +186,30 @@ object Similarity {
        |LIMIT 20""".stripMargin
   }
 
+  /** s04 — radius (range) similarity search: every corpus vector within
+    * cosine >= 0.2 of each query, not a fixed k — the "find everything
+    * this similar" primitive behind near-dup candidate generation and
+    * retrieval-with-threshold (s01 answers "the closest k"; this
+    * answers "all within tau"). Same scale shape as s01: queries
+    * broadcast, the corpus streams exactly once through the fused
+    * codegen'd kernel, and — unlike top-k — there is NO window at all:
+    * the threshold filters inside the scan stage, so the only ordering
+    * work is the output sort. At 100 TB with a low tau the result set
+    * itself is the cost; tau tunes it (0.2 on this random corpus ~286
+    * rows at sf0.01). The filter compares the UNROUNDED cosine — both
+    * engines compute it bit-for-bit (see the s01 oracle note), so the
+    * boundary is exact. */
+  def s04Radius(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    emb.crossJoin(queriesOf(emb))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
+      .filter($"cos" >= 0.2)
+      .select($"query_id", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"vec_id")
+  }
+
   /** s03 — per-label centroids: the distributed vector-mean that
     * trains an IVF/k-means index (one assignment pass + this agg per
     * Lloyd iteration — s02 PROBES such centroids; this is the op that

@@ -390,4 +390,42 @@ object TextAnalysis {
       .orderBy($"score".desc, $"doc_id").limit(50)
       .orderBy($"doc_id")
   }
+
+  /** t15 — PII redaction (the scrubbing pass a training pipeline runs
+    * before anything else sees the text): count and mask email
+    * addresses and phone-shaped numbers. The synthetic corpus contains
+    * no PII, so a deterministic doc_id-derived email/phone is planted
+    * in-query on a doc slice first (the established pattern of
+    * building input from testdata inside the query, as the f-queries
+    * build nested structs) — the redaction operator itself is general.
+    *
+    * Patterns use only constructs Java regex (Spark) and RE2 (DuckDB
+    * oracle) interpret identically — character classes, bounded
+    * repetition, no backrefs/lookaround (the t06 discipline). Spark's
+    * `regexp_replace` replaces every occurrence; the oracle mirrors
+    * with the 'g' flag. One narrow pass, no shuffle beyond the output
+    * sort; at 100 TB this is a pure map stage that fuses into
+    * whatever scan feeds it. */
+  def t15Pii(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "555-[0-9]{4}"
+    val planted = concat($"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com now"))).otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" today"))).otherwise(lit("")))
+    Tables(s, dir, "documents")
+      .select($"doc_id", planted.as("txt"))
+      .select($"doc_id",
+        size(regexp_extract_all($"txt", lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all($"txt", lit(phonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(regexp_replace($"txt", emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").as("redacted"))
+      .orderBy($"doc_id")
+  }
 }

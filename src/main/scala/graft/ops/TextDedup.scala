@@ -433,4 +433,45 @@ object TextDedup {
         round(jac(col("a.cg"), col("b.cg")), 4).as("jaccard_char3"))
       .orderBy(col("id_a"))
   }
+
+  /** d09 — chunk-level (paragraph-style) dedup: the C4/CCNet sub-document
+    * pass — exact dedup at line/paragraph granularity across the whole
+    * corpus, keeping each repeated span's FIRST occurrence (by
+    * (doc_id, chunk_idx)) and reporting per-doc how much survives. The
+    * corpus has no newlines, so "paragraph" is a fixed 20-token chunk;
+    * the operator is granularity-agnostic (swap the chunker for a
+    * split on '\n' and nothing else changes).
+    *
+    * Scale shape: the chunk STRING never shuffles — chunks fold to
+    * `xxhash64` longs in the projection before the first-occurrence
+    * window (the t07 discipline), so both the window exchange and the
+    * per-doc aggregation carry (8-byte hash, doc_id, chunk_idx). The
+    * keep-decision is a window over the hash: one shuffle, map-side
+    * pre-aggregation on the second. The oracle partitions by the chunk
+    * string itself — identical up to an xxhash64 collision (2^-64 per
+    * chunk pair). Chunking binds the token array once via the 1-element
+    * transform wrapper (bind-once rule — slicing references it per
+    * chunk). */
+  def d09ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunkLen = 20
+    val chunks = element_at(transform(array(tokens(col("text"))), tsv =>
+      transform(
+        sequence(lit(0),
+          greatest(ceil(size(tsv).cast("double") / chunkLen).cast("int") - 1, lit(0))),
+        i => concat_ws(" ", slice(tsv, i * chunkLen + 1, lit(chunkLen))))), 1)
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_idx"))
+    Tables.spread(Tables(s, dir, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        xxhash64(col("chunk")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(min(when(col("rn") > 1, col("chunk_idx"))), lit(-1L))
+          .as("first_dup_idx"))
+      .orderBy(col("doc_id"))
+  }
 }

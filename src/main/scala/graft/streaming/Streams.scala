@@ -117,6 +117,24 @@ object Streams {
       .orderBy($"window_start_us", $"event_type")
   }
 
+  /** st04 — sliding event-time windows (10-minute length, 5-minute
+    * slide) in batch mode: each event lands in exactly two windows —
+    * the ones starting at floor5(ts) and floor5(ts) - 5min — which is
+    * precisely the duplication the oracle spells with a two-branch
+    * UNION ALL. In streaming, `window(ts, len, slide)` expands the same
+    * way and the watermark retires a window once it passes start + len;
+    * state is bounded by (len/slide) x live keys. Window starts emit as
+    * epoch micros like st01 (timestamp-representation-proof). */
+  def st04SlidingWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select(unix_micros($"window.start").as("window_start_us"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_start_us", $"event_type")
+  }
+
   /** st02 — session windows (10-minute gap) per user in batch mode.
     * Oracle: the classic gaps-and-islands SQL. */
   def st02SessionWindows(s: SparkSession, dir: String): DataFrame = {

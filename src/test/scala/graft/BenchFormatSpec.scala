@@ -14,17 +14,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchFormatSpec extends AnyFunSuite {
 
   test("worst-case bench stdout line fits the driver's 2000-char tail window") {
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case realistic value rendering under %.2f: "999.99" (a
-    // 1000s single query would mean a far bigger problem than parsing)
-    val entry = names.map(n => s""""$n":999.99""").mkString(",")
-    val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entry},"errors":{},"sf":"/root/testdata/sf0.1"}"""
-    // 100-char margin for stray trailing output (sbt showSuccess is
-    // disabled, but keep headroom for e.g. a final WARN line)
-    assert(line.length <= 1900,
-      s"bench stdout line worst-case ${line.length} chars > 1900: " +
-        "shorten per-query keys or drop to 1-decimal values")
+    // worst-case realistic value rendering under %.1f: "999.9" (a
+    // 1000s single query would mean a far bigger problem than parsing);
+    // built through Bench's REAL stdout builder so format drift can't
+    // silently invalidate the budget
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.94)
+    val line = Bench.stdoutLine(results, Map.empty, "/root/testdata/sf0.1")
+    // BENCH_r03 measured the tail window at exactly 2000 chars; keep a
+    // 50-char margin for the trailing newline and stray output (sbt
+    // showSuccess is disabled)
+    assert(line.length <= 1950,
+      s"bench stdout line worst-case ${line.length} chars > 1950: " +
+        "shorten per-query keys or trim the stdout format further")
   }
 
   test("%.2f with Locale.ROOT renders a decimal point regardless of JVM locale") {

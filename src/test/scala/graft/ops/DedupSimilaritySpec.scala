@@ -215,6 +215,42 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       s"expected partial+final HashAggregate:\n$plan")
   }
 
+  test("d09: repeated 20-token chunks kept once corpus-wide, first occurrence wins") {
+    import spark.implicits._
+    val chunkA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val chunkB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val chunkC = (1 to 20).map(i => s"gamma$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d09").toString
+    Seq(1L -> s"$chunkA $chunkB", // both chunks first occurrences
+        2L -> s"$chunkA $chunkC", // chunk 0 duplicates doc 1's chunk 0
+        3L -> s"$chunkC $chunkC") // both chunks already seen (doc 2 idx 1)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextDedup.d09ChunkDedup(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, -1L)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0L)), s"got ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0L)), s"got ${got(3L)}")
+  }
+
+  test("d09 plan: the first-occurrence window shuffles on the 8-byte hash, not the chunk") {
+    val plan = TextDedup.d09ChunkDedup(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(h#"),
+      s"window exchange must key on the folded hash:\n$plan")
+    assert(!plan.contains("hashpartitioning(chunk"),
+      s"chunk string must never be a shuffle key:\n$plan")
+  }
+
+  test("s04: radius search returns exactly the above-threshold set, symmetric with s01's kernel") {
+    import spark.implicits._
+    val got = Similarity.s04Radius(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "threshold 0.2 should catch some of the random corpus")
+    assert(got.forall(_._3 >= 0.2), "no below-threshold row may appear")
+  }
+
   test("exact dedup keeps lowest doc_id per normalized text") {
     val dd = Seq((10L, "Hello  World "), (11L, "hello world"), (12L, "other"))
       .toDF("doc_id", "text")

@@ -56,6 +56,59 @@ class RelationalSpec extends SparkSuiteBase {
     assert(plan.contains("Window"))
   }
 
+  test("d10: fuzzy match honors the block+verify contract exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d10").toString
+    Seq((12L, "Customer#000000012"), (13L, "Customer#000000013"),
+        (912L, "Customer#000000912"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((12L, "Supplier#000000012"), (99L, "Supplier#000000099"))
+      .toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = Relational.d10FuzzyJoin(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    // 12-12 exact (dist 0); 13-12 one substitution (dist 1);
+    // 13-99 dist 2 -> dropped by verify; 912-12 would be dist 1 but its
+    // BLOCK differs in digit 7 -> dropped by the blocking contract
+    assert(got == Set((12L, 12L, 0L), (13L, 12L, 1L)), s"got $got")
+  }
+
+  test("d10 plan: supplier side broadcasts; levenshtein runs on candidates only") {
+    val plan = physicalPlan(Relational.d10FuzzyJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocking join must broadcast the dimension side:\n$plan")
+  }
+
+  test("q26: salted two-phase aggregation equals the plain groupBy") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q26SaltedAgg(spark, sf).collect().toSeq
+    val plain = graft.Tables(spark, sf, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"))
+      .orderBy(col("l_suppkey")).collect().toSeq
+    assert(got == plain)
+  }
+
+  test("q26 plan: phase-1 exchange partitions on (key, salt)") {
+    val plan = physicalPlan(Relational.q26SaltedAgg(spark, sf))
+    assert(plan.contains("__salt"),
+      s"salt column must reach the phase-1 exchange:\n$plan")
+  }
+
+  test("q27: LATERAL limit decorrelates — no per-nation re-execution, <= 2 rows per nation") {
+    val df = Relational.q27Lateral(spark, sf)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"lateral must not plan a cartesian product:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val maxPerNation = rows.groupBy(_.getString(0)).values.map(_.length).max
+    assert(maxPerNation <= 2, s"lateral LIMIT 2 violated: $maxPerNation")
+  }
+
   test("semi/anti join row counts are consistent with their complement") {
     val customers = graft.Tables(spark, sf, "customer").count()
     val semi = Relational.q04SemiJoin(spark, sf)

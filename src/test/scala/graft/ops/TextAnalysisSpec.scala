@@ -147,6 +147,27 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(2L) > got(3L), "same tf, shorter doc must outrank (length norm)")
   }
 
+  test("t15: planted and pre-existing PII both redact; clean docs pass through verbatim") {
+    val dir = docsDir(Seq(
+      0L -> "plain words here",                       // %3 and %5: email + phone planted
+      1L -> "reach me at bob.smith@x.co for details", // pre-existing email, nothing planted
+      2L -> "no pii in this one",
+      3L -> "another plain doc",                      // %3: email planted
+      5L -> "fifth doc text"))                        // %5: phone planted
+    val got = TextAnalysis.t15Pii(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L)._1 == 1L && got(0L)._2 == 1L)
+    assert(!got(0L)._3.contains("@") && !got(0L)._3.contains("555-"),
+      s"unredacted PII survived: ${got(0L)._3}")
+    assert(got(0L)._3.contains("contact <EMAIL> now") &&
+      got(0L)._3.contains("call <PHONE> today"))
+    assert(got(1L) == ((1L, 0L, "reach me at <EMAIL> for details")))
+    assert(got(2L) == ((0L, 0L, "no pii in this one")))
+    assert(got(3L)._1 == 1L && got(3L)._3.endsWith("contact <EMAIL> now"))
+    assert(got(5L)._2 == 1L && got(5L)._3.endsWith("call <PHONE> today"))
+  }
+
   test("t14 plan: stats broadcast, top-k via TakeOrderedAndProject (no global sort)") {
     val dir = docsDir(Seq(1L -> "spark window batch", 2L -> "spark only here"))
     val plan = TextAnalysis.t14Bm25(spark, dir)

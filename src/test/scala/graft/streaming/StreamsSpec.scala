@@ -159,4 +159,16 @@ class StreamsSpec extends SparkSuiteBase {
     assert(archived >= 2, s"expected first batch archived, got $archived")
     assert(spark.read.parquet(out.toString).count() == 3)
   }
+
+  test("st04: every event lands in exactly two sliding windows, starts 5-min aligned") {
+    val sf = "/root/testdata/sf0.001"
+    val df = Streams.st04SlidingWindows(spark, sf)
+    val total = df.agg(sum($"n_events")).head().getLong(0)
+    val nEvents = graft.Tables(spark, sf, "events").count()
+    assert(total == 2 * nEvents,
+      s"10min/5min slide must duplicate each event twice: $total vs ${2 * nEvents}")
+    val fiveMinUs = 5L * 60 * 1000 * 1000
+    val misaligned = df.filter(pmod($"window_start_us", lit(fiveMinUs)) =!= 0).count()
+    assert(misaligned == 0, "window starts must sit on the 5-minute grid")
+  }
 }
