@@ -51,7 +51,9 @@ object SparkEntry {
     "d09_chunks" -> (TextDedup.d09ChunkDedup _),
     "d10_fuzzy" -> (Relational.d10FuzzyJoin _),
     "t15_pii" -> (TextAnalysis.t15Pii _),
+    "t16_nll" -> (TextAnalysis.t16UnigramNll _),
     "s04_radius" -> (Similarity.s04Radius _),
+    "d11_semdedup" -> (Similarity.d11SemanticDedup _),
     "st04_sliding" -> (graft.streaming.Streams.st04SlidingWindows _),
     "f01_struct_splat" -> (Flatten.f01StructSplat _),
     "f02_explode_roundtrip" -> (Flatten.f02ExplodeRoundtrip _),
@@ -563,6 +565,55 @@ object SparkEntry {
         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the Spark pipeline stage-for-stage: double centroids
+    // FLOAT-round-tripped (the Spark side casts to array<float> for the
+    // fused kernel; double->float rounding is IEEE-identical in both
+    // engines), assignment ties to the larger label, closure via the
+    // d08 recursive-CTE shape.
+    "d11_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT label, i AS dim, avg(embedding[i+1]) AS c
+        |         FROM embeddings, range(0, 64) t(i) GROUP BY label, i),
+        |cvec AS (SELECT label, list_transform(list(c ORDER BY dim),
+        |           x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+        |         FROM cent GROUP BY label),
+        |asg AS (SELECT vec_id, v, cluster FROM (
+        |  SELECT e.vec_id, e.v, c.label AS cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.label DESC) AS rn
+        |  FROM e, cvec c) t WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b
+        |      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |ed AS (SELECT id_a AS a, id_b AS b FROM p
+        |       UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM ed
+        |  UNION
+        |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+        |roots AS (SELECT a AS vec_id, min(b) AS kept_id FROM reach GROUP BY a)
+        |SELECT vec_id, kept_id FROM roots
+        |WHERE kept_id < vec_id
+        |ORDER BY vec_id""".stripMargin,
+
+    "t16_nll" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |         round(avg(-ln(c / n)), 4) AS nll
+        |       FROM toks JOIN v USING (token), n
+        |       GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, nll,
+        |  CASE WHEN nll <= 3.40 THEN 'head'
+        |       WHEN nll <= 3.45 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc
         |ORDER BY doc_id""".stripMargin,
 
     "s04_radius" ->

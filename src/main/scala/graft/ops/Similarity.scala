@@ -210,6 +210,65 @@ object Similarity {
       .orderBy($"query_id", $"vec_id")
   }
 
+  /** d11 — semantic dedup (SemDeDup, Abbas et al. 2023: cluster the
+    * embedding space, then treat within-cluster cosine >= tau as
+    * semantic duplication and keep one representative per duplicate
+    * group). Pipeline: (1) centroids = per-label elementwise means
+    * (the s03 training aggregate, reassembled to vectors and
+    * float-rounded so the fused `cosine_sim` kernel applies — the
+    * oracle mirrors the FLOAT round-trip exactly); (2) every vector
+    * assigns to its nearest centroid (broadcast argmax, the s02
+    * assignment shape); (3) within-cluster pairs with cosine >= 0.35
+    * form edges; (4) connected components via the same distributed
+    * min-label propagation as d08, non-minimum members report their
+    * kept representative.
+    *
+    * Scale notes: within-cluster pairwise comparison IS the SemDeDup
+    * algorithm — the paper sizes k (number of clusters) so n/k stays
+    * in the tens of thousands, bounding each cluster's pair count;
+    * here k = the 10 label-centroids. The self-join co-partitions both
+    * sides on the cluster key (one shuffle each); the component loop
+    * checkpoints edges once and is EAGER BY DESIGN in this builder
+    * (d08's documented discipline). Assignment ties break to the
+    * larger cluster id via struct-max, mirrored by ORDER BY label DESC
+    * in the oracle. */
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tau = 0.35
+    val emb = Tables(s, dir, "embeddings")
+    val cent = broadcast(
+      emb.select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"label", $"dim").agg(avg($"v").as("c"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
+          x => x.getField("c")).cast("array<float>").as("cv"))
+        .select($"label".as("cluster"), $"cv"))
+    // localCheckpoint (the componentMin edge-list discipline): the
+    // assignment feeds BOTH sides of the pair self-join and then every
+    // component round replans it transitively — materializing the
+    // (vec_id, cluster, vector) table once severs that lineage. It is
+    // corpus-sized but narrow; the builder is already eager by design.
+    val asg = emb.select($"vec_id", $"embedding").crossJoin(cent)
+      .select($"vec_id", $"embedding", $"cluster",
+        cosine($"embedding", $"cv").as("cos"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"cos", $"cluster", $"embedding")).as("best"))
+      .select($"vec_id", $"best.cluster".as("cluster"),
+        $"best.embedding".as("v"))
+      .localCheckpoint(true)
+    val edges = asg.select($"cluster", $"vec_id".as("id_a"), $"v".as("va"))
+      .join(asg.select($"cluster", $"vec_id".as("id_b"), $"v".as("vb")),
+        "cluster")
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", cosine($"va", $"vb").as("cos"))
+      .filter($"cos" >= tau)
+      .select($"id_a", $"id_b")
+    TextDedup.componentMin(edges)
+      .filter($"root" < $"id")
+      .select($"id".as("vec_id"), $"root".as("kept_id"))
+      .orderBy($"vec_id")
+  }
+
   /** s03 — per-label centroids: the distributed vector-mean that
     * trains an IVF/k-means index (one assignment pass + this agg per
     * Lloyd iteration — s02 PROBES such centroids; this is the op that

@@ -391,6 +391,41 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t16 — unigram negative-log-likelihood scoring (the CCNet-style
+    * "perplexity" quality signal, with the corpus's own unigram model
+    * standing in for the external LM): pass 1 aggregates the unigram
+    * frequency table and total token count; pass 2 scores each doc as
+    * the mean -ln(c(w)/N) over its tokens and buckets the corpus into
+    * head/middle/tail. A real pipeline ships a pretrained LM table;
+    * the two-pass join shape is identical.
+    *
+    * Scale shape: the frequency table is the canonical broadcast
+    * dimension (a few million rows of (token, count) even for web
+    * vocabularies — CCNet ships its LM to every worker the same way),
+    * so the token stream joins map-side and aggregates per doc with
+    * map-side combine; the one-row total crossJoins like t14's stats.
+    * Bucketing compares the ROUNDED score in both engines, so the
+    * decision boundary cannot flip on float-summation drift (the q26
+    * lesson: drift here is ~1e-13 on values ~3.4 against a 5e-5
+    * rounding grid — negligible, and identical inputs on both
+    * sides). */
+  def t16UnigramNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.spread(Tables(s, dir, "documents"))
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("c"))
+    val stats = broadcast(vocab.agg(sum($"c").cast("double").as("n")))
+    val nll = round(avg(-log($"c" / $"n")), 4)
+    toks.join(broadcast(vocab), "token").crossJoin(stats)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), nll.as("nll"))
+      .select($"doc_id", $"n_tokens", $"nll",
+        when($"nll" <= 3.40, "head")
+          .when($"nll" <= 3.45, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
   /** t15 — PII redaction (the scrubbing pass a training pipeline runs
     * before anything else sees the text): count and mask email
     * addresses and phone-shaped numbers. The synthetic corpus contains

@@ -274,10 +274,11 @@ object TextDedup {
     * localCheckpoint'ed to sever lineage (the classic iterative-algo
     * discipline — without it round N replans rounds 1..N-1); blocks are
     * freed by the ContextCleaner when unreferenced, so nothing lands in
-    * the cache manager. One round propagates labels one hop, so rounds
-    * needed = eccentricity of each cluster's minimum node; near-dup
-    * clusters are shallow and maxRounds=16 is generous (pathological
-    * million-doc chains belong to exact dedup, which runs first). */
+    * the cache manager. Each round combines one-hop neighbor-min
+    * propagation with pointer jumping (path halving), so rounds needed
+    * grow with log2 of the largest component's diameter — maxRounds=16
+    * covers diameters past 10^4, far beyond any plausible duplicate
+    * cluster (and failure stays loud, see below). */
   def componentMin(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
     // checkpoint the edge list once: it is referenced by every round,
     // and without severing lineage each round would re-run the whole
@@ -296,12 +297,29 @@ object TextDedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("root")).as("nroot"))
+      // pointer jump (path halving): also adopt my current root's root.
+      // Neighbor propagation alone moves the minimum ONE hop per round
+      // — a sparse duplicate graph shaped like a chain (each doc
+      // similar only to its neighbors, the d11 tau=0.35 regime at
+      // sf0.1) needs diameter rounds and blew the 16-round bound.
+      // Jumping halves the remaining distance each round instead:
+      // O(log diameter). Correctness is unchanged — root(root(x)) is
+      // still a member of x's component and updates only ever lower
+      // labels, so the fixpoint argument below is identical.
+      val parents = labels.select(col("id").as("pid"), col("root").as("proot"))
+      // carry the previous root through the checkpoint so convergence
+      // is a local filter over materialized rows, not another join —
+      // one fewer shuffle job per round (the loop's cost is fixed
+      // micro-job overhead, not data volume)
       val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"), least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+        .join(parents, col("root") === col("pid"), "left")
+        .select(col("id"), least(col("root"),
+          coalesce(col("nroot"), col("root")),
+          coalesce(col("proot"), col("root"))).as("root"),
+          col("root").as("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("root", "prev"), "id")
-        .filter(col("root") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("root") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("root"))
       rounds += 1
     }
     // a silently-unconverged result would hand out non-minimal roots —

@@ -3,10 +3,10 @@ package graft
 /** Global plan invariants over EVERY registered query: catches a class
   * of scale regressions (accidental cross joins, driver-side collects)
   * in one sweep instead of per-query assertions. Builds all physical
-  * plans at sf0.001 — planning only, no execution (except d08's
-  * component loop and st03's streaming replay, which materialize
-  * eagerly by design; for those the audited plan is the final
-  * read — their internals are covered by their own specs). */
+  * plans at sf0.001 — planning only, no execution (except the
+  * component loops of d08/d11 and st03's streaming replay, which
+  * materialize eagerly by design; for those the audited plan is the
+  * final read — their internals are covered by their own specs). */
 class PlanAuditSpec extends SparkSuiteBase {
 
   private val sf = "/root/testdata/sf0.001"

@@ -122,7 +122,9 @@ class DedupSimilaritySpec extends SparkSuiteBase {
   }
 
   test("componentMin fails loudly on a chain exceeding the round bound") {
-    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // with path halving a round covers ~2x the distance of the last,
+    // so only a LONG chain with a tiny bound still exceeds it
+    val chain = (1L until 2000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
       TextDedup.componentMin(chain, maxRounds = 3)
     }
@@ -249,6 +251,24 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       .as[(Long, Long, Double)].collect()
     assert(got.nonEmpty, "threshold 0.2 should catch some of the random corpus")
     assert(got.forall(_._3 >= 0.2), "no below-threshold row may appear")
+  }
+
+  test("d11: within-cluster semantic near-dups collapse to the min-id representative") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d11").toString
+    // two planted duplicate pairs in two label groups plus one
+    // orthogonal singleton; cos(v1,v2) ~ 1 and cos(v4,v5) ~ 1, every
+    // cross pair <= ~0.01
+    Seq((1L, Array(1f, 0f, 0f, 0f), 0),
+        (2L, Array(1f, 0.01f, 0f, 0f), 0),
+        (3L, Array(0f, 1f, 0f, 0f), 0),
+        (4L, Array(0f, 0f, 1f, 0f), 1),
+        (5L, Array(0f, 0f, 1f, 0.01f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.d11SemanticDedup(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L), (5L, 4L)), s"got $got")
   }
 
   test("exact dedup keeps lowest doc_id per normalized text") {

@@ -147,6 +147,17 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(2L) > got(3L), "same tf, shorter doc must outrank (length norm)")
   }
 
+  test("t16: rare tokens raise the unigram NLL; values are the exact corpus-model means") {
+    val dir = docsDir(Seq(
+      1L -> "a a a a",      // all common: nll = -ln(7/8)
+      2L -> "a a a rare"))  // one rare token: (3*-ln(7/8) + -ln(1/8)) / 4
+    val got = TextAnalysis.t16UnigramNll(spark, dir)
+      .as[(Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 0.1335, "head")), s"got ${got(1L)}")
+    assert(got(2L) == ((4L, 0.62, "head")), s"got ${got(2L)}")
+  }
+
   test("t15: planted and pre-existing PII both redact; clean docs pass through verbatim") {
     val dir = docsDir(Seq(
       0L -> "plain words here",                       // %3 and %5: email + phone planted
