@@ -171,4 +171,79 @@ object Graft {
       .withColumn("bin", expr(s"__cum div $capacity"))
       .drop("__cum")
   }
+
+  /** PII redaction over `textCol` (t15's oracle-checked binding):
+    * appends `n_emails`, `n_phones`, `redacted`. Patterns restrict to
+    * constructs Java regex and RE2 interpret identically; a pure map
+    * stage — fuses into whatever scan feeds it. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "555-[0-9]{4}"
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailPat), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phonePat), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"))
+  }
+
+  /** Chunk-level (paragraph-style) first-occurrence dedup stats over
+    * fixed `chunkLen`-token chunks (d09's oracle-checked binding; swap
+    * the chunker for a '\n' split for true paragraph dedup). Chunks
+    * fold to xxhash64 before the keep-decision window, so no shuffle
+    * carries text. Returns one row per `idCol`: n_chunks, n_kept,
+    * first_dup_idx (-1 when nothing repeats). Rows with null text are
+    * dropped (no chunks). */
+  def dedupChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int = 20): DataFrame = {
+    val chunks = element_at(transform(array(ops.TextDedup.tokens(col(textCol))),
+      tsv => transform(
+        sequence(lit(0),
+          greatest(ceil(size(tsv).cast("double") / chunkLen).cast("int") - 1, lit(0))),
+        i => concat_ws(" ", slice(tsv, i * chunkLen + 1, lit(chunkLen))))), 1)
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("chunk_idx"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        xxhash64(col("__chunk")).as("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(min(when(col("__rn") > 1, col("chunk_idx"))), lit(-1L))
+          .as("first_dup_idx"))
+  }
+
+  /** Blocked fuzzy match (d10's oracle-checked binding): candidates
+    * from an equi-join on the first `blockLen` chars of each side's
+    * match column, verified by `levenshtein <= maxDist` — the only
+    * fuzzy-join shape that survives scale (never all-pairs). The
+    * smaller `right` side broadcasts. Returns left ++ right columns
+    * plus `dist`. The blocking contract is part of the semantics:
+    * matches differing inside the block prefix are NOT found. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String,
+      blockLen: Int, maxDist: Int): DataFrame =
+    left.join(broadcast(right),
+        substring(col(leftCol), 1, blockLen) ===
+          substring(col(rightCol), 1, blockLen))
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)).cast("long"))
+      .filter(col("dist") <= maxDist)
+
+  /** Unigram negative-log-likelihood scoring (t16's oracle-checked
+    * binding, sans harness bucketing): the corpus's own unigram table
+    * stands in for a shipped LM. Returns one row per `idCol`:
+    * n_tokens, nll (mean -ln p(token), rounded to 4). Docs with no
+    * tokens are dropped. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(ops.TextDedup.tokens(col(textCol))).as("__token"))
+    val vocab = toks.groupBy(col("__token")).agg(count(lit(1)).as("__c"))
+    val stats = broadcast(vocab.agg(sum(col("__c")).cast("double").as("__n")))
+    toks.join(broadcast(vocab), "__token").crossJoin(stats)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("__c") / col("__n"))), 4).as("nll"))
+  }
 }

@@ -467,14 +467,13 @@ object Relational {
     * customer side streams with no shuffle at all. */
   def d10FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cust = Tables(s, dir, "customer")
-      .select($"c_custkey", substring($"c_name", 10, 9).as("cnum"))
-    val supp = Tables(s, dir, "supplier")
-      .select($"s_suppkey", substring($"s_name", 10, 9).as("snum"))
-    cust.join(broadcast(supp), substring($"cnum", 1, 7) === substring($"snum", 1, 7))
-      .select($"c_custkey", $"s_suppkey",
-        levenshtein($"cnum", $"snum").cast("long").as("dist"))
-      .filter($"dist" <= 1)
+    graft.Graft.fuzzyJoin(
+        Tables(s, dir, "customer")
+          .select($"c_custkey", substring($"c_name", 10, 9).as("cnum")),
+        Tables(s, dir, "supplier")
+          .select($"s_suppkey", substring($"s_name", 10, 9).as("snum")),
+        leftCol = "cnum", rightCol = "snum", blockLen = 7, maxDist = 1)
+      .select($"c_custkey", $"s_suppkey", $"dist")
       .orderBy($"c_custkey", $"s_suppkey")
   }
 

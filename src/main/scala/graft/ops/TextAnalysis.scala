@@ -411,14 +411,8 @@ object TextAnalysis {
     * sides). */
   def t16UnigramNll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.spread(Tables(s, dir, "documents"))
-      .select($"doc_id", explode(tokens($"text")).as("token"))
-    val vocab = toks.groupBy($"token").agg(count(lit(1)).as("c"))
-    val stats = broadcast(vocab.agg(sum($"c").cast("double").as("n")))
-    val nll = round(avg(-log($"c" / $"n")), 4)
-    toks.join(broadcast(vocab), "token").crossJoin(stats)
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), nll.as("nll"))
+    graft.Graft.unigramNll(
+        Tables.spread(Tables(s, dir, "documents")), "doc_id", "text")
       .select($"doc_id", $"n_tokens", $"nll",
         when($"nll" <= 3.40, "head")
           .when($"nll" <= 3.45, "middle")
@@ -443,8 +437,6 @@ object TextAnalysis {
     * whatever scan feeds it. */
   def t15Pii(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phonePat = "555-[0-9]{4}"
     val planted = concat($"text",
       when($"doc_id" % 3 === 0,
         concat(lit(" contact user"), $"doc_id".cast("string"),
@@ -452,15 +444,9 @@ object TextAnalysis {
       when($"doc_id" % 5 === 0,
         concat(lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
           lit(" today"))).otherwise(lit("")))
-    Tables(s, dir, "documents")
-      .select($"doc_id", planted.as("txt"))
-      .select($"doc_id",
-        size(regexp_extract_all($"txt", lit(emailPat), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all($"txt", lit(phonePat), lit(0)))
-          .cast("long").as("n_phones"),
-        regexp_replace(regexp_replace($"txt", emailPat, "<EMAIL>"),
-          phonePat, "<PHONE>").as("redacted"))
+    graft.Graft.redactPii(
+        Tables(s, dir, "documents").select($"doc_id", planted.as("txt")), "txt")
+      .select($"doc_id", $"n_emails", $"n_phones", $"redacted")
       .orderBy($"doc_id")
   }
 }

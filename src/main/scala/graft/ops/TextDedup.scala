@@ -470,26 +470,8 @@ object TextDedup {
     * chunk pair). Chunking binds the token array once via the 1-element
     * transform wrapper (bind-once rule — slicing references it per
     * chunk). */
-  def d09ChunkDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val chunkLen = 20
-    val chunks = element_at(transform(array(tokens(col("text"))), tsv =>
-      transform(
-        sequence(lit(0),
-          greatest(ceil(size(tsv).cast("double") / chunkLen).cast("int") - 1, lit(0))),
-        i => concat_ws(" ", slice(tsv, i * chunkLen + 1, lit(chunkLen))))), 1)
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_idx"))
-    Tables.spread(Tables(s, dir, "documents"))
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        xxhash64(col("chunk")).as("h"))
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        coalesce(min(when(col("rn") > 1, col("chunk_idx"))), lit(-1L))
-          .as("first_dup_idx"))
+  def d09ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.dedupChunks(
+        Tables.spread(Tables(s, dir, "documents")), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 }

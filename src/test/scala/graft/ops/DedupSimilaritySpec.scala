@@ -239,9 +239,9 @@ class DedupSimilaritySpec extends SparkSuiteBase {
   test("d09 plan: the first-occurrence window shuffles on the 8-byte hash, not the chunk") {
     val plan = TextDedup.d09ChunkDedup(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(h#"),
+    assert(plan.contains("hashpartitioning(__h#"),
       s"window exchange must key on the folded hash:\n$plan")
-    assert(!plan.contains("hashpartitioning(chunk"),
+    assert(!plan.contains("hashpartitioning(__chunk"),
       s"chunk string must never be a shuffle key:\n$plan")
   }
 
