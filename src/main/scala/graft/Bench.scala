@@ -28,25 +28,33 @@ object Bench {
     (results, errors.toMap)
   }
 
+  /** JSON string escape: backslash, quote, and ALL control chars. */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** The trimmed stdout JSON line (the file artifact keeps full
     * precision — see main). Exposed so BenchFormatSpec budgets the
-    * worst case against the REAL builder, not a reimplementation. */
+    * worst case against the REAL builder, not a reimplementation.
+    *
+    * On failing runs the errors section carries ONLY a failure count:
+    * the failing-run case is exactly when the line must still fit the
+    * consumer's 2000-char tail window, and even three truncated
+    * messages would blow the worst-case budget. Names and full
+    * messages always reach the file artifact and stderr, and the
+    * process exits nonzero. */
   private[graft] def stdoutLine(results: Seq[(String, Double)],
       errors: Map[String, String], sfDir: String): String = {
     def f1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f1(v) }
       .mkString("{", ",", "}")
     val errPart =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-        .mkString(""","errors":{""", ",", "}")
+      else s""","errors":{"n_failed":"${errors.size}"}"""
     val sf = new java.io.File(sfDir).getName
     s"""{"metric":"total","value":${f1(results.map(_._2).sum)},"unit":"sec","queries":$qs$errPart,"sf":"$sf"}"""
   }
@@ -106,12 +114,6 @@ object Bench {
         q.processAllAvailable()
       } finally q.stop()
     }
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     // Optional comma-separated query-name filter for focused timing runs
     // while iterating (full bench when unset — the driver's mode).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -149,6 +151,8 @@ object Bench {
     val (results, errors) = run(spark, sfDir, selected)
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
+    // (full, untruncated errors go to the file artifact below; the
+    // stdout line bounds them — see stdoutLine)
     val total = results.map(_._2).sum
     def line(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

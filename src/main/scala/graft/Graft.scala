@@ -177,7 +177,10 @@ object Graft {
     * constructs Java regex and RE2 interpret identically; a pure map
     * stage — fuses into whatever scan feeds it. */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
-    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    // (?i): real-world PII is mixed-case; a lowercase-only pattern in a
+    // redaction facade silently leaks 'Bob@Example.COM'. Both Java
+    // regex and RE2 support the inline flag identically.
+    val emailPat = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phonePat = "555-[0-9]{4}"
     df.withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(emailPat), lit(0))).cast("long"))

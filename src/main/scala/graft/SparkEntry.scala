@@ -558,11 +558,11 @@ object SparkEntry {
         |            ELSE '' END AS txt
         |  FROM documents)
         |SELECT doc_id,
-        |  len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |  len(regexp_extract_all(txt, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
         |    AS n_emails,
         |  len(regexp_extract_all(txt, '555-[0-9]{4}')) AS n_phones,
         |  regexp_replace(regexp_replace(txt,
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM p
         |ORDER BY doc_id""".stripMargin,
@@ -575,7 +575,7 @@ object SparkEntry {
     "d11_semdedup" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cent AS (SELECT label, i AS dim, avg(embedding[i+1]) AS c
+        |cent AS (SELECT label, i AS dim, round(avg(embedding[i+1]), 4) AS c
         |         FROM embeddings, range(0, 64) t(i) GROUP BY label, i),
         |cvec AS (SELECT label, list_transform(list(c ORDER BY dim),
         |           x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv

@@ -238,7 +238,12 @@ object Similarity {
     val emb = Tables(s, dir, "embeddings")
     val cent = broadcast(
       emb.select($"label", posexplode($"embedding").as(Seq("dim", "v")))
-        .groupBy($"label", $"dim").agg(avg($"v").as("c"))
+        // round(4) BEFORE the float cast: the two engines sum the mean
+        // in different orders (~1e-12 slack, s03's note), and an
+        // UNROUNDED mean landing within that slack of a float-ulp
+        // boundary would produce different float centroids — round-4
+        // doubles are identical on both sides, so the casts are too
+        .groupBy($"label", $"dim").agg(round(avg($"v"), 4).as("c"))
         .groupBy($"label")
         .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
           x => x.getField("c")).cast("array<float>").as("cv"))

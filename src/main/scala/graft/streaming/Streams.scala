@@ -124,7 +124,11 @@ object Streams {
     * UNION ALL. In streaming, `window(ts, len, slide)` expands the same
     * way and the watermark retires a window once it passes start + len;
     * state is bounded by (len/slide) x live keys. Window starts emit as
-    * epoch micros like st01 (timestamp-representation-proof). */
+    * epoch micros like st01 (timestamp-representation-proof). The
+    * rounded double sums here are boundary-safe by QUANTIZATION —
+    * events.value is 2-decimal-quantized, so group sums sit ~1e-11
+    * from a 0.01 multiple, nowhere near a .005 rounding boundary
+    * (PERF.md, the q26 lesson's third regime). */
   def st04SlidingWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events")

@@ -5,21 +5,23 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Guards the size of Bench's one-line stdout JSON: the driver locates
   * and parses it within the LAST 2000 characters of captured output
   * (BENCH_r02 parsed at 1918 chars; BENCH_r03's 68-query full-precision
-  * line at ~2.6k did not). The stdout line uses %.2f values, so its
-  * length is bounded by the registered query names plus a fixed
-  * per-entry cost — this spec fails the build when registering more
-  * queries would push a worst-case line past the window, forcing a
-  * deliberate format decision instead of a silent driver parse failure.
+  * line at ~2.6k did not). The stdout line uses %.1f values and a
+  * bounded errors section, so its length is bounded by the registered
+  * query names plus a fixed per-entry cost — this spec fails the build
+  * when registering more queries would push a worst-case line past the
+  * window, forcing a deliberate format decision instead of a silent
+  * driver parse failure. Every assertion goes through Bench's REAL
+  * stdout builder so format drift can't silently invalidate it.
   */
 class BenchFormatSpec extends AnyFunSuite {
 
+  private val worstResults =
+    SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.94)
+
   test("worst-case bench stdout line fits the driver's 2000-char tail window") {
     // worst-case realistic value rendering under %.1f: "999.9" (a
-    // 1000s single query would mean a far bigger problem than parsing);
-    // built through Bench's REAL stdout builder so format drift can't
-    // silently invalidate the budget
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.94)
-    val line = Bench.stdoutLine(results, Map.empty, "/root/testdata/sf0.1")
+    // 1000s single query would mean a far bigger problem than parsing)
+    val line = Bench.stdoutLine(worstResults, Map.empty, "/root/testdata/sf0.1")
     // BENCH_r03 measured the tail window at exactly 2000 chars; the
     // only trailing output is the final newline (sbt showSuccess is
     // disabled, Spark logs go to stderr) — keep a 40-char margin.
@@ -30,8 +32,25 @@ class BenchFormatSpec extends AnyFunSuite {
         "shorten per-query keys or trim the stdout format further")
   }
 
-  test("%.2f with Locale.ROOT renders a decimal point regardless of JVM locale") {
-    val v = String.format(java.util.Locale.ROOT, "%.2f", Double.box(3.14159))
-    assert(v == "3.14")
+  test("the line stays inside the window on FAILING runs too (count-only errors)") {
+    // the failing-run case is exactly when the consumer must still be
+    // able to parse the line — stdout errors carry only a count (full
+    // messages go to the file artifact and stderr, exit is nonzero),
+    // so even every-query-failed-with-a-long-message stays inside the
+    // measured 2000-char window
+    val allFailed = worstResults
+      .map { case (k, _) => k -> ("SparkException: " + "x" * 400) }.toMap
+    val line = Bench.stdoutLine(worstResults, allFailed, "/root/testdata/sf0.1")
+    assert(line.length <= 2000,
+      s"failing-run stdout line ${line.length} chars overflows the window")
+    assert(line.contains(s""""n_failed":"${allFailed.size}""""),
+      "failure count missing")
+  }
+
+  test("stdout values render with a decimal point regardless of JVM locale") {
+    // through the real builder: a locale-sensitive formatter would
+    // render '3,1' on comma-decimal locales — invalid JSON
+    val line = Bench.stdoutLine(Seq("q" -> 3.14159), Map.empty, "sf")
+    assert(line.contains("\"q\":3.1"), line)
   }
 }

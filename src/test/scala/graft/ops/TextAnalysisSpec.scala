@@ -175,6 +175,12 @@ class TextAnalysisSpec extends SparkSuiteBase {
       got(0L)._3.contains("call <PHONE> today"))
     assert(got(1L) == ((1L, 0L, "reach me at <EMAIL> for details")))
     assert(got(2L) == ((0L, 0L, "no pii in this one")))
+    // mixed-case PII must redact too — a lowercase-only pattern in a
+    // redaction op is a silent leak
+    val mixed = graft.Graft.redactPii(
+      Seq("mail Bob.Smith@Example.COM today").toDF("t"), "t")
+      .select($"n_emails", $"redacted").as[(Long, String)].head()
+    assert(mixed == ((1L, "mail <EMAIL> today")), s"got $mixed")
     assert(got(3L)._1 == 1L && got(3L)._3.endsWith("contact <EMAIL> now"))
     assert(got(5L)._2 == 1L && got(5L)._3.endsWith("call <PHONE> today"))
   }
