@@ -48,6 +48,8 @@ object SparkEntry {
     "q25_full_outer" -> (Relational.q25FullOuter _),
     "q26_salted" -> (Relational.q26SaltedAgg _),
     "q27_lateral" -> (Relational.q27Lateral _),
+    "q28_ntile" -> (Relational.q28Ntile _),
+    "t17_domains" -> (TextAnalysis.t17Domains _),
     "d09_chunks" -> (TextDedup.d09ChunkDedup _),
     "d10_fuzzy" -> (Relational.d10FuzzyJoin _),
     "t15_pii" -> (TextAnalysis.t15Pii _),
@@ -503,6 +505,35 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_suppkey
         |ORDER BY l_suppkey""".stripMargin,
+
+    "q28_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "t17_domains" ->
+      """WITH p AS (SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 4 = 0
+        |            THEN ' see https://site' || (doc_id % 7)
+        |                 || '.example.org/p/' || doc_id
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0
+        |            THEN ' ref http://cdn.example.net/static/x'
+        |            ELSE '' END AS txt
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(txt, 'https?://([a-z0-9.-]+)', 1)) AS domain
+        |      FROM p)
+        |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+        |FROM d
+        |GROUP BY domain
+        |ORDER BY domain""".stripMargin,
 
     "q27_lateral" ->
       """SELECT n_name, t.s_name, t.s_acctbal

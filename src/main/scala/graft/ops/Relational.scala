@@ -529,6 +529,25 @@ object Relational {
         |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
   }
 
+  /** q28 — distribution window battery: ntile quartiles, percent_rank,
+    * cume_dist over order value within each priority class. Partitioned
+    * windows (5 priority classes), not a global sort — the scalable
+    * spelling; a GLOBAL ntile would funnel the corpus through one task
+    * and belongs to rangepartition+rank instead. percent_rank/cume_dist
+    * are exact small-integer divisions — deterministic across engines
+    * (round(6) is belt-and-braces, not load-bearing). */
+  def q28Ntile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"o_orderkey")
+  }
+
   def q23LeftJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bigOrders = Tables(s, dir, "orders")

@@ -420,6 +420,34 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t17 — URL/domain statistics (the FineWeb-style curation signal:
+    * corpus composition by source domain, the input to domain allow/
+    * block-listing). Deterministic URLs are planted in-query on doc
+    * slices (the t15 pattern — the synthetic corpus has none); the
+    * operator extracts every URL's host with a group-1
+    * `regexp_extract_all` (portable Java/RE2 construct) and
+    * aggregates URL and document counts per domain.
+    *
+    * Scale shape: extract is a pure map; one partial-aggregated
+    * shuffle keyed by domain (count-distinct of doc ids expands to
+    * two-phase agg under the hood — at 100 TB swap for
+    * approx_count_distinct as q17 demonstrates). */
+  def t17Domains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = concat($"text",
+      when($"doc_id" % 4 === 0,
+        concat(lit(" see https://site"), ($"doc_id" % 7).cast("string"),
+          lit(".example.org/p/"), $"doc_id".cast("string"))).otherwise(lit("")),
+      when($"doc_id" % 6 === 0,
+        lit(" ref http://cdn.example.net/static/x")).otherwise(lit("")))
+    Tables(s, dir, "documents")
+      .select($"doc_id", explode(regexp_extract_all(planted,
+        lit("https?://([a-z0-9.-]+)"), lit(1))).as("domain"))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"domain")
+  }
+
   /** t15 — PII redaction (the scrubbing pass a training pipeline runs
     * before anything else sees the text): count and mask email
     * addresses and phone-shaped numbers. The synthetic corpus contains

@@ -19,8 +19,9 @@ class BenchFormatSpec extends AnyFunSuite {
     SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.94)
 
   test("worst-case bench stdout line fits the driver's 2000-char tail window") {
-    // worst-case realistic value rendering under %.1f: "999.9" (a
-    // 1000s single query would mean a far bigger problem than parsing)
+    // worst-case rendering: values >= 100 s print whole seconds
+    // ("999"), below that one decimal — the pathological
+    // every-query-at-999s line is the budget being asserted
     val line = Bench.stdoutLine(worstResults, Map.empty, "/root/testdata/sf0.1")
     // BENCH_r03 measured the tail window at exactly 2000 chars; the
     // only trailing output is the final newline (sbt showSuccess is

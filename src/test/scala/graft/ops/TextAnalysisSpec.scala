@@ -147,6 +147,22 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(2L) > got(3L), "same tf, shorter doc must outrank (length norm)")
   }
 
+  test("t17: planted and inline URLs aggregate per domain with url and doc counts") {
+    val dir = docsDir(Seq(
+      0L -> "plain words",                                  // %4 and %6: site0 + cdn
+      3L -> "check https://inline.example.com/x now",       // inline URL only
+      4L -> "more words",                                   // %4: site4
+      6L -> "and more",                                     // %6: cdn
+      7L -> "nothing here"))
+    val got = TextAnalysis.t17Domains(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "cdn.example.net" -> ((2L, 2L)),
+      "inline.example.com" -> ((1L, 1L)),
+      "site0.example.org" -> ((1L, 1L)),
+      "site4.example.org" -> ((1L, 1L))), s"got $got")
+  }
+
   test("t16: rare tokens raise the unigram NLL; values are the exact corpus-model means") {
     val dir = docsDir(Seq(
       1L -> "a a a a",      // all common: nll = -ln(7/8)
