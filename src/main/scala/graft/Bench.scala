@@ -59,7 +59,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errPart =
       if (errors.isEmpty) ""
-      else s""","errors":{"n_failed":"${errors.size}"}"""
+      else s""","errors":{"n_failed":${errors.size}}"""
     val sf = new java.io.File(sfDir).getName
     s"""{"metric":"total","value":${f1(results.map(_._2).sum)},"unit":"sec","queries":$qs$errPart,"sf":"$sf"}"""
   }
@@ -156,8 +156,12 @@ object Bench {
     val (results, errors) = run(spark, sfDir, selected)
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    // (full, untruncated errors go to the file artifact below; the
-    // stdout line bounds them — see stdoutLine)
+    // full, untruncated errors go to the file artifact below AND to
+    // stderr here (an analysis-time failure never reaches Spark's own
+    // logging, and the stdout line carries only a count — without this
+    // print a stdout+stderr-only consumer could not learn WHICH query
+    // failed)
+    errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
     val total = results.map(_._2).sum
     def line(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -178,8 +178,10 @@ object Graft {
     * stage — fuses into whatever scan feeds it. */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     // (?i): real-world PII is mixed-case; a lowercase-only pattern in a
-    // redaction facade silently leaks 'Bob@Example.COM'. Both Java
-    // regex and RE2 support the inline flag identically.
+    // redaction facade silently leaks 'Bob@Example.COM'. Java and RE2
+    // agree on (?i) over the ASCII ranges these classes contain (Java
+    // folds ASCII-only without UNICODE_CASE, RE2 folds Unicode — a
+    // Kelvin-sign K would diverge, but no class here admits one).
     val emailPat = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phonePat = "555-[0-9]{4}"
     df.withColumn("n_emails",

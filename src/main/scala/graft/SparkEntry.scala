@@ -528,7 +528,8 @@ object SparkEntry {
         |            ELSE '' END AS txt
         |  FROM documents),
         |d AS (SELECT doc_id,
-        |        unnest(regexp_extract_all(txt, 'https?://([a-z0-9.-]+)', 1)) AS domain
+        |        lower(unnest(regexp_extract_all(txt, '(?i)https?://([a-z0-9.-]+)', 1)))
+        |          AS domain
         |      FROM p)
         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
         |FROM d

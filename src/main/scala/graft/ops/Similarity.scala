@@ -239,10 +239,12 @@ object Similarity {
     val cent = broadcast(
       emb.select($"label", posexplode($"embedding").as(Seq("dim", "v")))
         // round(4) BEFORE the float cast: the two engines sum the mean
-        // in different orders (~1e-12 slack, s03's note), and an
-        // UNROUNDED mean landing within that slack of a float-ulp
-        // boundary would produce different float centroids — round-4
-        // doubles are identical on both sides, so the casts are too
+        // in different orders (~1e-12 slack, s03's note). Unrounded,
+        // any mean within that slack of a float-ulp boundary (~6e-8
+        // relative grid) yields different float centroids; rounding
+        // first shrinks the collision window to slack/round-4-grid
+        // (~1e-8 per value) — the same probabilistic regime as s03's
+        // own oracle, narrowed ~10^3x, not eliminated
         .groupBy($"label", $"dim").agg(round(avg($"v"), 4).as("c"))
         .groupBy($"label")
         .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),

@@ -441,8 +441,12 @@ object TextAnalysis {
       when($"doc_id" % 6 === 0,
         lit(" ref http://cdn.example.net/static/x")).otherwise(lit("")))
     Tables(s, dir, "documents")
+      // (?i) + lower(): scheme and host are case-insensitive per RFC
+      // 3986, and domain stats must aggregate 'Example.ORG' with
+      // 'example.org' (the t15 case-folding lesson)
       .select($"doc_id", explode(regexp_extract_all(planted,
-        lit("https?://([a-z0-9.-]+)"), lit(1))).as("domain"))
+        lit("(?i)https?://([a-z0-9.-]+)"), lit(1))).as("raw"))
+      .select($"doc_id", lower($"raw").as("domain"))
       .groupBy($"domain")
       .agg(count(lit(1)).as("n_urls"), countDistinct($"doc_id").as("n_docs"))
       .orderBy($"domain")
