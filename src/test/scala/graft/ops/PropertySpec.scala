@@ -160,6 +160,53 @@ class PropertySpec extends SparkSuiteBase {
     }
   }
 
+  test("redactPii is idempotent and leaves no matchable PII behind") {
+    val pii = Gen.oneOf(
+      word.map(w => s"$w@example.com"),
+      word.map(w => s"${w.take(3)}.${w.take(4)}@Mail.EXAMPLE.org"),
+      Gen.choose(0, 9999).map(n => f"555-$n%04d"))
+    forAll(Gen.listOfN(6, Gen.zip(word, pii, word))) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((a, p, b), i) => (i.toLong, s"$a $p $b") }
+          .toDF("id", "t")
+        val once = graft.Graft.redactPii(df, "t")
+          .select($"id", $"redacted".as("t"), $"n_emails" + $"n_phones")
+          .as[(Long, String, Long)].collect()
+        // every planted PII token was counted and removed
+        assert(once.forall(_._3 == 1L), once.mkString(";"))
+        assert(once.forall(r => !r._2.contains("@") && !r._2.contains("555-")))
+        // idempotent: a second pass finds nothing and changes nothing
+        val twice = graft.Graft.redactPii(
+            once.map(r => (r._1, r._2)).toSeq.toDF("id", "t"), "t")
+          .select($"id", $"redacted", $"n_emails" + $"n_phones")
+          .as[(Long, String, Long)].collect()
+        assert(twice.forall(_._3 == 0L))
+        assert(twice.map(r => r._1 -> r._2).toMap ==
+          once.map(r => r._1 -> r._2).toMap)
+      }
+    }
+  }
+
+  test("dedupChunks conserves chunks: per-doc kept <= total, corpus kept = distinct chunks") {
+    forAll(Gen.listOfN(8, Gen.listOfN(30, Gen.oneOf("aa", "bb", "cc"))), n = 6) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.zipWithIndex
+          .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = graft.Graft.dedupChunks(df, "doc_id", "text", chunkLen = 5)
+          .as[(Long, Long, Long, Long)].collect()
+        assert(got.forall(r => r._3 <= r._2 && r._3 >= 0))
+        // corpus-wide: kept chunks = number of DISTINCT chunk strings
+        val expectedDistinct = docs.zipWithIndex.flatMap { case (ws, _) =>
+          ws.grouped(5).map(_.mkString(" "))
+        }.distinct.size
+        assert(got.map(_._3).sum == expectedDistinct,
+          s"kept ${got.map(_._3).sum} != distinct $expectedDistinct")
+      }
+    }
+  }
+
   test("sequence packing: bins are consecutive from 0 per shard; no doc precedes its fill") {
     forAll(Gen.listOfN(10, Gen.chooseNum(1, 700)), n = 6) { tokenCounts =>
       val df = tokenCounts.zipWithIndex

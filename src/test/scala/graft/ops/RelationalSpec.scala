@@ -98,6 +98,16 @@ class RelationalSpec extends SparkSuiteBase {
       s"salt column must reach the phase-1 exchange:\n$plan")
   }
 
+  test("q28 plan: one partitioned window pass, no global single-partition sort") {
+    val plan = physicalPlan(Relational.q28Ntile(spark, sf))
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    // a GLOBAL ntile would plan Exchange SinglePartition before the
+    // window — the partitioned spelling must not
+    val windowIdx = plan.indexOf("Window")
+    assert(!plan.substring(windowIdx).contains("SinglePartition"),
+      s"window must partition by priority, not funnel one task:\n$plan")
+  }
+
   test("q27: LATERAL limit decorrelates — no per-nation re-execution, <= 2 rows per nation") {
     val df = Relational.q27Lateral(spark, sf)
     val plan = physicalPlan(df)

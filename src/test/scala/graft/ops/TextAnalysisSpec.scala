@@ -201,6 +201,24 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(5L)._2 == 1L && got(5L)._3.endsWith("call <PHONE> today"))
   }
 
+  test("t16 plan: vocab joins broadcast (the shipped-LM shape), doc agg is partial+final") {
+    val plan = TextAnalysis.t16UnigramNll(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"unigram table must broadcast like a shipped LM:\n$plan")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && plan.indexOf("HashAggregate", aggIdx + 1) >= 0,
+      s"per-doc mean must partial-aggregate map-side:\n$plan")
+  }
+
+  test("t17 plan: extract is a pure map feeding one partial-aggregated shuffle") {
+    val plan = TextAnalysis.t17Domains(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"domain stats need no join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"domain counts must partial-aggregate:\n$plan")
+  }
+
   test("t14 plan: stats broadcast, top-k via TakeOrderedAndProject (no global sort)") {
     val dir = docsDir(Seq(1L -> "spark window batch", 2L -> "spark only here"))
     val plan = TextAnalysis.t14Bm25(spark, dir)
