@@ -49,11 +49,14 @@ object Bench {
   private[graft] def stdoutLine(results: Seq[(String, Double)],
       errors: Map[String, String], sfDir: String): String = {
     // 1 decimal below 100 s (every realistic per-query value), whole
-    // seconds above — sub-second resolution on a 100 s query is
-    // noise, and the cap is what keeps the all-queries-pathological
-    // worst case inside the window as the registry grows
+    // seconds above, CLAMPED at 9999 — so every rendered value is
+    // provably <= 4 chars and BenchFormatSpec's worst-case budget is
+    // sound for ANY input, not just values below 10000 s. A query (or
+    // total) past 2.7 h has already blown the driver's wall clock;
+    // the file artifact and stderr keep full precision regardless.
     def f1(v: Double): String =
-      if (v >= 99.95) String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+      if (v >= 9999.5) "9999"
+      else if (v >= 99.95) String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
       else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f1(v) }
       .mkString("{", ",", "}")

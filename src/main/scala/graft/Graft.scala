@@ -183,7 +183,17 @@ object Graft {
     // folds ASCII-only without UNICODE_CASE, RE2 folds Unicode — a
     // Kelvin-sign K would diverge, but no class here admits one).
     val emailPat = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phonePat = "555-[0-9]{4}"
+    // General NANP phone shape, not just the harness's planted 555-
+    // prefix: optional +1 country code, optional (possibly
+    // parenthesized) area code, then NNN<sep>NNNN. Separators are
+    // required between groups so bare digit runs (ids, years) don't
+    // match. Over-redaction on phone-shaped non-phones is the correct
+    // bias for a redaction pass; a leaked real number is not. Kept to
+    // constructs Java regex and RE2 interpret identically (character
+    // classes, bounded repetition, greedy optionals — both engines are
+    // leftmost-first here; no backrefs/lookaround), mirrored verbatim
+    // in the t15 oracle.
+    val phonePat = "(\\+?1[-. ])?(\\(?[0-9]{3}\\)?[-. ])?[0-9]{3}[-. ][0-9]{4}"
     df.withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(emailPat), lit(0))).cast("long"))
       .withColumn("n_phones",

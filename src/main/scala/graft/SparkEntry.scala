@@ -528,7 +528,8 @@ object SparkEntry {
         |            ELSE '' END AS txt
         |  FROM documents),
         |d AS (SELECT doc_id,
-        |        lower(unnest(regexp_extract_all(txt, '(?i)https?://([a-z0-9.-]+)', 1)))
+        |        lower(unnest(regexp_extract_all(txt,
+        |          '(?i)https?://([a-z0-9-]+(?:\.[a-z0-9-]+)*)', 1)))
         |          AS domain
         |      FROM p)
         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
@@ -592,10 +593,12 @@ object SparkEntry {
         |SELECT doc_id,
         |  len(regexp_extract_all(txt, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
         |    AS n_emails,
-        |  len(regexp_extract_all(txt, '555-[0-9]{4}')) AS n_phones,
+        |  len(regexp_extract_all(txt,
+        |    '(\+?1[-. ])?(\(?[0-9]{3}\)?[-. ])?[0-9]{3}[-. ][0-9]{4}')) AS n_phones,
         |  regexp_replace(regexp_replace(txt,
         |      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |    '(\+?1[-. ])?(\(?[0-9]{3}\)?[-. ])?[0-9]{3}[-. ][0-9]{4}',
+        |    '<PHONE>', 'g') AS redacted
         |FROM p
         |ORDER BY doc_id""".stripMargin,
 
@@ -648,6 +651,17 @@ object SparkEntry {
         |FROM sc
         |ORDER BY doc_id""".stripMargin,
 
+    // The >= 0.2 threshold (and d11's >= 0.35 edge filter above)
+    // compares the UNROUNDED cosine on both sides. That is exact
+    // TODAY because both kernels accumulate in double, in index
+    // order, over identical float inputs — any change to EITHER
+    // side's summation order (vectorization, pairwise/Kahan
+    // reassociation in a future DuckDB or in our CosineSimilarity
+    // codegen) invalidates the boundary assumption and would flip
+    // rows whose cosine sits within one ulp of the threshold. The
+    // failure is loud (row-count diff), not silent; if it ever
+    // fires, re-anchor the thresholds away from representable
+    // corpus cosines instead of rounding before the filter.
     "s04_radius" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)

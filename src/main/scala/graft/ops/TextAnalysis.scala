@@ -443,9 +443,14 @@ object TextAnalysis {
     Tables(s, dir, "documents")
       // (?i) + lower(): scheme and host are case-insensitive per RFC
       // 3986, and domain stats must aggregate 'Example.ORG' with
-      // 'example.org' (the t15 case-folding lesson)
+      // 'example.org' (the t15 case-folding lesson). The host is a
+      // STRUCTURED label pattern (label ('.' label)*, labels never
+      // empty) rather than a bare [a-z0-9.-]+ class: a URL at sentence
+      // end like 'https://example.org.' must yield 'example.org', not
+      // 'example.org.' — a swallowed trailing dot would split one
+      // domain's stats into two buckets on real text.
       .select($"doc_id", explode(regexp_extract_all(planted,
-        lit("(?i)https?://([a-z0-9.-]+)"), lit(1))).as("raw"))
+        lit("(?i)https?://([a-z0-9-]+(?:\\.[a-z0-9-]+)*)"), lit(1))).as("raw"))
       .select($"doc_id", lower($"raw").as("domain"))
       .groupBy($"domain")
       .agg(count(lit(1)).as("n_urls"), countDistinct($"doc_id").as("n_docs"))

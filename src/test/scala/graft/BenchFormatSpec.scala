@@ -16,12 +16,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchFormatSpec extends AnyFunSuite {
 
   private val worstResults =
-    SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.94)
+    SparkEntry.queries.keys.toSeq.sorted.map(_ -> Double.MaxValue)
 
   test("worst-case bench stdout line fits the driver's 2000-char tail window") {
-    // worst-case rendering: values >= 100 s print whole seconds —
-    // 999.94 renders "1000" (4 chars) — below that one decimal; the
-    // pathological every-query-at-1000s line is the budget asserted
+    // worst-case rendering: stdout values clamp at "9999" (4 chars) in
+    // Bench.stdoutLine, so Double.MaxValue budgets the TRUE worst case
+    // — no value, however pathological, can widen an entry past the
+    // asserted line (earlier rounds budgeted with 999.94, which a
+    // >=9999.5 s query would have exceeded at 5+ chars per entry)
     val line = Bench.stdoutLine(worstResults, Map.empty, "/root/testdata/sf0.1")
     // BENCH_r03 measured the tail window at exactly 2000 chars; the
     // only trailing output is the final newline (sbt showSuccess is
