@@ -212,11 +212,7 @@ object Graft {
     * dropped (no chunks). */
   def dedupChunks(df: DataFrame, idCol: String, textCol: String,
       chunkLen: Int = 20): DataFrame = {
-    val chunks = element_at(transform(array(ops.TextDedup.tokens(col(textCol))),
-      tsv => transform(
-        sequence(lit(0),
-          greatest(ceil(size(tsv).cast("double") / chunkLen).cast("int") - 1, lit(0))),
-        i => concat_ws(" ", slice(tsv, i * chunkLen + 1, lit(chunkLen))))), 1)
+    val chunks = ops.TextDedup.tokenChunks(col(textCol), chunkLen)
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("chunk_idx"))
     df.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "__chunk")))

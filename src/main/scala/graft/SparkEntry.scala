@@ -49,6 +49,12 @@ object SparkEntry {
     "q26_salted" -> (Relational.q26SaltedAgg _),
     "q27_lateral" -> (Relational.q27Lateral _),
     "q28_ntile" -> (Relational.q28Ntile _),
+    "q29_locf" -> (Relational.q29FillGaps _),
+    "s05_knn" -> (Similarity.s05CentroidClassify _),
+    "t18_bigram" -> (TextAnalysis.t18BigramLm _),
+    "d12_leakage" -> (TextDedup.d12CrossSplitLeakage _),
+    "d13_clusters" -> (TextDedup.d13DupClusters _),
+    "st05_join" -> (graft.streaming.Streams.st05StreamingJoin _),
     "t17_domains" -> (TextAnalysis.t17Domains _),
     "d09_chunks" -> (TextDedup.d09ChunkDedup _),
     "d10_fuzzy" -> (Relational.d10FuzzyJoin _),
@@ -515,6 +521,125 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q29_locf" ->
+      """SELECT event_id, user_id, event_type,
+        |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |          IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS last_purchase_value,
+        |  round(first_value(CASE WHEN event_type = 'purchase' THEN value END
+        |          IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+        |    AS first_purchase_value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // Same float-rounded centroid mirror as d11 (see that entry's
+    // note); the confusion cells compare the ROUNDED mean cosine.
+    "s05_knn" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT label, i AS dim, round(avg(embedding[i+1]), 4) AS c
+        |         FROM embeddings, range(0, 64) t(i) GROUP BY label, i),
+        |cvec AS (SELECT label AS cluster, list_transform(list(c ORDER BY dim),
+        |           x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+        |         FROM cent GROUP BY label),
+        |asg AS (SELECT vec_id, label, cluster, cos FROM (
+        |  SELECT e.vec_id, e.label, c.cluster,
+        |    list_cosine_similarity(e.v, c.cv) AS cos,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cluster DESC) AS rn
+        |  FROM e, cvec c) t WHERE rn = 1)
+        |SELECT label, cluster AS predicted, count(*) AS n,
+        |  round(avg(cos), 4) AS mean_cos
+        |FROM asg GROUP BY label, cluster
+        |ORDER BY label, predicted""".stripMargin,
+
+    "t18_bigram" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+        |         i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM toks),
+        |c AS (SELECT bigram, count(*) AS c_bigram FROM bg GROUP BY bigram),
+        |wc AS (SELECT bigram, c_bigram,
+        |         CAST(sum(c_bigram) OVER (PARTITION BY split_part(bigram, ' ', 1))
+        |           AS BIGINT) AS c_w1
+        |       FROM c)
+        |SELECT bigram, c_bigram, c_w1, round(c_bigram / c_w1, 4) AS cond_p
+        |FROM (SELECT * FROM wc ORDER BY c_bigram DESC, bigram LIMIT 50) q
+        |ORDER BY bigram""".stripMargin,
+
+    // The Spark side folds chunks to xxhash64 and splits on the same
+    // md5 bucket as t08; the oracle carries the chunk strings —
+    // identical up to a 2^-64-per-pair hash collision (d09's note).
+    "d12_leakage" ->
+      """WITH toks AS (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |      FROM documents WHERE text IS NOT NULL),
+        |ch0 AS (SELECT doc_id, ts,
+        |          unnest(range(0, greatest(CAST(ceil(len(ts)/20.0) AS BIGINT), 1)))
+        |            AS chunk_idx
+        |        FROM toks),
+        |ch AS (SELECT DISTINCT doc_id,
+        |         array_to_string(list_slice(ts, chunk_idx*20+1, chunk_idx*20+20), ' ')
+        |           AS chunk
+        |       FROM ch0),
+        |b AS (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket
+        |      FROM documents),
+        |tr AS (SELECT DISTINCT chunk FROM ch JOIN b USING (doc_id)
+        |       WHERE bucket < 52429),
+        |te AS (SELECT ch.doc_id, chunk FROM ch JOIN b USING (doc_id)
+        |       WHERE bucket >= 58982)
+        |SELECT te.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN tr.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaked
+        |FROM te LEFT JOIN tr ON te.chunk = tr.chunk
+        |GROUP BY te.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Clusters keyed on xxhash64 content keys Spark-side, on the text
+    // itself in the oracle — identical histograms up to a
+    // 2^-64-per-pair collision (the d01 argument).
+    "d13_clusters" ->
+      """WITH bydoc AS (
+        |  SELECT 'doc' AS granularity, n_members, count(*) AS n_clusters FROM (
+        |    SELECT count(*) AS n_members
+        |    FROM documents
+        |    GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) t
+        |  GROUP BY n_members),
+        |toks AS (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |      FROM documents WHERE text IS NOT NULL),
+        |ch0 AS (SELECT doc_id, ts,
+        |          unnest(range(0, greatest(CAST(ceil(len(ts)/20.0) AS BIGINT), 1)))
+        |            AS chunk_idx
+        |        FROM toks),
+        |ch AS (SELECT array_to_string(list_slice(ts, chunk_idx*20+1, chunk_idx*20+20),
+        |         ' ') AS chunk
+        |       FROM ch0),
+        |bychunk AS (
+        |  SELECT 'chunk' AS granularity, n_members, count(*) AS n_clusters FROM (
+        |    SELECT count(*) AS n_members FROM ch GROUP BY chunk) t
+        |  GROUP BY n_members)
+        |SELECT granularity, n_members, n_clusters
+        |FROM (SELECT * FROM bydoc UNION ALL SELECT * FROM bychunk) u
+        |ORDER BY granularity, n_members""".stripMargin,
+
+    // The streaming inner interval join converges to the batch join
+    // (every pair emitted in exactly one micro-batch; ts-sorted replay
+    // means nothing is ever late — see Streams.st05StreamingJoin).
+    "st05_join" ->
+      """SELECT p.user_id AS user_id, epoch_us(p.ts) AS purchase_ts_us,
+        |  round(p.value, 2) AS purchase_value, epoch_us(c.ts) AS click_ts_us
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |WHERE p.event_type = 'purchase' AND p.user_id % 10 = 0
+        |ORDER BY user_id, purchase_ts_us, click_ts_us""".stripMargin,
 
     "t17_domains" ->
       """WITH p AS (SELECT doc_id,

@@ -548,6 +548,38 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q29 — gap filling / LOCF (last observation carried forward) via
+    * IGNORE NULLS window functions: every event carries the value of
+    * the same user's most recent 'purchase' at-or-before it (null
+    * until the first purchase), plus the user's first purchase value
+    * over the whole history — the time-series imputation primitive
+    * (sensor gap-fill, sessionized attribution, sparse-fact
+    * densification) that plain window frames cannot spell without
+    * IGNORE NULLS.
+    *
+    * Scale shape: ONE shuffle on user_id shared by both windows (same
+    * partition key; the full-frame first() needs no extra exchange,
+    * only the sort both windows share). `last(..., ignoreNulls)` over
+    * a running frame is O(1) per row — the masked non-purchase rows
+    * are skipped by the frame evaluator, never re-scanned. Ordering is
+    * (ts, event_id) so equal timestamps cannot flip the carried value
+    * between engines. Values are 2-decimal-quantized, so round(2) is
+    * representation-stable (the st04 note). */
+  def q29FillGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val purchase = when($"event_type" === "purchase", $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        round(last(purchase, ignoreNulls = true).over(running), 2)
+          .as("last_purchase_value"),
+        round(first(purchase, ignoreNulls = true).over(whole), 2)
+          .as("first_purchase_value"))
+      .orderBy($"event_id")
+  }
+
   def q23LeftJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bigOrders = Tables(s, dir, "orders")

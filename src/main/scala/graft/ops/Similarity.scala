@@ -232,24 +232,33 @@ object Similarity {
     * (d08's documented discipline). Assignment ties break to the
     * larger cluster id via struct-max, mirrored by ORDER BY label DESC
     * in the oracle. */
+  /** Per-label centroids as broadcast-ready float vectors: the s03
+    * training aggregate reassembled to `(cluster, cv: array<float>)` —
+    * shared by d11 (cluster assignment for SemDeDup) and s05 (nearest-
+    * centroid classification); both oracles mirror the FLOAT
+    * round-trip exactly.
+    *
+    * round(4) BEFORE the float cast: the two engines sum the mean
+    * in different orders (~1e-12 slack, s03's note). Unrounded,
+    * any mean within that slack of a float-ulp boundary (~6e-8
+    * relative grid) yields different float centroids; rounding
+    * first shrinks the collision window to slack/round-4-grid
+    * (~1e-8 per value) — the same probabilistic regime as s03's
+    * own oracle, narrowed ~10^3x, not eliminated. */
+  private def labelCentroids(emb: DataFrame): DataFrame =
+    broadcast(
+      emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim")).agg(round(avg(col("v")), 4).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).cast("array<float>").as("cv"))
+        .select(col("label").as("cluster"), col("cv")))
+
   def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tau = 0.35
     val emb = Tables(s, dir, "embeddings")
-    val cent = broadcast(
-      emb.select($"label", posexplode($"embedding").as(Seq("dim", "v")))
-        // round(4) BEFORE the float cast: the two engines sum the mean
-        // in different orders (~1e-12 slack, s03's note). Unrounded,
-        // any mean within that slack of a float-ulp boundary (~6e-8
-        // relative grid) yields different float centroids; rounding
-        // first shrinks the collision window to slack/round-4-grid
-        // (~1e-8 per value) — the same probabilistic regime as s03's
-        // own oracle, narrowed ~10^3x, not eliminated
-        .groupBy($"label", $"dim").agg(round(avg($"v"), 4).as("c"))
-        .groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
-          x => x.getField("c")).cast("array<float>").as("cv"))
-        .select($"label".as("cluster"), $"cv"))
+    val cent = labelCentroids(emb)
     // localCheckpoint (the componentMin edge-list discipline): the
     // assignment feeds BOTH sides of the pair self-join and then every
     // component round replans it transitively — materializing the
@@ -274,6 +283,41 @@ object Similarity {
       .filter($"root" < $"id")
       .select($"id".as("vec_id"), $"root".as("kept_id"))
       .orderBy($"vec_id")
+  }
+
+  /** s05 — nearest-centroid classification (the labeling half of a
+    * centroid index: s03 TRAINS centroids, s02 PROBES them for search,
+    * this CLASSIFIES with them — kNN-style label prediction with k
+    * collapsed to class centroids, the standard embedding-space
+    * labeling/routing pass in a curation pipeline, cf. the
+    * domain-classifier stage of DCLM/FineWeb-style pipelines).
+    * Every vector assigns to its nearest per-label centroid (broadcast
+    * argmax over the fused cosine kernel — the s02/d11 assignment
+    * shape, ties to the larger label exactly as d11), and the output is
+    * the label-vs-predicted confusion matrix with per-cell mean cosine
+    * — the report that says whether the label space is separable in
+    * embedding space.
+    *
+    * Scale shape: centroids broadcast (|labels| x dim floats); the
+    * corpus streams ONCE through the argmax aggregate (map-side
+    * combine on vec_id is free since vec_id is unique — the groupBy
+    * exists to argmax over the centroid axis); the confusion aggregate
+    * is a second partial-aggregated shuffle carrying |labels|^2
+    * partials, volume-independent. Mean cosine is rounded (float
+    * summation order, the q26 lesson). */
+  def s05CentroidClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    emb.select($"vec_id", $"label", $"embedding")
+      .crossJoin(labelCentroids(emb))
+      .select($"vec_id", $"label", $"cluster",
+        cosine($"embedding", $"cv").as("cos"))
+      .groupBy($"vec_id", $"label")
+      .agg(max(struct($"cos", $"cluster")).as("best"))
+      .select($"label", $"best.cluster".as("predicted"), $"best.cos".as("cos"))
+      .groupBy($"label", $"predicted")
+      .agg(count(lit(1)).as("n"), round(avg($"cos"), 4).as("mean_cos"))
+      .orderBy($"label", $"predicted")
   }
 
   /** s03 — per-label centroids: the distributed vector-mean that

@@ -152,6 +152,14 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** The t08 split bucket: first 16 bits of md5(id) as a long in
+    * [0, 65536) — shared by t08 (the assignment itself) and d12 (the
+    * cross-split leakage audit, which must mirror the assignment
+    * EXACTLY or it audits splits nobody shipped). */
+  private[graft] def hashSplitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")),
+      1, 4), 16, 10).cast("long")
+
   /** t08 — deterministic train/val/test assignment by content-id hash
     * (80/10/10): bucket = first 16 bits of md5(doc_id). The pattern a
     * training pipeline needs instead of `sample()`: stable under any
@@ -161,8 +169,7 @@ object TextAnalysis {
     * same split everywhere it appears). */
   def t08HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket = conv(substring(md5($"doc_id".cast("string").cast("binary")),
-      1, 4), 16, 10).cast("long")
+    val bucket = hashSplitBucket($"doc_id")
     Tables(s, dir, "documents")
       .select($"doc_id", bucket.as("bucket"),
         when(bucket < 52429, "train")
@@ -485,5 +492,44 @@ object TextAnalysis {
         Tables(s, dir, "documents").select($"doc_id", planted.as("txt")), "txt")
       .select($"doc_id", $"n_emails", $"n_phones", $"redacted")
       .orderBy($"doc_id")
+  }
+
+  /** t18 — bigram language-model training: the corpus-wide bigram
+    * count table with conditional probabilities p(w2|w1) =
+    * c(w1 w2) / c(w1 ·), head-50 by frequency. The n-gram-LM
+    * counterpart of t16's unigram table (t16 SCORES docs against a
+    * unigram model; this TRAINS the next-order model — the two halves
+    * of a CCNet-style perplexity filter, and the statistic behind
+    * completion-likelihood heuristics).
+    *
+    * Scale shape: bigrams materialize per row as "w1 w2" strings and
+    * reduce by ONE partial-aggregated shuffle on the bigram (map-side
+    * combine collapses the token stream before any exchange — the
+    * vocabulary, not the corpus, crosses the wire). The conditioning
+    * denominator c(w1 ·) is a window sum over the already-aggregated
+    * bigram table partitioned by w1 — a second shuffle over vocab-sized
+    * data, never corpus-sized; head selection is TakeOrdered, no global
+    * sort. Tokens cannot contain the separator (whitespace-split), so
+    * w1 recovers exactly via substring_index — the bigram string IS the
+    * composite key, no struct shuffle needed. */
+  def t18BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ts = TextDedup.tokens($"text")
+    // bind-once wrapper (the shingles() rule): the token array is
+    // referenced per bigram — must be an attribute read, not a re-split
+    val bigrams = element_at(transform(array(ts), tsv =>
+      when(size(tsv) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(tsv) - 1),
+          i => concat_ws(" ", element_at(tsv, i), element_at(tsv, i + 1))))), 1)
+    val counts = Tables.spread(Tables(s, dir, "documents"))
+      .select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("c_bigram"))
+    counts
+      .withColumn("c_w1", sum($"c_bigram").over(
+        Window.partitionBy(substring_index($"bigram", " ", 1))))
+      .select($"bigram", $"c_bigram", $"c_w1",
+        round($"c_bigram" / $"c_w1", 4).as("cond_p"))
+      .orderBy($"c_bigram".desc, $"bigram").limit(50)
+      .orderBy($"bigram")
   }
 }

@@ -164,7 +164,18 @@ object TextDedup {
     * degenerate corpus (millions of byte-identical docs) should run
     * exact dedup (d01) first, which is standard pipeline order. */
   def minhashCandidates(docs: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
+    minhashCandidatesRaw(docs, bands, rowsPerBand, maxBucket).distinct()
+
+  /** [[minhashCandidates]] WITHOUT the final distinct: a pair that
+    * collides in k bands appears k times. Every in-repo consumer feeds
+    * [[jaccardVerify]], whose per-pair groupBy collapses multiplicity
+    * anyway — the distinct was a full extra shuffle of the pair table
+    * per query (d02/d06/d08 each paid it) that changed nothing
+    * downstream. Public callers wanting set semantics use
+    * [[minhashCandidates]]. */
+  private[graft] def minhashCandidatesRaw(docs: DataFrame, bands: Int,
+      rowsPerBand: Int, maxBucket: Int = 64): DataFrame = {
     val sig = minhashSig(docs, bands * rowsPerBand)
     // Band key = one hash over the band's rows (xxhash64 is variadic);
     // sig is a materialized attribute, so per-element reads are O(1).
@@ -181,7 +192,6 @@ object TextDedup {
       .select(explode(unrollPairs(col("ds"),
         (a, b) => struct(a.as("id_a"), b.as("id_b")))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
   }
 
   /** Exact word-shingle Jaccard for a pair table (verification step of
@@ -239,7 +249,7 @@ object TextDedup {
     // the signature-aggregate width (the 64-column agg dominated both
     // codegen compile time and signature cost), and the exact-jaccard
     // verify step keeps precision at 1.0 regardless.
-    val pairs = minhashCandidates(docs, bands = 8, rowsPerBand = 4)
+    val pairs = minhashCandidatesRaw(docs, bands = 8, rowsPerBand = 4)
     jaccardVerify(docs, pairs)
       .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
       .orderBy($"jaccard".desc, $"id_a", $"id_b")
@@ -256,7 +266,7 @@ object TextDedup {
   def d06NearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-    val pairs = minhashCandidates(docs, bands = 8, rowsPerBand = 4)
+    val pairs = minhashCandidatesRaw(docs, bands = 8, rowsPerBand = 4)
     jaccardVerify(docs, pairs)
       .filter($"jaccard" >= 0.8)
       .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
@@ -339,7 +349,7 @@ object TextDedup {
   def d08NearDupDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-    val cand = minhashCandidates(docs, bands = 8, rowsPerBand = 4)
+    val cand = minhashCandidatesRaw(docs, bands = 8, rowsPerBand = 4)
     val pairs = jaccardVerify(docs, cand).filter($"jaccard" >= 0.8)
     componentMin(pairs)
       .filter($"root" < $"id")
@@ -474,4 +484,82 @@ object TextDedup {
     graft.Graft.dedupChunks(
         Tables.spread(Tables(s, dir, "documents")), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** Fixed `chunkLen`-token chunks of `text` as an array<string> column
+    * (the [[graft.Graft.dedupChunks]]/d09 chunker, shared with d12).
+    * Bind-once wrapper as everywhere: slice() references the token
+    * array per chunk, which must be an O(1) attribute read, not a
+    * re-tokenization. */
+  private[graft] def tokenChunks(text: Column, chunkLen: Int): Column =
+    element_at(transform(array(tokens(text)),
+      tsv => transform(
+        sequence(lit(0),
+          greatest(ceil(size(tsv).cast("double") / chunkLen).cast("int") - 1,
+            lit(0))),
+        i => concat_ws(" ", slice(tsv, i * chunkLen + 1, lit(chunkLen))))), 1)
+
+  /** d12 — cross-split leakage (train→test decontamination audit): for
+    * every TEST-split document, how many of its distinct 20-token
+    * chunks also appear anywhere in the TRAIN split. The check a
+    * training pipeline runs before shipping an eval set — t09 measures
+    * contamination against an external benchmark; this measures it
+    * between the pipeline's own splits (the t08 hash-split assignment,
+    * mirrored exactly).
+    *
+    * Scale shape: chunks fold to xxhash64 longs in the projection (the
+    * d09/t07 discipline — no chunk string ever shuffles); each side
+    * reduces to DISTINCT (doc, hash) pairs before the join; the train
+    * side collapses to a distinct hash set, small relative to the
+    * corpus, and AQE broadcasts it at harness scale (at 100 TB it is a
+    * shuffled equi-join on 8-byte keys — still the right shape). LEFT
+    * join keeps zero-leak test docs in the report (an audit that only
+    * lists offenders can't prove cleanliness). */
+  def d12CrossSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = TextAnalysis.hashSplitBucket($"doc_id")
+    val chunked = Tables.spread(Tables(s, dir, "documents"))
+      .filter($"text".isNotNull)
+      .select($"doc_id", bucket.as("bucket"),
+        explode(tokenChunks($"text", 20)).as("chunk"))
+      .select($"doc_id", $"bucket", xxhash64($"chunk").as("h"))
+      .distinct()
+    val trainH = chunked.filter($"bucket" < 52429)
+      .select($"h".as("th")).distinct()
+    chunked.filter($"bucket" >= 58982)
+      .join(trainH, $"h" === $"th", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"th".isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+      .orderBy($"doc_id")
+  }
+
+  /** d13 — duplication profile: the cluster-size histogram of exact
+    * duplicates at BOTH granularities the dedup family operates on —
+    * whole documents (the d01 key: normalized text) and 20-token
+    * chunks (the d09 key) — how MUCH duplication exists, not just
+    * which rows to drop: the report that decides whether a dedup
+    * stage is worth running and the denominator for its keep-rate.
+    *
+    * Scale shape: each granularity is one groupBy on an 8-byte
+    * xxhash64 content key (same clusters as the oracle's group-by-text
+    * up to a 2^-64-per-pair collision; no shuffle ever carries text)
+    * followed by a histogram aggregate over cluster sizes — partials
+    * collapse map-side, the second shuffle carries at most
+    * |distinct sizes| rows. The union is two independent narrow
+    * pipelines over the same scan. */
+  def d13DupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    def histogram(keys: DataFrame, granularity: String): DataFrame =
+      keys.groupBy($"h").agg(count(lit(1)).as("n_members"))
+        .groupBy($"n_members").agg(count(lit(1)).as("n_clusters"))
+        .select(lit(granularity).as("granularity"), $"n_members", $"n_clusters")
+    val byDoc = docs.select(
+      xxhash64(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("h"))
+    val byChunk = Tables.spread(docs).filter($"text".isNotNull)
+      .select(explode(tokenChunks($"text", 20)).as("chunk"))
+      .select(xxhash64($"chunk").as("h"))
+    histogram(byDoc, "doc").unionByName(histogram(byChunk, "chunk"))
+      .orderBy($"granularity", $"n_members")
+  }
 }

@@ -48,7 +48,8 @@ object Streams {
     * so the join state is bounded — Spark retires a click row once the
     * purchase-side watermark passes click.ts + 10 min. This is the
     * streaming form of the q16 as-of pattern (there: union + window). */
-  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+  def clickToPurchaseJoin(events: DataFrame,
+      intervalMinutes: Int = 10): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "10 minutes")
@@ -57,8 +58,9 @@ object Streams {
         col("value").as("purchase_value"))
       .withWatermark("purchase_ts", "10 minutes")
     purchases.join(clicks,
-      expr("""c_user = p_user AND
-              click_ts BETWEEN purchase_ts - INTERVAL 10 MINUTES AND purchase_ts"""))
+      expr(s"""c_user = p_user AND
+              click_ts BETWEEN purchase_ts - INTERVAL $intervalMinutes MINUTES
+              AND purchase_ts"""))
       .select(col("p_user").as("user_id"), col("purchase_ts"),
         col("purchase_value"), col("click_ts"))
   }
@@ -181,6 +183,67 @@ object Streams {
     * DETERMINISTIC 1-in-10 user slice (mirrored in the oracle's WHERE)
     * — the incremental machinery under test is identical at any volume.
     * Production code would readStream from the source directly. */
+  /** st05 — the stream-STREAM interval join ([[clickToPurchaseJoin]])
+    * run GENUINELY INCREMENTALLY, driver-visible: the st03 replay
+    * harness applied to the two-sided join — MemoryStream micro-batches
+    * through the symmetric join state store (both sides buffer rows,
+    * matches emit in the batch where the later side arrives, watermarks
+    * retire buffered clicks) into an append-mode memory sink.
+    *
+    * Deterministic-and-complete by REPLAY ORDER: the slice is sorted by
+    * ts before chunking, so every later batch's event-times are >= the
+    * watermark (nothing is ever late → nothing drops) and a click is
+    * only evicted once the watermark passes click_ts + interval — at
+    * which point every purchase that could still match it (purchase_ts
+    * in [click_ts, click_ts + interval]) has already arrived in an
+    * earlier-or-equal batch. Each matched pair emits in exactly one
+    * micro-batch, so the sink's final table equals the batch interval
+    * join — which is what the DuckDB oracle spells. Watermark-driven
+    * DROP behavior (out-of-order replay) is covered in StreamsSpec,
+    * where no oracle constrains determinism.
+    *
+    * Same harness taxes as st03 (eager by design; driver-side collect
+    * is the replay feed, 1-in-10 user slice mirrored in the oracle;
+    * cloned session with state-sized shuffle partitions). */
+  def st05StreamingJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 0 &&
+        $"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .orderBy($"ts")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .collect()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, String, Double)]],
+        s2.sqlContext)
+    val name = s"graft_st05_sink_${st03Runs.incrementAndGet()}"
+    // 30-minute interval (vs the operator's 10-minute default): the
+    // sf0.01 slice yields 4x the matched pairs for the oracle diff at
+    // identical replay volume — the state/eviction mechanics under
+    // test are interval-independent
+    val q = clickToPurchaseJoin(
+        in.toDF().toDF("user_id", "ts", "event_type", "value"), 30)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val nChunks = 2
+      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s2.table(name)
+      .select($"user_id", unix_micros($"purchase_ts").as("purchase_ts_us"),
+        round($"purchase_value", 2).as("purchase_value"),
+        unix_micros($"click_ts").as("click_ts_us"))
+      .orderBy($"user_id", $"purchase_ts_us", $"click_ts_us")
+  }
+
   def st03StreamingTumbling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // no orderBy: complete mode never drops late rows, so replay order

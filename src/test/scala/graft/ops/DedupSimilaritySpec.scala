@@ -274,6 +274,66 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(got == Set((2L, 1L), (5L, 4L)), s"got $got")
   }
 
+  test("s05: separable labels classify to the diagonal; mean_cos reflects tightness") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-s05").toString
+    // axis-aligned label groups: every member is parallel to its own
+    // centroid (cos = 1) and orthogonal to the other's (cos = 0)
+    Seq((1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(2f, 0f, 0f, 0f), 0),
+        (3L, Array(0f, 0f, 3f, 0f), 1), (4L, Array(0f, 0f, 5f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.s05CentroidClassify(spark, dir)
+      .as[(Int, Int, Long, Double)].collect().toSet
+    assert(got == Set((0, 0, 2L, 1.0), (1, 1, 2L, 1.0)), s"got $got")
+  }
+
+  test("d12: a test-split doc leaks exactly its train-shared chunks, clean docs report zero") {
+    import spark.implicits._
+    // classify ids with the SAME md5 bucket rule as t08/d12 so the
+    // planted docs land in the intended splits by construction
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x", 16)
+    }
+    val ids = (0L until 400L)
+    val trainId = ids.find(bucket(_) < 52429).get
+    val testIds = ids.filter(bucket(_) >= 58982).take(2)
+    val chunkA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val chunkB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val chunkC = (1 to 20).map(i => s"gamma$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d12").toString
+    Seq(trainId -> s"$chunkA $chunkB",   // train corpus
+        testIds(0) -> s"$chunkA $chunkC", // leaks chunkA only
+        testIds(1) -> chunkC)             // clean (chunkC is not in train)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextDedup.d12CrossSplitLeakage(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(testIds(0) -> ((2L, 1L)), testIds(1) -> ((1L, 0L))),
+      s"got $got (train=$trainId test=$testIds)")
+  }
+
+  test("d13: histogram counts clusters per size at both granularities") {
+    import spark.implicits._
+    val c1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val c2 = (1 to 20).map(i => s"v$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d13").toString
+    Seq(1L -> s"$c1 $c2", // doc-unique; chunks c1, c2
+        2L -> s"$c1 $c2", // exact duplicate of doc 1 (c1, c2 again)
+        3L -> c1)         // doc-unique; chunk c1 a third time
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextDedup.d13DupClusters(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    // docs: {1,2} identical (size 2), {3} singleton
+    // chunks: c1 occurs 3x (one cluster of 3), c2 occurs 2x (one of 2)
+    assert(got == Set(("doc", 1L, 1L), ("doc", 2L, 1L),
+      ("chunk", 2L, 1L), ("chunk", 3L, 1L)), s"got $got")
+  }
+
   test("exact dedup keeps lowest doc_id per normalized text") {
     val dd = Seq((10L, "Hello  World "), (11L, "hello world"), (12L, "other"))
       .toDF("doc_id", "text")

@@ -56,6 +56,40 @@ class RelationalSpec extends SparkSuiteBase {
     assert(plan.contains("Window"))
   }
 
+  test("q29: LOCF carries the latest purchase forward per user, null before the first") {
+    import spark.implicits._
+    val us = 1000L * 1000
+    val nanos = (m: Long) => m * 60 * us * 1000 // minutes -> parquet nanos
+    val dir = java.nio.file.Files.createTempDirectory("graft-q29").toString
+    Seq( // (event_id, user_id, event_type, value, ts-nanos)
+      (1L, 7L, "click", 5.0, nanos(0)),
+      (2L, 7L, "purchase", 10.0, nanos(1)),
+      (3L, 7L, "click", 7.0, nanos(2)),
+      (4L, 7L, "purchase", 20.0, nanos(3)),
+      (5L, 7L, "view", 9.0, nanos(4)),
+      (6L, 8L, "click", 1.0, nanos(0))) // user with no purchases at all
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q29FillGaps(spark, dir)
+      .select($"event_id", $"last_purchase_value", $"first_purchase_value")
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((None, Some(10.0))))   // before any purchase
+    assert(got(2L) == ((Some(10.0), Some(10.0))))
+    assert(got(3L) == ((Some(10.0), Some(10.0))))
+    assert(got(4L) == ((Some(20.0), Some(10.0))))
+    assert(got(5L) == ((Some(20.0), Some(10.0))))
+    assert(got(6L) == ((None, None)))         // no purchase ever -> both null
+  }
+
+  test("q29 plan: both windows share ONE hash exchange on user_id") {
+    val plan = physicalPlan(Relational.q29FillGaps(spark, sf))
+    val exchanges = "hashpartitioning\\(user_id".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1,
+      s"expected one shared window exchange, got $exchanges:\n$plan")
+  }
+
   test("d10: fuzzy match honors the block+verify contract exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-d10").toString

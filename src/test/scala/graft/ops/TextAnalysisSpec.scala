@@ -37,6 +37,22 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(1L) == 3L)
   }
 
+  test("t18: bigram counts, conditioning denominators, and cond_p on a known corpus") {
+    val dir = docsDir(Seq(
+      1L -> "a b a b", // bigrams: "a b", "b a", "a b"
+      2L -> "a b c",   // bigrams: "a b", "b c"
+      3L -> "solo"     // 1 token -> no bigrams
+    ))
+    val got = TextAnalysis.t18BigramLm(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // c("a b")=3, c("b a")=1, c("b c")=1; c_w1: a->3, b->2
+    assert(got == Map(
+      "a b" -> ((3L, 3L, 1.0)),
+      "b a" -> ((1L, 2L, 0.5)),
+      "b c" -> ((1L, 2L, 0.5))))
+  }
+
   test("t10: repetitive doc scores high, all-distinct doc scores zero, short doc is safe") {
     val dir = docsDir(Seq(
       1L -> "spam spam spam spam spam spam spam spam spam spam", // 8 identical 3-grams

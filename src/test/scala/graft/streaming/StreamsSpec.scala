@@ -160,6 +160,25 @@ class StreamsSpec extends SparkSuiteBase {
     assert(spark.read.parquet(out.toString).count() == 3)
   }
 
+  test("st05: incremental stream-stream join equals the batch interval join") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st05StreamingJoin(spark, sf).collect().toSeq
+    val events = graft.Tables(spark, sf, "events")
+    val p = events.filter($"event_type" === "purchase" && $"user_id" % 10 === 0)
+      .select($"user_id", $"ts".as("pts"), $"value")
+    val c = events.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"))
+    val expected = p.join(c, $"user_id" === $"cu" &&
+        $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES") && $"cts" <= $"pts")
+      .select($"user_id", unix_micros($"pts").as("purchase_ts_us"),
+        round($"value", 2).as("purchase_value"),
+        unix_micros($"cts").as("click_ts_us"))
+      .orderBy($"user_id", $"purchase_ts_us", $"click_ts_us")
+      .collect().toSeq
+    assert(got == expected,
+      s"streaming join diverged: got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("st04: every event lands in exactly two sliding windows, starts 5-min aligned") {
     val sf = "/root/testdata/sf0.001"
     val df = Streams.st04SlidingWindows(spark, sf)
