@@ -52,19 +52,32 @@ object Bench {
     // seconds above, CLAMPED — so every rendered value has a provable
     // max width and BenchFormatSpec's worst-case budget is sound for
     // ANY input, not just values below the clamp. The headline total
-    // clamps at 9999 (4 chars — the number the judge reads must stay
-    // honest well past any survivable run); per-QUERY values clamp at
-    // 999 (3 chars — a single query past 16 min at sf0.1 has already
-    // blown the driver's wall clock, and with 88 registered queries
-    // that one char per entry is what keeps the worst-case line inside
-    // the driver's 2000-char tail window). The file artifact and
+    // renders 1 decimal below 100 s, whole seconds above, clamped at
+    // 9999 — worst case 4 chars, and the number the judge reads stays
+    // honest well past any survivable run. Per-QUERY values render a
+    // decimal only below 10 s (where it carries information), whole
+    // seconds from 10 to 98, and clamp at "99" — PROVABLY <= 3 chars
+    // for any input (the earlier 999-clamp spelling was 3 chars at the
+    // clamp but 4 at 99.9 — the clamp alone never bounds the width,
+    // the sub-clamp format does). A single query past 99 s at sf0.1 is
+    // a run the driver has already flagged; with 90+ registered
+    // queries, that per-entry width is what keeps the worst-case line
+    // inside the driver's 2000-char tail window. The file artifact and
     // stderr keep full precision regardless.
-    def fmt(v: Double, clamp: Double): String =
-      if (v >= clamp + 0.5) String.format(java.util.Locale.ROOT, "%.0f", Double.box(clamp))
+    def f1(v: Double): String =
+      if (v >= 9999.5) "9999"
       else if (v >= 99.95) String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
       else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    def f1(v: Double): String = fmt(v, 9999)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 999) }
+    // On FAILING runs the decimal is dropped too (2-char worst): the
+    // errors section costs ~25 chars and the line must STILL parse —
+    // a failing run is exactly when the consumer needs it most. The
+    // timings that matter on a red run live in the file artifact.
+    def fq(v: Double): String =
+      if (v >= 98.5) "99"
+      else if (v >= 9.95 || errors.nonEmpty)
+        String.format(java.util.Locale.ROOT, "%.0f", Double.box(math.min(v, 99)))
+      else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val errPart =
       if (errors.isEmpty) ""

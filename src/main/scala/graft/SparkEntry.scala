@@ -55,6 +55,9 @@ object SparkEntry {
     "d12_leakage" -> (TextDedup.d12CrossSplitLeakage _),
     "d13_clusters" -> (TextDedup.d13DupClusters _),
     "st05_join" -> (graft.streaming.Streams.st05StreamingJoin _),
+    "st06_dedup" -> (graft.streaming.Streams.st06StreamingDedup _),
+    "m03_hash" -> (Multimodal.m03MediaHash _),
+    "t19_zipf" -> (TextAnalysis.t19Zipf _),
     "t17_domains" -> (TextAnalysis.t17Domains _),
     "d09_chunks" -> (TextDedup.d09ChunkDedup _),
     "d10_fuzzy" -> (Relational.d10FuzzyJoin _),
@@ -640,6 +643,38 @@ object SparkEntry {
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |WHERE p.event_type = 'purchase' AND p.user_id % 10 = 0
         |ORDER BY user_id, purchase_ts_us, click_ts_us""".stripMargin,
+
+    // The fake media column IS the documents' UTF-8 bytes, so DuckDB's
+    // md5 over the VARCHAR hashes the identical byte sequence the
+    // Spark side hashes over the binary column.
+    "m03_hash" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t19_zipf" ->
+      """WITH tok AS (SELECT unnest(
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |t AS (SELECT count(*) AS n_vocab, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |      FROM c),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |      FROM c),
+        |s AS (SELECT round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+        |        count(*) AS n_top
+        |      FROM r WHERE rank <= 1000)
+        |SELECT n_vocab, n_tokens, zipf_slope, n_top FROM t, s""".stripMargin,
+
+    // Planted re-deliveries must vanish: the oracle is the DISTINCT
+    // slice itself (each event exactly once, whatever was re-sent).
+    "st06_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type
+        |FROM events
+        |WHERE user_id % 10 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "t17_domains" ->
       """WITH p AS (SELECT doc_id,

@@ -100,6 +100,33 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m03 — binary-payload content fingerprinting + exact media dedup:
+    * md5 over the raw `binary` column with a first-occurrence keep
+    * decision — the image/audio dedup pass a multimodal pipeline runs
+    * BEFORE any decode (bit-identical assets are the dominant
+    * duplication mode in scraped media, and hashing bytes needs no
+    * codec — so unlike m01/m02 nothing here is stubbed, making this
+    * the multimodal family's first fully oracle-checked query: the
+    * fake media IS the documents' UTF-8 bytes, which DuckDB's md5
+    * hashes identically from the VARCHAR side).
+    *
+    * Scale shape: the fingerprint projection is a pure map over the
+    * blob scan; the keep-decision window shuffles (doc_id, 16-byte
+    * hex, n_bytes) — the PAYLOAD never shuffles (the Multimodal
+    * header rule: binary stays out of every wide op). At 100 TB the
+    * md5 column is what lands in the asset catalog; dedup joins
+    * against it, not the bytes. */
+  def m03MediaHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"content_md5").orderBy($"doc_id")
+    fakeMedia(s, dir).toDF()
+      .select($"doc_id", length($"media").cast("long").as("n_bytes"),
+        md5($"media").as("content_md5"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy($"doc_id")
+  }
+
   /** m01 — end-to-end multimodal pipeline over fake media: documents'
     * text bytes stand in for blobs, width/height metadata is derived
     * deterministically, decode runs batchwise per partition, features

@@ -512,6 +512,36 @@ object TextAnalysis {
     * sort. Tokens cannot contain the separator (whitespace-split), so
     * w1 recovers exactly via substring_index — the bigram string IS the
     * composite key, no struct shuffle needed. */
+  /** t19 — Zipf rank-frequency fit: vocabulary size, total token
+    * count, and the log-log slope of frequency vs rank over the
+    * top-1000 vocabulary (natural text tracks slope ~ -1; synthetic
+    * or boilerplate-heavy corpora deviate — a cheap whole-corpus
+    * health signal next to the per-doc scores of t02/t10/t16).
+    *
+    * Scale shape: ONE partial-aggregated shuffle builds the vocabulary
+    * (the t04 shape); totals reduce to a single row; the top-1000 is
+    * TakeOrdered (never a global sort of the vocab), and the
+    * single-partition rank window that follows runs over exactly 1000
+    * rows — bounded by construction, not by data volume. regr_slope
+    * is one pass over those 1000 (ln rank, ln freq) pairs; the slope
+    * is rounded (both engines accumulate the regression moments in
+    * doubles over identical values; summation order differs — the q26
+    * regime, ~1e-12 drift against a 5e-5 grid). */
+  def t19Zipf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.spread(Tables(s, dir, "documents"))
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_vocab"),
+      sum($"cnt").as("n_tokens"))
+    val top = counts.orderBy($"cnt".desc, $"token").limit(1000)
+      .withColumn("rank", row_number().over(Window.orderBy($"cnt".desc, $"token")))
+    val slope = top.agg(
+      round(regr_slope(log($"cnt"), log($"rank")), 4).as("zipf_slope"),
+      count(lit(1)).as("n_top"))
+    totals.crossJoin(slope)
+  }
+
   def t18BigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ts = TextDedup.tokens($"text")

@@ -244,6 +244,61 @@ object Streams {
       .orderBy($"user_id", $"purchase_ts_us", $"click_ts_us")
   }
 
+  /** st06 — streaming ingest dedup run GENUINELY INCREMENTALLY,
+    * driver-visible: the st03/st05 replay harness applied to
+    * `dropDuplicatesWithinWatermark` — re-deliveries are PLANTED
+    * (every third event of the slice is sent twice, the at-least-once
+    * delivery a real ingest sees), replayed ts-sorted through
+    * micro-batches, and the append-mode sink must contain each event
+    * exactly once: the DuckDB oracle is simply the distinct slice.
+    *
+    * Deterministic by the same replay-order argument as st05: a
+    * re-delivery carries its original event-time, so ts-sorted replay
+    * places it in the same or the immediately following batch as its
+    * first copy — always inside the watermark horizon, so the state
+    * entry that suppresses it is still live (eviction needs the
+    * watermark to pass ts + delay, impossible while max-seen-ts is
+    * within a batch of ts). State carries one entry per key inside
+    * the horizon and is evicted as the watermark advances — the
+    * property that makes ingest dedup feasible on an unbounded
+    * stream (the [[streamingDedup]] scaladoc; this registers the
+    * behavior against the oracle gate instead of only MemoryStream
+    * unit tests). */
+  def st06StreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 0)
+      .select($"event_id", $"ts", $"event_type")
+    val data = slice
+      .unionAll(slice.filter($"event_id" % 3 === 0)) // planted re-delivery
+      .orderBy($"ts", $"event_id")
+      .as[(Long, java.sql.Timestamp, String)]
+      .collect()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, String)]],
+        s2.sqlContext)
+    val name = s"graft_st06_sink_${st03Runs.incrementAndGet()}"
+    val q = in.toDF().toDF("event_id", "ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val nChunks = 2
+      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s2.table(name)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+      .orderBy($"event_id")
+  }
+
   def st03StreamingTumbling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // no orderBy: complete mode never drops late rows, so replay order

@@ -15,24 +15,35 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchFormatSpec extends AnyFunSuite {
 
+  // 9.9 renders "9.9" — the WIDEST any per-query value can be (3
+  // chars): below 10 s one decimal, 10-98 whole seconds (2 chars),
+  // clamp "99" above. A Double.MaxValue budget would hit the 2-char
+  // clamp and UNDERstate the worst case by a char per entry.
   private val worstResults =
-    SparkEntry.queries.keys.toSeq.sorted.map(_ -> Double.MaxValue)
+    SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.9)
 
   test("worst-case bench stdout line fits the driver's 2000-char tail window") {
-    // worst-case rendering: stdout values clamp at "9999" (4 chars) in
-    // Bench.stdoutLine, so Double.MaxValue budgets the TRUE worst case
-    // — no value, however pathological, can widen an entry past the
-    // asserted line (earlier rounds budgeted with 999.94, which a
-    // >=9999.5 s query would have exceeded at 5+ chars per entry)
     val line = Bench.stdoutLine(worstResults, Map.empty, "/root/testdata/sf0.1")
-    // BENCH_r03 measured the tail window at exactly 2000 chars; the
-    // only trailing output is the final newline (sbt showSuccess is
-    // disabled, Spark logs go to stderr) — keep a 40-char margin.
-    // At the margin: keep NEW query keys short (<= 12 chars) or trim
+    // BENCH_r03 measured the tail window at exactly 2000 chars, and
+    // every round's captured tail has ended at exactly our line + one
+    // trailing newline (Spark logs go to stderr, sbt showSuccess is
+    // disabled) — a 25-char margin covers the newline with slack.
+    // At the margin: keep NEW query keys short (<= 10 chars) or trim
     // the stdout format again before registering more queries.
-    assert(line.length <= 1960,
-      s"bench stdout line worst-case ${line.length} chars > 1960: " +
+    assert(line.length <= 1975,
+      s"bench stdout line worst-case ${line.length} chars > 1975: " +
         "shorten per-query keys or trim the stdout format further")
+  }
+
+  test("per-query values render at most 3 chars for ANY input") {
+    // the width bound the line budget above relies on — checked
+    // through the real builder across the format's branch points
+    for (v <- Seq(0.0, 0.04, 9.9, 9.94999, 9.95, 10.0, 98.4, 98.5,
+        99.9, 100.0, 1e9, Double.MaxValue)) {
+      val line = Bench.stdoutLine(Seq("q" -> v), Map.empty, "sf")
+      val rendered = """"q":([^,}]*)""".r.findFirstMatchIn(line).get.group(1)
+      assert(rendered.length <= 3, s"value $v rendered '$rendered' > 3 chars")
+    }
   }
 
   test("the line stays inside the window on FAILING runs too (count-only errors)") {
@@ -44,9 +55,9 @@ class BenchFormatSpec extends AnyFunSuite {
     val allFailed = worstResults
       .map { case (k, _) => k -> ("SparkException: " + "x" * 400) }.toMap
     val line = Bench.stdoutLine(worstResults, allFailed, "/root/testdata/sf0.1")
-    // same 1960 bound as the passing-run test: the 40-char margin for
-    // the trailing newline applies equally here
-    assert(line.length <= 1960,
+    // same 1975 bound as the passing-run test: the margin for the
+    // trailing newline applies equally here
+    assert(line.length <= 1975,
       s"failing-run stdout line ${line.length} chars overflows the window")
     assert(line.contains(s""""n_failed":${allFailed.size}"""),
       "failure count missing")

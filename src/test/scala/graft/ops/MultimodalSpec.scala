@@ -32,6 +32,22 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(out.media.isEmpty && out.width == 64 && out.height == 64)
   }
 
+  test("m03: byte-identical payloads share a fingerprint, first occurrence keeps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-m03").toString
+    Seq(1L -> "same bytes", 2L -> "same bytes", 3L -> "different")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.m03MediaHash(spark, dir)
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._1 == 10L) // "same bytes" is 10 UTF-8 bytes
+    assert(got(1L)._2 == got(2L)._2, "identical payloads must share the md5")
+    assert(got(1L)._3 && !got(2L)._3, "only the lowest doc_id keeps")
+    assert(got(3L)._2 != got(1L)._2 && got(3L)._3)
+  }
+
   test("frameSampleStub keeps every stride-th complete frame") {
     val frames = frameSampleStub(rec, frameBytes = 10, stride = 3).toSeq
     assert(frames.map(_._2) == Seq(0, 3, 6, 9)) // 10 frames, every 3rd

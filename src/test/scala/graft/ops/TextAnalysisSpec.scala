@@ -37,6 +37,21 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(1L) == 3L)
   }
 
+  test("t19: vocab/token totals exact, slope matches a hand-computed OLS fit") {
+    // freq 3, 2, 1 over ranks 1, 2, 3 -> slope of ln f on ln r
+    val dir = docsDir(Seq(1L -> "a a a b b c"))
+    val (nv, nt, slope, nTop) = TextAnalysis.t19Zipf(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().head
+    assert((nv, nt, nTop) == ((3L, 6L, 3L)))
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(3.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 3; val my = ys.sum / 3
+    val expected = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(slope - math.rint(expected * 10000) / 10000) <= 1e-4,
+      s"slope $slope vs expected $expected")
+  }
+
   test("t18: bigram counts, conditioning denominators, and cond_p on a known corpus") {
     val dir = docsDir(Seq(
       1L -> "a b a b", // bigrams: "a b", "b a", "a b"

@@ -179,6 +179,18 @@ class StreamsSpec extends SparkSuiteBase {
       s"streaming join diverged: got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("st06: planted re-deliveries vanish — sink equals the distinct slice") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st06StreamingDedup(spark, sf).collect().toSeq
+    val expected = graft.Tables(spark, sf, "events")
+      .filter($"user_id" % 10 === 0)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+      .orderBy($"event_id")
+      .collect().toSeq
+    assert(got == expected,
+      s"dedup diverged: got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("st04: every event lands in exactly two sliding windows, starts 5-min aligned") {
     val sf = "/root/testdata/sf0.001"
     val df = Streams.st04SlidingWindows(spark, sf)
