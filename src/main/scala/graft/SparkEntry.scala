@@ -51,13 +51,14 @@ object SparkEntry {
     "q28_ntile" -> (Relational.q28Ntile _),
     "q29_locf" -> (Relational.q29FillGaps _),
     "s05_knn" -> (Similarity.s05CentroidClassify _),
-    "t18_bigram" -> (TextAnalysis.t18BigramLm _),
-    "d12_leakage" -> (TextDedup.d12CrossSplitLeakage _),
-    "d13_clusters" -> (TextDedup.d13DupClusters _),
+    "t18_lm" -> (TextAnalysis.t18BigramLm _),
+    "d12_leak" -> (TextDedup.d12CrossSplitLeakage _),
+    "d13_hist" -> (TextDedup.d13DupClusters _),
     "st05_join" -> (graft.streaming.Streams.st05StreamingJoin _),
     "st06_dedup" -> (graft.streaming.Streams.st06StreamingDedup _),
     "m03_hash" -> (Multimodal.m03MediaHash _),
     "t19_zipf" -> (TextAnalysis.t19Zipf _),
+    "s06_hybrid" -> (Similarity.s06HybridSearch _),
     "t17_domains" -> (TextAnalysis.t17Domains _),
     "d09_chunks" -> (TextDedup.d09ChunkDedup _),
     "d10_fuzzy" -> (Relational.d10FuzzyJoin _),
@@ -560,7 +561,7 @@ object SparkEntry {
         |FROM asg GROUP BY label, cluster
         |ORDER BY label, predicted""".stripMargin,
 
-    "t18_bigram" ->
+    "t18_lm" ->
       """WITH toks AS (SELECT
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
         |  FROM documents),
@@ -578,7 +579,7 @@ object SparkEntry {
     // The Spark side folds chunks to xxhash64 and splits on the same
     // md5 bucket as t08; the oracle carries the chunk strings —
     // identical up to a 2^-64-per-pair hash collision (d09's note).
-    "d12_leakage" ->
+    "d12_leak" ->
       """WITH toks AS (SELECT doc_id,
         |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
         |      FROM documents WHERE text IS NOT NULL),
@@ -607,7 +608,7 @@ object SparkEntry {
     // Clusters keyed on xxhash64 content keys Spark-side, on the text
     // itself in the oracle — identical histograms up to a
     // 2^-64-per-pair collision (the d01 argument).
-    "d13_clusters" ->
+    "d13_hist" ->
       """WITH bydoc AS (
         |  SELECT 'doc' AS granularity, n_members, count(*) AS n_clusters FROM (
         |    SELECT count(*) AS n_members
@@ -675,6 +676,46 @@ object SparkEntry {
         |FROM events
         |WHERE user_id % 10 = 0
         |ORDER BY event_id""".stripMargin,
+
+    // Stage 1 is t14's oracle verbatim (the Spark side shares the
+    // factored bm25Top50); stage 2 adds the bit-identical cosine (the
+    // s01 argument) to the ROUNDED bm25 — the sum is engine-identical
+    // before its own round.
+    "s06_hybrid" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |tf AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(ts, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(ts, x -> x = 'window')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(ts, x -> x = 'batch')) AS DOUBLE) AS tf2
+        |  FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM tf),
+        |lex AS (SELECT doc_id, round(
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * (1.2 + 1.0)
+        |        / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0)
+        |        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0)
+        |        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM tf, stats
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |  ORDER BY score DESC, doc_id LIMIT 50),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |r AS (SELECT doc_id, score,
+        |        round(list_cosine_similarity(v, qv), 6) AS cos,
+        |        round(score + list_cosine_similarity(v, qv), 4) AS hybrid
+        |      FROM lex JOIN e ON e.vec_id = lex.doc_id, q)
+        |SELECT rank, doc_id, score, cos, hybrid FROM (
+        |  SELECT r.*, row_number() OVER (ORDER BY hybrid DESC, doc_id) AS rank
+        |  FROM r) t
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
 
     "t17_domains" ->
       """WITH p AS (SELECT doc_id,

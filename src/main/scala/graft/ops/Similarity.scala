@@ -320,6 +320,41 @@ object Similarity {
       .orderBy($"label", $"predicted")
   }
 
+  /** s06 — hybrid retrieval (the RAG shape): BM25 lexical recall
+    * (t14's exact pipeline, factored shared) narrows the corpus to a
+    * top-50 candidate set, then each candidate reranks by embedding
+    * cosine against the query vector, final score = bm25 + cosine,
+    * top-20. The two-stage lexical-recall -> vector-rerank cascade is
+    * THE production retrieval pattern: the expensive vector kernel
+    * runs only on the lexical head, never the corpus (documents and
+    * embeddings are 1:1 by id in the testdata, as doc/embedding
+    * tables are in a real pipeline).
+    *
+    * Scale shape: stage 1 is t14's shape (broadcast stats row, corpus
+    * streams once, TakeOrdered-50); stage 2 joins 50 rows against the
+    * embeddings table — the candidate side broadcasts, the embedding
+    * scan prunes to (vec_id, embedding), and the rerank window is
+    * bounded at 50 rows by construction. Determinism: the ROUNDED
+    * bm25 (round-4, engine-equal — t14's argument) plus the
+    * bit-identical unrounded cosine (s01's argument) sums to an
+    * engine-identical double before the final round. */
+  def s06HybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = graft.ops.TextAnalysis.bm25Top50(s, dir)
+    val emb = Tables(s, dir, "embeddings")
+    val qv = broadcast(emb.filter($"vec_id" === 0).select($"embedding".as("q")))
+    val w = Window.orderBy($"hybrid".desc, $"doc_id") // <= 50 rows by construction
+    lex.join(emb.select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
+      .crossJoin(qv)
+      .select($"doc_id", $"score", cosine($"embedding", $"q").as("c"))
+      .select($"doc_id", $"score", round($"c", 6).as("cos"),
+        round($"score" + $"c", 4).as("hybrid"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 20)
+      .select($"rank", $"doc_id", $"score", $"cos", $"hybrid")
+      .orderBy($"rank")
+  }
+
   /** s03 — per-label centroids: the distributed vector-mean that
     * trains an IVF/k-means index (one assignment pass + this agg per
     * Lloyd iteration — s02 PROBES such centroids; this is the op that

@@ -374,6 +374,15 @@ object TextAnalysis {
     * rank-boundary ties so the top-50 SET is engine-independent. */
   def t14Bm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bm25Top50(s, dir).orderBy($"doc_id")
+  }
+
+  /** The t14 scoring pipeline up to the ranked top-50 (doc_id, score)
+    * — shared with s06, whose hybrid rerank consumes the lexical head
+    * (factored so the two queries cannot drift apart on the BM25
+    * side). */
+  private[graft] def bm25Top50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val terms = Seq("spark", "window", "batch")
     val k1 = 1.2; val b = 0.75
     val tf = Tables.spread(Tables(s, dir, "documents"))
@@ -395,7 +404,6 @@ object TextAnalysis {
       .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .select($"doc_id", round(score, 4).as("score"))
       .orderBy($"score".desc, $"doc_id").limit(50)
-      .orderBy($"doc_id")
   }
 
   /** t16 — unigram negative-log-likelihood scoring (the CCNet-style

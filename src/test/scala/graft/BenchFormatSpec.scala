@@ -27,11 +27,13 @@ class BenchFormatSpec extends AnyFunSuite {
     // BENCH_r03 measured the tail window at exactly 2000 chars, and
     // every round's captured tail has ended at exactly our line + one
     // trailing newline (Spark logs go to stderr, sbt showSuccess is
-    // disabled) — a 25-char margin covers the newline with slack.
-    // At the margin: keep NEW query keys short (<= 10 chars) or trim
-    // the stdout format again before registering more queries.
-    assert(line.length <= 1975,
-      s"bench stdout line worst-case ${line.length} chars > 1975: " +
+    // disabled) — so 1999 is the hard ceiling and a 14-char margin
+    // covers the newline with slack. At the margin: the format is out
+    // of cheap trims (3-char values, count-only errors, basename sf)
+    // — registering more queries means renaming keys or dropping the
+    // per-query map from stdout. Decide deliberately.
+    assert(line.length <= 1985,
+      s"bench stdout line worst-case ${line.length} chars > 1985: " +
         "shorten per-query keys or trim the stdout format further")
   }
 
@@ -55,9 +57,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val allFailed = worstResults
       .map { case (k, _) => k -> ("SparkException: " + "x" * 400) }.toMap
     val line = Bench.stdoutLine(worstResults, allFailed, "/root/testdata/sf0.1")
-    // same 1975 bound as the passing-run test: the margin for the
-    // trailing newline applies equally here
-    assert(line.length <= 1975,
+    // same 1985 bound as the passing-run test: the margin for the
+    // trailing newline applies equally here (failing runs render
+    // whole-second values, which pays for the errors section)
+    assert(line.length <= 1985,
       s"failing-run stdout line ${line.length} chars overflows the window")
     assert(line.contains(s""""n_failed":${allFailed.size}"""),
       "failure count missing")

@@ -334,6 +334,23 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       ("chunk", 2L, 1L), ("chunk", 3L, 1L)), s"got $got")
   }
 
+  test("s06: hybrid rerank stays within the lexical head, ordered by combined score") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = Similarity.s06HybridSearch(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val lexHead = TextAnalysis.t14Bm25(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got.forall(r => lexHead(r._2)),
+      "reranked docs must come from the BM25 top-50 — the vector kernel never widens recall")
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq, "ranks must be dense from 1")
+    val hybrids = got.map(_._5).toSeq
+    assert(hybrids == hybrids.sorted.reverse, "hybrid scores must be non-increasing")
+    got.foreach(r => assert(math.abs(r._5 - (r._3 + r._4)) < 1e-3,
+      s"hybrid ${r._5} should be ~ bm25 ${r._3} + cos ${r._4}"))
+  }
+
   test("exact dedup keeps lowest doc_id per normalized text") {
     val dd = Seq((10L, "Hello  World "), (11L, "hello world"), (12L, "other"))
       .toDF("doc_id", "text")
