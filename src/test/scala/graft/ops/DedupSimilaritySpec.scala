@@ -334,6 +334,27 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       ("chunk", 2L, 1L), ("chunk", 3L, 1L)), s"got $got")
   }
 
+  test("d12 plan: no shuffle ever carries the chunk string") {
+    val plan = TextDedup.d12CrossSplitLeakage(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(chunk"),
+      s"chunk string must fold to a hash before any exchange:\n$plan")
+  }
+
+  test("s05/s06 plan: centroids and query vector broadcast; t19 top-1000 is TakeOrdered") {
+    val sf = "/root/testdata/sf0.001"
+    val p5 = Similarity.s05CentroidClassify(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p5.contains("Broadcast"), s"s05 centroids must broadcast:\n$p5")
+    val p6 = Similarity.s06HybridSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p6.contains("Broadcast"), s"s06 query vector must broadcast:\n$p6")
+    val p9 = TextAnalysis.t19Zipf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p9.contains("TakeOrderedAndProject"),
+      s"t19's top-1000 must be TakeOrdered, not a global vocab sort:\n$p9")
+  }
+
   test("s06: hybrid rerank stays within the lexical head, ordered by combined score") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
