@@ -242,6 +242,85 @@ object Graft {
       .withColumn("dist", levenshtein(col(leftCol), col(rightCol)).cast("long"))
       .filter(col("dist") <= maxDist)
 
+  /** Forward fill / LOCF (q29's oracle-checked binding): appends
+    * `filled_<valueCol>` = the latest non-null `valueCol` at-or-before
+    * each row within its `keyCol` partition, ordered by (`tsCol`,
+    * `tieCol`). One shuffle on the key; the IGNORE NULLS running frame
+    * is O(1) per row. */
+  def fillForward(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"filled_$valueCol",
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Nearest-centroid classification (s05's oracle-checked binding,
+    * sans the harness confusion rollup): appends `predicted` — the
+    * `labelCol` of the nearest (by the fused cosine kernel) per-label
+    * centroid — and `centroid_cos`. Centroids train from `train` and
+    * broadcast; `df` streams once through one argmax aggregate. Ties
+    * break to the larger label (the d11/s05 convention). Both frames:
+    * (idCol, vecCol[, labelCol]) by name. */
+  def classifyByCentroid(df: DataFrame, train: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val cent = broadcast(
+      train.select(col(labelCol).as("__lbl"),
+          posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+        .groupBy(col("__lbl"), col("__dim")).agg(round(avg(col("__v")), 4).as("__c"))
+        .groupBy(col("__lbl"))
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__c")))),
+          x => x.getField("__c")).cast("array<float>").as("__cv")))
+    df.crossJoin(cent)
+      .withColumn("__cos", ops.Similarity.cosine(col(vecCol), col("__cv")))
+      .groupBy(df.columns.map(col): _*)
+      .agg(max(struct(col("__cos"), col("__lbl"))).as("__best"))
+      .withColumn("predicted", col("__best.__lbl"))
+      .withColumn("centroid_cos", col("__best.__cos"))
+      .drop("__best")
+  }
+
+  /** Cross-split leakage audit (d12's oracle-checked binding): for
+    * every row of `audit`, how many of its distinct `chunkLen`-token
+    * chunks appear anywhere in `corpus` — the decontamination check
+    * between a training corpus and an eval/test split. Chunks fold to
+    * xxhash64 before any exchange; zero-leak rows are kept (an audit
+    * that only lists offenders can't prove cleanliness). */
+  def splitLeakage(audit: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, chunkLen: Int = 20): DataFrame = {
+    def hashes(df: DataFrame, withId: Boolean): DataFrame = {
+      val base = df.filter(col(textCol).isNotNull)
+        .select((if (withId) Seq(col(idCol)) else Seq.empty) :+
+          explode(ops.TextDedup.tokenChunks(col(textCol), chunkLen)).as("__chunk"): _*)
+      base.select((if (withId) Seq(col(idCol)) else Seq.empty) :+
+        xxhash64(col("__chunk")).as("__h"): _*).distinct()
+    }
+    hashes(audit, withId = true)
+      .join(hashes(corpus, withId = false)
+        .withColumnRenamed("__h", "__th"), col("__h") === col("__th"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__th").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+  }
+
+  /** Hybrid retrieval (the s06 cascade, parameterized): rerank the
+    * `lexical` candidate set (idCol, scoreCol) by cosine against
+    * `queryVec` over the `vectors` frame (idCol, vecCol), combined
+    * score = lexical + cosine, top-k. The vector kernel touches ONLY
+    * the candidate set — the production lexical-recall -> vector-rerank
+    * shape. */
+  def hybridRerank(lexical: DataFrame, vectors: DataFrame,
+      idCol: String, scoreCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int): DataFrame = {
+    val w = Window.orderBy(col("hybrid").desc, col(idCol))
+    lexical.join(vectors.select(col(idCol), col(vecCol)), idCol)
+      .withColumn("cos", ops.Similarity.cosine(col(vecCol), lit(queryVec)))
+      .withColumn("hybrid", col(scoreCol) + col("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .drop(vecCol)
+  }
+
   /** Unigram negative-log-likelihood scoring (t16's oracle-checked
     * binding, sans harness bucketing): the corpus's own unigram table
     * stands in for a shipped LM. Returns one row per `idCol`:

@@ -119,6 +119,50 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got(2L) == (("keep", true)))
   }
 
+  test("fillForward carries the last non-null value, null before the first") {
+    val df = Seq((1L, 1L, 0L, Some(5.0)), (1L, 2L, 0L, None),
+        (1L, 3L, 0L, Some(7.0)), (1L, 4L, 0L, None), (2L, 1L, 0L, None))
+      .toDF("key", "ts", "tie", "v")
+    val got = Graft.fillForward(df, "key", "ts", "tie", "v")
+      .select($"key", $"ts", $"filled_v")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 1L)) == Some(5.0) && got((1L, 2L)) == Some(5.0))
+    assert(got((1L, 3L)) == Some(7.0) && got((1L, 4L)) == Some(7.0))
+    assert(got((2L, 1L)).isEmpty)
+  }
+
+  test("classifyByCentroid predicts the nearest label centroid") {
+    val train = Seq((1L, Array(1f, 0f), 0), (2L, Array(2f, 0f), 0),
+        (3L, Array(0f, 1f), 1)).toDF("id", "vec", "label")
+    val df = Seq((10L, Array(5f, 0.1f)), (11L, Array(0.1f, 9f)))
+      .toDF("id", "vec")
+    val got = Graft.classifyByCentroid(df, train, "id", "vec", "label")
+      .select($"id", $"predicted").as[(Long, Int)].collect().toMap
+    assert(got == Map(10L -> 0, 11L -> 1))
+  }
+
+  test("splitLeakage counts shared chunks per audit row, zero-leak rows kept") {
+    val c1 = (1 to 20).map(i => s"a$i").mkString(" ")
+    val c2 = (1 to 20).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((1L, c1)).toDF("id", "text")
+    val audit = Seq((10L, s"$c1 $c2"), (11L, c2)).toDF("id", "text")
+    val got = Graft.splitLeakage(audit, corpus, "id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(10L -> ((2L, 1L)), 11L -> ((1L, 0L))))
+  }
+
+  test("hybridRerank reorders the lexical head by combined score") {
+    val lex = Seq((1L, 1.0), (2L, 1.1)).toDF("id", "score")
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "vec")
+    // query along vec 1: doc 1 gains cos 1.0 (total 2.0), doc 2 gains 0 (1.1)
+    val got = Graft.hybridRerank(lex, vecs, "id", "score", "vec",
+        Array(1f, 0f), k = 2)
+      .select($"rank", $"id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)), s"got $got")
+  }
+
   test("packSequences facade fills bins per shard") {
     val df = Seq((0L, 300L), (2L, 300L), (4L, 300L), (1L, 300L)).toDF("id", "n_tok")
     val got = Graft.packSequences(df, "id", "n_tok", capacity = 512, shards = 2)
