@@ -197,8 +197,16 @@ object Similarity {
     * work is the output sort. At 100 TB with a low tau the result set
     * itself is the cost; tau tunes it (0.2 on this random corpus ~286
     * rows at sf0.01). The filter compares the UNROUNDED cosine — both
-    * engines compute it bit-for-bit (see the s01 oracle note), so the
-    * boundary is exact. */
+    * engines compute it bit-for-bit TODAY because both kernels
+    * accumulate in double, in index order, over identical float
+    * inputs; any reordering of EITHER side's summation (vectorization,
+    * pairwise/Kahan reassociation in a future DuckDB or in our
+    * CosineSimilarity codegen) invalidates that and would flip rows
+    * within one ulp of tau. The failure is loud (row-count diff in the
+    * oracle gate), not silent; if it fires, re-anchor tau away from
+    * representable corpus cosines rather than rounding before the
+    * filter (d11's edge filter shares this contract — see the s04
+    * oracle comment in SparkEntry). */
   def s04Radius(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
