@@ -321,6 +321,50 @@ object Graft {
       .drop(vecCol)
   }
 
+  /** Bigram language-model training (t18's oracle-checked binding):
+    * corpus-wide bigram counts with conditional probabilities
+    * p(w2|w1) = c(w1 w2) / c(w1 ·), top-`topK` by frequency (ranked
+    * head; ties break on the bigram). One partial-aggregated shuffle
+    * on the bigram string; the conditioning denominator is a window
+    * over the VOCAB-sized count table, never the corpus. Tokens are
+    * whitespace-split so "w1 w2" is an unambiguous composite key. */
+  def bigramLm(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    val ts = ops.TextDedup.tokens(col(textCol))
+    // bind-once wrapper (the shingles() rule): the token array is
+    // referenced per bigram — must be an attribute read, not a re-split
+    val bigrams = element_at(transform(array(ts), tsv =>
+      when(size(tsv) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(tsv) - 1),
+          i => concat_ws(" ", element_at(tsv, i), element_at(tsv, i + 1))))), 1)
+    df.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_bigram"))
+      .withColumn("c_w1", sum(col("c_bigram")).over(
+        Window.partitionBy(substring_index(col("bigram"), " ", 1))))
+      .select(col("bigram"), col("c_bigram"), col("c_w1"),
+        round(col("c_bigram") / col("c_w1"), 4).as("cond_p"))
+      .orderBy(col("c_bigram").desc, col("bigram")).limit(topK)
+  }
+
+  /** Zipf rank-frequency fit (t19's oracle-checked binding): one row —
+    * vocabulary size, total tokens, and the log-log OLS slope of
+    * frequency vs rank over the top-`topK` vocabulary (natural text
+    * tracks ~ -1). The top-`topK` is TakeOrdered, never a global vocab
+    * sort; the rank window that follows is bounded at `topK` rows by
+    * construction. */
+  def zipfStats(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    val counts = df.select(explode(ops.TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_vocab"),
+      sum(col("cnt")).as("n_tokens"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    val slope = top.agg(
+      round(regr_slope(log(col("cnt")), log(col("rank"))), 4).as("zipf_slope"),
+      count(lit(1)).as("n_top"))
+    totals.crossJoin(slope)
+  }
+
   /** Unigram negative-log-likelihood scoring (t16's oracle-checked
     * binding, sans harness bucketing): the corpus's own unigram table
     * stands in for a shipped LM. Returns one row per `idCol`:

@@ -535,39 +535,14 @@ object TextAnalysis {
     * is rounded (both engines accumulate the regression moments in
     * doubles over identical values; summation order differs — the q26
     * regime, ~1e-12 drift against a 5e-5 grid). */
-  def t19Zipf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val counts = Tables.spread(Tables(s, dir, "documents"))
-      .select(explode(tokens($"text")).as("token"))
-      .groupBy($"token").agg(count(lit(1)).as("cnt"))
-    val totals = counts.agg(count(lit(1)).as("n_vocab"),
-      sum($"cnt").as("n_tokens"))
-    val top = counts.orderBy($"cnt".desc, $"token").limit(1000)
-      .withColumn("rank", row_number().over(Window.orderBy($"cnt".desc, $"token")))
-    val slope = top.agg(
-      round(regr_slope(log($"cnt"), log($"rank")), 4).as("zipf_slope"),
-      count(lit(1)).as("n_top"))
-    totals.crossJoin(slope)
-  }
+  def t19Zipf(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.zipfStats(
+      Tables.spread(Tables(s, dir, "documents")), "text")
 
   def t18BigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ts = TextDedup.tokens($"text")
-    // bind-once wrapper (the shingles() rule): the token array is
-    // referenced per bigram — must be an attribute read, not a re-split
-    val bigrams = element_at(transform(array(ts), tsv =>
-      when(size(tsv) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(tsv) - 1),
-          i => concat_ws(" ", element_at(tsv, i), element_at(tsv, i + 1))))), 1)
-    val counts = Tables.spread(Tables(s, dir, "documents"))
-      .select(explode(bigrams).as("bigram"))
-      .groupBy($"bigram").agg(count(lit(1)).as("c_bigram"))
-    counts
-      .withColumn("c_w1", sum($"c_bigram").over(
-        Window.partitionBy(substring_index($"bigram", " ", 1))))
-      .select($"bigram", $"c_bigram", $"c_w1",
-        round($"c_bigram" / $"c_w1", 4).as("cond_p"))
-      .orderBy($"c_bigram".desc, $"bigram").limit(50)
+    graft.Graft.bigramLm(
+        Tables.spread(Tables(s, dir, "documents")), "text", topK = 50)
       .orderBy($"bigram")
   }
 }

@@ -207,6 +207,29 @@ class PropertySpec extends SparkSuiteBase {
     }
   }
 
+  test("fillForward equals a reference scan over any null pattern") {
+    val valGen = Gen.option(Gen.chooseNum(1, 9).map(_.toDouble))
+    forAll(Gen.listOfN(12, valGen), n = 8) { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong % 2, i.toLong, v) } // 2 keys interleaved
+        .toDF("key", "ts", "v")
+      val got = graft.Graft.fillForward(df, "key", "ts", "ts", "v")
+        .select($"key", $"ts", $"filled_v")
+        .as[(Long, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // reference: per key, a running last-defined scan in ts order
+      vs.zipWithIndex.groupBy { case (_, i) => i.toLong % 2 }
+        .foreach { case (key, rows) =>
+          var lastSeen: Option[Double] = None
+          rows.sortBy(_._2).foreach { case (v, i) =>
+            lastSeen = v.orElse(lastSeen)
+            assert(got((key, i.toLong)) == lastSeen,
+              s"key=$key ts=$i expected $lastSeen got ${got((key, i.toLong))}")
+          }
+        }
+    }
+  }
+
   test("sequence packing: bins are consecutive from 0 per shard; no doc precedes its fill") {
     forAll(Gen.listOfN(10, Gen.chooseNum(1, 700)), n = 6) { tokenCounts =>
       val df = tokenCounts.zipWithIndex
