@@ -63,6 +63,39 @@ class SkewSourcesSpec extends SparkSuiteBase {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // The builder-prompt skew strategy is two-layer: AQE's runtime
+    // skew-join split handles shuffle skew automatically; explicit
+    // salting (the tests above) is for the cases AQE can't touch
+    // (aggregations, broadcastless hot build sides). This proves the
+    // FIRST layer actually fires: a cloned session with the skew
+    // thresholds scaled down to test volume (the same knobs, same
+    // mechanism, as a production tune — defaults are sized for
+    // 256 MB partitions), a join with one dominant key, and the
+    // final adaptive plan must mark the join skew=true.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    // pad is id-derived (NOT a literal — constant folding would hoist
+    // a literal above the exchange and the hot partition would carry
+    // only 8-byte keys, never crossing the skew threshold)
+    val big = s2.range(40000)
+      .select(when($"id" % 4 =!= 0, 0L).otherwise($"id").as("k"),
+        concat(lit("x" * 64), $"id".cast("string")).as("pad")) // ~75% on key 0
+    val small = s2.range(200).select($"id".as("k"), lit(1).as("v"))
+    val joined = big.join(small, "k")
+    joined.collect() // materialize THIS queryExecution so AQE finalizes it
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"AQE did not finalize:\n$plan")
+    assert(plan.contains("skew=true"),
+      s"expected a skew-split join in the final plan:\n$plan")
+  }
+
   test("csv source round-trips with explicit schema and header") {
     val dir = Files.createTempDirectory("graft-csv").toString
     val orig = graft.Tables(spark, sf, "region")
