@@ -55,6 +55,41 @@ object Profile {
     time("d02_plan_only") { d02.queryExecution.executedPlan; 0L }
     time("d02_exec_only") { d02.count() }
     time("d02_recount") { d02.count() }
+
+    // d11 stage split: where do its ~3 s go? (edges pair scan vs the
+    // eager component loop's fixed per-round job overhead)
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(spark, sfDir, "embeddings")
+      time("d11_full_1st") { graft.ops.Similarity.d11SemanticDedup(spark, sfDir).count() }
+      val cent = broadcast(
+        emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("label"), col("dim")).agg(round(avg(col("v")), 4).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+            x => x.getField("c")).cast("array<float>").as("cv"))
+          .select(col("label").as("cluster"), col("cv")))
+      val asg = emb.select(col("vec_id"), col("embedding")).crossJoin(cent)
+        .select(col("vec_id"), col("embedding"), col("cluster"),
+          graft.ops.Similarity.cosine(col("embedding"), col("cv")).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), col("cluster"), col("embedding"))).as("best"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"),
+          col("best.embedding").as("v"))
+      time("d11_assign_only") { asg.count() }
+      val asgC = asg.localCheckpoint(true)
+      val edges = asgC.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+        .join(asgC.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb")),
+          "cluster")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.ops.Similarity.cosine(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      time("d11_edges_only") { edges.count() }
+      time("d11_components") { TextDedup.componentMin(edges).count() }
+    }
     spark.stop()
   }
 }
