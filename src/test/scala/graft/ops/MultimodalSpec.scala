@@ -48,6 +48,15 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(got(3L)._2 != got(1L)._2 && got(3L)._3)
   }
 
+  test("m03 plan: keep-decision shuffles on the fingerprint, payload already projected away") {
+    val plan = Multimodal.m03MediaHash(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(content_md5"),
+      s"window exchange must key on the fingerprint:\n$plan")
+    assert(!plan.contains("hashpartitioning(media"),
+      s"binary payload must never be a shuffle key:\n$plan")
+  }
+
   test("frameSampleStub keeps every stride-th complete frame") {
     val frames = frameSampleStub(rec, frameBytes = 10, stride = 3).toSeq
     assert(frames.map(_._2) == Seq(0, 3, 6, 9)) // 10 frames, every 3rd
