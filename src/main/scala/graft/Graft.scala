@@ -321,6 +321,60 @@ object Graft {
       .drop(vecCol)
   }
 
+  /** Deterministic train/val/test assignment by content-id hash (t08's
+    * oracle-checked binding): bucket = first 16 bits of md5(id),
+    * split thresholds at round(65536 * fraction). Stable under any
+    * repartitioning or re-run (unlike `sample()`), reproducible across
+    * engines, and joinable — the same id lands in the same split
+    * everywhere it appears. Appends `bucket` and `split`. */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"fractions must leave room for a test split: $trainFrac/$valFrac")
+    val bucket = ops.TextAnalysis.hashSplitBucket(col(idCol))
+    val tCut = math.round(65536 * trainFrac)
+    val vCut = math.round(65536 * (trainFrac + valFrac))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < tCut, "train")
+          .when(col("bucket") < vCut, "val")
+          .otherwise("test"))
+  }
+
+  /** Stratified quota sampling (t13's oracle-checked binding): keep the
+    * first `quota` rows per stratum, where "first" is a salted-md5
+    * order over the id — deterministic, engine-reproducible, and
+    * layout-independent (sample() is none of those). The per-stratum
+    * window prunes to the quota map-side (WindowGroupLimit). Appends
+    * `rk` (1-based rank within the stratum). */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      quota: Int, salt: String = "strat"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+  }
+
+  /** Radius (range) similarity search (s04's oracle-checked binding):
+    * every corpus vector within cosine >= `tau` of each query — the
+    * "find everything this similar" primitive (cosineTopK answers "the
+    * closest k"). Queries broadcast; the corpus streams once through
+    * the fused kernel; NO window — the threshold filters inside the
+    * scan stage. Both frames: (id, vector) by position, like
+    * [[cosineTopK]], and `excludeSelf` has the same contract. */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame, tau: Double,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(queries.columns(0)).as("query_id"),
+      col(queries.columns(1)).as("__q")))
+    corpus.select(col(corpus.columns(0)).as("vec_id"),
+        col(corpus.columns(1)).as("__v"))
+      .crossJoin(q)
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        ops.Similarity.cosine(col("__q"), col("__v")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Bigram language-model training (t18's oracle-checked binding):
     * corpus-wide bigram counts with conditional probabilities
     * p(w2|w1) = c(w1 w2) / c(w1 ·), top-`topK` by frequency (ranked

@@ -210,10 +210,10 @@ object Similarity {
   def s04Radius(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    emb.crossJoin(queriesOf(emb))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
-      .filter($"cos" >= 0.2)
+    graft.Graft.radiusSearch(
+        emb.select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < NQueries).select($"vec_id", $"embedding"),
+        tau = 0.2)
       .select($"query_id", $"vec_id", round($"cos", 6).as("cos"))
       .orderBy($"query_id", $"vec_id")
   }

@@ -169,12 +169,8 @@ object TextAnalysis {
     * same split everywhere it appears). */
   def t08HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket = hashSplitBucket($"doc_id")
-    Tables(s, dir, "documents")
-      .select($"doc_id", bucket.as("bucket"),
-        when(bucket < 52429, "train")
-          .when(bucket < 58982, "val")
-          .otherwise("test").as("split"))
+    graft.Graft.hashSplit(
+        Tables(s, dir, "documents").select($"doc_id"), "doc_id")
       .orderBy($"doc_id")
   }
 
@@ -347,13 +343,9 @@ object TextAnalysis {
     * quota, not group size. */
   def t13Stratified(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val quota = 20
-    val w = Window.partitionBy($"lang")
-      .orderBy(md5(concat(lit("strat:"), $"doc_id".cast("string"))))
-    Tables(s, dir, "documents")
-      .select($"doc_id", $"lang")
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= quota)
+    graft.Graft.stratifiedSample(
+        Tables(s, dir, "documents").select($"doc_id", $"lang"),
+        "lang", "doc_id", quota = 20)
       .orderBy($"doc_id")
   }
 

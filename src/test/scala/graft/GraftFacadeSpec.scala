@@ -163,6 +163,36 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == Seq((1L, 1L), (2L, 2L)), s"got $got")
   }
 
+  test("hashSplit is deterministic, layout-independent, and respects fractions") {
+    val df = (0L until 500L).toDF("id")
+    val got = Graft.hashSplit(df, "id")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val again = Graft.hashSplit(df.repartition(7), "id")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(got == again, "assignment must not depend on layout")
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train frac ${frac("train")}")
+    assert(frac.keySet == Set("train", "val", "test"))
+  }
+
+  test("stratifiedSample keeps exactly quota per stratum (or all, if fewer)") {
+    val df = ((0L until 50L).map(i => (i, "big")) ++ Seq((100L, "small")))
+      .toDF("id", "lang")
+    val got = Graft.stratifiedSample(df, "lang", "id", quota = 10)
+      .select($"lang").as[String].collect()
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map("big" -> 10, "small" -> 1), s"got $got")
+  }
+
+  test("radiusSearch returns exactly the above-threshold neighbors") {
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+        (3L, Array(0f, 1f))).toDF("id", "vec")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
+    val got = Graft.radiusSearch(corpus, queries, tau = 0.5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(2L), s"only the near-parallel non-self vector qualifies: $got")
+  }
+
   test("packSequences facade fills bins per shard") {
     val df = Seq((0L, 300L), (2L, 300L), (4L, 300L), (1L, 300L)).toDF("id", "n_tok")
     val got = Graft.packSequences(df, "id", "n_tok", capacity = 512, shards = 2)
