@@ -303,6 +303,80 @@ object Graft {
         sum(when(col("__th").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
   }
 
+  /** IVF-style approximate nearest-neighbor search (s02's
+    * oracle-checked binding): every corpus vector assigns ONCE to its
+    * nearest centroid (broadcast argmax — at scale the assignment is a
+    * materialized table bucketed by centroid), each query probes only
+    * its `nProbe` nearest buckets, exact cosine + top-k inside the
+    * probed slice. Recall is approximate by construction; s01-style
+    * brute force is the recall oracle. Frames: corpus/queries are
+    * (id, vector) by position; `centroids` must have columns
+    * (centroid_id, c). Ties: assignment prefers the LARGER centroid id
+    * (struct-max), probing the smaller — the harness convention,
+    * mirrored in the DuckDB oracle. */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val cent = broadcast(centroids.select(col("centroid_id"), col("c")))
+    val c = corpus.select(col(corpus.columns(0)).as("vec_id"),
+      col(corpus.columns(1)).as("__v"))
+    val q = broadcast(queries.select(col(queries.columns(0)).as("query_id"),
+      col(queries.columns(1)).as("__q")))
+    val assigned = c.crossJoin(cent)
+      .select(col("vec_id"), col("__v"), col("centroid_id"),
+        ops.Similarity.cosine(col("__v"), col("c")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), col("centroid_id"), col("__v"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("bucket"),
+        col("best.__v").as("__v"))
+    val probes = q.crossJoin(cent)
+      .select(col("query_id"), col("__q"), col("centroid_id"),
+        ops.Similarity.cosine(col("__q"), col("c")).as("cos"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("__q"), col("centroid_id").as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, "bucket")
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        ops.Similarity.cosine(col("__q"), col("__v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Semantic dedup (SemDeDup; d11's oracle-checked binding): cluster
+    * the embedding space ([[classifyByCentroid]] against the frame's
+    * own per-`labelCol` centroids), treat within-cluster cosine >=
+    * `tau` as semantic duplication, collapse duplicate groups via
+    * distributed connected components, and report every non-minimum
+    * member with its kept representative — (idCol, kept_id). The
+    * within-cluster pair scan IS the algorithm (size clusters so n/k
+    * stays bounded — the SemDeDup paper's contract); the assignment is
+    * checkpointed once since the self-join and every component round
+    * reference it. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, tau: Double): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol), col(labelCol))
+    val asg = classifyByCentroid(base, base, idCol, vecCol, labelCol)
+      .select(col(idCol).as("__id"), col("predicted").as("__cluster"),
+        col(vecCol).as("__vec"))
+      .localCheckpoint(true)
+    val edges = asg.select(col("__cluster"), col("__id").as("id_a"),
+        col("__vec").as("va"))
+      .join(asg.select(col("__cluster"), col("__id").as("id_b"),
+        col("__vec").as("vb")), "__cluster")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ops.Similarity.cosine(col("va"), col("vb")).as("__cos"))
+      .filter(col("__cos") >= tau)
+      .select(col("id_a"), col("id_b"))
+    ops.TextDedup.componentMin(edges)
+      .filter(col("root") < col("id"))
+      .select(col("id").as(idCol), col("root").as("kept_id"))
+  }
+
   /** Hybrid retrieval (the s06 cascade, parameterized): rerank the
     * `lexical` candidate set (idCol, scoreCol) by cosine against
     * `queryVec` over the `vectors` frame (idCol, vecCol), combined
@@ -373,6 +447,39 @@ object Graft {
       .select(col("query_id"), col("vec_id"),
         ops.Similarity.cosine(col("__q"), col("__v")).as("cos"))
       .filter(col("cos") >= tau)
+  }
+
+  /** BM25 relevance scoring (t14's oracle-checked binding): score every
+    * row of `df` against `terms` (k1/b are the classic defaults),
+    * top-`topK` by rounded score — (idCol, score). Two passes: one
+    * broadcast one-row stats aggregate (N, avgdl, per-term df), then
+    * the score pass streams once and TakeOrdered's the head — no
+    * collect(), no global sort. Scores round to 4 before ranking so
+    * the top-K SET is engine-independent; rows matching no term are
+    * excluded. */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 50): DataFrame = {
+    require(terms.nonEmpty, "bm25Score needs at least one term")
+    val toks = ops.TextDedup.tokens(col(textCol))
+    val tf = df.select(col(idCol) +: size(toks).cast("double").as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === t)).cast("double").as(s"tf$i")
+      }: _*)
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = broadcast(tf.agg(aggs.head, aggs.tail: _*))
+    val score = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      idf * col(s"tf$i") * (k1 + 1.0) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    tf.crossJoin(stats)
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col(idCol), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
   /** Bigram language-model training (t18's oracle-checked binding):

@@ -73,33 +73,13 @@ object Similarity {
     * recall vs s01 is asserted in SimilaritySpec. */
   def s02IvfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nProbe = 2
     val emb = Tables(s, dir, "embeddings")
-    val centroids = broadcast(emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("centroid_id"), $"embedding".as("c")))
-
-    // argmax via max(struct(cos, centroid_id)): one aggregation, no join
-    // back. Assignment would be written bucketed-by-centroid at scale.
-    val assigned = emb.crossJoin(centroids)
-      .select($"vec_id", $"embedding", $"centroid_id",
-        cosine($"embedding", $"c").as("cos"))
-      .groupBy($"vec_id")
-      .agg(max(struct($"cos", $"centroid_id", $"embedding")).as("best"))
-      .select($"vec_id", $"best.centroid_id".as("bucket"), $"best.embedding".as("embedding"))
-
-    val probes = queriesOf(emb).crossJoin(centroids)
-      .select($"query_id", $"q", $"centroid_id", cosine($"q", $"c").as("cos"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"cos".desc, $"centroid_id")))
-      .filter($"pr" <= nProbe)
-      .select($"query_id", $"q", $"centroid_id".as("bucket"))
-
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    probes.join(assigned, "bucket")
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= K)
+    graft.Graft.ivfSearch(
+        emb.select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < NQueries).select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < 16)
+          .select($"vec_id".as("centroid_id"), $"embedding".as("c")),
+        nProbe = 2, k = K)
       .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
       .orderBy($"query_id", $"rank")
   }
@@ -264,32 +244,9 @@ object Similarity {
 
   def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tau = 0.35
-    val emb = Tables(s, dir, "embeddings")
-    val cent = labelCentroids(emb)
-    // localCheckpoint (the componentMin edge-list discipline): the
-    // assignment feeds BOTH sides of the pair self-join and then every
-    // component round replans it transitively — materializing the
-    // (vec_id, cluster, vector) table once severs that lineage. It is
-    // corpus-sized but narrow; the builder is already eager by design.
-    val asg = emb.select($"vec_id", $"embedding").crossJoin(cent)
-      .select($"vec_id", $"embedding", $"cluster",
-        cosine($"embedding", $"cv").as("cos"))
-      .groupBy($"vec_id")
-      .agg(max(struct($"cos", $"cluster", $"embedding")).as("best"))
-      .select($"vec_id", $"best.cluster".as("cluster"),
-        $"best.embedding".as("v"))
-      .localCheckpoint(true)
-    val edges = asg.select($"cluster", $"vec_id".as("id_a"), $"v".as("va"))
-      .join(asg.select($"cluster", $"vec_id".as("id_b"), $"v".as("vb")),
-        "cluster")
-      .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", cosine($"va", $"vb").as("cos"))
-      .filter($"cos" >= tau)
-      .select($"id_a", $"id_b")
-    TextDedup.componentMin(edges)
-      .filter($"root" < $"id")
-      .select($"id".as("vec_id"), $"root".as("kept_id"))
+    graft.Graft.semanticDedup(
+        Tables(s, dir, "embeddings").select($"vec_id", $"embedding", $"label"),
+        "vec_id", "embedding", "label", tau = 0.35)
       .orderBy($"vec_id")
   }
 

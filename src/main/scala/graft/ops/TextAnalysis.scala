@@ -372,31 +372,11 @@ object TextAnalysis {
   /** The t14 scoring pipeline up to the ranked top-50 (doc_id, score)
     * — shared with s06, whose hybrid rerank consumes the lexical head
     * (factored so the two queries cannot drift apart on the BM25
-    * side). */
-  private[graft] def bm25Top50(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val terms = Seq("spark", "window", "batch")
-    val k1 = 1.2; val b = 0.75
-    val tf = Tables.spread(Tables(s, dir, "documents"))
-      .select($"doc_id" +: size(tokens($"text")).cast("double").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(tokens($"text"), x => x === t)).cast("double").as(s"tf$i")
-        }: _*)
-    val aggs = count(lit(1)).cast("double").as("n") +:
-      avg($"dl").as("avgdl") +:
-      terms.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
-    val stats = broadcast(tf.agg(aggs.head, aggs.tail: _*))
-    val score = terms.indices.map { i =>
-      val idf = log(($"n" - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
-      idf * col(s"tf$i") * (k1 + 1.0) /
-        (col(s"tf$i") + lit(k1) * (lit(1.0) - b + lit(b) * $"dl" / $"avgdl"))
-    }.reduce(_ + _)
-    tf.crossJoin(stats)
-      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
-      .select($"doc_id", round(score, 4).as("score"))
-      .orderBy($"score".desc, $"doc_id").limit(50)
-  }
+    * side); the implementation itself is [[graft.Graft.bm25Score]]. */
+  private[graft] def bm25Top50(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.bm25Score(
+      Tables.spread(Tables(s, dir, "documents")), "doc_id", "text",
+      terms = Seq("spark", "window", "batch"), topK = 50)
 
   /** t16 — unigram negative-log-likelihood scoring (the CCNet-style
     * "perplexity" quality signal, with the corpus's own unigram model

@@ -193,6 +193,41 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == Set(2L), s"only the near-parallel non-self vector qualifies: $got")
   }
 
+  test("ivfSearch finds the exact neighbor when its bucket is probed") {
+    // two well-separated centroids; all vectors near centroid 0 except
+    // one near centroid 1 — probing 1 bucket must stay within it
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0.95f, 0.05f)),
+        (3L, Array(0f, 1f))).toDF("id", "vec")
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("centroid_id", "c")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
+    val got = Graft.ivfSearch(corpus, queries, cents, nProbe = 1, k = 5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(2L), s"probe of bucket 0 sees only in-bucket non-self: $got")
+  }
+
+  test("semanticDedup collapses within-cluster near-dups to the min id") {
+    val df = Seq(
+        (1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(1f, 0.01f, 0f, 0f), 0),
+        (3L, Array(0f, 1f, 0f, 0f), 0), (4L, Array(0f, 0f, 1f, 0f), 1),
+        (5L, Array(0f, 0f, 1f, 0.01f), 1))
+      .toDF("id", "vec", "lbl")
+    val got = Graft.semanticDedup(df, "id", "vec", "lbl", tau = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L), (5L, 4L)), s"got $got")
+  }
+
+  test("bm25Score ranks the term-dense doc first and excludes no-match docs") {
+    val df = Seq(
+        (1L, "spark spark spark and nothing else here"),
+        (2L, "spark appears once in this considerably longer document of many words"),
+        (3L, "no relevant terms at all"))
+      .toDF("id", "body")
+    val got = Graft.bm25Score(df, "id", "body", terms = Seq("spark"))
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L), s"got $got")
+  }
+
   test("packSequences facade fills bins per shard") {
     val df = Seq((0L, 300L), (2L, 300L), (4L, 300L), (1L, 300L)).toDF("id", "n_tok")
     val got = Graft.packSequences(df, "id", "n_tok", capacity = 512, shards = 2)
