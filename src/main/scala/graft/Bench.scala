@@ -77,7 +77,17 @@ object Bench {
       else if (v >= 9.95 || errors.nonEmpty)
         String.format(java.util.Locale.ROOT, "%.0f", Double.box(math.min(v, 99)))
       else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fq(v) }
+    // stdout keys shorten to their family prefix (the part before the
+    // first '_'): registry names are unique by prefix, and at 93+
+    // queries full names outgrow the driver's 2000-char tail window —
+    // the format decision BenchFormatSpec existed to force. The file
+    // artifact (and stderr) keep full names + full precision; a
+    // colliding prefix falls back to the full name on BOTH colliders,
+    // so parseability never depends on the naming convention.
+    val prefix = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val nShare = prefix.values.groupBy(identity).view.mapValues(_.size).toMap
+    def key(k: String) = if (nShare(prefix(k)) == 1) prefix(k) else k
+    val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val errPart =
       if (errors.isEmpty) ""

@@ -255,29 +255,48 @@ object Graft {
       last(col(valueCol), ignoreNulls = true).over(w))
   }
 
-  /** Nearest-centroid classification (s05's oracle-checked binding,
-    * sans the harness confusion rollup): appends `predicted` — the
-    * `labelCol` of the nearest (by the fused cosine kernel) per-label
-    * centroid — and `centroid_cos`. Centroids train from `train` and
-    * broadcast; `df` streams once through one argmax aggregate. Ties
-    * break to the larger label (the d11/s05 convention). Both frames:
-    * (idCol, vecCol[, labelCol]) by name. */
-  def classifyByCentroid(df: DataFrame, train: DataFrame,
-      idCol: String, vecCol: String, labelCol: String): DataFrame = {
-    val cent = broadcast(
+  /** THE per-label centroid builder — the ONE copy of the
+    * round(4)-before-float pipeline that d11 (via
+    * [[classifyByCentroid]]), s05 ([[ops.Similarity]] delegates
+    * here), and the profiling tool all share; any drift would
+    * silently break oracle parity, so there is exactly one.
+    * round(4) BEFORE the float cast: the two engines sum the mean in
+    * different orders (~1e-12 slack); rounding first shrinks the
+    * float-ulp collision window ~10^3x (s03's note). Returns a
+    * broadcast-ready (__lbl, __cv: array<float>). */
+  private[graft] def labelCentroids(train: DataFrame, labelCol: String,
+      vecCol: String): DataFrame =
+    broadcast(
       train.select(col(labelCol).as("__lbl"),
           posexplode(col(vecCol)).as(Seq("__dim", "__v")))
         .groupBy(col("__lbl"), col("__dim")).agg(round(avg(col("__v")), 4).as("__c"))
         .groupBy(col("__lbl"))
         .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__c")))),
           x => x.getField("__c")).cast("array<float>").as("__cv")))
-    df.crossJoin(cent)
+
+  /** Nearest-centroid classification (s05's oracle-checked binding,
+    * sans the harness confusion rollup): appends `predicted` — the
+    * `labelCol` of the nearest (by the fused cosine kernel) per-label
+    * centroid — and `centroid_cos`. Centroids train from `train` and
+    * broadcast; `df` streams once through one argmax aggregate keyed
+    * on `idCol` ONLY (never the vector — float-array grouping keys
+    * cost shuffle width and carry -0.0/NaN equality subtleties), then
+    * joins the prediction back. Rows sharing an `idCol` are all
+    * preserved and all receive that id's argmax (an id is expected to
+    * identify one vector; with conflicting duplicates the argmax
+    * pools their candidates). Ties break to the larger label (the
+    * d11/s05 convention). Both frames: (idCol, vecCol[, labelCol])
+    * by name. */
+  def classifyByCentroid(df: DataFrame, train: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val best = df.select(col(idCol), col(vecCol)).crossJoin(
+        labelCentroids(train, labelCol, vecCol))
       .withColumn("__cos", ops.Similarity.cosine(col(vecCol), col("__cv")))
-      .groupBy(df.columns.map(col): _*)
+      .groupBy(col(idCol))
       .agg(max(struct(col("__cos"), col("__lbl"))).as("__best"))
-      .withColumn("predicted", col("__best.__lbl"))
-      .withColumn("centroid_cos", col("__best.__cos"))
-      .drop("__best")
+      .select(col(idCol), col("__best.__lbl").as("predicted"),
+        col("__best.__cos").as("centroid_cos"))
+    df.join(best, Seq(idCol))
   }
 
   /** Cross-split leakage audit (d12's oracle-checked binding): for
@@ -346,6 +365,20 @@ object Graft {
       .filter(col("rank") <= k)
   }
 
+  /** [[ivfSearch]] with SELF-TRAINED centroids — the "index my
+    * unlabeled embeddings" entry point: trains `nCentroids` k-means
+    * centroids from the corpus itself ([[kmeansFit]], deterministic
+    * init) and probes them. `nCentroids` is the scale knob: size it
+    * so corpus/nCentroids rows per bucket stays bounded (a probe then
+    * touches ~nProbe/nCentroids of the corpus). */
+  def ivfSearchTrained(corpus: DataFrame, queries: DataFrame,
+      nProbe: Int, k: Int, nCentroids: Int = 16, trainIters: Int = 2,
+      excludeSelf: Boolean = true): DataFrame =
+    ivfSearch(corpus, queries,
+      kmeansFit(corpus, corpus.columns(0), corpus.columns(1),
+        nCentroids, trainIters),
+      nProbe, k, excludeSelf)
+
   /** Semantic dedup (SemDeDup; d11's oracle-checked binding): cluster
     * the embedding space ([[classifyByCentroid]] against the frame's
     * own per-`labelCol` centroids), treat within-cluster cosine >=
@@ -362,10 +395,42 @@ object Graft {
     val asg = classifyByCentroid(base, base, idCol, vecCol, labelCol)
       .select(col(idCol).as("__id"), col("predicted").as("__cluster"),
         col(vecCol).as("__vec"))
-      .localCheckpoint(true)
-    val edges = asg.select(col("__cluster"), col("__id").as("id_a"),
+    semanticCollapse(asg, idCol, tau)
+  }
+
+  /** SemDeDup against CALLER-SUPPLIED centroids — the unlabeled-data
+    * path: train k centroids with [[kmeansFit]] (k sized so n/k stays
+    * bounded — the paper's contract) and pass them here; the label
+    * column's arity no longer bounds the within-cluster pair scan.
+    * `centroids` must have columns (centroid_id, c) — [[kmeansFit]]'s
+    * output shape. Centroids are held driver-side (k x dim floats,
+    * volume-independent) and unroll into the same codegen'd
+    * greatest()-argmax as [[kmeansFitLong]], so the assignment is a
+    * pure map — no shuffle before the within-cluster self-join. */
+  def semanticDedupWithCentroids(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, tau: Double): DataFrame = {
+    val cent = centroids
+      .select(col("centroid_id").cast("long"), col("c").cast("array<float>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cent.nonEmpty, "semanticDedupWithCentroids: empty centroid frame")
+    val asg = df.select(col(idCol).as("__id"),
+      nearestCentroidExpr(col(vecCol), cent).as("__cluster"),
+      col(vecCol).as("__vec"))
+    semanticCollapse(asg, idCol, tau)
+  }
+
+  /** Shared SemDeDup tail: within-cluster cosine >= tau edges ->
+    * distributed connected components -> every non-minimum member
+    * with its kept representative. `asg` is (__id, __cluster, __vec);
+    * it is checkpointed once because the self-join and every
+    * component round reference it (d08's documented discipline). */
+  private def semanticCollapse(asg: DataFrame, idCol: String,
+      tau: Double): DataFrame = {
+    val a = asg.localCheckpoint(true)
+    val edges = a.select(col("__cluster"), col("__id").as("id_a"),
         col("__vec").as("va"))
-      .join(asg.select(col("__cluster"), col("__id").as("id_b"),
+      .join(a.select(col("__cluster"), col("__id").as("id_b"),
         col("__vec").as("vb")), "__cluster")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -524,6 +589,92 @@ object Graft {
       round(regr_slope(log(col("cnt")), log(col("rank"))), 4).as("zipf_slope"),
       count(lit(1)).as("n_top"))
     totals.crossJoin(slope)
+  }
+
+  // ---- k-means centroid training ----
+
+  /** K-means (Lloyd's) centroid training over an embedding column —
+    * the operator that PRODUCES the centroids [[ivfSearch]],
+    * [[semanticDedup]], and [[classifyByCentroid]] consume (s07's
+    * oracle-checked binding). Deterministic throughout: init = the k
+    * rows with the smallest `idCol` (centroid_id = that id), each
+    * Lloyd iteration assigns every vector to its nearest centroid by
+    * the fused cosine kernel (ties to the LARGER centroid id — the
+    * d11/s02 convention) and recomputes centroids as elementwise
+    * means, round(4)-then-float like every other centroid in this
+    * engine (the d11 float-round-trip discipline — it is what lets a
+    * DuckDB oracle unroll the same iterations as CTEs). A cluster
+    * that loses all members drops out (both engines agree: GROUP BY
+    * emits no row for it).
+    *
+    * Scale shape: the assignment is a PURE MAP — centroids live
+    * driver-side between iterations (k x dim floats,
+    * volume-independent: the broadcast-variable pattern of an
+    * iterative ML trainer, NOT a corpus collect) and unroll into a
+    * codegen'd `greatest()` over k fused-cosine structs, so no
+    * shuffle ever carries a corpus vector; the only exchange per
+    * iteration is the s03 long-layout partial aggregate (the shuffle
+    * carries (centroid_id, dim) partial sums). Returns the FINAL
+    * iteration's centroids in long layout: (centroid_id, dim, c, n)
+    * with n = cluster size. */
+  def kmeansFitLong(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    require(k >= 2, s"k-means needs k >= 2, got $k")
+    require(iters >= 1, s"k-means needs iters >= 1, got $iters")
+    var cent: Seq[(Long, Array[Float])] =
+      df.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    for (_ <- 1 until iters)
+      cent = kmeansMeans(df, vecCol, cent).collect().toSeq
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getLong(1)).map(_.getDouble(2).toFloat).toArray)
+        }
+    kmeansMeans(df, vecCol, cent)
+  }
+
+  /** [[kmeansFitLong]] reassembled to vector layout —
+    * (centroid_id, c: array<float>), directly consumable by
+    * [[ivfSearch]] / [[semanticDedupWithCentroids]]. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame =
+    kmeansFitLong(df, idCol, vecCol, k, iters)
+      .groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).cast("array<float>").as("c"))
+
+  /** Codegen'd nearest-centroid argmax over driver-held centroids:
+    * greatest() over k fused-cosine structs. Struct field order is
+    * (cos, centroid_id), so exact cosine ties break to the LARGER
+    * centroid id — the same order the oracles'
+    * `ORDER BY cos DESC, centroid_id DESC` spells. */
+  private def nearestCentroidExpr(vec: Column,
+      cent: Seq[(Long, Array[Float])]): Column = {
+    val scored = cent.sortBy(_._1).map { case (cid, cv) =>
+      struct(ops.Similarity.cosine(vec, lit(cv)).as("cos"),
+        lit(cid).as("centroid_id"))
+    }
+    (if (scored.size == 1) scored.head else greatest(scored: _*))
+      .getField("centroid_id")
+  }
+
+  /** One Lloyd step: [[nearestCentroidExpr]] assignment (a pure map)
+    * followed by the s03 long-layout elementwise mean. The assignment
+    * is projected BEFORE the posexplode — in a single select the
+    * Generate plans below the Project and the k-cosine argmax would
+    * re-evaluate once per EXPLODED row (dim x too often; measured 5x
+    * on this step). */
+  private def kmeansMeans(df: DataFrame, vecCol: String,
+      cent: Seq[(Long, Array[Float])]): DataFrame = {
+    df.select(nearestCentroidExpr(col(vecCol), cent).as("centroid_id"),
+        col(vecCol).as("__v"))
+      .select(col("centroid_id"), posexplode(col("__v")).as(Seq("dim", "__val")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(round(avg(col("__val")), 4).as("c"), count(lit(1)).as("n"))
+      .select(col("centroid_id"), col("dim").cast("long").as("dim"),
+        col("c"), col("n"))
   }
 
   /** Unigram negative-log-likelihood scoring (t16's oracle-checked

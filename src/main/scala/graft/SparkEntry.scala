@@ -94,6 +94,7 @@ object SparkEntry {
     "s01_cosine_topk" -> (Similarity.s01CosineTopK _),
     "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
     "s03_centroids" -> (Similarity.s03Centroids _),
+    "s07_kmeans" -> (Similarity.s07Kmeans _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -982,6 +983,40 @@ object SparkEntry {
         |FROM embeddings, range(0, 64) t(i)
         |GROUP BY label, i
         |ORDER BY label, dim""".stripMargin,
+
+    // Two Lloyd iterations unrolled as CTEs, mirroring the Spark loop
+    // stage-for-stage: bit-identical assignment cosines (the s01
+    // argument — both kernels accumulate in double, in index order,
+    // over identical float inputs), ties to the LARGER centroid id
+    // (Spark's greatest() over (cos, centroid_id) structs = this
+    // ORDER BY cos DESC, centroid_id DESC), and means
+    // round(4)-then-FLOAT-round-tripped between iterations exactly as
+    // the Spark side holds them driver-side (the d11 discipline).
+    "s07_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, v, centroid_id FROM (
+        |  SELECT e.vec_id, e.v, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+        |               c.centroid_id DESC) AS rn
+        |  FROM e, c0 c) t WHERE rn = 1),
+        |m1 AS (SELECT centroid_id, i AS dim, round(avg(v[i+1]), 4) AS c
+        |       FROM a1, range(0, 64) t(i) GROUP BY centroid_id, i),
+        |c1 AS (SELECT centroid_id, list_transform(list(c ORDER BY dim),
+        |         x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+        |       FROM m1 GROUP BY centroid_id),
+        |a2 AS (SELECT vec_id, v, centroid_id FROM (
+        |  SELECT e.vec_id, e.v, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+        |               c.centroid_id DESC) AS rn
+        |  FROM e, c1 c) t WHERE rn = 1)
+        |SELECT centroid_id, i AS dim, round(avg(v[i+1]), 4) AS c,
+        |  count(*) AS n
+        |FROM a2, range(0, 64) t(i)
+        |GROUP BY centroid_id, i
+        |ORDER BY centroid_id, dim""".stripMargin,
 
     "t13_stratified" ->
       """SELECT doc_id, lang, rk FROM (

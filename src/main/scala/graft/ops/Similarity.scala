@@ -220,27 +220,14 @@ object Similarity {
     * (d08's documented discipline). Assignment ties break to the
     * larger cluster id via struct-max, mirrored by ORDER BY label DESC
     * in the oracle. */
-  /** Per-label centroids as broadcast-ready float vectors: the s03
-    * training aggregate reassembled to `(cluster, cv: array<float>)` —
-    * shared by d11 (cluster assignment for SemDeDup) and s05 (nearest-
-    * centroid classification); both oracles mirror the FLOAT
-    * round-trip exactly.
-    *
-    * round(4) BEFORE the float cast: the two engines sum the mean
-    * in different orders (~1e-12 slack, s03's note). Unrounded,
-    * any mean within that slack of a float-ulp boundary (~6e-8
-    * relative grid) yields different float centroids; rounding
-    * first shrinks the collision window to slack/round-4-grid
-    * (~1e-8 per value) — the same probabilistic regime as s03's
-    * own oracle, narrowed ~10^3x, not eliminated. */
+  /** Per-label centroids for s05, renamed to its (cluster, cv)
+    * column contract — a thin view over [[graft.Graft.labelCentroids]],
+    * THE one shared round(4)-before-float centroid builder (d11
+    * reaches the same code through `Graft.classifyByCentroid`; see
+    * its scaladoc for the float-ulp collision argument). */
   private def labelCentroids(emb: DataFrame): DataFrame =
-    broadcast(
-      emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("label"), col("dim")).agg(round(avg(col("v")), 4).as("c"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).cast("array<float>").as("cv"))
-        .select(col("label").as("cluster"), col("cv")))
+    graft.Graft.labelCentroids(emb, "label", "embedding")
+      .select(col("__lbl").as("cluster"), col("__cv").as("cv"))
 
   def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -318,6 +305,23 @@ object Similarity {
       .filter($"rank" <= 20)
       .select($"rank", $"doc_id", $"score", $"cos", $"hybrid")
       .orderBy($"rank")
+  }
+
+  /** s07 — k-means (Lloyd's) centroid training: k=16, deterministic
+    * init from the first 16 vectors, 2 iterations — the trainer for
+    * the centroids s02/d11/s05 consume (the one first-class
+    * LLM-pipeline operator the engine was missing: "index my
+    * unlabeled embeddings" now has an answer). See
+    * [[graft.Graft.kmeansFitLong]] for the algorithm + scale shape;
+    * the DuckDB oracle unrolls the same two iterations as CTEs with
+    * the d11 float-round-trip discipline. Output is the FINAL
+    * iteration's long-layout centroid table (centroid_id, dim, c, n). */
+  def s07Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.kmeansFitLong(
+        Tables(s, dir, "embeddings").select($"vec_id", $"embedding"),
+        "vec_id", "embedding", k = 16, iters = 2)
+      .orderBy($"centroid_id", $"dim")
   }
 
   /** s03 — per-label centroids: the distributed vector-mean that

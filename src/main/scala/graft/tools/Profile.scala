@@ -63,13 +63,10 @@ object Profile {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables(spark, sfDir, "embeddings")
       time("d11_full_1st") { graft.ops.Similarity.d11SemanticDedup(spark, sfDir).count() }
-      val cent = broadcast(
-        emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy(col("label"), col("dim")).agg(round(avg(col("v")), 4).as("c"))
-          .groupBy(col("label"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-            x => x.getField("c")).cast("array<float>").as("cv"))
-          .select(col("label").as("cluster"), col("cv")))
+      // the ONE shared centroid builder (Graft.labelCentroids) — an
+      // inline copy here once drifted from the query path (ADVICE r5)
+      val cent = graft.Graft.labelCentroids(emb, "label", "embedding")
+        .select(col("__lbl").as("cluster"), col("__cv").as("cv"))
       val asg = emb.select(col("vec_id"), col("embedding")).crossJoin(cent)
         .select(col("vec_id"), col("embedding"), col("cluster"),
           graft.ops.Similarity.cosine(col("embedding"), col("cv")).as("cos"))

@@ -5,36 +5,59 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Guards the size of Bench's one-line stdout JSON: the driver locates
   * and parses it within the LAST 2000 characters of captured output
   * (BENCH_r02 parsed at 1918 chars; BENCH_r03's 68-query full-precision
-  * line at ~2.6k did not). The stdout line uses %.1f values and a
-  * bounded errors section, so its length is bounded by the registered
-  * query names plus a fixed per-entry cost — this spec fails the build
-  * when registering more queries would push a worst-case line past the
-  * window, forcing a deliberate format decision instead of a silent
-  * driver parse failure. Every assertion goes through Bench's REAL
-  * stdout builder so format drift can't silently invalidate it.
+  * line at ~2.6k did not). Round 6's format decision: full registry
+  * names outgrew the window at 93 queries, so stdout keys now shorten
+  * to their family prefix ("d11_semdedup" -> "d11" — unique across the
+  * registry) while the file artifact keeps full names and precision.
+  * Every assertion goes through Bench's REAL stdout builder so format
+  * drift can't silently invalidate it.
   */
 class BenchFormatSpec extends AnyFunSuite {
 
-  // 9.9 renders "9.9" — the WIDEST any per-query value can be (3
-  // chars): below 10 s one decimal, 10-98 whole seconds (2 chars),
-  // clamp "99" above. A Double.MaxValue budget would hit the 2-char
-  // clamp and UNDERstate the worst case by a char per entry.
+  // Two worst cases, both asserted: 9.9 renders "9.9" — the WIDEST any
+  // per-query value can be (3 chars) — while a pathological all-huge
+  // run clamps per-query values to "99" (2 chars) but pushes the
+  // TOTAL to its own 4-char "9999" clamp (the round-5 ADVICE gap: a
+  // >= 9999.5 s total is 1 char wider than the 9.9-per-query case's
+  // total, so budgeting only the latter understated it).
   private val worstResults =
     SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.9)
+  private val hugeResults =
+    SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1e9)
 
   test("worst-case bench stdout line fits the driver's 2000-char tail window") {
-    val line = Bench.stdoutLine(worstResults, Map.empty, "/root/testdata/sf0.1")
-    // BENCH_r03 measured the tail window at exactly 2000 chars, and
-    // every round's captured tail has ended at exactly our line + one
-    // trailing newline (Spark logs go to stderr, sbt showSuccess is
-    // disabled) — so 1999 is the hard ceiling and a 14-char margin
-    // covers the newline with slack. At the margin: the format is out
-    // of cheap trims (3-char values, count-only errors, basename sf)
-    // — registering more queries means renaming keys or dropping the
-    // per-query map from stdout. Decide deliberately.
-    assert(line.length <= 1985,
-      s"bench stdout line worst-case ${line.length} chars > 1985: " +
-        "shorten per-query keys or trim the stdout format further")
+    val lines = Seq(worstResults, hugeResults)
+      .map(r => Bench.stdoutLine(r, Map.empty, "/root/testdata/sf0.1"))
+    // 1999 is the hard ceiling (line + trailing newline inside the
+    // measured 2000-char tail); a 14-char margin covers slack. With
+    // prefix keys the budget has ~900 chars of headroom again —
+    // registering more queries is cheap until prefixes collide.
+    for (line <- lines)
+      assert(line.length <= 1985,
+        s"bench stdout line worst-case ${line.length} chars > 1985: " +
+          "shorten the stdout format further (file artifact is unaffected)")
+  }
+
+  test("stdout keys shorten to the unique family prefix") {
+    val line = Bench.stdoutLine(
+      Seq("d11_semdedup" -> 3.2, "q01_pricing_summary" -> 0.4), Map.empty, "sf")
+    assert(line.contains("\"d11\":3.2"), line)
+    assert(line.contains("\"q01\":0.4"), line)
+  }
+
+  test("a colliding prefix falls back to full names on both colliders") {
+    val line = Bench.stdoutLine(
+      Seq("qx_one" -> 1.0, "qx_two" -> 2.0, "zz_solo" -> 3.0), Map.empty, "sf")
+    assert(line.contains("\"qx_one\":1.0") && line.contains("\"qx_two\":2.0"), line)
+    assert(line.contains("\"zz\":3.0"), line)
+  }
+
+  test("registry prefixes are collision-free (so the driver sees short keys)") {
+    val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val dupes = prefixes.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty,
+      s"registry keys share prefixes $dupes — their stdout entries fall " +
+        "back to full names, eroding the line budget; rename deliberately")
   }
 
   test("per-query values render at most 3 chars for ANY input") {

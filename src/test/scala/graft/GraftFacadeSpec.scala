@@ -217,6 +217,83 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == Set((2L, 1L), (5L, 4L)), s"got $got")
   }
 
+  // two well-separated 2-D clusters; ids 1 and 2 are the deterministic
+  // k=2 init, one per cluster, so Lloyd converges in one step
+  private val kmeansCorpus = Seq(
+    (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+    (3L, Array(0.9f, 0.1f)), (4L, Array(0.95f, 0.02f)),
+    (5L, Array(0.1f, 0.9f)), (6L, Array(0.05f, 1f)))
+
+  test("kmeansFitLong trains balanced centroids with cluster sizes (the bucket bound)") {
+    val df = kmeansCorpus.toDF("id", "vec")
+    val rows = Graft.kmeansFitLong(df, "id", "vec", k = 2, iters = 2)
+      .select($"centroid_id", $"dim", $"c", $"n")
+      .as[(Long, Long, Double, Long)].collect()
+    val sizes = rows.map(r => r._1 -> r._4).distinct.toMap
+    // each bucket holds exactly half the corpus — the n column IS the
+    // per-bucket bound semanticDedupWithCentroids/ivfSearch rely on
+    assert(sizes == Map(1L -> 3L, 2L -> 3L), s"got $sizes")
+    val c1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // mean of (1,0),(.9,.1),(.95,.02) rounded to 4
+    assert(c1.toSeq == Seq(0.95, 0.04), s"got ${c1.toSeq}")
+  }
+
+  test("kmeansFit vector layout feeds ivfSearch directly") {
+    val df = kmeansCorpus.toDF("id", "vec")
+    val cents = Graft.kmeansFit(df, "id", "vec", k = 2, iters = 2)
+    assert(cents.columns.toSeq == Seq("centroid_id", "c"))
+    val got = Graft.ivfSearch(df, Seq((1L, Array(1f, 0f))).toDF("id", "vec"),
+        cents, nProbe = 1, k = 5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L), s"probe of the x-axis bucket: $got")
+  }
+
+  test("ivfSearchTrained self-trains and finds in-bucket neighbors") {
+    val df = kmeansCorpus.toDF("id", "vec")
+    val got = Graft.ivfSearchTrained(df,
+        Seq((1L, Array(1f, 0f))).toDF("id", "vec"),
+        nProbe = 1, k = 5, nCentroids = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L), s"got $got")
+  }
+
+  test("semanticDedupWithCentroids on label centroids reproduces semanticDedup") {
+    val df = Seq(
+        (1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(1f, 0.01f, 0f, 0f), 0),
+        (3L, Array(0f, 1f, 0f, 0f), 0), (4L, Array(0f, 0f, 1f, 0f), 1),
+        (5L, Array(0f, 0f, 1f, 0.01f), 1))
+      .toDF("id", "vec", "lbl")
+    val labeled = Graft.semanticDedup(df, "id", "vec", "lbl", tau = 0.9)
+      .as[(Long, Long)].collect().toSet
+    val cents = Graft.labelCentroids(df, "lbl", "vec")
+      .select($"__lbl".cast("long").as("centroid_id"), $"__cv".as("c"))
+    val viaCentroids = Graft.semanticDedupWithCentroids(
+        df, "id", "vec", cents, tau = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(viaCentroids == labeled, s"got $viaCentroids vs $labeled")
+  }
+
+  test("semanticDedupWithCentroids accepts kmeansFit output (the unlabeled path)") {
+    val df = Seq(
+        (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+        (3L, Array(1f, 0.01f)), (4L, Array(0.01f, 1f)))
+      .toDF("id", "vec")
+    val got = Graft.semanticDedupWithCentroids(df, "id", "vec",
+        Graft.kmeansFit(df, "id", "vec", k = 2, iters = 2), tau = 0.95)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L), (4L, 2L)), s"got $got")
+  }
+
+  test("classifyByCentroid keeps duplicate-id rows (groups on id only)") {
+    val train = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 1))
+      .toDF("id", "vec", "label")
+    val df = Seq((10L, Array(5f, 0.1f)), (10L, Array(5f, 0.1f)))
+      .toDF("id", "vec")
+    val got = Graft.classifyByCentroid(df, train, "id", "vec", "label")
+      .select($"id", $"predicted").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((10L, 0), (10L, 0)), s"duplicate rows must survive: $got")
+  }
+
   test("bm25Score ranks the term-dense doc first and excludes no-match docs") {
     val df = Seq(
         (1L, "spark spark spark and nothing else here"),
