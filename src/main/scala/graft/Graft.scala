@@ -677,6 +677,35 @@ object Graft {
         col("c"), col("n"))
   }
 
+  /** TF-IDF document-term weights (t20's oracle-checked binding) —
+    * the classic weighting a curation pipeline reaches for first when
+    * it needs topic-clustering / retrieval features (t04 has raw term
+    * frequency, t14 BM25; this is the piece between them). One row
+    * per (idCol, token) the document actually contains: tf (in-doc
+    * count), doc_freq (documents containing the token), and
+    * tfidf = tf * ln(N / doc_freq) rounded to 4, N = documents with
+    * at least one token (null/empty-text rows contribute nothing and
+    * are absent). IDF uses the plain ln(N/df) form — df >= 1 for
+    * every emitted token, so no smoothing constant is needed.
+    *
+    * Scale shape: one partial-aggregated shuffle on (id, token) for
+    * tf — the token string must survive to the output, so unlike
+    * t07's fold-to-hash this shuffle legitimately carries it; the
+    * vocab-sized doc_freq table and the one-row N broadcast (the t16
+    * vocab-join shape — at an extreme vocabulary drop the broadcast
+    * hint and let AQE pick the join). */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol),
+        explode(ops.TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val n = broadcast(tf.agg(countDistinct(col(idCol)).cast("double").as("__n")))
+    tf.join(broadcast(docFreq), "token").crossJoin(n)
+      .select(col(idCol), col("token"), col("tf"), col("doc_freq"),
+        round(col("tf") * log(col("__n") / col("doc_freq")), 4).as("tfidf"))
+  }
+
   /** Unigram negative-log-likelihood scoring (t16's oracle-checked
     * binding, sans harness bucketing): the corpus's own unigram table
     * stands in for a shipped LM. Returns one row per `idCol`:

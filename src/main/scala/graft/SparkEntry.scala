@@ -57,6 +57,7 @@ object SparkEntry {
     "st05_join" -> (graft.streaming.Streams.st05StreamingJoin _),
     "st06_dedup" -> (graft.streaming.Streams.st06StreamingDedup _),
     "m03_hash" -> (Multimodal.m03MediaHash _),
+    "m04_meta" -> (Multimodal.m04MetadataPushdown _),
     "t19_zipf" -> (TextAnalysis.t19Zipf _),
     "s06_hybrid" -> (Similarity.s06HybridSearch _),
     "t17_domains" -> (TextAnalysis.t17Domains _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
     "s03_centroids" -> (Similarity.s03Centroids _),
     "s07_kmeans" -> (Similarity.s07Kmeans _),
+    "t20_tfidf" -> (TextAnalysis.t20Tfidf _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -656,6 +658,20 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // The asset-table scan aggregates metadata only; the oracle
+    // recomputes the same buckets from strlen(text) — the fake payload
+    // IS the documents' UTF-8 bytes (m03's argument). sum/min/max of
+    // BIGINT cast back to BIGINT (DuckDB sums to HUGEINT).
+    "m04_meta" ->
+      """SELECT strlen(text) // 256 AS bucket, count(*) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+        |  CAST(min(strlen(text)) AS BIGINT) AS min_bytes,
+        |  CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+        |FROM documents
+        |WHERE strlen(text) >= 64
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
     "t19_zipf" ->
       """WITH tok AS (SELECT unnest(
         |    list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
@@ -1053,6 +1069,21 @@ object SparkEntry {
         |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |  ORDER BY score DESC, doc_id LIMIT 50) q
         |ORDER BY doc_id""".stripMargin,
+
+    // ln over exact small-integer ratios: Java's Math.log and DuckDB's
+    // ln agree bit-for-bit on these inputs (the t16 argument), and the
+    // product rounds to 4 before compare.
+    "t20_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf)
+        |SELECT doc_id, token, tf, doc_freq,
+        |  round(tf * ln(n / doc_freq), 4) AS tfidf
+        |FROM tf JOIN dfq USING (token), n
+        |ORDER BY doc_id, token""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

@@ -127,6 +127,46 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Materialize the fake media as a REAL parquet asset table — the
+    * payload as a parquet `binary` column, metadata (width, height,
+    * n_bytes) as sidecar columns — under java.io.tmpdir, one table per
+    * source dir. This is the storage layout the header note prescribes
+    * for 100 TB corpora; m04 proves the claimed benefit on it. */
+  private[graft] def mediaParquet(s: SparkSession, dir: String): String = {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_media_" + java.lang.Long.toHexString(
+        java.util.Objects.hashCode(dir).toLong & 0xffffffffL)).getPath
+    fakeMedia(s, dir).toDF()
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** m04 — metadata-pushdown sampling proof: filter + aggregate the
+    * asset table on METADATA ONLY. The parquet scan must read just the
+    * sidecar columns — ReadSchema excludes the `media` payload and the
+    * n_bytes predicate reaches PushedFilters (PlanAuditSpec asserts
+    * both on this exact scan) — so at 100 TB a metadata sample costs
+    * megabytes of column chunks, not the corpus. This turns the header
+    * note's "sidecar columns for pushdown-based sampling" from prose
+    * into a tested property; the DuckDB oracle recomputes the buckets
+    * from strlen(text) (the fake payload IS the documents' UTF-8
+    * bytes, the m03 argument). */
+  def m04MetadataPushdown(s: SparkSession, dir: String): DataFrame =
+    m04Scan(s, mediaParquet(s, dir))
+
+  /** The metadata-only scan m04 runs and PlanAuditSpec audits. */
+  private[graft] def m04Scan(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(path)
+      .filter($"n_bytes" >= 64)
+      .select(expr("n_bytes div 256").as("bucket"), $"n_bytes")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bytes").as("sum_bytes"),
+        min($"n_bytes").as("min_bytes"), max($"n_bytes").as("max_bytes"))
+      .orderBy($"bucket")
+  }
+
   /** m01 — end-to-end multimodal pipeline over fake media: documents'
     * text bytes stand in for blobs, width/height metadata is derived
     * deterministically, decode runs batchwise per partition, features

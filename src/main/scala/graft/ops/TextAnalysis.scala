@@ -396,6 +396,15 @@ object TextAnalysis {
     * lesson: drift here is ~1e-13 on values ~3.4 against a 5e-5
     * rounding grid — negligible, and identical inputs on both
     * sides). */
+  /** t20 — TF-IDF document-term weights over the corpus (see
+    * [[graft.Graft.tfidf]] for semantics + scale shape; this binds the
+    * same implementation the facade exposes). */
+  def t20Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.tfidf(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id", $"token")
+  }
+
   def t16UnigramNll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Graft.unigramNll(

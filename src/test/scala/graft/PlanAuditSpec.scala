@@ -36,6 +36,22 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"binning failed to produce an equi join:\n$plan")
   }
 
+  test("m04: metadata-only scan prunes the binary payload and pushes the filter") {
+    // the 100 TB claim under test: filtering/aggregating on sidecar
+    // metadata must never read the payload column chunks
+    val path = ops.Multimodal.mediaParquet(spark, sf)
+    val plan = ops.Multimodal.m04Scan(spark, path)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty, s"no parquet scan in plan:\n$plan")
+    assert(!readSchema.contains("media"),
+      s"payload column read by a metadata-only query: $readSchema")
+    assert(readSchema.contains("n_bytes"), s"metadata column missing: $readSchema")
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(n_bytes,64)"),
+      s"metadata predicate did not reach the scan: $pushed\n$plan")
+  }
+
   test("Bench records a broken query as an error, not a silent timing") {
     val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame](
