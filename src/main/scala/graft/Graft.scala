@@ -442,22 +442,40 @@ object Graft {
       .select(col("id").as(idCol), col("root").as("kept_id"))
   }
 
-  /** Hybrid retrieval (the s06 cascade, parameterized): rerank the
-    * `lexical` candidate set (idCol, scoreCol) by cosine against
-    * `queryVec` over the `vectors` frame (idCol, vecCol), combined
-    * score = lexical + cosine, top-k. The vector kernel touches ONLY
-    * the candidate set — the production lexical-recall -> vector-rerank
-    * shape. */
+  /** Hybrid retrieval (the s06 cascade, parameterized — s06 binds
+    * THIS method): rerank the `lexical` candidate set (idCol,
+    * scoreCol) by cosine against the single-row `query` frame (vector
+    * in column 0) over the `vectors` frame (idCol, vecCol). Combined
+    * score = round(lexical + cosine, 4) — rounded BEFORE ranking, so
+    * the top-k SET is engine-reproducible (s06's contract; ties break
+    * on idCol). Top-k is `orderBy().limit(k)` — TakeOrdered, never a
+    * single-partition global sort, so an oversized candidate frame
+    * degrades gracefully instead of serializing (the bm25Score
+    * discipline); `rank` is then a window over the <= k survivors.
+    * The vector kernel touches ONLY the candidate set — the
+    * production lexical-recall -> vector-rerank shape. */
+  def hybridRerank(lexical: DataFrame, vectors: DataFrame,
+      idCol: String, scoreCol: String, vecCol: String,
+      query: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(query.columns(0)).as("__q")))
+    val w = Window.orderBy(col("hybrid").desc, col(idCol)) // <= k rows by construction
+    lexical.join(vectors.select(col(idCol), col(vecCol)), idCol)
+      .crossJoin(q)
+      .withColumn("cos", ops.Similarity.cosine(col(vecCol), col("__q")))
+      .withColumn("hybrid", round(col(scoreCol) + col("cos"), 4))
+      .orderBy(col("hybrid").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .drop(vecCol, "__q")
+  }
+
+  /** [[hybridRerank]] with a driver-held query vector. */
   def hybridRerank(lexical: DataFrame, vectors: DataFrame,
       idCol: String, scoreCol: String, vecCol: String,
       queryVec: Array[Float], k: Int): DataFrame = {
-    val w = Window.orderBy(col("hybrid").desc, col(idCol))
-    lexical.join(vectors.select(col(idCol), col(vecCol)), idCol)
-      .withColumn("cos", ops.Similarity.cosine(col(vecCol), lit(queryVec)))
-      .withColumn("hybrid", col(scoreCol) + col("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .drop(vecCol)
+    val s = lexical.sparkSession
+    import s.implicits._
+    hybridRerank(lexical, vectors, idCol, scoreCol, vecCol,
+      Seq(Tuple1(queryVec)).toDF("__q"), k)
   }
 
   /** Deterministic train/val/test assignment by content-id hash (t08's

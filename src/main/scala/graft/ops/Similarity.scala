@@ -283,27 +283,24 @@ object Similarity {
     * tables are in a real pipeline).
     *
     * Scale shape: stage 1 is t14's shape (broadcast stats row, corpus
-    * streams once, TakeOrdered-50); stage 2 joins 50 rows against the
-    * embeddings table — the candidate side broadcasts, the embedding
-    * scan prunes to (vec_id, embedding), and the rerank window is
-    * bounded at 50 rows by construction. Determinism: the ROUNDED
-    * bm25 (round-4, engine-equal — t14's argument) plus the
-    * bit-identical unrounded cosine (s01's argument) sums to an
-    * engine-identical double before the final round. */
+    * streams once, TakeOrdered-50); stage 2 (the [[graft.Graft.hybridRerank]]
+    * facade — this query binds it) joins 50 rows against the
+    * embeddings table, TakeOrdered's the top-20 by the rounded hybrid,
+    * and ranks the survivors in a window bounded at 20 rows by
+    * construction. Determinism: the ROUNDED bm25 (round-4,
+    * engine-equal — t14's argument) plus the bit-identical unrounded
+    * cosine (s01's argument) sums to an engine-identical double before
+    * its own round-4 — and ranking compares the ROUNDED hybrid on both
+    * sides. */
   def s06HybridSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lex = graft.ops.TextAnalysis.bm25Top50(s, dir)
     val emb = Tables(s, dir, "embeddings")
-    val qv = broadcast(emb.filter($"vec_id" === 0).select($"embedding".as("q")))
-    val w = Window.orderBy($"hybrid".desc, $"doc_id") // <= 50 rows by construction
-    lex.join(emb.select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
-      .crossJoin(qv)
-      .select($"doc_id", $"score", cosine($"embedding", $"q").as("c"))
-      .select($"doc_id", $"score", round($"c", 6).as("cos"),
-        round($"score" + $"c", 4).as("hybrid"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 20)
-      .select($"rank", $"doc_id", $"score", $"cos", $"hybrid")
+    graft.Graft.hybridRerank(
+        graft.ops.TextAnalysis.bm25Top50(s, dir),
+        emb.select($"vec_id".as("doc_id"), $"embedding"),
+        "doc_id", "score", "embedding",
+        emb.filter($"vec_id" === 0).select($"embedding"), k = 20)
+      .select($"rank", $"doc_id", $"score", round($"cos", 6).as("cos"), $"hybrid")
       .orderBy($"rank")
   }
 

@@ -209,9 +209,10 @@ object TextDedup {
     * Contract: the output has ONE row per distinct (id_a, id_b) — the
     * groupBy collapses duplicate rows in the input pair table (jaccard
     * is deterministic per pair, so values are unaffected; only
-    * multiplicity is). Internal callers pass distinct() candidate sets
-    * already; external callers wanting per-occurrence rows should join
-    * the result back to their pair table. */
+    * multiplicity is). Internal callers (d02/d06/d08) pass the RAW
+    * band-duplicated candidate table and depend on exactly this
+    * collapse; external callers wanting per-occurrence rows should
+    * join the result back to their pair table. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(
       explode(array(

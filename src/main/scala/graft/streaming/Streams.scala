@@ -44,19 +44,26 @@ object Streams {
         col("user_id"), col("n_events"))
 
   /** Stream-stream interval join: each purchase joins the same user's
-    * clicks from the preceding 10 minutes. Both sides carry watermarks
-    * so the join state is bounded — Spark retires a click row once the
-    * purchase-side watermark passes click.ts + 10 min. This is the
+    * clicks from the preceding `intervalMinutes`. Both sides carry
+    * watermarks sized max(10, intervalMinutes) minutes — the delay
+    * must cover the join interval, or out-of-order input arriving
+    * later than the watermark but still inside the interval would be
+    * dropped as late (with the old fixed 10-minute delay an interval
+    * of 30 could silently lose in-interval matches on unsorted
+    * sources; the ts-sorted harness replay masked it — ADVICE r5).
+    * State stays bounded: Spark retires a click row once the
+    * purchase-side watermark passes click.ts + interval. This is the
     * streaming form of the q16 as-of pattern (there: union + window). */
   def clickToPurchaseJoin(events: DataFrame,
       intervalMinutes: Int = 10): DataFrame = {
+    val delay = s"${math.max(10, intervalMinutes)} minutes"
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "10 minutes")
+      .withWatermark("click_ts", delay)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", "10 minutes")
+      .withWatermark("purchase_ts", delay)
     purchases.join(clicks,
       expr(s"""c_user = p_user AND
               click_ts BETWEEN purchase_ts - INTERVAL $intervalMinutes MINUTES

@@ -163,6 +163,18 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == Seq((1L, 1L), (2L, 2L)), s"got $got")
   }
 
+  test("hybridRerank top-k is TakeOrdered — an oversized candidate set never global-sorts") {
+    val lex = (0L until 5000L).map(i => (i, (i % 97).toDouble)).toDF("id", "score")
+    val vecs = (0L until 5000L).map(i => (i, Array(1f, i.toFloat / 5000)))
+      .toDF("id", "vec")
+    val df = Graft.hybridRerank(lex, vecs, "id", "score", "vec",
+      Array(1f, 0f), k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, not a global sort:\n$plan")
+    assert(df.count() == 3)
+  }
+
   test("hashSplit is deterministic, layout-independent, and respects fractions") {
     val df = (0L until 500L).toDF("id")
     val got = Graft.hashSplit(df, "id")
