@@ -96,6 +96,8 @@ object SparkEntry {
     "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
     "s03_centroids" -> (Similarity.s03Centroids _),
     "s07_kmeans" -> (Similarity.s07Kmeans _),
+    "s08_ivf_trained" -> (Similarity.s08IvfTrained _),
+    "d14_km_dedup" -> (Similarity.d14KmeansDedup _),
     "t20_tfidf" -> (TextAnalysis.t20Tfidf _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
@@ -117,6 +119,36 @@ object SparkEntry {
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _),
     "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _)
   )
+
+  /** The s07 two-iteration k-means unrolled as CTEs (see the s07
+    * entry's comment for the exactness argument) ending in `c2` — the
+    * trained float-round-tripped centroid vectors. Shared verbatim by
+    * the s07/s08/d14 oracles so the training stages cannot drift. */
+  private val kmeansCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+      |a1 AS (SELECT vec_id, v, centroid_id FROM (
+      |  SELECT e.vec_id, e.v, c.centroid_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+      |               c.centroid_id DESC) AS rn
+      |  FROM e, c0 c) t WHERE rn = 1),
+      |m1 AS (SELECT centroid_id, i AS dim, round(avg(v[i+1]), 4) AS c
+      |       FROM a1, range(0, 64) t(i) GROUP BY centroid_id, i),
+      |c1 AS (SELECT centroid_id, list_transform(list(c ORDER BY dim),
+      |         x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+      |       FROM m1 GROUP BY centroid_id),
+      |a2 AS (SELECT vec_id, v, centroid_id FROM (
+      |  SELECT e.vec_id, e.v, c.centroid_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+      |               c.centroid_id DESC) AS rn
+      |  FROM e, c1 c) t WHERE rn = 1),
+      |m2 AS (SELECT centroid_id, i AS dim, round(avg(v[i+1]), 4) AS c
+      |       FROM a2, range(0, 64) t(i) GROUP BY centroid_id, i),
+      |c2 AS (SELECT centroid_id, list_transform(list(c ORDER BY dim),
+      |         x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+      |       FROM m2 GROUP BY centroid_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1008,30 +1040,70 @@ object SparkEntry {
     // round(4)-then-FLOAT-round-tripped between iterations exactly as
     // the Spark side holds them driver-side (the d11 discipline).
     "s07_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
-        |a1 AS (SELECT vec_id, v, centroid_id FROM (
-        |  SELECT e.vec_id, e.v, c.centroid_id,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-        |               c.centroid_id DESC) AS rn
-        |  FROM e, c0 c) t WHERE rn = 1),
-        |m1 AS (SELECT centroid_id, i AS dim, round(avg(v[i+1]), 4) AS c
-        |       FROM a1, range(0, 64) t(i) GROUP BY centroid_id, i),
-        |c1 AS (SELECT centroid_id, list_transform(list(c ORDER BY dim),
-        |         x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
-        |       FROM m1 GROUP BY centroid_id),
-        |a2 AS (SELECT vec_id, v, centroid_id FROM (
-        |  SELECT e.vec_id, e.v, c.centroid_id,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-        |               c.centroid_id DESC) AS rn
-        |  FROM e, c1 c) t WHERE rn = 1)
+      s"""WITH $kmeansCtes
         |SELECT centroid_id, i AS dim, round(avg(v[i+1]), 4) AS c,
         |  count(*) AS n
         |FROM a2, range(0, 64) t(i)
         |GROUP BY centroid_id, i
         |ORDER BY centroid_id, dim""".stripMargin,
+
+    // The s07 training CTEs composed with the s02 probing CTEs: the
+    // whole unlabeled-data ANN path (train -> assign -> probe -> rank)
+    // under one oracle. Probe ties break ASC, assignment ties DESC —
+    // exactly the s02 conventions.
+    "s08_ivf_trained" ->
+      s"""WITH $kmeansCtes,
+        |assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT e.vec_id, e.v, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+        |               c.centroid_id DESC) AS rn
+        |  FROM e, c2 c) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (SELECT query_id, qv, centroid_id AS bucket FROM (
+        |  SELECT q.query_id, q.qv, c.centroid_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+        |               c.centroid_id) AS pr
+        |  FROM q, c2 c) t WHERE pr <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
+        |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The s07 training CTEs composed with d11's closure CTEs: SemDeDup
+    // without labels. Same tau = 0.35 as d11, measured-anchored over
+    // the KMEANS-cluster pairs specifically: nearest within-cluster
+    // cosine to 0.35 is >= 1.3e-5 distant at sf0.001/0.01/0.1 (round-6
+    // measurement; see the s04 entry for the reorder-perturbation
+    // bound this dominates by ~9 orders).
+    "d14_km_dedup" ->
+      s"""WITH RECURSIVE $kmeansCtes,
+        |asg AS (SELECT vec_id, v, centroid_id AS cluster FROM (
+        |  SELECT e.vec_id, e.v, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+        |               c.centroid_id DESC) AS rn
+        |  FROM e, c2 c) t WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b
+        |      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |ed AS (SELECT id_a AS a, id_b AS b FROM p
+        |       UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM ed
+        |  UNION
+        |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+        |roots AS (SELECT a AS vec_id, min(b) AS kept_id FROM reach GROUP BY a)
+        |SELECT vec_id, kept_id FROM roots
+        |WHERE kept_id < vec_id
+        |ORDER BY vec_id""".stripMargin,
 
     "t13_stratified" ->
       """SELECT doc_id, lang, rk FROM (

@@ -322,6 +322,41 @@ object Similarity {
       .orderBy($"centroid_id", $"dim")
   }
 
+  /** s08 — the full unlabeled-data ANN path under the oracle gate:
+    * centroids TRAINED by s07's k-means (k=16, 2 Lloyd iterations —
+    * [[graft.Graft.ivfSearchTrained]], which s02 could not be because
+    * its first-16-vectors centroids predate the trainer and its
+    * oracle is baselined), then the exact s02 IVF probe against them
+    * (nProbe=2, top-5). The oracle composes the s07 training CTEs
+    * with the s02 probing CTEs — every stage of "index my unlabeled
+    * embeddings" is now DuckDB-checked end-to-end. */
+  def s08IvfTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    graft.Graft.ivfSearchTrained(
+        emb.select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < NQueries).select($"vec_id", $"embedding"),
+        nProbe = 2, k = K, nCentroids = 16, trainIters = 2)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** d14 — SemDeDup WITHOUT labels: [[graft.Graft.semanticDedupWithCentroids]]
+    * over s07-trained k-means centroids (k=16 — the knob that bounds
+    * the within-cluster pair scan, now independent of any label
+    * column's arity; the r5 verdict's one scale dependency). Same
+    * tau = 0.35 edge filter and connected-components collapse as d11;
+    * the oracle composes the s07 training CTEs with d11's closure
+    * CTEs. */
+  def d14KmeansDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    graft.Graft.semanticDedupWithCentroids(emb, "vec_id", "embedding",
+        graft.Graft.kmeansFit(emb, "vec_id", "embedding", k = 16, iters = 2),
+        tau = 0.35)
+      .orderBy($"vec_id")
+  }
+
   /** s03 — per-label centroids: the distributed vector-mean that
     * trains an IVF/k-means index (one assignment pass + this agg per
     * Lloyd iteration — s02 PROBES such centroids; this is the op that
