@@ -317,6 +317,18 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == Seq(1L, 2L), s"got $got")
   }
 
+  test("tfidf: corpus-wide term weighs 0, rare terms weigh ln(N/df) per occurrence") {
+    val df = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("id", "body")
+    val got = Graft.tfidf(df, "id", "body")
+      .select($"id", $"token", $"tf", $"doc_freq", $"tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, "banana")) == ((1L, 2L, 0.0)))      // in every doc: idf 0
+    assert(got((1L, "apple")) == ((2L, 1L, 1.3863)))    // 2 * ln 2
+    assert(got((2L, "cherry")) == ((1L, 1L, 0.6931)))   // 1 * ln 2
+    assert(got.size == 4)                               // (2,banana) is the 4th
+  }
+
   test("packSequences facade fills bins per shard") {
     val df = Seq((0L, 300L), (2L, 300L), (4L, 300L), (1L, 300L)).toDF("id", "n_tok")
     val got = Graft.packSequences(df, "id", "n_tok", capacity = 512, shards = 2)
