@@ -409,15 +409,37 @@ object Graft {
     * pure map — no shuffle before the within-cluster self-join. */
   def semanticDedupWithCentroids(df: DataFrame, idCol: String,
       vecCol: String, centroids: DataFrame, tau: Double): DataFrame = {
-    val cent = centroids
-      .select(col("centroid_id").cast("long"), col("c").cast("array<float>"))
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(cent.nonEmpty, "semanticDedupWithCentroids: empty centroid frame")
+    val cent = collectCentroids(centroids)
     val asg = df.select(col(idCol).as("__id"),
       nearestCentroidExpr(col(vecCol), cent).as("__cluster"),
       col(vecCol).as("__vec"))
     semanticCollapse(asg, idCol, tau)
+  }
+
+  /** Nearest-centroid ASSIGNMENT over caller-supplied centroids — the
+    * "predict" half of [[kmeansFit]] ([[classifyByCentroid]] is its
+    * labeled-training sibling): appends `cluster` = the centroid_id
+    * of the nearest centroid by the fused cosine kernel. Centroids
+    * hold driver-side (k x dim floats) and unroll into the codegen'd
+    * greatest()-argmax — a pure map, no shuffle, no join; this is the
+    * assignment [[semanticDedupWithCentroids]] and [[kmeansFitLong]]
+    * iterations run. `centroids`: (centroid_id, c) — [[kmeansFit]]'s
+    * output shape. Ties to the larger centroid id (the engine-wide
+    * convention). */
+  def assignToCentroids(df: DataFrame, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    df.withColumn("cluster",
+      nearestCentroidExpr(col(vecCol), collectCentroids(centroids)))
+
+  /** Driver-side centroid gather: k x dim floats, volume-independent
+    * (the broadcast-variable pattern — never a corpus collect). */
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] = {
+    val cent = centroids
+      .select(col("centroid_id").cast("long"), col("c").cast("array<float>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cent.nonEmpty, "empty centroid frame")
+    cent
   }
 
   /** Shared SemDeDup tail: within-cluster cosine >= tau edges ->

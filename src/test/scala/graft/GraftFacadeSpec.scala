@@ -285,6 +285,19 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(viaCentroids == labeled, s"got $viaCentroids vs $labeled")
   }
 
+  test("assignToCentroids appends the nearest trained cluster as a pure map") {
+    val df = kmeansCorpus.toDF("id", "vec")
+    val cents = Graft.kmeansFit(df, "id", "vec", k = 2, iters = 2)
+    val got = Graft.assignToCentroids(df, "vec", cents)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 2L -> 2L, 5L -> 2L, 6L -> 2L),
+      s"got $got")
+    // pure map: no exchange anywhere in the assignment plan
+    val plan = Graft.assignToCentroids(df, "vec", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
   test("semanticDedupWithCentroids accepts kmeansFit output (the unlabeled path)") {
     val df = Seq(
         (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
