@@ -110,28 +110,36 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(out.head.getAs[Double]("jaccard_char3") == 0.0) // not a fake 1.0
   }
 
-  test("componentMin labels every member of a cluster with its minimum id") {
+  test("componentMin labels every member of a cluster with its minimum id (both paths)") {
     // two components: {1,2,3,7} via a chain, {10,11}; 20-21-22 chain
     // checks multi-hop propagation (3 needs two hops to see 1)
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 7L), (10L, 11L),
       (21L, 22L), (20L, 21L)).toDF("id_a", "id_b")
-    val got = TextDedup.componentMin(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // default gate -> driver union-find fast path
+    val local = TextDedup.componentMin(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(local == expected)
+    // gate 0 -> the distributed pointer-jumping loop (the 100 TB path)
+    // must produce the identical fixpoint
+    val dist = TextDedup.componentMin(pairs, localEdgeGate = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
   }
 
-  test("componentMin fails loudly on a chain exceeding the round bound") {
+  test("componentMin (distributed path) fails loudly on a chain exceeding the round bound") {
     // with path halving a round covers ~2x the distance of the last,
-    // so only a LONG chain with a tiny bound still exceeds it
+    // so only a LONG chain with a tiny bound still exceeds it;
+    // localEdgeGate = 0 forces the distributed loop the bound guards
     val chain = (1L until 2000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      TextDedup.componentMin(chain, maxRounds = 3)
+      TextDedup.componentMin(chain, maxRounds = 3, localEdgeGate = 0L)
     }
     // and converges at the PRODUCTION default (16): path halving makes
     // rounds O(log diameter), so 2000 links need ~11 — the documented
     // guarantee, asserted at the bound the default actually ships
-    val roots = TextDedup.componentMin(chain)
+    val roots = TextDedup.componentMin(chain, localEdgeGate = 0L)
       .select($"root").distinct().as[Long].collect().toSeq
     assert(roots == Seq(1L)) // fully converged: one component, min id 1
   }
