@@ -431,6 +431,24 @@ object Graft {
     df.withColumn("cluster",
       nearestCentroidExpr(col(vecCol), collectCentroids(centroids)))
 
+  /** Symmetric int8 embedding quantization (s09's oracle-checked
+    * binding) — the 4x memory compression a 100 TB ANN index actually
+    * ships: appends `scale` = 127 / max|v_i| and `qvec` =
+    * round(v_i * scale) as `array<tinyint>` (range +-127; an all-zero
+    * vector gets scale 0 and a zero qvec). Dequantize as q/scale;
+    * reconstruction error is bounded by 0.5/scale per element. A pure
+    * map — fuses into whatever scan feeds it, nothing shuffles; at
+    * scale the qvec column is what lands in the index, cutting both
+    * storage and scan bandwidth 4x (rerank the short candidate list
+    * against the float column for exactness, the s06 cascade shape). */
+  def quantizeEmbeddings(df: DataFrame, vecCol: String): DataFrame = {
+    val maxabs = array_max(transform(col(vecCol), v => abs(v)))
+    df.withColumn("scale",
+        when(maxabs > 0, lit(127.0) / maxabs).otherwise(lit(0.0)))
+      .withColumn("qvec",
+        transform(col(vecCol), v => round(v * col("scale")).cast("byte")))
+  }
+
   /** Driver-side centroid gather: k x dim floats, volume-independent
     * (the broadcast-variable pattern — never a corpus collect). */
   private def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] = {
@@ -594,21 +612,52 @@ object Graft {
     * on the bigram string; the conditioning denominator is a window
     * over the VOCAB-sized count table, never the corpus. Tokens are
     * whitespace-split so "w1 w2" is an unambiguous composite key. */
-  def bigramLm(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
-    val ts = ops.TextDedup.tokens(col(textCol))
-    // bind-once wrapper (the shingles() rule): the token array is
-    // referenced per bigram — must be an attribute read, not a re-split
-    val bigrams = element_at(transform(array(ts), tsv =>
+  /** Whitespace-token bigrams of `text` as "w1 w2" strings. Bind-once
+    * wrapper (the shingles() rule): the token array is referenced per
+    * bigram — must be an attribute read, not a re-split. */
+  private def bigramsOf(text: Column): Column = {
+    val ts = ops.TextDedup.tokens(text)
+    element_at(transform(array(ts), tsv =>
       when(size(tsv) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(tsv) - 1),
           i => concat_ws(" ", element_at(tsv, i), element_at(tsv, i + 1))))), 1)
-    df.select(explode(bigrams).as("bigram"))
+  }
+
+  def bigramLm(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    df.select(explode(bigramsOf(col(textCol))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_bigram"))
       .withColumn("c_w1", sum(col("c_bigram")).over(
         Window.partitionBy(substring_index(col("bigram"), " ", 1))))
       .select(col("bigram"), col("c_bigram"), col("c_w1"),
         round(col("c_bigram") / col("c_w1"), 4).as("cond_p"))
       .orderBy(col("c_bigram").desc, col("bigram")).limit(topK)
+  }
+
+  /** Bigram negative-log-likelihood scoring (t21's oracle-checked
+    * binding) — [[unigramNll]]'s second-order sibling and the better
+    * fluency signal: per `idCol`, the mean -ln p(w2|w1) of its
+    * bigrams under the corpus's own bigram LM ([[bigramLm]]'s
+    * conditional table — the corpus trains the LM that scores it, so
+    * every document bigram exists in the table and no smoothing
+    * constant intrudes). Returns (idCol, n_bigrams, nll2); documents
+    * with fewer than two tokens have no bigrams and are absent.
+    *
+    * Scale shape: one partial-aggregated shuffle on the bigram string
+    * builds the LM (the conditioning denominator windows over the
+    * VOCAB-sized count table, never the corpus — t18's shape), then
+    * the doc bigrams join the broadcast LM (the t16 vocab-join shape;
+    * at an extreme bigram vocabulary drop the hint and let AQE pick)
+    * and fold straight into the per-doc mean. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+      explode(bigramsOf(col(textCol))).as("bigram"))
+    val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("__c2"))
+      .withColumn("__c1", sum(col("__c2")).over(
+        Window.partitionBy(substring_index(col("bigram"), " ", 1))))
+    bg.join(broadcast(lm), "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("__c2") / col("__c1"))), 4).as("nll2"))
   }
 
   /** Zipf rank-frequency fit (t19's oracle-checked binding): one row —

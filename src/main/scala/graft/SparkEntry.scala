@@ -99,6 +99,8 @@ object SparkEntry {
     "s08_ivf_trained" -> (Similarity.s08IvfTrained _),
     "d14_km_dedup" -> (Similarity.d14KmeansDedup _),
     "t20_tfidf" -> (TextAnalysis.t20Tfidf _),
+    "t21_binll" -> (TextAnalysis.t21BigramNll _),
+    "s09_quant" -> (Similarity.s09Quantize _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1155,6 +1157,52 @@ object SparkEntry {
         |  round(tf * ln(n / doc_freq), 4) AS tfidf
         |FROM tf JOIN dfq USING (token), n
         |ORDER BY doc_id, token""".stripMargin,
+
+    // The corpus trains the bigram LM that scores it, so every doc
+    // bigram hits the table (no smoothing); round-4 on the mean -ln
+    // absorbs cross-engine summation order (the t16 regime).
+    "t21_binll" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts), 1)),
+        |      i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        |  FROM toks),
+        |c AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+        |wc AS (SELECT bigram, c2,
+        |         sum(c2) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS c1
+        |       FROM c)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(c2 / c1)), 4) AS nll2
+        |FROM bg JOIN wc USING (bigram)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Every comparison is engine-exact (no summation anywhere): scale
+    // = 127/max|v| over float-exact doubles, round() is away-from-zero
+    // in both engines and its output is an integral double (so the
+    // BIGINT cast cannot hit the round-vs-truncate divergence), and
+    // the reconstruction error is an element-wise max of exact
+    // divisions. list_sum of a BIGINT list casts back from HUGEINT.
+    "s09_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv,
+        |        v
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(len(qv) AS BIGINT) AS n_dims,
+        |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |  CAST(list_min(qv) AS BIGINT) AS min_q,
+        |  CAST(list_max(qv) AS BIGINT) AS max_q,
+        |  round(list_max(list_transform(range(1, len(qv) + 1),
+        |    i -> abs(qv[i] / scale - v[i]))), 6) AS max_err
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

@@ -357,6 +357,29 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** s09 — symmetric int8 embedding quantization
+    * ([[graft.Graft.quantizeEmbeddings]], which this binds): per
+    * vector, the quantization scale plus exact integer aggregates of
+    * the quantized values (sum/min/max — the checksum an index build
+    * would verify) and the max reconstruction error. Every comparison
+    * is engine-exact: scale = 127/max|v| over float-exact doubles,
+    * round() is away-from-zero in both engines, q/scale - v has no
+    * summation-order freedom (element-wise max, not a sum). */
+  def s09Quantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.quantizeEmbeddings(
+        Tables(s, dir, "embeddings").select($"vec_id", $"embedding"), "embedding")
+      .select($"vec_id", round($"scale", 6).as("scale"),
+        size($"qvec").cast("long").as("n_dims"),
+        aggregate($"qvec", lit(0L), (acc, x) => acc + x.cast("long")).as("sum_q"),
+        array_min($"qvec").cast("long").as("min_q"),
+        array_max($"qvec").cast("long").as("max_q"),
+        when($"scale" === 0, lit(0.0)).otherwise(
+          round(array_max(zip_with($"qvec", $"embedding",
+            (q, v) => abs(q.cast("double") / $"scale" - v))), 6)).as("max_err"))
+      .orderBy($"vec_id")
+  }
+
   /** s03 — per-label centroids: the distributed vector-mean that
     * trains an IVF/k-means index (one assignment pass + this agg per
     * Lloyd iteration — s02 PROBES such centroids; this is the op that

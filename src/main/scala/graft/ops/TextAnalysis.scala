@@ -405,6 +405,15 @@ object TextAnalysis {
       .orderBy($"doc_id", $"token")
   }
 
+  /** t21 — bigram-NLL fluency scoring over the corpus's own bigram LM
+    * (see [[graft.Graft.bigramNll]] for semantics + scale shape; this
+    * binds the same implementation the facade exposes). */
+  def t21BigramNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.bigramNll(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   def t16UnigramNll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Graft.unigramNll(

@@ -342,6 +342,39 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got.size == 4)                               // (2,banana) is the 4th
   }
 
+  test("bigramNll scores deterministic bigram surprisal; short docs absent") {
+    // corpus: "a b" x2 and "a c" -> p(b|a)=2/3, p(c|a)=1/3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("id", "body")
+    val got = Graft.bigramNll(df, "id", "body")
+      .select($"id", $"n_bigrams", $"nll2")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ln23 = BigDecimal(-math.log(2.0 / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln13 = BigDecimal(-math.log(1.0 / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1L, ln23)) && got(2L) == ((1L, ln23)))
+    assert(got(3L) == ((1L, ln13)))
+    assert(!got.contains(4L), "a 1-token doc has no bigrams")
+  }
+
+  test("quantizeEmbeddings: +-127 at the extremes, exact dequantization bound") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("id", "vec")
+    val got = Graft.quantizeEmbeddings(df, "vec")
+      .select($"id", $"scale", $"qvec")
+      .as[(Long, Double, Seq[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 127.0 && got(1L)._2 == Seq[Byte](64, -127, 32))
+    assert(got(2L) == ((0.0, Seq[Byte](0, 0, 0))), "zero vector: scale 0, zero qvec")
+    // dequantization error bounded by 0.5/scale
+    val (sc, qv) = got(1L)
+    val err = qv.zip(Seq(0.5f, -1.0f, 0.25f)).map { case (q, v) =>
+      math.abs(q / sc - v) }.max
+    assert(err <= 0.5 / sc + 1e-12, s"err $err")
+  }
+
   test("packSequences facade fills bins per shard") {
     val df = Seq((0L, 300L), (2L, 300L), (4L, 300L), (1L, 300L)).toDF("id", "n_tok")
     val got = Graft.packSequences(df, "id", "n_tok", capacity = 512, shards = 2)
