@@ -552,6 +552,52 @@ object Graft {
       .filter(col("rk") <= quota)
   }
 
+  /** Mixture sampling (t22's oracle-checked binding): draw a
+    * deterministic sample of ~`n` rows whose composition follows the
+    * caller's per-stratum `weights` — the source-mixing step that
+    * turns a curated pool into a training set with a prescribed
+    * domain/language/quality recipe. Quotas allocate by largest
+    * remainder (floor(w*n) each, the n - sum(floors) leftover going
+    * to the largest fractional remainders, ties to the smaller
+    * stratum value); within a stratum "first" is the salted-md5 order
+    * of [[stratifiedSample]] — deterministic, engine-reproducible,
+    * layout-independent. Strata absent from `weights` are dropped
+    * (weight 0); a stratum smaller than its quota contributes all its
+    * rows with NO redistribution (the shortfall is the caller's
+    * signal that the recipe is infeasible). Appends `rk`.
+    *
+    * Scale shape: the allocation windows run over the
+    * |weights|-row literal frame (driver-sized, broadcast to the
+    * quota join); the corpus pays one stratum-partitioned rank window
+    * — WindowGroupLimit cannot prune here because the quota is a
+    * join-delivered column, so at extreme strata sizes prefer
+    * [[stratifiedSample]] with a precomputed per-stratum cap. */
+  def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double], n: Long, salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample needs at least one weight")
+    require(weights.values.forall(_ >= 0), "negative weight")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = weights.toSeq.toDF("__stratum", "__w")
+      .select(col("__stratum"),
+        floor(col("__w") * n).cast("long").as("__base"),
+        (col("__w") * n - floor(col("__w") * n)).as("__rem"))
+    val leftover = broadcast(base.agg((lit(n) - sum(col("__base"))).as("__left")))
+    val quota = broadcast(base.crossJoin(leftover)
+      .withColumn("__pos", row_number().over(
+        Window.orderBy(col("__rem").desc, col("__stratum")))) // |weights| rows
+      .select(col("__stratum"),
+        (col("__base") +
+          when(col("__pos") <= col("__left"), 1L).otherwise(0L)).as("__quota")))
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string")))))
+        .cast("long"))
+      .join(quota, col(strataCol) === col("__stratum"))
+      .filter(col("rk") <= col("__quota"))
+      .drop("__stratum", "__quota")
+  }
+
   /** Radius (range) similarity search (s04's oracle-checked binding):
     * every corpus vector within cosine >= `tau` of each query — the
     * "find everything this similar" primitive (cosineTopK answers "the

@@ -100,6 +100,7 @@ object SparkEntry {
     "d14_km_dedup" -> (Similarity.d14KmeansDedup _),
     "t20_tfidf" -> (TextAnalysis.t20Tfidf _),
     "t21_binll" -> (TextAnalysis.t21BigramNll _),
+    "t22_mix" -> (TextAnalysis.t22MixtureSample _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
@@ -1177,6 +1178,32 @@ object SparkEntry {
         |  round(avg(-ln(c2 / c1)), 4) AS nll2
         |FROM bg JOIN wc USING (bigram)
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Weights in e-notation parse straight to DOUBLE (the d05 rule —
+    // DECIMAL literals would give DuckDB exact products where Spark's
+    // doubles round); these particular weights are exactly
+    // representable so every quota product is an exact integer on
+    // both sides. Same salted-md5 order as t13.
+    "t22_mix" ->
+      """WITH w(lang, wt) AS (VALUES
+        |    ('en', 5e-1), ('de', 2.5e-1), ('fr', 1.25e-1),
+        |    ('es', 6.25e-2), ('zh', 6.25e-2)),
+        |a AS (SELECT lang, CAST(floor(wt * 160) AS BIGINT) AS base,
+        |        wt * 160 - floor(wt * 160) AS rem
+        |      FROM w),
+        |l AS (SELECT 160 - CAST(sum(base) AS BIGINT) AS leftover FROM a),
+        |q AS (SELECT lang,
+        |        base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+        |                         <= leftover THEN 1 ELSE 0 END AS quota
+        |      FROM a, l),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+        |      FROM documents)
+        |SELECT doc_id, r.lang AS lang, rk
+        |FROM r JOIN q USING (lang)
+        |WHERE rk <= quota
         |ORDER BY doc_id""".stripMargin,
 
     // Every comparison is engine-exact (no summation anywhere): scale

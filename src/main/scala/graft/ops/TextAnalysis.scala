@@ -405,6 +405,24 @@ object TextAnalysis {
       .orderBy($"doc_id", $"token")
   }
 
+  /** t22 — mixture sampling: a 160-row training draw whose language
+    * composition follows a prescribed recipe (en .5 / de .25 /
+    * fr .125 / es .0625 / zh .0625 — exactly-representable doubles,
+    * so both engines' quota products are exact integers; the facade's
+    * largest-remainder path is exercised with awkward weights in
+    * GraftFacadeSpec). See [[graft.Graft.mixtureSample]]. */
+  def t22MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.mixtureSample(
+        Tables(s, dir, "documents").select($"doc_id", $"lang"),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125,
+          "es" -> 0.0625, "zh" -> 0.0625),
+        n = 160)
+      .select($"doc_id", $"lang", $"rk")
+      .orderBy($"doc_id")
+  }
+
   /** t21 — bigram-NLL fluency scoring over the corpus's own bigram LM
     * (see [[graft.Graft.bigramNll]] for semantics + scale shape; this
     * binds the same implementation the facade exposes). */

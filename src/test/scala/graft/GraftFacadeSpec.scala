@@ -375,6 +375,35 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(err <= 0.5 / sc + 1e-12, s"err $err")
   }
 
+  test("mixtureSample allocates by largest remainder and stays layout-independent") {
+    // weights * 7 = 3.5 / 2.1 / 1.4 -> floors 3/2/1, leftover 1 goes
+    // to the largest remainder (a) -> quotas 4/2/1
+    val df = (1L to 30L).map(i =>
+        (i, if (i <= 10) "a" else if (i <= 20) "b" else "c"))
+      .toDF("id", "src")
+    val weights = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val got = Graft.mixtureSample(df, "src", "id", weights, n = 7)
+      .select($"src").as[String].collect()
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map("a" -> 4, "b" -> 2, "c" -> 1), s"got $got")
+    val again = Graft.mixtureSample(df.repartition(5), "src", "id", weights, n = 7)
+      .select($"id").as[Long].collect().toSet
+    val first = Graft.mixtureSample(df, "src", "id", weights, n = 7)
+      .select($"id").as[Long].collect().toSet
+    assert(first == again, "selection must not depend on layout")
+  }
+
+  test("mixtureSample: unweighted strata drop; an undersized stratum yields all its rows") {
+    val df = (1L to 10L).map(i => (i, if (i <= 8) "big" else "tiny"))
+      .toDF("id", "src") // tiny has 2 rows
+    val got = Graft.mixtureSample(df, "src", "id",
+        Map("big" -> 0.5, "tiny" -> 0.5, "ghost" -> 0.0), n = 8)
+      .select($"src").as[String].collect()
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // tiny's quota is 4 but only 2 rows exist -> 2, no redistribution
+    assert(got == Map("big" -> 4, "tiny" -> 2), s"got $got")
+  }
+
   test("packSequences facade fills bins per shard") {
     val df = Seq((0L, 300L), (2L, 300L), (4L, 300L), (1L, 300L)).toDF("id", "n_tok")
     val got = Graft.packSequences(df, "id", "n_tok", capacity = 512, shards = 2)
