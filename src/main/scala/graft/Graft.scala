@@ -379,6 +379,27 @@ object Graft {
         nCentroids, trainIters),
       nProbe, k, excludeSelf)
 
+  /** ANN index evaluation (s10's oracle-checked binding): per-query
+    * recall@k of an approximate neighbor list against the exact one —
+    * the number that says whether an IVF index's nProbe/nCentroids
+    * knobs are safe to ship. Both frames carry (query_id, vec_id,
+    * rank) — [[ivfSearch]]/[[cosineTopK]] output shape; rows ranked
+    * past k on either side are ignored. Returns one row per exact-
+    * side query: (query_id, n_exact, n_hit, recall). Scale shape:
+    * both inputs prune to (query_id, vec_id) pairs (#queries x k
+    * rows) before a single equi-join and a partial-aggregated count —
+    * evaluation cost is independent of the corpus. */
+  def annRecall(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("__hit"))
+    exact.filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+      .join(a, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
+  }
+
   /** Semantic dedup (SemDeDup; d11's oracle-checked binding): cluster
     * the embedding space ([[classifyByCentroid]] against the frame's
     * own per-`labelCol` centroids), treat within-cluster cosine >=

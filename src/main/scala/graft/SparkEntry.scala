@@ -102,6 +102,7 @@ object SparkEntry {
     "t21_binll" -> (TextAnalysis.t21BigramNll _),
     "t22_mix" -> (TextAnalysis.t22MixtureSample _),
     "s09_quant" -> (Similarity.s09Quantize _),
+    "s10_recall" -> (Similarity.s10Recall _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1107,6 +1108,48 @@ object SparkEntry {
         |SELECT vec_id, kept_id FROM roots
         |WHERE kept_id < vec_id
         |ORDER BY vec_id""".stripMargin,
+
+    // s01's exact top-5 joined against s02's IVF top-5, hit-counted
+    // per query — both neighbor sets are engine-identical (the s01/s02
+    // bit-for-bit cosine + vec_id tie arguments), so the recall is too.
+    "s10_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+        |  FROM (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS c
+        |        FROM q, e WHERE vec_id <> query_id) s0) r
+        |  WHERE rk <= 5),
+        |cc AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+        |assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT e.vec_id, e.v, cc.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, cc.cv) DESC,
+        |               cc.centroid_id DESC) AS rn
+        |  FROM e, cc) t WHERE rn = 1),
+        |probes AS (SELECT query_id, qv, centroid_id AS bucket FROM (
+        |  SELECT q.query_id, q.qv, cc.centroid_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, cc.cv) DESC,
+        |               cc.centroid_id) AS pr
+        |  FROM q, cc) t WHERE pr <= 2),
+        |ap AS (SELECT query_id, vec_id FROM (
+        |  SELECT p.query_id, a.vec_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id) AS rk
+        |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |  WHERE a.vec_id <> p.query_id) r
+        |  WHERE rk <= 5)
+        |SELECT ex.query_id AS query_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 4) AS recall
+        |FROM ex LEFT JOIN ap
+        |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+        |GROUP BY ex.query_id
+        |ORDER BY query_id""".stripMargin,
 
     "t13_stratified" ->
       """SELECT doc_id, lang, rk FROM (

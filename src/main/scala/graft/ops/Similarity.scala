@@ -380,6 +380,20 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** s10 — ANN recall@5 of the s02 IVF index against s01 exact
+    * search, per query ([[graft.Graft.annRecall]], which this binds)
+    * — the evaluation pass that closes the ANN loop: s07 trains, s02
+    * probes, s01 is ground truth, s10 reports whether the knobs are
+    * safe. The oracle composes the s01 and s02 CTE pipelines and
+    * recomputes the same per-query hit counts; recall is
+    * deterministic because both neighbor SETS are (rank ties break on
+    * vec_id in both engines — the s01/s02 arguments). */
+  def s10Recall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.annRecall(s02IvfTopK(s, dir), s01CosineTopK(s, dir), k = K)
+      .orderBy($"query_id")
+  }
+
   /** s03 — per-label centroids: the distributed vector-mean that
     * trains an IVF/k-means index (one assignment pass + this agg per
     * Lloyd iteration — s02 PROBES such centroids; this is the op that

@@ -298,6 +298,20 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
 
+  test("annRecall counts per-query hits at k, ignoring ranks past k") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+        (2L, 20L, 1L), (2L, 21L, 2L)).toDF("query_id", "vec_id", "rank")
+    val approx = Seq((1L, 10L, 1L), (1L, 99L, 2L), (1L, 12L, 4L),
+        (2L, 20L, 1L), (2L, 21L, 2L)).toDF("query_id", "vec_id", "rank")
+    val got = Graft.annRecall(approx, exact, k = 3)
+      .select($"query_id", $"n_exact", $"n_hit", $"recall")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // q1: exact {10,11,12}; approx@3 {10,99} (12 ranked past k) -> 1/3
+    assert(got(1L) == ((3L, 1L, 0.3333)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 1.0)), s"got ${got(2L)}")
+  }
+
   test("semanticDedupWithCentroids accepts kmeansFit output (the unlabeled path)") {
     val df = Seq(
         (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
