@@ -597,6 +597,10 @@ object Graft {
       weights: Map[String, Double], n: Long, salt: String = "mix"): DataFrame = {
     require(weights.nonEmpty, "mixtureSample needs at least one weight")
     require(weights.values.forall(_ >= 0), "negative weight")
+    // sum > 1 would allocate more than n with no leftover to absorb it
+    // (sum < 1 is legitimate: an intentionally smaller draw)
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"weights sum to ${weights.values.sum} > 1")
     val s = df.sparkSession
     import s.implicits._
     val base = weights.toSeq.toDF("__stratum", "__w")
