@@ -853,7 +853,12 @@ object Graft {
     * t07's fold-to-hash this shuffle legitimately carries it; the
     * vocab-sized doc_freq table and the one-row N broadcast (the t16
     * vocab-join shape — at an extreme vocabulary drop the broadcast
-    * hint and let AQE pick the join). */
+    * hint and let AQE pick the join). The tf subplan is referenced
+    * three times (scores, doc_freq, N) and so the scan+aggregate runs
+    * three times — the q19 trade: a persist inside a library operator
+    * would cache-leak, and at scale a caller materializes the tf
+    * table ONCE and feeds all three uses (at harness scale the
+    * rescans cost less than the leak). */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df.select(col(idCol),
         explode(ops.TextDedup.tokens(col(textCol))).as("token"))
