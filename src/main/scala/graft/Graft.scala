@@ -713,22 +713,40 @@ object Graft {
     * constant intrudes). Returns (idCol, n_bigrams, nll2); documents
     * with fewer than two tokens have no bigrams and are absent.
     *
-    * Scale shape: one partial-aggregated shuffle on the bigram string
-    * builds the LM (the conditioning denominator windows over the
-    * VOCAB-sized count table, never the corpus — t18's shape), then
-    * the doc bigrams join the broadcast LM (the t16 vocab-join shape;
-    * at an extreme bigram vocabulary drop the hint and let AQE pick)
-    * and fold straight into the per-doc mean. */
+    * Scale shape: the corpus tokenizes and explodes ONCE into per-doc
+    * bigram counts (one partial-aggregated shuffle on (id, bigram));
+    * both the LM build and the score join consume that same
+    * aggregate, so Catalyst's ReuseExchange materializes the
+    * expensive explode+shuffle once (plan-asserted in
+    * PlanAuditSpec — the round-6 version ran it twice). The LM
+    * derives from the folded counts (the conditioning denominator
+    * windows over the VOCAB-sized count table, never the corpus —
+    * t18's shape) and joins back UN-HINTED: a bigram vocabulary grows
+    * with the corpus (unlike t16's saturating unigram vocab), so the
+    * broadcast-vs-shuffle call belongs to AQE's runtime size check,
+    * not a baked-in hint. The per-doc mean is the count-weighted fold
+    * over the folded rows — the same value as the per-token mean, on
+    * a fraction of the rows. */
   def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = df.select(col(idCol),
-      explode(bigramsOf(col(textCol))).as("bigram"))
-    val lm = bg.groupBy(col("bigram")).agg(count(lit(1)).as("__c2"))
+    val grouped = df.select(col(idCol),
+        explode(bigramsOf(col(textCol))).as("bigram"))
+      // semantically a no-op (explode never yields null bigrams) but
+      // load-bearing for the plan: the join infers isnotnull(bigram)
+      // and pushes it below the aggregate on the probe side only (the
+      // window blocks the push on the LM side), which would leave the
+      // two exchange subtrees non-canonical — stating the filter HERE
+      // keeps both branches identical so ReuseExchange fires
+      .filter(col("bigram").isNotNull)
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("__k"))
+    val lm = grouped.groupBy(col("bigram")).agg(sum(col("__k")).as("__c2"))
       .withColumn("__c1", sum(col("__c2")).over(
         Window.partitionBy(substring_index(col("bigram"), " ", 1))))
-    bg.join(broadcast(lm), "bigram")
+    grouped.join(lm, "bigram")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log(col("__c2") / col("__c1"))), 4).as("nll2"))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        round(sum(col("__k") * -log(col("__c2") / col("__c1")))
+          / sum(col("__k")), 4).as("nll2"))
   }
 
   /** Zipf rank-frequency fit (t19's oracle-checked binding): one row —

@@ -33,9 +33,17 @@ object Explain {
       sys.exit(2)
     })(spark, sfDir)
     df.explain("formatted")
+    // execute THIS DataFrame's own plan (df.count() would build a
+    // separate QueryExecution and leave this one un-finalized)
+    val qe = df.queryExecution
     val t0 = System.nanoTime()
-    val n = df.count()
+    val n = qe.toRdd.count()
     println(f"[explain] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // the static plan above is pre-AQE; runtime stage reuse (e.g.
+    // ReusedExchange of a shared shuffle) only shows in the FINAL
+    // adaptive plan, so print it too
+    println("---- final adaptive plan ----")
+    println(qe.executedPlan.toString)
     spark.stop()
   }
 }

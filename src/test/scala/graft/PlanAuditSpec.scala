@@ -52,6 +52,23 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"metadata predicate did not reach the scan: $pushed\n$plan")
   }
 
+  test("t21: the corpus bigram explode+shuffle materializes ONCE") {
+    // the round-6 weak grade: bigramNll's LM build and score join both
+    // consume the per-doc bigram aggregate; if the two subtrees drift
+    // out of canonical equality (e.g. an inferred isnotnull pushed
+    // into one branch only) the corpus explode silently runs twice.
+    // Reuse only shows in the FINAL adaptive plan, so execute first.
+    val df = ops.TextAnalysis.t21BigramNll(spark, sf)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"t21 bigram aggregate not reused — the explode runs twice:\n$plan")
+    // and no baked-in broadcast of the corpus-growing bigram LM: any
+    // broadcast in this plan must be AQE's runtime size call
+    assert(!df.queryExecution.logical.toString.contains("ResolvedHint"),
+      "t21 carries a join-strategy hint; the LM join must stay un-hinted")
+  }
+
   test("Bench records a broken query as an error, not a silent timing") {
     val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame](
