@@ -284,7 +284,10 @@ object Graft {
     * joins the prediction back. Rows sharing an `idCol` are all
     * preserved and all receive that id's argmax (an id is expected to
     * identify one vector; with conflicting duplicates the argmax
-    * pools their candidates). Ties break to the larger label (the
+    * pools their candidates). A NULL id is one more id value, not a
+    * drop: the join-back is null-safe (`<=>`), so null-id rows
+    * survive and pool like any duplicate id — the r6 equi-join
+    * silently discarded them. Ties break to the larger label (the
     * d11/s05 convention). Both frames: (idCol, vecCol[, labelCol])
     * by name. */
   def classifyByCentroid(df: DataFrame, train: DataFrame,
@@ -294,9 +297,9 @@ object Graft {
       .withColumn("__cos", ops.Similarity.cosine(col(vecCol), col("__cv")))
       .groupBy(col(idCol))
       .agg(max(struct(col("__cos"), col("__lbl"))).as("__best"))
-      .select(col(idCol), col("__best.__lbl").as("predicted"),
+      .select(col(idCol).as("__bid"), col("__best.__lbl").as("predicted"),
         col("__best.__cos").as("centroid_cos"))
-    df.join(best, Seq(idCol))
+    df.join(best, df(idCol) <=> best("__bid")).drop("__bid")
   }
 
   /** Cross-split leakage audit (d12's oracle-checked binding): for
@@ -582,7 +585,11 @@ object Graft {
     * to the largest fractional remainders, ties to the smaller
     * stratum value); within a stratum "first" is the salted-md5 order
     * of [[stratifiedSample]] — deterministic, engine-reproducible,
-    * layout-independent. Strata absent from `weights` are dropped
+    * layout-independent. The +1 only ever lands on a stratum with a
+    * POSITIVE remainder, so a recipe whose weights sum below 1 draws
+    * its ~sum(w)*n rows instead of inflating every quota with the
+    * undrawn mass (and an explicit weight-0 stratum stays dropped).
+    * Strata absent from `weights` are dropped
     * (weight 0); a stratum smaller than its quota contributes all its
     * rows with NO redistribution (the shortfall is the caller's
     * signal that the recipe is infeasible). Appends `rk`.
@@ -612,8 +619,15 @@ object Graft {
       .withColumn("__pos", row_number().over(
         Window.orderBy(col("__rem").desc, col("__stratum")))) // |weights| rows
       .select(col("__stratum"),
+        // __rem > 0 gate: n - sum(floors) overstates the distributable
+        // leftover whenever sum(w) < 1 (by (1-sum(w))*n), and positions
+        // order rem DESC, so without the gate the surplus would hand +1
+        // to zero-remainder (even weight-0) strata. With sum(w) == 1
+        // the leftover is sum(rem) < |{rem > 0}| and the gate is a
+        // no-op — t22's oracle path is byte-identical.
         (col("__base") +
-          when(col("__pos") <= col("__left"), 1L).otherwise(0L)).as("__quota")))
+          when(col("__rem") > 0 && col("__pos") <= col("__left"), 1L)
+            .otherwise(0L)).as("__quota")))
     df.withColumn("rk", row_number().over(
         Window.partitionBy(col(strataCol))
           .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string")))))

@@ -294,7 +294,7 @@ object TextDedup {
     * covers diameters past 10^4, far beyond any plausible duplicate
     * cluster (and failure stays loud, see below). */
   def componentMin(pairs: DataFrame, maxRounds: Int = 16,
-      localEdgeGate: Long = 2000000L): DataFrame = {
+      localEdgeGate: Long = 1000000L): DataFrame = {
     // checkpoint the edge list once: it is referenced by every round,
     // and without severing lineage each round would re-run the whole
     // upstream pipeline (for d08, the complete LSH candidate+verify
@@ -304,14 +304,24 @@ object TextDedup {
       .localCheckpoint(true)
     // Size-gated local finish (the GraphFrames connected-components
     // move, and the same runtime-adaptive shape as AQE's broadcast
-    // fallback): a near-dup graph that fits the gate (<= 1M pairs =
-    // ~32 MB of longs, counted on the already-materialized edge
-    // table) collapses via driver union-find in microseconds, where
-    // the distributed loop would pay fixed multi-job overhead PER
-    // ROUND for the same answer (measured: the loop was 2.6 s of
-    // d11's 4.2 s at sf0.1 on a 1k-edge graph). Integral ids only —
-    // anything else (or anything bigger) takes the distributed loop,
-    // which remains the 100 TB path.
+    // fallback): a near-dup graph that fits the gate (localEdgeGate
+    // PAIRS, default 1M — the directed `edges` table carries each
+    // pair twice, hence the 2x below; counted on the
+    // already-materialized edge table) collapses via driver
+    // union-find in microseconds, where the distributed loop would
+    // pay fixed multi-job overhead PER ROUND for the same answer
+    // (measured: the loop was 2.6 s of d11's 4.2 s at sf0.1 on a
+    // 1k-edge graph). The local pass streams partitions and keeps
+    // its state in primitive arrays (~24 B/vertex), so the 1M-pair
+    // default costs the driver tens of MB AS BUILT on the JVM, not
+    // just in a back-of-envelope — a boxed tuple/HashMap pass would
+    // be ~10x that and could OOM a 1g driver the distributed loop
+    // handles fine. Integral ids only — anything else (or anything
+    // bigger) takes the distributed loop, which remains the 100 TB
+    // path. Mixed input widths are safe: the union above already
+    // coerced src/dst to the WIDER type, and the local finish casts
+    // its output to that same coerced type (matching what the
+    // distributed loop would return), never narrowing to id_a's.
     val integral = Seq("id_a", "id_b").forall { c =>
       import org.apache.spark.sql.types._
       pairs.schema(c).dataType match {
@@ -320,7 +330,7 @@ object TextDedup {
       }
     }
     if (integral && edges.count() <= 2 * localEdgeGate)
-      return componentMinLocal(edges, pairs.schema("id_a").dataType)
+      return componentMinLocal(edges, edges.schema("src").dataType)
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("root"))
       .localCheckpoint(true)
@@ -365,30 +375,86 @@ object TextDedup {
     labels
   }
 
-  /** The local finish: union-find with union-by-min over the collected
+  /** The local finish: union-find with union-by-min over the streamed
     * edge list — the representative of every set is its minimum member
     * by construction (we always attach the larger root under the
     * smaller), so the output is exactly the distributed loop's
     * fixpoint: one (id, root-of-component-minimum) row per vertex.
-    * Output columns cast back to the caller's id type. */
+    * Output columns cast to the union-coerced id type — the same type
+    * the distributed loop returns, so mixed-width callers (id_a int,
+    * id_b long) see identical schemas on either path and a wide
+    * id_b-sourced root can never truncate. */
   private def componentMinLocal(edges: DataFrame,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    // Primitive open-addressed map (id -> dense index) + int parent
+    // array: ~24 bytes per vertex, vs hundreds each for boxed
+    // (Long, Long) tuples in a mutable.HashMap. Edges stream one
+    // partition at a time (the frame is already checkpointed), so
+    // peak driver memory is the vertex state plus one partition —
+    // the only boxed materialization left is the n-row output frame.
+    var cap = 1 << 16 // power of 2; grows at 50% load
+    var keys = new Array[Long](cap)
+    var usd = new Array[Boolean](cap)
+    var parent = new Array[Int](cap)
+    var n = 0
+    def slotOf(id: Long, ks: Array[Long], us: Array[Boolean], c: Int): Int = {
+      var i = (java.lang.Long.hashCode(id * -7046029254386353131L) & (c - 1))
+      while (us(i) && ks(i) != id) i = (i + 1) & (c - 1)
+      i
+    }
+    def indexOf(id: Long): Int = {
+      if (2 * n >= cap) { // rehash into doubled arrays
+        val nc = cap << 1
+        val nk = new Array[Long](nc); val nu = new Array[Boolean](nc)
+        val np = new Array[Int](nc)
+        var i = 0
+        while (i < cap) {
+          if (usd(i)) {
+            val j = slotOf(keys(i), nk, nu, nc)
+            nk(j) = keys(i); nu(j) = true; np(j) = parent(i)
+          }
+          i += 1
+        }
+        // parent holds SLOT indices — remap every entry to its new slot
+        i = 0
+        val remap = new Array[Int](cap)
+        while (i < cap) {
+          if (usd(i)) remap(i) = slotOf(keys(i), nk, nu, nc); i += 1
+        }
+        i = 0
+        while (i < nc) { if (nu(i)) np(i) = remap(np(i)); i += 1 }
+        keys = nk; usd = nu; parent = np; cap = nc
+      }
+      val i = slotOf(id, keys, usd, cap)
+      if (!usd(i)) { usd(i) = true; keys(i) = id; parent(i) = i; n += 1 }
+      i
+    }
+    def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
-    for ((a, b) <- es) {
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    val it = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val a = row.getLong(0); val b = row.getLong(1)
+      // insert both BEFORE resolving slots: a growth triggered by the
+      // second insert rehashes every slot index the first returned
+      indexOf(a); indexOf(b)
+      val ra = find(slotOf(a, keys, usd, cap))
+      val rb = find(slotOf(b, keys, usd, cap))
+      if (keys(ra) < keys(rb)) parent(rb) = ra
+      else if (keys(rb) < keys(ra)) parent(ra) = rb
     }
-    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "root")
+    val ids = new Array[Long](n)
+    var i = 0; var j = 0
+    while (i < cap) { if (usd(i)) { ids(j) = keys(i); j += 1 }; i += 1 }
+    java.util.Arrays.sort(ids)
+    ids.toSeq.map(id => (id, keys(find(slotOf(id, keys, usd, cap)))))
+      .toDF("id", "root")
       .select(col("id").cast(idType).as("id"), col("root").cast(idType).as("root"))
   }
 

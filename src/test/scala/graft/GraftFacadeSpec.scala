@@ -333,6 +333,20 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == Seq((10L, 0), (10L, 0)), s"duplicate rows must survive: $got")
   }
 
+  test("classifyByCentroid keeps null-id rows (null-safe join-back)") {
+    // a null id is one more id value: the r6 equi-join-back silently
+    // dropped such rows (null keys never match '='); the null-safe
+    // join must classify them like any other id
+    val train = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 1))
+      .toDF("id", "vec", "label")
+    val df = Seq((Some(10L), Array(5f, 0.1f)), (None, Array(0.1f, 5f)))
+      .toDF("id", "vec")
+    val got = Graft.classifyByCentroid(df, train, "id", "vec", "label")
+      .select($"id", $"predicted").as[(Option[Long], Int)].collect().toMap
+    assert(got == Map(Some(10L) -> 0, None -> 1),
+      s"null-id row must survive with its own argmax: $got")
+  }
+
   test("bm25Score ranks the term-dense doc first and excludes no-match docs") {
     val df = Seq(
         (1L, "spark spark spark and nothing else here"),
@@ -416,6 +430,26 @@ class GraftFacadeSpec extends SparkSuiteBase {
       .groupBy(identity).view.mapValues(_.size).toMap
     // tiny's quota is 4 but only 2 rows exist -> 2, no redistribution
     assert(got == Map("big" -> 4, "tiny" -> 2), s"got $got")
+  }
+
+  test("mixtureSample: weights summing below 1 draw the smaller total, not n") {
+    // sum(w) = 0.5 over n = 10: the naive leftover n - sum(floors)
+    // would be 5 and hand +1 to every stratum (including weight-0
+    // ghost); the documented contract is a ~sum(w)*n draw with the
+    // +1 landing only on positive remainders
+    val df = (1L to 30L).map(i =>
+        (i, if (i <= 15) "a" else "b")).toDF("id", "src")
+    val got = Graft.mixtureSample(df, "src", "id",
+        Map("a" -> 0.5, "ghost" -> 0.0), n = 10)
+      .select($"src").as[String].collect()
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map("a" -> 5), s"got $got") // not a->6, no ghost
+    // and a positive fractional remainder still rounds up: 0.45*10
+    // -> base 4, rem .5 -> quota 5
+    val frac = Graft.mixtureSample(df, "src", "id",
+        Map("a" -> 0.45), n = 10)
+      .select($"src").as[String].collect()
+    assert(frac.length == 5 && frac.forall(_ == "a"), s"got ${frac.toSeq}")
   }
 
   test("packSequences facade fills bins per shard") {

@@ -128,6 +128,31 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(dist == expected)
   }
 
+  test("componentMin local path: mixed-width ids widen, never truncate") {
+    // id_a int, id_b long with a root beyond Int range: the union
+    // coerces to long, and BOTH paths must return that coerced type
+    // (an id_a-typed cast would silently truncate the wide vertex)
+    val pairs = Seq((5, 6000000000L), (7, 8L)).toDF("id_a", "id_b")
+    val local = TextDedup.componentMin(pairs)
+    assert(local.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val m = local.as[(Long, Long)].collect().toMap
+    assert(m == Map(5L -> 5L, 6000000000L -> 5L, 7L -> 7L, 8L -> 7L), s"$m")
+    val dist = TextDedup.componentMin(pairs, localEdgeGate = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == m)
+  }
+
+  test("componentMin local path survives map growth (one 80k-vertex chain)") {
+    // > 2^16 vertices forces at least one open-addressing rehash mid
+    // stream; the chain shape also exercises path compression hard
+    val n = 80000L
+    val chain = spark.range(1, n).select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val roots = TextDedup.componentMin(chain)
+      .select($"root").distinct().as[Long].collect().toSeq
+    assert(roots == Seq(1L))
+  }
+
   test("componentMin (distributed path) fails loudly on a chain exceeding the round bound") {
     // with path halving a round covers ~2x the distance of the last,
     // so only a LONG chain with a tiny bound still exceeds it;
