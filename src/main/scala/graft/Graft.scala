@@ -473,6 +473,72 @@ object Graft {
         transform(col(vecCol), v => round(v * col("scale")).cast("byte")))
   }
 
+  /** Quantized-index ANN search (s11's oracle-checked binding) — the
+    * retrieval half of [[quantizeEmbeddings]]'s 4x compression, the
+    * piece round 6 shipped storage-only: stage 1 scores EVERY corpus
+    * row against the int8 columns alone via the native
+    * [[graft.functions.Int8Dot]] kernel — approx = dot8(q8, v8) /
+    * sqrt(|q8|^2 * |v8|^2), every input an exact small integer, so
+    * the score is BIT-IDENTICAL across engines and orders (integer
+    * dot, exact integer norm product < 2^53, one correctly-rounded
+    * IEEE sqrt and divide) and the per-query rerankK candidate set
+    * needs no rounding discipline at all. Stage 2 touches the FLOAT
+    * vectors only for those <= rerankK survivors (the s06 cascade
+    * shape) and returns the exact-cosine top-k: (query_id, vec_id,
+    * cos, rank), s01's output contract.
+    *
+    * Scale shape: the full-corpus pass reads 1 byte/dim + one long —
+    * the 4x scan-bandwidth win an index SHIPS (at rest the float
+    * column lives in cold storage; here both derive in-plan from the
+    * same scan, which is the harness stand-in for that split). The
+    * rerank join carries only (query_id, vec_id) pairs — nQueries x
+    * rerankK rows, corpus-independent, so AQE broadcasts it against
+    * the float column. Recall risk is the caller's rerankK knob:
+    * measure it with [[annRecall]] against [[cosineTopK]] (int8
+    * quantization keeps cosine order to ~1/254 per element, so small
+    * multiples of k recover exact top-k on real embeddings —
+    * GraftFacadeSpec asserts recall 1.0 on the harness corpus).
+    * Both frames: (id, vector) by position; `excludeSelf` as in
+    * [[cosineTopK]]. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerankK: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    val dot8 = ops.Similarity.int8dot _
+    val cz = quantizeEmbeddings(
+        corpus.select(col(corpus.columns(0)).as("vec_id"),
+          col(corpus.columns(1)).as("__vf")), "__vf")
+      .select(col("vec_id"), col("qvec").as("__vq"))
+      .withColumn("__vn2", dot8(col("__vq"), col("__vq")))
+    val q = broadcast(quantizeEmbeddings(
+        queries.select(col(queries.columns(0)).as("query_id"),
+          col(queries.columns(1)).as("__qf")), "__qf")
+      .select(col("query_id"), col("qvec").as("__qq"))
+      .withColumn("__qn2", dot8(col("__qq"), col("__qq"))))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("vec_id"))
+    // a zero-norm side scores -2.0 (below any cosine), never NaN/null
+    val cand = cz.crossJoin(q)
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        when(col("__vn2") > 0 && col("__qn2") > 0,
+          dot8(col("__qq"), col("__vq")).cast("double")
+            / sqrt((col("__qn2") * col("__vn2")).cast("double")))
+          .otherwise(lit(-2.0)).as("__approx"))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= rerankK)
+      .select(col("query_id"), col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(corpus.select(col(corpus.columns(0)).as("vec_id"),
+        col(corpus.columns(1)).as("__vf")), "vec_id")
+      .join(broadcast(queries.select(col(queries.columns(0)).as("query_id"),
+        col(queries.columns(1)).as("__qf"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        ops.Similarity.cosine(col("__qf"), col("__vf")).as("cos"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
+
   /** Driver-side centroid gather: k x dim floats, volume-independent
     * (the broadcast-variable pattern — never a corpus collect). */
   private def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] = {

@@ -103,6 +103,7 @@ object SparkEntry {
     "t22_mix" -> (TextAnalysis.t22MixtureSample _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
+    "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1273,6 +1274,47 @@ object SparkEntry {
         |    i -> abs(qv[i] / scale - v[i]))), 6) AS max_err
         |FROM q
         |ORDER BY vec_id""".stripMargin,
+
+    // Stage 1 ranks on scores derived ONLY from exact integers (int8
+    // dot / sqrt of an exact-integer norm product < 2^53): the
+    // candidate set is bit-identical across engines with no rounding
+    // discipline. The float rerank then follows s01's regime — rank
+    // exact doubles, round(6) for display.
+    "s11_qsearch" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |             ELSE 0.0 END AS scale
+        |      FROM e),
+        |z AS (SELECT vec_id, v,
+        |        list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
+        |      FROM s),
+        |n AS (SELECT vec_id, v, qv,
+        |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+        |      FROM z),
+        |q AS (SELECT vec_id AS query_id, v AS qf, qv AS qq, n2 AS qn2
+        |      FROM n WHERE vec_id < 10),
+        |st1 AS (SELECT query_id, vec_id,
+        |          CASE WHEN qn2 * n2 > 0 THEN
+        |            CAST(CAST(list_sum(list_transform(range(1, len(qq) + 1),
+        |              i -> qq[i] * qv[i])) AS BIGINT) AS DOUBLE)
+        |              / sqrt(CAST(qn2 * n2 AS DOUBLE))
+        |          ELSE -2.0 END AS approx
+        |        FROM n, q WHERE vec_id <> query_id),
+        |cand AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY approx DESC, vec_id) AS r1 FROM st1) t WHERE r1 <= 20),
+        |rr AS (SELECT cand.query_id AS query_id, cand.vec_id AS vec_id,
+        |         list_cosine_similarity(q.qf, n.v) AS cs
+        |       FROM cand JOIN n ON cand.vec_id = n.vec_id
+        |                 JOIN q ON cand.query_id = q.query_id),
+        |ranked AS (SELECT query_id, vec_id, cs,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, vec_id) AS rank
+        |  FROM rr)
+        |SELECT query_id, rank, vec_id, round(cs, 6) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

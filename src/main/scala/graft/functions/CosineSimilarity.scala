@@ -130,6 +130,11 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("minhash_sketch")))
       reg.createOrReplaceTempFunction(
         "minhash_sketch", GraftFunctions.buildMinHashSketch, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("int8_dot")))
+      reg.createOrReplaceTempFunction(
+        "int8_dot",
+        (exprs: Seq[Expression]) => Int8Dot(exprs(0), exprs(1)),
+        "built-in")
   }
 }
 
@@ -151,5 +156,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
       GraftFunctions.buildMinHashSketch))
+    ext.injectFunction((
+      FunctionIdentifier("int8_dot"),
+      new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
+      (exprs: Seq[Expression]) => Int8Dot(exprs(0), exprs(1))))
   }
 }

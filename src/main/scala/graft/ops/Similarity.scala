@@ -35,6 +35,14 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Exact integer dot product of two int8 vectors (long); with
+    * itself, the squared norm. See [[graft.functions.Int8Dot]]. */
+  def int8dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.Int8Dot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   private val K = 5
   private val NQueries = 10
 
@@ -392,6 +400,22 @@ object Similarity {
     import s.implicits._
     graft.Graft.annRecall(s02IvfTopK(s, dir), s01CosineTopK(s, dir), k = K)
       .orderBy($"query_id")
+  }
+
+  /** s11 — the s09 int8 index actually RETRIEVING
+    * ([[graft.Graft.quantizedTopK]], which this binds): full-corpus
+    * int8 scan through the native int8_dot kernel (exact integer
+    * scoring — the candidate set is bit-identical in both engines
+    * with no rounding discipline), then a float rerank of the
+    * 4k-candidate head only. Output follows s01's contract and
+    * rounding regime (rank on exact doubles, round(6) for display). */
+  def s11QuantizedSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    graft.Graft.quantizedTopK(emb, emb.filter($"vec_id" < NQueries),
+        k = K, rerankK = 4 * K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
   }
 
   /** s03 — per-label centroids: the distributed vector-mean that

@@ -403,6 +403,35 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(err <= 0.5 / sc + 1e-12, s"err $err")
   }
 
+  test("quantizedTopK recovers exact top-k on the harness corpus (recall 1.0)") {
+    // the scaladoc's claim: int8 stage-1 + a small rerank multiple
+    // reproduces cosineTopK's neighbor set exactly on real embeddings
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val approx = Graft.quantizedTopK(emb, queries, k = 5, rerankK = 20)
+    val exact = Graft.cosineTopK(emb, queries, k = 5)
+    val rec = Graft.annRecall(approx, exact, k = 5)
+      .select($"recall").as[Double].collect()
+    assert(rec.length == 5 && rec.forall(_ == 1.0), s"recall ${rec.toSeq}")
+    // and the guard: a rerank head smaller than k is a caller bug
+    intercept[IllegalArgumentException] {
+      Graft.quantizedTopK(emb, queries, k = 5, rerankK = 3)
+    }
+  }
+
+  test("quantizedTopK: zero-norm rows rank last, never NaN") {
+    val corpus = Seq(
+        (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+        (3L, Array(0f, 0f)), (4L, Array(-1f, 0f)))
+      .toDF("id", "vec")
+    val q = Seq((10L, Array(1f, 0f))).toDF("id", "vec")
+    val got = Graft.quantizedTopK(corpus, q, k = 4, rerankK = 4,
+        excludeSelf = false)
+      .select($"vec_id", $"rank").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4), s"$got")
+  }
+
   test("mixtureSample allocates by largest remainder and stays layout-independent") {
     // weights * 7 = 3.5 / 2.1 / 1.4 -> floors 3/2/1, leftover 1 goes
     // to the largest remainder (a) -> quotas 4/2/1

@@ -61,6 +61,42 @@ class CodegenSpec extends SparkSuiteBase {
     assert(withNull.eval(null) == 0L) // +1 and -1 votes tie -> bit unset
   }
 
+  test("int8_dot evaluates inside codegen and matches interpreted + HOF spellings") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q8 = graft.Graft.quantizeEmbeddings(
+      emb.select($"vec_id", $"embedding"), "embedding")
+    val df = q8.select($"vec_id",
+      call_function("int8_dot", $"qvec", $"qvec").as("n2"))
+    val plan = df.queryExecution.executedPlan
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("int8_dot")),
+      s"int8_dot not inside codegen:\n$plan")
+    // the HOF spelling as semantic oracle
+    val expected = q8.select($"vec_id",
+        aggregate(zip_with($"qvec", $"qvec",
+          (x, y) => x.cast("long") * y.cast("long")), lit(0L),
+          (acc, v) => acc + v).as("n2"))
+      .as[(Long, Long)].collect().toMap
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // interpreted path edge cases: empty, null element, length mismatch
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val empty = Int8Dot(
+      Literal.create(Seq.empty[Byte], ArrayType(ByteType)),
+      Literal.create(Seq.empty[Byte], ArrayType(ByteType)))
+    assert(empty.eval(null) == 0L)
+    val mixed = Int8Dot(
+      Literal.create(Seq[java.lang.Byte](127.toByte, null, 3.toByte),
+        ArrayType(ByteType)),
+      Literal.create(Seq[java.lang.Byte](127.toByte, 5.toByte),
+        ArrayType(ByteType)))
+    assert(mixed.eval(null) == 127L * 127L) // null -> 0, prefix only
+  }
+
   test("GraftExtensions injects the native functions into a fresh session (SQL path)") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
