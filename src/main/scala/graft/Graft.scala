@@ -829,6 +829,84 @@ object Graft {
           / sum(col("__k")), 4).as("nll2"))
   }
 
+  /** Unigram LM TRAINING — the table [[unigramNll(df,idCol,textCol,lm,oovNll)*
+    * unigramNll]]'s shipped-LM overload consumes: (token, c, p) with
+    * p = c / N as an exact unrounded ratio. Train it on the curated
+    * corpus, persist it, and score any other corpus against it — the
+    * production CCNet shape (round 6 could only score a corpus
+    * against its own LM). One partial-aggregated shuffle on the
+    * token; the output is vocab-sized. */
+  def trainUnigramLm(df: DataFrame, textCol: String): DataFrame = {
+    val c = df.select(explode(ops.TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    c.crossJoin(broadcast(c.agg(sum(col("c")).cast("double").as("__n"))))
+      .select(col("token"), col("c"), (col("c") / col("__n")).as("p"))
+  }
+
+  /** Bigram LM TRAINING — (bigram, c2, c1, p) with p = c2 / c1 the
+    * exact unrounded conditional p(w2|w1); the shipped-LM table
+    * [[bigramNll(df,idCol,textCol,lm,oovNll)* bigramNll]]'s overload
+    * consumes ([[bigramLm]] is the top-K DISPLAY cut of the same
+    * table — this is the full trainable artifact). Same plan shape
+    * as t21's in-query LM: one folded shuffle on the bigram, the
+    * denominator windowed over the vocab-sized count table. */
+  def trainBigramLm(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(bigramsOf(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(
+        Window.partitionBy(substring_index(col("bigram"), " ", 1))))
+      .withColumn("p", col("c2") / col("c1"))
+
+  /** Unigram NLL against a SHIPPED LM (t23's oracle-checked binding)
+    * — the cross-corpus quality scorer: score crawl B with the LM
+    * trained on curated corpus A ([[trainUnigramLm]]'s output, or any
+    * (token, _, p) frame: token in column 0, probability in the LAST
+    * column). Out-of-vocabulary tokens cost the caller's flat
+    * `oovNll` nats (the smoothing floor — there is no universally
+    * right value, so it is explicit). Returns (idCol, n_tokens,
+    * n_oov, nll).
+    *
+    * Scale shape: tokens fold to per-doc counts before any join (one
+    * corpus shuffle); the LM joins LEFT and UN-HINTED — a unigram
+    * vocab saturates, so AQE broadcasts it when it fits, but a
+    * shipped LM's size is the caller's, not ours to assume. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, oovNll: Double): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(ops.TextDedup.tokens(col(textCol))).as("__token"))
+      .groupBy(col(idCol), col("__token")).agg(count(lit(1)).as("__k"))
+    val l = lm.select(col(lm.columns(0)).as("__token"),
+      col(lm.columns(lm.columns.length - 1)).as("__p"))
+    toks.join(l, Seq("__token"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_tokens"),
+        sum(when(col("__p").isNull, col("__k")).otherwise(0L)).as("n_oov"),
+        round(sum(col("__k") * when(col("__p").isNull, lit(oovNll))
+            .otherwise(-log(col("__p")))) / sum(col("__k")), 4).as("nll"))
+  }
+
+  /** Bigram NLL against a SHIPPED LM (t24's oracle-checked binding) —
+    * [[unigramNll(df,idCol,textCol,lm,oovNll)* unigramNll]]'s
+    * second-order sibling over [[trainBigramLm]]'s table (bigram in
+    * column 0, conditional probability in the LAST column); same
+    * explicit `oovNll` floor for unseen bigrams. Returns (idCol,
+    * n_bigrams, n_oov, nll2). Same folded-join shape; documents with
+    * fewer than two tokens are absent. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, oovNll: Double): DataFrame = {
+    val bg = df.select(col(idCol),
+        explode(bigramsOf(col(textCol))).as("__bigram"))
+      .groupBy(col(idCol), col("__bigram")).agg(count(lit(1)).as("__k"))
+    val l = lm.select(col(lm.columns(0)).as("__bigram"),
+      col(lm.columns(lm.columns.length - 1)).as("__p"))
+    bg.join(l, Seq("__bigram"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        sum(when(col("__p").isNull, col("__k")).otherwise(0L)).as("n_oov"),
+        round(sum(col("__k") * when(col("__p").isNull, lit(oovNll))
+            .otherwise(-log(col("__p")))) / sum(col("__k")), 4).as("nll2"))
+  }
+
   /** Zipf rank-frequency fit (t19's oracle-checked binding): one row —
     * vocabulary size, total tokens, and the log-log OLS slope of
     * frequency vs rank over the top-`topK` vocabulary (natural text
@@ -955,13 +1033,30 @@ object Graft {
     * three times (scores, doc_freq, N) and so the scan+aggregate runs
     * three times — the q19 trade: a persist inside a library operator
     * would cache-leak, and at scale a caller materializes the tf
-    * table ONCE and feeds all three uses (at harness scale the
-    * rescans cost less than the leak). */
-  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol),
+    * table ONCE ([[termFrequencies]]) and feeds all three uses
+    * through [[tfidfFromTf]] (at harness scale the rescans cost less
+    * than the leak). */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tfidfFromTf(termFrequencies(df, idCol, textCol), idCol)
+
+  /** The (idCol, token, tf) term-frequency table [[tfidf]] derives —
+    * one partial-aggregated shuffle on (id, token). At scale,
+    * materialize THIS once (write it, or persist at the call site)
+    * and feed [[tfidfFromTf]], so the three downstream uses (scores,
+    * doc_freq, N) read the materialization instead of re-scanning
+    * the corpus — the entry point round 6's scaladoc recommended but
+    * didn't expose. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
         explode(ops.TextDedup.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF over a caller-supplied term-frequency table —
+    * [[termFrequencies]]'s shape: (idCol, token, tf), by name. Same
+    * output and values as [[tfidf]]; the difference is WHO owns the
+    * tf materialization (see [[termFrequencies]]). */
+  def tfidfFromTf(tf: DataFrame, idCol: String): DataFrame = {
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
     val n = broadcast(tf.agg(countDistinct(col(idCol)).cast("double").as("__n")))
     tf.join(broadcast(docFreq), "token").crossJoin(n)

@@ -101,6 +101,9 @@ object SparkEntry {
     "t20_tfidf" -> (TextAnalysis.t20Tfidf _),
     "t21_binll" -> (TextAnalysis.t21BigramNll _),
     "t22_mix" -> (TextAnalysis.t22MixtureSample _),
+    "t23_xnll" -> (TextAnalysis.t23CrossNll _),
+    "t24_xbinll" -> (TextAnalysis.t24CrossBigramNll _),
+    "t25_tfidf_mat" -> (TextAnalysis.t25TfidfFromTf _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -1252,6 +1255,65 @@ object SparkEntry {
 
     // Every comparison is engine-exact (no summation anywhere): scale
     // = 127/max|v| over float-exact doubles, round() is away-from-zero
+    // Cross-corpus scoring: p is an exact integer-ratio double, -ln
+    // agrees bit-for-bit (the t16 argument), the OOV floor is an
+    // exact literal, and the weighted mean rounds to 4 (absorbs
+    // cross-engine summation order — the t21 regime).
+    "t23_xnll" ->
+      """WITH tr AS (SELECT
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |c AS (SELECT token, count(*) AS c FROM tr GROUP BY token),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+        |lm AS (SELECT token, c / n.n AS p FROM c, n),
+        |sc AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |g AS (SELECT doc_id, token, count(*) AS k FROM sc GROUP BY 1, 2),
+        |j AS (SELECT doc_id, k, p FROM g LEFT JOIN lm USING (token))
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN p IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(sum(k * CASE WHEN p IS NULL THEN 15.0 ELSE -ln(p) END)
+        |    / sum(k), 4) AS nll
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t24_xbinll" ->
+      """WITH tr AS (SELECT
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |bgt AS (SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM tr),
+        |c AS (SELECT bigram, count(*) AS c2 FROM bgt GROUP BY bigram),
+        |lm AS (SELECT bigram,
+        |    c2 / sum(c2) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS p
+        |  FROM c),
+        |sc AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts), 1)),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM sc),
+        |g AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY 1, 2),
+        |j AS (SELECT doc_id, k, p FROM g LEFT JOIN lm USING (bigram))
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN p IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(sum(k * CASE WHEN p IS NULL THEN 15.0 ELSE -ln(p) END)
+        |    / sum(k), 4) AS nll2
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t25 = t20's values through the pre-materialized-tf entry point,
+    // so it shares t20's oracle SQL verbatim.
+    "t25_tfidf_mat" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf)
+        |SELECT doc_id, token, tf, doc_freq,
+        |  round(tf * ln(n / doc_freq), 4) AS tfidf
+        |FROM tf JOIN dfq USING (token), n
+        |ORDER BY doc_id, token""".stripMargin,
+
     // in both engines and its output is an integral double (so the
     // BIGINT cast cannot hit the round-vs-truncate divergence), and
     // the reconstruction error is an element-wise max of exact

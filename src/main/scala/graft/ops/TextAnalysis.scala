@@ -432,6 +432,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t23 — CROSS-corpus unigram NLL: the LM trains on the even-id
+    * half of the corpus and scores the odd half — the production
+    * CCNet shape (curated corpus A's LM scores crawl B) that t16
+    * could only approximate with a self-trained LM. OOV tokens cost
+    * a flat 15 nats (explicit smoothing floor). See
+    * [[graft.Graft.trainUnigramLm]] and the shipped-LM
+    * `Graft.unigramNll` overload this binds. */
+  def t23CrossNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val lm = graft.Graft.trainUnigramLm(docs.filter($"doc_id" % 2 === 0), "text")
+    graft.Graft.unigramNll(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", lm, oovNll = 15.0)
+      .orderBy($"doc_id")
+  }
+
+  /** t24 — cross-corpus bigram NLL over [[graft.Graft.trainBigramLm]]'s
+    * shipped table; same split recipe and OOV floor as t23. */
+  def t24CrossBigramNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val lm = graft.Graft.trainBigramLm(docs.filter($"doc_id" % 2 === 0), "text")
+    graft.Graft.bigramNll(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", lm, oovNll = 15.0)
+      .orderBy($"doc_id")
+  }
+
+  /** t25 — TF-IDF through the pre-materialized-tf entry point
+    * ([[graft.Graft.termFrequencies]] -> [[graft.Graft.tfidfFromTf]]):
+    * same values as t20 under the same oracle SQL, proving the
+    * caller-owned-materialization contract end-to-end. */
+  def t25TfidfFromTf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = graft.Graft.termFrequencies(
+      Tables(s, dir, "documents"), "doc_id", "text")
+    graft.Graft.tfidfFromTf(tf, "doc_id").orderBy($"doc_id", $"token")
+  }
+
   def t16UnigramNll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Graft.unigramNll(

@@ -432,6 +432,40 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4), s"$got")
   }
 
+  test("shipped-LM unigramNll: OOV tokens cost the explicit floor") {
+    val lm = Seq(("hello", 10L, 0.5), ("world", 10L, 0.5)).toDF("token", "c", "p")
+    val df = Seq((1L, "hello world"), (2L, "hello mars")).toDF("id", "body")
+    val got = Graft.unigramNll(df, "id", "body", lm, oovNll = 20.0)
+      .select($"id", $"n_tokens", $"n_oov", $"nll")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 0L, 0.6931))) // mean -ln(.5) = ln 2
+    // one known token at ln 2, one OOV at the 20-nat floor
+    assert(got(2L) == ((2L, 2L, 1L, 10.3466)))
+  }
+
+  test("trainBigramLm conditionals; shipped-LM bigramNll floors unseen bigrams") {
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "body")
+    val lm = Graft.trainBigramLm(train, "body")
+    val p = lm.select($"bigram", $"p").as[(String, Double)].collect().toMap
+    assert(p == Map("a b" -> 2.0 / 3, "a c" -> 1.0 / 3), s"$p")
+    val score = Seq((9L, "a b z")).toDF("id", "body") // "a b" known, "b z" OOV
+    val got = Graft.bigramNll(score, "id", "body", lm, oovNll = 10.0)
+      .select($"n_bigrams", $"n_oov", $"nll2").as[(Long, Long, Double)].head()
+    val expected =
+      math.round((-math.log(2.0 / 3) + 10.0) / 2 * 10000) / 10000.0
+    assert(got == ((2L, 1L, expected)), s"got $got")
+  }
+
+  test("tfidfFromTf over a caller-materialized tf table equals tfidf") {
+    val df = Seq((1L, "x y"), (2L, "x z x")).toDF("id", "body")
+    val direct = Graft.tfidf(df, "id", "body")
+      .orderBy($"id", $"token").collect().toSeq
+    val tf = Graft.termFrequencies(df, "id", "body")
+    val viaTf = Graft.tfidfFromTf(tf, "id")
+      .orderBy($"id", $"token").collect().toSeq
+    assert(direct == viaTf, s"$direct vs $viaTf")
+  }
+
   test("mixtureSample allocates by largest remainder and stays layout-independent") {
     // weights * 7 = 3.5 / 2.1 / 1.4 -> floors 3/2/1, leftover 1 goes
     // to the largest remainder (a) -> quotas 4/2/1
