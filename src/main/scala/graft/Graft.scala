@@ -581,21 +581,30 @@ object Graft {
     * on idCol). Top-k is `orderBy().limit(k)` — TakeOrdered, never a
     * single-partition global sort, so an oversized candidate frame
     * degrades gracefully instead of serializing (the bm25Score
-    * discipline); `rank` is then a window over the <= k survivors.
+    * discipline); `rank` then derives from an array fold over the
+    * <= k survivors — one collected row, no unpartitioned window, no
+    * "No Partition Defined" noise (the zipfStats discipline).
     * The vector kernel touches ONLY the candidate set — the
     * production lexical-recall -> vector-rerank shape. */
   def hybridRerank(lexical: DataFrame, vectors: DataFrame,
       idCol: String, scoreCol: String, vecCol: String,
       query: DataFrame, k: Int): DataFrame = {
     val q = broadcast(query.select(col(query.columns(0)).as("__q")))
-    val w = Window.orderBy(col("hybrid").desc, col(idCol)) // <= k rows by construction
-    lexical.join(vectors.select(col(idCol), col(vecCol)), idCol)
+    val limited = lexical.join(vectors.select(col(idCol), col(vecCol)), idCol)
       .crossJoin(q)
       .withColumn("cos", ops.Similarity.cosine(col(vecCol), col("__q")))
       .withColumn("hybrid", round(col(scoreCol) + col("cos"), 4))
       .orderBy(col("hybrid").desc, col(idCol)).limit(k)
-      .withColumn("rank", row_number().over(w).cast("long"))
       .drop(vecCol, "__q")
+    // join key first: outCols(0) == idCol, so the struct sort's field
+    // order (-hybrid, idCol, ...) reproduces the TakeOrdered order
+    val outCols = limited.columns
+    limited
+      .agg(array_sort(collect_list(struct(
+        (-col("hybrid")).as("__nh") +: outCols.map(col): _*))).as("__arr"))
+      .select(posexplode(col("__arr")).as(Seq("__pos", "__s")))
+      .select(outCols.map(c => col("__s").getField(c).as(c)) :+
+        (col("__pos") + 1).cast("long").as("rank"): _*)
   }
 
   /** [[hybridRerank]] with a driver-held query vector. */
@@ -660,10 +669,13 @@ object Graft {
     * rows with NO redistribution (the shortfall is the caller's
     * signal that the recipe is infeasible). Appends `rk`.
     *
-    * Scale shape: the allocation windows run over the
-    * |weights|-row literal frame (driver-sized, broadcast to the
-    * quota join); the corpus pays one stratum-partitioned rank window
-    * — WindowGroupLimit cannot prune here because the quota is a
+    * Scale shape: the quota allocation is |weights|-sized METADATA
+    * over the caller's own Scala map, so it computes on the driver
+    * (same IEEE products the engine would produce — floor/remainder
+    * of w*n in doubles) and broadcasts as a literal quota frame; no
+    * window over a literal frame, no "No Partition Defined" noise.
+    * The corpus pays one stratum-partitioned rank window —
+    * WindowGroupLimit cannot prune here because the quota is a
     * join-delivered column, so at extreme strata sizes prefer
     * [[stratifiedSample]] with a precomputed per-stratum cap. */
   def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
@@ -676,24 +688,23 @@ object Graft {
       s"weights sum to ${weights.values.sum} > 1")
     val s = df.sparkSession
     import s.implicits._
-    val base = weights.toSeq.toDF("__stratum", "__w")
-      .select(col("__stratum"),
-        floor(col("__w") * n).cast("long").as("__base"),
-        (col("__w") * n - floor(col("__w") * n)).as("__rem"))
-    val leftover = broadcast(base.agg((lit(n) - sum(col("__base"))).as("__left")))
-    val quota = broadcast(base.crossJoin(leftover)
-      .withColumn("__pos", row_number().over(
-        Window.orderBy(col("__rem").desc, col("__stratum")))) // |weights| rows
-      .select(col("__stratum"),
-        // __rem > 0 gate: n - sum(floors) overstates the distributable
-        // leftover whenever sum(w) < 1 (by (1-sum(w))*n), and positions
-        // order rem DESC, so without the gate the surplus would hand +1
-        // to zero-remainder (even weight-0) strata. With sum(w) == 1
-        // the leftover is sum(rem) < |{rem > 0}| and the gate is a
-        // no-op — t22's oracle path is byte-identical.
-        (col("__base") +
-          when(col("__rem") > 0 && col("__pos") <= col("__left"), 1L)
-            .otherwise(0L)).as("__quota")))
+    // largest-remainder allocation. The rem > 0 gate: n - sum(floors)
+    // overstates the distributable leftover whenever sum(w) < 1 (by
+    // (1-sum(w))*n), and positions order rem DESC, so without the
+    // gate the surplus would hand +1 to zero-remainder (even
+    // weight-0) strata. With sum(w) == 1 the leftover is
+    // sum(rem) < |{rem > 0}| and the gate is a no-op.
+    val base = weights.toSeq.map { case (st, w) =>
+      val exact = w * n
+      val b = math.floor(exact).toLong
+      (st, b, exact - b)
+    }
+    val leftover = n - base.map(_._2).sum
+    val quotas = base.sortBy { case (st, _, rem) => (-rem, st) }
+      .zipWithIndex.map { case ((st, b, rem), i) =>
+        (st, b + (if (rem > 0 && i < leftover) 1L else 0L))
+      }
+    val quota = broadcast(quotas.toDF("__stratum", "__quota"))
     df.withColumn("rk", row_number().over(
         Window.partitionBy(col(strataCol))
           .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string")))))
@@ -911,19 +922,28 @@ object Graft {
     * vocabulary size, total tokens, and the log-log OLS slope of
     * frequency vs rank over the top-`topK` vocabulary (natural text
     * tracks ~ -1). The top-`topK` is TakeOrdered, never a global vocab
-    * sort; the rank window that follows is bounded at `topK` rows by
-    * construction. */
+    * sort; ranking the head is an array fold over ONE collected row,
+    * not a window — see the in-method note. */
   def zipfStats(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
     val counts = df.select(explode(ops.TextDedup.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(count(lit(1)).as("n_vocab"),
       sum(col("cnt")).as("n_tokens"))
-    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
-    val slope = top.agg(
-      round(regr_slope(log(col("cnt")), log(col("rank"))), 4).as("zipf_slope"),
-      count(lit(1)).as("n_top"))
+    // rank WITHOUT a global window: a Window.orderBy here would be
+    // bounded (<= topK rows) but sprays "No Partition Defined"
+    // warnings that desensitize readers to the one place that warning
+    // is real. Instead: TakeOrdered bounds the head, ONE collect_list
+    // row holds it, array_sort orders it (struct compares fields in
+    // order: -cnt asc = cnt desc, then token), and posexplode's
+    // position is the rank.
+    val slope = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+      .agg(array_sort(collect_list(struct((-col("cnt")).as("__nc"),
+        col("token"), col("cnt")))).as("__arr"))
+      .select(posexplode(col("__arr")).as(Seq("__pos", "__s")))
+      .select((col("__pos") + 1).cast("long").as("rank"),
+        col("__s.cnt").as("cnt"))
+      .agg(round(regr_slope(log(col("cnt")), log(col("rank"))), 4).as("zipf_slope"),
+        count(lit(1)).as("n_top"))
     totals.crossJoin(slope)
   }
 
