@@ -211,7 +211,20 @@ object Streams {
     *
     * Same harness taxes as st03 (eager by design; driver-side collect
     * is the replay feed, 1-in-10 user slice mirrored in the oracle;
-    * cloned session with state-sized shuffle partitions). */
+    * cloned session with state-sized shuffle partitions).
+    *
+    * No-data micro-batches are DISABLED in the replay session: an
+    * append-mode stream-stream INNER join emits each matched pair in
+    * the data batch where the later side arrives — watermark-only
+    * batches perform state EVICTION, never emission — so they are
+    * output-neutral here and cost a full trigger (~0.6 s each, half
+    * the query's wall time; measured in tools/StProfile: 4 batches /
+    * 17 rows with them, 2 batches / 17 rows without). Complete-mode
+    * st03 would also be output-neutral (it re-emits the whole table
+    * per data batch) but is cheap enough to leave stock; an
+    * APPEND-mode windowed aggregation must never copy this — there,
+    * windows finalize only when the watermark advances, which after
+    * the last data batch happens only in a no-data batch. */
   def st05StreamingJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val data = Tables(s, dir, "events")
@@ -223,6 +236,7 @@ object Streams {
       .collect()
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.sql.Timestamp, String, Double)](
         implicitly[org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, String, Double)]],
@@ -283,6 +297,10 @@ object Streams {
       .collect()
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // dropDuplicatesWithinWatermark emits each first-seen row in its
+    // arrival batch; watermark-only batches here do eviction, not
+    // emission — output-neutral to skip, same argument as st05.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.sql.Timestamp, String)](
         implicitly[org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, String)]],
