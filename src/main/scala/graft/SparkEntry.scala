@@ -107,6 +107,8 @@ object SparkEntry {
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
+    "q30_bucket_join" -> (Layout.q30BucketedJoin _),
+    "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1377,6 +1379,22 @@ object SparkEntry {
         |  FROM rr)
         |SELECT query_id, rank, vec_id, round(cs, 6) AS cos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q30/q31 exercise the bucketed/partitioned COPIES of lineitem/
+    // orders/events; content is identical to the source tables, so the
+    // oracle reads the originals — layout must never change answers.
+    "q30_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q31_part_prune" ->
+      """SELECT CAST(user_id % 20 AS BIGINT) AS bucket,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Storage-layout operators: the two techniques that remove the
+  * dominant exchanges from a 100 TB pipeline BEFORE any query runs —
+  * bucketed co-located joins and partition-pruned scans. Both are
+  * write-side investments: pay one shuffle at ingest, then every
+  * downstream join/scan skips it. The harness queries materialize the
+  * layout under java.io.tmpdir (the mediaParquet pattern,
+  * Multimodal.scala) and then prove the read-side property on the
+  * physical plan (PlanAuditSpec): q30's join runs with ZERO shuffle
+  * exchange, q31's scan lists only the matching partition directories.
+  *
+  * Reference surface: the reference pipeline re-reads and re-joins its
+  * full extract on every run (no layout reuse exists in pandas —
+  * SURVEY §2b "file-format scans"/"equi join" categories); these
+  * operators are the engine-completeness items a Spark user relies on
+  * at scale.
+  */
+object Layout {
+
+  private def tag(dir: String): String =
+    java.lang.Long.toHexString(
+      java.util.Objects.hashCode(dir).toLong & 0xffffffffL)
+
+  private def tmpPath(kind: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${kind}_${tag(dir)}").getPath
+
+  /** Bucket count for the co-located join demo. At 100 TB this is the
+    * real tuning knob (buckets ≈ cluster cores × small multiple, sized
+    * so one bucket's build side fits in executor memory); 8 keeps the
+    * harness write cheap while still proving the plan property. */
+  private val NumBuckets = 8
+
+  /** Materialize `lineitem` and `orders` as bucketed+sorted tables on
+    * their join key, once per (session, source dir). The
+    * `repartition(N, key)` before the write matters for file-count
+    * hygiene: repartition's HashPartitioning and bucketBy's bucket-id
+    * function are the same murmur3 `pmod(hash(key), N)`, so each write
+    * task holds exactly one bucket's rows and each bucket lands in ONE
+    * file instead of (write tasks × buckets) fragments. Note the
+    * downstream join still plans a per-bucket LOCAL sort: Spark ≥3.0
+    * does not propagate the files' sortBy order by default
+    * (`spark.sql.legacy.bucketedTableScan.outputOrdering`) because
+    * honoring it pins scan granularity to one task per bucket file —
+    * splittable scans + node-local sort is the better trade at 100 TB.
+    * What bucketing buys, and what PlanAuditSpec asserts, is the
+    * absence of any EXCHANGE: the network-dominant cost at scale.
+    *
+    * Registered through the session catalog (shared across `newSession`
+    * clones) because bucket metadata lives in the table definition, not
+    * the parquet files; plain `spark.read.parquet` over the same files
+    * would see an unbucketed scan and shuffle anyway. Idempotent per
+    * JVM via `tableExists` — re-running the query re-plans the join but
+    * pays the layout write only once, which is the production shape
+    * (ingest writes, a thousand later joins read). */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val lT = s"graft_bkt_lineitem_${tag(dir)}"
+    val oT = s"graft_bkt_orders_${tag(dir)}"
+    if (!s.catalog.tableExists(lT)) {
+      Tables(s, dir, "lineitem")
+        .repartition(NumBuckets, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmpPath("bkt_lineitem", dir)).saveAsTable(lT)
+      Tables(s, dir, "orders")
+        .repartition(NumBuckets, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmpPath("bkt_orders", dir)).saveAsTable(oT)
+    }
+    (lT, oT)
+  }
+
+  /** The exchange-free join stage PlanAuditSpec audits: big ⋈ big on
+    * the bucket key with no shuffle on either side. The `merge` hint
+    * pins the sort-merge strategy the 100 TB plan uses — at harness
+    * scale AQE would broadcast the few-MB orders side instead, which
+    * is exactly the strategy that stops existing at production scale
+    * (unlike a forced broadcast, a forced merge join cannot OOM — it
+    * is the conservative strategy, so baking it in is safe). */
+  private[graft] def q30JoinStage(s: SparkSession, lT: String, oT: String): DataFrame = {
+    import s.implicits._
+    s.table(lT).hint("merge")
+      .join(s.table(oT), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority", $"l_extendedprice", $"l_discount")
+  }
+
+  /** q30 — bucketed co-located join: revenue by order priority over
+    * lineitem ⋈ orders, where BOTH sides are bucketed by the join key
+    * so the join itself shuffles nothing (the only exchange in the
+    * whole query is the 5-group aggregate's). The bench number is
+    * dominated by the one-time layout write (bucketedTables); the
+    * read-side join is the cheap, exchange-free part — the asymmetry
+    * that makes bucketing pay for itself after one reuse at scale. */
+  def q30BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (lT, oT) = bucketedTables(s, dir)
+    q30JoinStage(s, lT, oT)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Materialize the events table partitioned by `event_type` (hive
+    * directory layout), once per (JVM, source dir) — the `_SUCCESS`
+    * guard makes reruns free, same-dir content is deterministic. The
+    * `repartition(event_type)` keeps it to one file per partition
+    * value instead of (write tasks × values). At 100 TB the partition
+    * column is the one every consumer filters on (event type, date,
+    * language, source domain — low cardinality, high selectivity). */
+  private[graft] def eventsPartitioned(s: SparkSession, dir: String): String = {
+    val path = tmpPath("evt_by_type", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables(s, dir, "events")
+        .repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    }
+    path
+  }
+
+  /** The pruned scan PlanAuditSpec audits: the `event_type` predicate
+    * must appear under PartitionFilters (directory pruning at plan
+    * time — non-matching partitions are never listed, let alone read),
+    * NOT as a data filter evaluated per row group. */
+  private[graft] def q31Scan(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(path)
+      .filter($"event_type" === "purchase")
+      .groupBy(pmod($"user_id", lit(20)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"bucket")
+  }
+
+  /** q31 — partition-pruned scan: per-user-bucket purchase stats off
+    * the type-partitioned events copy. The scan touches only the
+    * `event_type=purchase` directory — at 100 TB that is the
+    * difference between reading one partition's files and the corpus.
+    * `value` sums are safe under round(…, 2): events.value is
+    * 2-decimal-quantized (the PERF.md third regime). */
+  def q31PartitionPruning(s: SparkSession, dir: String): DataFrame =
+    q31Scan(s, eventsPartitioned(s, dir))
+}

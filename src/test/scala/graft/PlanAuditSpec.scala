@@ -69,6 +69,40 @@ class PlanAuditSpec extends SparkSuiteBase {
       "t21 carries a join-strategy hint; the LM join must stay un-hinted")
   }
 
+  test("q30: bucketed join stage plans zero exchange") {
+    // the 100 TB claim under test: both sides bucketed on the join key,
+    // so the merge join's entire input pipeline is scan → (local sort)
+    // → merge with NO shuffle on either side. A per-bucket SortExec
+    // remains and is fine: it is node-local (no network), and Spark
+    // ≥3.0 deliberately re-sorts rather than honor the files' sortBy
+    // order, because honoring it would pin scan granularity to one
+    // task per bucket file (spark.sql.legacy.bucketedTableScan
+    // .outputOrdering) — at 100 TB splittable scans + local sort is
+    // the better trade, so the default IS the plan we want.
+    val (lT, oT) = ops.Layout.bucketedTables(spark, sf)
+    val plan = ops.Layout.q30JoinStage(spark, lT, oT)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scan does not read bucket metadata:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join stage still plans an exchange:\n$plan")
+  }
+
+  test("q31: event_type predicate prunes partitions at the scan") {
+    val path = ops.Layout.eventsPartitioned(spark, sf)
+    val plan = ops.Layout.q31Scan(spark, path)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("event_type") && pf.contains("purchase"),
+      s"partition predicate did not reach PartitionFilters: $pf\n$plan")
+    // and it is DIRECTORY pruning, not a per-row data filter: the
+    // partition column never appears in the parquet read schema
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("event_type"),
+      s"partition column read as data: $readSchema")
+  }
+
   test("Bench records a broken query as an error, not a silent timing") {
     val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame](
