@@ -1099,4 +1099,35 @@ object Graft {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(-log(col("__c") / col("__n"))), 4).as("nll"))
   }
+
+  /** Write `df` as a bucketed+sorted table on a join/agg key — the
+    * write-side half of the co-located join (q30): every later join or
+    * aggregation on `key` against a same-bucketed table plans with
+    * ZERO shuffle exchange (plan-asserted in PlanAuditSpec). The
+    * pre-write `repartition(numBuckets, key)` aligns HashPartitioning
+    * with the bucket-id function (both are murmur3 `pmod(hash, N)`),
+    * so each bucket lands in ONE file instead of (tasks × buckets)
+    * fragments. Bucket metadata lives in the session catalog, not the
+    * parquet files — readers must go through `spark.table(table)`.
+    * Size `numBuckets` so one bucket's build side fits in executor
+    * memory at the target scale. */
+  def writeBucketed(df: DataFrame, numBuckets: Int, key: String,
+      path: String, table: String): Unit =
+    df.repartition(numBuckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", path).saveAsTable(table)
+
+  /** Write `df` hive-partitioned by a low-cardinality column every
+    * consumer filters on (event type, date, language…) — the
+    * write-side half of partition pruning (q31): a literal filter on
+    * `partitionCol` prunes whole directories at plan time
+    * (PartitionFilters, plan-asserted), so a selective read costs one
+    * partition's files, not the corpus. The `repartition(partitionCol)`
+    * keeps output to one file per value instead of
+    * (tasks × values). */
+  def writePartitioned(df: DataFrame, partitionCol: String,
+      path: String): Unit =
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

@@ -37,14 +37,10 @@ object Layout {
   private val NumBuckets = 8
 
   /** Materialize `lineitem` and `orders` as bucketed+sorted tables on
-    * their join key, once per (session, source dir). The
-    * `repartition(N, key)` before the write matters for file-count
-    * hygiene: repartition's HashPartitioning and bucketBy's bucket-id
-    * function are the same murmur3 `pmod(hash(key), N)`, so each write
-    * task holds exactly one bucket's rows and each bucket lands in ONE
-    * file instead of (write tasks × buckets) fragments. Note the
-    * downstream join still plans a per-bucket LOCAL sort: Spark ≥3.0
-    * does not propagate the files' sortBy order by default
+    * their join key via [[graft.Graft.writeBucketed]], once per
+    * (session, source dir). Note the downstream join still plans a
+    * per-bucket LOCAL sort: Spark ≥3.0 does not propagate the files'
+    * sortBy order by default
     * (`spark.sql.legacy.bucketedTableScan.outputOrdering`) because
     * honoring it pins scan granularity to one task per bucket file —
     * splittable scans + node-local sort is the better trade at 100 TB.
@@ -62,16 +58,10 @@ object Layout {
     val lT = s"graft_bkt_lineitem_${tag(dir)}"
     val oT = s"graft_bkt_orders_${tag(dir)}"
     if (!s.catalog.tableExists(lT)) {
-      Tables(s, dir, "lineitem")
-        .repartition(NumBuckets, col("l_orderkey"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", tmpPath("bkt_lineitem", dir)).saveAsTable(lT)
-      Tables(s, dir, "orders")
-        .repartition(NumBuckets, col("o_orderkey"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-        .option("path", tmpPath("bkt_orders", dir)).saveAsTable(oT)
+      graft.Graft.writeBucketed(Tables(s, dir, "lineitem"), NumBuckets,
+        "l_orderkey", tmpPath("bkt_lineitem", dir), lT)
+      graft.Graft.writeBucketed(Tables(s, dir, "orders"), NumBuckets,
+        "o_orderkey", tmpPath("bkt_orders", dir), oT)
     }
     (lT, oT)
   }
@@ -116,11 +106,8 @@ object Layout {
     * language, source domain — low cardinality, high selectivity). */
   private[graft] def eventsPartitioned(s: SparkSession, dir: String): String = {
     val path = tmpPath("evt_by_type", dir)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      Tables(s, dir, "events")
-        .repartition(col("event_type"))
-        .write.mode("overwrite").partitionBy("event_type").parquet(path)
-    }
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      graft.Graft.writePartitioned(Tables(s, dir, "events"), "event_type", path)
     path
   }
 

@@ -525,4 +525,40 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got(4L) == ((0L, 1L))) // 600 tokens before it in shard 0
     assert(got(1L) == ((1L, 0L)))
   }
+
+  test("writeBucketed: same-bucketed frames join with zero exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fac-bkt")
+    val left = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("a"))
+    val right = spark.range(0, 1000).select($"id".as("j"), ($"id" * 3).as("b"))
+    Graft.writeBucketed(left, 4, "k", s"$tmp/l", "fac_bkt_l")
+    Graft.writeBucketed(right, 4, "j", s"$tmp/r", "fac_bkt_r")
+    try {
+      val joined = spark.table("fac_bkt_l").hint("merge")
+        .join(spark.table("fac_bkt_r"), $"k" === $"j")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"facade-bucketed join shuffles:\n$plan")
+      assert(joined.count() == 1000)
+      // one file per bucket: the repartition-alignment contract
+      val files = new java.io.File(s"$tmp/l").listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(files == 4, s"expected 4 bucket files, got $files")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fac_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS fac_bkt_r")
+    }
+  }
+
+  test("writePartitioned: literal filter on the partition column prunes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fac-part").toString
+    val df = Seq((1L, "en", 0.5), (2L, "de", 0.7), (3L, "en", 0.9))
+      .toDF("id", "lang", "score")
+    Graft.writePartitioned(df, "lang", tmp)
+    val got = spark.read.parquet(tmp).filter($"lang" === "en")
+    val plan = got.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("lang") && pf.contains("en"),
+      s"no partition pruning: $pf\n$plan")
+    assert(got.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
 }
