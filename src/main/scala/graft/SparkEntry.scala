@@ -56,6 +56,7 @@ object SparkEntry {
     "d13_hist" -> (TextDedup.d13DupClusters _),
     "st05_join" -> (graft.streaming.Streams.st05StreamingJoin _),
     "st06_dedup" -> (graft.streaming.Streams.st06StreamingDedup _),
+    "st07_enrich" -> (graft.streaming.Streams.st07StreamStaticEnrich _),
     "m03_hash" -> (Multimodal.m03MediaHash _),
     "m04_meta" -> (Multimodal.m04MetadataPushdown _),
     "t19_zipf" -> (TextAnalysis.t19Zipf _),
@@ -689,6 +690,19 @@ object SparkEntry {
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |WHERE p.event_type = 'purchase' AND p.user_id % 10 = 0
         |ORDER BY user_id, purchase_ts_us, click_ts_us""".stripMargin,
+
+    // profile avg is rounded INSIDE the CTE on both engines, so the
+    // joined column compares a bit-identical double, not a re-derived
+    // float aggregate (st07 scaladoc).
+    "st07_enrich" ->
+      """WITH p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_hist,
+        |             round(avg(value), 4) AS avg_value
+        |           FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value,
+        |  p.n_hist, p.avg_value
+        |FROM events e JOIN p ON e.user_id = p.user_id
+        |WHERE e.event_type = 'purchase' AND e.user_id % 10 = 0
+        |ORDER BY event_id""".stripMargin,
 
     // The fake media column IS the documents' UTF-8 bytes, so DuckDB's
     // md5 over the VARCHAR hashes the identical byte sequence the

@@ -324,6 +324,66 @@ object Streams {
       .orderBy($"event_id")
   }
 
+  /** Stream-static enrichment join — the feature-store lookup every
+    * training-data pipeline runs: each streamed event picks up its
+    * user's precomputed profile. STATELESS: the static side is a plain
+    * batch plan re-bound per micro-batch — no watermark, no state
+    * store, nothing to evict; rows emit in their arrival batch. At
+    * scale the static side is a broadcast dim (small profiles) or a
+    * bucketed table the per-batch join co-locates against (q30's
+    * layout); state cost stays zero either way — the property that
+    * makes enrichment the cheapest streaming join shape. */
+  def enrichWithProfile(events: DataFrame, profile: DataFrame): DataFrame =
+    events.join(profile, "user_id")
+
+  /** st07 — stream-static enrichment run genuinely incrementally under
+    * the oracle gate: the st05 replay harness with the static side
+    * built from the FULL batch events table (per-user event count +
+    * round-4 mean value), the stream being the 1-in-10-user purchase
+    * slice. Inner join, both sides deterministic, so the sink equals
+    * the batch join the DuckDB oracle spells — replay order cannot
+    * matter (no state, no lateness). No-data micro-batches are
+    * disabled per the st05 argument (stateless join: they cannot even
+    * evict). avg_value is rounded INSIDE the profile on both sides so
+    * the joined value is a bit-identical double, not a re-derived
+    * aggregate. */
+  def st07StreamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 0 && $"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .orderBy($"ts", $"event_id")
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .collect()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val profile = Tables(s2, dir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_hist"), round(avg($"value"), 4).as("avg_value"))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, java.sql.Timestamp, Double)]],
+        s2.sqlContext)
+    val name = s"graft_st07_sink_${st03Runs.incrementAndGet()}"
+    val q = enrichWithProfile(
+        in.toDF().toDF("event_id", "user_id", "ts", "value"), profile)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val nChunks = 2
+      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s2.table(name)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"value", $"n_hist", $"avg_value")
+      .orderBy($"event_id")
+  }
+
   def st03StreamingTumbling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // no orderBy: complete mode never drops late rows, so replay order

@@ -191,6 +191,23 @@ class StreamsSpec extends SparkSuiteBase {
       s"dedup diverged: got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("st07: incremental stream-static enrichment equals the batch join") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st07StreamStaticEnrich(spark, sf).collect().toSeq
+    val events = graft.Tables(spark, sf, "events")
+    val profile = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_hist"), round(avg($"value"), 4).as("avg_value"))
+    val expected = events
+      .filter($"user_id" % 10 === 0 && $"event_type" === "purchase")
+      .join(profile, "user_id")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"value", $"n_hist", $"avg_value")
+      .orderBy($"event_id")
+      .collect().toSeq
+    assert(got == expected,
+      s"enrichment diverged: got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("st04: every event lands in exactly two sliding windows, starts 5-min aligned") {
     val sf = "/root/testdata/sf0.001"
     val df = Streams.st04SlidingWindows(spark, sf)
