@@ -28,6 +28,22 @@ class JdbcSinkSpec extends SparkSuiteBase {
       .as[String].collect().toSet == Set("XXXX12345678"))
   }
 
+  test("jdbcPartitioned reads in parallel range slices, content-complete") {
+    val df = spark.range(0, 1000).select($"id", ($"id" % 7).as("v"))
+    Sinks.jdbcAppend(df, url, "part_src", user = "", password = "")
+    val back = JdbcSource.jdbcPartitioned(spark, url, "part_src",
+      "id", lower = 0L, upper = 1000L, numPartitions = 4)
+    // 4 range-predicated queries = 4 scan partitions, one per task
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 1000)
+    // rows outside [lower, upper) still arrive: bounds steer split
+    // points, never filter (the scaladoc's correctness claim)
+    val narrow = JdbcSource.jdbcPartitioned(spark, url, "part_src",
+      "id", lower = 400L, upper = 600L, numPartitions = 4)
+    assert(narrow.count() == 1000)
+    assert(back.agg(sum($"id")).head().getLong(0) == 499500L)
+  }
+
   test("fanOut isolates a failing table like the reference's try/except (P17)") {
     val good = Seq((1L, "a")).toDF("id", "v")
     val tables = Map("ok_table" -> good, "bad_table" -> good)
