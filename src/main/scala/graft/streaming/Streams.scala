@@ -403,6 +403,14 @@ object Streams {
     // touched.
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // Complete mode re-emits the FULL result table on every data batch
+    // and never finalizes anything against the watermark, so a
+    // watermark-only no-data batch can only re-emit what the last data
+    // batch already wrote — output-neutral to skip (measured: identical
+    // sink, one fewer trigger). This is the complete-mode analogue of
+    // the st05 argument; an APPEND-mode windowed aggregation must keep
+    // no-data batches (see the st05 scaladoc).
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(java.sql.Timestamp, String, Double)](
         implicitly[org.apache.spark.sql.Encoder[(java.sql.Timestamp, String, Double)]],
