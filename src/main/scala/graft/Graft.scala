@@ -1100,6 +1100,93 @@ object Graft {
         round(avg(-log(col("__c") / col("__n"))), 4).as("nll"))
   }
 
+  /** Distributed BPE merge training — the tokenizer-training step the
+    * token-counting ops (t06) assume already happened. Classic
+    * frequency-weighted BPE (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): start from
+    * per-character symbols, repeatedly count adjacent symbol pairs
+    * weighted by word frequency and merge the most frequent pair,
+    * `numMerges` times. Returns the merge table (rank, lhs, rhs,
+    * pair_n) — ranks 1..numMerges in training order, ties broken
+    * (pair_n desc, lhs, rhs) so the result is layout-independent.
+    *
+    * Scale shape (the s07 k-means discipline applied to tokenizers):
+    * the ONLY corpus-sized operation is the initial word-count
+    * shuffle; everything after runs on the vocabulary, which
+    * saturates (t16's argument). Between iterations the driver holds
+    * just the winning pair — the broadcast-variable pattern, never a
+    * corpus or vocab collect — and each iteration is one vocab-sized
+    * partial-aggregated pair-count shuffle plus a narrow map.
+    *
+    * Merge application uses a canonical double-separator string form:
+    * symbols joined by two spaces, the whole string bounded by two
+    * spaces. A literal `replace(s, " a  b ", " ab ")` is then exactly
+    * BPE's greedy leftmost non-overlapping merge: single-space
+    * padding inside the pattern makes partial-symbol matches
+    * impossible (a symbol SUFFIX cannot match because its leading
+    * space lands mid-symbol), and because replace() resumes AFTER the
+    * replaced segment, an `aa` run merges every other occurrence —
+    * the fold semantics — while the surviving outer spaces
+    * reconstitute the double separator. Both Spark's UTF8String
+    * replace and the DuckDB oracle's replace share these semantics,
+    * which is what makes t26 oracle-checkable. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var syms = words.select(
+      concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  ")).as("s"),
+      col("n")).persist()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      var r = 1
+      var dry = false
+      while (r <= numMerges && !dry) {
+        val top = syms
+          .select(col("n"), split(trim(col("s")), "  ").as("arr"))
+          .filter(size(col("arr")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(arr) - 1), " +
+              "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("lhs"), col("p.b").as("rhs"))
+          .agg(sum(col("n")).as("pair_n"))
+          .orderBy(col("pair_n").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) dry = true
+        else {
+          val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, a, b, c))
+          syms = syms.select(
+            replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"), col("n"))
+          r += 1
+        }
+      }
+    } finally syms.unpersist()
+    import spark.implicits._
+    merges.result().toDF("rank", "lhs", "rhs", "pair_n")
+  }
+
+  /** Apply a learned merge table ([[bpeTrain]]'s (lhs, rhs) pairs IN
+    * RANK ORDER) to segment a WORD column into subword tokens — the
+    * inference half of the tokenizer. `wordCol` must hold single
+    * whitespace-free words (split + explode the text first, as
+    * [[bpeTrain]] does): whitespace inside a value would collide with
+    * the canonical separator encoding. A pure narrow map (one literal
+    * replace per merge); returns the input plus a `tokens` array
+    * column. */
+  def bpeSegment(df: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val canon = concat(lit("  "),
+      concat_ws("  ", split(col(wordCol), "")), lit("  "))
+    val merged = merges.foldLeft(canon) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    df.withColumn("tokens", split(trim(merged), "  "))
+  }
+
   /** Write `df` as a bucketed+sorted table on a join/agg key — the
     * write-side half of the co-located join (q30): every later join or
     * aggregation on `key` against a same-bucketed table plans with

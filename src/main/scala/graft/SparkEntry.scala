@@ -105,6 +105,7 @@ object SparkEntry {
     "t23_xnll" -> (TextAnalysis.t23CrossNll _),
     "t24_xbinll" -> (TextAnalysis.t24CrossBigramNll _),
     "t25_tfidf_mat" -> (TextAnalysis.t25TfidfFromTf _),
+    "t26_bpe" -> (TextAnalysis.t26BpeMerges _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -1409,6 +1410,51 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // t26: every step is integer-exact; the canonical double-separator
+    // replace is the same greedy leftmost non-overlapping merge on
+    // both engines (Graft.bpeTrain scaladoc). 4 unrolled iterations.
+    "t26_bpe" ->
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY w),
+        |s1 AS (SELECT '  ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '  ') || '  ' AS s, n FROM words),
+        |a1 AS (SELECT string_split(trim(s), '  ') AS arr, n FROM s1),
+        |p1 AS (SELECT pr.a AS lhs, pr.b AS rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(arr)),
+        |      i -> {'a': arr[i], 'b': arr[i+1]})) AS pr
+        |    FROM a1) t GROUP BY 1, 2),
+        |m1 AS (SELECT lhs, rhs, pair_n FROM p1 ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+        |s2 AS (SELECT replace(s, ' ' || (SELECT lhs FROM m1) || '  ' || (SELECT rhs FROM m1) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m1) || ' ') AS s, n FROM s1),
+        |a2 AS (SELECT string_split(trim(s), '  ') AS arr, n FROM s2),
+        |p2 AS (SELECT pr.a AS lhs, pr.b AS rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(arr)),
+        |      i -> {'a': arr[i], 'b': arr[i+1]})) AS pr
+        |    FROM a2) t GROUP BY 1, 2),
+        |m2 AS (SELECT lhs, rhs, pair_n FROM p2 ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+        |s3 AS (SELECT replace(s, ' ' || (SELECT lhs FROM m2) || '  ' || (SELECT rhs FROM m2) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m2) || ' ') AS s, n FROM s2),
+        |a3 AS (SELECT string_split(trim(s), '  ') AS arr, n FROM s3),
+        |p3 AS (SELECT pr.a AS lhs, pr.b AS rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(arr)),
+        |      i -> {'a': arr[i], 'b': arr[i+1]})) AS pr
+        |    FROM a3) t GROUP BY 1, 2),
+        |m3 AS (SELECT lhs, rhs, pair_n FROM p3 ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+        |s4 AS (SELECT replace(s, ' ' || (SELECT lhs FROM m3) || '  ' || (SELECT rhs FROM m3) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m3) || ' ') AS s, n FROM s3),
+        |a4 AS (SELECT string_split(trim(s), '  ') AS arr, n FROM s4),
+        |p4 AS (SELECT pr.a AS lhs, pr.b AS rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(arr)),
+        |      i -> {'a': arr[i], 'b': arr[i+1]})) AS pr
+        |    FROM a4) t GROUP BY 1, 2),
+        |m4 AS (SELECT lhs, rhs, pair_n FROM p4 ORDER BY pair_n DESC, lhs, rhs LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS rank, lhs, rhs, pair_n FROM m1
+        |UNION ALL SELECT 2, lhs, rhs, pair_n FROM m2
+        |UNION ALL SELECT 3, lhs, rhs, pair_n FROM m3
+        |UNION ALL SELECT 4, lhs, rhs, pair_n FROM m4
+        |ORDER BY rank""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

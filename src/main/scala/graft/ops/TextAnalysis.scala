@@ -581,6 +581,15 @@ object TextAnalysis {
     * is rounded (both engines accumulate the regression moments in
     * doubles over identical values; summation order differs — the q26
     * regime, ~1e-12 drift against a 5e-5 grid). */
+  /** t26 — BPE tokenizer merge training over the documents corpus:
+    * the first 4 frequency-weighted merges ([[graft.Graft.bpeTrain]];
+    * the oracle unrolls all 4 count→argmax→replace iterations as CTEs
+    * over the identical canonical double-separator form — counts are
+    * integers, so every step is engine-exact). */
+  def t26BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.bpeTrain(Tables(s, dir, "documents"), "text", numMerges = 4)
+      .orderBy(col("rank"))
+
   def t19Zipf(s: SparkSession, dir: String): DataFrame =
     graft.Graft.zipfStats(
       Tables.spread(Tables(s, dir, "documents")), "text")

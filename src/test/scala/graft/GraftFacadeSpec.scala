@@ -526,6 +526,23 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got(1L) == ((1L, 0L)))
   }
 
+  test("bpeTrain learns the hand-computed merge sequence; bpeSegment applies it") {
+    // words: low:3, lower:2, newest:1 — the Sennrich toy corpus shape
+    val df = Seq("low low low", "lower lower", "newest").toDF("text")
+    val merges = Graft.bpeTrain(df, "text", numMerges = 4)
+      .orderBy($"rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "l", "o", 5L),   // (l,o)=5 ties (o,w)=5, lex lhs wins
+      (2, "lo", "w", 5L),
+      (3, "e", "r", 2L),   // (e,r)=2 ties (low,e)=2, lex lhs wins
+      (4, "low", "er", 2L)))
+    val seg = Graft.bpeSegment(Seq("lower", "newest").toDF("w"), "w",
+        merges.map(m => (m._2, m._3)))
+      .select($"w", $"tokens").as[(String, Seq[String])].collect().toMap
+    assert(seg("lower") == Seq("lower"))
+    assert(seg("newest") == Seq("n", "e", "w", "e", "s", "t"))
+  }
+
   test("writeBucketed: same-bucketed frames join with zero exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-fac-bkt")
     val left = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("a"))
