@@ -56,6 +56,31 @@ object Graft {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** The persistable fingerprint index [[dedupIncremental]] dedups
+    * against: one DISTINCT 8-byte `content_hash` per normalized
+    * content key ([[dedupExact]]'s normalization). At 100 TB this is
+    * the GB-sized artifact a pipeline writes once per corpus and
+    * reuses every batch. */
+  def exactIndex(df: DataFrame, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.select(xxhash64(norm).as("content_hash")).distinct()
+  }
+
+  /** Incremental exact dedup: drop incoming rows whose normalized
+    * content is already in `index` ([[exactIndex]]'s (content_hash)
+    * shape) via LEFT ANTI on the 8-byte hash, then collapse
+    * intra-batch duplicates with [[dedupExact]] — all shuffles are
+    * batch-sized or hash-sized, never corpus-sized. The d15 query
+    * registers this against the oracle gate. */
+  def dedupIncremental(incoming: DataFrame, index: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val fresh = incoming.withColumn("__h", xxhash64(norm))
+      .join(index, col("__h") === index("content_hash"), "left_anti")
+      .drop("__h")
+    dedupExact(fresh, textCol, idCol)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     * threshold ~ (1/bands)^(1/rowsPerBand); see ops.TextDedup. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,

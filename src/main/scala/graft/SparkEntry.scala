@@ -99,6 +99,7 @@ object SparkEntry {
     "s07_kmeans" -> (Similarity.s07Kmeans _),
     "s08_ivf_trained" -> (Similarity.s08IvfTrained _),
     "d14_km_dedup" -> (Similarity.d14KmeansDedup _),
+    "d15_inc_dedup" -> (TextDedup.d15IncrementalDedup _),
     "t20_tfidf" -> (TextAnalysis.t20Tfidf _),
     "t21_binll" -> (TextAnalysis.t21BigramNll _),
     "t22_mix" -> (TextAnalysis.t22MixtureSample _),
@@ -462,6 +463,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) u
         |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+
+    // d15: anti-join + window on the normalized TEXT mirrors the
+    // engine's 8-byte-hash plan (hash == text up to 2^-64-per-pair
+    // collisions -- the d01 argument).
+    "d15_inc_dedup" ->
+      """WITH nrm AS (SELECT doc_id, lang, n_chars,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+        |  FROM documents),
+        |inc AS (SELECT * FROM nrm WHERE doc_id % 5 = 4),
+        |idx AS (SELECT DISTINCT k FROM nrm WHERE doc_id % 5 < 4),
+        |surv AS (SELECT i.* FROM inc i ANTI JOIN idx USING (k))
+        |SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |  FROM surv) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "d01_exact_dedup" ->
       """SELECT doc_id, lang, n_chars FROM (

@@ -149,6 +149,31 @@ object TextDedup {
       .orderBy($"doc_id")
   }
 
+  /** d15 — INCREMENTAL exact dedup: dedup an incoming batch against an
+    * existing corpus's fingerprint index without re-reading the corpus
+    * — the production shape of d01 (a daily crawl lands against a
+    * 100 TB lake; re-deduping the lake per batch is a non-starter).
+    * The index side is the 8-byte `xxhash64(norm)` DISTINCT — at
+    * 100 TB that is GBs against the corpus's TBs, and it is what a
+    * real pipeline persists between batches (here it is derived
+    * inline; [[graft.Graft.exactIndex]] is the facade half that
+    * materializes it). Incoming rows drop via LEFT ANTI on the hash
+    * (shuffle carries 8-byte keys both sides), then intra-batch
+    * duplicates collapse with d01's first-occurrence window — batch-
+    * sized, not corpus-sized. Oracle: the same anti-join + window on
+    * the normalized TEXT (hash ≡ text up to 2^-64/pair collisions,
+    * d01's argument). */
+  def d15IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val incoming = docs.filter($"doc_id" % 5 === 4)
+    val corpus = docs.filter($"doc_id" % 5 < 4)
+    graft.Graft.dedupIncremental(
+        incoming, graft.Graft.exactIndex(corpus, "text"), "text", "doc_id")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Candidate pairs via MinHash-LSH banding. bands x rowsPerBand =
     * numHashes; collision threshold ~ (1/bands)^(1/rowsPerBand).
     *

@@ -526,6 +526,20 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got(1L) == ((1L, 0L)))
   }
 
+  test("dedupIncremental drops index hits and intra-batch dups, keeps fresh") {
+    val corpus = Seq((1L, "Hello  World"), (2L, "old news")).toDF("id", "text")
+    val incoming = Seq(
+      (10L, "hello world"),   // normalizes to an index hit — dropped
+      (11L, "fresh doc"),     // genuinely new — kept
+      (12L, "FRESH   doc"),   // intra-batch dup of 11 — dropped
+      (13L, "another one")    // new — kept
+    ).toDF("id", "text")
+    val got = Graft.dedupIncremental(incoming,
+        Graft.exactIndex(corpus, "text"), "text", "id")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L))
+  }
+
   test("bpeTrain learns the hand-computed merge sequence; bpeSegment applies it") {
     // words: low:3, lower:2, newest:1 — the Sennrich toy corpus shape
     val df = Seq("low low low", "lower lower", "newest").toDF("text")
