@@ -57,6 +57,7 @@ object SparkEntry {
     "st05_join" -> (graft.streaming.Streams.st05StreamingJoin _),
     "st06_dedup" -> (graft.streaming.Streams.st06StreamingDedup _),
     "st07_enrich" -> (graft.streaming.Streams.st07StreamStaticEnrich _),
+    "st08_state" -> (graft.streaming.Streams.st08RunningStats _),
     "m03_hash" -> (Multimodal.m03MediaHash _),
     "m04_meta" -> (Multimodal.m04MetadataPushdown _),
     "t19_zipf" -> (TextAnalysis.t19Zipf _),
@@ -708,6 +709,12 @@ object SparkEntry {
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |WHERE p.event_type = 'purchase' AND p.user_id % 10 = 0
         |ORDER BY user_id, purchase_ts_us, click_ts_us""".stripMargin,
+
+    "st08_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events WHERE user_id % 10 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // profile avg is rounded INSIDE the CTE on both engines, so the
     // joined column compares a bit-identical double, not a re-derived

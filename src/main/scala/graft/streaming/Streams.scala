@@ -384,6 +384,57 @@ object Streams {
       .orderBy($"event_id")
   }
 
+  /** st08 — custom streaming state (mapGroupsWithState) run genuinely
+    * incrementally under the oracle gate: [[runningUserStats]] replayed
+    * through micro-batches, so per-user totals must SURVIVE the state
+    * store across triggers to match the batch aggregate the DuckDB
+    * oracle spells. Update-mode memory sink keeps one row per (user,
+    * batch-with-data); the final state per user is selected by the
+    * strictly-monotone n_events (count only grows), so the pick is
+    * deterministic with no batch-id column. round(total, 2) is safe by
+    * the value-quantization regime (PERF.md): within-batch iterator
+    * order may reorder double addition, but events.value is 2-decimal-
+    * quantized so group sums sit ~1e-11 from an exact 0.01 multiple.
+    * No-data micro-batches are disabled: with NoTimeout state there is
+    * neither emission nor eviction in them (st05's argument, stronger
+    * form). */
+  def st08RunningStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 0)
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
+      .as[(Long, Long, Double)]
+      .collect()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Double)]],
+        s2.sqlContext)
+    val name = s"graft_st08_sink_${st03Runs.incrementAndGet()}"
+    val q = runningUserStats(
+        in.toDS().map { case (_, u, v) => UserEvent(u, v) })
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try {
+      val nChunks = 2
+      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_events".desc)
+    s2.table(name)
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"user_id", $"n_events",
+        round($"total_value", 2).as("total_value"))
+      .orderBy($"user_id")
+  }
+
   def st03StreamingTumbling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // no orderBy: complete mode never drops late rows, so replay order

@@ -208,6 +208,20 @@ class StreamsSpec extends SparkSuiteBase {
       s"enrichment diverged: got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("st08: custom state survives the replay — totals equal the batch aggregate") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st08RunningStats(spark, sf).collect().toSeq
+    val expected = graft.Tables(spark, sf, "events")
+      .filter($"user_id" % 10 === 0)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"user_id")
+      .collect().toSeq
+    assert(got == expected,
+      s"state diverged: got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("st04: every event lands in exactly two sliding windows, starts 5-min aligned") {
     val sf = "/root/testdata/sf0.001"
     val df = Streams.st04SlidingWindows(spark, sf)
