@@ -47,38 +47,48 @@ object Graft {
 
   // ---- dedup / similarity / text ----
 
-  /** Exact dedup on normalized content: keeps the lowest `idCol` per
-    * normalized key; shuffle carries only an 8-byte hash. */
-  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val w = Window.partitionBy(xxhash64(norm)).orderBy(col(idCol))
+  /** The exact-dedup content key: whitespace-collapsed, trimmed,
+    * lowercased text — shared by [[dedupExact]], [[exactIndex]] and
+    * [[dedupIncremental]] so all three agree on what "the same
+    * content" means. */
+  private def normText(textCol: String): Column =
+    regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+
+  /** Keep the lowest-`idCol` row per `key` — the shared kernel of
+    * [[dedupExact]] and [[dedupIncremental]]. */
+  private def keepFirstPerKey(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Exact dedup on normalized content: keeps the lowest `idCol` per
+    * normalized key; shuffle carries only an 8-byte hash. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    keepFirstPerKey(df, xxhash64(normText(textCol)), idCol)
 
   /** The persistable fingerprint index [[dedupIncremental]] dedups
     * against: one DISTINCT 8-byte `content_hash` per normalized
     * content key ([[dedupExact]]'s normalization). At 100 TB this is
     * the GB-sized artifact a pipeline writes once per corpus and
     * reuses every batch. */
-  def exactIndex(df: DataFrame, textCol: String): DataFrame = {
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    df.select(xxhash64(norm).as("content_hash")).distinct()
-  }
+  def exactIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(xxhash64(normText(textCol)).as("content_hash")).distinct()
 
   /** Incremental exact dedup: drop incoming rows whose normalized
     * content is already in `index` ([[exactIndex]]'s (content_hash)
     * shape) via LEFT ANTI on the 8-byte hash, then collapse
-    * intra-batch duplicates with [[dedupExact]] — all shuffles are
-    * batch-sized or hash-sized, never corpus-sized. The d15 query
-    * registers this against the oracle gate. */
+    * intra-batch duplicates on the SAME hash — normalization and
+    * hashing run once per row and key both the anti-join and the
+    * intra-batch window (the regexp rewrite is the dominant per-row
+    * cost on long documents; re-deriving it would double it). All
+    * shuffles are batch-sized or hash-sized, never corpus-sized. The
+    * d15 query registers this against the oracle gate. */
   def dedupIncremental(incoming: DataFrame, index: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val fresh = incoming.withColumn("__h", xxhash64(norm))
+    val fresh = incoming.withColumn("__h", xxhash64(normText(textCol)))
       .join(index, col("__h") === index("content_hash"), "left_anti")
-      .drop("__h")
-    dedupExact(fresh, textCol, idCol)
+    keepFirstPerKey(fresh, col("__h"), idCol).drop("__h")
   }
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
@@ -622,11 +632,20 @@ object Graft {
       .orderBy(col("hybrid").desc, col(idCol)).limit(k)
       .drop(vecCol, "__q")
     // join key first: outCols(0) == idCol, so the struct sort's field
-    // order (-hybrid, idCol, ...) reproduces the TakeOrdered order
+    // order (nan-flag, -hybrid, idCol, ...) reproduces the TakeOrdered
+    // order. The two leading keys pin the non-finite cases to the
+    // selection order too: orderBy(hybrid DESC) puts NaN FIRST (NaN >
+    // any double in Spark's ordering) and nulls LAST, while a plain
+    // ascending struct sort on -hybrid would do the opposite for both
+    // — a null-vector row (cosine null -> hybrid null) surviving an
+    // under-filled candidate set must rank after every real match,
+    // not at rank 1
     val outCols = limited.columns
+    val nanFirst = when(isnan(col("hybrid")), lit(0)).otherwise(lit(1))
+    val negHybrid = coalesce(-col("hybrid"), lit(Double.PositiveInfinity))
     limited
       .agg(array_sort(collect_list(struct(
-        (-col("hybrid")).as("__nh") +: outCols.map(col): _*))).as("__arr"))
+        nanFirst.as("__nf") +: negHybrid.as("__nh") +: outCols.map(col): _*))).as("__arr"))
       .select(posexplode(col("__arr")).as(Seq("__pos", "__s")))
       .select(outCols.map(c => col("__s").getField(c).as(c)) :+
         (col("__pos") + 1).cast("long").as("rank"): _*)
@@ -905,14 +924,19 @@ object Graft {
     * Scale shape: tokens fold to per-doc counts before any join (one
     * corpus shuffle); the LM joins LEFT and UN-HINTED — a unigram
     * vocab saturates, so AQE broadcasts it when it fits, but a
-    * shipped LM's size is the caller's, not ours to assume. */
+    * shipped LM's size is the caller's, not ours to assume. Duplicate
+    * LM keys (a unioned-shard artifact) collapse to max(p) BEFORE the
+    * join — a dup would otherwise fan out the per-doc counts and
+    * silently inflate n_tokens and the NLL denominator; the collapse
+    * is deterministic and a no-op on any well-formed LM. */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       lm: DataFrame, oovNll: Double): DataFrame = {
     val toks = df.select(col(idCol),
         explode(ops.TextDedup.tokens(col(textCol))).as("__token"))
       .groupBy(col(idCol), col("__token")).agg(count(lit(1)).as("__k"))
     val l = lm.select(col(lm.columns(0)).as("__token"),
-      col(lm.columns(lm.columns.length - 1)).as("__p"))
+        col(lm.columns(lm.columns.length - 1)).as("__p"))
+      .groupBy(col("__token")).agg(max(col("__p")).as("__p"))
     toks.join(l, Seq("__token"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("__k")).as("n_tokens"),
@@ -926,15 +950,17 @@ object Graft {
     * second-order sibling over [[trainBigramLm]]'s table (bigram in
     * column 0, conditional probability in the LAST column); same
     * explicit `oovNll` floor for unseen bigrams. Returns (idCol,
-    * n_bigrams, n_oov, nll2). Same folded-join shape; documents with
-    * fewer than two tokens are absent. */
+    * n_bigrams, n_oov, nll2). Same folded-join shape, same
+    * duplicate-key max(p) collapse; documents with fewer than two
+    * tokens are absent. */
   def bigramNll(df: DataFrame, idCol: String, textCol: String,
       lm: DataFrame, oovNll: Double): DataFrame = {
     val bg = df.select(col(idCol),
         explode(bigramsOf(col(textCol))).as("__bigram"))
       .groupBy(col(idCol), col("__bigram")).agg(count(lit(1)).as("__k"))
     val l = lm.select(col(lm.columns(0)).as("__bigram"),
-      col(lm.columns(lm.columns.length - 1)).as("__p"))
+        col(lm.columns(lm.columns.length - 1)).as("__p"))
+      .groupBy(col("__bigram")).agg(max(col("__p")).as("__p"))
     bg.join(l, Seq("__bigram"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("__k")).as("n_bigrams"),
@@ -1161,9 +1187,14 @@ object Graft {
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    var syms = words.select(
+    // hold the PERSISTED base in its own val: the loop reassigns `syms`
+    // to derived plans, and unpersisting one of those would no-op
+    // against the cache entry (uncacheQuery matches the cached plan) —
+    // the exact library cache-leak the tfidf scaladoc warns about
+    val base = words.select(
       concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  ")).as("s"),
       col("n")).persist()
+    var syms = base
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     try {
       var r = 1
@@ -1189,7 +1220,7 @@ object Graft {
           r += 1
         }
       }
-    } finally syms.unpersist()
+    } finally base.unpersist()
     import spark.implicits._
     merges.result().toDF("rank", "lhs", "rhs", "pair_n")
   }

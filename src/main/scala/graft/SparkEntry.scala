@@ -1294,8 +1294,6 @@ object SparkEntry {
         |WHERE rk <= quota
         |ORDER BY doc_id""".stripMargin,
 
-    // Every comparison is engine-exact (no summation anywhere): scale
-    // = 127/max|v| over float-exact doubles, round() is away-from-zero
     // Cross-corpus scoring: p is an exact integer-ratio double, -ln
     // agrees bit-for-bit (the t16 argument), the OOV floor is an
     // exact literal, and the weighted mean rounds to 4 (absorbs
@@ -1355,6 +1353,8 @@ object SparkEntry {
         |FROM tf JOIN dfq USING (token), n
         |ORDER BY doc_id, token""".stripMargin,
 
+    // Every comparison is engine-exact (no summation anywhere): scale
+    // = 127/max|v| over float-exact doubles, round() is away-from-zero
     // in both engines and its output is an integral double (so the
     // BIGINT cast cannot hit the round-vs-truncate divergence), and
     // the reconstruction error is an element-wise max of exact

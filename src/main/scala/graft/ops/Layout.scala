@@ -57,12 +57,15 @@ object Layout {
   private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
     val lT = s"graft_bkt_lineitem_${tag(dir)}"
     val oT = s"graft_bkt_orders_${tag(dir)}"
-    if (!s.catalog.tableExists(lT)) {
+    // each table guards itself: a failure between the two writes must
+    // not leave a catalog state where the survivor's guard skips the
+    // missing table on retry
+    if (!s.catalog.tableExists(lT))
       graft.Graft.writeBucketed(Tables(s, dir, "lineitem"), NumBuckets,
         "l_orderkey", tmpPath("bkt_lineitem", dir), lT)
+    if (!s.catalog.tableExists(oT))
       graft.Graft.writeBucketed(Tables(s, dir, "orders"), NumBuckets,
         "o_orderkey", tmpPath("bkt_orders", dir), oT)
-    }
     (lT, oT)
   }
 

@@ -566,6 +566,13 @@ object TextAnalysis {
     * sort. Tokens cannot contain the separator (whitespace-split), so
     * w1 recovers exactly via substring_index — the bigram string IS the
     * composite key, no struct shuffle needed. */
+  def t18BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.bigramLm(
+        Tables.spread(Tables(s, dir, "documents")), "text", topK = 50)
+      .orderBy($"bigram")
+  }
+
   /** t19 — Zipf rank-frequency fit: vocabulary size, total token
     * count, and the log-log slope of frequency vs rank over the
     * top-1000 vocabulary (natural text tracks slope ~ -1; synthetic
@@ -581,6 +588,10 @@ object TextAnalysis {
     * is rounded (both engines accumulate the regression moments in
     * doubles over identical values; summation order differs — the q26
     * regime, ~1e-12 drift against a 5e-5 grid). */
+  def t19Zipf(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.zipfStats(
+      Tables.spread(Tables(s, dir, "documents")), "text")
+
   /** t26 — BPE tokenizer merge training over the documents corpus:
     * the first 4 frequency-weighted merges ([[graft.Graft.bpeTrain]];
     * the oracle unrolls all 4 count→argmax→replace iterations as CTEs
@@ -589,15 +600,4 @@ object TextAnalysis {
   def t26BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.Graft.bpeTrain(Tables(s, dir, "documents"), "text", numMerges = 4)
       .orderBy(col("rank"))
-
-  def t19Zipf(s: SparkSession, dir: String): DataFrame =
-    graft.Graft.zipfStats(
-      Tables.spread(Tables(s, dir, "documents")), "text")
-
-  def t18BigramLm(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.Graft.bigramLm(
-        Tables.spread(Tables(s, dir, "documents")), "text", topK = 50)
-      .orderBy($"bigram")
-  }
 }

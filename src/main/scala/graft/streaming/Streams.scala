@@ -160,7 +160,59 @@ object Streams {
       .orderBy($"user_id", $"session_start_us")
   }
 
-  private val st03Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val replayRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The shared MemoryStream replay harness behind st03/st05–st08 (and
+    * tools.StProfile's probe variants): feed a driver-collected,
+    * deterministically ordered slice through a real streaming query in
+    * `nChunks` micro-batches (`processAllAvailable` per chunk forces a
+    * real trigger each — cross-trigger state survival is the property
+    * under test) and return the memory sink's final table.
+    *
+    * Shared decisions, made once here:
+    * - CLONED session (same SparkContext, own SQLConf) with state
+    *   partitions sized to the state: the state store commits one
+    *   delta file per partition per trigger and each micro-batch
+    *   schedules shuffle-partition-many tasks, so 32 partitions for
+    *   ~3k keys paid ~2x the trigger latency of 4 (measured in
+    *   tools.StProfile). The caller's session is not touched.
+    * - No-data micro-batches DISABLED: every shape registered through
+    *   this harness is output-neutral without them — each query's
+    *   scaladoc carries its own argument why (complete-mode re-emit,
+    *   append-join emission-on-data, dedup first-seen emission,
+    *   stateless join, NoTimeout state). An APPEND-mode windowed
+    *   aggregation must NOT reuse this harness as-is: there, windows
+    *   finalize only when the watermark advances, which after the last
+    *   data batch happens only in a no-data batch.
+    * - Unique sink name per run: Bench and Verify may both invoke a
+    *   query in one session, and a memory sink table outlives its
+    *   query.
+    *
+    * The driver-side collect feeding `data` is the REPLAY HARNESS, not
+    * the operator: MemoryStream is fed (and row-encoded) from the
+    * driver by design, so replay volume is a pure harness tax and the
+    * callers take a deterministic 1-in-10 user slice (mirrored in
+    * their oracles). Production code readStreams from a real source. */
+  private[graft] def replay[T: org.apache.spark.sql.Encoder](
+      s: SparkSession, data: Seq[T], mode: OutputMode, sink: String,
+      nChunks: Int = 2)(build: Dataset[T] => DataFrame): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T](
+      implicitly[org.apache.spark.sql.Encoder[T]], s2.sqlContext)
+    val name = s"graft_${sink}_sink_${replayRuns.incrementAndGet()}"
+    val q = build(in.toDS()).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s2.table(name)
+  }
 
   /** st03 — the GENUINELY INCREMENTAL streaming path, driver-visible:
     * replays the events table through a MemoryStream in several
@@ -209,22 +261,14 @@ object Streams {
     * DROP behavior (out-of-order replay) is covered in StreamsSpec,
     * where no oracle constrains determinism.
     *
-    * Same harness taxes as st03 (eager by design; driver-side collect
-    * is the replay feed, 1-in-10 user slice mirrored in the oracle;
-    * cloned session with state-sized shuffle partitions).
-    *
-    * No-data micro-batches are DISABLED in the replay session: an
-    * append-mode stream-stream INNER join emits each matched pair in
-    * the data batch where the later side arrives — watermark-only
-    * batches perform state EVICTION, never emission — so they are
-    * output-neutral here and cost a full trigger (~0.6 s each, half
+    * Same harness taxes as st03 (eager by design; the [[replay]]
+    * helper holds the shared decisions). No-data micro-batches are
+    * output-neutral HERE because an append-mode stream-stream INNER
+    * join emits each matched pair in the data batch where the later
+    * side arrives — watermark-only batches perform state EVICTION,
+    * never emission — and they cost a full trigger each (~0.6 s, half
     * the query's wall time; measured in tools/StProfile: 4 batches /
-    * 17 rows with them, 2 batches / 17 rows without). Complete-mode
-    * st03 would also be output-neutral (it re-emits the whole table
-    * per data batch) but is cheap enough to leave stock; an
-    * APPEND-mode windowed aggregation must never copy this — there,
-    * windows finalize only when the watermark advances, which after
-    * the last data batch happens only in a no-data batch. */
+    * 17 rows with them, 2 batches / 17 rows without). */
   def st05StreamingJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val data = Tables(s, dir, "events")
@@ -234,31 +278,13 @@ object Streams {
       .orderBy($"ts")
       .as[(Long, java.sql.Timestamp, String, Double)]
       .collect()
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, String, Double)](
-        implicitly[org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, String, Double)]],
-        s2.sqlContext)
-    val name = s"graft_st05_sink_${st03Runs.incrementAndGet()}"
     // 30-minute interval (vs the operator's 10-minute default): the
     // sf0.01 slice yields 4x the matched pairs for the oracle diff at
     // identical replay volume — the state/eviction mechanics under
     // test are interval-independent
-    val q = clickToPurchaseJoin(
-        in.toDF().toDF("user_id", "ts", "event_type", "value"), 30)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try {
-      val nChunks = 2
-      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
-      data.grouped(chunk).foreach { c =>
-        in.addData(c.toSeq: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s2.table(name)
+    replay(s, data.toSeq, OutputMode.Append, "st05") { ds =>
+      clickToPurchaseJoin(ds.toDF("user_id", "ts", "event_type", "value"), 30)
+    }
       .select($"user_id", unix_micros($"purchase_ts").as("purchase_ts_us"),
         round($"purchase_value", 2).as("purchase_value"),
         unix_micros($"click_ts").as("click_ts_us"))
@@ -295,31 +321,14 @@ object Streams {
       .orderBy($"ts", $"event_id")
       .as[(Long, java.sql.Timestamp, String)]
       .collect()
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
-    // dropDuplicatesWithinWatermark emits each first-seen row in its
-    // arrival batch; watermark-only batches here do eviction, not
-    // emission — output-neutral to skip, same argument as st05.
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, String)](
-        implicitly[org.apache.spark.sql.Encoder[(Long, java.sql.Timestamp, String)]],
-        s2.sqlContext)
-    val name = s"graft_st06_sink_${st03Runs.incrementAndGet()}"
-    val q = in.toDF().toDF("event_id", "ts", "event_type")
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try {
-      val nChunks = 2
-      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
-      data.grouped(chunk).foreach { c =>
-        in.addData(c.toSeq: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s2.table(name)
+    // no-data batches output-neutral: dropDuplicatesWithinWatermark
+    // emits each first-seen row in its arrival batch; watermark-only
+    // batches do eviction, not emission (the st05 argument)
+    replay(s, data.toSeq, OutputMode.Append, "st06") { ds =>
+      ds.toDF("event_id", "ts", "event_type")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+    }
       .select($"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
       .orderBy($"event_id")
   }
@@ -342,8 +351,7 @@ object Streams {
     * round-4 mean value), the stream being the 1-in-10-user purchase
     * slice. Inner join, both sides deterministic, so the sink equals
     * the batch join the DuckDB oracle spells — replay order cannot
-    * matter (no state, no lateness). No-data micro-batches are
-    * disabled per the st05 argument (stateless join: they cannot even
+    * matter (no state, no lateness; no-data batches cannot even
     * evict). avg_value is rounded INSIDE the profile on both sides so
     * the joined value is a bit-identical double, not a re-derived
     * aggregate. */
@@ -355,30 +363,14 @@ object Streams {
       .orderBy($"ts", $"event_id")
       .as[(Long, Long, java.sql.Timestamp, Double)]
       .collect()
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val profile = Tables(s2, dir, "events")
-      .groupBy($"user_id")
-      .agg(count(lit(1)).as("n_hist"), round(avg($"value"), 4).as("avg_value"))
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, java.sql.Timestamp, Double)](
-        implicitly[org.apache.spark.sql.Encoder[(Long, Long, java.sql.Timestamp, Double)]],
-        s2.sqlContext)
-    val name = s"graft_st07_sink_${st03Runs.incrementAndGet()}"
-    val q = enrichWithProfile(
-        in.toDF().toDF("event_id", "user_id", "ts", "value"), profile)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try {
-      val nChunks = 2
-      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
-      data.grouped(chunk).foreach { c =>
-        in.addData(c.toSeq: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s2.table(name)
+    replay(s, data.toSeq, OutputMode.Append, "st07") { ds =>
+      // static side built in the REPLAY session (ds.sparkSession): a
+      // batch plan re-bound per micro-batch, per the operator scaladoc
+      val profile = Tables(ds.sparkSession, dir, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_hist"), round(avg($"value"), 4).as("avg_value"))
+      enrichWithProfile(ds.toDF("event_id", "user_id", "ts", "value"), profile)
+    }
       .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
         $"value", $"n_hist", $"avg_value")
       .orderBy($"event_id")
@@ -395,7 +387,7 @@ object Streams {
     * the value-quantization regime (PERF.md): within-batch iterator
     * order may reorder double addition, but events.value is 2-decimal-
     * quantized so group sums sit ~1e-11 from an exact 0.01 multiple.
-    * No-data micro-batches are disabled: with NoTimeout state there is
+    * No-data batches output-neutral: with NoTimeout state there is
     * neither emission nor eviction in them (st05's argument, stronger
     * form). */
   def st08RunningStats(s: SparkSession, dir: String): DataFrame = {
@@ -406,29 +398,12 @@ object Streams {
       .orderBy($"event_id")
       .as[(Long, Long, Double)]
       .collect()
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, Double)](
-        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Double)]],
-        s2.sqlContext)
-    val name = s"graft_st08_sink_${st03Runs.incrementAndGet()}"
-    val q = runningUserStats(
-        in.toDS().map { case (_, u, v) => UserEvent(u, v) })
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update).start()
-    try {
-      val nChunks = 2
-      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
-      data.grouped(chunk).foreach { c =>
-        in.addData(c.toSeq: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    val sink = replay(s, data.toSeq, OutputMode.Update, "st08") { ds =>
+      runningUserStats(ds.map { case (_, u, v) => UserEvent(u, v) }).toDF()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"n_events".desc)
-    s2.table(name)
+    sink
       .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
       .select($"user_id", $"n_events",
         round($"total_value", 2).as("total_value"))
@@ -444,43 +419,15 @@ object Streams {
       .select($"ts", $"event_type", $"value")
       .as[(java.sql.Timestamp, String, Double)]
       .collect()
-    // Run the streaming query in a CLONED session (same SparkContext,
-    // own SQLConf) with state partitions sized to the state: the state
-    // store commits one delta file per partition per trigger and each
-    // micro-batch schedules shuffle-partition-many tasks, so 32
-    // partitions for ~3k window keys paid ~2x the trigger latency of 4.
-    // Sizing shuffle partitions to the data is the same discipline as
-    // the batch side, applied to state. The caller's session is not
-    // touched.
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
-    // Complete mode re-emits the FULL result table on every data batch
-    // and never finalizes anything against the watermark, so a
-    // watermark-only no-data batch can only re-emit what the last data
-    // batch already wrote — output-neutral to skip (measured: identical
-    // sink, one fewer trigger). This is the complete-mode analogue of
-    // the st05 argument; an APPEND-mode windowed aggregation must keep
-    // no-data batches (see the st05 scaladoc).
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(java.sql.Timestamp, String, Double)](
-        implicitly[org.apache.spark.sql.Encoder[(java.sql.Timestamp, String, Double)]],
-        s2.sqlContext)
-    // unique sink name per run: Bench/Verify may both invoke this in
-    // one session, and a memory sink table outlives its query
-    val name = s"graft_st03_sink_${st03Runs.incrementAndGet()}"
-    val q = tumblingCounts(in.toDF().toDF("ts", "event_type", "value"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
-    try {
-      val nChunks = 2
-      val chunk = math.max(1, (data.length + nChunks - 1) / nChunks)
-      data.grouped(chunk).foreach { c =>
-        in.addData(c.toSeq: _*)
-        q.processAllAvailable() // force a real micro-batch per chunk
-      }
-    } finally q.stop()
-    s2.table(name)
+    // no-data batches output-neutral: complete mode re-emits the FULL
+    // result table on every data batch and never finalizes anything
+    // against the watermark, so a watermark-only batch can only
+    // re-emit what the last data batch already wrote (measured:
+    // identical sink, one fewer trigger) — the complete-mode analogue
+    // of the st05 argument
+    replay(s, data.toSeq, OutputMode.Complete, "st03") { ds =>
+      tumblingCounts(ds.toDF("ts", "event_type", "value"))
+    }
       .select(unix_micros($"window_start").as("window_start_us"),
         $"event_type", $"n_events", $"sum_value")
       .orderBy($"window_start_us", $"event_type")

@@ -175,6 +175,20 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(df.count() == 3)
   }
 
+  test("hybridRerank ranks a null-vector candidate last, matching selection order") {
+    // doc 2 has the higher lexical score but a null vector -> null
+    // cosine -> null hybrid; the TakeOrdered selection puts nulls
+    // LAST, and the rank fold must agree — not hand rank 1 to the
+    // dirty row via the struct sort's nulls-first field ordering
+    val lex = Seq((1L, 1.0), (2L, 9.9)).toDF("id", "score")
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "vec")
+    val got = Graft.hybridRerank(lex, vecs, "id", "score", "vec",
+        Array(1f, 0f), k = 2)
+      .select($"rank", $"id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)), s"got $got")
+  }
+
   test("hashSplit is deterministic, layout-independent, and respects fractions") {
     val df = (0L until 500L).toDF("id")
     val got = Graft.hashSplit(df, "id")
@@ -456,6 +470,18 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == ((2L, 1L, expected)), s"got $got")
   }
 
+  test("shipped-LM NLL collapses duplicate LM keys instead of fanning out counts") {
+    // the same token shipped twice (a unioned-shard artifact):
+    // n_tokens must still count the doc's 2 tokens, not 3 via join
+    // fan-out; the dup collapses to max p = 0.5 before the join
+    val lm = Seq(("hello", 1L, 0.5), ("hello", 1L, 0.25), ("world", 1L, 0.5))
+      .toDF("token", "c", "p")
+    val df = Seq((1L, "hello world")).toDF("id", "body")
+    val got = Graft.unigramNll(df, "id", "body", lm, oovNll = 20.0)
+      .select($"n_tokens", $"n_oov", $"nll").as[(Long, Long, Double)].head()
+    assert(got == ((2L, 0L, 0.6931)), s"got $got") // mean -ln(.5)
+  }
+
   test("tfidfFromTf over a caller-materialized tf table equals tfidf") {
     val df = Seq((1L, "x y"), (2L, "x z x")).toDF("id", "body")
     val direct = Graft.tfidf(df, "id", "body")
@@ -555,6 +581,16 @@ class GraftFacadeSpec extends SparkSuiteBase {
       .select($"w", $"tokens").as[(String, Seq[String])].collect().toMap
     assert(seg("lower") == Seq("lower"))
     assert(seg("newest") == Seq("n", "e", "w", "e", "s", "t"))
+  }
+
+  test("bpeTrain releases its persisted working set (no cache leak)") {
+    // the loop reassigns its symbols var to derived plans; unpersist
+    // must hit the frame that was actually cached (the base), not a
+    // derived plan uncacheQuery cannot match
+    spark.sharedState.cacheManager.clearCache()
+    Graft.bpeTrain(Seq("low low lower").toDF("text"), "text", numMerges = 2)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bpeTrain must unpersist the frame it persisted")
   }
 
   test("writeBucketed: same-bucketed frames join with zero exchange") {
