@@ -131,7 +131,8 @@ object SparkEntry {
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _),
-    "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _)
+    "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _),
+    "st09_append_windows" -> (graft.streaming.Streams.st09AppendWindows _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -1682,6 +1683,26 @@ object SparkEntry {
         |FROM events
         |WHERE user_id % 10 = 0
         |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
+    // st03's aggregation RESTRICTED to finalized windows: append mode
+    // emits a window only once the watermark (floor_ms(max ts) - the
+    // 10-min delay) passes its end, so the oracle filters the batch
+    // aggregation by the same final-watermark rule. The watermark
+    // floors max(ts) to MILLIS (Spark tracks event-time stats in ms)
+    // before subtracting — mirrored by the // 1000 * 1000.
+    "st09_append_windows" ->
+      """WITH s AS (SELECT ts, event_type, value FROM events
+        |           WHERE user_id % 10 = 0),
+        |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 600000000 AS w_us
+        |       FROM s),
+        |agg AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |          count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |        FROM s GROUP BY 1, 2)
+        |SELECT epoch_us(wstart) AS window_start_us, event_type, n_events,
+        |       sum_value
+        |FROM agg, wm
+        |WHERE epoch_us(wstart + INTERVAL '1 hour') <= wm.w_us
         |ORDER BY window_start_us, event_type""".stripMargin,
 
     "st02_session_windows" ->

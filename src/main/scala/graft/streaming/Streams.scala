@@ -176,14 +176,15 @@ object Streams {
     *   schedules shuffle-partition-many tasks, so 32 partitions for
     *   ~3k keys paid ~2x the trigger latency of 4 (measured in
     *   tools.StProfile). The caller's session is not touched.
-    * - No-data micro-batches DISABLED: every shape registered through
-    *   this harness is output-neutral without them — each query's
-    *   scaladoc carries its own argument why (complete-mode re-emit,
+    * - No-data micro-batches DISABLED by default: most registered
+    *   shapes are output-neutral without them — each query's scaladoc
+    *   carries its own argument why (complete-mode re-emit,
     *   append-join emission-on-data, dedup first-seen emission,
-    *   stateless join, NoTimeout state). An APPEND-mode windowed
-    *   aggregation must NOT reuse this harness as-is: there, windows
-    *   finalize only when the watermark advances, which after the last
-    *   data batch happens only in a no-data batch.
+    *   stateless join, NoTimeout state). The one shape that NEEDS
+    *   them — an APPEND-mode windowed aggregation, where a window
+    *   finalizes only when the watermark advances, which after the
+    *   last data batch happens only in a no-data batch — opts back in
+    *   via `noData = true` (st09).
     * - Unique sink name per run: Bench and Verify may both invoke a
     *   query in one session, and a memory sink table outlives its
     *   query.
@@ -195,10 +196,11 @@ object Streams {
     * their oracles). Production code readStreams from a real source. */
   private[graft] def replay[T: org.apache.spark.sql.Encoder](
       s: SparkSession, data: Seq[T], mode: OutputMode, sink: String,
-      nChunks: Int = 2)(build: Dataset[T] => DataFrame): DataFrame = {
+      nChunks: Int = 2, noData: Boolean = false)(
+      build: Dataset[T] => DataFrame): DataFrame = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
-    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T](
       implicitly[org.apache.spark.sql.Encoder[T]], s2.sqlContext)
     val name = s"graft_${sink}_sink_${replayRuns.incrementAndGet()}"
@@ -408,6 +410,46 @@ object Streams {
       .select($"user_id", $"n_events",
         round($"total_value", 2).as("total_value"))
       .orderBy($"user_id")
+  }
+
+  /** st09 — APPEND-MODE windowed aggregation with genuine WATERMARK
+    * FINALIZATION, the production streaming-sink shape: st03 proves
+    * cross-batch state merge in complete mode, which re-emits the
+    * whole result table every trigger — fine for a dashboard, wrong
+    * for a downstream file/Kafka sink. Append mode emits each window
+    * row EXACTLY ONCE, in the micro-batch after the event-time
+    * watermark passes the window's end, and never rewrites it. This
+    * is also the one registered shape that NEEDS watermark-only
+    * no-data micro-batches (`replay(noData = true)`): the final data
+    * batch advances the watermark past the last closed windows, and
+    * only the trailing no-data batch can then emit them
+    * (`processAllAvailable` blocks until that batch has run — it
+    * waits for a trigger that found no new data).
+    *
+    * Deterministic-and-oracle-checkable by REPLAY ORDER plus the
+    * final-watermark rule: ts-sorted replay never drops anything as
+    * late, and at stream end the watermark sits at
+    * floor_ms(max(ts)) - 10 min, so the sink holds EXACTLY the
+    * windows with window_end <= that — which the DuckDB oracle spells
+    * with a scalar max(ts) subquery. Windows still open at
+    * end-of-stream (the last ~70 min of events) are ABSENT by design:
+    * that is the append-mode contract under test, not data loss —
+    * production streams are unbounded, so "the stream ended with
+    * windows open" is a replay-harness artifact the oracle mirrors. */
+  def st09AppendWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 0)
+      .select($"ts", $"event_type", $"value")
+      .orderBy($"ts")
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect()
+    replay(s, data.toSeq, OutputMode.Append, "st09", noData = true) { ds =>
+      tumblingCounts(ds.toDF("ts", "event_type", "value"))
+    }
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_start_us", $"event_type")
   }
 
   def st03StreamingTumbling(s: SparkSession, dir: String): DataFrame = {
