@@ -111,6 +111,7 @@ object SparkEntry {
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
+    "s12_lsh_topk" -> (Similarity.s12LshTopK _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
@@ -1419,6 +1420,11 @@ object SparkEntry {
         |  FROM rr)
         |SELECT query_id, rank, vec_id, round(cs, 6) AS cos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // s12's oracle is GENERATED like d05's: the seed-fixed hyperplanes
+    // print as %.17e literals so both engines bucket on identical
+    // planes; see Similarity.s12OracleSql for the probe fan-out.
+    "s12_lsh_topk" -> Similarity.s12OracleSql,
 
     // q30/q31 exercise the bucketed/partitioned COPIES of lineitem/
     // orders/events; content is identical to the source tables, so the

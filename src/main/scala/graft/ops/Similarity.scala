@@ -418,6 +418,96 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s12 hyperplane set (6 x 64): seed-fixed like [[d05Planes]] but
+    * its own draw, and intentionally FEWER bits — d05 wants buckets
+    * small (every in-bucket PAIR gets scored), search wants buckets
+    * big enough to hold the true neighbors of a probing query. 6 bits
+    * = 64 buckets, so the Hamming-1 probe set (7 buckets) touches
+    * ~11% of a uniformly-hashed corpus. */
+  private val S12Bits = 6
+  private[graft] val s12Planes: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(1337)
+    Array.fill(S12Bits, 64)(rnd.nextGaussian().toFloat)
+  }
+  private def s12SigOf(v: Column): Column =
+    (0 until S12Bits).map { b =>
+      when(cosine(v, lit(s12Planes(b))) > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** s12 — LSH-bucketed ANN top-k search, the third index family next
+    * to IVF (s02/s08) and the int8 scan cascade (s11): corpus vectors
+    * hash to a 6-bit random-hyperplane signature (the d05 signature
+    * machinery, search-sized), each query probes its OWN bucket plus
+    * every Hamming-1 neighbor (multi-probe LSH, Lv et al. 2007 — one
+    * flipped sign bit is the likeliest place for a near neighbor to
+    * land), and only probed-bucket members get exact cosine + top-k.
+    *
+    * Scale shape: the signature pass is one fused codegen scan (no
+    * shuffle); the probe side is |queries| x 7 rows and BROADCASTS, so
+    * the corpus-side join is shuffle-free — at 100 TB the corpus
+    * streams once and only the ~(bits+1)/2^bits matching fraction
+    * reaches the cosine kernel. The production upgrade is the
+    * d15/q31 pattern: persist (sig, vec_id, embedding) partitioned by
+    * sig band and the probe join prunes FILES instead of streaming the
+    * corpus at all. Recall-vs-cost tunes with bits and probe radius;
+    * recall@5 vs exact s01 is asserted in SimilaritySpec. Candidate
+    * sets are deterministic (sign bits are exact-double decisions on
+    * seed-fixed planes — the d05 argument), ranking follows s01's
+    * regime (rank on unrounded cosine, tie-break vec_id, round(6) for
+    * display). Queries whose probe set holds fewer than K candidates
+    * return fewer rows — that is the LSH contract, the oracle mirrors
+    * it. */
+  def s12LshTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = emb.select($"vec_id", $"embedding",
+      s12SigOf($"embedding").as("sig"))
+    val probes = broadcast(
+      emb.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q"),
+          s12SigOf($"embedding").as("qsig"))
+        .select($"query_id", $"q", explode(array(
+          ($"qsig" +: (0 until S12Bits).map(b =>
+            $"qsig".bitwiseXOR(lit(1L << b)))): _*)).as("sig")))
+    val scored = corpus.join(probes, "sig")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Generated DuckDB oracle for s12 — the d05 exactness rules
+    * (planes printed as %.17e exponent literals, signature sign =
+    * `list_cosine_similarity > 0`), probe fan-out spelled as
+    * unnest([sig, xor(sig, 1), ..., xor(sig, 32)]). */
+  private[graft] def s12OracleSql: String = {
+    val sigExpr = (0 until S12Bits).map { b =>
+      val lits = s12Planes(b).map(f =>
+        String.format(java.util.Locale.ROOT, "%.17e", Double.box(f.toDouble)))
+        .mkString(", ")
+      s"(CASE WHEN list_cosine_similarity(v, [$lits]) > 0 THEN 1 ELSE 0 END)" +
+        (if (b == 0) "" else s" * ${1L << b}")
+    }.mkString(" + ")
+    val probeList = ("sig" +: (0 until S12Bits).map(b =>
+      s"xor(sig, ${1L << b})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
+       |p AS (SELECT vec_id AS query_id, v AS qv, unnest([$probeList]) AS psig
+       |      FROM s WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.query_id, s.vec_id, list_cosine_similarity(p.qv, s.v) AS c
+       |  FROM p JOIN s ON s.sig = p.psig AND s.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, c,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(c, 6) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** s03 — per-label centroids: the distributed vector-mean that
     * trains an IVF/k-means index (one assignment pass + this agg per
     * Lloyd iteration — s02 PROBES such centroids; this is the op that
