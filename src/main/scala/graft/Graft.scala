@@ -515,8 +515,11 @@ object Graft {
     * [[graft.functions.Int8Dot]] kernel — approx = dot8(q8, v8) /
     * sqrt(|q8|^2 * |v8|^2), every input an exact small integer, so
     * the score is BIT-IDENTICAL across engines and orders (integer
-    * dot, exact integer norm product < 2^53, one correctly-rounded
-    * IEEE sqrt and divide) and the per-query rerankK candidate set
+    * dot; each squared norm is an exact integer <= 127^2 * dim, cast
+    * to double BEFORE the multiply so the product is the one
+    * correctly-rounded IEEE step at any dim — multiplied as Longs it
+    * would overflow sign at very high dims; then one sqrt and one
+    * divide, both correctly rounded) and the per-query rerankK candidate set
     * needs no rounding discipline at all. Stage 2 touches the FLOAT
     * vectors only for those <= rerankK survivors (the s06 cascade
     * shape) and returns the exact-cosine top-k: (query_id, vec_id,
@@ -555,9 +558,15 @@ object Graft {
     val cand = cz.crossJoin(q)
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id"),
+        // each norm casts to double BEFORE the multiply: the factors
+        // are exact (<= 127^2 * dim < 2^53 for any real dim), but
+        // their PRODUCT can exceed both Long range (overflow -> sqrt
+        // of a negative -> NaN sorting first under desc) and double
+        // exactness past ~18k dims — multiplying in double is always
+        // correctly rounded and never overflows (ADVICE round 7)
         when(col("__vn2") > 0 && col("__qn2") > 0,
           dot8(col("__qq"), col("__vq")).cast("double")
-            / sqrt((col("__qn2") * col("__vn2")).cast("double")))
+            / sqrt(col("__qn2").cast("double") * col("__vn2").cast("double")))
           .otherwise(lit(-2.0)).as("__approx"))
       .withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= rerankK)
@@ -1217,6 +1226,25 @@ object Graft {
           merges += ((r, a, b, c))
           syms = syms.select(
             replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"), col("n"))
+          // Sever the lazily-chained replace stack every few merges:
+          // left alone, iteration r re-applies all r-1 prior replaces
+          // over the persisted base (O(numMerges^2) vocab-sized work)
+          // and the expression tree grows one replace per merge —
+          // at tokenizer-real merge counts (~30k) the chained
+          // expression blows codegen limits long before the quadratic
+          // work matters. localCheckpoint materializes the current
+          // symbol table (vocab-sized — words saturate, t16's
+          // argument) so the next iteration starts from data, not
+          // from the whole replace history. Every 8 keeps the
+          // checkpoint I/O amortized; blocks are freed by the
+          // ContextCleaner when the next checkpoint supersedes them.
+          // (The true production answer for ~30k merges is the
+          // incremental pair-count update — adjust only the counts
+          // the winning merge touched, Sennrich's own implementation
+          // trick — which replaces the per-iteration recount
+          // entirely; at the engine's registered merge depths the
+          // recount-with-checkpoint shape is simpler and equivalent.)
+          if (r % 8 == 0) syms = syms.localCheckpoint(true)
           r += 1
         }
       }

@@ -106,59 +106,57 @@ object GraftFunctions {
       MinHashSketch(exprs(0), exprs(1), v.asInstanceOf[Number].intValue)
     }
 
+  /** Wrap a function builder with an arity check: SQL misuse
+    * (`cosine_sim(a)`, `int8_dot(a)`) must fail at function
+    * resolution as a proper AnalysisException naming the function and
+    * expected arity — not as an IndexOutOfBoundsException from an
+    * unguarded `exprs(1)` deep in resolution. Raised with Spark's own
+    * WRONG_NUM_ARGS error class so the message matches what a
+    * built-in with the same mistake would produce. */
+  private def checkedArity(name: String, n: Int,
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    (exprs: Seq[Expression]) => {
+      if (exprs.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map("functionName" -> s"`$name`", "expectedNum" -> n.toString,
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(exprs)
+    }
+
+  /** One builder per function, shared by [[register]] (temp-function
+    * path) and [[GraftExtensions]] (extension-injection path) so both
+    * SQL surfaces get identical arity behavior. */
+  private[functions] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity],
+      checkedArity("cosine_sim", 2, e => CosineSimilarity(e(0), e(1)))),
+    ("simhash64", classOf[SimHash64],
+      checkedArity("simhash64", 1, e => SimHash64(e(0)))),
+    ("simhash_text", classOf[SimHashText],
+      checkedArity("simhash_text", 1, e => SimHashText(e(0)))),
+    ("minhash_sketch", classOf[MinHashSketch],
+      checkedArity("minhash_sketch", 3, GraftFunctions.buildMinHashSketch)),
+    ("int8_dot", classOf[Int8Dot],
+      checkedArity("int8_dot", 2, e => Int8Dot(e(0), e(1)))))
+
   def register(spark: SparkSession): Unit = {
     // Register once per session: createOrReplaceTempFunction logs a WARN
     // ("replaced a previously registered function") on every re-register,
     // which spammed stderr badly enough to break the driver's parse of
     // Bench's stdout JSON.
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("cosine_sim")))
-      reg.createOrReplaceTempFunction(
-        "cosine_sim",
-        (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
-        "built-in")
-    if (!reg.functionExists(FunctionIdentifier("simhash64")))
-      reg.createOrReplaceTempFunction(
-        "simhash64",
-        (exprs: Seq[Expression]) => SimHash64(exprs(0)),
-        "built-in")
-    if (!reg.functionExists(FunctionIdentifier("simhash_text")))
-      reg.createOrReplaceTempFunction(
-        "simhash_text",
-        (exprs: Seq[Expression]) => SimHashText(exprs(0)),
-        "built-in")
-    if (!reg.functionExists(FunctionIdentifier("minhash_sketch")))
-      reg.createOrReplaceTempFunction(
-        "minhash_sketch", GraftFunctions.buildMinHashSketch, "built-in")
-    if (!reg.functionExists(FunctionIdentifier("int8_dot")))
-      reg.createOrReplaceTempFunction(
-        "int8_dot",
-        (exprs: Seq[Expression]) => Int8Dot(exprs(0), exprs(1)),
-        "built-in")
+    builders.foreach { case (name, _, build) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, build, "built-in")
+    }
   }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash_text"),
-      new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
-      (exprs: Seq[Expression]) => SimHashText(exprs(0))))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sketch"),
-      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
-      GraftFunctions.buildMinHashSketch))
-    ext.injectFunction((
-      FunctionIdentifier("int8_dot"),
-      new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
-      (exprs: Seq[Expression]) => Int8Dot(exprs(0), exprs(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, cls, build) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), build))
+    }
 }

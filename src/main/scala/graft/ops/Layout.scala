@@ -22,11 +22,17 @@ import graft.Tables
   */
 object Layout {
 
-  private def tag(dir: String): String =
-    java.lang.Long.toHexString(
-      java.util.Objects.hashCode(dir).toLong & 0xffffffffL)
+  /** Dir -> filesystem/catalog-safe suffix. 16 hex chars of MD5, not
+    * `String.hashCode`: a 32-bit tag collides two different source
+    * dirs at birthday-paradox rates and would silently serve one
+    * dir's layout copy for the other (ADVICE round 7); 64 bits of a
+    * cryptographic digest makes that astronomically unlikely. */
+  private[ops] def tag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
 
-  private def tmpPath(kind: String, dir: String): String =
+  private[ops] def tmpPath(kind: String, dir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${kind}_${tag(dir)}").getPath
 
@@ -59,11 +65,19 @@ object Layout {
     val oT = s"graft_bkt_orders_${tag(dir)}"
     // each table guards itself: a failure between the two writes must
     // not leave a catalog state where the survivor's guard skips the
-    // missing table on retry
-    if (!s.catalog.tableExists(lT))
+    // missing table on retry. The guard checks BOTH the catalog entry
+    // and the files' _SUCCESS marker (ADVICE round 7): the data lives
+    // under java.io.tmpdir, so a tmp-cleaner can delete the files out
+    // from under a still-registered table — catalog-only the skip
+    // would hand the join a table whose scan fails. A half-written
+    // path (no _SUCCESS) is rewritten the same way; saveAsTable with
+    // mode=overwrite replaces any stale catalog entry.
+    def ready(t: String, path: String): Boolean =
+      s.catalog.tableExists(t) && new java.io.File(path, "_SUCCESS").exists()
+    if (!ready(lT, tmpPath("bkt_lineitem", dir)))
       graft.Graft.writeBucketed(Tables(s, dir, "lineitem"), NumBuckets,
         "l_orderkey", tmpPath("bkt_lineitem", dir), lT)
-    if (!s.catalog.tableExists(oT))
+    if (!ready(oT, tmpPath("bkt_orders", dir)))
       graft.Graft.writeBucketed(Tables(s, dir, "orders"), NumBuckets,
         "o_orderkey", tmpPath("bkt_orders", dir), oT)
     (lT, oT)

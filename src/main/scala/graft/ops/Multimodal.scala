@@ -133,9 +133,10 @@ object Multimodal {
     * source dir. This is the storage layout the header note prescribes
     * for 100 TB corpora; m04 proves the claimed benefit on it. */
   private[graft] def mediaParquet(s: SparkSession, dir: String): String = {
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_media_" + java.lang.Long.toHexString(
-        java.util.Objects.hashCode(dir).toLong & 0xffffffffL)).getPath
+    // Layout.tag: 64-bit MD5 prefix of the source dir — the shared
+    // collision-safe suffix (a 32-bit String.hashCode tag could serve
+    // one dir's media copy for another; ADVICE round 7)
+    val path = Layout.tmpPath("media", dir)
     fakeMedia(s, dir).toDF()
       .withColumn("n_bytes", length(col("media")).cast("long"))
       .write.mode("overwrite").parquet(path)

@@ -168,4 +168,19 @@ class CodegenSpec extends SparkSuiteBase {
     assert(e.getMessage.contains("integer literal"),
       s"expected the width-literal message, got: ${e.getMessage}")
   }
+
+  test("wrong arity fails as a WRONG_NUM_ARGS analysis error, not IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    // one arg to a 2-ary function, and too many to a 1-ary one — both
+    // must surface Spark's own WRONG_NUM_ARGS error naming the
+    // function, never an IndexOutOfBoundsException from exprs(1)
+    for (sql <- Seq(
+        "SELECT int8_dot(CAST(array(1) AS array<tinyint>))",
+        "SELECT cosine_sim(CAST(array(1.0) AS array<float>))",
+        "SELECT simhash64(array(1L), array(2L))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] { spark.sql(sql) }
+      assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        s"expected WRONG_NUM_ARGS for [$sql], got: ${e.getCondition}: ${e.getMessage}")
+    }
+  }
 }
