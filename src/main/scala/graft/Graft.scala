@@ -102,6 +102,81 @@ object Graft {
     ops.TextDedup.jaccardVerify(docs, cand).filter(col("jaccard") >= minJaccard)
   }
 
+  /** The persistable NEAR-dup index [[nearDupIncremental]] probes: one
+    * (band, bucket, doc_id) row per document per band — the banded
+    * MinHash signature table, the at-rest artifact of the d02/d06 LSH
+    * pipeline (same signature derivation, so incremental results are
+    * provably the full run's cross pairs). At 100 TB this is
+    * bands x |corpus| rows of three 8-byte columns — GBs against the
+    * corpus's TBs, written once per corpus and reused every batch,
+    * exactly [[exactIndex]]'s role for exact dedup. */
+  def nearDupIndex(df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    ops.TextDedup.bandedSignatures(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      bands, rowsPerBand)
+      .select(col("band"), col("bucket"), col("doc_id"))
+
+  /** Incremental near-dup detection: which incoming docs are
+    * near-duplicates of a corpus whose [[nearDupIndex]] is already on
+    * disk — the daily-crawl-vs-lake question [[dedupIncremental]]
+    * answers for exact dedup, answered for MinHash without
+    * re-fingerprinting the lake. Returns verified cross pairs
+    * (id_a, id_b, jaccard >= minJaccard), ids ordered ascending
+    * within each pair.
+    *
+    * Scale shape: ONLY the batch is shingled and banded; its band
+    * table (bands x |batch| rows) broadcasts against the index scan,
+    * so the index — lake-sized but 24 B/row — streams with no
+    * shuffle. Everything after the probe join is candidate-sized: the
+    * per-bucket gather applies the same combined-size cap as the full
+    * pipeline (a bucket whose lake+batch membership exceeds
+    * `maxBucket` produces no pairs there either — boilerplate
+    * buckets, the LSH skew hazard), and [[ops.TextDedup.jaccardVerify]]
+    * re-reads text for candidate docs only (`lake` is scanned, never
+    * shuffled; at 100 TB the verify join's edge side broadcasts).
+    * `bands`/`rowsPerBand` MUST match the values the index was built
+    * with. Intra-batch duplicates are deliberately out of scope —
+    * run [[nearDupPairs]] over the (small) batch for those; id spaces
+    * are expected disjoint (a shared id pairs with itself at
+    * jaccard 1.0, same as the full run). The d16 query registers
+    * incremental-vs-brute-force equality under the oracle gate;
+    * GraftFacadeSpec asserts pair-exact equivalence with the full
+    * [[nearDupPairs]] run's cross pairs. */
+  def nearDupIncremental(incoming: DataFrame, index: DataFrame,
+      lake: DataFrame, textCol: String, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.8,
+      maxBucket: Int = 64): DataFrame = {
+    val batch = incoming.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val batchBands = ops.TextDedup.bandedSignatures(batch, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "batch_id")
+    // batch side broadcasts: the index is the big side and must stream
+    // scan-only — hinted, not left to AQE, because "index >> batch" is
+    // this operator's contract, not a runtime discovery
+    val joined = index
+      .select(col("band"), col("bucket"), col("doc_id").as("lake_id"))
+      .join(broadcast(batchBands), Seq("band", "bucket"))
+    // Combined-size cap, identical to minhashCandidatesRaw's: every
+    // lake member of a probed bucket reaches the join (they all share
+    // the bucket key), so lake-members + batch-members here counts
+    // exactly what size(ds) counts on the union run — which is what
+    // makes incremental-vs-full equivalence exact, cap included.
+    val cand = joined.groupBy(col("band"), col("bucket"))
+      .agg(collect_set(col("lake_id")).as("ls"),
+        collect_set(col("batch_id")).as("bs"))
+      .filter(size(col("ls")) + size(col("bs")) <= maxBucket)
+      .select(explode(flatten(transform(col("ls"), l =>
+        transform(col("bs"), b =>
+          struct(least(l, b).as("id_a"), greatest(l, b).as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    // verify needs text for candidate docs from BOTH sides; the union
+    // is scanned (not shuffled) by jaccardVerify's inner join
+    val docs = batch.unionByName(
+      lake.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    ops.TextDedup.jaccardVerify(docs, cand)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact cosine top-k neighbors for each query row (broadcast
     * queries, fused codegen'd kernel). Both frames: (id, vector) by
     * position. `excludeSelf` drops corpus rows whose id equals the

@@ -101,6 +101,7 @@ object SparkEntry {
     "s08_ivf_trained" -> (Similarity.s08IvfTrained _),
     "d14_km_dedup" -> (Similarity.d14KmeansDedup _),
     "d15_inc_dedup" -> (TextDedup.d15IncrementalDedup _),
+    "d16_inc_neardup" -> (TextDedup.d16IncNearDup _),
     "t20_tfidf" -> (TextAnalysis.t20Tfidf _),
     "t21_binll" -> (TextAnalysis.t21BigramNll _),
     "t22_mix" -> (TextAnalysis.t22MixtureSample _),
@@ -527,6 +528,28 @@ object SparkEntry {
         |        / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // d16: d06's brute-force all-pairs jaccard, restricted to pairs
+    // that CROSS the lake (doc_id % 5 < 4) / batch (doc_id % 5 = 4)
+    // split — exactly the pairs the incremental probe can see. The
+    // engine side must find every one of them via the persisted band
+    // index (the d06 recall argument, split-invariant signatures).
+    "d16_inc_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(toks)-1, 1)),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE
         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -174,6 +174,28 @@ object TextDedup {
       .orderBy($"doc_id")
   }
 
+  /** d16 — INCREMENTAL near-dup: which incoming docs near-duplicate a
+    * lake whose banded MinHash index already exists
+    * ([[graft.Graft.nearDupIndex]] + [[graft.Graft.nearDupIncremental]]
+    * — d15's daily-crawl shape for MinHash instead of exact hashes).
+    * Only the batch (doc_id % 5 == 4, ~20%) is shingled and banded;
+    * the lake-sized index streams against the broadcast batch bands.
+    * Oracle: brute-force all-pairs jaccard restricted to cross
+    * (lake, batch) pairs — same exactness argument as d06 (the banded
+    * LSH provably catches every real >= 0.8 pair on this corpus, and
+    * per-doc signatures are split-invariant, so the incremental run
+    * finds exactly the full run's cross pairs). */
+  def d16IncNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val incoming = docs.filter($"doc_id" % 5 === 4)
+    val lake = docs.filter($"doc_id" % 5 < 4)
+    val idx = graft.Graft.nearDupIndex(lake, "text", "doc_id")
+    graft.Graft.nearDupIncremental(incoming, idx, lake, "text", "doc_id")
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Candidate pairs via MinHash-LSH banding. bands x rowsPerBand =
     * numHashes; collision threshold ~ (1/bands)^(1/rowsPerBand).
     *
@@ -199,17 +221,30 @@ object TextDedup {
     * per query (d02/d06/d08 each paid it) that changed nothing
     * downstream. Public callers wanting set semantics use
     * [[minhashCandidates]]. */
-  private[graft] def minhashCandidatesRaw(docs: DataFrame, bands: Int,
-      rowsPerBand: Int, maxBucket: Int = 64): DataFrame = {
+  /** The banded LSH signature table: one (doc_id, band, bucket) row
+    * per document per band, bucket = xxhash64 over the band's
+    * signature rows (+ the band index, so identical row-slices in
+    * different bands cannot collide). This is BOTH the in-flight
+    * shape [[minhashCandidatesRaw]] gathers into buckets and the
+    * at-rest shape [[graft.Graft.nearDupIndex]] persists — sharing
+    * the derivation is what makes the incremental path provably
+    * equivalent to the full run (same signatures, same band keys). */
+  private[graft] def bandedSignatures(docs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val sig = minhashSig(docs, bands * rowsPerBand)
     // Band key = one hash over the band's rows (xxhash64 is variadic);
     // sig is a materialized attribute, so per-element reads are O(1).
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         val rows = (b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(j => element_at(col("sig"), j + 1))
         xxhash64(rows :+ lit(b): _*)
       }: _*)).as(Seq("band", "bucket")))
+  }
+
+  private[graft] def minhashCandidatesRaw(docs: DataFrame, bands: Int,
+      rowsPerBand: Int, maxBucket: Int = 64): DataFrame = {
+    val banded = bandedSignatures(docs, bands, rowsPerBand)
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))

@@ -46,6 +46,28 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupIncremental equals the full run's cross pairs (split-invariant index)") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val lake = docs.filter($"doc_id" % 5 < 4)
+    val batch = docs.filter($"doc_id" % 5 === 4)
+    val fullAll: Set[(Long, Long, Double)] =
+      Graft.nearDupPairs(docs, "text", "doc_id", bands = 8, rowsPerBand = 4)
+        .select($"id_a", $"id_b", round($"jaccard", 4))
+        .as[(Long, Long, Double)].collect().toSet
+    val full = fullAll.filter { case (a, b, _) => (a % 5 == 4) != (b % 5 == 4) }
+    val inc = Graft.nearDupIncremental(batch,
+        Graft.nearDupIndex(lake, "text", "doc_id"), lake, "text", "doc_id")
+      .select($"id_a", $"id_b", round($"jaccard", 4))
+      .as[(Long, Long, Double)].collect().toSet
+    // the corpus genuinely has cross-boundary planted near-dups (9 at
+    // sf0.001) — without this guard a broken probe that returns zero
+    // rows would "equal" an accidentally empty reference
+    assert(full.nonEmpty, "test corpus lost its cross-boundary near-dups")
+    assert(inc == full,
+      s"missing=${(full -- inc).take(5)} extra=${(inc -- full).take(5)}")
+  }
+
   test("cosineTopK ranks by cosine with the native kernel") {
     val corpus = Seq(
       (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0f, 1f)))

@@ -103,6 +103,18 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"partition column read as data: $readSchema")
   }
 
+  test("d16: the index probe broadcasts the batch bands, never shuffles the index") {
+    // the 100 TB claim under test: the lake-sized band index must
+    // stream scan-only against a BROADCAST of the (small) batch's
+    // band table — a sort-merge probe would shuffle bands x |lake|
+    // rows per daily batch, which is the re-fingerprint cost the
+    // incremental path exists to avoid
+    val plan = ops.TextDedup.d16IncNearDup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"d16 probe join does not broadcast the batch side:\n$plan")
+  }
+
   test("Bench records a broken query as an error, not a silent timing") {
     val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame](
