@@ -113,6 +113,7 @@ object SparkEntry {
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
     "s12_lsh_topk" -> (Similarity.s12LshTopK _),
+    "s13_lsh_layout" -> (Similarity.s13LshLayout _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
@@ -1448,6 +1449,11 @@ object SparkEntry {
     // print as %.17e literals so both engines bucket on identical
     // planes; see Similarity.s12OracleSql for the probe fan-out.
     "s12_lsh_topk" -> Similarity.s12OracleSql,
+
+    // s13 runs the SAME search over the sig-partitioned at-rest index
+    // — identical oracle by construction: the layout (and its
+    // partition-pruned probe scan) must not change the answer.
+    "s13_lsh_layout" -> Similarity.s12OracleSql,
 
     // q30/q31 exercise the bucketed/partitioned COPIES of lineitem/
     // orders/events; content is identical to the source tables, so the

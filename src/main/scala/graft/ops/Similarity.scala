@@ -479,6 +479,79 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The s12 LSH index AT REST — the production upgrade s12's own
+    * scaladoc names: (vec_id, embedding) hive-partitioned by the
+    * 6-bit signature via [[graft.Graft.writePartitioned]] (q31's
+    * write-side half), one directory per bucket, materialized once
+    * per (JVM, source dir) under java.io.tmpdir with q31's `_SUCCESS`
+    * guard. The signature is stored as INT so the read-back partition
+    * column type (Spark infers int from the directory values) matches
+    * the written one exactly. At 100 TB this is the layout decision
+    * that turns ANN probing from "stream the corpus per query set"
+    * (s12) into "list 7 directories per query": the probe filter
+    * prunes FILES at plan time. */
+  private[graft] def s13IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("lsh_idx", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      import s.implicits._
+      graft.Graft.writePartitioned(
+        Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
+          s12SigOf($"embedding").cast("int").as("sig")),
+        "sig", path)
+    }
+    path
+  }
+
+  /** The multi-probe set of a query batch, signatures as INT to match
+    * the at-rest partition column: (query_id, q, sig) with the s12
+    * Hamming-1 fan-out — |queries| x (bits+1) rows. */
+  private def s13Probes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings").filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"),
+        s12SigOf($"embedding").as("qsig"))
+      .select($"query_id", $"q", explode(array(
+        ($"qsig" +: (0 until S12Bits).map(b =>
+          $"qsig".bitwiseXOR(lit(1L << b)))): _*)).as("sigl"))
+      .select($"query_id", $"q", $"sigl".cast("int").as("sig"))
+  }
+
+  /** The partition-pruned index scan PlanAuditSpec audits: a literal
+    * IN-filter over the probe signatures, so non-probed buckets are
+    * never LISTED, let alone read (PartitionFilters, the q31
+    * property). `probeSigs` is a driver-side gather bounded by
+    * |queries| x (bits+1) ints — the broadcast-variable pattern,
+    * corpus-independent. */
+  private[graft] def s13PrunedScan(s: SparkSession, path: String,
+      probeSigs: Seq[Int]): DataFrame =
+    s.read.parquet(path).filter(col("sig").isin(probeSigs: _*))
+
+  /** s13 — s12's ANN search OVER THE AT-REST INDEX: same probe set,
+    * same scoring, same oracle (the layout must not change the
+    * answer), but the corpus side is the sig-partitioned parquet copy
+    * and the probe signatures prune partitions at plan time. The scan
+    * touches ~(bits+1)/2^bits of the corpus's FILES where s12 streamed
+    * and filtered post-scan — at 100 TB that is the difference between
+    * reading ~11% of the index and reading all of it. Join and
+    * ranking follow s12 row for row: candidates = probed-bucket
+    * members, exact cosine, rank on unrounded doubles, tie-break
+    * vec_id, round(6) display. */
+  def s13LshLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s13IndexPath(s, dir)
+    val probes = s13Probes(s, dir)
+    val probeSigs = probes.select($"sig").distinct().as[Int].collect().toSeq
+    val scored = s13PrunedScan(s, path, probeSigs)
+      .join(broadcast(probes), "sig")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Generated DuckDB oracle for s12 — the d05 exactness rules
     * (planes printed as %.17e exponent literals, signature sign =
     * `list_cosine_similarity > 0`), probe fan-out spelled as

@@ -115,6 +115,31 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"d16 probe join does not broadcast the batch side:\n$plan")
   }
 
+  test("s13: probe signatures prune index partitions at the scan") {
+    // the 100 TB claim under test: probing the at-rest LSH index must
+    // LIST only the probed sig directories (q31's property applied to
+    // ANN) — the sig predicate reaches PartitionFilters and the
+    // partition column is never read as data
+    val path = ops.Similarity.s13IndexPath(spark, sf)
+    val plan = ops.Similarity.s13PrunedScan(spark, path, Seq(1, 2, 3))
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("sig"),
+      s"probe predicate did not reach PartitionFilters: $pf\n$plan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("sig"),
+      s"partition column read as data: $readSchema")
+  }
+
+  test("s13: the at-rest layout does not change s12's answer") {
+    // the oracle contract s13 registers under: identical rows to s12,
+    // column for column — the layout (and its pruned scan) is a pure
+    // physical optimization
+    val s12 = ops.Similarity.s12LshTopK(spark, sf).collect().toSeq
+    val s13 = ops.Similarity.s13LshLayout(spark, sf).collect().toSeq
+    assert(s13 == s12, s"s13 diverged from s12: ${s13.diff(s12).take(3)}")
+  }
+
   test("Bench records a broken query as an error, not a silent timing") {
     val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame](
