@@ -600,4 +600,36 @@ object TextAnalysis {
   def t26BpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.Graft.bpeTrain(Tables(s, dir, "documents"), "text", numMerges = 4)
       .orderBy(col("rank"))
+
+  /** t27 — the inference half of the tokenizer t26 trains: segment the
+    * corpus with the learned merges ([[graft.Graft.bpeSegment]]) and
+    * emit per-doc token counts — the "how many tokens is my corpus
+    * AFTER tokenization" question every training-data budget starts
+    * from. Trains the same 4 merges as t26 (the merge table collected
+    * to the driver is numMerges rows — the broadcast-variable pattern,
+    * corpus-independent), then segments the DISTINCT-word table (the
+    * vocab-sized narrow map — words saturate, t16's argument) and
+    * joins the per-word token count back to the per-doc word list
+    * un-hinted, so AQE broadcasts the vocab side at harness scale and
+    * a saturated many-million-word production vocabulary falls back to
+    * a hash join keyed on the word itself. The oracle shares t26's
+    * merge-derivation CTEs verbatim and applies the same four
+    * double-separator replaces per doc word — token counts are
+    * integers, engine-exact. */
+  def t27BpeSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val merges = graft.Graft.bpeTrain(docs, "text", numMerges = 4)
+      .orderBy($"rank").select($"lhs", $"rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val words = docs
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter($"w" =!= "")
+    val seg = graft.Graft.bpeSegment(words.select($"w").distinct(), "w", merges)
+      .select($"w", size($"tokens").cast("long").as("__nt"))
+    words.join(seg, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"__nt").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
 }
