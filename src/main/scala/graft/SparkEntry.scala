@@ -109,6 +109,7 @@ object SparkEntry {
     "t24_xbinll" -> (TextAnalysis.t24CrossBigramNll _),
     "t25_tfidf_mat" -> (TextAnalysis.t25TfidfFromTf _),
     "t26_bpe" -> (TextAnalysis.t26BpeMerges _),
+    "t27_bpe_segment" -> (TextAnalysis.t27BpeSegment _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -1515,6 +1516,67 @@ object SparkEntry {
         |UNION ALL SELECT 3, lhs, rhs, pair_n FROM m3
         |UNION ALL SELECT 4, lhs, rhs, pair_n FROM m4
         |ORDER BY rank""".stripMargin,
+
+    // t27: shares t26's merge-derivation CTEs verbatim, then applies
+    // the same four double-separator replaces to each DISTINCT doc
+    // word (the vocab-sized table, exactly like the Spark side) and
+    // sums per-word token counts back per doc — integer-exact.
+    "t27_bpe_segment" ->
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY w),
+        |s1 AS (SELECT '  ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '  ') || '  ' AS s, n FROM words),
+        |a1 AS (SELECT string_split(trim(s), '  ') AS arr, n FROM s1),
+        |p1 AS (SELECT pr.a AS lhs, pr.b AS rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(arr)),
+        |      i -> {'a': arr[i], 'b': arr[i+1]})) AS pr
+        |    FROM a1) t GROUP BY 1, 2),
+        |m1 AS (SELECT lhs, rhs, pair_n FROM p1 ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+        |s2 AS (SELECT replace(s, ' ' || (SELECT lhs FROM m1) || '  ' || (SELECT rhs FROM m1) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m1) || ' ') AS s, n FROM s1),
+        |a2 AS (SELECT string_split(trim(s), '  ') AS arr, n FROM s2),
+        |p2 AS (SELECT pr.a AS lhs, pr.b AS rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(arr)),
+        |      i -> {'a': arr[i], 'b': arr[i+1]})) AS pr
+        |    FROM a2) t GROUP BY 1, 2),
+        |m2 AS (SELECT lhs, rhs, pair_n FROM p2 ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+        |s3 AS (SELECT replace(s, ' ' || (SELECT lhs FROM m2) || '  ' || (SELECT rhs FROM m2) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m2) || ' ') AS s, n FROM s2),
+        |a3 AS (SELECT string_split(trim(s), '  ') AS arr, n FROM s3),
+        |p3 AS (SELECT pr.a AS lhs, pr.b AS rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(arr)),
+        |      i -> {'a': arr[i], 'b': arr[i+1]})) AS pr
+        |    FROM a3) t GROUP BY 1, 2),
+        |m3 AS (SELECT lhs, rhs, pair_n FROM p3 ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+        |s4 AS (SELECT replace(s, ' ' || (SELECT lhs FROM m3) || '  ' || (SELECT rhs FROM m3) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m3) || ' ') AS s, n FROM s3),
+        |a4 AS (SELECT string_split(trim(s), '  ') AS arr, n FROM s4),
+        |p4 AS (SELECT pr.a AS lhs, pr.b AS rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(arr)),
+        |      i -> {'a': arr[i], 'b': arr[i+1]})) AS pr
+        |    FROM a4) t GROUP BY 1, 2),
+        |m4 AS (SELECT lhs, rhs, pair_n FROM p4 ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+        |dw AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |    FROM documents) t
+        |  WHERE w <> ''),
+        |c0 AS (SELECT w, '  ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '  ') || '  ' AS s
+        |  FROM (SELECT DISTINCT w FROM dw) v),
+        |c1 AS (SELECT w, replace(s, ' ' || (SELECT lhs FROM m1) || '  ' || (SELECT rhs FROM m1) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m1) || ' ') AS s FROM c0),
+        |c2 AS (SELECT w, replace(s, ' ' || (SELECT lhs FROM m2) || '  ' || (SELECT rhs FROM m2) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m2) || ' ') AS s FROM c1),
+        |c3 AS (SELECT w, replace(s, ' ' || (SELECT lhs FROM m3) || '  ' || (SELECT rhs FROM m3) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m3) || ' ') AS s FROM c2),
+        |c4 AS (SELECT w, replace(s, ' ' || (SELECT lhs FROM m4) || '  ' || (SELECT rhs FROM m4) || ' ',
+        |  ' ' || (SELECT lhs || rhs FROM m4) || ' ') AS s FROM c3),
+        |seg AS (SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS nt FROM c4)
+        |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(seg.nt) AS BIGINT) AS n_tokens
+        |FROM dw JOIN seg USING (w)
+        |GROUP BY dw.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

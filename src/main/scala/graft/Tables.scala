@@ -12,23 +12,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects
-      // outright (PARQUET_TYPE_ILLEGAL). Read it as a long (nanos since
-      // epoch) and convert to a regular microsecond TimestampType here so
-      // every downstream operator sees a plain timestamp column.
-      // The nanosAsLong flag must be a SESSION-BUILDER config (it is in
-      // Bench/Verify/Explain/Profile and the test base): a library
-      // reader must not mutate caller session state, and the flag has no
-      // per-read DataFrameReader option equivalent — so check and fail
-      // with the remedy instead of silently flipping the caller's conf.
-      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-          .exists(_.equalsIgnoreCase("true")),
-        "reading events.parquet (TIMESTAMP(NANOS)) requires " +
-          "spark.sql.legacy.parquet.nanosAsLong=true on the session " +
-          "builder — see graft.Tables scaladoc")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // events.ts has shipped under TWO parquet physical encodings across
+      // harness testdata generations: TIMESTAMP(NANOS) (rounds ≤8), which
+      // Spark's reader surfaces as a LONG of nanos-since-epoch under
+      // spark.sql.legacy.parquet.nanosAsLong=true (and rejects outright
+      // without it), and plain TIMESTAMP_MICROS with isAdjustedToUTC=0
+      // (round 9+), which reads as TIMESTAMP_NTZ. Branch on the READ
+      // schema — never on an assumed file encoding — and normalize both
+      // to a plain session-zone TimestampType so every downstream
+      // operator (windows, watermarks, date functions, the DuckDB
+      // oracle) sees the identical column type regardless of which
+      // generation of the data is on disk. Sessions here pin UTC, so the
+      // NTZ→LTZ cast is wall-clock-identical to what the nanos path
+      // produced and every round-8 oracle hash stays valid.
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // TIMESTAMP(NANOS) read via nanosAsLong
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType => // TIMESTAMP_MICROS, isAdjustedToUTC=0
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw // already a plain timestamp
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register harness tables as temp views (for spark.sql queries).

@@ -21,11 +21,23 @@ class PlanAuditSpec extends SparkSuiteBase {
     // executedPlan is a LeafExecNode AdaptiveSparkPlanExec under AQE,
     // so collectWithSubqueries can't see inside it, but toString
     // prints the full initial plan.
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"$name plans a cartesian product:\n$plan")
+    // Accumulate per-query outcomes instead of dying on the first
+    // failure: one query that won't ANALYZE (round 9's events reader)
+    // must not mask the cartesian audit of the other 100+ — the report
+    // lists every offender so the whole regression surface is visible
+    // in one test run.
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          Some(s"$name plans a cartesian product") else None
+      } catch { case scala.util.control.NonFatal(e) =>
+        Some(s"$name failed to plan: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(2).mkString(" "))
+      }
     }
+    assert(bad.isEmpty, s"${bad.size} queries failed the plan audit:\n" +
+      bad.mkString("\n"))
   }
 
   test("q22 binned range join is an equi join, never a nested loop") {
