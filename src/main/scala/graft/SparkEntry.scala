@@ -115,6 +115,7 @@ object SparkEntry {
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
     "s12_lsh_topk" -> (Similarity.s12LshTopK _),
     "s13_lsh_layout" -> (Similarity.s13LshLayout _),
+    "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
@@ -1455,6 +1456,78 @@ object SparkEntry {
     // — identical oracle by construction: the layout (and its
     // partition-pruned probe scan) must not change the answer.
     "s13_lsh_layout" -> Similarity.s12OracleSql,
+
+    // s14: the 4 greedy MMR rounds unroll as CTEs (the t26 pattern);
+    // per round, pN computes each candidate's redundancy penalty
+    // (max cosine against everything selected so far, uK), sN argmaxes
+    // 0.7·relevance − 0.3·penalty. Literal 0.7/0.3 on both engines —
+    // never a computed 1−λ (different binary64 than the literal).
+    "s14_mmr_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |c AS (SELECT query_id, vec_id, v, cs FROM (
+        |  SELECT query_id, vec_id, v, list_cosine_similarity(qv, v) AS cs,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rn
+        |  FROM q, e WHERE vec_id <> query_id) t WHERE rn <= 20),
+        |s1 AS (SELECT query_id, vec_id, v, cs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, vec_id) AS rn FROM c) t WHERE rn = 1),
+        |u1 AS (SELECT * FROM s1),
+        |p2 AS (SELECT c.query_id, c.vec_id,
+        |    max(list_cosine_similarity(c.v, s.v)) AS pen
+        |  FROM c JOIN u1 s USING (query_id) GROUP BY c.query_id, c.vec_id),
+        |s2 AS (SELECT query_id, vec_id, v, cs FROM (
+        |  SELECT c.query_id, c.vec_id, c.v, c.cs,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY 0.7 * c.cs - 0.3 * p.pen DESC, c.vec_id) AS rn
+        |  FROM c JOIN p2 p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM u1 s
+        |    WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)) t
+        |  WHERE rn = 1),
+        |u2 AS (SELECT * FROM u1 UNION ALL SELECT * FROM s2),
+        |p3 AS (SELECT c.query_id, c.vec_id,
+        |    max(list_cosine_similarity(c.v, s.v)) AS pen
+        |  FROM c JOIN u2 s USING (query_id) GROUP BY c.query_id, c.vec_id),
+        |s3 AS (SELECT query_id, vec_id, v, cs FROM (
+        |  SELECT c.query_id, c.vec_id, c.v, c.cs,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY 0.7 * c.cs - 0.3 * p.pen DESC, c.vec_id) AS rn
+        |  FROM c JOIN p3 p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM u2 s
+        |    WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)) t
+        |  WHERE rn = 1),
+        |u3 AS (SELECT * FROM u2 UNION ALL SELECT * FROM s3),
+        |p4 AS (SELECT c.query_id, c.vec_id,
+        |    max(list_cosine_similarity(c.v, s.v)) AS pen
+        |  FROM c JOIN u3 s USING (query_id) GROUP BY c.query_id, c.vec_id),
+        |s4 AS (SELECT query_id, vec_id, v, cs FROM (
+        |  SELECT c.query_id, c.vec_id, c.v, c.cs,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY 0.7 * c.cs - 0.3 * p.pen DESC, c.vec_id) AS rn
+        |  FROM c JOIN p4 p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM u3 s
+        |    WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)) t
+        |  WHERE rn = 1),
+        |u4 AS (SELECT * FROM u3 UNION ALL SELECT * FROM s4),
+        |p5 AS (SELECT c.query_id, c.vec_id,
+        |    max(list_cosine_similarity(c.v, s.v)) AS pen
+        |  FROM c JOIN u4 s USING (query_id) GROUP BY c.query_id, c.vec_id),
+        |s5 AS (SELECT query_id, vec_id, v, cs FROM (
+        |  SELECT c.query_id, c.vec_id, c.v, c.cs,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY 0.7 * c.cs - 0.3 * p.pen DESC, c.vec_id) AS rn
+        |  FROM c JOIN p5 p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM u4 s
+        |    WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)) t
+        |  WHERE rn = 1)
+        |SELECT query_id, rank, vec_id, round(cs, 6) AS cos FROM (
+        |  SELECT query_id, vec_id, cs, CAST(1 AS INTEGER) AS rank FROM s1
+        |  UNION ALL SELECT query_id, vec_id, cs, 2 FROM s2
+        |  UNION ALL SELECT query_id, vec_id, cs, 3 FROM s3
+        |  UNION ALL SELECT query_id, vec_id, cs, 4 FROM s4
+        |  UNION ALL SELECT query_id, vec_id, cs, 5 FROM s5) t
+        |ORDER BY query_id, rank""".stripMargin,
 
     // q30/q31 exercise the bucketed/partitioned COPIES of lineitem/
     // orders/events; content is identical to the source tables, so the

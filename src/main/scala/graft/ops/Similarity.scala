@@ -601,4 +601,68 @@ object Similarity {
       .select($"label", $"dim".cast("long").as("dim"), $"c", $"n")
       .orderBy($"label", $"dim")
   }
+
+  /** s14 — MMR-diversified top-k retrieval (maximal marginal
+    * relevance, Carbonell & Goldstein '98): the post-retrieval step
+    * every RAG/sampling pipeline wants when the plain cosine head
+    * (s01) returns five paraphrases of the same document. Stage 1 is
+    * s01's exact kernel narrowed to the top-[[S14Cand]] candidates per
+    * query; stage 2 greedily picks k results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — relevance minus
+    * redundancy against what's already selected.
+    *
+    * Scale shape: the greedy loop runs as k−1 DISTRIBUTED rounds over
+    * the candidate table — each round one anti-join (drop selected),
+    * one join+aggregate (the redundancy penalty, bounded by
+    * |queries| × nCand × k rows), one bounded per-query window — the
+    * [[TextDedup.componentMin]] iterative discipline, localCheckpoint
+    * severing lineage per round so round i never replans rounds 1..i−1.
+    * Nothing corpus-sized ever enters the loop: the corpus is touched
+    * exactly once, by the stage-1 scan; everything after is bounded by
+    * queries × nCand regardless of corpus size. Determinism: scores
+    * compare UNROUNDED engine-identical doubles (s01's argument) under
+    * literal 0.7/0.3 weights parsed identically by both engines —
+    * never a computed `1−λ`, whose binary64 would differ from the
+    * SQL literal. */
+  private val S14Cand = 20
+  def s14MmrTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val scored = emb.crossJoin(queriesOf(emb))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"embedding",
+        cosine($"q", $"embedding").as("cs"))
+    val byScore = Window.partitionBy($"query_id").orderBy($"cs".desc, $"vec_id")
+    val cand = scored.withColumn("rn", row_number().over(byScore))
+      .filter($"rn" <= S14Cand)
+      .select($"query_id", $"vec_id", $"embedding", $"cs")
+      .localCheckpoint(true)
+    var sel = cand.withColumn("rn", row_number().over(byScore))
+      .filter($"rn" === 1)
+      .select($"query_id", $"vec_id", $"embedding", $"cs",
+        lit(1).as("rank"))
+      .localCheckpoint(true)
+    for (i <- 2 to K) {
+      val remaining = cand.join(
+        sel.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"), "left_anti")
+      val next = remaining
+        .join(sel.select($"query_id", $"embedding".as("semb")), "query_id")
+        .select($"query_id", $"vec_id", $"embedding", $"cs",
+          cosine($"embedding", $"semb").as("ps"))
+        .groupBy($"query_id", $"vec_id")
+        // embedding/cs are constant per group — first() only collapses
+        // the per-selected-row fan-out (the jaccardVerify trick)
+        .agg(first($"embedding").as("embedding"), first($"cs").as("cs"),
+          max($"ps").as("pen"))
+        .withColumn("score", lit(0.7) * $"cs" - lit(0.3) * $"pen")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")))
+        .filter($"rn" === 1)
+        .select($"query_id", $"vec_id", $"embedding", $"cs",
+          lit(i).as("rank"))
+      sel = sel.union(next).localCheckpoint(true)
+    }
+    sel.select($"query_id", $"rank", $"vec_id", round($"cs", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
 }

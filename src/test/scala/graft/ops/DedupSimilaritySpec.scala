@@ -19,6 +19,41 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     (5L, "another unrelated document discussing parquet column pruning and pushdown")
   ).toDF("doc_id", "text")
 
+  test("s14: distributed greedy MMR equals a straight-line reference implementation") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Similarity.s14MmrTopK(spark, sf)
+      .select($"query_id", $"rank", $"vec_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    // Reference: the textbook greedy loop over collected vectors, with
+    // the kernel's exact arithmetic (sequential double accumulation,
+    // sqrt(nx)*sqrt(ny) denominator) so selection ties break identically.
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1 }
+      val d = math.sqrt(nx) * math.sqrt(ny)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val expect = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val cand = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(vecs(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(20)
+      var sel = Vector(cand.head._1)
+      while (sel.size < 5) {
+        val next = cand.filterNot(c => sel.contains(c._1))
+          .map { case (id, c) =>
+            val pen = sel.map(s => cos(vecs(id), vecs(s))).max
+            (id, 0.7 * c - 0.3 * pen)
+          }.minBy { case (id, sc) => (-sc, id) }._1
+        sel = sel :+ next
+      }
+      sel.zipWithIndex.map { case (id, i) => (qid, i + 1, id) }
+    }
+    assert(got == expect)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val cand = TextDedup.minhashCandidates(docs, bands = 16, rowsPerBand = 4)
     val verified = TextDedup.jaccardVerify(docs, cand)
