@@ -38,6 +38,39 @@ class TablesSpec extends SparkSuiteBase {
     }
   }
 
+  test("post-Tables schema of every harness table matches the pinned contract") {
+    // The round-9 lesson generalized: every operator and every oracle
+    // assumes these exact column names and types, and the driver can
+    // regenerate the testdata between rounds. Pin the full post-read
+    // schema so ANY drift (a widened id, a re-encoded timestamp, an
+    // embedding element type change) fails here by name instead of as
+    // scattered AnalysisExceptions in whichever queries touch it first.
+    val pinned = Map(
+      "region" -> "r_regionkey INT, r_name STRING",
+      "nation" -> "n_nationkey INT, n_name STRING, n_regionkey INT",
+      "customer" -> ("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+        "c_acctbal DOUBLE, c_mktsegment STRING"),
+      "supplier" -> "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+      "part" -> ("p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, " +
+        "p_size INT, p_retailprice DOUBLE"),
+      "orders" -> ("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"),
+      "lineitem" -> ("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+        "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"),
+      "events" -> ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"),
+      "documents" -> "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+      "embeddings" -> "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    val drift = Tables.names.flatMap { n =>
+      val got = Tables(spark, sf, n).schema
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      if (got == pinned(n)) None else Some(s"$n:\n  pinned: ${pinned(n)}\n  got:    $got")
+    }
+    assert(drift.isEmpty, "harness table schema drift:\n" + drift.mkString("\n"))
+  }
+
   test("events reader still handles the legacy nanos-as-long encoding") {
     // Synthesize what rounds ≤8 shipped: ts as a raw int64 of
     // nanos-since-epoch (what TIMESTAMP(NANOS) reads as under
