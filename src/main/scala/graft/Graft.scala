@@ -1346,6 +1346,17 @@ object Graft {
     df.withColumn("tokens", split(trim(merged), "  "))
   }
 
+  /** Sparse lexical near-dup pairs: top-`topK` document pairs by
+    * idf-weighted word-3-shingle cosine, with candidate pairs gated to
+    * shingles of document frequency in [dfMin, dfMax] (prefix
+    * filtering — boilerplate shingles never generate pairs) and an
+    * exact cosine rerank over every shared shingle. The weighted
+    * complement of [[nearDupPairs]]'s unweighted Jaccard; see
+    * [[ops.TextDedup.sparseCosinePairs]] for the scale shape. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      dfMin: Int = 2, dfMax: Int = 10, topK: Int = 20): DataFrame =
+    ops.TextDedup.sparseCosinePairs(docs, idCol, textCol, dfMin, dfMax, topK)
+
   /** Write `df` as a bucketed+sorted table on a join/agg key — the
     * write-side half of the co-located join (q30): every later join or
     * aggregation on `key` against a same-bucketed table plans with

@@ -102,6 +102,7 @@ object SparkEntry {
     "d14_km_dedup" -> (Similarity.d14KmeansDedup _),
     "d15_inc_dedup" -> (TextDedup.d15IncrementalDedup _),
     "d16_inc_neardup" -> (TextDedup.d16IncNearDup _),
+    "d17_tfidf_pairs" -> (TextDedup.d17TfidfPairs _),
     "t20_tfidf" -> (TextAnalysis.t20Tfidf _),
     "t21_binll" -> (TextAnalysis.t21BigramNll _),
     "t22_mix" -> (TextAnalysis.t22MixtureSample _),
@@ -1650,6 +1651,36 @@ object SparkEntry {
         |FROM dw JOIN seg USING (w)
         |GROUP BY dw.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // d17: idf weights round to 4 (engine-identical inputs); the
+    // rare-shingle (df 2..10) candidate gate and the exact shared-
+    // shingle rerank mirror the Spark side shape for shape; ranking
+    // compares the ROUND-6 cosine on both engines, ties by pair ids.
+    "d17_tfidf_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 1, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh FROM t),
+        |dfq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM sh),
+        |w AS (SELECT doc_id, s.sh, df, round(ln(n.n / df), 4) AS wt
+        |  FROM sh s JOIN dfq USING (sh), n),
+        |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  WHERE a.df BETWEEN 2 AND 10),
+        |dt AS (SELECT c.id_a, c.id_b, sum(a.wt * b.wt) AS dot
+        |  FROM cand c
+        |  JOIN w a ON a.doc_id = c.id_a
+        |  JOIN w b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT d.id_a, d.id_b, round(d.dot / (x.nrm * y.nrm), 6) AS cos
+        |FROM dt d
+        |JOIN nrm x ON x.doc_id = d.id_a
+        |JOIN nrm y ON y.doc_id = d.id_b
+        |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

@@ -739,4 +739,68 @@ object TextDedup {
     histogram(byDoc, "doc").unionByName(histogram(byChunk, "chunk"))
       .orderBy($"granularity", $"n_members")
   }
+
+  /** d17 — sparse lexical near-dup: top-20 document pairs by IDF-
+    * weighted shingle cosine, the prefix-filtering / DIMSUM-family
+    * complement of the dense-embedding paths (d05/d11) and the
+    * unweighted set-overlap paths (d02/d04). Each doc is its SET of
+    * word-3-shingles weighted by idf = ln(N/df) (unigrams carry no
+    * rarity on this corpus — 31 distinct tokens, min df 25 — and are
+    * the degenerate case of the same op); candidate pairs come from a
+    * RARE-shingle inverted index — only shingles with document
+    * frequency in [2, 10] generate pairs — so the all-pairs blowup
+    * through boilerplate shingles never exists; candidates then rerank
+    * by EXACT cosine over every shared shingle.
+    *
+    * Scale shape: the inverted-index gather is the capped-bucket
+    * pattern ([[minhashCandidates]]) with the cap implied by the df
+    * bound — a posting list of at most 10 docs yields at most 45
+    * pairs, and df is a groupBy aggregate the weight table needs
+    * anyway. The rerank joins the bounded pair set against the per-doc
+    * weight table twice (id_a, then id_b+shingle) — fan-out bounded by
+    * |pairs| x doc-length, never corpus x corpus. Weights are ROUNDED
+    * idf (round-4 makes the per-shingle inputs engine-identical
+    * decimals; the remaining sum-order drift is ~1e-15 against
+    * cosine's round-6 grid), and ranking compares the ROUNDED cosine
+    * on both sides (the s06 argument). */
+  def d17TfidfPairs(s: SparkSession, dir: String): DataFrame =
+    sparseCosinePairs(
+      Tables.spread(Tables(s, dir, "documents")), "doc_id", "text")
+
+  /** The d17 kernel over an arbitrary frame (see [[d17TfidfPairs]] for
+    * semantics and the scale argument): top-`topK` pairs by
+    * idf-weighted shingle cosine, candidates gated to shingles with
+    * document frequency in [dfMin, dfMax]. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      dfMin: Int = 2, dfMax: Int = 10, topK: Int = 20): DataFrame = {
+    require(dfMin >= 2 && dfMax >= dfMin,
+      s"df gate must satisfy 2 <= dfMin <= dfMax, got [$dfMin, $dfMax]")
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), explode(shingles(col(textCol))).as("sh"))
+    val dfq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val n = broadcast(sh.agg(
+      countDistinct(col("__id")).cast("double").as("__n")))
+    val w = sh.join(dfq, "sh").crossJoin(n)
+      .select(col("__id"), col("sh"), col("df"),
+        round(log(col("__n") / col("df")), 4).as("wt"))
+    val norms = w.groupBy(col("__id"))
+      .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+    val cand = w.filter(col("df").between(dfMin, dfMax))
+      .groupBy(col("sh")).agg(sort_array(collect_set(col("__id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(unrollPairs(col("ds"),
+        (a, b) => struct(a.as("id_a"), b.as("id_b")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val dot = cand
+      .join(w.select(col("__id").as("id_a"), col("sh"), col("wt").as("wa")), "id_a")
+      .join(w.select(col("__id").as("id_b"), col("sh"), col("wt").as("wb")),
+        Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    dot.join(norms.select(col("__id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("__id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
 }

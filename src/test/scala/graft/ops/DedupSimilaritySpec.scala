@@ -54,6 +54,18 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(got == expect)
   }
 
+  test("d17 kernel: weighted shingle cosine ranks the dup pair at 1.0, skips unrelated docs") {
+    val pairs = TextDedup.sparseCosinePairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    // exact dup pair (1,2): identical shingle sets -> cosine exactly 1.0
+    assert(pairs.headOption.map(p => (p._1, p._2, p._3)) == Some((1L, 2L, 1.0)))
+    // near dup (differs in the last word) scores high but below 1.0
+    val near = pairs.filter(p => p._2 == 3L).map(_._3)
+    assert(near.nonEmpty && near.forall(c => c > 0.5 && c < 1.0))
+    // docs 4 and 5 share no shingle with anything -> never paired
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 >= 4L))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val cand = TextDedup.minhashCandidates(docs, bands = 16, rowsPerBand = 4)
     val verified = TextDedup.jaccardVerify(docs, cand)
