@@ -1354,8 +1354,10 @@ object Graft {
     * complement of [[nearDupPairs]]'s unweighted Jaccard; see
     * [[ops.TextDedup.sparseCosinePairs]] for the scale shape. */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-      dfMin: Int = 2, dfMax: Int = 10, topK: Int = 20): DataFrame =
-    ops.TextDedup.sparseCosinePairs(docs, idCol, textCol, dfMin, dfMax, topK)
+      dfMin: Int = 2, dfMax: Int = 10, minShared: Int = 3,
+      topK: Int = 20): DataFrame =
+    ops.TextDedup.sparseCosinePairs(
+      docs, idCol, textCol, dfMin, dfMax, minShared, topK)
 
   /** Write `df` as a bucketed+sorted table on a join/agg key — the
     * write-side half of the co-located join (q30): every later join or

@@ -1653,9 +1653,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // d17: idf weights round to 4 (engine-identical inputs); the
-    // rare-shingle (df 2..10) candidate gate and the exact shared-
-    // shingle rerank mirror the Spark side shape for shape; ranking
-    // compares the ROUND-6 cosine on both engines, ties by pair ids.
+    // candidate gate (>= 3 shared rare shingles, df 2..10) and the
+    // exact shared-shingle rerank mirror the Spark side shape for
+    // shape; ranking compares the ROUND-6 cosine on both engines,
+    // ties by pair ids.
     "d17_tfidf_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
@@ -1668,9 +1669,10 @@ object SparkEntry {
         |w AS (SELECT doc_id, s.sh, df, round(ln(n.n / df), 4) AS wt
         |  FROM sh s JOIN dfq USING (sh), n),
         |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  WHERE a.df BETWEEN 2 AND 10),
+        |  WHERE a.df BETWEEN 2 AND 10
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |dt AS (SELECT c.id_a, c.id_b, sum(a.wt * b.wt) AS dot
         |  FROM cand c
         |  JOIN w a ON a.doc_id = c.id_a

@@ -748,9 +748,11 @@ object TextDedup {
     * rarity on this corpus — 31 distinct tokens, min df 25 — and are
     * the degenerate case of the same op); candidate pairs come from a
     * RARE-shingle inverted index — only shingles with document
-    * frequency in [2, 10] generate pairs — so the all-pairs blowup
-    * through boilerplate shingles never exists; candidates then rerank
-    * by EXACT cosine over every shared shingle.
+    * frequency in [2, 10] generate pairs, and a pair must share at
+    * least 3 of them (one rare-shingle collision is chance on a small
+    * vocabulary) — so the all-pairs blowup through boilerplate
+    * shingles never exists; candidates then rerank by EXACT cosine
+    * over every shared shingle.
     *
     * Scale shape: the inverted-index gather is the capped-bucket
     * pattern ([[minhashCandidates]]) with the cap implied by the df
@@ -772,29 +774,70 @@ object TextDedup {
     * idf-weighted shingle cosine, candidates gated to shingles with
     * document frequency in [dfMin, dfMax]. */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-      dfMin: Int = 2, dfMax: Int = 10, topK: Int = 20): DataFrame = {
+      dfMin: Int = 2, dfMax: Int = 10, minShared: Int = 3,
+      topK: Int = 20): DataFrame = {
     require(dfMin >= 2 && dfMax >= dfMin,
       s"df gate must satisfy 2 <= dfMin <= dfMax, got [$dfMin, $dfMax]")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // Shuffle discipline: shingles fold to xxhash64 BEFORE any exchange
+    // (8-byte keys, never shingle text — grouping by hash merges
+    // colliding shingles with probability ~|vocab|²/2^64, the t09
+    // argument; the oracle's string-keyed side agrees up to that). ONE
+    // groupBy builds the posting lists, which re-explode into the
+    // weight table `w` carrying (shingle hash, doc, df, idf weight) —
+    // and `w` is eagerly localCheckpoint'ed: FOUR consumers (norms,
+    // candidate buckets, both rerank sides) read it, and expression
+    // trees have no sharing, so without severing lineage each consumer
+    // re-runs the corpus-wide shingle explode + aggregate (measured
+    // 5.3 s -> 4.0 s at sf0.1 for this line; the evidence threshold
+    // below then took the whole query to 1.5 s). The table is
+    // sum-of-posting-lists-sized — the corpus's distinct (doc, shingle)
+    // incidence, the same thing any inverted index stores — never the
+    // pair space; blocks are freed by the ContextCleaner when
+    // unreferenced (the componentMin discipline).
     val sh = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__id"), explode(shingles(col(textCol))).as("sh"))
-    val dfq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val n = broadcast(sh.agg(
-      countDistinct(col("__id")).cast("double").as("__n")))
-    val w = sh.join(dfq, "sh").crossJoin(n)
-      .select(col("__id"), col("sh"), col("df"),
-        round(log(col("__n") / col("df")), 4).as("wt"))
-    val norms = w.groupBy(col("__id"))
+      .select(col(idCol).as("__id"), explode(shingles(col(textCol))).as("s"))
+      .select(col("__id"), xxhash64(col("s")).as("h"))
+    // N = docs contributing >= 1 shingle. A doc has a shingle iff it
+    // has >= 3 tokens, so N comes off a narrow second scan of the
+    // input — NOT from re-deriving the whole shingle aggregate, which
+    // would re-run the corpus-wide explode for one scalar.
+    val n = broadcast(docs.filter(col(textCol).isNotNull)
+      .filter(size(tokens(col(textCol))) >= 3)
+      .agg(countDistinct(col(idCol)).cast("double").as("__n")))
+    // posting lists: (shingle hash, sorted member ids); per-doc shingle
+    // sets are distinct by construction, so df = size(ds)
+    val w = sh.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("__id"))).as("ds"))
+      .crossJoin(n)
+      .select(col("h"), col("ds"), size(col("ds")).as("df"),
+        round(log(col("__n") / size(col("ds"))), 4).as("wt"))
+      .localCheckpoint(true)
+    val exploded = w.select(col("h"), col("wt"), explode(col("ds")).as("__id"))
+    val norms = exploded.groupBy(col("__id"))
       .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+    // candidate = a pair sharing >= minShared DISTINCT rare shingles.
+    // One shared rare shingle is chance on a small token vocabulary
+    // (measured at sf0.1: 436k single-evidence pairs vs 894 with
+    // minShared=3 — real near-dups share dozens); the multiplicity of
+    // a pair across rare buckets IS its evidence count, so the
+    // threshold is one aggregate over the unrolled pairs, the same
+    // shared-fingerprint counting t07 uses.
     val cand = w.filter(col("df").between(dfMin, dfMax))
-      .groupBy(col("sh")).agg(sort_array(collect_set(col("__id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
       .select(explode(unrollPairs(col("ds"),
         (a, b) => struct(a.as("id_a"), b.as("id_b")))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
-    val dot = cand
-      .join(w.select(col("__id").as("id_a"), col("sh"), col("wt").as("wa")), "id_a")
-      .join(w.select(col("__id").as("id_b"), col("sh"), col("wt").as("wb")),
-        Seq("id_b", "sh"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") >= minShared)
+      .select(col("id_a"), col("id_b"))
+    // the pair set is bounded by the df gate (<= 45 pairs per rare
+    // shingle) — broadcast it so the shared-shingle rerank streams the
+    // incidence table instead of shuffling it
+    val dot = broadcast(cand)
+      .join(exploded.select(col("__id").as("id_a"), col("h"), col("wt").as("wa")),
+        "id_a")
+      .join(exploded.select(col("__id").as("id_b"), col("h"), col("wt").as("wb")),
+        Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dot"))
     dot.join(norms.select(col("__id").as("id_a"), col("nrm").as("na")), "id_a")
       .join(norms.select(col("__id").as("id_b"), col("nrm").as("nb")), "id_b")
