@@ -21,6 +21,13 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_ok = n_bad = 0
+    # queries that failed to RUN leave no output dir — name them instead
+    # of letting them vanish from the report (the round-9 failure mode)
+    err_path = os.path.join(out_dir, "verify_errors.json")
+    if os.path.exists(err_path):
+        for name, msg in json.load(open(err_path)).items():
+            print(f"FAIL {name}: did not run: {msg[:160]}")
+            n_bad += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
