@@ -111,6 +111,7 @@ object SparkEntry {
     "t25_tfidf_mat" -> (TextAnalysis.t25TfidfFromTf _),
     "t26_bpe" -> (TextAnalysis.t26BpeMerges _),
     "t27_bpe_segment" -> (TextAnalysis.t27BpeSegment _),
+    "t28_chunks" -> (TextAnalysis.t28Chunks _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -1683,6 +1684,21 @@ object SparkEntry {
         |JOIN nrm x ON x.doc_id = d.id_a
         |JOIN nrm y ON y.doc_id = d.id_b
         |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // t28: window starts are range(0, len, 48) on both engines (empty
+    // docs produce no starts); chunk text joins the same 1-based
+    // token slice; md5 is engine-identical.
+    "t28_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st FROM t)
+        |SELECT doc_id,
+        |  CAST(st // 48 AS INTEGER) AS chunk_idx,
+        |  CAST(least(64, len(toks) - st) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(toks[st + 1 : least(st + 64, len(toks))], ' ')) AS chunk_md5
+        |FROM s
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

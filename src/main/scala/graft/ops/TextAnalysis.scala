@@ -632,4 +632,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum($"__nt").as("n_tokens"))
       .orderBy($"doc_id")
   }
+
+  /** t28 — overlapping token-window chunking (the RAG/embedding-prep
+    * primitive): split each doc into windows of [[T28Size]] tokens at
+    * stride [[T28Stride]] (16-token overlap, so no retrieval boundary
+    * loses context), emitting per chunk its index, token count, and an
+    * md5 content fingerprint. The strided complement of the
+    * non-overlapping [[TextDedup.tokenChunks]] that d09/d12 dedup on;
+    * downstream this feeds chunk embedding (m-family plumbing) and
+    * chunk-level dedup. md5 is for oracle parity (t07's argument); at
+    * 100 TB fingerprint with xxhash64 — the fold, not the selection.
+    *
+    * Scale shape: one narrow pass — tokens bind once (the [[TextDedup.
+    * shingles]] wrapper), window starts enumerate via `sequence`, each
+    * chunk materializes exactly once inside the per-row transform, and
+    * the only shuffle is the output sort. Empty/null docs chunk to
+    * nothing (guarded: a 0-token doc must not emit one empty chunk). */
+  private val T28Size = 64
+  private val T28Stride = 48
+  def t28Chunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = element_at(transform(array(tokens($"text")), tsv =>
+      when(size(tsv) < 1,
+        array().cast("array<struct<chunk_idx:int,n_tokens:int,chunk_md5:string>>"))
+        .otherwise(transform(
+          sequence(lit(0), size(tsv) - 1, lit(T28Stride)),
+          (st, i) => struct(
+            i.as("chunk_idx"),
+            least(lit(T28Size), size(tsv) - st).as("n_tokens"),
+            md5(concat_ws(" ", slice(tsv, st + 1, lit(T28Size)))).as("chunk_md5"))))),
+      1)
+    Tables.spread(Tables(s, dir, "documents"))
+      .filter($"text".isNotNull)
+      .select($"doc_id", explode(chunks).as("c"))
+      .select($"doc_id", $"c.chunk_idx", $"c.n_tokens", $"c.chunk_md5")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
 }
