@@ -120,6 +120,7 @@ object SparkEntry {
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
+    "q32_orc_roundtrip" -> (Layout.q32OrcRoundtrip _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1546,6 +1547,15 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // q32 reads the ORC COPY of lineitem; the oracle reads the parquet
+    // original — the layout/format must never change answers.
+    "q32_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_quantity >= 25
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // t26: every step is integer-exact; the canonical double-separator
     // replace is the same greedy leftmost non-overlapping merge on

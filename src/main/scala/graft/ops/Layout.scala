@@ -149,4 +149,37 @@ object Layout {
     * 2-decimal-quantized (the PERF.md third regime). */
   def q31PartitionPruning(s: SparkSession, dir: String): DataFrame =
     q31Scan(s, eventsPartitioned(s, dir))
+
+  /** Materialize lineitem as ORC, once per (JVM, source dir) — the
+    * second columnar source format (built-in `orc` datasource; no
+    * external jar). Same `_SUCCESS` guard as the other layout writes. */
+  private[graft] def lineitemOrc(s: SparkSession, dir: String): String = {
+    val path = tmpPath("orc_lineitem", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Tables(s, dir, "lineitem").write.mode("overwrite").orc(path)
+    path
+  }
+
+  /** The ORC scan PlanAuditSpec audits: the quantity predicate must
+    * reach the ORC reader's PushedFilters (ORC carries min/max stride
+    * statistics exactly for this) and the read schema must exclude
+    * every untouched column — the same pushdown+pruning contract the
+    * parquet scans prove, now on the second format. */
+  private[graft] def q32Scan(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.orc(path)
+      .filter($"l_quantity" >= 25)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** q32 — ORC source roundtrip: lineitem written once as ORC, read
+    * back through the built-in ORC datasource, and aggregated — the
+    * oracle reads the original parquet, so a hash match proves the
+    * format conversion is content-exact (the q30/q31 layout-copy
+    * contract applied to a second file format). */
+  def q32OrcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    q32Scan(s, lineitemOrc(s, dir))
 }

@@ -115,6 +115,22 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"partition column read as data: $readSchema")
   }
 
+  test("q32: predicate and projection reach the ORC scan") {
+    // the second-format contract: pushdown + column pruning must hold
+    // on ORC exactly as the parquet scans prove (m04/q01)
+    val path = ops.Layout.lineitemOrc(spark, sf)
+    val plan = ops.Layout.q32Scan(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("orc") || plan.contains("Orc"), s"no ORC scan:\n$plan")
+    val pushed = "PushedFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,25.0)"),
+      s"quantity predicate did not reach the ORC scan: $pushed\n$plan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("l_shipdate") &&
+      readSchema.contains("l_extendedprice"),
+      s"ORC read schema not pruned: $readSchema")
+  }
+
   test("d16: the index probe broadcasts the batch bands, never shuffles the index") {
     // the 100 TB claim under test: the lake-sized band index must
     // stream scan-only against a BROADCAST of the (small) batch's
