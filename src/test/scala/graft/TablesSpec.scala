@@ -71,6 +71,29 @@ class TablesSpec extends SparkSuiteBase {
     assert(drift.isEmpty, "harness table schema drift:\n" + drift.mkString("\n"))
   }
 
+  test("the driver's flagship entry() returns rows") {
+    // the driver smoke-checks entry() rows > 0 before anything else —
+    // mirror that gate locally so a broken flagship fails here first
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query has either oracle SQL or a scaladoc'd no-oracle reason") {
+    // registry hygiene: a query key with no oracle entry is only
+    // legitimate for the documented no-oracle five (xxhash64/simhash
+    // fingerprints, media stubs, HLL sketch) — anything else silently
+    // downgrades to a rows-only check and weakens the correctness gate
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val allowed = Set("d03_simhash", "d07_simhash_pairs",
+      "m01_media_features", "m02_frame_sample", "q17_approx_distinct")
+    assert(noOracle == allowed,
+      s"unexpected oracle-less queries: ${(noOracle -- allowed).toSeq.sorted
+        .mkString(", ")}; missing expected: ${(allowed -- noOracle).toSeq.sorted
+        .mkString(", ")}")
+    // and no orphan oracle entries for unregistered queries
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: ${orphans.mkString(", ")}")
+  }
+
   test("events reader still handles the legacy nanos-as-long encoding") {
     // Synthesize what rounds ≤8 shipped: ts as a raw int64 of
     // nanos-since-epoch (what TIMESTAMP(NANOS) reads as under
