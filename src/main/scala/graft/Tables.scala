@@ -27,7 +27,17 @@ object Tables {
       // produced and every round-8 oracle hash stays valid.
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        catch { case scala.util.control.NonFatal(e)
+            if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
+          // NANOS-encoded file read without the legacy flag: Spark's
+          // raw PARQUET_TYPE_ILLEGAL names the type but not the fix
+          throw new IllegalStateException(
+            "events.parquet stores ts as parquet TIMESTAMP(NANOS); reading " +
+              "it requires spark.sql.legacy.parquet.nanosAsLong=true on the " +
+              "session builder — see graft.Tables scaladoc", e)
+        }
       raw.schema("ts").dataType match {
         case LongType => // TIMESTAMP(NANOS) read via nanosAsLong
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

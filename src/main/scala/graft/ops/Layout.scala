@@ -26,11 +26,24 @@ object Layout {
     * `String.hashCode`: a 32-bit tag collides two different source
     * dirs at birthday-paradox rates and would silently serve one
     * dir's layout copy for the other (ADVICE round 7); 64 bits of a
-    * cryptographic digest makes that astronomically unlikely. */
-  private[ops] def tag(dir: String): String =
+    * cryptographic digest makes that astronomically unlikely.
+    *
+    * The digest covers the dir path PLUS every contained parquet
+    * file's (name, mtime, length): a layout copy is derived DATA, so
+    * an in-place regeneration of the source (the round-9 testdata
+    * event) must miss every `_SUCCESS`/catalog guard and rebuild —
+    * a path-only tag would serve the stale copy forever while the
+    * oracle reads the new source. */
+  private[ops] def tag(dir: String): String = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest((dir +: files).mkString("|")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
 
   private[ops] def tmpPath(kind: String, dir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),

@@ -830,10 +830,13 @@ object TextDedup {
       .agg(count(lit(1)).as("__ns"))
       .filter(col("__ns") >= minShared)
       .select(col("id_a"), col("id_b"))
-    // the pair set is bounded by the df gate (<= 45 pairs per rare
-    // shingle) — broadcast it so the shared-shingle rerank streams the
-    // incidence table instead of shuffling it
-    val dot = broadcast(cand)
+    // No broadcast hint on the pair set: the df gate bounds pairs PER
+    // rare shingle, not globally — on a big corpus cand grows with the
+    // rare vocabulary, and a baked-in broadcast of an unbounded side
+    // is exactly the t21 mistake. Un-hinted, AQE broadcasts it at
+    // harness scale (runtime-sized: hundreds of pairs) and a corpus
+    // where it saturates falls back to a shuffle join.
+    val dot = cand
       .join(exploded.select(col("__id").as("id_a"), col("h"), col("wt").as("wa")),
         "id_a")
       .join(exploded.select(col("__id").as("id_b"), col("h"), col("wt").as("wb")),

@@ -30,7 +30,7 @@ class PlanAuditSpec extends SparkSuiteBase {
       try {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct"))
-          Some(s"$name plans a cartesian product") else None
+          Some(s"$name plans a cartesian product:\n${plan.take(4000)}") else None
       } catch { case scala.util.control.NonFatal(e) =>
         Some(s"$name failed to plan: ${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).linesIterator.take(2).mkString(" "))

@@ -66,7 +66,11 @@ class TablesSpec extends SparkSuiteBase {
     val drift = Tables.names.flatMap { n =>
       val got = Tables(spark, sf, n).schema
         .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
-      if (got == pinned(n)) None else Some(s"$n:\n  pinned: ${pinned(n)}\n  got:    $got")
+      pinned.get(n) match {
+        case Some(p) if got == p => None
+        case Some(p) => Some(s"$n:\n  pinned: $p\n  got:    $got")
+        case None => Some(s"$n: new harness table — add its pin (got: $got)")
+      }
     }
     assert(drift.isEmpty, "harness table schema drift:\n" + drift.mkString("\n"))
   }

@@ -22,12 +22,17 @@ def main(sf_dir, out_dir):
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_ok = n_bad = 0
     # queries that failed to RUN leave no output dir — name them instead
-    # of letting them vanish from the report (the round-9 failure mode)
+    # of letting them vanish from the report (the round-9 failure mode).
+    # Also EXCLUDE them from the dir walk: a reused outDir can hold a
+    # stale passing dump from a previous run of the now-broken query,
+    # which would double-report it as both did-not-run and ok.
     err_path = os.path.join(out_dir, "verify_errors.json")
     if os.path.exists(err_path):
-        for name, msg in json.load(open(err_path)).items():
+        errs = json.load(open(err_path))
+        for name, msg in errs.items():
             print(f"FAIL {name}: did not run: {msg[:160]}")
             n_bad += 1
+        names = [n for n in names if n not in errs]
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
