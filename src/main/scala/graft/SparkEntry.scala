@@ -121,6 +121,8 @@ object SparkEntry {
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "q32_orc_roundtrip" -> (Layout.q32OrcRoundtrip _),
+    "q33_json_source" -> (Layout.q33JsonRoundtrip _),
+    "q34_csv_permissive" -> (Layout.q34CsvPermissive _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1556,6 +1558,26 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_quantity >= 25
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q33 reads the JSON-lines COPY of orders; the oracle reads the
+    // parquet original — the text format round-trip (numbers, strings,
+    // AND the timestamp the filter cuts on) must never change answers.
+    "q33_json_source" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q34 reads the CSV COPY of customer carrying one planted corrupt
+    // row (quarantined by PERMISSIVE mode, excluded by the query); the
+    // oracle reads the clean parquet original — a hash match proves
+    // both the text round-trip and the quarantine.
+    "q34_csv_permissive" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  min(c_custkey) AS min_key
+        |FROM customer
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // t26: every step is integer-exact; the canonical double-separator
     // replace is the same greedy leftmost non-overlapping merge on

@@ -26,7 +26,8 @@ object Tables {
       // NTZ→LTZ cast is wall-clock-identical to what the nanos path
       // produced and every round-8 oracle hash stays valid.
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType,
+        TimestampType}
       val raw =
         try spark.read.parquet(s"$dir/$name.parquet")
         catch { case scala.util.control.NonFatal(e)
@@ -43,7 +44,17 @@ object Tables {
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case _: TimestampNTZType => // TIMESTAMP_MICROS, isAdjustedToUTC=0
           raw.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => raw // already a plain timestamp
+        case _: TimestampType => raw // already a plain timestamp
+        case other =>
+          // a FOURTH encoding (a string/date/int32 regeneration) must
+          // fail HERE with one named error, not pass through and
+          // surface as scattered per-query failures downstream (the
+          // round-9 lesson: diagnose the reader once, at the reader)
+          throw new IllegalStateException(
+            s"events.ts read as unexpected type $other; known encodings " +
+              "are LONG (TIMESTAMP(NANOS) via nanosAsLong), TIMESTAMP_NTZ " +
+              "(TIMESTAMP_MICROS, isAdjustedToUTC=0), and TIMESTAMP — a " +
+              "regenerated events.parquet needs an explicit branch here")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 

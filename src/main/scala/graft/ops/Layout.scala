@@ -33,12 +33,22 @@ object Layout {
     * an in-place regeneration of the source (the round-9 testdata
     * event) must miss every `_SUCCESS`/catalog guard and rebuild —
     * a path-only tag would serve the stale copy forever while the
-    * oracle reads the new source. */
+    * oracle reads the new source. A `*.parquet` entry that is itself
+    * a Spark dataset DIRECTORY folds its contained data files'
+    * (name, mtime, length) instead of the directory's own stat:
+    * rewriting a part file in place does not bump the parent dir's
+    * mtime, and `File.length()` on a directory is
+    * filesystem-dependent — either would serve a stale copy. */
   private[ops] def tag(dir: String): String = {
     val d = new java.io.File(dir)
+    def sig(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        s"${f.getName}/" +: Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).sortBy(_.getName)
+          .map(c => s"${f.getName}/${c.getName}:${c.lastModified}:${c.length}").toSeq
+      else Seq(s"${f.getName}:${f.lastModified}:${f.length}")
     val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.lastModified}:${f.length}")
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq.flatMap(sig)
     java.security.MessageDigest.getInstance("MD5")
       .digest((dir +: files).mkString("|")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -48,6 +58,31 @@ object Layout {
   private[ops] def tmpPath(kind: String, dir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${kind}_${tag(dir)}").getPath
+
+  /** Best-effort removal of ORPHANED layout copies: `graft_<kind>_*`
+    * tmp dirs whose tag no longer matches the current source digest.
+    * Every source regeneration changes the tag and would otherwise
+    * abandon the previous full-table copy under `java.io.tmpdir`
+    * forever. Called only on the build path (a rebuild fires exactly
+    * when the tag changed), so the steady state pays zero extra I/O.
+    * Failures are swallowed: a sweep must never break a build, and a
+    * file another process still holds open just survives to the next
+    * sweep. */
+  private[ops] def sweepStale(kind: String, keepTag: String): Unit = {
+    val prefix = s"graft_${kind}_"
+    val stale = Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != s"$prefix$keepTag")
+    stale.foreach { root =>
+      try {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(root)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** Bucket count for the co-located join demo. At 100 TB this is the
     * real tuning knob (buckets ≈ cluster cores × small multiple, sized
@@ -87,12 +122,16 @@ object Layout {
     // mode=overwrite replaces any stale catalog entry.
     def ready(t: String, path: String): Boolean =
       s.catalog.tableExists(t) && new java.io.File(path, "_SUCCESS").exists()
-    if (!ready(lT, tmpPath("bkt_lineitem", dir)))
+    if (!ready(lT, tmpPath("bkt_lineitem", dir))) {
+      sweepStale("bkt_lineitem", tag(dir))
       graft.Graft.writeBucketed(Tables(s, dir, "lineitem"), NumBuckets,
         "l_orderkey", tmpPath("bkt_lineitem", dir), lT)
-    if (!ready(oT, tmpPath("bkt_orders", dir)))
+    }
+    if (!ready(oT, tmpPath("bkt_orders", dir))) {
+      sweepStale("bkt_orders", tag(dir))
       graft.Graft.writeBucketed(Tables(s, dir, "orders"), NumBuckets,
         "o_orderkey", tmpPath("bkt_orders", dir), oT)
+    }
     (lT, oT)
   }
 
@@ -136,8 +175,10 @@ object Layout {
     * language, source domain — low cardinality, high selectivity). */
   private[graft] def eventsPartitioned(s: SparkSession, dir: String): String = {
     val path = tmpPath("evt_by_type", dir)
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      sweepStale("evt_by_type", tag(dir))
       graft.Graft.writePartitioned(Tables(s, dir, "events"), "event_type", path)
+    }
     path
   }
 
@@ -168,8 +209,10 @@ object Layout {
     * external jar). Same `_SUCCESS` guard as the other layout writes. */
   private[graft] def lineitemOrc(s: SparkSession, dir: String): String = {
     val path = tmpPath("orc_lineitem", dir)
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      sweepStale("orc_lineitem", tag(dir))
       Tables(s, dir, "lineitem").write.mode("overwrite").orc(path)
+    }
     path
   }
 
@@ -195,4 +238,113 @@ object Layout {
     * contract applied to a second file format). */
   def q32OrcRoundtrip(s: SparkSession, dir: String): DataFrame =
     q32Scan(s, lineitemOrc(s, dir))
+
+  /** Materialize orders as JSON lines, once per (JVM, source dir) —
+    * the reference's OWN source format: its S1 scan IS
+    * `pd.read_json` (`P:20`, `P:374`, `P:158`), so a JSON read path
+    * with an oracle row is part of the fidelity story, not an extra.
+    * Same `_SUCCESS` guard + stale-sibling sweep as the other layout
+    * copies. */
+  private[graft] def ordersJson(s: SparkSession, dir: String): String = {
+    val path = tmpPath("json_orders", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      sweepStale("json_orders", tag(dir))
+      Tables(s, dir, "orders").write.mode("overwrite").json(path)
+    }
+    path
+  }
+
+  /** The JSON scan PlanAuditSpec audits. The schema is passed
+    * EXPLICITLY (lifted from the parquet original's footer): schema
+    * inference over JSON is a full extra pass over the data — at
+    * 100 TB that doubles the scan cost before the query starts — and
+    * an explicit schema also pins the plan-asserted contract that no
+    * corrupt-record column leaks into ReadSchema. Column pruning
+    * still applies (the parser materializes only the fields the
+    * query touches); the timestamp filter proves the text round-trip
+    * of the temporal type, not just strings and numbers. */
+  private[graft] def q33Scan(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import s.implicits._
+    s.read.schema(schema).json(path)
+      .filter($"o_orderdate" >= lit("1996-06-15").cast(schema("o_orderdate").dataType))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** q33 — JSON source roundtrip: orders written once as JSON lines,
+    * read back through the built-in json datasource with an explicit
+    * schema, filtered on the round-tripped timestamp, and
+    * aggregated — the oracle reads the original parquet, so a hash
+    * match proves the text format conversion is content-exact
+    * (q32's contract applied to the reference's own source format). */
+  def q33JsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    q33Scan(s, ordersJson(s, dir), Tables(s, dir, "orders").schema)
+
+  /** Name of the CSV corrupt-record capture column (q34). */
+  private[graft] val CsvCorruptCol = "_graft_corrupt"
+
+  /** One malformed CSV line planted into the customer copy:
+    * `c_custkey` and `c_acctbal` both fail their numeric casts, so
+    * PERMISSIVE parsing must capture the raw line in
+    * [[CsvCorruptCol]] instead of aborting the scan (FAILFAST) or
+    * silently dropping the row (DROPMALFORMED). */
+  private[graft] val PlantedCorruptLine =
+    "not-a-key,PLANTED CORRUPT ROW,xx,bad-balance,HOUSEHOLD"
+
+  /** Materialize customer as headerless CSV plus ONE planted corrupt
+    * row, once per (JVM, source dir). The corrupt row lives in its
+    * own `zz_corrupt.csv` data file written AFTER the Spark job, and
+    * that file — not `_SUCCESS` — is the idempotence guard: it can
+    * only exist if the Spark write before it completed, so a crash
+    * between the two steps rebuilds both. This is the reference's
+    * per-record tolerance semantics (`P:27-30`: the bare
+    * `try/except` around each file's pipeline) applied where an
+    * engine should apply it — at the source, per row, with the bad
+    * record QUARANTINED in a named column rather than logged and
+    * lost. */
+  private[graft] def customerCsv(s: SparkSession, dir: String): String = {
+    val path = tmpPath("csv_customer", dir)
+    val planted = new java.io.File(path, "zz_corrupt.csv")
+    if (!planted.exists()) {
+      sweepStale("csv_customer", tag(dir))
+      Tables(s, dir, "customer").write.mode("overwrite").csv(path)
+      java.nio.file.Files.write(planted.toPath,
+        (PlantedCorruptLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    path
+  }
+
+  /** The PERMISSIVE CSV scan: explicit schema (CSV has none to
+    * infer without an extra pass) extended with [[CsvCorruptCol]];
+    * malformed rows surface there with every typed field null, and
+    * the aggregate excludes them by the quarantine column being
+    * non-null — never by accident of a failed cast. */
+  private[graft] def q34Scan(s: SparkSession, path: String,
+      base: org.apache.spark.sql.types.StructType): DataFrame = {
+    import s.implicits._
+    val schema = base.add(CsvCorruptCol, org.apache.spark.sql.types.StringType)
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CsvCorruptCol)
+      .csv(path)
+      .filter(col(CsvCorruptCol).isNull)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal"), 2).as("sum_bal"),
+        min($"c_custkey").as("min_key"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** q34 — CSV source with PERMISSIVE corrupt-record quarantine: the
+    * customer table round-trips through headerless CSV with one
+    * planted malformed row; the aggregate over the clean rows must
+    * hash-match the oracle over the parquet original, proving both
+    * the text round-trip AND that the corrupt row was quarantined
+    * (captured, then excluded by the explicit filter) rather than
+    * poisoning an aggregate or killing the scan. */
+  def q34CsvPermissive(s: SparkSession, dir: String): DataFrame =
+    q34Scan(s, customerCsv(s, dir), Tables(s, dir, "customer").schema)
 }

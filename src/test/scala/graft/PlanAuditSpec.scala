@@ -131,6 +131,42 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"ORC read schema not pruned: $readSchema")
   }
 
+  test("q33: JSON scan reads an explicit pruned schema, no corrupt-record leak") {
+    // the 100 TB claims under test: no schema-inference pass (the
+    // scan plans against the explicit schema), column pruning holds
+    // on the json source (untouched columns never parse), and the
+    // default corrupt-record column does not leak into the plan
+    val path = ops.Layout.ordersJson(spark, sf)
+    val schema = Tables(spark, sf, "orders").schema
+    val plan = ops.Layout.q33Scan(spark, path, schema)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("json") || plan.contains("Json"), s"no JSON scan:\n$plan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("o_custkey") &&
+      readSchema.contains("o_totalprice"),
+      s"JSON read schema not pruned: $readSchema")
+    assert(!plan.contains("corrupt"),
+      s"corrupt-record column leaked into the JSON plan:\n$plan")
+  }
+
+  test("q34: PERMISSIVE CSV quarantines the planted corrupt row") {
+    val path = ops.Layout.customerCsv(spark, sf)
+    val base = Tables(spark, sf, "customer").schema
+    val schema = base.add(ops.Layout.CsvCorruptCol,
+      org.apache.spark.sql.types.StringType)
+    val rows = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", ops.Layout.CsvCorruptCol)
+      .csv(path)
+      .filter(org.apache.spark.sql.functions.col(ops.Layout.CsvCorruptCol).isNotNull)
+      .select(ops.Layout.CsvCorruptCol, "c_custkey")
+      .collect()
+    assert(rows.length == 1, s"expected exactly the planted corrupt row, got ${rows.length}")
+    assert(rows.head.getString(0) == ops.Layout.PlantedCorruptLine,
+      s"corrupt column holds ${rows.head.getString(0)}, not the raw planted line")
+    assert(rows.head.isNullAt(1), "malformed c_custkey should be null on the corrupt row")
+  }
+
   test("d16: the index probe broadcasts the batch bands, never shuffles the index") {
     // the 100 TB claim under test: the lake-sized band index must
     // stream scan-only against a BROADCAST of the (small) batch's

@@ -113,4 +113,18 @@ class TablesSpec extends SparkSuiteBase {
     val ts = df.select($"ts".cast("string")).as[String].head()
     assert(ts == "2024-01-01 10:00:00.123456", s"nanos shim produced $ts")
   }
+
+  test("events reader fails by NAME on an unknown ts encoding") {
+    // A fourth physical encoding (here: string) must produce one named
+    // reader error, not pass through and surface as scattered per-query
+    // failures downstream — the round-9 diagnosis cost, paid once.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-bad").toString
+    Seq(("2024-01-01 10:00:00", 7L, "click", 1.5))
+      .toDF("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables(spark, dir, "events"))
+    assert(e.getMessage.contains("unexpected type") &&
+      e.getMessage.contains("StringType"), s"wrong error: ${e.getMessage}")
+  }
 }

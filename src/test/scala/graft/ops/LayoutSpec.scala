@@ -37,6 +37,76 @@ class LayoutSpec extends SparkSuiteBase {
     assert(before == after, "second call rewrote the bucketed layout")
   }
 
+  test("q33 equals the same aggregate over the parquet orders") {
+    val got = Layout.q33JsonRoundtrip(spark, sf).collect()
+    val orders = graft.Tables(spark, sf, "orders")
+    val want = orders
+      .filter(col("o_orderdate") >=
+        lit("1996-06-15").cast(orders.schema("o_orderdate").dataType))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+      .collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q34 equals the same aggregate over the parquet customer — corrupt row excluded") {
+    val got = Layout.q34CsvPermissive(spark, sf).collect()
+    val want = graft.Tables(spark, sf, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"),
+        min(col("c_custkey")).as("min_key"))
+      .orderBy(col("c_mktsegment"))
+      .collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("sweepStale removes orphaned copies of the same kind, keeps the live tag") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val stale = new java.io.File(tmp, "graft_swtest_deadbeefdeadbeef")
+    val live = new java.io.File(tmp, "graft_swtest_cafebabecafebabe")
+    val other = new java.io.File(tmp, "graft_othertest_deadbeefdeadbeef")
+    for (d <- Seq(stale, live, other)) {
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "part-0").toPath,
+        "x".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    try {
+      Layout.sweepStale("swtest", "cafebabecafebabe")
+      assert(!stale.exists(), "stale same-kind copy survived the sweep")
+      assert(live.exists(), "the live tag's copy was swept")
+      assert(other.exists(), "a different kind's copy was swept")
+    } finally Seq(stale, live, other).foreach { d =>
+      new java.io.File(d, "part-0").delete(); d.delete()
+    }
+  }
+
+  test("tag digests data files INSIDE a dataset-directory table") {
+    // a table shipped as `name.parquet/` (Spark-written directory):
+    // rewriting a part file in place must change the tag even though
+    // the parent directory's own mtime does not move
+    val src = java.nio.file.Files.createTempDirectory("graft_tagtest").toFile
+    try {
+      val tbl = new java.io.File(src, "t.parquet"); tbl.mkdirs()
+      val part = new java.io.File(tbl, "part-00000.parquet")
+      java.nio.file.Files.write(part.toPath, "v1".getBytes)
+      val before = Layout.tag(src.getPath)
+      java.nio.file.Files.write(part.toPath, "v2xx".getBytes) // new length
+      val dirMtime = tbl.lastModified
+      tbl.setLastModified(dirMtime): Unit // pin the parent dir stat
+      assert(Layout.tag(src.getPath) != before,
+        "in-place part rewrite did not change the layout tag")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(src)
+    }
+  }
+
   test("q31 equals the same aggregate over the unpartitioned events") {
     val got = Layout.q31PartitionPruning(spark, sf).collect()
     val want = graft.Tables(spark, sf, "events")
