@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 
 /** User-facing facade: the engine's reusable operators, parameterized
@@ -334,6 +335,38 @@ object Graft {
         sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
         coalesce(min(when(col("__rn") > 1, col("chunk_idx"))), lit(-1L))
           .as("first_dup_idx"))
+  }
+
+  /** Overlapping token-window chunking (t28's oracle-checked binding;
+    * the RAG/embedding-prep primitive): split each row's `textCol`
+    * into windows of `size` tokens at stride `stride` (overlap =
+    * size - stride, so no retrieval boundary loses context), emitting
+    * one row per chunk: `idCol`, chunk_idx (the window ORDINAL — 0,
+    * 1, 2, …; token offset = chunk_idx * stride),
+    * n_tokens, and an md5 content fingerprint (oracle parity; at
+    * 100 TB fingerprint with xxhash64 — the fold, not the selection).
+    * One narrow pass: tokens bind once, window starts enumerate via
+    * `sequence`, each chunk materializes exactly once inside the
+    * per-row transform; no shuffle at all (callers order). Null-text
+    * rows and 0-token docs chunk to nothing. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size >= 1 && stride >= 1, s"size/stride must be >= 1: $size/$stride")
+    val chunks = element_at(transform(array(ops.TextDedup.tokens(col(textCol))),
+      tsv => when(functions.size(tsv) < 1,
+        array().cast("array<struct<chunk_idx:int,n_tokens:int,chunk_md5:string>>"))
+        .otherwise(transform(
+          sequence(lit(0), functions.size(tsv) - 1, lit(stride)),
+          (st, i) => struct(
+            i.as("chunk_idx"),
+            least(lit(size), functions.size(tsv) - st).as("n_tokens"),
+            md5(concat_ws(" ", slice(tsv, st + 1, lit(size))))
+              .as("chunk_md5"))))),
+      1)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.n_tokens"),
+        col("__c.chunk_md5"))
   }
 
   /** Blocked fuzzy match (d10's oracle-checked binding): candidates

@@ -142,7 +142,8 @@ object SparkEntry {
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _),
     "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _),
-    "st09_append_windows" -> (graft.streaming.Streams.st09AppendWindows _)
+    "st09_append_windows" -> (graft.streaming.Streams.st09AppendWindows _),
+    "st10_outer_join" -> (graft.streaming.Streams.st10StreamingOuterJoin _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -742,6 +743,23 @@ object SparkEntry {
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |WHERE p.event_type = 'purchase' AND p.user_id % 10 = 0
         |ORDER BY user_id, purchase_ts_us, click_ts_us""".stripMargin,
+
+    // st10: the watermark sentinels finalize EVERY real click (see the
+    // operator scaladoc), so the oracle is the plain batch LEFT JOIN —
+    // matched rows mirror st05's inner join (opposite direction:
+    // purchases FOLLOWING the click), unmatched clicks carry nulls.
+    // NULLS FIRST pins DuckDB to Spark's ASC default.
+    "st10_outer_join" ->
+      """SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_ts_us,
+        |  epoch_us(p.ts) AS purchase_ts_us,
+        |  round(p.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'click' AND user_id % 10 = 0) c
+        |LEFT JOIN (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 10 = 0) p
+        |  ON p.user_id = c.user_id
+        | AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, click_ts_us, purchase_ts_us NULLS FIRST""".stripMargin,
 
     "st08_state" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -1578,6 +1596,138 @@ object SparkEntry {
         |  min(c_custkey) AS min_key
         |FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d03/d07: DuckDB 1.0.0 has no xxhash64, so these oracles inline a
+    // full XXH64 (seed 42, the xxHash spec) in SQL over the whitespace
+    // tokens of documents.text, then fold the per-bit majority vote —
+    // mirroring SimHashText/SimHash64 from first principles, not from
+    // planted engine values. Generated + self-checked by
+    // tools/gen_xxh64_sql.py (wrapping 64-bit multiplies via HUGEINT
+    // split products; let-bindings via single-element list_transform).
+    // Raw triple-quote WITHOUT stripMargin: the SQL contains bitwise
+    // `|`, which stripMargin would strip as a margin character.
+    // Assumptions asserted by the generator: ASCII tokens (byte ==
+    // codepoint) and tokens < 32 bytes (no XXH64 stripe loop; max
+    // observed 8) — if a testdata regeneration breaks either, rerun
+    // the generator (it fails loudly) and extend it.
+    "d03_simhash" ->
+      """WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents) WHERE tok <> ''),
+dtok AS (SELECT DISTINCT tok FROM toks),
+tbytes AS (
+  SELECT tok, strlen(tok)::BIGINT AS n,
+    list_transform(range(1, strlen(tok) + 1),
+      i -> unicode(substr(tok, i::INT, 1))::UBIGINT) AS bs
+  FROM dtok),
+-- XXH64(token, seed 42), tokens < 32 bytes: no stripe loop
+tacc AS (
+  SELECT tok, n, bs,
+    list_reduce(
+      list_prepend(CAST((((2870177450012600303)::HUGEINT + (n::UBIGINT)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT),
+        list_transform(range(0, n // 8), j -> ((bs)[(j*8 + 1)]::UBIGINT + (bs)[(j*8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[(j*8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[(j*8 + 1)+3]::UBIGINT * 16777216::UBIGINT + (bs)[(j*8 + 1)+4]::UBIGINT * 4294967296::UBIGINT + (bs)[(j*8 + 1)+5]::UBIGINT * 1099511627776::UBIGINT + (bs)[(j*8 + 1)+6]::UBIGINT * 281474976710656::UBIGINT + (bs)[(j*8 + 1)+7]::UBIGINT * 72057594037927936::UBIGINT))),
+      (a, w) -> (list_transform([CAST((((w)::HUGEINT * 668265295::HUGEINT + (((w)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t1 -> (list_transform([(CAST((((t1)::HUGEINT * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t1) >> 33))], t2 -> (list_transform([CAST((((t2)::HUGEINT * 2246822535::HUGEINT + (((t2)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t3 -> (list_transform([xor(a, t3)], t4 -> (list_transform([(CAST((((t4)::HUGEINT * 134217728::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t4) >> 37))], t5 -> CAST((((CAST((((t5)::HUGEINT * 2246822535::HUGEINT + (((t5)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (9650029242287828579)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]))[1]) AS a2
+  FROM tbytes),
+tacc4 AS (
+  SELECT tok, n, bs,
+    CASE WHEN n % 8 >= 4 THEN (list_transform([((bs)[((n // 8) * 8 + 1)]::UBIGINT + (bs)[((n // 8) * 8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[((n // 8) * 8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[((n // 8) * 8 + 1)+3]::UBIGINT * 16777216::UBIGINT)], v0 -> (list_transform([CAST((((v0)::HUGEINT * 2246822535::HUGEINT + (((v0)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], v1 -> (list_transform([xor(a2, v1)], v2 -> (list_transform([(CAST((((v2)::HUGEINT * 8388608::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((v2) >> 41))], v3 -> CAST((((CAST((((v3)::HUGEINT * 668265295::HUGEINT + (((v3)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (1609587929392839161)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]
+         ELSE a2 END AS a3
+  FROM tacc),
+tacct AS (
+  SELECT tok,
+    list_reduce(
+      list_prepend(a3,
+        list_transform(range(0, n % 4), j -> bs[n - (n % 4) + j + 1])),
+      (a, b) -> (list_transform([CAST((((b)::HUGEINT * 374761413::HUGEINT + (((b)::HUGEINT * 668265263::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], u1 -> (list_transform([xor(a, u1)], u2 -> (list_transform([(CAST((((u2)::HUGEINT * 2048::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((u2) >> 53))], u3 -> CAST((((u3)::HUGEINT * 2246822535::HUGEINT + (((u3)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]) AS a4
+  FROM tacc4),
+thash AS (
+  SELECT tok, (list_transform([xor(a4, a4 >> 33)], z1 -> (list_transform([CAST((((z1)::HUGEINT * 668265295::HUGEINT + (((z1)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z2 -> (list_transform([xor(z2, z2 >> 29)], z3 -> (list_transform([CAST((((z3)::HUGEINT * 2654435833::HUGEINT + (((z3)::HUGEINT * 374761393::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z4 -> xor(z4, z4 >> 32)))[1]))[1]))[1]))[1] AS hu
+  FROM tacct),
+votes AS (
+  SELECT t.doc_id, bit.k,
+    sum(CASE WHEN (h.hu >> bit.k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks t JOIN thash h USING (tok)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) bit
+  GROUP BY t.doc_id, bit.k),
+fps AS (
+  SELECT d.doc_id,
+    coalesce(sum(CASE WHEN v.v > 0 THEN
+      CASE WHEN v.k = 63 THEN -9223372036854775808
+           ELSE (1::BIGINT << v.k::INT) END ELSE 0 END), 0)::BIGINT AS fp
+  FROM documents d LEFT JOIN votes v USING (doc_id)
+  GROUP BY d.doc_id)
+SELECT doc_id, fp AS simhash64 FROM fps ORDER BY doc_id""",
+
+    "d07_simhash_pairs" ->
+      """WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents) WHERE tok <> ''),
+dtok AS (SELECT DISTINCT tok FROM toks),
+tbytes AS (
+  SELECT tok, strlen(tok)::BIGINT AS n,
+    list_transform(range(1, strlen(tok) + 1),
+      i -> unicode(substr(tok, i::INT, 1))::UBIGINT) AS bs
+  FROM dtok),
+-- XXH64(token, seed 42), tokens < 32 bytes: no stripe loop
+tacc AS (
+  SELECT tok, n, bs,
+    list_reduce(
+      list_prepend(CAST((((2870177450012600303)::HUGEINT + (n::UBIGINT)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT),
+        list_transform(range(0, n // 8), j -> ((bs)[(j*8 + 1)]::UBIGINT + (bs)[(j*8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[(j*8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[(j*8 + 1)+3]::UBIGINT * 16777216::UBIGINT + (bs)[(j*8 + 1)+4]::UBIGINT * 4294967296::UBIGINT + (bs)[(j*8 + 1)+5]::UBIGINT * 1099511627776::UBIGINT + (bs)[(j*8 + 1)+6]::UBIGINT * 281474976710656::UBIGINT + (bs)[(j*8 + 1)+7]::UBIGINT * 72057594037927936::UBIGINT))),
+      (a, w) -> (list_transform([CAST((((w)::HUGEINT * 668265295::HUGEINT + (((w)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t1 -> (list_transform([(CAST((((t1)::HUGEINT * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t1) >> 33))], t2 -> (list_transform([CAST((((t2)::HUGEINT * 2246822535::HUGEINT + (((t2)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t3 -> (list_transform([xor(a, t3)], t4 -> (list_transform([(CAST((((t4)::HUGEINT * 134217728::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t4) >> 37))], t5 -> CAST((((CAST((((t5)::HUGEINT * 2246822535::HUGEINT + (((t5)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (9650029242287828579)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]))[1]) AS a2
+  FROM tbytes),
+tacc4 AS (
+  SELECT tok, n, bs,
+    CASE WHEN n % 8 >= 4 THEN (list_transform([((bs)[((n // 8) * 8 + 1)]::UBIGINT + (bs)[((n // 8) * 8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[((n // 8) * 8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[((n // 8) * 8 + 1)+3]::UBIGINT * 16777216::UBIGINT)], v0 -> (list_transform([CAST((((v0)::HUGEINT * 2246822535::HUGEINT + (((v0)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], v1 -> (list_transform([xor(a2, v1)], v2 -> (list_transform([(CAST((((v2)::HUGEINT * 8388608::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((v2) >> 41))], v3 -> CAST((((CAST((((v3)::HUGEINT * 668265295::HUGEINT + (((v3)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (1609587929392839161)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]
+         ELSE a2 END AS a3
+  FROM tacc),
+tacct AS (
+  SELECT tok,
+    list_reduce(
+      list_prepend(a3,
+        list_transform(range(0, n % 4), j -> bs[n - (n % 4) + j + 1])),
+      (a, b) -> (list_transform([CAST((((b)::HUGEINT * 374761413::HUGEINT + (((b)::HUGEINT * 668265263::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], u1 -> (list_transform([xor(a, u1)], u2 -> (list_transform([(CAST((((u2)::HUGEINT * 2048::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((u2) >> 53))], u3 -> CAST((((u3)::HUGEINT * 2246822535::HUGEINT + (((u3)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]) AS a4
+  FROM tacc4),
+thash AS (
+  SELECT tok, (list_transform([xor(a4, a4 >> 33)], z1 -> (list_transform([CAST((((z1)::HUGEINT * 668265295::HUGEINT + (((z1)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z2 -> (list_transform([xor(z2, z2 >> 29)], z3 -> (list_transform([CAST((((z3)::HUGEINT * 2654435833::HUGEINT + (((z3)::HUGEINT * 374761393::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z4 -> xor(z4, z4 >> 32)))[1]))[1]))[1]))[1] AS hu
+  FROM tacct),
+votes AS (
+  SELECT t.doc_id, bit.k,
+    sum(CASE WHEN (h.hu >> bit.k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks t JOIN thash h USING (tok)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) bit
+  GROUP BY t.doc_id, bit.k),
+fps AS (
+  SELECT d.doc_id,
+    coalesce(sum(CASE WHEN v.v > 0 THEN
+      CASE WHEN v.k = 63 THEN -9223372036854775808
+           ELSE (1::BIGINT << v.k::INT) END ELSE 0 END), 0)::BIGINT AS fp
+  FROM documents d LEFT JOIN votes v USING (doc_id)
+  GROUP BY d.doc_id),
+fpb AS (
+  SELECT doc_id, fp,
+    CASE WHEN fp < 0 THEN CAST(fp::HUGEINT + 18446744073709551616::HUGEINT AS UBIGINT)
+         ELSE fp::UBIGINT END AS fpu
+  FROM fps),
+fblk AS (SELECT doc_id, fp, fpu, ((fpu >> 0) & 65535) AS blk0, ((fpu >> 16) & 65535) AS blk1, ((fpu >> 32) & 65535) AS blk2, ((fpu >> 48) & 65535) AS blk3 FROM fpb),
+bucketed AS (
+  SELECT b.block, b.key, count(*) AS sz FROM (
+    SELECT doc_id, unnest([{'block': 0, 'key': blk0}, {'block': 1, 'key': blk1},
+                           {'block': 2, 'key': blk2}, {'block': 3, 'key': blk3}], recursive := true)
+    FROM fblk) b
+  GROUP BY b.block, b.key)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  bit_count(xor(a.fp, b.fp))::INT AS hamming
+FROM fblk a JOIN fblk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+  AND EXISTS (
+    SELECT 1 FROM (VALUES (0, a.blk0, b.blk0), (1, a.blk1, b.blk1),
+                          (2, a.blk2, b.blk2), (3, a.blk3, b.blk3)) s(blk, ka, kb)
+    JOIN bucketed bu ON bu.block = s.blk AND bu.key = s.ka
+    WHERE s.ka = s.kb AND bu.sz BETWEEN 2 AND 64)
+ORDER BY id_a, id_b""",
 
     // t26: every step is integer-exact; the canonical double-separator
     // replace is the same greedy leftmost non-overlapping merge on

@@ -634,7 +634,9 @@ object TextAnalysis {
   }
 
   /** t28 — overlapping token-window chunking (the RAG/embedding-prep
-    * primitive): split each doc into windows of [[T28Size]] tokens at
+    * primitive; harness binding of [[graft.Graft.chunkTokens]], which
+    * holds the implementation and its scale argument): split each doc
+    * into windows of [[T28Size]] tokens at
     * stride [[T28Stride]] (16-token overlap, so no retrieval boundary
     * loses context), emitting per chunk its index, token count, and an
     * md5 content fingerprint. The strided complement of the
@@ -652,20 +654,8 @@ object TextAnalysis {
   private val T28Stride = 48
   def t28Chunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunks = element_at(transform(array(tokens($"text")), tsv =>
-      when(size(tsv) < 1,
-        array().cast("array<struct<chunk_idx:int,n_tokens:int,chunk_md5:string>>"))
-        .otherwise(transform(
-          sequence(lit(0), size(tsv) - 1, lit(T28Stride)),
-          (st, i) => struct(
-            i.as("chunk_idx"),
-            least(lit(T28Size), size(tsv) - st).as("n_tokens"),
-            md5(concat_ws(" ", slice(tsv, st + 1, lit(T28Size)))).as("chunk_md5"))))),
-      1)
-    Tables.spread(Tables(s, dir, "documents"))
-      .filter($"text".isNotNull)
-      .select($"doc_id", explode(chunks).as("c"))
-      .select($"doc_id", $"c.chunk_idx", $"c.n_tokens", $"c.chunk_md5")
+    graft.Graft.chunkTokens(Tables.spread(Tables(s, dir, "documents")),
+        "doc_id", "text", T28Size, T28Stride)
       .orderBy($"doc_id", $"chunk_idx")
   }
 }

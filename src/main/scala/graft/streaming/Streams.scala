@@ -72,6 +72,38 @@ object Streams {
         col("purchase_value"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click emits exactly
+    * once — either matched with each purchase by the same user inside
+    * the following `intervalMinutes`, or (the outer part) with a
+    * null purchase side once the watermark proves no match can still
+    * arrive. This is the production late-data shape the inner join
+    * ([[clickToPurchaseJoin]]) cannot express: "which clicks
+    * converted, and which provably did not" — the null-side row may
+    * only emit after the event-time watermark passes
+    * click_ts + interval, because until then a matching purchase
+    * could still be in flight. Same watermark sizing rule as the
+    * inner join (delay must cover the interval); state stays bounded
+    * the same way, with the unmatched-click row emitted (not just
+    * dropped) at eviction time. */
+  def clickPurchaseLeftJoin(events: DataFrame,
+      intervalMinutes: Int = 10): DataFrame = {
+    val delay = s"${math.max(10, intervalMinutes)} minutes"
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", delay)
+    clicks.join(purchases,
+      expr(s"""c_user = p_user AND
+              purchase_ts BETWEEN click_ts
+              AND click_ts + INTERVAL $intervalMinutes MINUTES"""),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup at ingest: drop re-deliveries of the same
     * content key within the watermark horizon. State carries one entry
     * per distinct key seen inside the horizon and is evicted as the
@@ -450,6 +482,59 @@ object Streams {
       .select(unix_micros($"window_start").as("window_start_us"),
         $"event_type", $"n_events", $"sum_value")
       .orderBy($"window_start_us", $"event_type")
+  }
+
+  /** st10 — stream-stream LEFT OUTER interval join
+    * ([[clickPurchaseLeftJoin]]) run genuinely incrementally: the st05
+    * replay harness, with the OUTER-specific finalization machinery
+    * under test — a matched (click, purchase) pair emits in the data
+    * batch where the later side arrives (the st05 property), while an
+    * UNMATCHED click may only emit its null-side row once the
+    * watermark passes click_ts + interval, which happens in a
+    * watermark-only batch after the last data batch
+    * (`noData = true`, the st09 opt-in).
+    *
+    * Deterministic-and-complete by REPLAY ORDER plus WATERMARK
+    * SENTINELS: the ts-sorted slice never drops anything as late
+    * (st05's argument), and two terminal sentinel events — one click,
+    * one purchase, both 10 HOURS past the real slice, under negative
+    * user ids — push BOTH sides' watermarks (the join takes the min)
+    * far beyond every real click's finalization point, so every
+    * unmatched real click provably finalizes and the DuckDB oracle is
+    * the plain batch LEFT JOIN with no watermark-cutoff mirroring
+    * (st09 mirrors the cutoff instead; here the sentinel margin — 10
+    * hours vs a 30-minute interval + 30-minute delay — keeps every
+    * real click strictly clear of the eviction boundary, so no
+    * boundary-precision assumption enters the oracle). The sentinels
+    * themselves never reach the sink: the sentinel purchase is on the
+    * null-producing join's right side, the sentinel click never
+    * finalizes (nothing advances the watermark past it), and the
+    * `user_id >= 0` filter excludes them regardless. */
+  def st10StreamingOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 0 &&
+        $"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .orderBy($"ts")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .collect()
+    val sentinelTs = new java.sql.Timestamp(
+      data.map(_._2.getTime).max + 10L * 3600 * 1000)
+    val sentinels = Seq((-1L, sentinelTs, "click", 0.0),
+      (-2L, sentinelTs, "purchase", 0.0))
+    replay(s, (data ++ sentinels).toSeq, OutputMode.Append, "st10",
+        noData = true) { ds =>
+      clickPurchaseLeftJoin(ds.toDF("user_id", "ts", "event_type", "value"), 30)
+    }
+      .filter($"user_id" >= 0)
+      .select($"user_id", unix_micros($"click_ts").as("click_ts_us"),
+        unix_micros($"purchase_ts").as("purchase_ts_us"),
+        round($"purchase_value", 2).as("purchase_value"))
+      // null ordering pinned on BOTH engines: Spark defaults nulls
+      // first for ASC, DuckDB defaults nulls last — the emitted-order
+      // hash compare would diverge on the unmatched rows otherwise
+      .orderBy($"user_id", $"click_ts_us", $"purchase_ts_us".asc_nulls_first)
   }
 
   def st03StreamingTumbling(s: SparkSession, dir: String): DataFrame = {

@@ -109,6 +109,24 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("chunkTokens windows with overlap; empty and null docs chunk to nothing") {
+    val df = Seq((1L, Option("a b c d e f g")), (2L, Option("x y")),
+      (3L, Option("")), (4L, Option.empty[String])).toDF("id", "text")
+    val got = Graft.chunkTokens(df, "id", "text", size = 4, stride = 3)
+      .select($"id", $"chunk_idx", $"n_tokens")
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    // doc 1 (7 tokens, size 4 / stride 3): window ordinals 0, 1, 2
+    // (token offsets 0, 3, 6) with 4, 4, 1 tokens; doc 2 (2 tokens):
+    // one short window; docs 3/4 (empty/null): nothing
+    assert(got == Seq((1L, 0, 4), (1L, 1, 4), (1L, 2, 1), (2L, 0, 2)),
+      s"wrong chunking: $got")
+    // chunk content fingerprints the exact token window: the overlap
+    // makes windows 0 and 3 share a token but differ in md5
+    val md5s = Graft.chunkTokens(df, "id", "text", 4, 3)
+      .filter($"id" === 1L).select($"chunk_md5").as[String].collect()
+    assert(md5s.distinct.length == 3)
+  }
+
   test("contamination facade flags the overlapping doc against a separate benchmark frame") {
     val corpus = Seq(
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india"),

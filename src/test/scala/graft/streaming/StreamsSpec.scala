@@ -105,6 +105,58 @@ class StreamsSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("left-outer join: null-side rows emit only after the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.clickPurchaseLeftJoin(in.toDF())
+      .writeStream.format("memory").queryName("lojoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(5, "click", 0.0, 1L),      // never matches: user 1 has no purchase
+        ev(1, "click", 0.0, 2L),      // matches the purchase 7 min later
+        ev(8, "purchase", 9.99, 2L))
+      q.processAllAvailable()
+      val afterB1 = spark.sql("SELECT user_id, purchase_value FROM lojoin")
+        .as[(Long, Option[Double])].collect().toSeq
+      // the matched pair emits with the data batch; the unmatched click
+      // must NOT have emitted yet — its watermark (10:08 - 10 min) is
+      // far short of click_ts + interval (10:15), so a match could
+      // still arrive
+      assert(afterB1 == Seq((2L, Some(9.99))),
+        s"premature outer emission: $afterB1")
+      // flush BOTH sides' watermarks (the join takes the min) past
+      // 10:15: now — and only now — the null-side row may emit
+      in.addData(ev(59, "click", 0.0, 98L), ev(59, "purchase", 0.0, 99L))
+      q.processAllAvailable()
+      val afterB2 = spark.sql(
+        "SELECT user_id, purchase_value FROM lojoin WHERE user_id = 1")
+        .as[(Long, Option[Double])].collect().toSeq
+      assert(afterB2 == Seq((1L, None)),
+        s"unmatched click did not finalize with nulls: $afterB2")
+    } finally q.stop()
+  }
+
+  test("st10: incremental left-outer join equals the batch left join") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st10StreamingOuterJoin(spark, sf).collect().toSeq
+    val events = graft.Tables(spark, sf, "events")
+    val c = events.filter($"event_type" === "click" && $"user_id" % 10 === 0)
+      .select($"user_id", $"ts".as("cts"))
+    val p = events.filter($"event_type" === "purchase" && $"user_id" % 10 === 0)
+      .select($"user_id".as("pu"), $"ts".as("pts"), $"value")
+    val expected = c.join(p, $"user_id" === $"pu" &&
+        $"pts" >= $"cts" && $"pts" <= $"cts" + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select($"user_id", unix_micros($"cts").as("click_ts_us"),
+        unix_micros($"pts").as("purchase_ts_us"),
+        round($"value", 2).as("purchase_value"))
+      .orderBy($"user_id", $"click_ts_us", $"purchase_ts_us".asc_nulls_first)
+      .collect().toSeq
+    assert(got == expected,
+      s"outer join diverged: got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("streamingDedup drops watermark-horizon re-deliveries, keeps firsts") {
     implicit val sc = spark.sqlContext
     case class Doc(ts: Timestamp, text: String)

@@ -1,0 +1,224 @@
+#!/usr/bin/env python3
+"""Dev-only generator for the d03/d07 DuckDB oracle SQL.
+
+NOT part of the engine (engine = Scala Spark only). DuckDB 1.0.0 has no
+xxhash64, so the oracle inlines a full XXH64 (seed 42) in SQL over the
+whitespace tokens of `documents.text`, then folds the per-bit majority
+vote into the 64-bit SimHash fingerprint — mirroring
+graft.functions.SimHashText/SimHash64 from first principles (the
+xxHash spec), NOT by planting engine-computed values. Run this script
+to (re)generate and self-check the SQL; paste the printed blocks into
+SparkEntry.oracleSql.
+
+Why generated: the oracle must be ONE SQL statement (no CREATE MACRO),
+and every 64-bit wrapping multiply has to be inlined via HUGEINT
+arithmetic (DuckDB raises on UBIGINT overflow instead of wrapping).
+All XXH64 multiplies are by constant primes, so each expands to a
+compact two-term split: a*b mod 2^64 =
+(a*b_lo + ((a*b_hi mod 2^32) << 32)) mod 2^64, every intermediate
+below 2^97 (HUGEINT-safe).
+
+Caveats (hold for the harness corpus, asserted by the self-check):
+- byte == codepoint (ASCII text; `unicode(substr(...))` reads bytes);
+- tokens shorter than 32 bytes (no XXH64 stripe loop; max seen: 8).
+"""
+
+M64 = 18446744073709551616  # 2^64
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+SEED = 42
+
+
+def mulc(x, c):
+    """x * c mod 2^64 for a constant c, all intermediates < 2^97.
+    `x` should be a bare variable name (it appears twice)."""
+    lo, hi = c % (1 << 32), c >> 32
+    t1 = f"({x})::HUGEINT * {lo}::HUGEINT"
+    if hi:
+        t2 = f" + ((({x})::HUGEINT * {hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT"
+    else:
+        t2 = ""
+    return f"CAST((({t1}{t2}) % {M64}::HUGEINT) AS UBIGINT)"
+
+
+def let(expr, var, body):
+    """let-binding emulation: a single-element list_transform evaluates
+    `expr` once and binds it to `var` inside `body` — without this,
+    every rotl/xor duplicates its whole argument subtree textually and
+    the inlined XXH64 explodes to ~25 KB of SQL."""
+    return f"(list_transform([{expr}], {var} -> {body}))[1]"
+
+
+def rotl(x, r):
+    """(x << r | x >> (64-r)); left shift as a wrapping multiply
+    (DuckDB raises on plain `<<` overflow). `x` must be a bare var."""
+    return f"({mulc(x, (1 << r) % M64)} | (({x}) >> {64 - r}))"
+
+
+def add(x, y):
+    return f"CAST(((({x})::HUGEINT + ({y})::HUGEINT) % {M64}::HUGEINT) AS UBIGINT)"
+
+
+def xxh64_sql(word_var="w", acc_var="a", byte_var="b"):
+    """Emit the two fold-lambda bodies for the <32-byte path, using
+    let-bindings so each stage's text appears once."""
+    # 8-byte word step: acc ^= rotl31(k*P2)*P1; acc = rotl27(acc)*P1 + P4
+    step8 = let(mulc(word_var, P2), "t1",
+            let(rotl("t1", 31), "t2",
+            let(mulc("t2", P1), "t3",
+            let(f"xor({acc_var}, t3)", "t4",
+            let(rotl("t4", 27), "t5",
+            add(mulc("t5", P1), P4))))))
+    # tail byte step: acc ^= b*P5; acc = rotl11(acc)*P1
+    stepb = let(mulc(byte_var, P5), "u1",
+            let(f"xor({acc_var}, u1)", "u2",
+            let(rotl("u2", 11), "u3",
+            mulc("u3", P1))))
+    return step8, stepb
+
+
+def word8(bs, off):
+    """bs[off]..bs[off+7] little-endian (1-based list index expr `off`)."""
+    terms = [f"({bs})[({off})+{j}]::UBIGINT * {1 << (8 * j)}::UBIGINT"
+             if j else f"({bs})[({off})]::UBIGINT" for j in range(8)]
+    # each term < 2^64 and the total IS a 64-bit value: plain + is safe
+    return "(" + " + ".join(terms) + ")"
+
+
+def word4(bs, off):
+    terms = [f"({bs})[({off})+{j}]::UBIGINT * {1 << (8 * j)}::UBIGINT"
+             if j else f"({bs})[({off})]::UBIGINT" for j in range(4)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def fingerprint_ctes():
+    """CTE chain: documents -> per-doc token occurrences -> distinct
+    token XXH64 -> per-doc per-bit vote -> signed 64-bit fingerprint."""
+    step8, stepb = xxh64_sql()
+    acc0 = (SEED + P5) % M64  # n<32 init, constant-folded
+    # 4-byte word step: acc ^= w4*P1; acc = rotl23(acc)*P2 + P3
+    step4 = let(word4('bs', '(n // 8) * 8 + 1'), "v0",
+            let(mulc("v0", P1), "v1",
+            let("xor(a2, v1)", "v2",
+            let(rotl("v2", 23), "v3",
+            add(mulc("v3", P2), P3)))))
+    # final avalanche
+    aval = let("xor(a4, a4 >> 33)", "z1",
+           let(mulc("z1", P2), "z2",
+           let("xor(z2, z2 >> 29)", "z3",
+           let(mulc("z3", P3), "z4",
+           "xor(z4, z4 >> 32)"))))
+    return f"""toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents) WHERE tok <> ''),
+dtok AS (SELECT DISTINCT tok FROM toks),
+tbytes AS (
+  SELECT tok, strlen(tok)::BIGINT AS n,
+    list_transform(range(1, strlen(tok) + 1),
+      i -> unicode(substr(tok, i::INT, 1))::UBIGINT) AS bs
+  FROM dtok),
+-- XXH64(token, seed {SEED}), tokens < 32 bytes: no stripe loop
+tacc AS (
+  SELECT tok, n, bs,
+    list_reduce(
+      list_prepend({add(str(acc0), 'n::UBIGINT')},
+        list_transform(range(0, n // 8), j -> {word8('bs', 'j*8 + 1')})),
+      (a, w) -> {step8}) AS a2
+  FROM tbytes),
+tacc4 AS (
+  SELECT tok, n, bs,
+    CASE WHEN n % 8 >= 4 THEN {step4}
+         ELSE a2 END AS a3
+  FROM tacc),
+tacct AS (
+  SELECT tok,
+    list_reduce(
+      list_prepend(a3,
+        list_transform(range(0, n % 4), j -> bs[n - (n % 4) + j + 1])),
+      (a, b) -> {stepb}) AS a4
+  FROM tacc4),
+thash AS (
+  SELECT tok, {aval} AS hu
+  FROM tacct),
+votes AS (
+  SELECT t.doc_id, bit.k,
+    sum(CASE WHEN (h.hu >> bit.k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks t JOIN thash h USING (tok)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) bit
+  GROUP BY t.doc_id, bit.k),
+fps AS (
+  SELECT d.doc_id,
+    coalesce(sum(CASE WHEN v.v > 0 THEN
+      CASE WHEN v.k = 63 THEN -9223372036854775808
+           ELSE (1::BIGINT << v.k::INT) END ELSE 0 END), 0)::BIGINT AS fp
+  FROM documents d LEFT JOIN votes v USING (doc_id)
+  GROUP BY d.doc_id)"""
+
+
+def d03_sql():
+    return ("WITH " + fingerprint_ctes() +
+            "\nSELECT doc_id, fp AS simhash64 FROM fps ORDER BY doc_id")
+
+
+def d07_sql(max_hamming=3, max_bucket=64):
+    # Engine semantics (TextDedup.simhashPairs): candidate pairs come
+    # from 4x16-bit block buckets with 2 <= |bucket| <= 64 (oversized
+    # buckets are DROPPED, not truncated), then hamming <= 3 verify.
+    # For hamming <= 3 the blocking has perfect recall (pigeonhole:
+    # 3 differing bits touch at most 3 of 4 blocks), so the oracle is
+    # pairs sharing at least one NON-OVERSIZED block bucket with
+    # bit_count(xor) <= 3.
+    blocks = ", ".join(
+        f"((fpu >> {b * 16}) & 65535) AS blk{b}" for b in range(4))
+    return ("WITH " + fingerprint_ctes() + f""",
+fpb AS (
+  SELECT doc_id, fp,
+    CASE WHEN fp < 0 THEN CAST(fp::HUGEINT + {M64}::HUGEINT AS UBIGINT)
+         ELSE fp::UBIGINT END AS fpu
+  FROM fps),
+fblk AS (SELECT doc_id, fp, fpu, {blocks} FROM fpb),
+bucketed AS (
+  SELECT b.block, b.key, count(*) AS sz FROM (
+    SELECT doc_id, unnest([{{'block': 0, 'key': blk0}}, {{'block': 1, 'key': blk1}},
+                           {{'block': 2, 'key': blk2}}, {{'block': 3, 'key': blk3}}], recursive := true)
+    FROM fblk) b
+  GROUP BY b.block, b.key)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  bit_count(xor(a.fp, b.fp))::INT AS hamming
+FROM fblk a JOIN fblk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+  AND EXISTS (
+    SELECT 1 FROM (VALUES (0, a.blk0, b.blk0), (1, a.blk1, b.blk1),
+                          (2, a.blk2, b.blk2), (3, a.blk3, b.blk3)) s(blk, ka, kb)
+    JOIN bucketed bu ON bu.block = s.blk AND bu.key = s.ka
+    WHERE s.ka = s.kb AND bu.sz BETWEEN 2 AND {max_bucket})
+ORDER BY id_a, id_b""")
+
+
+if __name__ == "__main__":
+    import sys
+    import duckdb
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    vout = sys.argv[2] if len(sys.argv) > 2 else None
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    # self-check assumptions
+    a = con.sql("SELECT max(strlen(tok)), max(CASE WHEN tok ~ '^[\\x00-\\x7F]*$' THEN 0 ELSE 1 END) FROM (SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents) WHERE tok <> ''").fetchone()
+    assert a[0] < 32, f"token >= 32 bytes ({a[0]}): stripe loop needed"
+    assert a[1] == 0, "non-ASCII token: byte!=codepoint"
+    for name, sql in (("d03_simhash", d03_sql()), ("d07_simhash_pairs", d07_sql())):
+        got = con.sql(sql).fetchall()
+        print(f"{name}: {len(got)} rows")
+        if vout:
+            want = con.sql(f"SELECT * FROM read_parquet('{vout}/{name}/*.parquet')").fetchall()
+            want = sorted(want)
+            assert sorted(got) == want, f"{name} MISMATCH: got {got[:3]}..., want {want[:3]}..."
+            print(f"{name}: matches the engine dump exactly")
+    if "--print" in sys.argv:
+        print("\n-- d03 --\n" + d03_sql())
+        print("\n-- d07 --\n" + d07_sql())
