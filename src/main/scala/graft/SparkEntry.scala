@@ -60,6 +60,7 @@ object SparkEntry {
     "st08_state" -> (graft.streaming.Streams.st08RunningStats _),
     "m03_hash" -> (Multimodal.m03MediaHash _),
     "m04_meta" -> (Multimodal.m04MetadataPushdown _),
+    "m05_meta_ann" -> (Multimodal.m05MetaAnn _),
     "t19_zipf" -> (TextAnalysis.t19Zipf _),
     "s06_hybrid" -> (Similarity.s06HybridSearch _),
     "t17_domains" -> (TextAnalysis.t17Domains _),
@@ -803,6 +804,26 @@ object SparkEntry {
         |WHERE strlen(text) >= 64
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    // m05: the metadata gate (n_bytes >= 64 on the asset copy) is
+    // strlen(text) >= 64 on the oracle side (m03/m04's argument: the
+    // fake payload IS the documents' UTF-8 bytes); the ranking mirrors
+    // the s01 oracle over the gated corpus.
+    "m05_meta_ann" ->
+      """WITH a AS (SELECT doc_id FROM documents WHERE strlen(text) >= 64),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |      FROM embeddings JOIN a ON vec_id = a.doc_id),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS c
+        |  FROM q, e WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(c, 6) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "t19_zipf" ->
       """WITH tok AS (SELECT unnest(

@@ -169,6 +169,37 @@ object Multimodal {
       .orderBy($"bucket")
   }
 
+  /** m05 — metadata-GATED multimodal retrieval: ANN over only the
+    * assets whose sidecar metadata passes a predicate — the
+    * multimodal search shape at 100 TB ("find similar images at
+    * least this large"): the cheap, pushdown-pruned metadata scan
+    * shrinks the candidate set BEFORE any embedding math, and the
+    * binary payload is never read at all (the m04 property carried
+    * through a whole retrieval pipeline; PlanAuditSpec asserts no
+    * ReadSchema in the final plan contains the payload column).
+    * Candidates then rank by the fused native cosine kernel with the
+    * s01 top-k shape ([[graft.Graft.cosineTopK]]: corpus-side scan +
+    * broadcast queries — no corpus shuffle). The embedding join is
+    * un-hinted: AQE broadcasts the surviving doc_id set at harness
+    * scale and falls back to a hash join when the filter passes
+    * millions of assets. */
+  def m05MetaAnn(s: SparkSession, dir: String): DataFrame =
+    m05Rank(s, mediaParquet(s, dir), Tables(s, dir, "embeddings"))
+
+  /** The gated ranking stage PlanAuditSpec audits. */
+  private[graft] def m05Rank(s: SparkSession, path: String,
+      emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val passing = s.read.parquet(path)
+      .filter($"n_bytes" >= 64).select($"doc_id")
+    val corpus = emb.join(passing, emb("vec_id") === col("doc_id"))
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id", $"embedding")
+    graft.Graft.cosineTopK(corpus, queries, 5)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** m01 — end-to-end multimodal pipeline over fake media: documents'
     * text bytes stand in for blobs, width/height metadata is derived
     * deterministically, decode runs batchwise per partition, features

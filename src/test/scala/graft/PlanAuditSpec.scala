@@ -131,6 +131,22 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"ORC read schema not pruned: $readSchema")
   }
 
+  test("m05: the whole retrieval plan never reads the binary payload") {
+    // the 100 TB claim under test: metadata-gated ANN touches sidecar
+    // columns + embeddings only — every scan's ReadSchema must exclude
+    // the `media` payload, and the metadata predicate must push down
+    val path = ops.Multimodal.mediaParquet(spark, sf)
+    val plan = ops.Multimodal.m05Rank(spark, path, Tables(spark, sf, "embeddings"))
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(schemas.nonEmpty, s"no scans in plan:\n$plan")
+    assert(!schemas.exists(_.contains("media")),
+      s"payload column read by the retrieval plan: $schemas")
+    val pushed = "PushedFilters: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(pushed.exists(_.contains("GreaterThanOrEqual(n_bytes,64)")),
+      s"metadata gate did not reach the asset scan: $pushed")
+  }
+
   test("q33: JSON scan reads an explicit pruned schema, no corrupt-record leak") {
     // the 100 TB claims under test: no schema-inference pass (the
     // scan plans against the explicit schema), column pruning holds
