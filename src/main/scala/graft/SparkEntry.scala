@@ -124,6 +124,7 @@ object SparkEntry {
     "q32_orc_roundtrip" -> (Layout.q32OrcRoundtrip _),
     "q33_json_source" -> (Layout.q33JsonRoundtrip _),
     "q34_csv_permissive" -> (Layout.q34CsvPermissive _),
+    "q35_schema_evolution" -> (Layout.q35SchemaEvolution _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1616,6 +1617,19 @@ object SparkEntry {
         |  round(sum(c_acctbal), 2) AS sum_bal,
         |  min(c_custkey) AS min_key
         |FROM customer
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q35 reads the two-generation (schema-evolved) COPY of orders;
+    // the oracle reproduces the generation split on the single-schema
+    // original: even keys predate the o_orderstatus column and fold to
+    // the same '<pre-schema>' bucket the engine's coalesce produces.
+    "q35_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+        |            ELSE o_orderstatus END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  min(o_orderkey) AS min_key
+        |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // d03/d07: DuckDB 1.0.0 has no xxhash64, so these oracles inline a

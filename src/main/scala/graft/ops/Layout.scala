@@ -55,33 +55,61 @@ object Layout {
       .take(8).map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** Source-PATH key, stable across content regenerations — the
+    * second component of every layout-copy dir name. Without it the
+    * stale sweep could not tell "an old generation of THIS source"
+    * (stale, removable) from "a copy of a DIFFERENT source dir"
+    * (live: sf0.001 tests and sf0.1 bench legitimately hold same-kind
+    * copies side by side, and a path-blind sweep would thrash them on
+    * every alternation). */
+  private[ops] def pathTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getCanonicalPath
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+
   private[ops] def tmpPath(kind: String, dir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${kind}_${tag(dir)}").getPath
+      s"graft_${kind}_${pathTag(dir)}_${tag(dir)}").getPath
 
-  /** Best-effort removal of ORPHANED layout copies: `graft_<kind>_*`
-    * tmp dirs whose tag no longer matches the current source digest.
-    * Every source regeneration changes the tag and would otherwise
-    * abandon the previous full-table copy under `java.io.tmpdir`
-    * forever. Called only on the build path (a rebuild fires exactly
-    * when the tag changed), so the steady state pays zero extra I/O.
-    * Failures are swallowed: a sweep must never break a build, and a
-    * file another process still holds open just survives to the next
-    * sweep. */
+  /** Best-effort recursive delete: a sweep must never break a build,
+    * and a file another process still holds open just survives to the
+    * next sweep. */
+  private def rmQuiet(root: java.io.File): Unit =
+    try {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Sweep stale generations of `dir`'s `kind` copy: same kind, same
+    * source path, different content tag — exactly the dirs a source
+    * regeneration strands. Other source dirs' copies never match the
+    * (kind, pathTag) prefix and are left alone. Also removes
+    * legacy-named copies (`graft_<kind>_<16-hex content tag>`, no
+    * path component) from before this naming — nothing creates them
+    * anymore, so any survivor is an orphan by definition. */
+  private[ops] def sweepStaleFor(kind: String, dir: String): Unit = {
+    sweepStale(s"${kind}_${pathTag(dir)}", tag(dir))
+    val legacy = s"^graft_${java.util.regex.Pattern.quote(kind)}_[0-9a-f]{16}$$".r
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => legacy.matches(f.getName))
+      .foreach(rmQuiet)
+  }
+
+  /** Best-effort removal of layout-copy dirs named
+    * `graft_<kindPrefix>_<tag>` whose tag differs from `keepTag`.
+    * Called only on the build path (a rebuild fires exactly when the
+    * tag changed), so the steady state pays zero extra I/O. */
   private[ops] def sweepStale(kind: String, keepTag: String): Unit = {
     val prefix = s"graft_${kind}_"
-    val stale = Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && f.getName != s"$prefix$keepTag")
-    stale.foreach { root =>
-      try {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(root)
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+      .foreach(rmQuiet)
   }
 
   /** Bucket count for the co-located join demo. At 100 TB this is the
@@ -123,12 +151,12 @@ object Layout {
     def ready(t: String, path: String): Boolean =
       s.catalog.tableExists(t) && new java.io.File(path, "_SUCCESS").exists()
     if (!ready(lT, tmpPath("bkt_lineitem", dir))) {
-      sweepStale("bkt_lineitem", tag(dir))
+      sweepStaleFor("bkt_lineitem", dir)
       graft.Graft.writeBucketed(Tables(s, dir, "lineitem"), NumBuckets,
         "l_orderkey", tmpPath("bkt_lineitem", dir), lT)
     }
     if (!ready(oT, tmpPath("bkt_orders", dir))) {
-      sweepStale("bkt_orders", tag(dir))
+      sweepStaleFor("bkt_orders", dir)
       graft.Graft.writeBucketed(Tables(s, dir, "orders"), NumBuckets,
         "o_orderkey", tmpPath("bkt_orders", dir), oT)
     }
@@ -176,7 +204,7 @@ object Layout {
   private[graft] def eventsPartitioned(s: SparkSession, dir: String): String = {
     val path = tmpPath("evt_by_type", dir)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      sweepStale("evt_by_type", tag(dir))
+      sweepStaleFor("evt_by_type", dir)
       graft.Graft.writePartitioned(Tables(s, dir, "events"), "event_type", path)
     }
     path
@@ -210,7 +238,7 @@ object Layout {
   private[graft] def lineitemOrc(s: SparkSession, dir: String): String = {
     val path = tmpPath("orc_lineitem", dir)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      sweepStale("orc_lineitem", tag(dir))
+      sweepStaleFor("orc_lineitem", dir)
       Tables(s, dir, "lineitem").write.mode("overwrite").orc(path)
     }
     path
@@ -248,7 +276,7 @@ object Layout {
   private[graft] def ordersJson(s: SparkSession, dir: String): String = {
     val path = tmpPath("json_orders", dir)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      sweepStale("json_orders", tag(dir))
+      sweepStaleFor("json_orders", dir)
       Tables(s, dir, "orders").write.mode("overwrite").json(path)
     }
     path
@@ -283,6 +311,59 @@ object Layout {
   def q33JsonRoundtrip(s: SparkSession, dir: String): DataFrame =
     q33Scan(s, ordersJson(s, dir), Tables(s, dir, "orders").schema)
 
+  /** Materialize orders as a two-generation parquet dataset — an
+    * EVOLVED schema: generation 1 (even order keys) lacks the
+    * `o_orderstatus` column, generation 2 (odd keys) carries it —
+    * under two sibling dirs of one root, once per (JVM, source dir).
+    * This is the 100 TB lake reality: years of files written as the
+    * schema grew, one logical table. */
+  private[graft] def ordersEvolved(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = tmpPath("sev_orders", dir)
+    if (!new java.io.File(s"$root/v2", "_SUCCESS").exists()) {
+      sweepStaleFor("sev_orders", dir)
+      val o = Tables(s, dir, "orders")
+      o.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode("overwrite").parquet(s"$root/v1")
+      o.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+        .write.mode("overwrite").parquet(s"$root/v2")
+    }
+    root
+  }
+
+  /** The schema-merging scan: `mergeSchema=true` unions the two
+    * generations' footers at plan time (per-file schema
+    * reconciliation is a FOOTER operation — no data is read to
+    * merge), old-generation rows surface the added column as null,
+    * and the query folds the null through `coalesce` — the
+    * migration-free schema-evolution read a lake table needs.
+    * (`mergeSchema` is off by default because footer-merging every
+    * file of a large table costs a listing pass; production pins the
+    * merged schema in a catalog instead — the explicit-schema q33
+    * argument. The capability under test is the per-file
+    * reconciliation itself, which any evolved read relies on.) */
+  private[graft] def q35Scan(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$root/v1", s"$root/v2")
+      .groupBy(coalesce($"o_orderstatus", lit("<pre-schema>")).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("sum_price"),
+        min($"o_orderkey").as("min_key"))
+      .orderBy($"status")
+  }
+
+  /** q35 — schema-evolution roundtrip: the two-generation orders
+    * dataset reads back as one table, old rows carrying null for the
+    * later-added column; the oracle recomputes the same aggregate
+    * from the single-schema parquet original by reproducing the
+    * generation split, so a hash match proves merged reads lose and
+    * invent nothing. */
+  def q35SchemaEvolution(s: SparkSession, dir: String): DataFrame =
+    q35Scan(s, ordersEvolved(s, dir))
+
   /** Name of the CSV corrupt-record capture column (q34). */
   private[graft] val CsvCorruptCol = "_graft_corrupt"
 
@@ -309,7 +390,7 @@ object Layout {
     val path = tmpPath("csv_customer", dir)
     val planted = new java.io.File(path, "zz_corrupt.csv")
     if (!planted.exists()) {
-      sweepStale("csv_customer", tag(dir))
+      sweepStaleFor("csv_customer", dir)
       Tables(s, dir, "customer").write.mode("overwrite").csv(path)
       java.nio.file.Files.write(planted.toPath,
         (PlantedCorruptLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

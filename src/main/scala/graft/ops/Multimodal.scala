@@ -137,7 +137,7 @@ object Multimodal {
     // collision-safe suffix (a 32-bit String.hashCode tag could serve
     // one dir's media copy for another; ADVICE round 7)
     val path = Layout.tmpPath("media", dir)
-    Layout.sweepStale("media", Layout.tag(dir))
+    Layout.sweepStaleFor("media", dir)
     fakeMedia(s, dir).toDF()
       .withColumn("n_bytes", length(col("media")).cast("long"))
       .write.mode("overwrite").parquet(path)

@@ -493,7 +493,7 @@ object Similarity {
   private[graft] def s13IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("lsh_idx", dir)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      Layout.sweepStale("lsh_idx", Layout.tag(dir))
+      Layout.sweepStaleFor("lsh_idx", dir)
       import s.implicits._
       graft.Graft.writePartitioned(
         Tables(s, dir, "embeddings").select($"vec_id", $"embedding",

@@ -63,6 +63,27 @@ class LayoutSpec extends SparkSuiteBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q35: merged read surfaces nulls for the pre-schema generation, loses nothing") {
+    val got = Layout.q35SchemaEvolution(spark, sf).collect()
+    val want = graft.Tables(spark, sf, "orders")
+      .groupBy(when(col("o_orderkey") % 2 === 0, lit("<pre-schema>"))
+        .otherwise(col("o_orderstatus")).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("status"))
+      .collect()
+    assert(got.toSeq == want.toSeq)
+    // and the merged schema actually contains the evolved column as
+    // nullable for the old generation: pre-schema rows ARE null-status
+    val root = Layout.ordersEvolved(spark, sf)
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/v1", s"$root/v2")
+    val nullStatus = merged.filter(col("o_orderstatus").isNull)
+      .agg(max(col("o_orderkey") % 2)).head.getLong(0)
+    assert(nullStatus == 0L, "a post-schema row lost its status in the merge")
+  }
+
   test("sweepStale removes orphaned copies of the same kind, keeps the live tag") {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val stale = new java.io.File(tmp, "graft_swtest_deadbeefdeadbeef")
@@ -79,6 +100,35 @@ class LayoutSpec extends SparkSuiteBase {
       assert(live.exists(), "the live tag's copy was swept")
       assert(other.exists(), "a different kind's copy was swept")
     } finally Seq(stale, live, other).foreach { d =>
+      new java.io.File(d, "part-0").delete(); d.delete()
+    }
+  }
+
+  test("sweepStaleFor scopes to one source dir: other sources' copies survive") {
+    // sf0.001 tests and sf0.1 bench legitimately hold same-kind copies
+    // side by side — the sweep must only remove stale GENERATIONS of
+    // the source being rebuilt, never a different source's live copy
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val srcA = java.nio.file.Files.createTempDirectory("graft_sweepA").toFile
+    val srcB = java.nio.file.Files.createTempDirectory("graft_sweepB").toFile
+    val staleA = new java.io.File(tmp,
+      s"graft_swk2_${Layout.pathTag(srcA.getPath)}_0123456789abcdef")
+    val liveA = new java.io.File(Layout.tmpPath("swk2", srcA.getPath))
+    val liveB = new java.io.File(Layout.tmpPath("swk2", srcB.getPath))
+    val legacy = new java.io.File(tmp, "graft_swk2_fedcba9876543210")
+    val planted = Seq(staleA, liveA, liveB, legacy)
+    planted.foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "part-0").toPath,
+        "x".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    try {
+      Layout.sweepStaleFor("swk2", srcA.getPath)
+      assert(!staleA.exists(), "stale generation of source A survived")
+      assert(liveA.exists(), "source A's live copy was swept")
+      assert(liveB.exists(), "source B's copy was swept by A's rebuild")
+      assert(!legacy.exists(), "legacy-named orphan survived")
+    } finally (planted ++ Seq(srcA, srcB)).foreach { d =>
       new java.io.File(d, "part-0").delete(); d.delete()
     }
   }
