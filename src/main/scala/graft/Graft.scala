@@ -398,6 +398,67 @@ object Graft {
       last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Slowly-changing-dimension Type-2 merge (Kimball SCD2 — the
+    * warehouse upsert the reference's append-only sink, `P:774`,
+    * cannot express): apply a `delta` batch of (key, tracked
+    * attributes, effective date) to a versioned `dim` history table
+    * whose rows carry `valid_from`/`valid_to`/`is_current`.
+    *
+    * Semantics per key:
+    *   - delta for an EXISTING current row with any tracked attribute
+    *     changed (null-safe compare) -> the current row closes
+    *     (`valid_to` = effective, `is_current` = false) AND a new
+    *     current version inserts (`valid_from` = effective);
+    *   - delta equal to the current row -> no-op (no phantom version);
+    *   - delta for an UNSEEN key -> plain insert of a first version;
+    *   - current rows without a delta, and all non-current history
+    *     rows, pass through unchanged.
+    *
+    * Shape (the 100 TB story): non-current history never joins — it is
+    * filtered out and unioned back untouched (at scale it would live in
+    * separate partitions and never be scanned; see `valid_to IS NULL`
+    * partitioning in PERF.md). Current-vs-delta is ONE full-outer
+    * equi-join on the key — un-hinted, so AQE broadcasts the typically
+    * batch-sized delta and falls back to a shuffle join when a backfill
+    * delta is dimension-sized. Close+insert fan-out is an
+    * `explode` of a per-row 1-or-2 element array in the SAME projection
+    * — one pass over the join output, no self-union re-reading the
+    * join. `valid_from`/`valid_to` column types follow `dim`'s schema.
+    */
+  def scd2Merge(dim: DataFrame, delta: DataFrame, keyCol: String,
+      trackedCols: Seq[String], effectiveCol: String): DataFrame = {
+    val (vf, vt, cur) = ("valid_from", "valid_to", "is_current")
+    val outCols = ((keyCol +: trackedCols) ++ Seq(vf, vt, cur)).map(col)
+    val history = dim.filter(!col(cur))
+    val current = dim.filter(col(cur))
+    val d = delta.select(
+      col(keyCol).as("__k") +: col(effectiveCol).as("__eff") +:
+        trackedCols.map(c => col(c).as(s"__n_$c")): _*)
+    val joined = current.join(d, col(keyCol) === col("__k"), "full_outer")
+    // null-safe "any tracked attribute differs" — a null-to-value or
+    // value-to-null transition counts as a change, null==null does not
+    val changed = trackedCols.map(c => !(col(c) <=> col(s"__n_$c"))).reduce(_ || _)
+    val vtType = dim.schema(vt).dataType
+    def ver(key: Column, tracked: Seq[Column], from: Column, to: Column,
+        isCur: Column) =
+      struct(key.as(keyCol) +:
+        tracked.zip(trackedCols).map { case (c, n) => c.as(n) } ++:
+        Seq(from.as(vf), to.cast(vtType).as(vt), isCur.as(cur)): _*)
+    val asIs = ver(col(keyCol), trackedCols.map(col), col(vf), col(vt), col(cur))
+    val closed = ver(col(keyCol), trackedCols.map(col), col(vf), col("__eff"),
+      lit(false))
+    val fresh = ver(col("__k"), trackedCols.map(c => col(s"__n_$c")),
+      col("__eff"), lit(null), lit(true))
+    val emitted = joined.select(explode(
+        when(col("__k").isNull, array(asIs))          // untouched current
+          .when(col(keyCol).isNull, array(fresh))     // brand-new key
+          .when(changed, array(closed, fresh))        // SCD2 close + insert
+          .otherwise(array(asIs))                     // no-op delta
+      ).as("__r"))
+      .select(col("__r.*"))
+    history.select(outCols: _*).unionByName(emitted.select(outCols: _*))
+  }
+
   /** THE per-label centroid builder — the ONE copy of the
     * round(4)-before-float pipeline that d11 (via
     * [[classifyByCentroid]]), s05 ([[ops.Similarity]] delegates

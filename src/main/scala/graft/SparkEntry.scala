@@ -125,6 +125,7 @@ object SparkEntry {
     "q33_json_source" -> (Layout.q33JsonRoundtrip _),
     "q34_csv_permissive" -> (Layout.q34CsvPermissive _),
     "q35_schema_evolution" -> (Layout.q35SchemaEvolution _),
+    "q36_scd2" -> (Relational.q36Scd2 _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1631,6 +1632,59 @@ object SparkEntry {
         |  min(o_orderkey) AS min_key
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q36 mirrors the SCD2 merge relationally: the same dim/delta
+    // derivation, a full-outer join, and the four branches as a UNION
+    // ALL (the engine's single-pass explode and this union are
+    // set-equal; ORDER BY (key, valid_from) is a unique sort in both).
+    // IS NOT DISTINCT FROM == Spark's <=> null-safe equality.
+    "q36_scd2" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment,
+        |         '2019-01-01' AS valid_from,
+        |         CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        |  FROM customer),
+        |delta AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 21 = 3 THEN c_acctbal
+        |         ELSE c_acctbal + 100.0 END AS n_bal,
+        |    CASE WHEN c_custkey % 21 = 3 THEN c_mktsegment
+        |         ELSE 'MACHINERY' END AS n_seg
+        |  FROM customer WHERE c_custkey % 7 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 0.0, 'STARTUP'
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |j AS (
+        |  SELECT d.c_custkey AS k_old, d.c_acctbal, d.c_mktsegment,
+        |         d.valid_from, d.valid_to, d.is_current,
+        |         x.c_custkey AS k_new, x.n_bal, x.n_seg
+        |  FROM dim d FULL OUTER JOIN delta x ON d.c_custkey = x.c_custkey),
+        |res AS (
+        |  SELECT k_old AS c_custkey, c_acctbal, c_mktsegment,
+        |         valid_from, valid_to, is_current
+        |  FROM j WHERE k_new IS NULL
+        |  UNION ALL
+        |  SELECT k_old, c_acctbal, c_mktsegment, valid_from, valid_to,
+        |         is_current
+        |  FROM j WHERE k_new IS NOT NULL AND k_old IS NOT NULL
+        |    AND c_acctbal IS NOT DISTINCT FROM n_bal
+        |    AND c_mktsegment IS NOT DISTINCT FROM n_seg
+        |  UNION ALL
+        |  SELECT k_old, c_acctbal, c_mktsegment, valid_from, '2019-06-01',
+        |         FALSE
+        |  FROM j WHERE k_new IS NOT NULL AND k_old IS NOT NULL
+        |    AND NOT (c_acctbal IS NOT DISTINCT FROM n_bal
+        |             AND c_mktsegment IS NOT DISTINCT FROM n_seg)
+        |  UNION ALL
+        |  SELECT k_new, n_bal, n_seg, '2019-06-01', CAST(NULL AS VARCHAR),
+        |         TRUE
+        |  FROM j WHERE k_new IS NOT NULL
+        |    AND (k_old IS NULL
+        |         OR NOT (c_acctbal IS NOT DISTINCT FROM n_bal
+        |                 AND c_mktsegment IS NOT DISTINCT FROM n_seg)))
+        |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to,
+        |       is_current
+        |FROM res ORDER BY c_custkey, valid_from""".stripMargin,
 
     // d03/d07: DuckDB 1.0.0 has no xxhash64, so these oracles inline a
     // full XXH64 (seed 42, the xxHash spec) in SQL over the whitespace

@@ -593,4 +593,45 @@ object Relational {
         round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("big_spend"))
       .orderBy($"c_custkey")
   }
+
+  /** q36 — SCD Type-2 dimension merge ([[graft.Graft.scd2Merge]],
+    * which this binds): the customer table as a versioned dimension
+    * (all rows current since 2019-01-01) receives a deterministic
+    * delta batch effective 2019-06-01 exercising all four merge paths:
+    *   - updates: custkey % 7 == 3 gets +100.00 balance and the
+    *     MACHINERY segment -> close + new version;
+    *   - planted no-ops: the % 21 == 3 subset of those carries the
+    *     ORIGINAL values -> change detection must pass them through
+    *     with NO phantom version;
+    *   - inserts: custkey % 97 == 0 spawns an unseen key
+    *     (custkey + 1,000,000) -> first version only;
+    *   - everyone else: untouched.
+    * Dates ride as strings for oracle-hash stability; the +100.0 is
+    * plain double addition on the same parquet doubles in both
+    * engines (bit-identical, no rounding discipline needed).
+    * Scale notes in the facade scaladoc: one un-hinted full-outer
+    * join (AQE broadcasts a batch-sized delta), close+insert fan-out
+    * as a single-pass explode, history partition never scanned. */
+  def q36Scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+    val dim = cust.select($"c_custkey", $"c_acctbal", $"c_mktsegment",
+      lit("2019-01-01").as("valid_from"),
+      lit(null).cast("string").as("valid_to"),
+      lit(true).as("is_current"))
+    val noop = $"c_custkey" % 21 === 3
+    val updates = cust.filter($"c_custkey" % 7 === 3)
+      .select($"c_custkey",
+        when(noop, $"c_acctbal").otherwise($"c_acctbal" + 100.0)
+          .as("c_acctbal"),
+        when(noop, $"c_mktsegment").otherwise(lit("MACHINERY"))
+          .as("c_mktsegment"))
+    val inserts = cust.filter($"c_custkey" % 97 === 0)
+      .select(($"c_custkey" + 1000000L).as("c_custkey"),
+        lit(0.0).as("c_acctbal"), lit("STARTUP").as("c_mktsegment"))
+    graft.Graft.scd2Merge(
+        dim, updates.unionByName(inserts).withColumn("eff", lit("2019-06-01")),
+        "c_custkey", Seq("c_acctbal", "c_mktsegment"), "eff")
+      .orderBy($"c_custkey", $"valid_from")
+  }
 }

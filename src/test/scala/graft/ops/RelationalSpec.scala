@@ -153,6 +153,64 @@ class RelationalSpec extends SparkSuiteBase {
     assert(maxPerNation <= 2, s"lateral LIMIT 2 violated: $maxPerNation")
   }
 
+  test("scd2Merge: all four merge paths on a hand-built dimension") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key 1: changed delta; key 2: no delta; key 3: no-op delta
+    // (identical values); key 4: already-closed history row only;
+    // key 9: brand-new key
+    val dim = Seq(
+      (1L, 10.0, "A", "2019-01-01", null.asInstanceOf[String], true),
+      (2L, 20.0, "B", "2019-01-01", null.asInstanceOf[String], true),
+      (3L, 30.0, "C", "2019-01-01", null.asInstanceOf[String], true),
+      (4L, 40.0, "D", "2018-01-01", "2019-01-01", false)
+    ).toDF("k", "bal", "seg", "valid_from", "valid_to", "is_current")
+    val delta = Seq(
+      (1L, 11.0, "A2", "2019-06-01"),
+      (3L, 30.0, "C", "2019-06-01"),
+      (9L, 90.0, "Z", "2019-06-01")
+    ).toDF("k", "bal", "seg", "eff")
+    val out = graft.Graft.scd2Merge(dim, delta, "k", Seq("bal", "seg"), "eff")
+      .orderBy($"k", $"valid_from").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, "A", "2019-01-01", "2019-06-01", false), // closed
+      (1L, 11.0, "A2", "2019-06-01", null, true),         // new version
+      (2L, 20.0, "B", "2019-01-01", null, true),          // untouched
+      (3L, 30.0, "C", "2019-01-01", null, true),          // no-op delta
+      (4L, 40.0, "D", "2018-01-01", "2019-01-01", false), // history
+      (9L, 90.0, "Z", "2019-06-01", null, true)))         // insert
+  }
+
+  test("q36: SCD2 invariants — one current row per key, versions do not overlap") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q36Scd2(spark, sf).cache()
+    try {
+      // every key has exactly one current row
+      val badCur = out.groupBy(col("c_custkey"))
+        .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n"))
+        .filter(col("n") =!= 1).count()
+      assert(badCur == 0, s"$badCur keys without exactly one current row")
+      // closed rows end exactly where their successor starts
+      val closed = out.filter(!col("is_current"))
+        .select(col("c_custkey"), col("valid_to"))
+      val opened = out.filter(col("is_current") && col("valid_from") === "2019-06-01")
+        .select(col("c_custkey").as("k2"), col("valid_from"))
+      val mismatch = closed.join(opened, col("c_custkey") === col("k2"))
+        .filter(col("valid_to") =!= col("valid_from")).count()
+      assert(mismatch == 0)
+      // planted no-ops (k % 21 == 3) must NOT version
+      val phantom = out.filter(col("c_custkey") % 21 === 3 && !col("is_current"))
+        .count()
+      assert(phantom == 0, s"$phantom phantom versions for no-op deltas")
+      // inserts exist and carry no history
+      assert(out.filter(col("c_custkey") > 1000000L).count() > 0)
+      assert(out.filter(col("c_custkey") > 1000000L && !col("is_current"))
+        .count() == 0)
+    } finally out.unpersist()
+  }
+
   test("semi/anti join row counts are consistent with their complement") {
     val customers = graft.Tables(spark, sf, "customer").count()
     val semi = Relational.q04SemiJoin(spark, sf)
