@@ -752,6 +752,97 @@ object Graft {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector dim splits
+    * into `nSub` subspaces; each corpus subvector encodes to the id of
+    * its nearest `codebook` sub-centroid (squared-L2 argmin, ties to
+    * the smaller code), compressing each vector to `nSub` small codes
+    * — dim x 4 bytes down to nSub bytes at 256 codes, the memory step
+    * past [[quantizedTopK]]'s int8 4x. Stage 1 scores every corpus row
+    * by asymmetric distance (ADC): the query's exact double vector
+    * against the corpus row's RECONSTRUCTION (concatenated chosen
+    * sub-centroids) via a single 64-term inner product; stage 2
+    * reranks the per-query `rerankK` head on the exact float vectors
+    * (the [[quantizedTopK]] cascade shape) and returns s01's contract
+    * (query_id, rank, vec_id, cos).
+    *
+    * Scale shape: the codebook is a driver-side k_pq x dim gather
+    * (volume-independent, the broadcast-variable pattern); encoding is
+    * one fused projection over the corpus — no shuffle, no join, and
+    * at rest the nSub codes ARE the index (floats stay in cold
+    * storage). The ADC pass streams the corpus once against broadcast
+    * queries; the candidate window shuffles only (query_id, vec_id,
+    * score) triples, and the rerank join carries (query_id, vec_id)
+    * pairs — nQueries x rerankK rows, corpus-independent. Determinism:
+    * distances/scores are doubles computed from float-exact inputs in
+    * the same element order in both engines; argmin ties break to the
+    * smaller code via struct-min; candidate and final ranks tie-break
+    * on vec_id.
+    *
+    * `codebook` is (code, float vector) by position — any frame whose
+    * vectors share the corpus dim, e.g. a sampled or k-means-trained
+    * subset of the corpus itself. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      nSub: Int, k: Int, rerankK: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    val cb: Seq[(Long, Array[Float])] = codebook
+      .select(col(codebook.columns(0)).cast("long"),
+        col(codebook.columns(1)).cast("array<float>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cb.nonEmpty, "empty codebook frame")
+    val dim = cb.head._2.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val d = dim / nSub
+    // subCb(m)(j) = codebook entry j's m-th subvector, as doubles (all
+    // distance math runs in double over float-exact values — the s01
+    // rounding regime)
+    val subCb: IndexedSeq[Seq[Seq[Double]]] = (0 until nSub).map(m =>
+      cb.map { case (_, v) => v.slice(m * d, (m + 1) * d).map(_.toDouble).toSeq })
+    val dv = col("__v").cast("array<double>")
+    def encodeCol(m: Int): Column = {
+      val sub = slice(dv, m * d + 1, d)
+      val cands = subCb(m).zipWithIndex.map { case (cv, j) =>
+        struct(
+          aggregate(zip_with(sub, typedLit(cv), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"),
+          lit(j).as("j"))
+      }
+      array_min(array(cands: _*)).getField("j")
+    }
+    val enc = corpus
+      .select(col(corpus.columns(0)).as("vec_id"), col(corpus.columns(1)).as("__v"))
+      .select(col("vec_id") +:
+        (0 until nSub).map(m => encodeCol(m).as(s"__c$m")): _*)
+    val rvec = concat((0 until nSub).map(m =>
+      element_at(typedLit(subCb(m)), col(s"__c$m").cast("int") + 1)): _*)
+    val rec = enc.select(col("vec_id"), rvec.as("__rv"))
+    val q = broadcast(queries.select(
+      col(queries.columns(0)).as("query_id"),
+      col(queries.columns(1)).cast("array<double>").as("__qd")))
+    val adc = aggregate(zip_with(col("__qd"), col("__rv"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("vec_id"))
+    val cand = rec.crossJoin(q)
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"), adc.as("__adc"))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= rerankK)
+      .select(col("query_id"), col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(corpus.select(col(corpus.columns(0)).as("vec_id"),
+        col(corpus.columns(1)).as("__vf")), "vec_id")
+      .join(broadcast(queries.select(col(queries.columns(0)).as("query_id"),
+        col(queries.columns(1)).as("__qf"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        ops.Similarity.cosine(col("__qf"), col("__vf")).as("cos"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
+
   /** Driver-side centroid gather: k x dim floats, volume-independent
     * (the broadcast-variable pattern — never a corpus collect). */
   private def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] = {

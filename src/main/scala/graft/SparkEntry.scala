@@ -119,6 +119,7 @@ object SparkEntry {
     "s12_lsh_topk" -> (Similarity.s12LshTopK _),
     "s13_lsh_layout" -> (Similarity.s13LshLayout _),
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
+    "s15_pq_topk" -> (Similarity.s15PqTopK _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "q32_orc_roundtrip" -> (Layout.q32OrcRoundtrip _),
@@ -1573,6 +1574,61 @@ object SparkEntry {
         |  UNION ALL SELECT query_id, vec_id, cs, 3 FROM s3
         |  UNION ALL SELECT query_id, vec_id, cs, 4 FROM s4
         |  UNION ALL SELECT query_id, vec_id, cs, 5 FROM s5) t
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // s15 mirrors the PQ pipeline relationally: the same first-16
+    // codebook, per-subspace squared-L2 argmin (explicit 8-term sums,
+    // ties ORDER BY d2, code == Spark's struct-min (d2, j)),
+    // reconstruction as ordered sub-centroid concat, ADC inner
+    // product, exact-cosine rerank of the 20-candidate head. All
+    // double math over float-exact inputs in the same element order
+    // (the s01/s09 argument).
+    "s15_pq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |dist AS (
+        |  SELECT e.vec_id, ms.m, cb.code,
+        |    ((e.v[ms.m*8+1]-cb.cv[ms.m*8+1])*(e.v[ms.m*8+1]-cb.cv[ms.m*8+1])
+        |   + (e.v[ms.m*8+2]-cb.cv[ms.m*8+2])*(e.v[ms.m*8+2]-cb.cv[ms.m*8+2])
+        |   + (e.v[ms.m*8+3]-cb.cv[ms.m*8+3])*(e.v[ms.m*8+3]-cb.cv[ms.m*8+3])
+        |   + (e.v[ms.m*8+4]-cb.cv[ms.m*8+4])*(e.v[ms.m*8+4]-cb.cv[ms.m*8+4])
+        |   + (e.v[ms.m*8+5]-cb.cv[ms.m*8+5])*(e.v[ms.m*8+5]-cb.cv[ms.m*8+5])
+        |   + (e.v[ms.m*8+6]-cb.cv[ms.m*8+6])*(e.v[ms.m*8+6]-cb.cv[ms.m*8+6])
+        |   + (e.v[ms.m*8+7]-cb.cv[ms.m*8+7])*(e.v[ms.m*8+7]-cb.cv[ms.m*8+7])
+        |   + (e.v[ms.m*8+8]-cb.cv[ms.m*8+8])*(e.v[ms.m*8+8]-cb.cv[ms.m*8+8]))
+        |      AS d2
+        |  FROM e, ms, cb),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY d2, code) AS rn
+        |    FROM dist) t WHERE rn = 1),
+        |recon AS (
+        |  SELECT c.vec_id,
+        |    flatten(list(list_slice(cb.cv, c.m*8+1, c.m*8+8) ORDER BY c.m))
+        |      AS rvec
+        |  FROM codes c JOIN cb ON cb.code = c.code
+        |  GROUP BY c.vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT q.query_id, r.vec_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_inner_product(q.qv, r.rvec) DESC, r.vec_id)
+        |      AS crn
+        |  FROM q, recon r WHERE r.vec_id <> q.query_id),
+        |rer AS (
+        |  SELECT a.query_id, a.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM adc a JOIN q ON q.query_id = a.query_id
+        |  JOIN e ON e.vec_id = a.vec_id
+        |  WHERE a.crn <= 20)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |       round(cos, 6) AS cos FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM rer) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     // q30/q31 exercise the bucketed/partitioned COPIES of lineitem/

@@ -666,4 +666,28 @@ object Similarity {
     sel.select($"query_id", $"rank", $"vec_id", round($"cs", 6).as("cos"))
       .orderBy($"query_id", $"rank")
   }
+
+  /** s15 — product-quantization ANN ([[graft.Graft.pqTopK]], which
+    * this binds): the fourth index family next to IVF (s02/s08), the
+    * int8 scan cascade (s09/s11), and LSH (s12/s13). 8 subspaces x 8
+    * dims, 16 codes per subspace sampled as the first 16 corpus
+    * vectors (the s07/kmeansCtes c0 seeding convention) — each corpus
+    * vector compresses to 8 codes (here 8 x 4-bit ids; at production
+    * 256 codes/subspace, 8 bytes per 64-dim vector = 32x smaller than
+    * float). ADC candidate scoring + exact rerank of the 4k head,
+    * s01's output contract and rounding regime. The oracle mirrors
+    * encode/reconstruct/ADC relationally (explicit per-subspace
+    * squared-L2 with the same tie-breaks). Recall@5 vs exact s01 is
+    * asserted in SimilaritySpec. */
+  def s15PqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    graft.Graft.pqTopK(
+        emb.select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < NQueries).select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < 16).select($"vec_id", $"embedding"),
+        nSub = 8, k = K, rerankK = 4 * K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
 }

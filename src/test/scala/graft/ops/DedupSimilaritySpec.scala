@@ -281,6 +281,51 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(recall >= 0.2, s"IVF recall $recall") // 2/16 buckets probed, random vectors
   }
 
+  test("s15: PQ search achieves useful recall vs brute force on harness data") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Similarity.s01CosineTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.s15PqTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // 16 codes x 8 subspaces on random vectors: measured 0.58 at
+    // sf0.001 — the bound is a tripwire, not the measurement
+    assert(recall >= 0.3, s"PQ recall $recall")
+  }
+
+  test("s15 plan: one corpus scan pair, broadcast query sides, no extra exchange") {
+    val df = Similarity.s15PqTopK(spark, "/root/testdata/sf0.001")
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // ADC pass and rerank both join the corpus against BROADCAST query
+    // sides — the corpus itself must never be the built/broadcast side
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the candidate window shuffles only narrow triples; the encode
+    // projection itself must not introduce a shuffle: exactly the
+    // window exchanges plus AQE-planned joins are allowed, and none may
+    // partition on the raw embedding column
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("embedding")),
+      s"an exchange carries the raw vectors:\n${exchanges.mkString("\n")}")
+  }
+
+  test("pqTopK: exact when the corpus IS the codebook (zero quantization error)") {
+    // every corpus vector reconstructs exactly -> ADC == true inner
+    // product -> candidate head contains the true top-k -> the exact
+    // rerank must equal brute-force cosine top-k
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 16L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val pq = graft.Graft.pqTopK(df, queries, df, nSub = 2, k = 4, rerankK = 8)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val exact = graft.Graft.cosineTopK(df, queries, k = 4)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(pq == exact)
+  }
+
   test("s03: centroids are exact elementwise means, partial-aggregated before the shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft-s03").toString
     Seq(
