@@ -1574,4 +1574,44 @@ object Graft {
       path: String): Unit =
     df.repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Small-file compaction — the table-maintenance pass (Delta/Iceberg
+    * `OPTIMIZE`, Hive concatenation) a 100 TB lake cannot live
+    * without: streaming ingests and fine-grained partition writes
+    * leave thousands of KB-scale files per partition, and every
+    * subsequent scan then pays (open + footer + seek) per FILE, task
+    * scheduling explodes, and the NameNode/listing layer melts —
+    * compaction rewrites the same bytes into files of `targetBytes`.
+    *
+    * Sizing reads file-system METADATA only (sum of data-file
+    * lengths — never a data scan); the rewrite is then
+    *   - `clusterBy` empty: `coalesce(n)` — a SHUFFLE-FREE merge of
+    *     existing partitions, the cheap path when only the file count
+    *     is the problem;
+    *   - `clusterBy` set: `repartitionByRange(n, cols) +
+    *     sortWithinPartitions(cols)` — one shuffle that also restores
+    *     CLUSTERING, so each output file covers a narrow key range
+    *     and min/max row-group statistics make post-compaction scans
+    *     prune on the cluster key (the OPTIMIZE-with-sort shape;
+    *     plan-asserted on q37's date filter).
+    * Returns the output file count. Compressed-input caveat: n is
+    * sized from the INPUT's on-disk bytes, which for parquet-in →
+    * parquet-out is the right estimator (same encoding family in and
+    * out). */
+  def compactParquet(s: SparkSession, inputPath: String, outputPath: String,
+      targetBytes: Long, clusterBy: Seq[String] = Nil): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = Option(new java.io.File(inputPath).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.length).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = s.read.parquet(inputPath)
+    val shaped =
+      if (clusterBy.isEmpty) df.coalesce(n)
+      else df.repartitionByRange(n, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    shaped.write.mode("overwrite").parquet(outputPath)
+    n
+  }
 }

@@ -127,6 +127,7 @@ object SparkEntry {
     "q34_csv_permissive" -> (Layout.q34CsvPermissive _),
     "q35_schema_evolution" -> (Layout.q35SchemaEvolution _),
     "q36_scd2" -> (Relational.q36Scd2 _),
+    "q37_compaction" -> (Layout.q37Compaction _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1741,6 +1742,18 @@ object SparkEntry {
         |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to,
         |       is_current
         |FROM res ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // q37 reads the compacted COPY of lineitem; content equality with
+    // the original is exactly what compaction must preserve, so the
+    // oracle aggregates the source table directly (the q30-q32 layout
+    // contract). strftime == Spark's date_format yyyy-MM.
+    "q37_compaction" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // d03/d07: DuckDB 1.0.0 has no xxhash64, so these oracles inline a
     // full XXH64 (seed 42, the xxHash spec) in SQL over the whitespace

@@ -428,4 +428,67 @@ object Layout {
     * poisoning an aggregate or killing the scan. */
   def q34CsvPermissive(s: SparkSession, dir: String): DataFrame =
     q34Scan(s, customerCsv(s, dir), Tables(s, dir, "customer").schema)
+
+  /** Materialize lineitem as a deliberately FRAGMENTED dataset — 64
+    * shuffled small files, the post-ingest pathology q37 exists to
+    * repair — once per (JVM, source dir). The `repartition(64)` is a
+    * round-robin-on-rows shuffle, so each file holds an arbitrary
+    * slice with full-range l_shipdate min/max: no file can be skipped
+    * by any date predicate. */
+  private[graft] def lineitemFragmented(s: SparkSession, dir: String): String = {
+    val path = tmpPath("frag_lineitem", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      sweepStaleFor("frag_lineitem", dir)
+      Tables(s, dir, "lineitem").repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Compact the fragmented copy via [[graft.Graft.compactParquet]]
+    * with `clusterBy = l_shipdate`: target size = a quarter of the
+    * input bytes, so 64 files fold to ~4, each covering a narrow
+    * contiguous date range (range partition + in-file sort) — the
+    * min/max stats a date-filtered scan skips on. The `_SUCCESS`
+    * guard of the COMPACTED dir is the idempotence guard; the
+    * fragmented input is itself guarded and tag-keyed. */
+  private[graft] def lineitemCompacted(s: SparkSession, dir: String): String = {
+    val frag = lineitemFragmented(s, dir)
+    val path = tmpPath("cpt_lineitem", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      sweepStaleFor("cpt_lineitem", dir)
+      val bytes = Option(new java.io.File(frag).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.length).sum
+      graft.Graft.compactParquet(s, frag, path,
+        targetBytes = math.max(1L, bytes / 4), clusterBy = Seq("l_shipdate"))
+    }
+    path
+  }
+
+  /** The post-compaction scan LayoutSpec audits: the date predicate
+    * must reach PushedFilters (row-group min/max skipping — which the
+    * compaction's clustering made SELECTIVE: each file covers a
+    * narrow date range, so most row groups prune; on the fragmented
+    * input the same pushdown skips nothing because every file spans
+    * the full range). */
+  private[graft] def q37Scan(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(path)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp"))
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .orderBy($"ship_month")
+  }
+
+  /** q37 — small-file compaction roundtrip: lineitem fragments into
+    * 64 arbitrary-slice files, compacts to ~4 date-clustered files,
+    * and the date-filtered aggregate over the COMPACTED copy must
+    * hash-match the oracle over the parquet original — proving the
+    * maintenance rewrite is content-exact while LayoutSpec separately
+    * proves the file count collapsed and the clustering took. */
+  def q37Compaction(s: SparkSession, dir: String): DataFrame =
+    q37Scan(s, lineitemCompacted(s, dir))
 }

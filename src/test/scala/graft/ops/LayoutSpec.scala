@@ -84,6 +84,47 @@ class LayoutSpec extends SparkSuiteBase {
     assert(nullStatus == 0L, "a post-schema row lost its status in the merge")
   }
 
+  test("q37: compaction collapses 64 fragments to a handful of clustered files, loses nothing") {
+    def parts(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val frag = Layout.lineitemFragmented(spark, sf)
+    val cpt = Layout.lineitemCompacted(spark, sf)
+    assert(parts(frag).length >= 32,
+      s"fragmented input should be many small files, got ${parts(frag).length}")
+    assert(parts(cpt).length <= 8,
+      s"compaction left ${parts(cpt).length} files")
+    // content-exact: same row count and same checksum-ish aggregate
+    val a = spark.read.parquet(frag)
+      .agg(count(lit(1)), round(sum(col("l_extendedprice")), 2)).head
+    val b = spark.read.parquet(cpt)
+      .agg(count(lit(1)), round(sum(col("l_extendedprice")), 2)).head
+    assert(a == b, s"compaction changed content: $a vs $b")
+    // clustering took: each output file covers a narrow disjoint date
+    // range — the per-file (min, max) intervals must not all span the
+    // full corpus range (the fragmented files all do, by construction)
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    val spans = spark.read.parquet(cpt)
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin(col("l_shipdate").cast("timestamp").cast("long")).as("lo"),
+        fmax(col("l_shipdate").cast("timestamp").cast("long")).as("hi"))
+      .collect()
+    assert(spans.length >= 2)
+    val sorted = spans.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2,
+        s"range clustering violated: file ending $hi1 overlaps file starting $lo2")
+    }
+  }
+
+  test("q37: date pushdown skips row groups on the compacted copy") {
+    val plan = Layout.q37Scan(spark, Layout.lineitemCompacted(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"date predicate did not reach the compacted scan:\n$plan")
+  }
+
   test("sweepStale removes orphaned copies of the same kind, keeps the live tag") {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val stale = new java.io.File(tmp, "graft_swtest_deadbeefdeadbeef")
