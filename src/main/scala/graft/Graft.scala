@@ -459,6 +459,32 @@ object Graft {
     history.select(outCols: _*).unionByName(emitted.select(outCols: _*))
   }
 
+  /** Keyed latest-wins upsert merge — the MERGE a streaming
+    * `foreachBatch` sink applies per micro-batch (st11 binds this;
+    * [[scd2Merge]] is the history-keeping variant, this is SCD
+    * Type-1): union the incoming `batch` with the current `target`
+    * (None on the first batch) and keep, per `keyCol`, the single row
+    * that sorts LAST by `orderCols` (descending, ties broken by the
+    * later order column). The merge is idempotent (re-applying a
+    * batch changes nothing — the at-least-once delivery property an
+    * exactly-once sink needs) and replay-order-independent (the
+    * winner is determined by the TOTAL order, not arrival order) —
+    * both asserted in StreamsSpec.
+    *
+    * Scale shape: one shuffle on the key, state bounded by distinct
+    * keys, never by stream length; in production the target is a
+    * Delta/Iceberg MERGE or a partition-pointer flip — the A/B
+    * generation flip st11's harness performs is the minimal honest
+    * stand-in over raw parquet. */
+  def upsertLatest(target: Option[DataFrame], batch: DataFrame,
+      keyCol: String, orderCols: Seq[String]): DataFrame = {
+    val all = target.map(_.unionByName(batch)).getOrElse(batch)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** THE per-label centroid builder — the ONE copy of the
     * round(4)-before-float pipeline that d11 (via
     * [[classifyByCentroid]]), s05 ([[ops.Similarity]] delegates

@@ -148,7 +148,8 @@ object SparkEntry {
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _),
     "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _),
     "st09_append_windows" -> (graft.streaming.Streams.st09AppendWindows _),
-    "st10_outer_join" -> (graft.streaming.Streams.st10StreamingOuterJoin _)
+    "st10_outer_join" -> (graft.streaming.Streams.st10StreamingOuterJoin _),
+    "st11_upsert" -> (graft.streaming.Streams.st11ForeachBatchUpsert _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -765,6 +766,17 @@ object SparkEntry {
         |  ON p.user_id = c.user_id
         | AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
         |ORDER BY user_id, click_ts_us, purchase_ts_us NULLS FIRST""".stripMargin,
+
+    // st11's sink holds the latest-wins row per user — the batch
+    // "latest event per user" is the whole oracle (the merge is
+    // replay-order-independent, see the operator scaladoc).
+    "st11_upsert" ->
+      """SELECT user_id, event_id, event_type, round(value, 2) AS value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE user_id % 10 = 1) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "st08_state" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -559,4 +559,79 @@ object Streams {
         $"event_type", $"n_events", $"sum_value")
       .orderBy($"window_start_us", $"event_type")
   }
+
+  /** st11 — streaming UPSERT sink via `foreachBatch`, run genuinely
+    * incrementally: the 1-in-10-user slice replays through a real
+    * streaming query whose sink is [[graft.Graft.upsertLatest]] — each
+    * micro-batch MERGEs into a keyed latest-state table (one row per
+    * user, latest event by (ts, event_id)) with an A/B generation
+    * flip over parquet (write the merged table to a NEW directory,
+    * advance the pointer — never read and overwrite one path in the
+    * same job). This is the materialized-view maintenance shape every
+    * CDC/feature-store pipeline runs; production swaps the flip for a
+    * Delta/Iceberg MERGE, the merge itself is unchanged.
+    *
+    * Deterministic because the merge is replay-order-independent (the
+    * winner per key is the TOTAL-order maximum of (ts, event_id) —
+    * arrival order never decides), so the final generation equals the
+    * batch "latest row per user" the DuckDB oracle spells, for ANY
+    * chunking. Idempotence under batch re-delivery is asserted in
+    * StreamsSpec. Stateless stream (no watermark/state store — the
+    * state lives in the SINK), so no-data batches have nothing to do.
+    * Eager by design like st03 (the sink must be populated before the
+    * returned frame exists); the result is checkpointed and the
+    * generation directories deleted before returning. */
+  def st11ForeachBatchUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 1)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      .orderBy($"ts", $"event_id")
+      .as[(Long, Long, java.sql.Timestamp, String, Double)]
+      .collect()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Long, java.sql.Timestamp, String, Double)](
+      implicitly[org.apache.spark.sql.Encoder[
+        (Long, Long, java.sql.Timestamp, String, Double)]], s2.sqlContext)
+    val root = java.nio.file.Files.createTempDirectory("graft_st11_").toFile
+    @volatile var cur: Option[String] = None
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = in.toDS().toDF("event_id", "user_id", "ts", "event_type", "value")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target = cur.map(p => batch.sparkSession.read.parquet(p))
+        val merged = graft.Graft.upsertLatest(target, batch,
+          "user_id", Seq("ts", "event_id"))
+        val next = new java.io.File(root, s"gen${gen.incrementAndGet()}").getPath
+        merged.write.mode("overwrite").parquet(next)
+        cur = Some(next)
+        ()
+      }
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val chunk = math.max(1, (data.length + 2) / 3)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = s.read.parquet(cur.getOrElse(
+        throw new IllegalStateException("st11: no batch ever committed")))
+      .select($"user_id", $"event_id", $"event_type",
+        round($"value", 2).as("value"))
+      .orderBy($"user_id")
+      .localCheckpoint(true)
+    // the generations are harness scratch; the checkpoint above owns
+    // the data now
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    out
+  }
 }

@@ -274,6 +274,44 @@ class StreamsSpec extends SparkSuiteBase {
       s"state diverged: got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("upsertLatest: idempotent under batch re-delivery, replay-order independent") {
+    val b1 = Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (1L, 20L, 3.0))
+      .toDF("k", "seq", "v")
+    val b2 = Seq((2L, 30L, 4.0), (3L, 5L, 5.0)).toDF("k", "seq", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val once = graft.Graft.upsertLatest(
+      Some(graft.Graft.upsertLatest(None, b1, "k", Seq("seq"))),
+      b2, "k", Seq("seq"))
+    // re-delivering b2 must be a fixed point
+    val twice = graft.Graft.upsertLatest(Some(once), b2, "k", Seq("seq"))
+    assert(rows(once) == rows(twice), "re-delivered batch changed the sink")
+    // replay order must not matter: b2 then b1 gives the same table
+    val reversed = graft.Graft.upsertLatest(
+      Some(graft.Graft.upsertLatest(None, b2, "k", Seq("seq"))),
+      b1, "k", Seq("seq"))
+    assert(rows(once) == rows(reversed), "arrival order decided a winner")
+    assert(rows(once) == Seq((1L, 20L, 3.0), (2L, 30L, 4.0), (3L, 5L, 5.0)))
+  }
+
+  test("st11: the foreachBatch upsert sink equals the batch latest-per-user") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st11ForeachBatchUpsert(spark, sf).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val expected = graft.Tables(spark, sf, "events")
+      .filter($"user_id" % 10 === 1)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type",
+        round($"value", 2).as("value"))
+      .orderBy($"user_id")
+      .collect().toSeq
+    assert(got == expected,
+      s"upsert sink diverged: got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("st04: every event lands in exactly two sliding windows, starts 5-min aligned") {
     val sf = "/root/testdata/sf0.001"
     val df = Streams.st04SlidingWindows(spark, sf)
