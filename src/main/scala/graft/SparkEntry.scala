@@ -149,7 +149,8 @@ object SparkEntry {
     "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _),
     "st09_append_windows" -> (graft.streaming.Streams.st09AppendWindows _),
     "st10_outer_join" -> (graft.streaming.Streams.st10StreamingOuterJoin _),
-    "st11_upsert" -> (graft.streaming.Streams.st11ForeachBatchUpsert _)
+    "st11_upsert" -> (graft.streaming.Streams.st11ForeachBatchUpsert _),
+    "c01_curation" -> (Curation.c01Curation _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -777,6 +778,40 @@ object SparkEntry {
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events WHERE user_id % 10 = 1) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // c01 composes the d01/t12/t13 oracle fragments verbatim — lang
+    // gate, t12's keep-rule, d01's normalized-text keep-first, t13's
+    // salted-md5 cap (by source, quota 50), then an integer-only
+    // report (no rounding discipline needed).
+    "c01_curation" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |q AS (SELECT * FROM tk WHERE
+        |    CASE WHEN text IS NULL THEN 'null_text'
+        |         WHEN len(toks) < 10 THEN 'too_short'
+        |         WHEN len(toks) > 1000 THEN 'too_long'
+        |         WHEN (CASE WHEN len(toks) <= 2 THEN 0.0
+        |               ELSE 1.0 -
+        |                 len(list_distinct(list_transform(
+        |                   range(1, greatest(len(toks)-1, 1)),
+        |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE
+        |                 / (len(toks) - 2) END) > 0.2 THEN 'repetitive'
+        |         ELSE 'keep' END = 'keep'),
+        |d AS (SELECT doc_id, source, len(toks) AS n_tokens FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |      ORDER BY doc_id) AS rn
+        |    FROM q) t WHERE rn = 1),
+        |c AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))) AS rk
+        |    FROM d) t WHERE rk <= 50)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "st08_state" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

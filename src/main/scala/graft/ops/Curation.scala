@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** End-to-end corpus curation (SURVEY.md §2b's LLM-pipeline operators
+  * COMPOSED — the shape a real 100 TB training-data run chains them
+  * in, cf. C4/Gopher/FineWeb pipeline papers). Each stage is an
+  * operator the registry already proves in isolation; this file proves
+  * the COMPOSITION: one declarative plan from raw documents to a
+  * per-source corpus report, with every intermediate staying
+  * distributed.
+  *
+  * The reference
+  * (`/root/reference/Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py`)
+  * chains stages eagerly per file (`P:787-816`); here the whole chain
+  * is ONE Catalyst plan, so filters push into earlier stages and
+  * nothing materializes between them.
+  */
+object Curation {
+
+  /** c01 — the curation pipeline: language gate -> quality gate
+    * (t12's exact rules: token-count bounds + Gopher repetition
+    * ratio) -> exact dedup (d01's normalize + keep-first) -> per-source
+    * stratified cap (t13's salted-hash order, quota 50) -> per-source
+    * corpus report (docs kept, whitespace tokens, doc-id checksum).
+    *
+    * Scale shape: the lang + quality gates are ONE fused projection
+    * over the scan (no shuffle — predicates on derived columns
+    * evaluate in the scan stage and the metadata `lang` filter pushes
+    * to parquet); dedup shuffles an 8-byte xxhash64 of the normalized
+    * text, never the text (d01's discipline); the stratified cap and
+    * final report share the `source` partitioning, and everything
+    * after dedup carries only (doc_id, source, n_tokens) — the text
+    * column is projected away before any exchange. At 100 TB the only
+    * wide ops are two narrow-key shuffles (content hash, source) over
+    * already-gated rows — each stage SHRINKS the data before the next
+    * pays for it, which is the whole point of running curation as one
+    * plan instead of materializing between stages.
+    *
+    * Determinism: every gate is a deterministic expression; dedup
+    * keeps the minimum doc_id per content class; the cap orders by
+    * md5 of a salted doc id (t13's argument — unique per doc, stable
+    * across engines); the report is a count/sum aggregate — no
+    * rounding discipline needed (integer sums). */
+  def c01Curation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(Tables(s, dir, "documents"))
+    val gated = docs
+      .filter($"lang" === "en")
+      .filter(TextAnalysis.qualityReason($"text", 10, 1000, 0.2) === "keep")
+    val deduped = graft.Graft.dedupExact(gated, "text", "doc_id")
+      // past dedup, only the narrow columns travel
+      .select($"doc_id", $"source",
+        size(TextDedup.tokens($"text")).cast("long").as("n_tokens"))
+    val bySalt = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("strat:"), $"doc_id".cast("string"))))
+    deduped.withColumn("__rk", row_number().over(bySalt))
+      .filter($"__rk" <= 50)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"doc_id").as("sum_doc_id"))
+      .orderBy($"source")
+  }
+}
