@@ -120,6 +120,7 @@ object SparkEntry {
     "s13_lsh_layout" -> (Similarity.s13LshLayout _),
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "s15_pq_topk" -> (Similarity.s15PqTopK _),
+    "s16_pq_recall" -> (Similarity.s16PqRecall _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "q32_orc_roundtrip" -> (Layout.q32OrcRoundtrip _),
@@ -1678,6 +1679,72 @@ object SparkEntry {
         |      ORDER BY cos DESC, vec_id) AS rank
         |  FROM rer) t WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // s16 composes the s15 PQ pipeline (verbatim CTEs, ending in the
+    // top-5 head `ap`) with s01's exact head `ex` and s10's recall
+    // tail — the same composition annRecall performs.
+    "s16_pq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |dist AS (
+        |  SELECT e.vec_id, ms.m, cb.code,
+        |    ((e.v[ms.m*8+1]-cb.cv[ms.m*8+1])*(e.v[ms.m*8+1]-cb.cv[ms.m*8+1])
+        |   + (e.v[ms.m*8+2]-cb.cv[ms.m*8+2])*(e.v[ms.m*8+2]-cb.cv[ms.m*8+2])
+        |   + (e.v[ms.m*8+3]-cb.cv[ms.m*8+3])*(e.v[ms.m*8+3]-cb.cv[ms.m*8+3])
+        |   + (e.v[ms.m*8+4]-cb.cv[ms.m*8+4])*(e.v[ms.m*8+4]-cb.cv[ms.m*8+4])
+        |   + (e.v[ms.m*8+5]-cb.cv[ms.m*8+5])*(e.v[ms.m*8+5]-cb.cv[ms.m*8+5])
+        |   + (e.v[ms.m*8+6]-cb.cv[ms.m*8+6])*(e.v[ms.m*8+6]-cb.cv[ms.m*8+6])
+        |   + (e.v[ms.m*8+7]-cb.cv[ms.m*8+7])*(e.v[ms.m*8+7]-cb.cv[ms.m*8+7])
+        |   + (e.v[ms.m*8+8]-cb.cv[ms.m*8+8])*(e.v[ms.m*8+8]-cb.cv[ms.m*8+8]))
+        |      AS d2
+        |  FROM e, ms, cb),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY d2, code) AS rn
+        |    FROM dist) t WHERE rn = 1),
+        |recon AS (
+        |  SELECT c.vec_id,
+        |    flatten(list(list_slice(cb.cv, c.m*8+1, c.m*8+8) ORDER BY c.m))
+        |      AS rvec
+        |  FROM codes c JOIN cb ON cb.code = c.code
+        |  GROUP BY c.vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT q.query_id, r.vec_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_inner_product(q.qv, r.rvec) DESC, r.vec_id)
+        |      AS crn
+        |  FROM q, recon r WHERE r.vec_id <> q.query_id),
+        |rer AS (
+        |  SELECT a.query_id, a.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM adc a JOIN q ON q.query_id = a.query_id
+        |  JOIN e ON e.vec_id = a.vec_id
+        |  WHERE a.crn <= 20),
+        |ap AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM rer) t WHERE rank <= 5),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+        |      AS rk
+        |  FROM (SELECT q.query_id, e.vec_id,
+        |          list_cosine_similarity(q.qv, e.v) AS c
+        |        FROM q, e WHERE e.vec_id <> q.query_id) s0) r
+        |  WHERE rk <= 5)
+        |SELECT ex.query_id AS query_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 4) AS recall
+        |FROM ex LEFT JOIN ap
+        |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+        |GROUP BY ex.query_id
+        |ORDER BY query_id""".stripMargin,
 
     // q30/q31 exercise the bucketed/partitioned COPIES of lineitem/
     // orders/events; content is identical to the source tables, so the

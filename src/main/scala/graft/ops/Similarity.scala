@@ -690,4 +690,18 @@ object Similarity {
       .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
       .orderBy($"query_id", $"rank")
   }
+
+  /** s16 — recall@5 of the s15 PQ index against exact s01 search
+    * ([[graft.Graft.annRecall]], which this binds) — s10's evaluation
+    * loop applied to the fourth index family: every approximate index
+    * the engine ships (IVF s10, PQ here) carries its own
+    * oracle-checked recall report, so the compression/recall trade is
+    * measured, not asserted. Determinism: both neighbor SETS are
+    * deterministic (the s15/s01 arguments), and the hit-count join is
+    * exact set intersection. */
+  def s16PqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.annRecall(s15PqTopK(s, dir), s01CosineTopK(s, dir), k = K)
+      .orderBy($"query_id")
+  }
 }
