@@ -129,6 +129,7 @@ object SparkEntry {
     "q35_schema_evolution" -> (Layout.q35SchemaEvolution _),
     "q36_scd2" -> (Relational.q36Scd2 _),
     "q37_compaction" -> (Layout.q37Compaction _),
+    "q38_jdbc_roundtrip" -> (Layout.q38JdbcRoundtrip _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1867,6 +1868,16 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q38 roundtrips customer through Derby; content equality with the
+    // parquet original is the whole claim, so the oracle aggregates
+    // the source directly (the q32-q35 source-roundtrip contract).
+    "q38_jdbc_roundtrip" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  min(c_custkey) AS min_key
+        |FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // d03/d07: DuckDB 1.0.0 has no xxhash64, so these oracles inline a

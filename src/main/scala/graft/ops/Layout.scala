@@ -491,4 +491,41 @@ object Layout {
     * proves the file count collapsed and the clustering took. */
   def q37Compaction(s: SparkSession, dir: String): DataFrame =
     q37Scan(s, lineitemCompacted(s, dir))
+
+  /** q38 — JDBC sink + partitioned-source roundtrip under the oracle
+    * gate: customer writes to an embedded Derby table through the S5
+    * sink ([[graft.sources.Sinks.jdbcAppend]]'s write path, overwrite
+    * mode for idempotence) and reads back through the PARTITIONED
+    * JDBC source ([[graft.sources.JdbcSource.jdbcPartitioned]] — 4
+    * range-predicated parallel queries on c_custkey, the shape that
+    * saturates a cluster instead of one socket; the reference's
+    * `pd.read_sql`/`to_sql` pair is the single-connection version,
+    * `P:130-147`, `P:311-366`). The aggregate over the roundtripped
+    * rows must hash-match the oracle over the parquet original —
+    * proving the relational store neither loses rows nor perturbs a
+    * DOUBLE (exact JDBC DOUBLE roundtrip), with the q32-q35 source
+    * contract extended to the engine's fourth source family.
+    *
+    * The min/max bounds derivation is the documented JdbcSource
+    * discipline (a 2-value aggregate, volume-independent — bounds
+    * only steer stride placement, never correctness). In-memory
+    * Derby is the sandbox stand-in for the warehouse; the Spark-side
+    * plumbing (dialect mapping, partitioned extract) is identical
+    * against any JDBC url. */
+  def q38JdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val url = "jdbc:derby:memory:graft_q38;create=true"
+    val cust = Tables(s, dir, "customer")
+    cust.write.format("jdbc")
+      .option("url", url).option("dbtable", "customer_rt")
+      .mode("overwrite").save()
+    val bounds = cust.agg(min($"c_custkey"), max($"c_custkey")).head()
+    graft.sources.JdbcSource.jdbcPartitioned(s, url, "customer_rt",
+        "c_custkey", bounds.getLong(0), bounds.getLong(1), numPartitions = 4)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal"), 2).as("sum_bal"),
+        min($"c_custkey").as("min_key"))
+      .orderBy($"c_mktsegment")
+  }
 }

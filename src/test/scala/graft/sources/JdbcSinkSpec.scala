@@ -56,6 +56,22 @@ class JdbcSinkSpec extends SparkSuiteBase {
     assert(back.count() == 1) // the good table landed despite the bad one
   }
 
+  test("q38: the registered roundtrip reads through a 4-slice partitioned JDBC scan") {
+    val df = graft.ops.Layout.q38JdbcRoundtrip(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("JDBCRelation(customer_rt) [numPartitions=4]"),
+      s"partitioned JDBC source missing from plan:\n$plan")
+    // and the roundtrip is content-exact vs the parquet original
+    import org.apache.spark.sql.functions._
+    val want = graft.Tables(spark, "/root/testdata/sf0.001", "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"),
+        min(col("c_custkey")).as("min_key"))
+      .orderBy(col("c_mktsegment")).collect().toSeq
+    assert(df.collect().toSeq == want)
+  }
+
   test("writeCompacted bounds output file count by estimated size") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
