@@ -869,6 +869,134 @@ object Graft {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ ANN top-k (Jégou et al. 2011, §IV "searching with coarse
+    * quantizer" — the composition production vector indexes actually
+    * ship, e.g. FAISS IndexIVFPQ): a coarse quantizer routes each
+    * vector to its nearest `coarse` centroid (cosine argmax, ties to
+    * the LARGER centroid id — the [[ivfSearch]] assignment
+    * convention), PQ encodes the RESIDUAL v - centroid (what remains
+    * after the coarse cell is known — residuals are smaller and
+    * near-isotropic, so the same code budget quantizes them far
+    * tighter than raw vectors), and a query scans only its `nProbe`
+    * nearest cells, scoring by ADC inner product against
+    * centroid + reconstructed residual, then exact-reranking the
+    * `rerankK` head ([[quantizedTopK]]'s cascade). Output is s01's
+    * contract (query_id, rank, vec_id, cos).
+    *
+    * `codebook` is (code, RAW corpus-space vector) by position — e.g.
+    * a sampled subset of the corpus; its entries' own residuals
+    * (w.r.t. their own coarse assignment) form the sub-quantizer
+    * codebooks, gathered driver-side (k_pq x dim doubles,
+    * volume-independent). `coarse` is (centroid_id, c) —
+    * [[kmeansFit]]'s output shape.
+    *
+    * Scale shape: this is the index that beats both parents at
+    * 100 TB — [[ivfSearch]] keeps full floats per cell (memory-bound)
+    * and [[pqTopK]] ADC-scans the whole corpus (compute-bound);
+    * composed, a probe touches ~nProbe/|coarse| of the corpus AND
+    * each touched row is nSub codes, not dim floats. The assignment
+    * is one broadcast-join argmax pass (at rest: a table partitioned
+    * by cell); encoding is a fused projection; the ADC pass joins
+    * probes to cells on the cell id — shuffle carries
+    * (query, vec, score) triples only; rerank joins carry
+    * nQueries x rerankK pairs, corpus-independent. Determinism: the
+    * s15 argument (double math over float-exact inputs in identical
+    * element order; argmin ties to the smaller code, argmax to the
+    * larger centroid, probes to the smaller; ranks tie-break on
+    * vec_id). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, coarse: DataFrame,
+      codebook: DataFrame, nSub: Int, nProbe: Int, k: Int, rerankK: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    val cent = broadcast(coarse.select(col("centroid_id"), col("c")))
+    val c = corpus.select(col(corpus.columns(0)).as("vec_id"),
+      col(corpus.columns(1)).as("__v"))
+    // coarse assignment + residual: argmax cosine over the broadcast
+    // centroids (struct-max ties to the larger centroid id), residual
+    // subtraction in double over float-exact inputs
+    def assignResidual(in: DataFrame): DataFrame = in.crossJoin(cent)
+      .select(col("vec_id"), col("__v"), col("centroid_id"),
+        col("c").as("__cv"),
+        ops.Similarity.cosine(col("__v"), col("c")).as("__cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("__cos"), col("centroid_id"), col("__v"),
+        col("__cv"))).as("b"))
+      .select(col("vec_id"), col("b.centroid_id").as("cell"),
+        col("b.__v").as("__v"),
+        zip_with(col("b.__v").cast("array<double>"),
+          col("b.__cv").cast("array<double>"), (a, b) => a - b).as("__r"),
+        col("b.__cv").cast("array<double>").as("__cvd"))
+    // the sub-quantizer codebooks: the codebook entries' OWN residuals,
+    // gathered driver-side (k_pq x dim doubles — volume-independent,
+    // the collectCentroids pattern)
+    val cbRes: Seq[(Long, Array[Double])] = assignResidual(
+        codebook.select(col(codebook.columns(0)).cast("long").as("vec_id"),
+          col(codebook.columns(1)).cast("array<float>").as("__v")))
+      .select(col("vec_id"), col("__r"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cbRes.nonEmpty, "empty codebook frame")
+    val dim = cbRes.head._2.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val d = dim / nSub
+    val subCb: IndexedSeq[Seq[Seq[Double]]] = (0 until nSub).map(m =>
+      cbRes.map { case (_, v) => v.slice(m * d, (m + 1) * d).toSeq })
+    def encodeCol(m: Int): Column = {
+      val sub = slice(col("__r"), m * d + 1, d)
+      val cands = subCb(m).zipWithIndex.map { case (cv, j) =>
+        struct(
+          aggregate(zip_with(sub, typedLit(cv), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"),
+          lit(j).as("j"))
+      }
+      array_min(array(cands: _*)).getField("j")
+    }
+    val enc = assignResidual(c)
+      .select(Seq(col("vec_id"), col("cell"), col("__cvd")) ++
+        (0 until nSub).map(m => encodeCol(m).as(s"__c$m")): _*)
+    // reconstruction = coarse centroid + concatenated chosen residual
+    // sub-centroids, elementwise (double adds: correctly rounded,
+    // engine-identical)
+    val rres = concat((0 until nSub).map(m =>
+      element_at(typedLit(subCb(m)), col(s"__c$m").cast("int") + 1)): _*)
+    val rec = enc.select(col("vec_id"), col("cell"),
+      zip_with(col("__cvd"), rres, (a, b) => a + b).as("__rv"))
+    // probes: nProbe nearest cells per query (ties to the SMALLER
+    // centroid id — the ivfSearch probe convention)
+    val q = broadcast(queries.select(col(queries.columns(0)).as("query_id"),
+      col(queries.columns(1)).as("__q")))
+    val probes = q.crossJoin(cent)
+      .select(col("query_id"), col("__q"), col("centroid_id"),
+        ops.Similarity.cosine(col("__q"), col("c")).as("__cos"))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__cos").desc, col("centroid_id"))))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"),
+        col("__q").cast("array<double>").as("__qd"), col("centroid_id").as("cell"))
+    val adc = aggregate(zip_with(col("__qd"), col("__rv"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("vec_id"))
+    val cand = probes.join(rec, "cell")
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"), adc.as("__adc"))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= rerankK)
+      .select(col("query_id"), col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(corpus.select(col(corpus.columns(0)).as("vec_id"),
+        col(corpus.columns(1)).as("__vf")), "vec_id")
+      .join(broadcast(queries.select(col(queries.columns(0)).as("query_id"),
+        col(queries.columns(1)).as("__qf"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        ops.Similarity.cosine(col("__qf"), col("__vf")).as("cos"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
+
   /** Driver-side centroid gather: k x dim floats, volume-independent
     * (the broadcast-variable pattern — never a corpus collect). */
   private def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] = {
@@ -988,6 +1116,61 @@ object Graft {
       .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
     df.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= quota)
+  }
+
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007; t29's oracle-checked binding):
+    * each row draws priority p = w/u from a deterministic uniform
+    * u in (0,1], the k highest-priority rows are the sample, and the
+    * (k+1)-th priority tau yields the unbiased per-row weight
+    * estimator est = max(w, tau) — subset sums over the sample then
+    * estimate the population's (THE way to downsample a corpus by
+    * quality/length weight while keeping token-count accounting
+    * honest). Appends `est_weight`.
+    *
+    * Determinism and oracle-exactness: u derives from an LCG over the
+    * id — u = (((id * 2654435761) mod 2147483647) + 1) / 2^31 — and
+    * p = w/u is two correctly-rounded IEEE divisions, so every engine
+    * computes bit-identical priorities (no ln/pow: the classic
+    * exponential-key spelling of weighted sampling is
+    * libm-implementation-dependent at the ulp, which an exact-hash
+    * oracle cannot tolerate; priority sampling is the same estimator
+    * family with division-only arithmetic). Ties break on id.
+    *
+    * Scale shape: the priority is a narrow per-row projection; the
+    * head select is orderBy+limit(k+1) — TakeOrderedAndProject, a
+    * per-partition partial top-k merged on the driver, never a global
+    * sort — and tau/rank run over the <= k+1-row head, not the
+    * corpus. Weights must be positive; ids non-negative integers
+    * (the LCG's modulus arithmetic overflows past ~3.9e9 ids under
+    * ANSI semantics — fold wider ids through xxhash64 first). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (pmod(col(idCol).cast("long") * lit(2654435761L),
+      lit(2147483647L)) + lit(1L)).cast("double") / lit(2147483648.0)
+    val head = df.withColumn("__p", col(weightCol).cast("double") / u)
+      .orderBy(col("__p").desc, col(idCol))
+      .limit(k + 1)
+    // rank/threshold over the bounded head (<= k+1 rows) — the
+    // single-partition window is metadata-sized, not a corpus sort.
+    // The partition key is a NON-FOLDABLE constant: a literal would be
+    // folded out of the partition spec and tagged as the
+    // "No Partition Defined" whole-frame hazard, which this is not.
+    val w = Window.partitionBy(pmod(col(idCol).cast("long"), lit(1L)))
+      .orderBy(col("__p").desc, col(idCol))
+    // checkpoint: two consumers (tau aggregate, sample filter) would
+    // otherwise each re-run the corpus top-k scan (the d17 discipline)
+    val ranked = head.withColumn("__rn", row_number().over(w))
+      .localCheckpoint(true)
+    val tauF = ranked.agg(coalesce(
+      max(when(col("__rn") === k + 1, col("__p"))), lit(0.0)).as("__tau"))
+    ranked.filter(col("__rn") <= k)
+      .crossJoin(broadcast(tauF))
+      .withColumn("est_weight",
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__p", "__rn", "__tau")
   }
 
   /** Mixture sampling (t22's oracle-checked binding): draw a

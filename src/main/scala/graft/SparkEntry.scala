@@ -94,6 +94,7 @@ object SparkEntry {
     "d06_neardup_pairs" -> (TextDedup.d06NearDupPairs _),
     "d07_simhash_pairs" -> (TextDedup.d07SimhashPairs _),
     "d08_neardup_dedup" -> (TextDedup.d08NearDupDedup _),
+    "d18_components" -> (TextDedup.d18ComponentsDistributed _),
     "d05_embedding_dedup" -> (Similarity.d05EmbeddingDedup _),
     "s01_cosine_topk" -> (Similarity.s01CosineTopK _),
     "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "t26_bpe" -> (TextAnalysis.t26BpeMerges _),
     "t27_bpe_segment" -> (TextAnalysis.t27BpeSegment _),
     "t28_chunks" -> (TextAnalysis.t28Chunks _),
+    "t29_weighted_sample" -> (TextAnalysis.t29PrioritySample _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -121,6 +123,8 @@ object SparkEntry {
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "s15_pq_topk" -> (Similarity.s15PqTopK _),
     "s16_pq_recall" -> (Similarity.s16PqRecall _),
+    "s17_ivfpq_topk" -> (Similarity.s17IvfPqTopK _),
+    "s18_ivfpq_recall" -> (Similarity.s18IvfPqRecall _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "q32_orc_roundtrip" -> (Layout.q32OrcRoundtrip _),
@@ -184,6 +188,76 @@ object SparkEntry {
       |c2 AS (SELECT centroid_id, list_transform(list(c ORDER BY dim),
       |         x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
       |       FROM m2 GROUP BY centroid_id)""".stripMargin
+
+  /** The s17 IVF-PQ pipeline as CTEs ending in the reranked candidate
+    * head `rer` — shared verbatim by the s17/s18 oracles so the
+    * route/residual/encode/probe stages cannot drift. Stripped at
+    * definition; call sites concatenate a |-margined tail and strip
+    * the whole — the second pass is a no-op on these lines (the SQL
+    * contains no margin character; do NOT add bitwise `|` here, the
+    * d03 lesson). */
+  private val s17Ctes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cc AS (SELECT vec_id AS centroid_id, v AS ccv FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, v, centroid_id, ccv FROM (
+      |  SELECT e.vec_id, e.v, c.centroid_id, c.ccv,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, c.ccv) DESC,
+      |               c.centroid_id DESC) AS rn
+      |  FROM e, cc c) t WHERE rn = 1),
+      |res AS (SELECT vec_id, centroid_id, ccv,
+      |  list_transform(range(0, 64), i -> v[i+1] - ccv[i+1]) AS r
+      |  FROM asg),
+      |cbr AS (SELECT vec_id - 16 AS code, r AS cv FROM res
+      |        WHERE vec_id >= 16 AND vec_id < 32),
+      |ms AS (SELECT unnest(range(0, 8)) AS m),
+      |dist AS (
+      |  SELECT res.vec_id, ms.m, cbr.code,
+      |    ((res.r[ms.m*8+1]-cbr.cv[ms.m*8+1])*(res.r[ms.m*8+1]-cbr.cv[ms.m*8+1])
+      |   + (res.r[ms.m*8+2]-cbr.cv[ms.m*8+2])*(res.r[ms.m*8+2]-cbr.cv[ms.m*8+2])
+      |   + (res.r[ms.m*8+3]-cbr.cv[ms.m*8+3])*(res.r[ms.m*8+3]-cbr.cv[ms.m*8+3])
+      |   + (res.r[ms.m*8+4]-cbr.cv[ms.m*8+4])*(res.r[ms.m*8+4]-cbr.cv[ms.m*8+4])
+      |   + (res.r[ms.m*8+5]-cbr.cv[ms.m*8+5])*(res.r[ms.m*8+5]-cbr.cv[ms.m*8+5])
+      |   + (res.r[ms.m*8+6]-cbr.cv[ms.m*8+6])*(res.r[ms.m*8+6]-cbr.cv[ms.m*8+6])
+      |   + (res.r[ms.m*8+7]-cbr.cv[ms.m*8+7])*(res.r[ms.m*8+7]-cbr.cv[ms.m*8+7])
+      |   + (res.r[ms.m*8+8]-cbr.cv[ms.m*8+8])*(res.r[ms.m*8+8]-cbr.cv[ms.m*8+8]))
+      |      AS d2
+      |  FROM res, ms, cbr),
+      |codes AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code,
+      |      row_number() OVER (PARTITION BY vec_id, m
+      |        ORDER BY d2, code) AS rn
+      |    FROM dist) t WHERE rn = 1),
+      |reconr AS (
+      |  SELECT c.vec_id,
+      |    flatten(list(list_slice(cbr.cv, c.m*8+1, c.m*8+8) ORDER BY c.m))
+      |      AS rv
+      |  FROM codes c JOIN cbr ON cbr.code = c.code
+      |  GROUP BY c.vec_id),
+      |recon AS (
+      |  SELECT a.vec_id, a.centroid_id,
+      |    list_transform(range(0, 64), i -> a.ccv[i+1] + r.rv[i+1]) AS rvec
+      |  FROM asg a JOIN reconr r ON r.vec_id = a.vec_id),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |probes AS (SELECT query_id, qv, centroid_id FROM (
+      |  SELECT q.query_id, q.qv, c.centroid_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_cosine_similarity(q.qv, c.ccv) DESC,
+      |               c.centroid_id) AS pr
+      |  FROM q, cc c) t WHERE pr <= 2),
+      |adc AS (
+      |  SELECT p.query_id, r.vec_id,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_inner_product(p.qv, r.rvec) DESC, r.vec_id)
+      |      AS crn
+      |  FROM probes p JOIN recon r ON r.centroid_id = p.centroid_id
+      |  WHERE r.vec_id <> p.query_id),
+      |rer AS (
+      |  SELECT a.query_id, a.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+      |  FROM adc a JOIN q ON q.query_id = a.query_id
+      |  JOIN e ON e.vec_id = a.vec_id
+      |  WHERE a.crn <= 20)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -593,6 +667,33 @@ object SparkEntry {
         |roots AS (SELECT a AS doc_id, min(b) AS kept_id FROM reach GROUP BY a)
         |SELECT doc_id, kept_id FROM roots
         |WHERE kept_id < doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // d18 = d08's pair graph, FULL component-minimum labeling (the
+    // distributed componentMin loop's fixpoint): every vertex of the
+    // pair graph with the smallest id reachable from it (self included
+    // via least()).
+    "d18_components" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(toks)-1, 1)),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS component_id
+        |FROM reach GROUP BY a
         |ORDER BY doc_id""".stripMargin,
 
     "d04_ngram_jaccard" ->
@@ -1747,6 +1848,53 @@ object SparkEntry {
         |GROUP BY ex.query_id
         |ORDER BY query_id""".stripMargin,
 
+    // s17 mirrors the IVF-PQ composition relationally: coarse routing
+    // = kmeansCtes' a1 assignment shape over the first-8 centroids
+    // (cosine argmax, tie LARGER centroid id), residual subtraction in
+    // double, s15's per-subspace encode over the residual codebook
+    // (corpus vectors 16..31's own residuals), reconstruction =
+    // centroid + gathered residual sub-centroids elementwise, probes =
+    // 2 nearest cells (tie SMALLER id), ADC within probed cells only,
+    // exact-cosine rerank of the 20-candidate head. All double math
+    // over float-exact inputs in the same element order (the s15
+    // argument).
+    "s17_ivfpq_topk" ->
+      (SparkEntry.s17Ctes + """
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |       round(cos, 6) AS cos FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM rer) t WHERE rank <= 5
+        |ORDER BY query_id, rank""").stripMargin,
+
+    // s18 composes the s17 CTEs (verbatim, ending in the reranked
+    // head `rer`) with s01's exact head and s10/s16's recall tail.
+    "s18_ivfpq_recall" ->
+      (SparkEntry.s17Ctes + """,
+        |ap AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM rer) t WHERE rank <= 5),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+        |      AS rk
+        |  FROM (SELECT q.query_id, e.vec_id,
+        |          list_cosine_similarity(q.qv, e.v) AS c
+        |        FROM q, e WHERE e.vec_id <> q.query_id) s0) r
+        |  WHERE rk <= 5)
+        |SELECT ex.query_id AS query_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 4) AS recall
+        |FROM ex LEFT JOIN ap
+        |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+        |GROUP BY ex.query_id
+        |ORDER BY query_id""").stripMargin,
+
     // q30/q31 exercise the bucketed/partitioned COPIES of lineitem/
     // orders/events; content is identical to the source tables, so the
     // oracle reads the originals — layout must never change answers.
@@ -2164,6 +2312,27 @@ ORDER BY id_a, id_b""",
         |  md5(array_to_string(toks[st + 1 : least(st + 64, len(toks))], ' ')) AS chunk_md5
         |FROM s
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // t29 mirrors prioritySample exactly: LCG uniform, division-only
+    // priority (both engines' IEEE divisions are correctly rounded, so
+    // priorities are bit-identical), k = 64, tau = the 65th priority
+    // (0 when the corpus has <= 64 docs), est = max(weight, tau).
+    "t29_weighted_sample" ->
+      """WITH pr AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    n_chars::DOUBLE /
+        |      ((((doc_id * 2654435761) % 2147483647) + 1)::DOUBLE
+        |        / 2147483648.0) AS p
+        |  FROM documents),
+        |hd AS (SELECT doc_id, lang, n_chars, p,
+        |         row_number() OVER (ORDER BY p DESC, doc_id) AS rn
+        |       FROM pr QUALIFY rn <= 65),
+        |tau AS (SELECT coalesce(max(CASE WHEN rn = 65 THEN p END), 0.0) AS tau
+        |        FROM hd)
+        |SELECT doc_id, lang, n_chars,
+        |  round(greatest(n_chars::DOUBLE, tau), 4) AS est_weight
+        |FROM hd, tau WHERE rn <= 64
+        |ORDER BY doc_id""".stripMargin,
 
     "t07_winnow_pairs" ->
       """WITH h AS (

@@ -704,4 +704,43 @@ object Similarity {
     graft.Graft.annRecall(s15PqTopK(s, dir), s01CosineTopK(s, dir), k = K)
       .orderBy($"query_id")
   }
+
+  /** s17 — IVF-PQ composed index ([[graft.Graft.ivfPqTopK]], which
+    * this binds): the production composition (FAISS IndexIVFPQ shape)
+    * of the two index families the engine already ships separately —
+    * coarse routing into 8 cells (first-8 seeding, the c0 convention)
+    * bounds what a probe scans (nProbe=2 of 8 cells), PQ codes over
+    * RESIDUALS bound what each scanned row costs (8 x 4-bit codes vs
+    * 64 floats), exact rerank of the 4k head restores s01's output
+    * contract. The residual sub-codebooks come from corpus vectors
+    * 16..31 (disjoint from the coarse seeds, so neither quantizer
+    * degenerates to zero-error on its own training rows). The oracle
+    * mirrors route/residual/encode/reconstruct/ADC relationally;
+    * recall@5 vs exact s01 is s18's oracle-checked report. */
+  def s17IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    graft.Graft.ivfPqTopK(
+        emb.select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < NQueries).select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("centroid_id"), $"embedding".as("c")),
+        emb.filter($"vec_id" >= 16 && $"vec_id" < 32)
+          .select($"vec_id", $"embedding"),
+        nSub = 8, nProbe = 2, k = K, rerankK = 4 * K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s18 — recall@5 of the s17 IVF-PQ index against exact s01 search
+    * (s10/s16's evaluation loop on the composed index): the number
+    * that prices the nProbe=2 cell pruning ON TOP of PQ compression —
+    * the trade a production deployment actually tunes (raise nProbe
+    * until recall clears the bar, every probe step costing
+    * 1/|cells| of the corpus). */
+  def s18IvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.annRecall(s17IvfPqTopK(s, dir), s01CosineTopK(s, dir), k = K)
+      .orderBy($"query_id")
+  }
 }

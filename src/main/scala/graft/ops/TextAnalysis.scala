@@ -658,4 +658,24 @@ object TextAnalysis {
         "doc_id", "text", T28Size, T28Stride)
       .orderBy($"doc_id", $"chunk_idx")
   }
+
+  /** t29 — weighted corpus downsampling by priority sampling
+    * ([[graft.Graft.prioritySample]], which this binds): 64 documents
+    * drawn with probability increasing in length (weight = n_chars,
+    * the "sample long documents preferentially but keep the token
+    * accounting unbiased" recipe), each carrying its
+    * max(weight, tau) estimator so sum(est_weight) over the sample
+    * estimates the corpus's total chars. Deterministic end to end
+    * (LCG uniform over doc_id, division-only priorities) — the DuckDB
+    * oracle recomputes the identical sample and estimators. */
+  private val T29K = 64
+  def t29PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.prioritySample(
+        Tables(s, dir, "documents").select($"doc_id", $"lang", $"n_chars"),
+        "doc_id", "n_chars", T29K)
+      .select($"doc_id", $"lang", $"n_chars",
+        round($"est_weight", 4).as("est_weight"))
+      .orderBy($"doc_id")
+  }
 }

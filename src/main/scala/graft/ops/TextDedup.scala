@@ -534,6 +534,28 @@ object TextDedup {
       .orderBy($"doc_id")
   }
 
+  /** d18 — DISTRIBUTED connected-components labels under the oracle
+    * gate: the same thresholded near-dup pair graph as d08, labeled by
+    * [[componentMin]] with `localEdgeGate = 0` so the join+aggregate
+    * rounds — the loop a 1000-executor cluster actually runs when the
+    * duplicate graph outgrows the driver — execute on corpus data
+    * against the DuckDB recursive-CTE oracle. d08's harness-scale run
+    * always takes the size-gated driver union-find, so without this
+    * row the distributed path's only coverage is unit-test toy graphs
+    * (DedupSimilaritySpec); here every (vertex, component-minimum)
+    * label of the real pair graph is hash-checked. Output is the full
+    * labeling, not just the removal rows: the labeling is what
+    * downstream keep/collapse/aggregate steps join on. */
+  def d18ComponentsDistributed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val cand = minhashCandidatesRaw(docs, bands = 8, rowsPerBand = 4)
+    val pairs = jaccardVerify(docs, cand).filter($"jaccard" >= 0.8)
+    componentMin(pairs, localEdgeGate = 0L)
+      .select($"id".as("doc_id"), $"root".as("component_id"))
+      .orderBy($"doc_id")
+  }
+
   /** d07 — SimHash near-dup pairs, driver-visible: block-LSH bucketing
     * then hamming verify over the corpus's planted near-dups. No oracle
     * (fingerprints are xxhash64-derived, which DuckDB cannot compute);

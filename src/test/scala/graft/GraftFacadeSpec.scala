@@ -532,6 +532,36 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(direct == viaTf, s"$direct vs $viaTf")
   }
 
+  test("prioritySample selects the straight-line top-k by w/u with exact estimators") {
+    val rows = (0L until 40L).map(i => (i, (i % 7 + 1) * 100.0))
+    val df = rows.toDF("id", "w")
+    // straight-line reference: identical LCG + division arithmetic
+    def prio(id: Long, w: Double): Double =
+      w / (((id * 2654435761L) % 2147483647L + 1).toDouble / 2147483648.0)
+    val ranked = rows.map { case (id, w) => (id, w, prio(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tau = ranked(10)._3 // k = 10 -> the 11th priority
+    val expect = ranked.take(10)
+      .map { case (id, w, _) => (id, math.max(w, tau)) }.sortBy(_._1)
+    val got = Graft.prioritySample(df, "id", "w", 10)
+      .select($"id", $"est_weight").as[(Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == expect, s"$got vs $expect")
+    // layout-independent: same selection after a repartition
+    val again = Graft.prioritySample(df.repartition(7), "id", "w", 10)
+      .select($"id", $"est_weight").as[(Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(again == expect)
+  }
+
+  test("prioritySample with k >= n keeps every row at its exact weight (tau = 0)") {
+    val df = Seq((1L, 5.0), (2L, 7.0)).toDF("id", "w")
+    val got = Graft.prioritySample(df, "id", "w", 10)
+      .select($"id", $"est_weight").as[(Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 5.0), (2L, 7.0)), s"$got")
+  }
+
   test("mixtureSample allocates by largest remainder and stays layout-independent") {
     // weights * 7 = 3.5 / 2.1 / 1.4 -> floors 3/2/1, leftover 1 goes
     // to the largest remainder (a) -> quotas 4/2/1

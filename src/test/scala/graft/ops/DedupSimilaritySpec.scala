@@ -175,6 +175,24 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(dist == expected)
   }
 
+  test("d18: distributed labeling of the corpus pair graph equals the driver union-find") {
+    // d18 forces the distributed loop on the REAL near-dup pair graph;
+    // the driver union-find over the same pairs is the cross-path
+    // reference (the DuckDB recursive CTE is the e2e oracle)
+    val sf = "/root/testdata/sf0.001"
+    val got = TextDedup.d18ComponentsDistributed(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty) // the corpus plants near-dup clusters
+    assert(got == got.sortBy(_._1))
+    val docsT = graft.Tables(spark, sf, "documents")
+    val pairs = TextDedup.jaccardVerify(docsT,
+        TextDedup.minhashCandidatesRaw(docsT, bands = 8, rowsPerBand = 4))
+      .filter($"jaccard" >= 0.8)
+    val local = TextDedup.componentMin(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.toMap == local)
+  }
+
   test("componentMin local path: mixed-width ids widen, never truncate") {
     // id_a int, id_b long with a root beyond Int range: the union
     // coerces to long, and BOTH paths must return that coerced type
@@ -307,6 +325,42 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(!exchanges.exists(_.contains("embedding")),
       s"an exchange carries the raw vectors:\n${exchanges.mkString("\n")}")
+  }
+
+  test("s17: IVF-PQ recall floor holds; s18 reports one recall row per query") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Similarity.s01CosineTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.s17IvfPqTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // nProbe=2 of 8 cells ON TOP of 16x8 residual PQ on random
+    // vectors: strictly harder than s15 — the bound is a tripwire
+    assert(recall >= 0.2, s"IVF-PQ recall $recall")
+    val s18 = Similarity.s18IvfPqRecall(spark, sf).collect()
+    assert(s18.length == 10)
+    assert(s18.forall(_.getAs[Long]("n_exact") == 5L))
+  }
+
+  test("ivfPqTopK: exact when residual codebook covers every cell residual") {
+    // one coarse centroid + the corpus as codebook: residuals encode
+    // exactly, reconstruction is exact, ADC == true inner product ->
+    // must equal brute-force top-k (the pqTopK zero-error argument
+    // pushed through the coarse stage)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 16L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val coarse = df.filter($"vec_id" === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c"))
+    val got = graft.Graft.ivfPqTopK(df, queries, coarse, df,
+        nSub = 2, nProbe = 1, k = 4, rerankK = 16)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val exact = graft.Graft.cosineTopK(df, queries, k = 4)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got == exact)
   }
 
   test("pqTopK: exact when the corpus IS the codebook (zero quantization error)") {
