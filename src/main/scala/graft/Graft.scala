@@ -1118,6 +1118,51 @@ object Graft {
       .filter(col("rk") <= quota)
   }
 
+  /** Ordered funnel stage times (q39's oracle-checked binding): for
+    * each `userCol`, the timestamp of the first `stages(0)` event, the
+    * first `stages(1)` event STRICTLY AFTER it, and so on — the
+    * product-analytics conversion primitive. Returns (userCol,
+    * stage_ts: array of nullable timestamps, one slot per stage; a
+    * null means the funnel stalled before that stage).
+    *
+    * Scale shape: ONE shuffle (the per-user groupBy); each user's
+    * events gather into a ts-sorted array and a single `aggregate`
+    * fold walks it once — the sessionization contract (per-user
+    * activity is bounded, the corpus is not). The join-chain spelling
+    * (events ⋈ events ⋈ ... on ts inequalities) is quadratic per user
+    * and shuffles the event table once per stage. Determinism: the
+    * fold visits events in (ts, type) order; elements identical under
+    * that key are interchangeable to the fold, so no id tie-break is
+    * needed. Strictly-after semantics mean a same-timestamp pair
+    * never advances the funnel — and make "first qualifying in fold
+    * order" equal "min(ts) of qualifying", which is what lets a
+    * relational oracle mirror this with staged min-subqueries.
+    * Repeated stage names compose (e.g. ["view","view"] = second
+    * distinct-time view): slot i fills only when slot i-1 was already
+    * filled by an EARLIER event (the fold evaluates every slot
+    * against the pre-event state). */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val n = stages.size
+    val nullTs = lit(null).cast("timestamp")
+    df.filter(col(typeCol).isin(stages.distinct: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("__ts"),
+        col(typeCol).as("__tp")))).as("__evs"))
+      .select(col(userCol), aggregate(col("__evs"),
+        array(Seq.fill(n)(nullTs): _*),
+        (acc, e) => transform(acc, (t, i) =>
+          when(t.isNotNull, t).otherwise(
+            when(element_at(typedLit(stages), i + 1) === e.getField("__tp")
+              // CaseWhen evaluates lazily, so element_at(acc, 0) is
+              // never touched on the i = 0 branch
+              && when(i === 0, lit(true))
+                .otherwise(element_at(acc, i).isNotNull &&
+                  e.getField("__ts") > element_at(acc, i)),
+              e.getField("__ts"))))).as("stage_ts"))
+  }
+
   /** Weighted sampling without replacement by PRIORITY SAMPLING
     * (Duffield, Lund & Thorup, "Priority sampling for estimation of
     * arbitrary subset sums", JACM 2007; t29's oracle-checked binding):

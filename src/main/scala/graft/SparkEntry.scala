@@ -134,6 +134,7 @@ object SparkEntry {
     "q36_scd2" -> (Relational.q36Scd2 _),
     "q37_compaction" -> (Layout.q37Compaction _),
     "q38_jdbc_roundtrip" -> (Layout.q38JdbcRoundtrip _),
+    "q39_funnel" -> (Relational.q39Funnel _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -2027,6 +2028,38 @@ object SparkEntry {
         |  min(c_custkey) AS min_key
         |FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q39 mirrors the fold with staged min-subqueries: strictly-after
+    // stage semantics make "first qualifying in ts order" == "min of
+    // qualifying", so the engine's one-pass per-user fold and the
+    // oracle's three grouped mins agree exactly (same-ts stage pairs
+    // qualify in neither). Latency = exact integer microsecond sum
+    // cast to double, then divided — identical rounding both engines.
+    "q39_funnel" ->
+      """WITH ue AS (SELECT user_id, ts, event_type FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')),
+        |uu AS (SELECT DISTINCT user_id FROM ue),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ue
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ue e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ue e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY e.user_id),
+        |f AS (SELECT uu.user_id, s1.t1, s2.t2, s3.t3
+        |      FROM uu LEFT JOIN s1 USING (user_id)
+        |      LEFT JOIN s2 USING (user_id)
+        |      LEFT JOIN s3 USING (user_id))
+        |SELECT user_id % 10 AS bucket, count(*) AS n_users,
+        |  CAST(count(t1) AS BIGINT) AS n_viewed,
+        |  CAST(count(t2) AS BIGINT) AS n_clicked,
+        |  CAST(count(t3) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(epoch_us(t3) - epoch_us(t1)) AS DOUBLE)
+        |    / nullif(count(t3), 0) / 1000000.0, 4) AS avg_secs_to_convert
+        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // d03/d07: DuckDB 1.0.0 has no xxhash64, so these oracles inline a
     // full XXH64 (seed 42, the xxHash spec) in SQL over the whitespace

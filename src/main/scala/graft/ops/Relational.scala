@@ -634,4 +634,34 @@ object Relational {
         "c_custkey", Seq("c_acctbal", "c_mktsegment"), "eff")
       .orderBy($"c_custkey", $"valid_from")
   }
+
+  /** q39 — ordered funnel conversion over the event stream
+    * ([[graft.Graft.funnel]], which this binds): per user, the first
+    * `view`, the first `click` STRICTLY AFTER that view, and the
+    * first `purchase` strictly after that click, rolled up into
+    * per-user-bucket stage counts and mean view→purchase latency.
+    * Scale/determinism arguments in the facade scaladoc; the DuckDB
+    * oracle mirrors the fold with staged min-subqueries. Latency
+    * averages over exact integer microsecond sums (sum cast to
+    * double, then divide — correctly-rounded identical in both
+    * engines; `avg` directly would expose DuckDB's incremental-double
+    * accumulation order). */
+  def q39Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.funnel(Tables(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .select($"user_id",
+        element_at($"stage_ts", 1).as("t1"),
+        element_at($"stage_ts", 2).as("t2"),
+        element_at($"stage_ts", 3).as("t3"))
+      .groupBy(pmod($"user_id", lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        count($"t1").as("n_viewed"),
+        count($"t2").as("n_clicked"),
+        count($"t3").as("n_converted"),
+        round(sum(unix_micros($"t3") - unix_micros($"t1")).cast("double")
+          / nullif(count($"t3"), lit(0)) / lit(1e6), 4)
+          .as("avg_secs_to_convert"))
+      .orderBy($"bucket")
+  }
 }

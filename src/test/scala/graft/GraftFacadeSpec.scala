@@ -532,6 +532,35 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(direct == viaTf, s"$direct vs $viaTf")
   }
 
+  test("funnel: strictly-ordered stages, same-ts pairs stall, repeated stages compose") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: full conversion in order
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: click BEFORE the first view — stalls at click, and the
+      // purchase cannot skip the missing stage
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(3), "purchase"),
+      // user 3: click at the SAME ts as the view — strictly-after fails
+      (3L, ts(1), "view"), (3L, ts(1), "click"), (3L, ts(4), "purchase"),
+      // user 4: second view then click — first view anchors the funnel
+      (4L, ts(1), "view"), (4L, ts(5), "view"), (4L, ts(6), "click")
+    ).toDF("uid", "ts", "etype")
+    val got = Graft.funnel(ev, "uid", "ts", "etype",
+        Seq("view", "click", "purchase"))
+      .select($"uid", $"stage_ts")
+      .as[(Long, Seq[Option[java.sql.Timestamp]])].collect().toMap
+    assert(got(1L) == Seq(Some(ts(1)), Some(ts(2)), Some(ts(3))))
+    assert(got(2L) == Seq(Some(ts(2)), None, None)) // click precedes view
+    assert(got(3L) == Seq(Some(ts(1)), None, None)) // same-ts click stalls
+    assert(got(4L) == Seq(Some(ts(1)), Some(ts(6)), None))
+    // repeated stage names: the second distinct-time occurrence
+    val rep = Graft.funnel(ev, "uid", "ts", "etype", Seq("view", "view"))
+      .select($"uid", $"stage_ts")
+      .as[(Long, Seq[Option[java.sql.Timestamp]])].collect().toMap
+    assert(rep(4L) == Seq(Some(ts(1)), Some(ts(5))))
+    assert(rep(1L) == Seq(Some(ts(1)), None)) // only one view
+  }
+
   test("prioritySample selects the straight-line top-k by w/u with exact estimators") {
     val rows = (0L until 40L).map(i => (i, (i % 7 + 1) * 100.0))
     val df = rows.toDF("id", "w")
