@@ -157,6 +157,7 @@ object SparkEntry {
     "st09_append_windows" -> (graft.streaming.Streams.st09AppendWindows _),
     "st10_outer_join" -> (graft.streaming.Streams.st10StreamingOuterJoin _),
     "st11_upsert" -> (graft.streaming.Streams.st11ForeachBatchUpsert _),
+    "st12_backfill" -> (graft.streaming.Streams.st12FileBackfill _),
     "c01_curation" -> (Curation.c01Curation _)
   )
 
@@ -882,6 +883,16 @@ object SparkEntry {
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events WHERE user_id % 10 = 1) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // st12's sink must hold the slice exactly once across the two
+    // checkpointed catch-up launches — a doubled or missing file
+    // hash-fails this direct aggregate of the same slice.
+    "st12_backfill" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE user_id % 10 = 3
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // c01 composes the d01/t12/t13 oracle fragments verbatim — lang
     // gate, t12's keep-rule, d01's normalized-text keep-first, t13's

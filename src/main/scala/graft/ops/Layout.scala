@@ -68,7 +68,7 @@ object Layout {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
 
-  private[ops] def tmpPath(kind: String, dir: String): String =
+  private[graft] def tmpPath(kind: String, dir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${kind}_${pathTag(dir)}_${tag(dir)}").getPath
 
@@ -91,7 +91,7 @@ object Layout {
     * legacy-named copies (`graft_<kind>_<16-hex content tag>`, no
     * path component) from before this naming — nothing creates them
     * anymore, so any survivor is an orphan by definition. */
-  private[ops] def sweepStaleFor(kind: String, dir: String): Unit = {
+  private[graft] def sweepStaleFor(kind: String, dir: String): Unit = {
     sweepStale(s"${kind}_${pathTag(dir)}", tag(dir))
     val legacy = s"^graft_${java.util.regex.Pattern.quote(kind)}_[0-9a-f]{16}$$".r
     Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())

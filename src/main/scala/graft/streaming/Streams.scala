@@ -634,4 +634,101 @@ object Streams {
     rm(root)
     out
   }
+
+  /** One AvailableNow catch-up run of the st12 file-backfill stream:
+    * process every source file the checkpoint has not seen (2 per
+    * micro-batch — the rate limit that keeps a year-sized backlog from
+    * becoming one giant batch), exactly-once append into the parquet
+    * file sink, then stop. A run over a fully-caught-up checkpoint
+    * commits nothing. */
+  private def st12CatchUp(s: SparkSession, src: String,
+      schema: org.apache.spark.sql.types.StructType,
+      ckpt: String, out: String): Unit = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(src)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** st12 — checkpointed file-source backfill under Trigger
+    * .AvailableNow, the production catch-up shape the MemoryStream
+    * replays cannot express: a landing directory accumulates files, a
+    * periodically-launched stream processes exactly the files its
+    * checkpoint has not seen, in rate-limited micro-batches, and
+    * stops. Two launches run inside this builder — launch 1 drains a
+    * 6-file backlog (3 micro-batches at maxFilesPerTrigger=2),
+    * deterministically-named generation-2 files then land, launch 2
+    * (SAME checkpoint) processes ONLY those — and the registered
+    * aggregate reads the file sink, whose `_spark_metadata` commit log
+    * is what makes the append exactly-once (a batch read of the sink
+    * dir lists committed files from the log, never stray part files).
+    * The oracle aggregates the same slice of the events table
+    * directly, so ANY replay (double-processed file → doubled counts)
+    * or loss (missed file → short counts) hash-fails — the
+    * exactly-once property IS the gate, not a side assertion.
+    *
+    * Scale shape: this is how 100 TB/day actually lands (files from
+    * upstream writers; no always-on cluster needed — AvailableNow
+    * catch-up on a schedule); the checkpoint's seen-files log and the
+    * sink's commit log are both O(files), not O(rows), and the rate
+    * limit bounds per-trigger memory. Idempotent per (JVM, source
+    * content): the layout-copy tag pattern (Layout.tmpPath) keys
+    * checkpoint+sink+source together, so a Bench re-run launches
+    * catch-ups that find nothing new and the sink is stable; a
+    * testdata regeneration re-keys everything and rebuilds. Harness
+    * tax: both launches run eagerly inside the builder (the st03
+    * argument); gen-2 files move via staged rename so a crash between
+    * the two launches re-lands identical bytes under identical names
+    * (the file source tracks seen PATHS — re-landing the same path is
+    * a no-op to it). */
+  def st12FileBackfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 3)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val root = graft.ops.Layout.tmpPath("st12", dir)
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    if (!new java.io.File(srcDir, "_SUCCESS").exists()) {
+      graft.ops.Layout.sweepStaleFor("st12", dir)
+      slice.filter($"event_id" % 3 =!= 0).repartition(6)
+        .write.mode("overwrite").parquet(srcDir)
+    }
+    st12CatchUp(s, srcDir, slice.schema, ckpt, outDir)
+    // generation 2 lands AFTER the first catch-up: staged write, then
+    // deterministic renames into the landing dir (one file at a time —
+    // exactly what a real uploader does)
+    val gen2 = (0 until 3).map(i => new java.io.File(srcDir, s"gen2_$i.parquet"))
+    if (!gen2.forall(_.exists())) {
+      val stage = s"$root/stage2"
+      slice.filter($"event_id" % 3 === 0).repartition(3)
+        .write.mode("overwrite").parquet(stage)
+      val parts = Option(new java.io.File(stage).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .sortBy(_.getName)
+      require(parts.length == 3, s"expected 3 staged files, got ${parts.length}")
+      parts.zip(gen2).foreach { case (from, to) =>
+        java.nio.file.Files.move(from.toPath, to.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    st12CatchUp(s, srcDir, slice.schema, ckpt, outDir)
+    s.read.parquet(outDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
 }

@@ -312,6 +312,33 @@ class StreamsSpec extends SparkSuiteBase {
       s"upsert sink diverged: got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("st12: checkpointed catch-ups land the slice exactly once; re-runs are no-ops") {
+    val sf = "/root/testdata/sf0.001"
+    val expected = graft.Tables(spark, sf, "events")
+      .filter($"user_id" % 10 === 3)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type").collect().toSeq
+    // first build: launch 1 drains the 6-file backlog, gen-2 lands,
+    // launch 2 (same checkpoint) appends only the delta
+    val got = Streams.st12FileBackfill(spark, sf).collect().toSeq
+    assert(got == expected, s"sink diverged after two catch-ups:\n$got\nvs\n$expected")
+    // rebuild in the same JVM: both catch-ups find a caught-up
+    // checkpoint and commit NOTHING — any re-processing would double
+    // counts here
+    val again = Streams.st12FileBackfill(spark, sf).collect().toSeq
+    assert(again == expected, "a re-run re-processed already-seen files")
+    // the landing dir really held two generations (6 + 3 data files)
+    val root = graft.ops.Layout.tmpPath("st12", sf)
+    val srcFiles = Option(new java.io.File(s"$root/src").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    assert(srcFiles.count(_.getName.startsWith("gen2_")) == 3)
+    assert(srcFiles.count(_.getName.startsWith("part-")) == 6)
+  }
+
   test("st04: every event lands in exactly two sliding windows, starts 5-min aligned") {
     val sf = "/root/testdata/sf0.001"
     val df = Streams.st04SlidingWindows(spark, sf)
