@@ -115,6 +115,7 @@ object SparkEntry {
     "t27_bpe_segment" -> (TextAnalysis.t27BpeSegment _),
     "t28_chunks" -> (TextAnalysis.t28Chunks _),
     "t29_weighted_sample" -> (TextAnalysis.t29PrioritySample _),
+    "t30_heaps" -> (TextAnalysis.t30Heaps _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "s16_pq_recall" -> (Similarity.s16PqRecall _),
     "s17_ivfpq_topk" -> (Similarity.s17IvfPqTopK _),
     "s18_ivfpq_recall" -> (Similarity.s18IvfPqRecall _),
+    "s19_quant_recall" -> (Similarity.s19QuantRecall _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "q32_orc_roundtrip" -> (Layout.q32OrcRoundtrip _),
@@ -260,6 +262,43 @@ object SparkEntry {
       |  FROM adc a JOIN q ON q.query_id = a.query_id
       |  JOIN e ON e.vec_id = a.vec_id
       |  WHERE a.crn <= 20)""".stripMargin
+
+  /** The s11 int8-cascade pipeline as CTEs ending in the reranked head
+    * `ranked` (plus `q`/`n` for composition) — shared verbatim by the
+    * s11/s19 oracles. Same stripping contract as [[s17Ctes]]. */
+  private val s11Ctes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+      |             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+      |             ELSE 0.0 END AS scale
+      |      FROM e),
+      |z AS (SELECT vec_id, v,
+      |        list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
+      |      FROM s),
+      |n AS (SELECT vec_id, v, qv,
+      |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+      |      FROM z),
+      |q AS (SELECT vec_id AS query_id, v AS qf, qv AS qq, n2 AS qn2
+      |      FROM n WHERE vec_id < 10),
+      |st1 AS (SELECT query_id, vec_id,
+      |          CASE WHEN qn2 * n2 > 0 THEN
+      |            CAST(CAST(list_sum(list_transform(range(1, len(qq) + 1),
+      |              i -> qq[i] * qv[i])) AS BIGINT) AS DOUBLE)
+      |              / sqrt(CAST(qn2 * n2 AS DOUBLE))
+      |          ELSE -2.0 END AS approx
+      |        FROM n, q WHERE vec_id <> query_id),
+      |cand AS (SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY approx DESC, vec_id) AS r1 FROM st1) t WHERE r1 <= 20),
+      |rr AS (SELECT cand.query_id AS query_id, cand.vec_id AS vec_id,
+      |         list_cosine_similarity(q.qf, n.v) AS cs
+      |       FROM cand JOIN n ON cand.vec_id = n.vec_id
+      |                 JOIN q ON cand.query_id = q.query_id),
+      |ranked AS (SELECT query_id, vec_id, cs,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cs DESC, vec_id) AS rank
+      |  FROM rr)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1622,40 +1661,32 @@ object SparkEntry {
     // discipline. The float rerank then follows s01's regime — rank
     // exact doubles, round(6) for display.
     "s11_qsearch" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
-        |             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
-        |             ELSE 0.0 END AS scale
-        |      FROM e),
-        |z AS (SELECT vec_id, v,
-        |        list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qv
-        |      FROM s),
-        |n AS (SELECT vec_id, v, qv,
-        |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
-        |      FROM z),
-        |q AS (SELECT vec_id AS query_id, v AS qf, qv AS qq, n2 AS qn2
-        |      FROM n WHERE vec_id < 10),
-        |st1 AS (SELECT query_id, vec_id,
-        |          CASE WHEN qn2 * n2 > 0 THEN
-        |            CAST(CAST(list_sum(list_transform(range(1, len(qq) + 1),
-        |              i -> qq[i] * qv[i])) AS BIGINT) AS DOUBLE)
-        |              / sqrt(CAST(qn2 * n2 AS DOUBLE))
-        |          ELSE -2.0 END AS approx
-        |        FROM n, q WHERE vec_id <> query_id),
-        |cand AS (SELECT query_id, vec_id FROM (
-        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY approx DESC, vec_id) AS r1 FROM st1) t WHERE r1 <= 20),
-        |rr AS (SELECT cand.query_id AS query_id, cand.vec_id AS vec_id,
-        |         list_cosine_similarity(q.qf, n.v) AS cs
-        |       FROM cand JOIN n ON cand.vec_id = n.vec_id
-        |                 JOIN q ON cand.query_id = q.query_id),
-        |ranked AS (SELECT query_id, vec_id, cs,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cs DESC, vec_id) AS rank
-        |  FROM rr)
+      (SparkEntry.s11Ctes + """
         |SELECT query_id, rank, vec_id, round(cs, 6) AS cos
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""").stripMargin,
+
+    // s19 composes the s11 CTEs (verbatim, ending in `ranked`) with
+    // s01's exact head and the s10/s16/s18 recall tail — the int8
+    // cascade's own recall report.
+    "s19_quant_recall" ->
+      (SparkEntry.s11Ctes + """,
+        |ap AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 5),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |  SELECT q.query_id, n2.vec_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qf, n2.v) DESC, n2.vec_id)
+        |      AS rk
+        |  FROM q, n n2 WHERE n2.vec_id <> q.query_id) r
+        |  WHERE rk <= 5)
+        |SELECT ex.query_id AS query_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 4) AS recall
+        |FROM ex LEFT JOIN ap
+        |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+        |GROUP BY ex.query_id
+        |ORDER BY query_id""").stripMargin,
 
     // s12's oracle is GENERATED like d05's: the seed-fixed hyperplanes
     // print as %.17e literals so both engines bucket on identical
@@ -2356,6 +2387,32 @@ ORDER BY id_a, id_b""",
         |  md5(array_to_string(toks[st + 1 : least(st + 64, len(toks))], ' ')) AS chunk_md5
         |FROM s
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // t30 mirrors the min-first-bucket formulation: vocab(p) = tokens
+    // whose first document lands in a prefix <= p; cumulative sums
+    // over the 10-row prefix frame. The engine groups token xxhash64,
+    // the oracle the string — the standard collision argument.
+    "t30_heaps" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT (max(doc_id) + 10) // 10 AS width FROM d),
+        |db AS (SELECT doc_id, text,
+        |         least(doc_id // width, 9) AS b FROM d, w),
+        |t AS (SELECT b, unnest(list_filter(string_split(lower(text), ' '),
+        |         x -> x <> '')) AS tok FROM db),
+        |pp AS (SELECT b, count(*) AS nd,
+        |         sum(len(list_filter(string_split(lower(text), ' '),
+        |           x -> x <> ''))) AS nt
+        |       FROM db GROUP BY b),
+        |fs AS (SELECT tok, min(b) AS fb FROM t GROUP BY tok),
+        |nv AS (SELECT fb, count(*) AS nv FROM fs GROUP BY fb)
+        |SELECT b + 1 AS prefix,
+        |  CAST(sum(nd) OVER cum AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) OVER cum AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(nv, 0)) OVER cum AS BIGINT) AS vocab
+        |FROM pp LEFT JOIN nv ON pp.b = nv.fb
+        |WINDOW cum AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW)
+        |ORDER BY prefix""".stripMargin,
 
     // t29 mirrors prioritySample exactly: LCG uniform, division-only
     // priority (both engines' IEEE divisions are correctly rounded, so

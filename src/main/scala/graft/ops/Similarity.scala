@@ -418,6 +418,22 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s19 — recall@5 of the s11 int8 cascade against exact s01 search:
+    * closes the recall-report symmetry — every approximate index the
+    * engine ships (IVF s10, PQ s16, IVF-PQ s18, and now the int8
+    * scan cascade) carries its own oracle-checked recall row. With
+    * rerankK = 4k the int8 stage-1 rarely drops a true neighbor, so
+    * the expected report is ~1.0 — which is exactly the number that
+    * justifies shipping the 4x-smaller index as the default scan
+    * path; a testdata regeneration that broke the quantizer would
+    * surface here as sub-1 recall before any user query did. */
+  def s19QuantRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.annRecall(s11QuantizedSearch(s, dir), s01CosineTopK(s, dir),
+        k = K)
+      .orderBy($"query_id")
+  }
+
   /** s12 hyperplane set (6 x 64): seed-fixed like [[d05Planes]] but
     * its own draw, and intentionally FEWER bits — d05 wants buckets
     * small (every in-bucket PAIR gets scored), search wants buckets

@@ -659,6 +659,58 @@ object TextAnalysis {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** t30 — Heaps'-law vocabulary growth curve: cumulative distinct
+    * vocabulary vs cumulative token volume over 10 doc-id-ordered
+    * corpus prefixes — t19's Zipf fit is the frequency-space law,
+    * this is its growth-space dual, and together they are the two
+    * numbers a tokenizer/curation budget is planned from (how fast
+    * does new vocabulary arrive as the corpus grows; a dedup or
+    * contamination bug shows up as a kinked curve).
+    *
+    * Cumulative distinct WITHOUT recounting each prefix: a token
+    * contributes to every prefix at or after its FIRST document, so
+    * vocab(p) = count of tokens whose min(doc_id) lands in prefix
+    * <= p — ONE token-level groupBy (on xxhash64 of the token, the
+    * d01/t09 8-byte shuffle discipline; the string itself never
+    * shuffles) and a 10-row running sum, instead of 10 distinct-scans.
+    * The oracle groups by the token string — agreement is the
+    * standard collision argument. Integer-only output: no rounding
+    * discipline needed. */
+  def t30Heaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(Tables(s, dir, "documents"))
+      .filter($"text".isNotNull)
+    // prefix width: ceil((max_id + 1) / 10), broadcast as a 1-row
+    // frame. `div`, not `/`: Column./ on longs is DOUBLE division, and
+    // a cast-truncated double that rounded up to an exact integer
+    // would bucket one doc off against the oracle's integer `//`.
+    val width = broadcast(docs.agg(
+      expr("(max(doc_id) + 10) div 10").as("__w")))
+    val bucketed = docs.crossJoin(width)
+      .select($"doc_id", $"text",
+        least(expr("doc_id div __w"), lit(9L)).cast("long").as("b"))
+    val perPrefix = bucketed
+      .groupBy($"b")
+      .agg(count(lit(1)).as("nd"),
+        sum(size(TextDedup.tokens($"text")).cast("long")).as("nt"))
+    val firstSeen = bucketed
+      .select($"b", explode(TextDedup.tokens($"text")).as("w"))
+      .select($"b", xxhash64($"w").as("h"))
+      .groupBy($"h").agg(min($"b").as("fb"))
+      .groupBy($"fb").agg(count(lit(1)).as("nv"))
+    // running sums over the <= 10-row prefix frame (the prioritySample
+    // non-foldable-constant window discipline)
+    val w = Window.partitionBy(pmod($"b", lit(1L))).orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPrefix.join(firstSeen, $"b" === $"fb", "left")
+      .select($"b", $"nd", $"nt", coalesce($"nv", lit(0L)).as("nv"))
+      .select(($"b" + 1).as("prefix"),
+        sum($"nd").over(w).as("n_docs"),
+        sum($"nt").over(w).as("n_tokens"),
+        sum($"nv").over(w).as("vocab"))
+      .orderBy($"prefix")
+  }
+
   /** t29 — weighted corpus downsampling by priority sampling
     * ([[graft.Graft.prioritySample]], which this binds): 64 documents
     * drawn with probability increasing in length (weight = n_chars,

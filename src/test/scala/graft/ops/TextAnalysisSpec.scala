@@ -205,6 +205,26 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(2L) == ((4L, 0.62, "head")), s"got ${got(2L)}")
   }
 
+  test("t30: growth curve is monotone and its last row equals the corpus totals") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.t30Heaps(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == (1L to rows.size))
+    // cumulative curves never decrease, vocab grows sublinearly vs
+    // tokens past the first prefix (Heaps: repeated tokens accumulate)
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, s"$a !<= $b")
+    }
+    val docs = graft.Tables(spark, sf, "documents").filter($"text".isNotNull)
+    val nDocs = docs.count()
+    val totals = docs
+      .select(explode(TextDedup.tokens($"text")).as("w"))
+      .agg(count(lit(1)), countDistinct($"w")).head()
+    assert(rows.last._2 == nDocs)
+    assert(rows.last._3 == totals.getLong(0))
+    assert(rows.last._4 == totals.getLong(1))
+  }
+
   test("t15: planted and pre-existing PII both redact; clean docs pass through verbatim") {
     val dir = docsDir(Seq(
       0L -> "plain words here",                       // %3 and %5: email + phone planted
