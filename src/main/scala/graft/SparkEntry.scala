@@ -160,7 +160,8 @@ object SparkEntry {
     "st10_outer_join" -> (graft.streaming.Streams.st10StreamingOuterJoin _),
     "st11_upsert" -> (graft.streaming.Streams.st11ForeachBatchUpsert _),
     "st12_backfill" -> (graft.streaming.Streams.st12FileBackfill _),
-    "c01_curation" -> (Curation.c01Curation _)
+    "c01_curation" -> (Curation.c01Curation _),
+    "c02_assembly" -> (Curation.c02Assembly _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -966,6 +967,50 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // c02 composes c01's gate/dedup CTEs (tk/q/d, with d carrying the
+    // token count), t29's division-only priority selection (top-128,
+    // no tau needed — only selection feeds packing), and t11's
+    // sharded running-sum bin assignment. Integer-only report.
+    "c02_assembly" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |q AS (SELECT * FROM tk WHERE
+        |    CASE WHEN text IS NULL THEN 'null_text'
+        |         WHEN len(toks) < 10 THEN 'too_short'
+        |         WHEN len(toks) > 1000 THEN 'too_long'
+        |         WHEN (CASE WHEN len(toks) <= 2 THEN 0.0
+        |               ELSE 1.0 -
+        |                 len(list_distinct(list_transform(
+        |                   range(1, greatest(len(toks)-1, 1)),
+        |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::DOUBLE
+        |                 / (len(toks) - 2) END) > 0.2 THEN 'repetitive'
+        |         ELSE 'keep' END = 'keep'),
+        |d AS (SELECT doc_id, len(toks) AS n_tokens FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |      ORDER BY doc_id) AS rn
+        |    FROM q) t WHERE rn = 1),
+        |pr AS (SELECT doc_id, n_tokens,
+        |    n_tokens::DOUBLE /
+        |      ((((doc_id * 2654435761) % 2147483647) + 1)::DOUBLE
+        |        / 2147483648.0) AS p
+        |  FROM d),
+        |hd AS (SELECT doc_id, n_tokens,
+        |         row_number() OVER (ORDER BY p DESC, doc_id) AS rn
+        |       FROM pr QUALIFY rn <= 128),
+        |pk AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 8
+        |           ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |       FROM hd)
+        |SELECT shard, CAST(cum // 256 AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM pk GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
 
     "st08_state" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -65,4 +65,42 @@ object Curation {
         sum($"doc_id").as("sum_doc_id"))
       .orderBy($"source")
   }
+
+  /** c02 — training-set ASSEMBLY, the chain downstream of c01's
+    * curation: the same lang/quality/dedup pool, weighted-downsampled
+    * to a 128-doc token budget by priority sampling (weight =
+    * whitespace token count — long documents preferentially, the t29
+    * estimator keeping the accounting honest), then greedily packed
+    * into 256-token training sequences over 8 shards (t11's
+    * sharded running-sum assignment), reported per (shard, bin) pack:
+    * the docs-per-sequence / tokens-per-sequence profile a trainer's
+    * data loader is configured from.
+    *
+    * Scale shape: the gates fuse into the scan and dedup shuffles
+    * 8-byte hashes (c01's argument); the sample head is a
+    * TakeOrderedAndProject over (id, n_tokens, priority) triples —
+    * the TEXT never reaches the sampler, the weight table is the
+    * narrow projection dedup already produced; packing windows over
+    * the 128-row sample per shard. Every number in the report is an
+    * integer — no rounding discipline anywhere in the chain. */
+  def c02Assembly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(Tables(s, dir, "documents"))
+    val gated = docs
+      .filter($"lang" === "en")
+      .filter(TextAnalysis.qualityReason($"text", 10, 1000, 0.2) === "keep")
+    val pool = graft.Graft.dedupExact(gated, "text", "doc_id")
+      .select($"doc_id",
+        size(TextDedup.tokens($"text")).cast("long").as("n_tokens"))
+    val sampled = graft.Graft.prioritySample(pool, "doc_id", "n_tokens", 128)
+    graft.Graft.packSequences(
+        sampled.select($"doc_id", $"n_tokens"), "doc_id", "n_tokens",
+        capacity = 256, shards = 8)
+      .groupBy($"shard", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"shard", $"bin")
+  }
 }

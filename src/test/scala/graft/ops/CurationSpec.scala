@@ -27,4 +27,32 @@ class CurationSpec extends SparkSuiteBase {
     assert(!exchanges.exists(_.contains("text#")),
       s"an exchange ships document text:\n${exchanges.mkString("\n")}")
   }
+
+  test("c02: sample respects the budget; packs respect greedy-fill invariants") {
+    val out = Curation.c02Assembly(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nDocs = out.map(_.getLong(2)).sum
+    assert(nDocs <= 128, s"sampled $nDocs docs past the budget")
+    // greedy contiguous fill: within a shard, bins are dense from 0,
+    // and a bin only exceeds capacity via a doc spilling OVER a
+    // boundary — so every non-final bin of a shard must hold >= 256
+    // cumulative... the sharp invariant is per-bin: a bin with >= 2
+    // docs started below capacity, so its tokens-before-last < 256;
+    // the cheap universal check is bin token sums bounded by
+    // capacity + max single doc length
+    val maxDoc = graft.Tables(spark, sf, "documents")
+      .select(size(TextDedup.tokens(col("text"))).cast("long").as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(out.forall(r => r.getLong(3) <= 256 + maxDoc),
+      "a pack exceeds capacity plus one spill doc")
+    out.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0, s"shard $shard bins start at ${bins.head}")
+      // a single doc can span floor(maxDoc/256) bin boundaries, so
+      // consecutive occupied bins may gap by at most that + 1
+      val maxGap = maxDoc / 256 + 1
+      assert(bins.zip(bins.tail).forall { case (a, b) => b - a <= maxGap },
+        s"shard $shard bin gap exceeds one spilled doc: ${bins.mkString(",")}")
+    }
+  }
 }
