@@ -137,6 +137,8 @@ object SparkEntry {
     "q37_compaction" -> (Layout.q37Compaction _),
     "q38_jdbc_roundtrip" -> (Layout.q38JdbcRoundtrip _),
     "q39_funnel" -> (Relational.q39Funnel _),
+    "q40_agg_pushdown" -> (Layout.q40AggPushdown _),
+    "q41_dpp" -> (Layout.q41DppJoin _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -2115,6 +2117,21 @@ object SparkEntry {
         |  min(c_custkey) AS min_key
         |FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q40's numbers come from parquet footer statistics; the oracle
+    // recomputes them from raw rows — the match proves stats == data.
+    "q40_agg_pushdown" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q41's dim is planted by the query itself (the q34 pattern); the
+    // oracle inlines its segment map.
+    "q41_dpp" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q39 mirrors the fold with staged min-subqueries: strictly-after
     // stage semantics make "first qualifying in ts order" == "min of

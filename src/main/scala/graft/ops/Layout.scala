@@ -492,6 +492,86 @@ object Layout {
   def q37Compaction(s: SparkSession, dir: String): DataFrame =
     q37Scan(s, lineitemCompacted(s, dir))
 
+  /** The q40 scan: min/max/count over the type-partitioned events
+    * copy, grouped by the partition column, answered from parquet
+    * FOOTER STATISTICS — the scan's PushedAggregation carries the
+    * aggregates and no row group is decoded. Needs the DSv2 parquet
+    * reader (aggregate pushdown never fires on the v1 path) plus the
+    * pushdown flag, both session-scoped: set on a cloned session so
+    * the caller's planner is untouched. At 100 TB this is the
+    * difference between a catalog-latency answer and a full corpus
+    * scan — the layout investment (partitioned copy) pays off a third
+    * time (q31 pruning, st-family sources, now stats-only reads). */
+  private[graft] def q40Session(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // empty v1 list = every built-in format plans through DSv2
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2
+  }
+
+  private[graft] def q40Scan(s2: SparkSession, path: String): DataFrame = {
+    import s2.implicits._
+    s2.read.parquet(path)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min($"user_id").as("min_user"),
+        max($"user_id").as("max_user"))
+      .orderBy($"event_type")
+  }
+
+  /** q40 — metadata-only aggregation: COUNT/MIN/MAX per event type
+    * off footer statistics of the partitioned copy. The oracle
+    * recomputes from the raw rows, so a hash match proves the
+    * footer-derived numbers equal the data — the property that makes
+    * stats-only reads trustworthy. LayoutSpec plan-asserts
+    * PushedAggregation. */
+  def q40AggPushdown(s: SparkSession, dir: String): DataFrame =
+    q40Scan(q40Session(s), eventsPartitioned(s, dir))
+
+  /** Materialize the 2-row event-type dimension q41's DPP join prunes
+    * through — written as REAL parquet (a local Seq folds to a
+    * LocalRelation and DPP's selectivity check never sees a filter),
+    * once per (JVM, source dir). Planted content: the two
+    * revenue-bearing event types. */
+  private[graft] def q41DimPath(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = tmpPath("dim_evtype", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      sweepStaleFor("dim_evtype", dir)
+      Seq(("purchase", "rev"), ("signup", "rev"), ("view", "traffic"),
+        ("click", "traffic"), ("error", "ops"))
+        .toDF("etype", "segment")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** q41 — DYNAMIC partition pruning through a dim join: the fact
+    * side is the type-partitioned events copy, the dim side a
+    * 5-row segment table filtered to segment = 'rev'; the partition
+    * filter is only knowable at RUNTIME (it comes out of the dim
+    * scan), and DPP turns the dim's broadcast into a pruning
+    * subquery so the fact scan lists only the two matching
+    * partition directories. q31 proves the literal-filter case;
+    * this is the join-shaped case every star schema hits — at
+    * 100 TB the difference between scanning two event types and
+    * all of them, decided without a literal in sight. The oracle
+    * inlines the dim semantics (the planted segment map);
+    * PartitionPruningSpec plan-asserts `dynamicpruning` on THIS
+    * query's plan. */
+  def q41DppJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = s.read.parquet(eventsPartitioned(s, dir))
+    val dim = s.read.parquet(q41DimPath(s, dir))
+      .filter($"segment" === "rev")
+    fact.join(dim, fact("event_type") === dim("etype"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** q38 — JDBC sink + partitioned-source roundtrip under the oracle
     * gate: customer writes to an embedded Derby table through the S5
     * sink ([[graft.sources.Sinks.jdbcAppend]]'s write path, overwrite

@@ -46,4 +46,21 @@ class PartitionPruningSpec extends SparkSuiteBase {
       s"no dynamic pruning in:\n${plan.take(4000)}")
     assert(joined.collect().map(_.getString(0)).toSeq == Seq("R"))
   }
+
+  test("q41: the registered DPP join plans a pruning subquery on the fact scan") {
+    val sf = "/root/testdata/sf0.001"
+    val plan = Layout.q41DppJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning in q41:\n${plan.take(4000)}")
+  }
+
+  test("q40: the grouped min/max/count answers from PushedAggregation, scan reads no data columns") {
+    val sf = "/root/testdata/sf0.001"
+    val s2 = Layout.q40Session(spark)
+    val df = Layout.q40Scan(s2, Layout.eventsPartitioned(spark, sf))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedAggregation: [COUNT(*), MIN(user_id), MAX(user_id)]"),
+      s"aggregates not pushed to the parquet scan:\n${scan.take(4000)}")
+  }
 }
