@@ -200,6 +200,50 @@ object Graft {
       .filter(col("rank") <= k)
   }
 
+  /** Truncated-dimension cascade ANN (s20's oracle-checked binding;
+    * the matryoshka-representation pattern, Kusupati et al. 2022 —
+    * embeddings trained so information front-loads into the leading
+    * dims): stage 1 scores every corpus row by cosine over only the
+    * first `prefixDims` components, stage 2 exact-reranks the
+    * per-query `rerankK` head on the full vectors (the
+    * [[quantizedTopK]] cascade shape with dimension truncation as the
+    * compression axis instead of int8). At 64→16 dims stage 1 reads
+    * and multiplies 4x less than brute force with NO index build at
+    * all — the cheapest cascade the engine ships, and the right first
+    * resort when the embedding model is MRL-trained. Output is s01's
+    * contract (query_id, rank, vec_id, cos). Determinism: the sliced
+    * cosine is the same fused kernel s01 proves, over a float-exact
+    * prefix; ranks tie-break on vec_id. */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, prefixDims: Int,
+      k: Int, rerankK: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    val q = broadcast(queries.select(col(queries.columns(0)).as("query_id"),
+      col(queries.columns(1)).as("__q")))
+    val c = corpus.select(col(corpus.columns(0)).as("vec_id"),
+      col(corpus.columns(1)).as("__v"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("vec_id"))
+    val cand = c.crossJoin(q)
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        ops.Similarity.cosine(slice(col("__q"), 1, prefixDims),
+          slice(col("__v"), 1, prefixDims)).as("__approx"))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= rerankK)
+      .select(col("query_id"), col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(corpus.select(col(corpus.columns(0)).as("vec_id"),
+        col(corpus.columns(1)).as("__vf")), "vec_id")
+      .join(broadcast(queries.select(col(queries.columns(0)).as("query_id"),
+        col(queries.columns(1)).as("__qf"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        ops.Similarity.cosine(col("__qf"), col("__vf")).as("cos"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+  }
+
   /** Whitespace + BPE-ish token counts (see TextAnalysis.t06). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_ws_tokens",

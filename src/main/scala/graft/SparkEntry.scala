@@ -127,6 +127,8 @@ object SparkEntry {
     "s17_ivfpq_topk" -> (Similarity.s17IvfPqTopK _),
     "s18_ivfpq_recall" -> (Similarity.s18IvfPqRecall _),
     "s19_quant_recall" -> (Similarity.s19QuantRecall _),
+    "s20_truncated_topk" -> (Similarity.s20TruncatedTopK _),
+    "q42_runtime_filter" -> (Relational.q42RuntimeFilter _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
     "q32_orc_roundtrip" -> (Layout.q32OrcRoundtrip _),
@@ -2117,6 +2119,40 @@ object SparkEntry {
         |  min(c_custkey) AS min_key
         |FROM customer
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q42: the injected bloom filter can only discard rows the join
+    // drops anyway, so the oracle is the plain join aggregate — the
+    // hash match proves the runtime filter never changes the answer.
+    "q42_runtime_filter" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // s20 mirrors the cascade: 16-dim-prefix cosine stage 1 (list
+    // slice), top-20 head, exact full-dim rerank — s01's rounding
+    // regime on the output.
+    "s20_truncated_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |st1 AS (SELECT q.query_id, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qv[1:16], e.v[1:16]) DESC,
+        |               e.vec_id) AS r1
+        |  FROM q, e WHERE e.vec_id <> q.query_id),
+        |rer AS (SELECT s.query_id, s.vec_id,
+        |    list_cosine_similarity(q.qv, e.v) AS cs
+        |  FROM st1 s JOIN q ON q.query_id = s.query_id
+        |  JOIN e ON e.vec_id = s.vec_id
+        |  WHERE s.r1 <= 20)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |       round(cs, 6) AS cos FROM (
+        |  SELECT query_id, vec_id, cs,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, vec_id) AS rank
+        |  FROM rer) t WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // q40's numbers come from parquet footer statistics; the oracle
     // recomputes them from raw rows — the match proves stats == data.

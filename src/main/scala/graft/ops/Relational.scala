@@ -635,6 +635,57 @@ object Relational {
       .orderBy($"c_custkey", $"valid_from")
   }
 
+  /** The q42 session: runtime bloom-filter injection enabled, with
+    * the size gates zeroed — the harness tables are KBs, and the gates
+    * exist to skip injection when the application side is too small to
+    * benefit; zeroing them makes the exact plan a 100 TB run gets
+    * (where lineitem clears any threshold) appear at test scale.
+    * Session-scoped on a clone: the caller's planner is untouched. */
+  private[graft] def q42Session(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // broadcast off: InjectRuntimeFilter rightly skips joins that will
+    // broadcast (the broadcast IS the filter then) — at 100 TB orders
+    // does not broadcast and the shuffle join + bloom filter is the
+    // real plan, so force that shape at test scale too
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2
+  }
+
+  private[graft] def q42Plan(s2: SparkSession, dir: String): DataFrame = {
+    import s2.implicits._
+    val li = Tables(s2, dir, "lineitem")
+    val urgent = Tables(s2, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    li.join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** q42 — Catalyst-injected RUNTIME BLOOM FILTER on a selective
+    * dim join: the optimizer sees the urgent-orders side carries a
+    * selective predicate, builds a bloom filter over its join keys at
+    * runtime (BloomFilterAggregate on the creation side), and injects
+    * `might_contain` into the lineitem side BEFORE the shuffle — at
+    * 100 TB that discards ~80% of lineitem rows pre-exchange, which is
+    * the single biggest shuffle reduction available on a star join
+    * whose dim filter isn't a partition column (q41's case) or a
+    * literal (q31's). Nothing is hand-built: the engine work is
+    * declaring the join and letting InjectRuntimeFilter fire — the
+    * Spark-first thesis in one query. RelationalSpec plan-asserts
+    * `might_contain` on the probe side; the oracle computes the same
+    * join aggregate directly (a bloom false positive only re-joins a
+    * row the join drops anyway, so the filter can NEVER change the
+    * answer — which the hash match proves). */
+  def q42RuntimeFilter(s: SparkSession, dir: String): DataFrame =
+    q42Plan(q42Session(s), dir)
+
   /** q39 — ordered funnel conversion over the event stream
     * ([[graft.Graft.funnel]], which this binds): per user, the first
     * `view`, the first `click` STRICTLY AFTER that view, and the

@@ -434,6 +434,28 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** s20 — truncated-dimension cascade search
+    * ([[graft.Graft.truncatedTopK]], which this binds): stage-1
+    * cosine over the first 16 of 64 dims, exact rerank of the 4k
+    * head — the matryoshka pattern, and the engine's cheapest
+    * cascade (no index build, 4x less stage-1 arithmetic and I/O).
+    * On these RANDOM harness vectors a 16-dim prefix carries only
+    * 1/4 of the signal, so recall is asserted loosely in
+    * SimilaritySpec-style tests — MRL-trained embeddings front-load
+    * information and close that gap in production; what the oracle
+    * hash-pins here is the cascade MECHANISM (slice, rank, rerank)
+    * being exactly right. */
+  def s20TruncatedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    graft.Graft.truncatedTopK(
+        emb.select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < NQueries).select($"vec_id", $"embedding"),
+        prefixDims = 16, k = K, rerankK = 4 * K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** s12 hyperplane set (6 x 64): seed-fixed like [[d05Planes]] but
     * its own draw, and intentionally FEWER bits — d05 wants buckets
     * small (every in-bucket PAIR gets scored), search wants buckets

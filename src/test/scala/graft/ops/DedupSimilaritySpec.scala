@@ -363,6 +363,31 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(got == exact)
   }
 
+  test("truncatedTopK: full-dim prefix degenerates to exact brute force") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 16L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val got = graft.Graft.truncatedTopK(df, queries, prefixDims = 8,
+        k = 4, rerankK = 8)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val exact = graft.Graft.cosineTopK(df, queries, k = 4)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got == exact)
+    // and the registered 16-of-64 cascade achieves non-trivial recall
+    // on the harness corpus (tripwire — random vectors carry ~1/4 of
+    // the signal in the prefix)
+    val sf = "/root/testdata/sf0.001"
+    val ex = Similarity.s01CosineTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ap = Similarity.s20TruncatedTopK(spark, sf)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = ex.intersect(ap).size.toDouble / ex.size
+    assert(recall >= 0.15, s"truncated recall $recall")
+  }
+
   test("pqTopK: exact when the corpus IS the codebook (zero quantization error)") {
     // every corpus vector reconstructs exactly -> ADC == true inner
     // product -> candidate head contains the true top-k -> the exact

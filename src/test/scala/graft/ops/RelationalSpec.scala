@@ -211,6 +211,18 @@ class RelationalSpec extends SparkSuiteBase {
     } finally out.unpersist()
   }
 
+  test("q42 plan: Catalyst injects a runtime bloom filter on the probe side") {
+    val sf = "/root/testdata/sf0.001"
+    val df = Relational.q42Plan(Relational.q42Session(spark), sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${plan.take(4000)}")
+    // and the filter sits on the LINEITEM (probe) side, fed by a
+    // bloom_filter_agg built over the filtered orders keys
+    assert(plan.contains("bloom_filter_agg"),
+      s"no bloom filter aggregate on the creation side:\n${plan.take(4000)}")
+  }
+
   test("semi/anti join row counts are consistent with their complement") {
     val customers = graft.Tables(spark, sf, "customer").count()
     val semi = Relational.q04SemiJoin(spark, sf)
