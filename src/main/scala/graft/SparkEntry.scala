@@ -164,6 +164,7 @@ object SparkEntry {
     "st10_outer_join" -> (graft.streaming.Streams.st10StreamingOuterJoin _),
     "st11_upsert" -> (graft.streaming.Streams.st11ForeachBatchUpsert _),
     "st12_backfill" -> (graft.streaming.Streams.st12FileBackfill _),
+    "st13_sessions" -> (graft.streaming.Streams.st13StreamingSessions _),
     "c01_curation" -> (Curation.c01Curation _),
     "c02_assembly" -> (Curation.c02Assembly _)
   )
@@ -2756,6 +2757,28 @@ ORDER BY id_a, id_b""",
         |FROM agg, wm
         |WHERE epoch_us(wstart + INTERVAL '1 hour') <= wm.w_us
         |ORDER BY window_start_us, event_type""".stripMargin,
+
+    // st13 = st02's gaps-and-islands SQL over the 1-in-10 replay
+    // slice, plus the session end (last event + the 10-minute gap).
+    // The strict-gap break rule (`>=` starts a new session) mirrors
+    // streaming session_window's [start, end) semantics.
+    "st13_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id % 10 = 4),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT epoch_us(min(ts)) AS session_start_us,
+        |       epoch_us(max(ts) + INTERVAL 10 MINUTE) AS session_end_us,
+        |       user_id, count(*) AS n_events
+        |FROM numbered
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "st02_session_windows" ->
       """WITH marked AS (

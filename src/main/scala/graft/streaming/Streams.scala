@@ -635,6 +635,51 @@ object Streams {
     out
   }
 
+  /** st13 — SESSION windows run genuinely incrementally: the
+    * merging-window state machine st02 only proves in batch —
+    * streaming session state merges adjacent per-key sessions as
+    * events arrive ACROSS micro-batches, and append mode emits a
+    * session only once the watermark passes its end (end = last
+    * event + gap, so no later event can extend it: an extender would
+    * have ts < end, which the watermark has already declared late).
+    *
+    * Deterministic-and-complete by REPLAY ORDER plus a WATERMARK
+    * SENTINEL (the st10 discipline): the ts-sorted slice never drops
+    * anything as late, and one terminal sentinel event 10 HOURS past
+    * the real slice (negative user id) pushes the watermark past
+    * every real session's end, so every real session provably
+    * finalizes and the oracle is st02's gaps-and-islands SQL over the
+    * same slice — strict-gap semantics (a 10-minute-exact gap starts
+    * a NEW session: windows are [start, end)) mirrored by the
+    * oracle's `>= INTERVAL` break rule. The sentinel's own session
+    * never emits (nothing advances the watermark past it) and the
+    * `user_id >= 0` filter excludes it regardless. Harness taxes as
+    * st09 (`noData = true`: only a watermark-only trailing batch can
+    * emit the last closed sessions). */
+  def st13StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 4)
+      .select($"user_id", $"ts")
+      .orderBy($"ts", $"user_id")
+      .as[(Long, java.sql.Timestamp)]
+      .collect()
+    val sentinelTs = new java.sql.Timestamp(
+      data.map(_._2.getTime).max + 10L * 3600 * 1000)
+    replay(s, (data :+ ((-1L, sentinelTs))).toSeq, OutputMode.Append,
+        "st13", noData = true) { ds =>
+      ds.toDF("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+    }
+      .filter($"user_id" >= 0)
+      .select(unix_micros($"session_window.start").as("session_start_us"),
+        unix_micros($"session_window.end").as("session_end_us"),
+        $"user_id", $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
   /** One AvailableNow catch-up run of the st12 file-backfill stream:
     * process every source file the checkpoint has not seen (2 per
     * micro-batch — the rate limit that keeps a year-sized backlog from
