@@ -87,6 +87,7 @@ object SparkEntry {
     "f14_pivot" -> (Scalar.f14Pivot _),
     "f15_unpivot" -> (Scalar.f15Unpivot _),
     "f16_array_hof" -> (Scalar.f16ArrayHof _),
+    "f17_variant" -> (Scalar.f17Variant _),
     "d01_exact_dedup" -> (TextDedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (TextDedup.d02MinhashLsh _),
     "d03_simhash" -> (TextDedup.d03Simhash _),
@@ -2712,6 +2713,19 @@ ORDER BY id_a, id_b""",
         |  ((0.0 + l_quantity * 1.0) + l_discount * 2.0) + l_tax * 3.0 AS weighted
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, weighted""".stripMargin,
+
+    // f17: the variant decode/navigate path must read the same values
+    // DuckDB's json extraction reads; the absent path is null in both.
+    "f17_variant" ->
+      """SELECT event_type,
+        |  count(json_extract(props, '$.k')) AS n_k,
+        |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
+        |  CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "t06_bpe_tokens" ->
       """SELECT doc_id,

@@ -27,6 +27,34 @@ object Scalar {
       .orderBy($"event_id")
   }
 
+  /** f17 — the VARIANT path for semi-structured data (Spark 4's
+    * open-format binary JSON type — the modern replacement for
+    * string-path extraction at scale): `parse_json` decodes each
+    * props payload ONCE into the variant binary encoding, typed
+    * `variant_get` reads then navigate that encoding without
+    * re-parsing text — at 100 TB the parse-once/read-many asymmetry
+    * is the whole point (f11's `get_json_object` re-parses the string
+    * per path). `try_variant_get` on an absent path proves the
+    * lenient-navigation contract (null, not an error) the strict
+    * variant would throw on a type mismatch. Grouped integer-only
+    * report: per event type, k-count/sum/min/max plus the
+    * absent-path null count — no rounding discipline anywhere. */
+  def f17Variant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_type",
+        variant_get(parse_json($"props"), "$.k", "long").as("k"),
+        try_variant_get(parse_json($"props"), "$.missing", "long")
+          .as("absent"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_k"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        sum(when($"absent".isNull, 1L).otherwise(0L)).as("n_absent"))
+      .orderBy($"event_type")
+  }
+
   /** f12 — regex battery: extract, rlike filter, replace. */
   def f12Regexp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
