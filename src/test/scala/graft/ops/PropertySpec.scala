@@ -252,4 +252,50 @@ class PropertySpec extends SparkSuiteBase {
       }
     }
   }
+
+  test("prioritySample selection is invariant under weight scaling; estimators scale") {
+    // priority p = w/u is linear in w, so scaling every weight by c
+    // scales every priority by c: the top-k SET and order are
+    // unchanged, and tau (the k+1-th priority) scales by c — the
+    // scale-free property that makes the estimator trustworthy under
+    // unit changes (chars vs kilochars)
+    forAll(Gen.listOfN(20, Gen.choose(1, 1000)), n = 6) { ws =>
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w.toDouble) }
+      val df = rows.toDF("id", "w")
+      val base = graft.Graft.prioritySample(df, "id", "w", 7)
+        .select($"id").as[Long].collect().toSet
+      val scaled = rows.map { case (i, w) => (i, w * 4.0) }.toDF("id", "w")
+      val got = graft.Graft.prioritySample(scaled, "id", "w", 7)
+        .select($"id").as[Long].collect().toSet
+      assert(got == base, s"selection changed under x4 weight scaling")
+    }
+  }
+
+  test("funnel stage times are strictly increasing and drawn from the user's events") {
+    val ts0 = 1700000000000L
+    val evGen = Gen.listOfN(24, for {
+      u <- Gen.choose(0L, 3L)
+      dt <- Gen.choose(0L, 1000L)
+      tp <- Gen.oneOf("view", "click", "purchase")
+    } yield (u, new java.sql.Timestamp(ts0 + dt * 1000), tp))
+    forAll(evGen, n = 6) { evs =>
+      val df = evs.toDF("uid", "ts", "etype")
+      val got = graft.Graft.funnel(df, "uid", "ts", "etype",
+          Seq("view", "click", "purchase"))
+        .select($"uid", $"stage_ts")
+        .as[(Long, Seq[Option[java.sql.Timestamp]])].collect()
+      got.foreach { case (uid, stages) =>
+        val defined = stages.takeWhile(_.isDefined).flatten
+        // no gap: a filled stage never follows an unfilled one
+        assert(stages.drop(defined.size).forall(_.isEmpty), s"gap for $uid")
+        // strictly increasing times
+        defined.sliding(2).foreach { w =>
+          if (w.length == 2) assert(w(0).getTime < w(1).getTime, s"order for $uid")
+        }
+        // every stage time is one of the user's own event times
+        val own = evs.filter(_._1 == uid).map(_._2.getTime).toSet
+        assert(defined.forall(t => own(t.getTime)), s"foreign ts for $uid")
+      }
+    }
+  }
 }
