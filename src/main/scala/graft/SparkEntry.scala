@@ -167,7 +167,8 @@ object SparkEntry {
     "st12_backfill" -> (graft.streaming.Streams.st12FileBackfill _),
     "st13_sessions" -> (graft.streaming.Streams.st13StreamingSessions _),
     "c01_curation" -> (Curation.c01Curation _),
-    "c02_assembly" -> (Curation.c02Assembly _)
+    "c02_assembly" -> (Curation.c02Assembly _),
+    "c03_manifest" -> (Curation.c03Manifest _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -1017,6 +1018,42 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM pk GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    // c03: ten per-table key-checksum aggregates UNION ALL'd — the
+    // t08 md5-hex-to-int pattern, 12 hex chars (48 bits) per key.
+    "c03_manifest" ->
+      """SELECT 'customer' AS table_name, 5 AS n_cols, count(*) AS n_rows,
+        |  CAST(sum(('0x' || substr(md5(c_custkey::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) AS key_sum FROM customer
+        |UNION ALL SELECT 'documents', 5, count(*),
+        |  CAST(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) FROM documents
+        |UNION ALL SELECT 'embeddings', 3, count(*),
+        |  CAST(sum(('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) FROM embeddings
+        |UNION ALL SELECT 'events', 6, count(*),
+        |  CAST(sum(('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) FROM events
+        |UNION ALL SELECT 'lineitem', 11, count(*),
+        |  CAST(sum(('0x' || substr(md5(
+        |    l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'nation', 3, count(*),
+        |  CAST(sum(('0x' || substr(md5(n_nationkey::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) FROM nation
+        |UNION ALL SELECT 'orders', 6, count(*),
+        |  CAST(sum(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) FROM orders
+        |UNION ALL SELECT 'part', 6, count(*),
+        |  CAST(sum(('0x' || substr(md5(p_partkey::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) FROM part
+        |UNION ALL SELECT 'region', 2, count(*),
+        |  CAST(sum(('0x' || substr(md5(r_regionkey::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) FROM region
+        |UNION ALL SELECT 'supplier', 4, count(*),
+        |  CAST(sum(('0x' || substr(md5(s_suppkey::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) FROM supplier
+        |ORDER BY table_name""".stripMargin,
 
     "st08_state" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -103,4 +103,45 @@ object Curation {
         max($"doc_id").as("max_doc"))
       .orderBy($"shard", $"bin")
   }
+
+  /** Per-table (name, primary-key columns) for the snapshot manifest —
+    * lineitem's key is composite; everything else is a single id. */
+  private val ManifestKeys: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** c03 — snapshot MANIFEST: one row per harness table with row
+    * count, column count, and an order-independent key checksum (sum
+    * of 48-bit md5 prefixes over the canonical key string) — the
+    * artifact a pipeline run records so the NEXT run can prove its
+    * inputs are byte-for-byte the same population (diff two manifests
+    * → exactly which tables changed and whether rows appeared,
+    * vanished, or merely moved). Row-membership, not full-content,
+    * checksumming: the key sum is layout- and order-independent
+    * (addition commutes), so a repartition or compaction leaves it
+    * fixed while any insert/delete moves it.
+    *
+    * Scale shape: ten independent scan+aggregate plans (each a narrow
+    * key projection, partial-aggregated to ONE row before any
+    * exchange) unioned as metadata — the manifest costs one pass over
+    * the key columns only, never the payloads. 48-bit prefixes keep
+    * sums exact in a BIGINT to ~10^13 rows (2^48 x 2^63/2^48) — no
+    * overflow at any plausible table size under ANSI mode. */
+  def c03Manifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ManifestKeys.map { case (t, keys) =>
+      val df = Tables(s, dir, t)
+      val keyStr = concat_ws("_", keys.map(col): _*)
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(keyStr.cast("binary")), 1, 12), 16, 10)
+            .cast("long")).as("key_sum"))
+        .select(lit(t).as("table_name"),
+          lit(df.columns.length.toLong).as("n_cols"),
+          $"n_rows", $"key_sum")
+    }.reduce(_ unionByName _).orderBy($"table_name")
+  }
 }

@@ -46,13 +46,39 @@ class CurationSpec extends SparkSuiteBase {
     assert(out.forall(r => r.getLong(3) <= 256 + maxDoc),
       "a pack exceeds capacity plus one spill doc")
     out.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
-      val bins = rows.map(_.getLong(1)).sorted
-      assert(bins.head == 0, s"shard $shard bins start at ${bins.head}")
-      // a single doc can span floor(maxDoc/256) bin boundaries, so
-      // consecutive occupied bins may gap by at most that + 1
-      val maxGap = maxDoc / 256 + 1
-      assert(bins.zip(bins.tail).forall { case (a, b) => b - a <= maxGap },
-        s"shard $shard bin gap exceeds one spilled doc: ${bins.mkString(",")}")
+      checkBins(shard, rows, maxDoc)
     }
+  }
+
+  private def checkBins(shard: Long,
+      rows: Array[org.apache.spark.sql.Row], maxDoc: Long): Unit = {
+    val bins = rows.map(_.getLong(1)).sorted
+    assert(bins.head == 0, s"shard $shard bins start at ${bins.head}")
+    // a single doc can span floor(maxDoc/256) bin boundaries, so
+    // consecutive occupied bins may gap by at most that + 1
+    val maxGap = maxDoc / 256 + 1
+    assert(bins.zip(bins.tail).forall { case (a, b) => b - a <= maxGap },
+      s"shard $shard bin gap exceeds one spilled doc: ${bins.mkString(",")}")
+  }
+
+  test("c03: manifest counts match the tables; checksum moves on any membership change") {
+    val out = Curation.c03Manifest(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 10)
+    assert(out("region")._2 == graft.Tables(spark, sf, "region").count())
+    assert(out("documents")._2 == graft.Tables(spark, sf, "documents").count())
+    assert(out("lineitem")._1 == 11) // column counts pinned
+    // membership sensitivity: dropping one row must move the key sum
+    // (recompute the same 48-bit-prefix sum locally)
+    val ids = graft.Tables(spark, sf, "region")
+      .select(col("r_regionkey").cast("string")).collect().map(_.getString(0))
+    def sum48(ks: Seq[String]): Long = ks.map { k =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }.sum
+    assert(sum48(ids.toSeq) == out("region")._3, "local 48-bit sum mismatch")
+    assert(sum48(ids.toSeq.drop(1)) != out("region")._3)
   }
 }
