@@ -96,6 +96,7 @@ object SparkEntry {
     "d07_simhash_pairs" -> (TextDedup.d07SimhashPairs _),
     "d08_neardup_dedup" -> (TextDedup.d08NearDupDedup _),
     "d18_components" -> (TextDedup.d18ComponentsDistributed _),
+    "d19_containment" -> (TextDedup.d19Containment _),
     "d05_embedding_dedup" -> (Similarity.d05EmbeddingDedup _),
     "s01_cosine_topk" -> (Similarity.s01CosineTopK _),
     "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
@@ -744,6 +745,37 @@ object SparkEntry {
         |SELECT a AS doc_id, least(a, min(b)) AS component_id
         |FROM reach GROUP BY a
         |ORDER BY doc_id""".stripMargin,
+
+    // d19 brute-forces the containment score on the chunk strings
+    // (the engine's hashed/bucket-capped path must agree — max
+    // chunk-share on this corpus is 5, far under the 64 cap).
+    "d19_containment" ->
+      """WITH toks AS (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |      FROM documents WHERE text IS NOT NULL),
+        |ch0 AS (SELECT doc_id, ts,
+        |          unnest(range(0, greatest(CAST(ceil(len(ts)/20.0) AS BIGINT), 1)))
+        |            AS ci
+        |        FROM toks),
+        |cset AS (SELECT DISTINCT doc_id,
+        |           array_to_string(list_slice(ts, ci*20+1, ci*20+20), ' ') AS chunk
+        |         FROM ch0
+        |         WHERE array_to_string(list_slice(ts, ci*20+1, ci*20+20), ' ') <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM cset GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |       FROM cset a JOIN cset b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |j AS (SELECT
+        |        CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id,
+        |        CASE WHEN sa.n <= sb.n THEN id_b ELSE id_a END AS container_id,
+        |        least(sa.n, sb.n) AS n_contained, shared
+        |      FROM sh JOIN sizes sa ON sa.doc_id = sh.id_a
+        |      JOIN sizes sb ON sb.doc_id = sh.id_b)
+        |SELECT contained_id, container_id, n_contained,
+        |  round(shared::DOUBLE / n_contained, 4) AS containment
+        |FROM j
+        |WHERE n_contained >= 3 AND shared::DOUBLE / n_contained >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
 
     "d04_ngram_jaccard" ->
       """WITH feat AS (

@@ -556,6 +556,68 @@ object TextDedup {
       .orderBy($"doc_id")
   }
 
+  /** d19 — asymmetric CONTAINMENT dedup
+    * ([[containmentPairs]], which this binds to the corpus): detect
+    * "document A lives inside document B" — the scraped-web
+    * duplication mode symmetric Jaccard under-scores (a page plus its
+    * boilerplate wrapper has low Jaccard against the bare page but
+    * containment ~1.0). containment(A ⊆ B) = |chunks(A) ∩ chunks(B)|
+    * / |chunks(A)|, reported for the smaller-chunk-set doc of every
+    * chunk-sharing pair at containment >= 0.8 with >= 3 chunks. */
+  def d19Containment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.spread(Tables(s, dir, "documents")),
+      "doc_id", "text")
+
+  /** The d19 kernel over an arbitrary frame: containment-scored
+    * chunk-sharing pairs, (contained_id, container_id, n_contained,
+    * containment) ordered by ids.
+    *
+    * Scale shape: the d09 chunk discipline end to end — chunks fold
+    * to xxhash64 BEFORE the shuffle (8-byte keys, never chunk text),
+    * the per-chunk doc lists are bucket-capped like every LSH
+    * gather (`maxBucket`; a chunk shared by more docs than that is
+    * boilerplate, and its O(cap²) pairs would be noise — the d02
+    * argument), and the pair space is bounded by shared-chunk
+    * evidence, never corpus². Ties (equal chunk-set sizes) assign
+    * the smaller id as contained — deterministic via the sorted
+    * bucket unroll. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int = 20, minChunks: Int = 3, tau: Double = 0.8,
+      maxBucket: Int = 64): DataFrame = {
+    require(minChunks >= 1 && tau > 0 && tau <= 1.0 && maxBucket >= 2,
+      s"bad containment params: minChunks=$minChunks tau=$tau maxBucket=$maxBucket")
+    val ch = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(tokenChunks(col(textCol), chunkLen)).as("c"))
+      .filter(col("c") =!= "") // a 0-token doc chunks to one empty string
+      .select(col("__id"), xxhash64(col("c")).as("h"))
+      .distinct()
+    val sizes = ch.groupBy(col("__id")).agg(count(lit(1)).as("n"))
+    val shared = ch.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("__id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(unrollPairs(col("ds"),
+        (a, b) => struct(a.as("id_a"), b.as("id_b")))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("__id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(
+        when(col("na") <= col("nb"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"),
+        when(col("na") <= col("nb"), col("id_b")).otherwise(col("id_a"))
+          .as("container_id"),
+        least(col("na"), col("nb")).as("n_contained"),
+        col("shared"))
+      .filter(col("n_contained") >= minChunks)
+      .withColumn("containment",
+        round(col("shared").cast("double") / col("n_contained"), 4))
+      .filter(col("shared").cast("double") / col("n_contained") >= tau)
+      .drop("shared")
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** d07 — SimHash near-dup pairs, driver-visible: block-LSH bucketing
     * then hamming verify over the corpus's planted near-dups. No oracle
     * (fingerprints are xxhash64-derived, which DuckDB cannot compute);

@@ -157,6 +157,24 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(out.head.getAs[Double]("jaccard_char3") == 0.0) // not a fake 1.0
   }
 
+  test("containmentPairs flags the wrapped doc asymmetrically, skips partial overlap") {
+    // 60-token base doc = 3 chunks; wrapper = base + 40 boilerplate
+    // tokens (2 more chunks). Chunking is positional, so the wrapper
+    // APPENDS (prefix-preserving) — all 3 base chunks appear in it.
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val wrapper = base + " " + (1 to 40).map(i => s"b$i").mkString(" ")
+    // partial: shares only the FIRST chunk (20 tokens) then diverges
+    val partial = (1 to 20).map(i => s"w$i").mkString(" ") + " " +
+      (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, wrapper), (3L, partial))
+      .toDF("doc_id", "text")
+    val got = TextDedup.containmentPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // base (3 chunks) fully contained in wrapper; partial shares 1/3
+    // with base (< 0.8) and 1/5 with wrapper — both below tau
+    assert(got == Seq((1L, 2L, 3L, 1.0)), s"got $got")
+  }
+
   test("componentMin labels every member of a cluster with its minimum id (both paths)") {
     // two components: {1,2,3,7} via a chain, {10,11}; 20-21-22 chain
     // checks multi-hop propagation (3 needs two hops to see 1)
