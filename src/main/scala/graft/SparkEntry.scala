@@ -143,6 +143,7 @@ object SparkEntry {
     "q39_funnel" -> (Relational.q39Funnel _),
     "q40_agg_pushdown" -> (Layout.q40AggPushdown _),
     "q41_dpp" -> (Layout.q41DppJoin _),
+    "q43_federated" -> (Layout.q43FederatedUnion _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -2239,6 +2240,15 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q43's union spans two physical formats; the oracle reads only
+    // the parquet original — the format seam must be invisible.
+    "q43_federated" ->
+      """SELECT l_linestatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     // q39 mirrors the fold with staged min-subqueries: strictly-after
     // stage semantics make "first qualifying in ts order" == "min of

@@ -572,6 +572,37 @@ object Layout {
       .orderBy($"event_type")
   }
 
+  /** q43 — FEDERATED multi-format read: one logical lineitem from two
+    * physical formats — even order keys served from the parquet
+    * original, odd keys from the ORC copy — unioned into a single
+    * filtered aggregate. This is the lake reality a migration leaves
+    * behind (history in one format, new data in another, one logical
+    * table), and the property under test is that EACH branch keeps
+    * its own pushdown: the quantity predicate must reach BOTH the
+    * parquet scan's and the ORC scan's PushedFilters (LayoutSpec
+    * plan-asserts both), because a union that breaks per-branch
+    * pushdown silently re-reads the full history at 100 TB. The
+    * oracle reads the parquet original only — the union must lose and
+    * invent nothing across the format seam. */
+  def q43FederatedUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q43Plan(s, dir, lineitemOrc(s, dir))
+  }
+
+  private[graft] def q43Plan(s: SparkSession, dir: String,
+      orcPath: String): DataFrame = {
+    import s.implicits._
+    val pq = Tables(s, dir, "lineitem").filter($"l_orderkey" % 2 === 0)
+    val orc = s.read.orc(orcPath).filter($"l_orderkey" % 2 === 1)
+    pq.unionByName(orc)
+      .filter($"l_quantity" >= 30)
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_linestatus")
+  }
+
   /** q38 — JDBC sink + partitioned-source roundtrip under the oracle
     * gate: customer writes to an embedded Derby table through the S5
     * sink ([[graft.sources.Sinks.jdbcAppend]]'s write path, overwrite

@@ -125,6 +125,23 @@ class LayoutSpec extends SparkSuiteBase {
       s"date predicate did not reach the compacted scan:\n$plan")
   }
 
+  test("q43: BOTH federated branches keep their own pushdown across the format seam") {
+    val plan = Layout.q43Plan(spark, sf, Layout.lineitemOrc(spark, sf))
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan") || l.contains("BatchScan") ||
+        l.contains("Scan parquet") || l.contains("Scan orc")).toSeq
+    val pqScans = scans.filter(_.contains("parquet"))
+    val orcScans = scans.filter(_.contains("orc"))
+    assert(pqScans.nonEmpty && orcScans.nonEmpty,
+      s"expected one scan per format:\n${scans.mkString("\n")}")
+    // the quantity predicate must reach each branch's own reader
+    assert(pqScans.exists(_.contains("GreaterThanOrEqual(l_quantity,30.0)")),
+      s"quantity predicate missing from the parquet branch:\n${pqScans.mkString("\n")}")
+    assert(orcScans.exists(_.contains("GreaterThanOrEqual(l_quantity,30.0)")),
+      s"quantity predicate missing from the ORC branch:\n${orcScans.mkString("\n")}")
+  }
+
   test("sweepStale removes orphaned copies of the same kind, keeps the live tag") {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val stale = new java.io.File(tmp, "graft_swtest_deadbeefdeadbeef")
