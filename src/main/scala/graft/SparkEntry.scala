@@ -144,6 +144,7 @@ object SparkEntry {
     "q40_agg_pushdown" -> (Layout.q40AggPushdown _),
     "q41_dpp" -> (Layout.q41DppJoin _),
     "q43_federated" -> (Layout.q43FederatedUnion _),
+    "q44_retention" -> (Relational.q44Retention _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -2240,6 +2241,18 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q44: integer epoch-week arithmetic end to end (micros // week).
+    "q44_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |        epoch_us(ts) // 604800000000 AS wk
+        |      FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+        |SELECT coh.cohort_wk, act.wk - coh.cohort_wk AS week_offset,
+        |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |GROUP BY coh.cohort_wk, week_offset
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
 
     // q43's union spans two physical formats; the oracle reads only
     // the parquet original — the format seam must be invisible.

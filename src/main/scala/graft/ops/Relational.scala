@@ -635,6 +635,37 @@ object Relational {
       .orderBy($"c_custkey", $"valid_from")
   }
 
+  /** q44 — cohort RETENTION: users grouped by first-activity week
+    * (the cohort), counted distinct in each later week offset — the
+    * second product-analytics staple next to q39's funnel, and the
+    * one every event warehouse materializes weekly. Weeks are integer
+    * epoch-week indexes (epoch micros div a constant — exact integer
+    * arithmetic end to end, no calendar/timezone semantics to align
+    * across engines).
+    *
+    * Scale shape: the cohort table is one groupBy(user) min — at
+    * 100 TB a materialized dimension keyed by user, maintained
+    * incrementally (a user's cohort never changes). The activity
+    * side distincts to (user, week) BEFORE the join (the big
+    * cardinality drop — raw events collapse to at most users x
+    * weeks), the cohort join is on user_id (broadcast when the user
+    * dim fits, shuffle otherwise — un-hinted), and the final count is
+    * a partial-aggregated groupBy on (cohort, offset): a few hundred
+    * cells regardless of volume. */
+  def q44Retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // `div`, not `/` — Column./ on longs is double division (the t30
+    // lesson); epoch micros are positive so div == floor division
+    val wk = expr("unix_micros(ts) div 604800000000")
+    val act = Tables(s, dir, "events")
+      .select($"user_id", wk.as("wk")).distinct()
+    val cohort = act.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    act.join(cohort, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
   /** The q42 session: runtime bloom-filter injection enabled, with
     * the size gates zeroed — the harness tables are KBs, and the gates
     * exist to skip injection when the application side is too small to
