@@ -61,6 +61,7 @@ object SparkEntry {
     "m03_hash" -> (Multimodal.m03MediaHash _),
     "m04_meta" -> (Multimodal.m04MetadataPushdown _),
     "m05_meta_ann" -> (Multimodal.m05MetaAnn _),
+    "m06_media_curation" -> (Multimodal.m06MediaCuration _),
     "t19_zipf" -> (TextAnalysis.t19Zipf _),
     "s06_hybrid" -> (Similarity.s06HybridSearch _),
     "t17_domains" -> (TextAnalysis.t17Domains _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "q41_dpp" -> (Layout.q41DppJoin _),
     "q43_federated" -> (Layout.q43FederatedUnion _),
     "q44_retention" -> (Relational.q44Retention _),
+    "q45_incr_agg" -> (Layout.q45IncrementalAgg _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -1131,6 +1133,19 @@ object SparkEntry {
         |WHERE strlen(text) >= 64
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    // m06: gate = strlen bounds, dedup = md5-of-text keep-first (the
+    // m03 fake-payload argument), then the per-language report.
+    "m06_media_curation" ->
+      """WITH kept AS (SELECT doc_id, strlen(text) AS n_bytes, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents WHERE strlen(text) BETWEEN 200 AND 2000) t
+        |  WHERE rn = 1)
+        |SELECT lang, count(*) AS n_assets,
+        |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+        |  min(doc_id) AS min_doc
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     // m05: the metadata gate (n_bytes >= 64 on the asset copy) is
     // strlen(text) >= 64 on the oracle side (m03/m04's argument: the
@@ -2253,6 +2268,13 @@ object SparkEntry {
         |FROM act JOIN coh ON act.user_id = coh.user_id
         |GROUP BY coh.cohort_wk, week_offset
         |ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    // q45: the incremental merge must equal the one-pass aggregate.
+    "q45_incr_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // q43's union spans two physical formats; the oracle reads only
     // the parquet original — the format seam must be invisible.

@@ -200,6 +200,38 @@ object Multimodal {
       .orderBy($"query_id", $"rank")
   }
 
+  /** m06 — composed MEDIA CURATION: the c01 discipline applied to the
+    * asset table — metadata gate (payload size bounds, evaluated on
+    * the sidecar column so the pushdown-pruned scan never reads the
+    * binary), exact content dedup (m03's md5 keep-first — the
+    * dominant scraped-media duplication mode), a language join
+    * against the document table, and a per-language corpus report.
+    * The m-family's composition row: every stage is proven in
+    * isolation (m03/m04 + d01's keep-first shape); this pins the
+    * CHAIN as one plan, payload untouched end to end (the only
+    * payload read is the md5 projection — at rest that hash lives in
+    * the asset catalog and even this pass disappears).
+    *
+    * Oracle-exact via the m03 argument (fake payload = the document's
+    * UTF-8 bytes, so DuckDB md5's the VARCHAR and strlen's the bytes
+    * to identical effect). Integer-only report. */
+  def m06MediaCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"content_md5").orderBy($"doc_id")
+    val kept = s.read.parquet(mediaParquet(s, dir))
+      .filter($"n_bytes".between(200, 2000))
+      .select($"doc_id", $"n_bytes", md5($"media").as("content_md5"))
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+    kept.join(Tables(s, dir, "documents").select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_assets"),
+        sum($"n_bytes").as("sum_bytes"),
+        min($"doc_id").as("min_doc"))
+      .orderBy($"lang")
+  }
+
   /** m01 — end-to-end multimodal pipeline over fake media: documents'
     * text bytes stand in for blobs, width/height metadata is derived
     * deterministically, decode runs batchwise per partition, features
