@@ -147,6 +147,7 @@ object SparkEntry {
     "q43_federated" -> (Layout.q43FederatedUnion _),
     "q44_retention" -> (Relational.q44Retention _),
     "q45_incr_agg" -> (Layout.q45IncrementalAgg _),
+    "q46_zorder" -> (Layout.q46ZorderRoundtrip _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -2268,6 +2269,15 @@ object SparkEntry {
         |FROM act JOIN coh ON act.user_id = coh.user_id
         |GROUP BY coh.cohort_wk, week_offset
         |ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    // q46: layout must never change answers — the oracle reads the
+    // parquet original.
+    "q46_zorder" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_suppkey < 50
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     // q45: the incremental merge must equal the one-pass aggregate.
     "q45_incr_agg" ->

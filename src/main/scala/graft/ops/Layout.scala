@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -571,6 +571,94 @@ object Layout {
         round(sum($"value"), 2).as("sum_value"))
       .orderBy($"event_type")
   }
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of x lands at position 2i,
+    * bit i of y at 2i+1 — points close in BOTH dimensions get close
+    * z-keys, which is what makes a z-sorted layout skippable on
+    * EITHER predicate column (a 1-D sort narrows one dimension's
+    * per-file min/max and leaves the other full-range). Bits above
+    * `bits` are ignored — clustering quality degrades gracefully on
+    * overflow, correctness never depends on it (the layout is
+    * advisory; the data is unchanged). Non-overlapping shifted bits
+    * sum == bitwise-or, and the sum form folds in codegen. */
+  private[graft] def morton(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Materialize lineitem Z-ORDERED on (ship date, supplier) — range
+    * partition + in-file sort on the Morton key of (days since epoch
+    * of the data's min year, suppkey), 4 files, once per (JVM, source
+    * dir). Most files then cover a NARROW RANGE IN BOTH dimensions
+    * (LayoutSpec asserts the majority property per dim; quantile
+    * boundary files legitimately span wider — the curve resets), so
+    * row-group stats skip on date predicates AND supplier predicates
+    * — the multi-dimensional upgrade over q37's single-column
+    * clustering, and the layout every lakehouse engine's OPTIMIZE
+    * ZORDER writes. The z column is dropped before the write: the
+    * locality lives in the ROW ORDER; the files carry only real
+    * columns. */
+  private[graft] def lineitemZordered(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = tmpPath("zord_lineitem", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      sweepStaleFor("zord_lineitem", dir)
+      val li = Tables(s, dir, "lineitem")
+      // NORMALIZE both dimensions to 0..255 before interleaving (what
+      // every z-order implementation does): raw bit-interleave hands
+      // the top z bits to whichever column has the wider magnitude —
+      // here ship-date days (~12 bits) vs supplier keys (4 bits at
+      // small SF) — and the range split degenerates to a 1-D date
+      // sort. The min/max frame is a 4-scalar aggregate: driver-held,
+      // volume-independent (the collectCentroids pattern).
+      val b = li.agg(
+        min(datediff($"l_shipdate".cast("date"), lit("1992-01-01").cast("date"))),
+        max(datediff($"l_shipdate".cast("date"), lit("1992-01-01").cast("date"))),
+        min($"l_suppkey"), max($"l_suppkey")).head()
+      val (dLo, dHi) = (b.getInt(0).toLong, b.getInt(1).toLong)
+      val (sLo, sHi) = (b.getLong(2), b.getLong(3))
+      def norm(c: Column, lo: Long, hi: Long): Column =
+        ((c.cast("long") - lit(lo)) * lit(255L)) / lit(math.max(1L, hi - lo))
+      li.withColumn("__z", morton(
+          norm(datediff($"l_shipdate".cast("date"),
+            lit("1992-01-01").cast("date")), dLo, dHi).cast("long"),
+          norm($"l_suppkey", sLo, sHi).cast("long"), bits = 8))
+        // quantile range split over z (what OPTIMIZE ZORDER does): a
+        // boundary can land mid-quadrant, and THAT file spans one
+        // dimension widely (the curve "resets" across the boundary) —
+        // the z win is statistical, most files/row-groups narrow in
+        // both dims, which LayoutSpec asserts as a majority property
+        .repartitionByRange(4, $"__z")
+        .sortWithinPartitions($"__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The two-dimension-filtered scan LayoutSpec audits on the
+    * z-ordered copy: BOTH predicates must reach PushedFilters, and
+    * the z-layout makes both selective per file. */
+  private[graft] def q46Scan(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(path)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_suppkey" < 50)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** q46 — Z-ORDER clustering roundtrip: the two-dimensionally
+    * filtered aggregate over the z-sorted copy must hash-match the
+    * oracle over the parquet original (the q37 contract on the
+    * multi-dim layout), while LayoutSpec separately proves every file
+    * narrowed its span in BOTH dimensions. */
+  def q46ZorderRoundtrip(s: SparkSession, dir: String): DataFrame =
+    q46Scan(s, lineitemZordered(s, dir))
 
   /** Materialize the BASE aggregate state for q45 — orders history
     * (o_orderkey % 11 != 0, the "already ingested" 10/11ths)

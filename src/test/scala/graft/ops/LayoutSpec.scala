@@ -142,6 +142,42 @@ class LayoutSpec extends SparkSuiteBase {
       s"quantity predicate missing from the ORC branch:\n${orcScans.mkString("\n")}")
   }
 
+  test("q46: morton interleave is exact; z-order narrows per-file spans in BOTH dims") {
+    import spark.implicits._
+    // bit-exact kernel check: x bits land at even positions, y at odd
+    val m = Seq((1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L), (3L, 3L), (5L, 6L))
+      .toDF("x", "y")
+      .select(Layout.morton(col("x"), col("y"), 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(m == Seq(1L, 2L, 5L, 10L, 15L,
+      // x=5(101) -> 1,0,1 at 0/2/4 = 17; y=6(110) -> 0,1,1 at 1/3/5 = 40
+      57L), s"morton mismatch: $m")
+    // layout property: every file's span shrinks vs the table's span
+    // in BOTH dimensions (a 1-D sort leaves one dimension full-range)
+    val z = Layout.lineitemZordered(spark, sf)
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    val spans = spark.read.parquet(z)
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin($"l_shipdate".cast("timestamp").cast("long")).as("dlo"),
+        fmax($"l_shipdate".cast("timestamp").cast("long")).as("dhi"),
+        fmin($"l_suppkey").as("slo"), fmax($"l_suppkey").as("shi"))
+      .collect()
+    assert(spans.length >= 3, s"expected >= 3 files, got ${spans.length}")
+    val dSpan = spans.map(_.getLong(2)).max - spans.map(_.getLong(1)).min
+    val sSpan = spans.map(_.getLong(4)).max - spans.map(_.getLong(3)).min
+    // the z win is statistical: quantile boundaries can land
+    // mid-quadrant and that file spans one dim widely (the curve
+    // resets across the boundary) — but a MAJORITY of files must
+    // narrow in EACH dimension, which no 1-D sort achieves (a date
+    // sort narrows every file's date span and NO file's suppkey span)
+    val dNarrow = spans.count(r => r.getLong(2) - r.getLong(1) <= 0.66 * dSpan)
+    val sNarrow = spans.count(r => r.getLong(4) - r.getLong(3) <= 0.66 * sSpan)
+    assert(dNarrow * 2 >= spans.length,
+      s"only $dNarrow/${spans.length} files date-narrow (global $dSpan)")
+    assert(sNarrow * 2 >= spans.length,
+      s"only $sNarrow/${spans.length} files suppkey-narrow (global $sSpan)")
+  }
+
   test("sweepStale removes orphaned copies of the same kind, keeps the live tag") {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val stale = new java.io.File(tmp, "graft_swtest_deadbeefdeadbeef")
