@@ -119,6 +119,7 @@ object SparkEntry {
     "t28_chunks" -> (TextAnalysis.t28Chunks _),
     "t29_weighted_sample" -> (TextAnalysis.t29PrioritySample _),
     "t30_heaps" -> (TextAnalysis.t30Heaps _),
+    "t31_drift" -> (TextAnalysis.t31Drift _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -1057,38 +1058,40 @@ object SparkEntry {
         |FROM pk GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
 
     // c03: ten per-table key-checksum aggregates UNION ALL'd — the
-    // t08 md5-hex-to-int pattern, 12 hex chars (48 bits) per key.
+    // t08 md5-hex-to-int pattern, 12 hex chars (48 bits) per key,
+    // XOR-folded (sums overflow BIGINT past ~65k rows — the sf0.1
+    // sweep caught exactly that).
     "c03_manifest" ->
       """SELECT 'customer' AS table_name, 5 AS n_cols, count(*) AS n_rows,
-        |  CAST(sum(('0x' || substr(md5(c_custkey::VARCHAR), 1, 12))::BIGINT)
-        |    AS BIGINT) AS key_sum FROM customer
+        |  CAST(bit_xor(('0x' || substr(md5(c_custkey::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) AS key_xor FROM customer
         |UNION ALL SELECT 'documents', 5, count(*),
-        |  CAST(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT)
+        |  CAST(bit_xor(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT)
         |    AS BIGINT) FROM documents
         |UNION ALL SELECT 'embeddings', 3, count(*),
-        |  CAST(sum(('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT)
+        |  CAST(bit_xor(('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT)
         |    AS BIGINT) FROM embeddings
         |UNION ALL SELECT 'events', 6, count(*),
-        |  CAST(sum(('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT)
+        |  CAST(bit_xor(('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT)
         |    AS BIGINT) FROM events
         |UNION ALL SELECT 'lineitem', 11, count(*),
-        |  CAST(sum(('0x' || substr(md5(
+        |  CAST(bit_xor(('0x' || substr(md5(
         |    l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR), 1, 12))::BIGINT)
         |    AS BIGINT) FROM lineitem
         |UNION ALL SELECT 'nation', 3, count(*),
-        |  CAST(sum(('0x' || substr(md5(n_nationkey::VARCHAR), 1, 12))::BIGINT)
+        |  CAST(bit_xor(('0x' || substr(md5(n_nationkey::VARCHAR), 1, 12))::BIGINT)
         |    AS BIGINT) FROM nation
         |UNION ALL SELECT 'orders', 6, count(*),
-        |  CAST(sum(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT)
+        |  CAST(bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT)
         |    AS BIGINT) FROM orders
         |UNION ALL SELECT 'part', 6, count(*),
-        |  CAST(sum(('0x' || substr(md5(p_partkey::VARCHAR), 1, 12))::BIGINT)
+        |  CAST(bit_xor(('0x' || substr(md5(p_partkey::VARCHAR), 1, 12))::BIGINT)
         |    AS BIGINT) FROM part
         |UNION ALL SELECT 'region', 2, count(*),
-        |  CAST(sum(('0x' || substr(md5(r_regionkey::VARCHAR), 1, 12))::BIGINT)
+        |  CAST(bit_xor(('0x' || substr(md5(r_regionkey::VARCHAR), 1, 12))::BIGINT)
         |    AS BIGINT) FROM region
         |UNION ALL SELECT 'supplier', 4, count(*),
-        |  CAST(sum(('0x' || substr(md5(s_suppkey::VARCHAR), 1, 12))::BIGINT)
+        |  CAST(bit_xor(('0x' || substr(md5(s_suppkey::VARCHAR), 1, 12))::BIGINT)
         |    AS BIGINT) FROM supplier
         |ORDER BY table_name""".stripMargin,
 
@@ -2637,6 +2640,26 @@ ORDER BY id_a, id_b""",
         |WINDOW cum AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
         |               AND CURRENT ROW)
         |ORDER BY prefix""".stripMargin,
+
+    // t31: exact integer products, one double division — ln-free so
+    // no libm alignment is ever needed.
+    "t31_drift" ->
+      """WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS isa,
+        |        unnest(list_filter(string_split(lower(text), ' '),
+        |          x -> x <> '')) AS tok
+        |      FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT tok, CAST(sum(isa) AS BIGINT) AS ca,
+        |        CAST(sum(1 - isa) AS BIGINT) AS cb
+        |      FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |          CAST(sum(cb) AS BIGINT) AS tb,
+        |          count(*) AS v FROM c),
+        |top AS (SELECT tok, ca, cb FROM c
+        |        ORDER BY ca + cb DESC, tok LIMIT 50)
+        |SELECT tok AS token, ca, cb,
+        |  round(((ca + 1) * (tb + v))::DOUBLE
+        |    / (((cb + 1) * (ta + v))::DOUBLE), 6) AS odds_ratio
+        |FROM top, tot ORDER BY token""".stripMargin,
 
     // t29 mirrors prioritySample exactly: LCG uniform, division-only
     // priority (both engines' IEEE divisions are correctly rounded, so

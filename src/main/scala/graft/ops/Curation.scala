@@ -115,33 +115,41 @@ object Curation {
     "embeddings" -> Seq("vec_id"))
 
   /** c03 — snapshot MANIFEST: one row per harness table with row
-    * count, column count, and an order-independent key checksum (sum
-    * of 48-bit md5 prefixes over the canonical key string) — the
+    * count, column count, and an order-independent key checksum (XOR
+    * fold of 48-bit md5 prefixes over the canonical key string) — the
     * artifact a pipeline run records so the NEXT run can prove its
     * inputs are byte-for-byte the same population (diff two manifests
     * → exactly which tables changed and whether rows appeared,
     * vanished, or merely moved). Row-membership, not full-content,
-    * checksumming: the key sum is layout- and order-independent
-    * (addition commutes), so a repartition or compaction leaves it
-    * fixed while any insert/delete moves it.
+    * checksumming: the fold is layout- and order-independent (XOR
+    * commutes), so a repartition or compaction leaves it fixed while
+    * any insert/delete flips it.
+    *
+    * XOR, NOT SUM (the m02 lesson, re-learned here by the sf0.1
+    * determinism sweep: summed 2^47-average prefixes overflow a
+    * BIGINT past ~65k rows, and ANSI mode rightly throws) — the XOR
+    * fold never overflows at any row count. The one semantic trade:
+    * a key present an EVEN number of times cancels out, which is
+    * harmless here because every manifest key is a primary key
+    * (lineitem's is composite) — uniqueness per table is exactly
+    * what a manifest also wants to witness.
     *
     * Scale shape: ten independent scan+aggregate plans (each a narrow
     * key projection, partial-aggregated to ONE row before any
     * exchange) unioned as metadata — the manifest costs one pass over
-    * the key columns only, never the payloads. 48-bit prefixes keep
-    * sums exact in a BIGINT to ~10^13 rows (2^48 x 2^63/2^48) — no
-    * overflow at any plausible table size under ANSI mode. */
+    * the key columns only, never the payloads. */
   def c03Manifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     ManifestKeys.map { case (t, keys) =>
       val df = Tables(s, dir, t)
       val keyStr = concat_ws("_", keys.map(col): _*)
-      df.agg(count(lit(1)).as("n_rows"),
-          sum(conv(substring(md5(keyStr.cast("binary")), 1, 12), 16, 10)
-            .cast("long")).as("key_sum"))
+      df.select(conv(substring(md5(keyStr.cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("__k"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(__k)").as("key_xor"))
         .select(lit(t).as("table_name"),
           lit(df.columns.length.toLong).as("n_cols"),
-          $"n_rows", $"key_sum")
+          $"n_rows", $"key_xor")
     }.reduce(_ unionByName _).orderBy($"table_name")
   }
 }

@@ -711,6 +711,43 @@ object TextAnalysis {
       .orderBy($"prefix")
   }
 
+  /** t31 — corpus DRIFT report: the top-50 tokens by combined count
+    * with their per-slice counts and an add-one-smoothed relative
+    * frequency ratio between the English slice and the rest — the
+    * distribution-shift monitor a pipeline runs between ingestion
+    * batches or domain mixes (t19's Zipf fit says what one corpus
+    * looks like; this says how two differ, token by token). The
+    * ratio is ln-FREE by construction: ((ca+1)(tb+|V|)) /
+    * ((cb+1)(ta+|V|)) is two exact integer products cast to double
+    * and divided once — correctly-rounded identical in both engines,
+    * where the textbook log-odds spelling would be
+    * libm-implementation-dependent at the ulp.
+    *
+    * Scale shape: ONE token-level groupBy with conditional partial
+    * sums (the map-side combine collapses the corpus to |vocab|
+    * rows), scalar totals as a broadcast 1-row frame, and top-50 via
+    * TakeOrderedAndProject. Token strings do shuffle here — the
+    * report NEEDS the tokens; vocabulary-sized, not corpus-sized
+    * (the t04 precedent). */
+  def t31Drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(Tables(s, dir, "documents"))
+      .filter($"text".isNotNull)
+    val t = docs.select(
+      when($"lang" === "en", lit(1L)).otherwise(lit(0L)).as("isA"),
+      explode(TextDedup.tokens($"text")).as("tok"))
+    val c = t.groupBy($"tok")
+      .agg(sum($"isA").as("ca"), sum(lit(1L) - $"isA").as("cb"))
+    val tot = broadcast(c.agg(sum($"ca").as("ta"), sum($"cb").as("tb"),
+      count(lit(1)).as("v")))
+    c.orderBy(($"ca" + $"cb").desc, $"tok").limit(50)
+      .crossJoin(tot)
+      .select($"tok".as("token"), $"ca", $"cb",
+        round((($"ca" + 1) * ($"tb" + $"v")).cast("double")
+          / (($"cb" + 1) * ($"ta" + $"v")).cast("double"), 6).as("odds_ratio"))
+      .orderBy($"token")
+  }
+
   /** t29 — weighted corpus downsampling by priority sampling
     * ([[graft.Graft.prioritySample]], which this binds): 64 documents
     * drawn with probability increasing in length (weight = n_chars,

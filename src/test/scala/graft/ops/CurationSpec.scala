@@ -69,16 +69,16 @@ class CurationSpec extends SparkSuiteBase {
     assert(out("region")._2 == graft.Tables(spark, sf, "region").count())
     assert(out("documents")._2 == graft.Tables(spark, sf, "documents").count())
     assert(out("lineitem")._1 == 11) // column counts pinned
-    // membership sensitivity: dropping one row must move the key sum
-    // (recompute the same 48-bit-prefix sum locally)
+    // membership sensitivity: dropping one row must flip the checksum
+    // (recompute the same 48-bit-prefix XOR fold locally)
     val ids = graft.Tables(spark, sf, "region")
       .select(col("r_regionkey").cast("string")).collect().map(_.getString(0))
-    def sum48(ks: Seq[String]): Long = ks.map { k =>
+    def xor48(ks: Seq[String]): Long = ks.map { k =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(k.getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
-    }.sum
-    assert(sum48(ids.toSeq) == out("region")._3, "local 48-bit sum mismatch")
-    assert(sum48(ids.toSeq.drop(1)) != out("region")._3)
+    }.reduce(_ ^ _)
+    assert(xor48(ids.toSeq) == out("region")._3, "local 48-bit xor mismatch")
+    assert(xor48(ids.toSeq.drop(1)) != out("region")._3)
   }
 }
