@@ -132,6 +132,8 @@ object SparkEntry {
     "s18_ivfpq_recall" -> (Similarity.s18IvfPqRecall _),
     "s19_quant_recall" -> (Similarity.s19QuantRecall _),
     "s20_truncated_topk" -> (Similarity.s20TruncatedTopK _),
+    "s21_lsh_recall" -> (Similarity.s21LshRecall _),
+    "s22_trunc_recall" -> (Similarity.s22TruncRecall _),
     "q42_runtime_filter" -> (Relational.q42RuntimeFilter _),
     "q30_bucket_join" -> (Layout.q30BucketedJoin _),
     "q31_part_prune" -> (Layout.q31PartitionPruning _),
@@ -314,6 +316,23 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY cs DESC, vec_id) AS rank
       |  FROM rr)""".stripMargin
+
+  /** The s20 truncated-cascade pipeline as CTEs ending in the
+    * reranked head `rer` — shared by the s20/s22 oracles (the
+    * s11Ctes/s17Ctes stripping contract). */
+  private val s20Ctes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |st1 AS (SELECT q.query_id, e.vec_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_cosine_similarity(q.qv[1:16], e.v[1:16]) DESC,
+      |               e.vec_id) AS r1
+      |  FROM q, e WHERE e.vec_id <> q.query_id),
+      |rer AS (SELECT s.query_id, s.vec_id,
+      |    list_cosine_similarity(q.qv, e.v) AS cs
+      |  FROM st1 s JOIN q ON q.query_id = s.query_id
+      |  JOIN e ON e.vec_id = s.vec_id
+      |  WHERE s.r1 <= 20)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2226,25 +2245,27 @@ object SparkEntry {
     // slice), top-20 head, exact full-dim rerank — s01's rounding
     // regime on the output.
     "s20_truncated_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |st1 AS (SELECT q.query_id, e.vec_id,
-        |    row_number() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(q.qv[1:16], e.v[1:16]) DESC,
-        |               e.vec_id) AS r1
-        |  FROM q, e WHERE e.vec_id <> q.query_id),
-        |rer AS (SELECT s.query_id, s.vec_id,
-        |    list_cosine_similarity(q.qv, e.v) AS cs
-        |  FROM st1 s JOIN q ON q.query_id = s.query_id
-        |  JOIN e ON e.vec_id = s.vec_id
-        |  WHERE s.r1 <= 20)
+      (SparkEntry.s20Ctes + """
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
         |       round(cs, 6) AS cos FROM (
         |  SELECT query_id, vec_id, cs,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cs DESC, vec_id) AS rank
         |  FROM rer) t WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""").stripMargin,
+
+    // s21/s22: the index CTE prefixes composed with the shared recall
+    // tail (Similarity.RecallTailSql) — the same composition annRecall
+    // performs engine-side.
+    "s21_lsh_recall" -> Similarity.s21OracleSql,
+    "s22_trunc_recall" ->
+      ((SparkEntry.s20Ctes + """,
+        |ap AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, vec_id) AS rank
+        |  FROM rer) t WHERE rank <= 5)""").stripMargin +
+        Similarity.RecallTailSql),
 
     // q40's numbers come from parquet footer statistics; the oracle
     // recomputes them from raw rows — the match proves stats == data.

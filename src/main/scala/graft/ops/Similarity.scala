@@ -595,7 +595,11 @@ object Similarity {
     * (planes printed as %.17e exponent literals, signature sign =
     * `list_cosine_similarity > 0`), probe fan-out spelled as
     * unnest([sig, xor(sig, 1), ..., xor(sig, 32)]). */
-  private[graft] def s12OracleSql: String = {
+  /** The s12 LSH pipeline as CTEs ending in `ranked` — shared by the
+    * s12/s13 oracles and s21's recall composition (the s11Ctes/s17Ctes
+    * stripping contract: stripped here, call sites append a stripped
+    * tail). */
+  private[graft] def s12OracleCtes: String = {
     val sigExpr = (0 until S12Bits).map { b =>
       val lits = s12Planes(b).map(f =>
         String.format(java.util.Locale.ROOT, "%.17e", Double.box(f.toDouble)))
@@ -615,9 +619,64 @@ object Similarity {
        |ranked AS (
        |  SELECT query_id, vec_id, c,
        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private[graft] def s12OracleSql: String =
+    s12OracleCtes + """
        |SELECT query_id, rank, vec_id, round(c, 6) AS cos
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The s10/s16/s18/s19 recall tail over an `ap` head plus s01's
+    * exact head derived straight from `e` — appended to an index's
+    * CTE prefix by the s21/s22 oracles. */
+  private[graft] val RecallTailSql: String =
+    """,
+      |ex AS (SELECT query_id, vec_id FROM (
+      |  SELECT q.vec_id AS query_id, e2.vec_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.v, e2.v) DESC, e2.vec_id)
+      |      AS rk
+      |  FROM e q, e e2 WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id) r
+      |  WHERE rk <= 5)
+      |SELECT ex.query_id AS query_id, count(*) AS n_exact,
+      |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / count(*), 4) AS recall
+      |FROM ex LEFT JOIN ap
+      |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+      |GROUP BY ex.query_id
+      |ORDER BY query_id""".stripMargin
+
+  private[graft] def s21OracleSql: String =
+    s12OracleCtes + """,
+       |ap AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 5)""".stripMargin +
+      RecallTailSql
+
+  /** s21 — recall@5 of the s12 multi-probe LSH search against exact
+    * s01: the recall-report symmetry completed for the LSH family
+    * (IVF s10, PQ s16, IVF-PQ s18, int8 s19 already report). LSH is
+    * the one index here whose recall depends on a global geometric
+    * property (how the hyperplane buckets split true neighbor pairs),
+    * so its measured number is the one least predictable from the
+    * construction — exactly why it needs the report. */
+  def s21LshRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.annRecall(s12LshTopK(s, dir), s01CosineTopK(s, dir), k = K)
+      .orderBy($"query_id")
+  }
+
+  /** s22 — recall@5 of the s20 truncated-dimension cascade against
+    * exact s01 — the number that says how much signal the first 16
+    * dims carry (low on these random harness vectors BY DESIGN;
+    * MRL-trained embeddings close the gap — the report is how a
+    * deployment decides the truncation width). */
+  def s22TruncRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.annRecall(s20TruncatedTopK(s, dir), s01CosineTopK(s, dir),
+        k = K)
+      .orderBy($"query_id")
   }
 
   /** s03 — per-label centroids: the distributed vector-mean that
