@@ -98,6 +98,7 @@ object SparkEntry {
     "d08_neardup_dedup" -> (TextDedup.d08NearDupDedup _),
     "d18_components" -> (TextDedup.d18ComponentsDistributed _),
     "d19_containment" -> (TextDedup.d19Containment _),
+    "d20_keep_best" -> (TextDedup.d20KeepBest _),
     "d05_embedding_dedup" -> (Similarity.d05EmbeddingDedup _),
     "s01_cosine_topk" -> (Similarity.s01CosineTopK _),
     "s02_ivf_topk" -> (Similarity.s02IvfTopK _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "st11_upsert" -> (graft.streaming.Streams.st11ForeachBatchUpsert _),
     "st12_backfill" -> (graft.streaming.Streams.st12FileBackfill _),
     "st13_sessions" -> (graft.streaming.Streams.st13StreamingSessions _),
+    "st14_update" -> (graft.streaming.Streams.st14UpdateWindows _),
     "c01_curation" -> (Curation.c01Curation _),
     "c02_assembly" -> (Curation.c02Assembly _),
     "c03_manifest" -> (Curation.c03Manifest _)
@@ -801,6 +803,40 @@ object SparkEntry {
         |FROM j
         |WHERE n_contained >= 3 AND shared::DOUBLE / n_contained >= 0.8
         |ORDER BY contained_id, container_id""".stripMargin,
+
+    // d20: the d18 component labeling + a per-component quality
+    // argmax (longest text, tie smaller id).
+    "d20_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(toks)-1, 1)),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS root
+        |        FROM reach GROUP BY a),
+        |best AS (SELECT root, doc_id AS kept_id, n_chars AS kept_chars FROM (
+        |  SELECT lab.root, d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY lab.root
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM lab JOIN documents d ON d.doc_id = lab.doc_id) t
+        |  WHERE rn = 1)
+        |SELECT lab.doc_id, best.kept_id, best.kept_chars
+        |FROM lab JOIN best ON best.root = lab.root
+        |WHERE lab.doc_id <> best.kept_id
+        |ORDER BY lab.doc_id""".stripMargin,
 
     "d04_ngram_jaccard" ->
       """WITH feat AS (
@@ -2939,6 +2975,15 @@ ORDER BY id_a, id_b""",
         |FROM agg, wm
         |WHERE epoch_us(wstart + INTERVAL '1 hour') <= wm.w_us
         |ORDER BY window_start_us, event_type""".stripMargin,
+
+    // st14: the recovered final state equals the batch windowed
+    // aggregate over the same slice (hour buckets as epoch micros).
+    "st14_update" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE user_id % 10 = 5
+        |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
 
     // st13 = st02's gaps-and-islands SQL over the 1-in-10 replay
     // slice, plus the session end (last event + the 10-minute gap).

@@ -618,6 +618,36 @@ object TextDedup {
       .orderBy(col("contained_id"), col("container_id"))
   }
 
+  /** d20 — near-dup dedup KEEPING THE BEST copy: d08's cluster
+    * collapse with the representative chosen by QUALITY (longest
+    * text, ties to the smaller id) instead of minimum id — what a
+    * production pipeline actually wants (the boilerplate-stripped or
+    * truncated variant should lose to the fullest copy, whatever its
+    * id). Same LSH pair graph, same connected components; one extra
+    * per-component argmax (a struct-max aggregate over component
+    * members — the ivfSearch assignment shape, so the tie rule is a
+    * single deterministic expression, not a join cascade). Output:
+    * every non-representative member with its kept doc and the kept
+    * doc's length. */
+  def d20KeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val cand = minhashCandidatesRaw(docs, bands = 8, rowsPerBand = 4)
+    val pairs = jaccardVerify(docs, cand).filter($"jaccard" >= 0.8)
+    val labels = componentMin(pairs)
+      .select($"id".as("doc_id"), $"root")
+    val best = labels
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .groupBy($"root")
+      // struct-max: longest first, then SMALLER id via negated key
+      .agg(max(struct($"n_chars", (-$"doc_id").as("nid"))).as("b"))
+      .select($"root", (-$"b.nid").as("kept_id"), $"b.n_chars".as("kept_chars"))
+    labels.join(best, "root")
+      .filter($"doc_id" =!= $"kept_id")
+      .select($"doc_id", $"kept_id", $"kept_chars")
+      .orderBy($"doc_id")
+  }
+
   /** d07 — SimHash near-dup pairs, driver-visible: block-LSH bucketing
     * then hamming verify over the corpus's planted near-dups. No oracle
     * (fingerprints are xxhash64-derived, which DuckDB cannot compute);

@@ -680,6 +680,50 @@ object Streams {
       .orderBy($"user_id", $"session_start_us")
   }
 
+  /** st14 — UPDATE output mode under the oracle gate, completing the
+    * mode coverage (st03 Complete, st09/st10/st13 Append): each
+    * micro-batch emits ONLY the groups it changed, so the sink
+    * accumulates a per-key UPDATE HISTORY and the final state is the
+    * latest update per key — recovered relationally by max event
+    * count (a group's count strictly increases across its emissions:
+    * an update emits only on change, and any change to a count group
+    * adds rows). The recovered state must equal the batch aggregate:
+    * a missed delta emission leaves a stale max row and hash-fails.
+    * This is the mode a downstream keyed store actually consumes
+    * (each batch's rows upsert by key — st11's sink is the consumer
+    * side of exactly this contract). Replay order: ts-sorted, so
+    * nothing drops as late; watermark-only batches are
+    * output-neutral in update mode (eviction, never emission).
+    * StreamsSpec separately asserts the sink holds MORE rows than
+    * keys — the delta history across batches is real, not one bulk
+    * emission. */
+  def st14UpdateWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 5)
+      .select($"ts", $"event_type", $"value")
+      .orderBy($"ts", $"event_type", $"value")
+      .as[(java.sql.Timestamp, String, Double)]
+      .collect()
+    // 3 chunks, not the default 2: the sf0.001 slice's midpoint falls
+    // exactly on an hour boundary, and a replay whose chunk edges all
+    // align to window edges never re-emits a group — the delta
+    // history the spec asserts needs at least one window split
+    // across batches
+    val sink = replay(s, data.toSeq, OutputMode.Update, "st14",
+        nChunks = 3) { ds =>
+      tumblingCounts(ds.toDF("ts", "event_type", "value"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window_start", $"event_type")
+      .orderBy($"n_events".desc)
+    sink.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_start_us", $"event_type")
+  }
+
   /** One AvailableNow catch-up run of the st12 file-backfill stream:
     * process every source file the checkpoint has not seen (2 per
     * micro-batch — the rate limit that keeps a year-sized backlog from
