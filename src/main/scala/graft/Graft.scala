@@ -1912,4 +1912,62 @@ object Graft {
     shaped.write.mode("overwrite").parquet(outputPath)
     n
   }
+
+  /** Single-pass per-column data-quality profile (the Deequ/dbt-style
+    * contract check a pipeline runs before trusting a new drop): for
+    * every column of `df`, null count, exact distinct count, and
+    * type-aware min/max — numerics and timestamps land in
+    * `min_num`/`max_num` (timestamps as epoch micros, so no
+    * cross-engine text formatting of instants), everything else
+    * min/max lexicographically as `min_str`/`max_str` (binary
+    * collation on both engines). One wide aggregate over one scan,
+    * then a `stack` to the tall (column_name, metrics) report shape.
+    *
+    * Scale shape: the null/min/max metrics partial-aggregate to ONE
+    * row before any exchange — a 100 TB profile of those is one scan
+    * plus a single-row shuffle. The exact multi-column distinct is
+    * the expensive half: Catalyst plans N count-distincts as an
+    * Expand (one duplicated stream per column) — the price of
+    * EXACTNESS, paid here because the oracle demands it. At real
+    * scale swap `countDistinct` for `approx_count_distinct` (the q17
+    * HLL operator) and the whole profile collapses back to one
+    * narrow pass; the report schema is unchanged.
+    *
+    * Determinism: counts are integral; min/max are order-independent;
+    * doubles pass through `round(_, roundScale)` per the value-
+    * quantization regime. */
+  def profile(df: DataFrame, roundScale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "profile of a zero-column frame")
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val (mnN, mxN, mnS, mxS) = f.dataType match {
+        case _: NumericType =>
+          (round(min(c).cast("double"), roundScale),
+            round(max(c).cast("double"), roundScale),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case _: TimestampType | _: TimestampNTZType =>
+          (unix_micros(min(c).cast(TimestampType)).cast("double"),
+            unix_micros(max(c).cast(TimestampType)).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case _ =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            min(c.cast("string")), max(c.cast("string")))
+      }
+      Seq((count(lit(1)) - count(c)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__distinct"),
+        mnN.as(s"${f.name}__min_num"), mxN.as(s"${f.name}__max_num"),
+        mnS.as(s"${f.name}__min_str"), mxS.as(s"${f.name}__max_str"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fields.map(f =>
+      s"'${f.name}', `${f.name}__nulls`, `${f.name}__distinct`, " +
+        s"`${f.name}__min_num`, `${f.name}__max_num`, " +
+        s"`${f.name}__min_str`, `${f.name}__max_str`").mkString(", ")
+    one.select(expr(s"stack(${fields.length}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_num, max_num, " +
+        "min_str, max_str)"))
+      .orderBy(col("column_name"))
+  }
 }

@@ -177,9 +177,11 @@ object SparkEntry {
     "st12_backfill" -> (graft.streaming.Streams.st12FileBackfill _),
     "st13_sessions" -> (graft.streaming.Streams.st13StreamingSessions _),
     "st14_update" -> (graft.streaming.Streams.st14UpdateWindows _),
+    "st15_tws_topk" -> (graft.streaming.Streams.st15TransformWithState _),
     "c01_curation" -> (Curation.c01Curation _),
     "c02_assembly" -> (Curation.c02Assembly _),
-    "c03_manifest" -> (Curation.c03Manifest _)
+    "c03_manifest" -> (Curation.c03Manifest _),
+    "c04_profile" -> ((s, dir) => Graft.profile(Tables(s, dir, "orders")))
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -1111,6 +1113,37 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM pk GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    // c04: the single-pass column profile spelled per column — null
+    // count, exact distinct, type-aware min/max (timestamps as epoch
+    // micros; strings lexicographic under binary collation).
+    "c04_profile" ->
+      """SELECT 'o_custkey' AS column_name,
+        |  count(*) - count(o_custkey) AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  round(min(o_custkey)::DOUBLE, 2) AS min_num,
+        |  round(max(o_custkey)::DOUBLE, 2) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL SELECT 'o_orderdate', count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  epoch_us(min(o_orderdate))::DOUBLE, epoch_us(max(o_orderdate))::DOUBLE,
+        |  NULL, NULL FROM orders
+        |UNION ALL SELECT 'o_orderkey', count(*) - count(o_orderkey),
+        |  count(DISTINCT o_orderkey),
+        |  round(min(o_orderkey)::DOUBLE, 2), round(max(o_orderkey)::DOUBLE, 2),
+        |  NULL, NULL FROM orders
+        |UNION ALL SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), NULL, NULL,
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), NULL, NULL,
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  round(min(o_totalprice), 2), round(max(o_totalprice), 2),
+        |  NULL, NULL FROM orders
+        |ORDER BY column_name""".stripMargin,
 
     // c03: ten per-table key-checksum aggregates UNION ALL'd — the
     // t08 md5-hex-to-int pattern, 12 hex chars (48 bits) per key,
@@ -2984,6 +3017,23 @@ ORDER BY id_a, id_b""",
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE user_id % 10 = 5
         |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    // st15: the final transformWithState state (per-user top-3 values
+    // + seen count, recovered per (user, rank) by monotone n_seen)
+    // equals the batch row_number()-over-everything pick.
+    "st15_tws_topk" ->
+      """WITH slice AS (
+        |  SELECT user_id, event_id, value FROM events WHERE user_id % 10 = 6),
+        |tot AS (SELECT user_id, count(*) AS n_seen FROM slice GROUP BY user_id),
+        |ranked AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id) AS topk_rank
+        |  FROM slice)
+        |SELECT r.user_id, t.n_seen, r.topk_rank, r.event_id, r.value
+        |FROM ranked r JOIN tot t ON r.user_id = t.user_id
+        |WHERE r.topk_rank <= 3
+        |ORDER BY r.user_id, r.topk_rank""".stripMargin,
 
     // st13 = st02's gaps-and-islands SQL over the 1-in-10 replay
     // slice, plus the session end (last event + the 10-minute gap).

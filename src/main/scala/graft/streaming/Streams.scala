@@ -228,11 +228,13 @@ object Streams {
     * their oracles). Production code readStreams from a real source. */
   private[graft] def replay[T: org.apache.spark.sql.Encoder](
       s: SparkSession, data: Seq[T], mode: OutputMode, sink: String,
-      nChunks: Int = 2, noData: Boolean = false)(
+      nChunks: Int = 2, noData: Boolean = false,
+      confs: Seq[(String, String)] = Nil)(
       build: Dataset[T] => DataFrame): DataFrame = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
+    confs.foreach { case (k, v) => s2.conf.set(k, v) }
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T](
       implicitly[org.apache.spark.sql.Encoder[T]], s2.sqlContext)
     val name = s"graft_${sink}_sink_${replayRuns.incrementAndGet()}"
@@ -819,5 +821,89 @@ object Streams {
         min($"event_id").as("min_id"),
         max($"event_id").as("max_id"))
       .orderBy($"event_type")
+  }
+
+  case class TwsIn(user_id: Long, event_id: Long, value: Double)
+  case class TwsTop(value: Double, event_id: Long)
+  case class TwsTopRow(user_id: Long, n_seen: Long, topk_rank: Int,
+      event_id: Long, value: Double)
+
+  /** Per-key incremental top-k via the transformWithState
+    * StatefulProcessor API (Spark 4.1's successor to
+    * mapGroupsWithState): typed, NAMED state variables created against
+    * the processor handle — a ListState holding the current top-k
+    * (value, event_id) entries and a ValueState with the events-seen
+    * count — updated per micro-batch and re-emitted for changed keys.
+    *
+    * Why this API at scale: unlike mapGroupsWithState's single opaque
+    * state blob (deserialize-all/serialize-all per key per batch),
+    * each named state is its own column family in the RocksDB state
+    * store — a processor touching one of N states pays for one — and
+    * TTLConfig/timers attach per state. The merge below is
+    * order-independent (sort over a set union), so within-batch
+    * shuffle nondeterminism cannot change the emission. */
+  class TopKProcessor(k: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsIn, TwsTopRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var top: ListState[TwsTop] = _
+    @transient private var nSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[TwsTop]("top",
+        Encoders.product[TwsTop], TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("nSeen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TwsIn],
+        timers: TimerValues): Iterator[TwsTopRow] = {
+      val fresh = rows.toSeq
+      val prev = if (top.exists()) top.get().toSeq else Seq.empty
+      val merged = (prev ++ fresh.map(e => TwsTop(e.value, e.event_id)))
+        .sortBy(t => (-t.value, t.event_id)).take(k)
+      top.put(merged.toArray)
+      val n = (if (nSeen.exists()) nSeen.get() else 0L) + fresh.size
+      nSeen.update(n)
+      merged.iterator.zipWithIndex.map { case (t, i) =>
+        TwsTopRow(key, n, i + 1, t.event_id, t.value) }
+    }
+  }
+
+  /** st15 — the transformWithState arbitrary-state operator run
+    * genuinely incrementally under the oracle gate: a 1-in-10 user
+    * slice replayed through [[TopKProcessor]] micro-batches, so each
+    * user's top-3 list and seen-count must survive the RocksDB state
+    * store across triggers (transformWithState REQUIRES the RocksDB
+    * provider in OSS Spark — set on the replay session only) to match
+    * the batch row_number()-over-all-events oracle. Update-mode sink
+    * accumulates one emission per (user, batch-with-data); the final
+    * state is picked per (user, rank) by max n_seen — strictly
+    * monotone, the st08/st14 discipline. A dropped state entry
+    * (top-3 forgetting a cross-batch value, or a count reset)
+    * hash-fails. */
+  def st15TransformWithState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 6)
+      .select($"user_id", $"event_id", $"value")
+      .orderBy($"event_id")
+      .as[(Long, Long, Double)]
+      .collect()
+    val sink = replay(s, data.toSeq, OutputMode.Update, "st15", nChunks = 3,
+        confs = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider"))) { ds =>
+      import ds.sparkSession.implicits._
+      ds.map { case (u, e, v) => TwsIn(u, e, v) }
+        .groupByKey(_.user_id)
+        .transformWithState(new TopKProcessor(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update)
+        .toDF()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"topk_rank").orderBy($"n_seen".desc)
+    sink.withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"user_id", $"n_seen", $"topk_rank", $"event_id", $"value")
+      .orderBy($"user_id", $"topk_rank")
   }
 }

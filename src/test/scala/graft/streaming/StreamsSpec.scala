@@ -391,6 +391,51 @@ class StreamsSpec extends SparkSuiteBase {
       s"delta history wrong: ${hist.toSeq}")
   }
 
+  test("st15: transformWithState top-k state survives micro-batches") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st15TransformWithState(spark, sf).collect().toSeq
+    val slice = graft.Tables(spark, sf, "events")
+      .filter($"user_id" % 10 === 6)
+    val tot = slice.groupBy($"user_id").agg(count(lit(1)).as("n_seen"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    val expected = slice
+      .withColumn("topk_rank", row_number().over(w))
+      .filter($"topk_rank" <= 3)
+      .join(tot, "user_id")
+      .select($"user_id", $"n_seen", $"topk_rank", $"event_id", $"value")
+      .orderBy($"user_id", $"topk_rank")
+      .collect().toSeq
+    assert(got == expected, s"${got.size} vs ${expected.size} rows")
+    // cross-batch state survival pinned directly: the global max value
+    // arrives in BATCH 1 and must still lead the top list emitted in
+    // batch 2 — a ListState that failed to persist would rank batch
+    // 2's own values first. Update-history depth is asserted too (the
+    // key emits once per batch, so 2 + 3 rank rows in the raw sink).
+    val rocks = Seq("spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"))
+    val sink = Streams.replay(spark,
+        Seq(Streams.TwsIn(1L, 101L, 9.0), Streams.TwsIn(1L, 102L, 1.0),
+          Streams.TwsIn(1L, 103L, 5.0)),
+        org.apache.spark.sql.streaming.OutputMode.Update, "st15spec",
+        nChunks = 2, confs = rocks) { ds =>
+      import ds.sparkSession.implicits._
+      ds.groupByKey(_.user_id)
+        .transformWithState(new Streams.TopKProcessor(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update)
+        .toDF()
+    }
+    val rows = sink.orderBy($"n_seen", $"topk_rank").collect()
+    assert(rows.length == 5, s"expected 2+3 emission rows, got ${rows.toSeq}")
+    val finalTop = rows.filter(_.getAs[Long]("n_seen") == 3L)
+      .map(r => (r.getAs[Int]("topk_rank"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"))).toSeq
+    assert(finalTop == Seq((1, 101L, 9.0), (2, 103L, 5.0), (3, 102L, 1.0)),
+      s"batch-1 max did not survive the state store: $finalTop")
+  }
+
   test("st04: every event lands in exactly two sliding windows, starts 5-min aligned") {
     val sf = "/root/testdata/sf0.001"
     val df = Streams.st04SlidingWindows(spark, sf)
