@@ -152,6 +152,8 @@ object SparkEntry {
     "q44_retention" -> (Relational.q44Retention _),
     "q45_incr_agg" -> (Layout.q45IncrementalAgg _),
     "q46_zorder" -> (Layout.q46ZorderRoundtrip _),
+    "q47_sessionize" -> (Relational.q47Sessionize _),
+    "q48_interpolate" -> (Relational.q48Interpolate _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -2371,6 +2373,69 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_suppkey < 50
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    // q47: the gaps-and-islands sessionization spelled with the same
+    // lag -> gap flag -> running sum; sums of the 0/1 flag are cast
+    // back to BIGINT (DuckDB sum(BIGINT) is HUGEINT -> pandas float).
+    "q47_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id))
+        |         >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
+        |  FROM events),
+        |numbered AS (
+        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |booked AS (
+        |  SELECT *,
+        |    first_value(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS first_type,
+        |    last_value(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS last_type
+        |  FROM numbered)
+        |SELECT user_id, CAST(sid + 1 AS BIGINT) AS session_seq,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  count(*) AS n_events, first_type, last_type,
+        |  round(sum(value), 2) AS sum_value
+        |FROM booked
+        |GROUP BY user_id, sid, first_type, last_type
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // q48: the calendar-spine linear interpolation with the IDENTICAL
+    // operand order — pv + (nv - pv) * days_from_prev / days_span —
+    // so both engines run the same IEEE sequence.
+    "q48_interpolate" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS d, round(sum(value), 2) AS v
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 500 = 7
+        |  GROUP BY 1),
+        |bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        |          FROM bounds),
+        |j AS (SELECT s.d, daily.v FROM spine s LEFT JOIN daily ON s.d = daily.d),
+        |f AS (SELECT d, v,
+        |  last_value(v IGNORE NULLS) OVER
+        |    (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+        |    (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |  first_value(v IGNORE NULLS) OVER
+        |    (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+        |    (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT epoch_us(d) AS day_us,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE round(pv + (nv - pv) * date_diff('day', pd, d)
+        |                  / date_diff('day', pd, nd), 4) END AS value_filled,
+        |  CAST(v IS NULL AS INT) AS was_gap
+        |FROM f ORDER BY day_us""".stripMargin,
 
     // q45: the incremental merge must equal the one-pass aggregate.
     "q45_incr_agg" ->

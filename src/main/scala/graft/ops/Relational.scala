@@ -746,4 +746,98 @@ object Relational {
           .as("avg_secs_to_convert"))
       .orderBy($"bucket")
   }
+
+  /** q47 — batch gaps-and-islands sessionization: the window-function
+    * spelling of session assignment (lag -> gap flag -> running sum),
+    * complementing the native `session_window` path (st02/st13) with
+    * what that operator cannot give — the per-user SESSION ORDINAL
+    * (1st, 2nd, ... session) and first/last event-type bookends.
+    * 30-minute gap (the web-analytics convention; also distinct from
+    * the streaming family's 10).
+    *
+    * Scale shape: every window partitions by user_id, so the whole
+    * query is ONE shuffle on the user key reused by all four window
+    * passes and the final aggregate (Catalyst collapses same-key
+    * Window operators into one sort) — no join, no second exchange.
+    * Skewed users are bounded by their own event count; a pathological
+    * single-user firehose would need the q26 salting treatment.
+    *
+    * Determinism: ordering is (ts, event_id) — event_id unique;
+    * bookends are first/last over that full order; sums round per the
+    * value-quantization regime. */
+  def q47Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sessFull = Window.partitionBy($"user_id", $"sid")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .withColumn("__gap",
+        when(unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byTs))
+          >= 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("sid", sum($"__gap")
+        .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("first_type", first($"event_type").over(sessFull))
+      .withColumn("last_type", last($"event_type").over(sessFull))
+      .groupBy($"user_id", $"sid", $"first_type", $"last_type")
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min($"ts")).as("session_start_us"),
+        unix_micros(max($"ts")).as("session_end_us"),
+        round(sum($"value"), 2).as("sum_value"))
+      .select($"user_id", ($"sid" + 1).as("session_seq"),
+        $"session_start_us", $"session_end_us", $"n_events",
+        $"first_type", $"last_type", $"sum_value")
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  /** q48 — time-series resampling with LINEAR interpolation: a sparse
+    * daily aggregate (purchases of a 1-in-500 user slice — gap days
+    * exist at every harness SF) is re-indexed onto a dense calendar
+    * spine (`sequence` of days between the series' own bounds) and
+    * gap days are filled by the straight line between their
+    * neighboring observed days. Completes the gap-fill family: q29 is
+    * LOCF (step function), this is the interpolating resample every
+    * metrics store offers.
+    *
+    * Scale shape: the spine is generated from a 1-row bounds
+    * aggregate (a broadcast-able few-KB side); the join back to the
+    * daily aggregate is on the day key; the four neighbor lookups are
+    * IGNORE-NULLS window passes over ONE global day order — for a
+    * per-key panel you'd partition the windows by key and nothing
+    * else changes. A 100 TB raw table reduces to its daily aggregate
+    * before any of this runs.
+    *
+    * Determinism: the interpolation expression is spelled with ONE
+    * operand order mirrored in the oracle — round(pv + (nv - pv) *
+    * days_from_prev / days_span, 4) — so both engines evaluate the
+    * identical IEEE sequence; observed days pass through their (round
+    * 2) aggregate untouched. */
+  def q48Interpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .filter($"event_type" === "purchase" && $"user_id" % 500 === 7)
+      .groupBy(date_trunc("day", $"ts").as("d"))
+      .agg(round(sum($"value"), 2).as("v"))
+    val spine = daily
+      .agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("INTERVAL 1 DAY"))).as("d"))
+    val w = Window.orderBy($"d")
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when($"v".isNotNull, $"d")
+    spine.join(daily, Seq("d"), "left")
+      .withColumn("pv", last($"v", ignoreNulls = true).over(back))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+      .select(unix_micros($"d").as("day_us"),
+        when($"v".isNotNull, $"v")
+          .otherwise(round($"pv" + ($"nv" - $"pv")
+            * datediff($"d", $"pd") / datediff($"nd", $"pd"), 4))
+          .as("value_filled"),
+        $"v".isNull.cast("int").as("was_gap"))
+      .orderBy($"day_us")
+  }
 }
