@@ -1396,6 +1396,44 @@ object Graft {
           i => concat_ws(" ", element_at(tsv, i), element_at(tsv, i + 1))))), 1)
   }
 
+  /** Collocation extraction by PMI-lift: bigrams whose observed count
+    * beats the independence expectation — lift = c_ab * N /
+    * (c_a * c_b), the exp of pointwise mutual information. Emitted as
+    * the RATIO, not its log: the ordering is identical (ln is
+    * monotone) and the ratio is one IEEE division over exact integer
+    * counts, so the oracle reproduces it bit-for-bit with no libm
+    * dependence (the t29 lesson). `minCount` gates rare bigrams
+    * (PMI's classic failure mode: a pair seen once between two
+    * hapaxes scores arbitrarily high); top-k by (lift, bigram) with
+    * the exact unrounded lift as the sort key.
+    *
+    * Scale shape: two partial-aggregated explode shuffles (unigram
+    * and bigram counts — the t04/t18 shapes); the count-gate shrinks
+    * the bigram side BEFORE its two vocab joins, which stay un-hinted
+    * (bigram vocabulary grows with the corpus — AQE's call, t21's
+    * argument); N is a 1-row broadcast. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val uni = df.select(explode(ops.TextDedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val total = uni.agg(sum(col("c_w")).as("n_tokens"))
+    val liftExpr = (col("c_bigram") * col("n_tokens")) /
+      (col("c_w1") * col("c_w2"))
+    df.select(explode(bigramsOf(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_bigram"))
+      .filter(col("c_bigram") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_w2")), "w2")
+      .crossJoin(broadcast(total))
+      .orderBy(liftExpr.desc, col("bigram"))
+      .limit(topK)
+      .select(col("bigram"), col("c_bigram"), col("c_w1"), col("c_w2"),
+        round(liftExpr, 4).as("lift"))
+      .orderBy(col("bigram"))
+  }
+
   def bigramLm(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
     df.select(explode(bigramsOf(col(textCol))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_bigram"))

@@ -121,6 +121,7 @@ object SparkEntry {
     "t29_weighted_sample" -> (TextAnalysis.t29PrioritySample _),
     "t30_heaps" -> (TextAnalysis.t30Heaps _),
     "t31_drift" -> (TextAnalysis.t31Drift _),
+    "t32_pmi" -> (TextAnalysis.t32Pmi _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -915,6 +916,33 @@ object SparkEntry {
         |  round(avg(cos), 4) AS mean_cos
         |FROM asg GROUP BY label, cluster
         |ORDER BY label, predicted""".stripMargin,
+
+    // t32: PMI-lift over the same tokenization CTEs as t18; the sort
+    // key is the exact unrounded division over integer counts (both
+    // engines run one IEEE divide on identical inputs).
+    "t32_pmi" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |uc AS (SELECT w, count(*) AS c_w
+        |       FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tokens FROM uc),
+        |bg AS (SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+        |         i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM toks),
+        |bc AS (SELECT bigram, count(*) AS c_bigram FROM bg GROUP BY bigram
+        |       HAVING count(*) >= 5),
+        |j AS (SELECT b.bigram, b.c_bigram, u1.c_w AS c_w1, u2.c_w AS c_w2,
+        |        t.n_tokens
+        |      FROM bc b
+        |      JOIN uc u1 ON split_part(b.bigram, ' ', 1) = u1.w
+        |      JOIN uc u2 ON split_part(b.bigram, ' ', 2) = u2.w
+        |      CROSS JOIN tot t)
+        |SELECT bigram, c_bigram, c_w1, c_w2,
+        |  round((c_bigram * n_tokens) / (c_w1 * c_w2), 4) AS lift
+        |FROM (SELECT * FROM j
+        |      ORDER BY (c_bigram * n_tokens) / (c_w1 * c_w2) DESC, bigram
+        |      LIMIT 50) q
+        |ORDER BY bigram""".stripMargin,
 
     "t18_lm" ->
       """WITH toks AS (SELECT

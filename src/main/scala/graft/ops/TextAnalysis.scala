@@ -767,4 +767,12 @@ object TextAnalysis {
         round($"est_weight", 4).as("est_weight"))
       .orderBy($"doc_id")
   }
+
+  /** t32 — PMI-lift collocations over the documents corpus
+    * ([[graft.Graft.pmiCollocations]]): the top-50 bigrams whose
+    * count beats the independence expectation, count-gated at 5.
+    * Scale/determinism arguments in the facade scaladoc. */
+  def t32Pmi(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.pmiCollocations(
+      Tables.spread(Tables(s, dir, "documents")), "text")
 }
