@@ -154,6 +154,7 @@ object SparkEntry {
     "q45_incr_agg" -> (Layout.q45IncrementalAgg _),
     "q46_zorder" -> (Layout.q46ZorderRoundtrip _),
     "q47_sessionize" -> (Relational.q47Sessionize _),
+    "q49_dsv2_range" -> (Layout.q49Dsv2Range _),
     "q48_interpolate" -> (Relational.q48Interpolate _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
@@ -2435,6 +2436,17 @@ object SparkEntry {
         |FROM booked
         |GROUP BY user_id, sid, first_type, last_type
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // q49: the DSv2 generator source's determinism contract — DuckDB
+    // rebuilds every generated row from generate_series + md5 (the
+    // c03 12-hex-prefix XOR idiom) over the same pushed id bounds.
+    "q49_dsv2_range" ->
+      """SELECT CAST(n % 97 AS BIGINT) AS bucket, count(*) AS n_rows,
+        |  CAST(bit_xor(('0x' || substr(md5(n::VARCHAR), 1, 12))::BIGINT)
+        |    AS BIGINT) AS tag_xor,
+        |  min(n) AS min_id, max(n) AS max_id
+        |FROM (SELECT unnest(generate_series(15000, 45000)) AS n)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // q48: the calendar-spine linear interpolation with the IDENTICAL
     // operand order — pv + (nv - pv) * days_from_prev / days_span —

@@ -775,4 +775,27 @@ object Layout {
         min($"c_custkey").as("min_key"))
       .orderBy($"c_mktsegment")
   }
+
+  /** q49 — the custom DataSource V2 connector under the oracle gate
+    * ([[graft.sources.RangeSource]] — deterministic generator rows,
+    * filter pushdown narrowing the generated range at plan time,
+    * column pruning skipping the per-row MD5): an id-bounded slice is
+    * aggregated per bucket with the c03 XOR checksum over the tag
+    * prefix, and DuckDB reproduces every row from
+    * `generate_series` + `md5` — the source's determinism contract IS
+    * the oracle. RangeSourceSpec plan-asserts the pushdown (pruned
+    * split count and consumed filters); this query proves the VALUES
+    * that survive it. */
+  def q49Dsv2Range(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("graft.sources.RangeSource")
+      .option("start", "1").option("end", "60000").option("splits", "8")
+      .load()
+      .filter($"id" >= 15000 && $"id" <= 45000)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(cast(conv(tag, 16, 10) as long))").as("tag_xor"),
+        min($"id").as("min_id"), max($"id").as("max_id"))
+      .orderBy($"bucket")
+  }
 }
