@@ -182,6 +182,7 @@ object SparkEntry {
     "st13_sessions" -> (graft.streaming.Streams.st13StreamingSessions _),
     "st14_update" -> (graft.streaming.Streams.st14UpdateWindows _),
     "st15_tws_topk" -> (graft.streaming.Streams.st15TransformWithState _),
+    "st16_chained" -> (graft.streaming.Streams.st16ChainedWindows _),
     "c01_curation" -> (Curation.c01Curation _),
     "c02_assembly" -> (Curation.c02Assembly _),
     "c03_manifest" -> (Curation.c03Manifest _),
@@ -3122,6 +3123,22 @@ ORDER BY id_a, id_b""",
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE user_id % 10 = 5
         |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    // st16: the two-level streaming rollup equals two-level integer
+    // bucket arithmetic (10-min floors re-bucketed to hour floors,
+    // epoch micros — window()'s own alignment); every real window
+    // finalizes via the sentinel, so no watermark filter appears.
+    "st16_chained" ->
+      """WITH slice AS (
+        |  SELECT ts, event_type FROM events WHERE user_id % 10 = 8),
+        |ten AS (
+        |  SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) AS b10,
+        |    event_type, count(*) AS n10
+        |  FROM slice GROUP BY 1, 2)
+        |SELECT (b10 - b10 % 3600000000) AS hour_start_us, event_type,
+        |  CAST(sum(n10) AS BIGINT) AS n_events, max(n10) AS max_burst
+        |FROM ten GROUP BY 1, 2
+        |ORDER BY hour_start_us, event_type""".stripMargin,
 
     // st15: the final transformWithState state (per-user top-3 values
     // + seen count, recovered per (user, rank) by monotone n_seen)

@@ -823,6 +823,55 @@ object Streams {
       .orderBy($"event_type")
   }
 
+  /** st16 — CHAINED stateful operators in one streaming query (two
+    * event-time windowed aggregations back-to-back), the multi-stage
+    * rollup Spark could not express in a single query before 3.4/4.x:
+    * 10-minute tumbling counts per event type re-aggregate into
+    * 1-hour windows carrying both the hour total and the peak
+    * 10-minute burst. `window_time()` turns the inner window struct
+    * back into an event-time column the outer window can bucket, and
+    * the ONE watermark drives both state stores: an inner window
+    * finalizes (append emission into the outer agg) when the
+    * watermark passes its end, and the outer window finalizes when it
+    * passes the hour. Production shape: the burst metric NEEDS the
+    * fine windows and the report NEEDS the coarse ones — without
+    * chaining this is two queries and an intermediate topic.
+    *
+    * Determinism and completeness by the st13 sentinel discipline:
+    * ts-sorted replay (nothing late), one terminal sentinel event 10
+    * hours past the real slice under a sentinel event type pushes the
+    * watermark past every real hour window, so all real windows
+    * provably finalize through BOTH stages; the sentinel's own
+    * windows never emit and are filtered regardless. Oracle: plain
+    * two-level integer bucket arithmetic (epoch-micro floors — the
+    * same alignment `window()` uses). noData = true as st09: only a
+    * trailing watermark-only batch can flush the last closed
+    * windows. */
+  def st16ChainedWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 8)
+      .select($"ts", $"event_type")
+      .orderBy($"ts", $"event_type")
+      .as[(java.sql.Timestamp, String)]
+      .collect()
+    val sentinelTs = new java.sql.Timestamp(
+      data.map(_._1.getTime).max + 10L * 3600 * 1000)
+    val sink = replay(s, (data :+ ((sentinelTs, "zz_sentinel"))).toSeq,
+        OutputMode.Append, "st16", noData = true) { ds =>
+      ds.toDF("ts", "event_type")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "10 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n10"))
+        .groupBy(window(window_time($"window"), "1 hour"), $"event_type")
+        .agg(sum($"n10").as("n_events"), max($"n10").as("max_burst"))
+    }
+    sink.filter($"event_type" =!= "zz_sentinel")
+      .select(unix_micros($"window.start").as("hour_start_us"),
+        $"event_type", $"n_events", $"max_burst")
+      .orderBy($"hour_start_us", $"event_type")
+  }
+
   case class TwsIn(user_id: Long, event_id: Long, value: Double)
   case class TwsTop(value: Double, event_id: Long)
   case class TwsTopRow(user_id: Long, n_seen: Long, topk_rank: Int,

@@ -436,6 +436,46 @@ class StreamsSpec extends SparkSuiteBase {
       s"batch-1 max did not survive the state store: $finalTop")
   }
 
+  test("st16: chained windowed aggs equal the batch two-level rollup") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st16ChainedWindows(spark, sf).collect().toSeq
+    val ten = graft.Tables(spark, sf, "events")
+      .filter($"user_id" % 10 === 8)
+      .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n10"))
+    val expected = ten
+      .groupBy(window(window_time($"w"), "1 hour").as("h"), $"event_type")
+      .agg(sum($"n10").as("n_events"), max($"n10").as("max_burst"))
+      .select(unix_micros($"h.start").as("hour_start_us"),
+        $"event_type", $"n_events", $"max_burst")
+      .orderBy($"hour_start_us", $"event_type")
+      .collect().toSeq
+    assert(got == expected, s"${got.size} vs ${expected.size} rows")
+    // the two-stage fold pinned on a hand-built stream (the sf0.001
+    // slice is too sparse to guarantee an hour with two 10-min
+    // buckets): 3 clicks split 2/1 across two 10-min windows of ONE
+    // hour must emit n_events=3 with max_burst=2 — an engine that
+    // dropped the inner window would report burst 3, one that dropped
+    // the outer would emit two rows
+    def ev(m: Int) = (java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"),
+      "click")
+    val sentinel = (java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "zz")
+    val sink = Streams.replay(spark, Seq(ev(1), ev(2), ev(11), sentinel),
+        org.apache.spark.sql.streaming.OutputMode.Append, "st16spec",
+        nChunks = 2, noData = true) { ds =>
+      ds.toDF("ts", "event_type")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "10 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n10"))
+        .groupBy(window(window_time($"window"), "1 hour"), $"event_type")
+        .agg(sum($"n10").as("n_events"), max($"n10").as("max_burst"))
+    }
+    val rows = sink.filter($"event_type" === "click")
+      .select($"n_events", $"max_burst").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 2L)), rows.toSeq.toString)
+  }
+
   test("st04: every event lands in exactly two sliding windows, starts 5-min aligned") {
     val sf = "/root/testdata/sf0.001"
     val df = Streams.st04SlidingWindows(spark, sf)
