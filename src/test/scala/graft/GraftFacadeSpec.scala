@@ -727,4 +727,35 @@ class GraftFacadeSpec extends SparkSuiteBase {
       s"no partition pruning: $pf\n$plan")
     assert(got.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("profile: planted nulls, distincts, and type-aware min/max") {
+    // the harness orders table has NO nulls, so the oracle row for
+    // n_nulls is all zeros — the null-counting path is pinned here
+    val df = Seq(
+      (1L, Some(2.5), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(7.25), None),
+      (4L, Some(2.5), Some("a")))
+      .toDF("id", "score", "tag")
+    val got = Graft.profile(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)), Option(r.get(6)))).toSeq
+    assert(got == Seq(
+      ("id", 0L, 4L, Some(1.0), Some(4.0), None, None),
+      ("score", 1L, 2L, Some(2.5), Some(7.25), None, None),
+      ("tag", 1L, 2L, None, None, Some("a"), Some("b"))), got.toString)
+  }
+
+  test("pmiCollocations: lift ranks the bonded pair above the frequent one") {
+    // "tick tock" always co-occur (lift = N / (c*c) high); "the end"
+    // has frequent "the" diluting the denominator
+    val docs = (1 to 6).map(i => (i.toLong, "tick tock the end the mid"))
+      .toDF("doc_id", "text")
+    val got = Graft.pmiCollocations(docs, "text", minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(4))).toMap
+    // N = 36 tokens; tick tock: 6*36/(6*6) = 6.0; the end: 6*36/(12*6) = 3.0
+    assert(got("tick tock") == 6.0 && got("the end") == 3.0, got.toString)
+    assert(!got.contains("tock the") || got("tock the") == 3.0)
+  }
 }
