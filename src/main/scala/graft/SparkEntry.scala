@@ -155,6 +155,7 @@ object SparkEntry {
     "q46_zorder" -> (Layout.q46ZorderRoundtrip _),
     "q47_sessionize" -> (Relational.q47Sessionize _),
     "q49_dsv2_range" -> (Layout.q49Dsv2Range _),
+    "q50_recursive" -> (Relational.q50Recursive _),
     "q48_interpolate" -> (Relational.q48Interpolate _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
@@ -2437,6 +2438,22 @@ object SparkEntry {
         |FROM booked
         |GROUP BY user_id, sid, first_type, last_type
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // q50: DuckDB's own WITH RECURSIVE over the same synthetic
+    // 10-ary forest; only the integer-division spelling differs.
+    "q50_recursive" ->
+      """WITH RECURSIVE h(suppkey, root, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier WHERE s_suppkey < 10
+        |  UNION ALL
+        |  SELECT s.s_suppkey, h.root, h.depth + 1
+        |  FROM supplier s JOIN h ON s.s_suppkey // 10 = h.suppkey
+        |  WHERE s.s_suppkey >= 10)
+        |SELECT h.root, h.depth, count(*) AS n_nodes,
+        |  min(h.suppkey) AS min_key, max(h.suppkey) AS max_key,
+        |  round(sum(s.s_acctbal), 2) AS sum_bal
+        |FROM h JOIN supplier s ON h.suppkey = s.s_suppkey
+        |GROUP BY h.root, h.depth
+        |ORDER BY h.root, h.depth""".stripMargin,
 
     // q49: the DSv2 generator source's determinism contract — DuckDB
     // rebuilds every generated row from generate_series + md5 (the

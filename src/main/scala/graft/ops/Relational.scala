@@ -747,6 +747,42 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** q50 — RECURSIVE CTE (Spark 4's WITH RECURSIVE, completing the
+    * SQL parser surface next to q24's plain CTE): the supplier keys
+    * form a synthetic 10-ary forest (parent = suppkey div 10, roots
+    * are keys 1..9 — deterministic, needs no hierarchy column the
+    * TPC-H schema lacks), and the recursion labels every node with
+    * its root and depth, then rolls the forest up per (root, depth).
+    * This is the BOM-explosion / org-chart shape relational engines
+    * bolt on exactly this way.
+    *
+    * Scale shape: Spark executes the recursion as iterated joins of
+    * the frontier against the base relation — each level is one
+    * equi-join + union, state is the frontier (one level), and depth
+    * is bounded by log10(max key), so a billion-supplier table
+    * recurses 9 levels. The oracle runs DuckDB's own WITH RECURSIVE
+    * (dialect differs only in the integer-division spelling: `div`
+    * vs `//`).
+    *
+    * Determinism: integer keys and counts; the one double aggregate
+    * rounds per the regime. */
+  def q50Recursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir, Seq("supplier"))
+    s.sql(
+      """WITH RECURSIVE h(suppkey, root, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier WHERE s_suppkey < 10
+        |  UNION ALL
+        |  SELECT s.s_suppkey, h.root, h.depth + 1
+        |  FROM supplier s JOIN h ON s.s_suppkey DIV 10 = h.suppkey
+        |  WHERE s.s_suppkey >= 10)
+        |SELECT h.root, h.depth, count(*) AS n_nodes,
+        |  min(h.suppkey) AS min_key, max(h.suppkey) AS max_key,
+        |  round(sum(s.s_acctbal), 2) AS sum_bal
+        |FROM h JOIN supplier s ON h.suppkey = s.s_suppkey
+        |GROUP BY h.root, h.depth
+        |ORDER BY h.root, h.depth""".stripMargin)
+  }
+
   /** q47 — batch gaps-and-islands sessionization: the window-function
     * spelling of session assignment (lag -> gap flag -> running sum),
     * complementing the native `session_window` path (st02/st13) with
