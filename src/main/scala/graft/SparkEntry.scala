@@ -184,6 +184,7 @@ object SparkEntry {
     "st14_update" -> (graft.streaming.Streams.st14UpdateWindows _),
     "st15_tws_topk" -> (graft.streaming.Streams.st15TransformWithState _),
     "st16_chained" -> (graft.streaming.Streams.st16ChainedWindows _),
+    "st17_full_join" -> (graft.streaming.Streams.st17StreamingFullJoin _),
     "c01_curation" -> (Curation.c01Curation _),
     "c02_assembly" -> (Curation.c02Assembly _),
     "c03_manifest" -> (Curation.c03Manifest _),
@@ -1036,6 +1037,22 @@ object SparkEntry {
     // matched rows mirror st05's inner join (opposite direction:
     // purchases FOLLOWING the click), unmatched clicks carry nulls.
     // NULLS FIRST pins DuckDB to Spark's ASC default.
+    // st17: the full-outer variant — both null sides present, user_id
+    // coalesced, null sort order pinned NULLS FIRST on both columns.
+    "st17_full_join" ->
+      """SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |  epoch_us(c.ts) AS click_ts_us,
+        |  epoch_us(p.ts) AS purchase_ts_us,
+        |  round(p.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'click' AND user_id % 10 = 2) c
+        |FULL OUTER JOIN (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 10 = 2) p
+        |  ON p.user_id = c.user_id
+        | AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, click_ts_us NULLS FIRST,
+        |  purchase_ts_us NULLS FIRST""".stripMargin,
+
     "st10_outer_join" ->
       """SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_ts_us,
         |  epoch_us(p.ts) AS purchase_ts_us,

@@ -86,7 +86,8 @@ object Streams {
     * the same way, with the unmatched-click row emitted (not just
     * dropped) at eviction time. */
   def clickPurchaseLeftJoin(events: DataFrame,
-      intervalMinutes: Int = 10): DataFrame = {
+      intervalMinutes: Int = 10,
+      joinType: String = "left_outer"): DataFrame = {
     val delay = s"${math.max(10, intervalMinutes)} minutes"
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
@@ -99,9 +100,11 @@ object Streams {
       expr(s"""c_user = p_user AND
               purchase_ts BETWEEN click_ts
               AND click_ts + INTERVAL $intervalMinutes MINUTES"""),
-      "left_outer")
-      .select(col("c_user").as("user_id"), col("click_ts"),
-        col("purchase_ts"), col("purchase_value"))
+      joinType)
+      // coalesce is the identity under left_outer (c_user never null
+      // there) and load-bearing under full_outer (purchase-only rows)
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
   /** Streaming exact dedup at ingest: drop re-deliveries of the same
@@ -821,6 +824,47 @@ object Streams {
         min($"event_id").as("min_id"),
         max($"event_id").as("max_id"))
       .orderBy($"event_type")
+  }
+
+  /** st17 — stream-stream FULL OUTER interval join, completing the
+    * join-mode matrix (st05 inner, st10 left outer): BOTH null sides
+    * are watermark-finalized — a click with no purchase inside its
+    * 30-minute window emits (click, null) when the purchase-side
+    * watermark passes the window, and an unmatched purchase emits
+    * (null, purchase) when the click-side watermark passes its
+    * eligibility range. This is the reconciliation shape (two feeds,
+    * every row accounted for on either side) that inner/left cannot
+    * express.
+    *
+    * Same determinism argument as st10: ts-sorted replay plus one
+    * terminal sentinel PER SIDE pushes both watermarks past every
+    * real row, so all null-side emissions provably flush; user_id is
+    * coalesced across sides; null sort order pinned asc_nulls_first
+    * on BOTH engines (Spark's default, DuckDB's is nulls-last). */
+  def st17StreamingFullJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 2 &&
+        $"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .orderBy($"ts")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .collect()
+    val sentinelTs = new java.sql.Timestamp(
+      data.map(_._2.getTime).max + 10L * 3600 * 1000)
+    val sentinels = Seq((-1L, sentinelTs, "click", 0.0),
+      (-2L, sentinelTs, "purchase", 0.0))
+    replay(s, (data ++ sentinels).toSeq, OutputMode.Append, "st17",
+        noData = true) { ds =>
+      clickPurchaseLeftJoin(ds.toDF("user_id", "ts", "event_type", "value"),
+        30, "full_outer")
+    }
+      .filter($"user_id" >= 0)
+      .select($"user_id", unix_micros($"click_ts").as("click_ts_us"),
+        unix_micros($"purchase_ts").as("purchase_ts_us"),
+        round($"purchase_value", 2).as("purchase_value"))
+      .orderBy($"user_id", $"click_ts_us".asc_nulls_first,
+        $"purchase_ts_us".asc_nulls_first)
   }
 
   /** st16 — CHAINED stateful operators in one streaming query (two

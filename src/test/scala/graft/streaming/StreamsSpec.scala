@@ -436,6 +436,23 @@ class StreamsSpec extends SparkSuiteBase {
       s"batch-1 max did not survive the state store: $finalTop")
   }
 
+  test("st17: full-outer interval join emits BOTH null sides") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Streams.st17StreamingFullJoin(spark, sf).collect()
+    val clickOnly = rows.count(_.isNullAt(2))
+    val purchaseOnly = rows.count(_.isNullAt(1))
+    assert(clickOnly > 0, "no unmatched clicks — left-null side dead")
+    assert(purchaseOnly > 0, "no unmatched purchases — the side st10 cannot emit")
+    // every purchase of the slice is accounted for exactly once per
+    // matching click, or once with a null click side
+    val nPurchases = graft.Tables(spark, sf, "events")
+      .filter($"user_id" % 10 === 2 && $"event_type" === "purchase")
+      .count()
+    val purchaseRows = rows.count(!_.isNullAt(2))
+    assert(purchaseRows >= nPurchases,
+      s"purchases lost: $purchaseRows rows for $nPurchases purchases")
+  }
+
   test("st16: chained windowed aggs equal the batch two-level rollup") {
     val sf = "/root/testdata/sf0.001"
     val got = Streams.st16ChainedWindows(spark, sf).collect().toSeq
