@@ -156,6 +156,7 @@ object SparkEntry {
     "q47_sessionize" -> (Relational.q47Sessionize _),
     "q49_dsv2_range" -> (Layout.q49Dsv2Range _),
     "q50_recursive" -> (Relational.q50Recursive _),
+    "q51_sql_udf" -> (Relational.q51SqlUdf _),
     "q48_interpolate" -> (Relational.q48Interpolate _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
@@ -2455,6 +2456,21 @@ object SparkEntry {
         |FROM booked
         |GROUP BY user_id, sid, first_type, last_type
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // q51: the SQL-UDF bodies expanded inline (Catalyst inlines them
+    // on the Spark side too): exact integer micro-cents summed as
+    // BIGINT, one final division — order-independent by construction.
+    "q51_sql_udf" ->
+      """SELECT o.o_custkey, count(*) AS n_items,
+        |  round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |      * (100 + CAST(round(l.l_tax * 100) AS BIGINT))) AS BIGINT)
+        |    / 1000000.0, 2) AS net_revenue
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |      WHERE o_totalprice > 400000.0) o
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_custkey
+        |ORDER BY o.o_custkey""".stripMargin,
 
     // q50: DuckDB's own WITH RECURSIVE over the same synthetic
     // 10-ary forest; only the integer-division spelling differs.

@@ -783,6 +783,46 @@ object Relational {
         |ORDER BY h.root, h.depth""".stripMargin)
   }
 
+  /** q51 — SQL-defined functions (Spark 4 `CREATE FUNCTION`): a
+    * scalar SQL UDF (net revenue expression) and a TABLE-VALUED one
+    * (a parameterized view over orders) declared in SQL and composed
+    * in one query — the warehouse extension surface where analysts
+    * package logic without touching Scala. Both are pure SQL bodies,
+    * so Catalyst INLINES them (the scalar body lands inside the
+    * aggregate, the TVF body is just a parameterized subquery — no
+    * black-box function call survives into the plan, unlike a Scala
+    * UDF which would wall off codegen and pushdown). The scalar body
+    * returns exact integer MICRO-CENTS (price, discount, and tax are
+    * all 2-decimal-quantized, so x100 each and the product is an
+    * exact BIGINT — the t31 integer-exact pattern): a double-sum
+    * spelling drifted at round-boundary groups in the sf0.1 sweep
+    * (13k groups ≈ certain boundary hits), while the integer sum is
+    * order-independent by construction and ONE final division
+    * produces the dollars. The oracle spells the expanded bodies
+    * inline. */
+  def q51SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir, Seq("orders", "lineitem"))
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net_ucents(
+            |  p DOUBLE, d DOUBLE, t DOUBLE) RETURNS BIGINT
+            |RETURN CAST(round(p * 100) AS BIGINT)
+            |  * (100 - CAST(round(d * 100) AS BIGINT))
+            |  * (100 + CAST(round(t * 100) AS BIGINT))""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_big_orders(
+            |  threshold DOUBLE) RETURNS TABLE(
+            |    o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+            |RETURN SELECT o_orderkey, o_custkey, o_totalprice
+            |       FROM orders WHERE o_totalprice > threshold""".stripMargin)
+    s.sql(
+      """SELECT o.o_custkey, count(*) AS n_items,
+        |  round(sum(graft_net_ucents(
+        |    l.l_extendedprice, l.l_discount, l.l_tax)) / 1000000.0, 2)
+        |    AS net_revenue
+        |FROM graft_big_orders(400000.0) o
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_custkey
+        |ORDER BY o.o_custkey""".stripMargin)
+  }
+
   /** q47 — batch gaps-and-islands sessionization: the window-function
     * spelling of session assignment (lag -> gap flag -> running sum),
     * complementing the native `session_window` path (st02/st13) with
