@@ -157,6 +157,7 @@ object SparkEntry {
     "q49_dsv2_range" -> (Layout.q49Dsv2Range _),
     "q50_recursive" -> (Relational.q50Recursive _),
     "q51_sql_udf" -> (Relational.q51SqlUdf _),
+    "q52_observe" -> (Relational.q52Observe _),
     "q48_interpolate" -> (Relational.q48Interpolate _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
@@ -2456,6 +2457,18 @@ object SparkEntry {
         |FROM booked
         |GROUP BY user_id, sid, first_type, last_type
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // q52: the observed metrics recomputed relationally — constant
+    // scalar-subquery columns beside the per-flag aggregate.
+    "q52_observe" ->
+      """WITH base AS (SELECT * FROM lineitem WHERE l_quantity > 0)
+        |SELECT l_returnflag, count(*) AS n_items,
+        |  (SELECT count(*) FROM base) AS rows_seen,
+        |  (SELECT round(sum(l_quantity), 2) FROM base) AS qty_sum,
+        |  (SELECT count(*) FROM base WHERE l_discount > 0.05)
+        |    AS n_discounted
+        |FROM base GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // q51: the SQL-UDF bodies expanded inline (Catalyst inlines them
     // on the Spark side too): exact integer micro-cents summed as

@@ -823,6 +823,42 @@ object Relational {
         |ORDER BY o.o_custkey""".stripMargin)
   }
 
+  /** q52 — observed metrics (the `Observation`/CollectMetrics API):
+    * pipeline run-metrics — rows seen, total quantity, discounted-row
+    * count — piggybacked on the SAME pass that computes the real
+    * aggregate, the data-quality accounting every production job
+    * wants without paying a second scan for it. The observe node
+    * accumulates its metrics task-side as rows stream THROUGH it
+    * toward the aggregate (visible as CollectMetrics in the plan);
+    * one action populates both the result and the observation.
+    *
+    * The returned frame carries the 3-row aggregate with the observed
+    * metrics as constant columns (the observation is a scalar fact of
+    * the run); the oracle recomputes both from SQL — a drifted
+    * metric (e.g. observe measuring post-aggregation rows, or a
+    * double-counted retry) hash-fails. Driver round-trips only the
+    * 3 collected aggregate rows — the eager-by-design st03 pattern.
+    * round() on the observed double per the regime. */
+  def q52Observe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation()
+    val agg = Tables(s, dir, "lineitem")
+      .filter($"l_quantity" > 0)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        round(sum($"l_quantity"), 2).as("qty_sum"),
+        count(when($"l_discount" > 0.05, 1)).as("n_discounted"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"))
+    val rows = agg.collect()
+    val m = obs.get
+    s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
+      .withColumn("rows_seen", lit(m("rows_seen").asInstanceOf[Long]))
+      .withColumn("qty_sum", lit(m("qty_sum").asInstanceOf[Double]))
+      .withColumn("n_discounted", lit(m("n_discounted").asInstanceOf[Long]))
+      .orderBy($"l_returnflag")
+  }
+
   /** q47 — batch gaps-and-islands sessionization: the window-function
     * spelling of session assignment (lag -> gap flag -> running sum),
     * complementing the native `session_window` path (st02/st13) with
