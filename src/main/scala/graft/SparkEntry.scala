@@ -89,6 +89,7 @@ object SparkEntry {
     "f15_unpivot" -> (Scalar.f15Unpivot _),
     "f16_array_hof" -> (Scalar.f16ArrayHof _),
     "f17_variant" -> (Scalar.f17Variant _),
+    "f18_xml" -> (Scalar.f18Xml _),
     "d01_exact_dedup" -> (TextDedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (TextDedup.d02MinhashLsh _),
     "d03_simhash" -> (TextDedup.d03Simhash _),
@@ -3119,6 +3120,22 @@ ORDER BY id_a, id_b""",
         |  ((0.0 + l_quantity * 1.0) + l_discount * 2.0) + l_tax * 3.0 AS weighted
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, weighted""".stripMargin,
+
+    // f18: the XML roundtrip must recover the original columns — the
+    // oracle aggregates them directly, malformed rows as the null
+    // group (sum cast: DuckDB sum(BIGINT) is HUGEINT).
+    "f18_xml" ->
+      """SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |            ELSE o_orderpriority END AS pri,
+        |  count(*) AS n_orders,
+        |  count(CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE 1 END)
+        |    AS n_parsed,
+        |  CAST(sum(CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |               ELSE o_custkey END) AS BIGINT) AS sum_cust,
+        |  count(CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE 1 END)
+        |    AS n_id_match
+        |FROM orders GROUP BY 1
+        |ORDER BY pri NULLS FIRST""".stripMargin,
 
     // f17: the variant decode/navigate path must read the same values
     // DuckDB's json extraction reads; the absent path is null in both.

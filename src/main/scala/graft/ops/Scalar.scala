@@ -126,4 +126,35 @@ object Scalar {
         "metric", "value")
       .orderBy($"l_orderkey", $"l_linenumber", $"metric", $"value")
   }
+
+  /** f18 — XML decode (Spark 4's native `from_xml`, the sibling
+    * source format to the reference's JSON ETL): an XML payload with
+    * an ATTRIBUTE (`id` -> `_id` under the default attribute prefix)
+    * and nested elements is synthesized in-query from integer/string
+    * order columns (no doubles — text-formatting a double is the one
+    * cross-engine hazard), every 1000th key planted malformed, then
+    * parsed back under PERMISSIVE semantics (struct-of-nulls, the
+    * P17 tolerance contract) and aggregated per priority. The oracle
+    * computes the same aggregate from the ORIGINAL columns, so any
+    * parse loss, attribute/element mix-up, or silent drop of the
+    * malformed rows hash-fails. Null group = the malformed rows;
+    * sort pinned NULLS FIRST on both engines. */
+  def f18Xml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xml = when($"o_orderkey" % 1000 === 0, lit("<order not xml"))
+      .otherwise(concat(lit("<order id=\""), $"o_orderkey",
+        lit("\"><cust>"), $"o_custkey",
+        lit("</cust><pri>"), $"o_orderpriority", lit("</pri></order>")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "_id BIGINT, cust BIGINT, pri STRING")
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", xml.as("payload"))
+      .select($"o_orderkey", from_xml($"payload", schema).as("x"))
+      .groupBy($"x.pri".as("pri"))
+      .agg(count(lit(1)).as("n_orders"),
+        count($"x.cust").as("n_parsed"),
+        sum($"x.cust").as("sum_cust"),
+        count(when($"x._id" === $"o_orderkey", 1)).as("n_id_match"))
+      .orderBy($"pri".asc_nulls_first)
+  }
 }
