@@ -851,10 +851,21 @@ object Graft {
     *
     * `codebook` is (code, float vector) by position — any frame whose
     * vectors share the corpus dim, e.g. a sampled or k-means-trained
-    * subset of the corpus itself. */
+    * subset of the corpus itself. Split as [[pqEncode]] (the index
+    * build) + [[pqSearchCodes]] (the serve path) so the code table
+    * can also be persisted and searched at rest (s23). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
-      nSub: Int, k: Int, rerankK: Int, excludeSelf: Boolean = true): DataFrame = {
-    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+      nSub: Int, k: Int, rerankK: Int, excludeSelf: Boolean = true): DataFrame =
+    pqSearchCodes(pqEncode(corpus, codebook, nSub), corpus, queries,
+      codebook, nSub, k, rerankK, excludeSelf)
+
+  /** Driver-side gather of the PQ sub-codebooks: subCb(m)(j) =
+    * codebook entry j's m-th subvector, as doubles (all distance math
+    * runs in double over float-exact values — the s01 rounding
+    * regime). k_pq x dim doubles — the broadcast-variable pattern,
+    * volume-independent. */
+  private def pqSubCodebooks(codebook: DataFrame,
+      nSub: Int): IndexedSeq[Seq[Seq[Double]]] = {
     val cb: Seq[(Long, Array[Float])] = codebook
       .select(col(codebook.columns(0)).cast("long"),
         col(codebook.columns(1)).cast("array<float>"))
@@ -865,11 +876,18 @@ object Graft {
     val dim = cb.head._2.length
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val d = dim / nSub
-    // subCb(m)(j) = codebook entry j's m-th subvector, as doubles (all
-    // distance math runs in double over float-exact values — the s01
-    // rounding regime)
-    val subCb: IndexedSeq[Seq[Seq[Double]]] = (0 until nSub).map(m =>
+    (0 until nSub).map(m =>
       cb.map { case (_, v) => v.slice(m * d, (m + 1) * d).map(_.toDouble).toSeq })
+  }
+
+  /** PQ-encode a corpus: per subspace, the squared-L2 argmin code
+    * (ties to the smaller code via struct-min over (d2, j)). Output
+    * (vec_id, c0..c{nSub-1}) — nSub small ints per vector, the
+    * 4-32x-smaller AT-REST index artifact s23 persists. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame,
+      nSub: Int): DataFrame = {
+    val subCb = pqSubCodebooks(codebook, nSub)
+    val d = subCb.head.head.length
     val dv = col("__v").cast("array<double>")
     def encodeCol(m: Int): Column = {
       val sub = slice(dv, m * d + 1, d)
@@ -881,13 +899,26 @@ object Graft {
       }
       array_min(array(cands: _*)).getField("j")
     }
-    val enc = corpus
+    corpus
       .select(col(corpus.columns(0)).as("vec_id"), col(corpus.columns(1)).as("__v"))
       .select(col("vec_id") +:
-        (0 until nSub).map(m => encodeCol(m).as(s"__c$m")): _*)
+        (0 until nSub).map(m => encodeCol(m).as(s"c$m")): _*)
+  }
+
+  /** ADC search over an EXISTING code table ([[pqEncode]]'s output,
+    * fresh or loaded from an at-rest parquet copy): reconstruct each
+    * vector from its codes, ADC inner product against the broadcast
+    * queries, exact-cosine rerank of the head against the full-float
+    * corpus. The corpus is touched only by the rerank join —
+    * nQueries x rerankK rows, corpus-independent. */
+  def pqSearchCodes(codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, codebook: DataFrame, nSub: Int, k: Int,
+      rerankK: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    val subCb = pqSubCodebooks(codebook, nSub)
     val rvec = concat((0 until nSub).map(m =>
-      element_at(typedLit(subCb(m)), col(s"__c$m").cast("int") + 1)): _*)
-    val rec = enc.select(col("vec_id"), rvec.as("__rv"))
+      element_at(typedLit(subCb(m)), col(s"c$m").cast("int") + 1)): _*)
+    val rec = codes.select(col("vec_id"), rvec.as("__rv"))
     val q = broadcast(queries.select(
       col(queries.columns(0)).as("query_id"),
       col(queries.columns(1)).cast("array<double>").as("__qd")))

@@ -130,6 +130,7 @@ object SparkEntry {
     "s13_lsh_layout" -> (Similarity.s13LshLayout _),
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "s15_pq_topk" -> (Similarity.s15PqTopK _),
+    "s23_pq_layout" -> (Similarity.s23PqLayout _),
     "s16_pq_recall" -> (Similarity.s16PqRecall _),
     "s17_ivfpq_topk" -> (Similarity.s17IvfPqTopK _),
     "s18_ivfpq_recall" -> (Similarity.s18IvfPqRecall _),
@@ -350,7 +351,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // s23 searches the AT-REST PQ code table; the layout must not
+    // change the answer (the s13/q46 discipline), so it shares s15's
+    // oracle verbatim.
+    base + ("s23_pq_layout" -> base("s15_pq_topk"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

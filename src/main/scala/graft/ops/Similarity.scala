@@ -776,6 +776,46 @@ object Similarity {
     * encode/reconstruct/ADC relationally (explicit per-subspace
     * squared-L2 with the same tie-breaks). Recall@5 vs exact s01 is
     * asserted in SimilaritySpec. */
+  /** Build-once path of the s23 at-rest PQ index: the corpus PQ codes
+    * ([[graft.Graft.pqEncode]], first-16 codebook, 8 subspaces)
+    * persisted as parquet under the Layout tmp/tag discipline —
+    * nSub small ints per vector, the 4-32x-smaller artifact a serving
+    * tier actually loads (the full floats stay in cold storage and
+    * are touched only by the rerank join). */
+  private[graft] def s23IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("pq_idx", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Layout.sweepStaleFor("pq_idx", dir)
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.Graft.pqEncode(emb.select($"vec_id", $"embedding"),
+          emb.filter($"vec_id" < 16).select($"vec_id", $"embedding"),
+          nSub = 8)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** s23 — s15's PQ search OVER THE AT-REST CODE TABLE: build once
+    * ([[s23IndexPath]]), then serve by loading codes and running ADC +
+    * exact rerank ([[graft.Graft.pqSearchCodes]]) — the
+    * offline-build/online-serve split every production vector index
+    * runs (s13's at-rest discipline applied to the PQ family). Same
+    * parameters, same oracle as s15: the layout must not change the
+    * answer. */
+  def s23PqLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    graft.Graft.pqSearchCodes(
+        s.read.parquet(s23IndexPath(s, dir)),
+        emb.select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < NQueries).select($"vec_id", $"embedding"),
+        emb.filter($"vec_id" < 16).select($"vec_id", $"embedding"),
+        nSub = 8, k = K, rerankK = 4 * K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
   def s15PqTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
