@@ -160,6 +160,7 @@ object SparkEntry {
     "q50_recursive" -> (Relational.q50Recursive _),
     "q51_sql_udf" -> (Relational.q51SqlUdf _),
     "q52_observe" -> (Relational.q52Observe _),
+    "q53_collation" -> (Relational.q53Collation _),
     "q48_interpolate" -> (Relational.q48Interpolate _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
@@ -2467,6 +2468,16 @@ object SparkEntry {
         |FROM booked
         |GROUP BY user_id, sid, first_type, last_type
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // q53: lower()-canonicalized mirror of the collated grouping —
+    // the filter excludes MACHINERY case-insensitively, as UTF8_LCASE
+    // equality does.
+    "q53_collation" ->
+      """SELECT lower(c_mktsegment) AS segment, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |WHERE lower(c_mktsegment) <> 'machinery'
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
 
     // q52: the observed metrics recomputed relationally — constant
     // scalar-subquery columns beside the per-flag aggregate.

@@ -823,6 +823,35 @@ object Relational {
         |ORDER BY o.o_custkey""".stripMargin)
   }
 
+  /** q53 — collation-aware comparison semantics (Spark 4 collations):
+    * a mixed-case segment column (upper for even keys, lower for odd
+    * — planted, since TPC-H text is uniform case) is grouped and
+    * filtered under `UTF8_LCASE`, so 'BUILDING' and 'building' are
+    * ONE group and one filter hit without any lower() rewrite of the
+    * data. This is the engine-level answer to case-insensitive
+    * semantics — the comparison/hash is collation-aware inside
+    * codegen, where the lower()-everything workaround pays a per-row
+    * rewrite and breaks prefix pushdown. The emitted key passes
+    * through lower(): WHICH case variant represents a collated group
+    * is engine-internal, so the oracle (DuckDB: group by lower())
+    * must see a canonical spelling.
+    *
+    * Determinism: counts and a rounded sum; keys canonicalized. */
+  def q53Collation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mixed = when($"c_custkey" % 2 === 0, upper($"c_mktsegment"))
+      .otherwise(lower($"c_mktsegment"))
+    Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal",
+        collate(mixed, "UTF8_LCASE").as("seg"))
+      .filter($"seg" =!= lit("MacHinErY"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal"), 2).as("sum_bal"))
+      .select(lower($"seg").as("segment"), $"n_cust", $"sum_bal")
+      .orderBy($"segment")
+  }
+
   /** q52 — observed metrics (the `Observation`/CollectMetrics API):
     * pipeline run-metrics — rows seen, total quantity, discounted-row
     * count — piggybacked on the SAME pass that computes the real
