@@ -329,6 +329,21 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(recall >= 0.3, s"PQ recall $recall")
   }
 
+  test("s23: at-rest index holds only codes; serve equals in-query s15") {
+    val sf = "/root/testdata/sf0.001"
+    val served = Similarity.s23PqLayout(spark, sf).collect().toSeq
+    val inQuery = Similarity.s15PqTopK(spark, sf).collect().toSeq
+    assert(served == inQuery, "layout changed the answer")
+    // the persisted artifact is codes, never floats — the 4-32x size
+    // claim rests on the schema
+    val idx = spark.read.parquet(Similarity.s23IndexPath(spark, sf))
+    assert(idx.schema.fieldNames.toSeq ==
+      "vec_id" +: (0 until 8).map(m => s"c$m"),
+      idx.schema.treeString)
+    assert(!idx.schema.fields.exists(_.dataType.typeName.contains("array")),
+      "full vectors leaked into the at-rest index")
+  }
+
   test("s15 plan: one corpus scan pair, broadcast query sides, no extra exchange") {
     val df = Similarity.s15PqTopK(spark, "/root/testdata/sf0.001")
     df.queryExecution.toRdd.count()
