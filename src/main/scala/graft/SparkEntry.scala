@@ -161,6 +161,7 @@ object SparkEntry {
     "q51_sql_udf" -> (Relational.q51SqlUdf _),
     "q52_observe" -> (Relational.q52Observe _),
     "q53_collation" -> (Relational.q53Collation _),
+    "q54_udaf_window" -> (Relational.q54UdafWindow _),
     "q48_interpolate" -> (Relational.q48Interpolate _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
@@ -2469,6 +2470,20 @@ object SparkEntry {
         |GROUP BY user_id, sid, first_type, last_type
         |ORDER BY user_id, session_seq""".stripMargin,
 
+    // q54: the UDAF's sum(xw)/sum(w) spelled as two window sums over
+    // exact integer cents, emitted as floor() — no decimal rounding
+    // of a rational quotient anywhere (see the builder's comment).
+    "q54_udaf_window" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+        |  CAST(floor(sum(round(l_extendedprice * 100) * l_quantity) OVER w
+        |        / sum(l_quantity) OVER w) AS BIGINT) AS running_wavg_cents
+        |FROM lineitem WHERE l_orderkey % 20 = 0
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_extendedprice, l_quantity
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice,
+        |  l_quantity""".stripMargin,
+
     // q53: lower()-canonicalized mirror of the collated grouping —
     // the filter excludes MACHINERY case-insensitively, as UTF8_LCASE
     // equality does.
@@ -2496,10 +2511,10 @@ object SparkEntry {
     // BIGINT, one final division — order-independent by construction.
     "q51_sql_udf" ->
       """SELECT o.o_custkey, count(*) AS n_items,
-        |  round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
         |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
         |      * (100 + CAST(round(l.l_tax * 100) AS BIGINT))) AS BIGINT)
-        |    / 1000000.0, 2) AS net_revenue
+        |    AS net_ucents
         |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |      WHERE o_totalprice > 400000.0) o
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey

@@ -812,15 +812,60 @@ object Relational {
             |    o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
             |RETURN SELECT o_orderkey, o_custkey, o_totalprice
             |       FROM orders WHERE o_totalprice > threshold""".stripMargin)
+    // emitted AS the exact integer micro-cent sum — a /1e6 display
+    // division can land a finite-decimal quotient exactly on a
+    // rounding boundary, where Spark (shortest-decimal HALF_UP) and
+    // DuckDB (binary-value round) disagree (the q54 lesson); with no
+    // division there is no rounding semantics to align
     s.sql(
       """SELECT o.o_custkey, count(*) AS n_items,
-        |  round(sum(graft_net_ucents(
-        |    l.l_extendedprice, l.l_discount, l.l_tax)) / 1000000.0, 2)
-        |    AS net_revenue
+        |  sum(graft_net_ucents(l.l_extendedprice, l.l_discount, l.l_tax))
+        |    AS net_ucents
         |FROM graft_big_orders(400000.0) o
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_custkey
         |ORDER BY o.o_custkey""".stripMargin)
+  }
+
+  /** q54 — the CUSTOM Aggregator as a WINDOW function (q18 proves the
+    * two-phase grouped plan; this proves the same `udaf()` column
+    * drops into a running frame): per-order running quantity-weighted
+    * average price over the line-number order. Exactness is by
+    * CONSTRUCTION, not the rounding regime: every product
+    * l_extendedprice * l_quantity is a 0.01-multiple below 2^53
+    * cents, every frame is <= 7 rows, so each partial sum is exactly
+    * representable and ORDER-INDEPENDENT — the one division runs on
+    * bit-identical operands in both engines regardless of how a
+    * segment-tree window accumulates. */
+  def q54UdafWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wavg = udaf(graft.functions.WeightedAvg)
+    // the synthetic lineitem has DUPLICATE (orderkey, linenumber)
+    // keys, so the frame order totalizes on (price, qty) too — a
+    // linenumber-only order left the first tie row's frame content
+    // engine-dependent (caught by the sf0.01 check)
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber", $"l_extendedprice", $"l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the aggregator ingests exact integer CENTS (price*100 rounded —
+    // every partial sum is an exactly-representable integer, so
+    // accumulation order cannot matter) and the emission is
+    // floor(S/W) in cents: an exact-rational quotient CAN land
+    // precisely on a decimal rounding boundary (two spellings of this
+    // query did, at sf0.01/sf0.1), where Spark's round — HALF_UP over
+    // the shortest decimal repr — and DuckDB's binary-value round
+    // disagree; floor of an integer-operand quotient is exact in both
+    // (the double is within 1 ulp of the true rational and can only
+    // BE integral when the division is exact), so no rounding
+    // semantics are in play at all
+    Tables(s, dir, "lineitem")
+      .filter($"l_orderkey" % 20 === 0)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        $"l_quantity",
+        floor(wavg(round($"l_extendedprice" * 100, 0), $"l_quantity")
+          .over(w)).cast("long").as("running_wavg_cents"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        $"l_quantity")
   }
 
   /** q53 — collation-aware comparison semantics (Spark 4 collations):
