@@ -1433,7 +1433,13 @@ object Graft {
     * the RATIO, not its log: the ordering is identical (ln is
     * monotone) and the ratio is one IEEE division over exact integer
     * counts, so the oracle reproduces it bit-for-bit with no libm
-    * dependence (the t29 lesson). `minCount` gates rare bigrams
+    * dependence (the t29 lesson); the reported value is
+    * `floor(lift * 1e4)` in integer e4 units — floor of the
+    * bit-identical IEEE product is engine-identical, whereas
+    * `round(_, 4)` of an integer-operand quotient is the documented
+    * Spark-vs-DuckDB divergence point (the q54 lesson: such quotients
+    * commonly land exactly on .xxxx5 boundaries). `minCount` gates
+    * rare bigrams
     * (PMI's classic failure mode: a pair seen once between two
     * hapaxes scores arbitrarily high); top-k by (lift, bigram) with
     * the exact unrounded lift as the sort key.
@@ -1461,7 +1467,7 @@ object Graft {
       .orderBy(liftExpr.desc, col("bigram"))
       .limit(topK)
       .select(col("bigram"), col("c_bigram"), col("c_w1"), col("c_w2"),
-        round(liftExpr, 4).as("lift"))
+        floor(liftExpr * lit(10000)).cast("long").as("lift_e4"))
       .orderBy(col("bigram"))
   }
 
@@ -1985,9 +1991,10 @@ object Graft {
   /** Single-pass per-column data-quality profile (the Deequ/dbt-style
     * contract check a pipeline runs before trusting a new drop): for
     * every column of `df`, null count, exact distinct count, and
-    * type-aware min/max — numerics and timestamps land in
-    * `min_num`/`max_num` (timestamps as epoch micros, so no
-    * cross-engine text formatting of instants), everything else
+    * type-aware min/max — numerics, timestamps, and dates land in
+    * `min_num`/`max_num` (timestamps as epoch micros, dates as epoch
+    * days, so no cross-engine text formatting of instants — and dates
+    * stay chronological, not lexicographic), everything else
     * min/max lexicographically as `min_str`/`max_str` (binary
     * collation on both engines). One wide aggregate over one scan,
     * then a `stack` to the tall (column_name, metrics) report shape.
@@ -2019,6 +2026,10 @@ object Graft {
         case _: TimestampType | _: TimestampNTZType =>
           (unix_micros(min(c).cast(TimestampType)).cast("double"),
             unix_micros(max(c).cast(TimestampType)).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case _: DateType =>
+          (unix_date(min(c)).cast("double"),
+            unix_date(max(c)).cast("double"),
             lit(null).cast("string"), lit(null).cast("string"))
         case _ =>
           (lit(null).cast("double"), lit(null).cast("double"),

@@ -937,7 +937,10 @@ object SparkEntry {
 
     // t32: PMI-lift over the same tokenization CTEs as t18; the sort
     // key is the exact unrounded division over integer counts (both
-    // engines run one IEEE divide on identical inputs).
+    // engines run one IEEE divide on identical inputs), and the
+    // emitted value is floor(lift * 1e4) in integer e4 units — floor
+    // of the bit-identical IEEE product is engine-identical, unlike
+    // round(_, 4) of an integer-operand quotient (the q54 lesson).
     "t32_pmi" ->
       """WITH toks AS (SELECT
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
@@ -956,7 +959,8 @@ object SparkEntry {
         |      JOIN uc u2 ON split_part(b.bigram, ' ', 2) = u2.w
         |      CROSS JOIN tot t)
         |SELECT bigram, c_bigram, c_w1, c_w2,
-        |  round((c_bigram * n_tokens) / (c_w1 * c_w2), 4) AS lift
+        |  CAST(floor((c_bigram * n_tokens) / (c_w1 * c_w2) * 10000)
+        |    AS BIGINT) AS lift_e4
         |FROM (SELECT * FROM j
         |      ORDER BY (c_bigram * n_tokens) / (c_w1 * c_w2) DESC, bigram
         |      LIMIT 50) q
@@ -2550,7 +2554,10 @@ object SparkEntry {
 
     // q48: the calendar-spine linear interpolation with the IDENTICAL
     // operand order — pv + (nv - pv) * days_from_prev / days_span —
-    // so both engines run the same IEEE sequence.
+    // so both engines run the same IEEE sequence; emitted as
+    // floor(value * 1e4) integer e4 units, not round(_, 4) — the
+    // interpolant is a quotient that can sit on a 4-dp half boundary
+    // where Spark and DuckDB round() diverge (the q54 lesson).
     "q48_interpolate" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS d, round(sum(value), 2) AS v
@@ -2571,9 +2578,10 @@ object SparkEntry {
         |    (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
         |  FROM j)
         |SELECT epoch_us(d) AS day_us,
-        |  CASE WHEN v IS NOT NULL THEN v
-        |       ELSE round(pv + (nv - pv) * date_diff('day', pd, d)
-        |                  / date_diff('day', pd, nd), 4) END AS value_filled,
+        |  CAST(floor((CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (nv - pv) * date_diff('day', pd, d)
+        |                  / date_diff('day', pd, nd) END) * 10000)
+        |    AS BIGINT) AS value_e4,
         |  CAST(v IS NULL AS INT) AS was_gap
         |FROM f ORDER BY day_us""".stripMargin,
 

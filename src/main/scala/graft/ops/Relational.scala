@@ -995,10 +995,14 @@ object Relational {
     * before any of this runs.
     *
     * Determinism: the interpolation expression is spelled with ONE
-    * operand order mirrored in the oracle — round(pv + (nv - pv) *
-    * days_from_prev / days_span, 4) — so both engines evaluate the
-    * identical IEEE sequence; observed days pass through their (round
-    * 2) aggregate untouched. */
+    * operand order mirrored in the oracle — pv + (nv - pv) *
+    * days_from_prev / days_span — so both engines evaluate the
+    * identical IEEE sequence, and the result is emitted as
+    * `floor(value * 1e4)` integer e4 units rather than `round(_, 4)`:
+    * the interpolant is a small-denominator rational over 2-dp inputs
+    * that can land exactly on a 4-dp half boundary, the documented
+    * Spark-vs-DuckDB round() divergence point (the q54 lesson), while
+    * floor of the bit-identical IEEE product is engine-identical. */
   def q48Interpolate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = Tables(s, dir, "events")
@@ -1019,10 +1023,10 @@ object Relational {
       .withColumn("nv", first($"v", ignoreNulls = true).over(fwd))
       .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
       .select(unix_micros($"d").as("day_us"),
-        when($"v".isNotNull, $"v")
-          .otherwise(round($"pv" + ($"nv" - $"pv")
-            * datediff($"d", $"pd") / datediff($"nd", $"pd"), 4))
-          .as("value_filled"),
+        floor(when($"v".isNotNull, $"v")
+          .otherwise($"pv" + ($"nv" - $"pv")
+            * datediff($"d", $"pd") / datediff($"nd", $"pd"))
+          * lit(10000)).cast("long").as("value_e4"),
         $"v".isNull.cast("int").as("was_gap"))
       .orderBy($"day_us")
   }

@@ -524,6 +524,8 @@ object Streams {
       .orderBy($"ts")
       .as[(Long, java.sql.Timestamp, String, Double)]
       .collect()
+    require(data.nonEmpty,
+      s"st10: empty click/purchase slice (user_id % 10 == 0) in $dir")
     val sentinelTs = new java.sql.Timestamp(
       data.map(_._2.getTime).max + 10L * 3600 * 1000)
     val sentinels = Seq((-1L, sentinelTs, "click", 0.0),
@@ -669,6 +671,8 @@ object Streams {
       .orderBy($"ts", $"user_id")
       .as[(Long, java.sql.Timestamp)]
       .collect()
+    require(data.nonEmpty,
+      s"st13: empty events slice (user_id % 10 == 4) in $dir")
     val sentinelTs = new java.sql.Timestamp(
       data.map(_._2.getTime).max + 10L * 3600 * 1000)
     replay(s, (data :+ ((-1L, sentinelTs))).toSeq, OutputMode.Append,
@@ -850,6 +854,8 @@ object Streams {
       .orderBy($"ts")
       .as[(Long, java.sql.Timestamp, String, Double)]
       .collect()
+    require(data.nonEmpty,
+      s"st17: empty click/purchase slice (user_id % 10 == 2) in $dir")
     val sentinelTs = new java.sql.Timestamp(
       data.map(_._2.getTime).max + 10L * 3600 * 1000)
     val sentinels = Seq((-1L, sentinelTs, "click", 0.0),
@@ -899,6 +905,8 @@ object Streams {
       .orderBy($"ts", $"event_type")
       .as[(java.sql.Timestamp, String)]
       .collect()
+    require(data.nonEmpty,
+      s"st16: empty events slice (user_id % 10 == 8) in $dir")
     val sentinelTs = new java.sql.Timestamp(
       data.map(_._1.getTime).max + 10L * 3600 * 1000)
     val sink = replay(s, (data :+ ((sentinelTs, "zz_sentinel"))).toSeq,
@@ -981,6 +989,8 @@ object Streams {
       .orderBy($"event_id")
       .as[(Long, Long, Double)]
       .collect()
+    require(data.nonEmpty,
+      s"st15: empty events slice (user_id % 10 == 6) in $dir")
     val sink = replay(s, data.toSeq, OutputMode.Update, "st15", nChunks = 3,
         confs = Seq("spark.sql.streaming.stateStore.providerClass" ->
           ("org.apache.spark.sql.execution.streaming." +

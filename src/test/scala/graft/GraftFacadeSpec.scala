@@ -747,15 +747,29 @@ class GraftFacadeSpec extends SparkSuiteBase {
       ("tag", 1L, 2L, None, None, Some("a"), Some("b"))), got.toString)
   }
 
+  test("profile: DateType lands in min_num as epoch days, chronological") {
+    // lexicographic min/max of ISO dates happens to agree with
+    // chronology, so pin the branch by the OUTPUT COLUMN: a date must
+    // populate min_num (epoch days), never min_str
+    val df = Seq("2020-02-29", "1969-12-31", "2021-01-01")
+      .toDF("iso").select(to_date($"iso").as("d"))
+    val r = Graft.profile(df).collect().head
+    assert(r.getString(0) == "d" && r.getLong(1) == 0L && r.getLong(2) == 3L)
+    // 1969-12-31 = day -1; 2021-01-01 = day 18628
+    assert(r.getDouble(3) == -1.0 && r.getDouble(4) == 18628.0, r.toString)
+    assert(r.isNullAt(5) && r.isNullAt(6), r.toString)
+  }
+
   test("pmiCollocations: lift ranks the bonded pair above the frequent one") {
     // "tick tock" always co-occur (lift = N / (c*c) high); "the end"
     // has frequent "the" diluting the denominator
     val docs = (1 to 6).map(i => (i.toLong, "tick tock the end the mid"))
       .toDF("doc_id", "text")
     val got = Graft.pmiCollocations(docs, "text", minCount = 5, topK = 10)
-      .collect().map(r => (r.getString(0), r.getDouble(4))).toMap
-    // N = 36 tokens; tick tock: 6*36/(6*6) = 6.0; the end: 6*36/(12*6) = 3.0
-    assert(got("tick tock") == 6.0 && got("the end") == 3.0, got.toString)
-    assert(!got.contains("tock the") || got("tock the") == 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(4))).toMap
+    // N = 36 tokens, in e4 units: tick tock 6*36/(6*6) = 6.0 → 60000;
+    // the end 6*36/(12*6) = 3.0 → 30000
+    assert(got("tick tock") == 60000L && got("the end") == 30000L, got.toString)
+    assert(!got.contains("tock the") || got("tock the") == 30000L)
   }
 }
