@@ -1471,6 +1471,62 @@ object Graft {
       .orderBy(col("bigram"))
   }
 
+  /** C4-style line-level boilerplate statistics: the corpus-frequency
+    * line filter every web-scale pretraining pipeline runs (strip
+    * lines that recur across many documents — nav bars, cookie
+    * banners, license footers). "Lines" here are non-overlapping
+    * `lineTokens`-token windows of the tokenized text (the algorithm
+    * needs line structure; a corpus without newlines gets the
+    * fixed-width pseudo-line, documented rather than hidden). A line
+    * is boilerplate when it appears in >= `minDf` DISTINCT documents.
+    * Emits per doc: `n_lines`, `n_boiler` (window POSITIONS whose
+    * line is boilerplate — an in-doc repeat counts each occurrence,
+    * since each would be stripped), and `n_clean_tokens` (tokens
+    * surviving the strip; the sub-window tail always survives).
+    * Zero-line docs (shorter than one window) pass through with
+    * n_lines = 0.
+    *
+    * Scale shape: lines fold to 8-byte xxhash64 BEFORE the
+    * document-frequency shuffle (the d01/d09 fingerprint discipline —
+    * the shuffle never carries line text; the oracle groups the same
+    * windows by text, identical counts absent collisions). The
+    * boilerplate set is df-gated to the recurring tail of the line
+    * distribution and joins back UN-HINTED: tiny at harness scale
+    * (AQE broadcasts it), corpus-dependent at 100 TB (falls back to a
+    * hash join on the 8-byte key — t21's argument). Counts are exact
+    * integers end to end; no rounding surface. */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 8, minDf: Long = 3): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive: $lineTokens")
+    val base = df.select(col(idCol).as("doc_id"),
+        ops.TextDedup.tokens(col(textCol)).as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .withColumn("n_lines",
+        floor(size(col("ts")) / lit(lineTokens)).cast("int"))
+    // explode_outer keeps zero-line docs as one null-hash row, so the
+    // per-doc regroup below never drops a document
+    val exploded = base
+      .withColumn("lh", explode_outer(when(col("n_lines") > 0,
+        transform(sequence(lit(0), col("n_lines") - 1), i =>
+          xxhash64(concat_ws(" ",
+            slice(col("ts"), i * lineTokens + 1, lit(lineTokens))))))
+        .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("n_tokens"), col("n_lines"), col("lh"))
+    val boiler = exploded.filter(col("lh").isNotNull)
+      .groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("lh"), lit(true).as("__boiler"))
+    exploded.join(boiler, Seq("lh"), "left")
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_lines"))
+      .agg(count(when(col("__boiler"), 1)).as("n_boiler"))
+      .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+        col("n_boiler"),
+        (col("n_tokens") - lit(lineTokens) * col("n_boiler"))
+          .as("n_clean_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   def bigramLm(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
     df.select(explode(bigramsOf(col(textCol))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_bigram"))

@@ -123,6 +123,7 @@ object SparkEntry {
     "t30_heaps" -> (TextAnalysis.t30Heaps _),
     "t31_drift" -> (TextAnalysis.t31Drift _),
     "t32_pmi" -> (TextAnalysis.t32Pmi _),
+    "t33_boiler" -> (TextAnalysis.t33Boilerplate _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -965,6 +966,30 @@ object SparkEntry {
         |      ORDER BY (c_bigram * n_tokens) / (c_w1 * c_w2) DESC, bigram
         |      LIMIT 50) q
         |ORDER BY bigram""".stripMargin,
+
+    // t33: the same 8-token non-overlapping windows, grouped by line
+    // TEXT where the engine groups by xxhash64(line) — identical
+    // counts absent collisions (the d01/d09 fingerprint discipline).
+    // All-integer output; no rounding surface.
+    "t33_boiler" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(ts) AS n_tokens, len(ts) // 8 AS n_lines,
+        |         ts FROM toks),
+        |lines AS (SELECT doc_id, unnest(list_transform(range(0, n_lines),
+        |    i -> array_to_string(ts[i*8+1 : i*8+8], ' '))) AS line FROM base),
+        |boiler AS (SELECT line FROM lines GROUP BY line
+        |           HAVING count(DISTINCT doc_id) >= 3),
+        |cnt AS (SELECT l.doc_id, count(*) AS n_boiler
+        |        FROM lines l JOIN boiler b ON l.line = b.line
+        |        GROUP BY l.doc_id)
+        |SELECT b.doc_id, CAST(b.n_lines AS BIGINT) AS n_lines,
+        |  CAST(coalesce(c.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CAST(b.n_tokens - 8 * coalesce(c.n_boiler, 0) AS BIGINT)
+        |    AS n_clean_tokens
+        |FROM base b LEFT JOIN cnt c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t18_lm" ->
       """WITH toks AS (SELECT

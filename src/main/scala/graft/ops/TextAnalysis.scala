@@ -775,4 +775,13 @@ object TextAnalysis {
   def t32Pmi(s: SparkSession, dir: String): DataFrame =
     graft.Graft.pmiCollocations(
       Tables.spread(Tables(s, dir, "documents")), "text")
+
+  /** t33 — C4-style line-level boilerplate statistics over the
+    * documents corpus ([[graft.Graft.boilerplateStats]]): 8-token
+    * pseudo-lines, boilerplate when shared by >= 3 distinct docs
+    * (non-degenerate at sf0.001/0.01/0.1 — probed 11/9/58 flagged
+    * lines). Scale/determinism arguments in the facade scaladoc. */
+  def t33Boilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.boilerplateStats(
+      Tables.spread(Tables(s, dir, "documents")), "doc_id", "text")
 }

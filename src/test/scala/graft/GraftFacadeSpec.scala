@@ -760,6 +760,27 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(r.isNullAt(5) && r.isNullAt(6), r.toString)
   }
 
+  test("boilerplateStats: shared lines flagged, tails and short docs kept") {
+    // exactly 8 tokens, so it fills one window when it leads the doc
+    val banner = "please accept our cookie policy before continuing here"
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma"),            // 1 boiler line + 3 tail
+      (2L, s"$banner delta"),                       // 1 boiler line + 1 tail
+      (3L, s"$banner $banner"),                     // in-doc repeat: BOTH count
+      (4L, "one two three four five six seven eight nine ten"), // unique line
+      (5L, "tiny doc only"))                        // 0 lines
+      .toDF("doc_id", "text")
+    val got = Graft.boilerplateStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 3L),   // 11 tokens - 8 stripped
+      (2L, 1L, 1L, 1L),
+      (3L, 2L, 2L, 0L),   // both occurrences stripped
+      (4L, 1L, 0L, 10L),  // df=1 line survives
+      (5L, 0L, 0L, 3L)), got.toString)
+  }
+
   test("pmiCollocations: lift ranks the bonded pair above the frequent one") {
     // "tick tock" always co-occur (lift = N / (c*c) high); "the end"
     // has frequent "the" diluting the denominator
