@@ -62,6 +62,7 @@ object SparkEntry {
     "m04_meta" -> (Multimodal.m04MetadataPushdown _),
     "m05_meta_ann" -> (Multimodal.m05MetaAnn _),
     "m06_media_curation" -> (Multimodal.m06MediaCuration _),
+    "m07_binary_ingest" -> (Multimodal.m07BinaryIngest _),
     "t19_zipf" -> (TextAnalysis.t19Zipf _),
     "s06_hybrid" -> (Similarity.s06HybridSearch _),
     "t17_domains" -> (TextAnalysis.t17Domains _),
@@ -1294,6 +1295,16 @@ object SparkEntry {
         |FROM events e JOIN p ON e.user_id = p.user_id
         |WHERE e.event_type = 'purchase' AND e.user_id % 10 = 0
         |ORDER BY event_id""".stripMargin,
+
+    // m07: the staged .bin files carry the documents' UTF-8 bytes, so
+    // size and md5 recompute from the text column (the m03 argument) —
+    // a hash match proves the file roundtrip + binaryFile scan are
+    // content-exact.
+    "m07_binary_ingest" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id % 10 = 3
+        |ORDER BY doc_id""".stripMargin,
 
     // The fake media column IS the documents' UTF-8 bytes, so DuckDB's
     // md5 over the VARCHAR hashes the identical byte sequence the

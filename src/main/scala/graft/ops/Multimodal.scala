@@ -246,4 +246,60 @@ object Multimodal {
         round($"f0", 4).as("f0"), round($"f1", 4).as("f1"), round($"f2", 4).as("f2"))
       .orderBy($"doc_id")
   }
+
+  /** Stage a directory of standalone binary files — the object-store
+    * landing zone a multimodal pipeline ingests from (one blob per
+    * asset, id in the filename). The payload is the documents' UTF-8
+    * bytes (the m03 argument), one file per doc of the % 10 == 3
+    * slice, staged once per (JVM, source dir) under the Layout tag
+    * with a `_SUCCESS` guard + stale-sibling sweep. The driver-side
+    * write is FIXTURE staging (standing in for the store), not the
+    * operator — the operator is [[m07BinaryIngest]]'s distributed
+    * scan. */
+  private[graft] def mediaFiles(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = Layout.tmpPath("m07bin", dir)
+    val root = new java.io.File(path)
+    if (!new java.io.File(root, "_SUCCESS").exists()) {
+      Layout.sweepStaleFor("m07bin", dir)
+      root.mkdirs()
+      Tables(s, dir, "documents").filter($"doc_id" % 10 === 3)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .foreach { case (id, t) =>
+          java.nio.file.Files.write(
+            new java.io.File(root, f"doc_$id%08d.bin").toPath,
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      new java.io.File(root, "_SUCCESS").createNewFile()
+    }
+    path
+  }
+
+  /** m07 — `binaryFile`-source ingestion: the raw-asset scan that
+    * turns a directory of blobs into the (id, size, fingerprint) rows
+    * an asset catalog starts from — the step BEFORE m03's
+    * parquet-resident dedup. `pathGlobFilter` prunes non-asset files
+    * at listing time (the `_SUCCESS` marker never reaches a task);
+    * the id parses from the filename; `length` comes from file-status
+    * metadata; the content bytes feed ONLY the md5 projection.
+    *
+    * Scale shape: the scan is one task per file-split group
+    * (`maxPartitionBytes` caps blobs per task, the header note's
+    * sizing rule), embarrassingly parallel, no shuffle anywhere —
+    * the final ORDER BY sorts the slice's few catalog rows. The
+    * oracle recomputes size and md5 from the documents' text (the
+    * payload IS those UTF-8 bytes), so a hash match proves the
+    * file roundtrip is content-exact. */
+  def m07BinaryIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(mediaFiles(s, dir))
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        $"length".as("n_bytes"),
+        md5($"content").as("payload_md5"))
+      .orderBy($"doc_id")
+  }
 }
