@@ -161,6 +161,9 @@ object SparkEntry {
     "q49_dsv2_range" -> (Layout.q49Dsv2Range _),
     "q50_recursive" -> (Relational.q50Recursive _),
     "q51_sql_udf" -> (Relational.q51SqlUdf _),
+    "q55_argminmax" -> (Relational.q55ArgMinMax _),
+    "q56_listagg" -> (Relational.q56ListAgg _),
+    "q57_offset" -> (Relational.q57Offset _),
     "q52_observe" -> (Relational.q52Observe _),
     "q53_collation" -> (Relational.q53Collation _),
     "q54_udaf_window" -> (Relational.q54UdafWindow _),
@@ -2620,6 +2623,42 @@ object SparkEntry {
         |    AS BIGINT) AS value_e4,
         |  CAST(v IS NULL AS INT) AS was_gap
         |FROM f ORDER BY day_us""".stripMargin,
+
+    // q55: max_by/min_by over the (price, key) struct == the rank-1
+    // row under the mirrored lexicographic orders; ties on price
+    // resolve on the unique key in both engines.
+    "q55_argminmax" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_price_order,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_price_order,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(min(o_totalprice), 2) AS min_price
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // q56: DuckDB's string_agg with an in-aggregate ORDER BY mirrors
+    // LISTAGG ... WITHIN GROUP — the order inside the aggregate is
+    // the determinism requirement.
+    "q56_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // q57: identical fully-tie-broken order, page 3 (OFFSET 20 LIMIT
+    // 10) — every page edge deterministic in both engines.
+    "q57_offset" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber
+        |LIMIT 10 OFFSET 20""".stripMargin,
 
     // q45: the incremental merge must equal the one-pass aggregate.
     "q45_incr_agg" ->

@@ -1030,4 +1030,85 @@ object Relational {
         $"v".isNull.cast("int").as("was_gap"))
       .orderBy($"day_us")
   }
+
+  /** q55 — argmin/argmax aggregates (`max_by`/`min_by`): "the row
+    * whose X is extreme, per group" without the window-function
+    * detour (q11's shape) — one hash aggregate, partial+final like
+    * any other agg, no per-group sort anywhere. The ordering key is
+    * the STRUCT (o_totalprice, o_orderkey): struct comparison is
+    * lexicographic, so ties on price resolve on the unique key and
+    * the answer is deterministic — bare `max_by(x, price)` with a
+    * tied price is whichever partial wins the merge, a
+    * nondeterminism the oracle would catch. The oracle spells the
+    * same semantics as rank-1 rows over mirrored (DESC,DESC)/
+    * (ASC,ASC) orders.
+    *
+    * Scale shape: partial max_by folds each partition to one
+    * (value, ordering-struct) pair before the exchange — a 100 TB
+    * argmax shuffles 5 groups x a few bytes. This is exactly why
+    * max_by beats the row_number() spelling at scale: no global
+    * per-group sort, no full-row shuffle. */
+  def q55ArgMinMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+          .as("max_price_order"),
+        min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+          .as("min_price_order"),
+        round(max($"o_totalprice"), 2).as("max_price"),
+        round(min($"o_totalprice"), 2).as("min_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** q56 — ordered string aggregation (`LISTAGG ... WITHIN GROUP`,
+    * SQL:2016; Spark 4's listagg): the report-friendly "roll the
+    * group's members into one delimited string" aggregate. The WITHIN
+    * GROUP order is the whole point: listagg without it concatenates
+    * in partition-arrival order — nondeterministic under shuffle —
+    * so the ORDER BY n_name inside the aggregate is a correctness
+    * requirement here, not cosmetics (DuckDB mirrors with
+    * string_agg(... ORDER BY)).
+    *
+    * Scale shape: grouped by region (5 groups), each folding a
+    * bounded member list — listagg is only scale-sane when group
+    * cardinality is bounded (a catalog dimension, as here); an
+    * unbounded listagg is the degenerate collect_list and belongs in
+    * an explode-shaped design instead. */
+  def q56ListAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "nation")
+      .join(Tables(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy($"r_name")
+  }
+
+  /** q57 — LIMIT/OFFSET pagination (Spark 3.4's Dataset.offset):
+    * page 3 of the price-ranked line items, fully tie-broken
+    * (price DESC, orderkey, linenumber) so every page edge is
+    * deterministic. The plan stays TakeOrderedAndProject — top
+    * (offset+limit) per partition, merged on the driver, offset
+    * dropped there — so a shallow page never global-sorts the table.
+    *
+    * Scale note: offset pagination degrades linearly with depth
+    * (page N costs a top-(N*k) merge); the 100 TB idiom is KEYSET
+    * pagination — WHERE (price, key) < last-seen-edge ORDER BY ...
+    * LIMIT k — which this same query expresses by swapping the
+    * offset for that filter (the plan becomes filter + top-k, depth-
+    * independent). Offset is registered because it is the API
+    * surface users reach for first; the scaladoc is the steer. */
+  def q57Offset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice", 2).as("price"))
+      .orderBy($"price".desc, $"l_orderkey", $"l_linenumber")
+      .offset(20)
+      .limit(10)
+  }
 }
