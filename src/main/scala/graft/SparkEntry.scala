@@ -91,6 +91,7 @@ object SparkEntry {
     "f16_array_hof" -> (Scalar.f16ArrayHof _),
     "f17_variant" -> (Scalar.f17Variant _),
     "f18_xml" -> (Scalar.f18Xml _),
+    "f19_csv_scalar" -> (Scalar.f19CsvScalar _),
     "d01_exact_dedup" -> (TextDedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (TextDedup.d02MinhashLsh _),
     "d03_simhash" -> (TextDedup.d03Simhash _),
@@ -3254,6 +3255,16 @@ ORDER BY id_a, id_b""",
         |    AS n_id_match
         |FROM orders GROUP BY 1
         |ORDER BY pri NULLS FIRST""".stripMargin,
+
+    // f19: the to_csv -> from_csv scalar roundtrip must recover the
+    // source columns exactly — the oracle aggregates them directly,
+    // so any codec drift (quoting, delimiter, double repr) hash-fails.
+    "f19_csv_scalar" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  min(c_custkey) AS min_k, max(c_custkey) AS max_k
+        |FROM customer GROUP BY seg
+        |ORDER BY seg""".stripMargin,
 
     // f17: the variant decode/navigate path must read the same values
     // DuckDB's json extraction reads; the absent path is null in both.

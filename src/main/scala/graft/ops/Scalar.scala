@@ -157,4 +157,36 @@ object Scalar {
         count(when($"x._id" === $"o_orderkey", 1)).as("n_id_match"))
       .orderBy($"pri".asc_nulls_first)
   }
+
+  /** f19 — embedded-CSV scalar codec (`to_csv`/`from_csv`): one
+    * delimited line as a column VALUE — the message-bus/log payload
+    * shape (Kafka values, legacy feeds) where each record's CSV is a
+    * field, not a file, so the file-level CSV reader (q34) cannot
+    * apply. The to_csv(struct) -> from_csv(schema) roundtrip proves
+    * the codec value-exact: the oracle computes the same aggregate
+    * straight from the source columns, so any encode/parse drift
+    * (quoting, delimiter, double text repr) hash-fails — the q32/q33
+    * "format seam must be invisible" contract applied to the scalar
+    * codec. Pipe delimiter dodges comma-bearing text; the double
+    * survives because to_csv prints a decimal repr that parses back
+    * to the identical IEEE value. Both directions are codegen'd
+    * narrow maps over the scan; no shuffle until the aggregate. */
+  def f19CsvScalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val opts = Map("sep" -> "|")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, seg STRING, bal DOUBLE")
+    Tables(s, dir, "customer")
+      .select(to_csv(struct($"c_custkey".as("k"),
+        $"c_mktsegment".as("seg"), $"c_acctbal".as("bal")),
+        opts.asJava).as("line"))
+      .select(from_csv($"line", schema, opts).as("x"))
+      .groupBy($"x.seg".as("seg"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"x.bal"), 2).as("sum_bal"),
+        min($"x.k").as("min_k"),
+        max($"x.k").as("max_k"))
+      .orderBy($"seg")
+  }
 }
