@@ -200,7 +200,8 @@ object SparkEntry {
     "c01_curation" -> (Curation.c01Curation _),
     "c02_assembly" -> (Curation.c02Assembly _),
     "c03_manifest" -> (Curation.c03Manifest _),
-    "c04_profile" -> ((s, dir) => Graft.profile(Tables(s, dir, "orders")))
+    "c04_profile" -> ((s, dir) => Graft.profile(Tables(s, dir, "orders"))),
+    "c05_expectations" -> (Curation.c05Expectations _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -1211,6 +1212,36 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM pk GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    // c05: each expectation spelled as its defining count; the FK rule
+    // via LEFT JOIN on the unique customer key (no row duplication).
+    // All counts BIGINT-cast per the HUGEINT discipline.
+    "c05_expectations" ->
+      """WITH pk AS (SELECT 'orders_pk_unique' AS rule,
+        |    count(*) AS n_checked,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |      AS n_violations FROM orders),
+        |fk AS (SELECT 'orders_fk_customer' AS rule,
+        |    count(*) AS n_checked,
+        |    count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_violations
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |qty AS (SELECT 'lineitem_qty_le_49' AS rule,
+        |    count(*) AS n_checked,
+        |    count(CASE WHEN l_quantity > 49 THEN 1 END) AS n_violations
+        |  FROM lineitem),
+        |bal AS (SELECT 'customer_bal_nonneg' AS rule,
+        |    count(*) AS n_checked,
+        |    count(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_violations
+        |  FROM customer),
+        |ch AS (SELECT 'documents_nchars_consistent' AS rule,
+        |    count(*) AS n_checked,
+        |    count(CASE WHEN n_chars <> strlen(text) THEN 1 END)
+        |      AS n_violations FROM documents)
+        |SELECT * FROM (
+        |  SELECT * FROM pk UNION ALL SELECT * FROM fk
+        |  UNION ALL SELECT * FROM qty UNION ALL SELECT * FROM bal
+        |  UNION ALL SELECT * FROM ch)
+        |ORDER BY rule""".stripMargin,
 
     // c04: the single-pass column profile spelled per column — null
     // count, exact distinct, type-aware min/max (timestamps as epoch

@@ -152,4 +152,55 @@ object Curation {
           $"n_rows", $"key_xor")
     }.reduce(_ unionByName _).orderBy($"table_name")
   }
+
+  /** c05 — expectation checks (the dbt-test/Deequ constraint layer a
+    * pipeline gates a new drop on BEFORE trusting it): five
+    * production-shaped rules — primary-key uniqueness, foreign-key
+    * integrity, two value-range expectations, and a cross-column
+    * consistency invariant — each reported as (rule, n_checked,
+    * n_violations). Passing rules report zero violations (pk, fk,
+    * n_chars here); the range rules genuinely fire on this data
+    * (non-degenerate at sf0.001/0.01/0.1 — probed 124/1175/11992 and
+    * 11/122/1332), so the violation-counting path is exercised, not
+    * dead code.
+    *
+    * Scale shape: every range/consistency rule is a conditional count
+    * inside one partial-aggregated scan of its table (one row crosses
+    * the exchange); uniqueness is count - countDistinct on the key
+    * column only; FK integrity is a LEFT ANTI join on the two key
+    * columns, un-hinted (the dimension may or may not broadcast —
+    * AQE's call). No payload column is ever read — at 100 TB the
+    * whole suite costs key-column scans. All-integer output. */
+  def c05Expectations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+    val nOrders = orders.agg(count(lit(1)).as("n"),
+      countDistinct($"o_orderkey").as("nd"))
+    val pk = nOrders.select(lit("orders_pk_unique").as("rule"),
+      $"n".as("n_checked"), ($"n" - $"nd").as("n_violations"))
+    val fkViol = orders.join(
+        Tables(s, dir, "customer").select($"c_custkey".as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val fk = nOrders.crossJoin(fkViol)
+      .select(lit("orders_fk_customer").as("rule"),
+        $"n".as("n_checked"), $"v".as("n_violations"))
+    val qty = Tables(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_checked"),
+        count(when($"l_quantity" > 49, 1)).as("n_violations"))
+      .select(lit("lineitem_qty_le_49").as("rule"),
+        $"n_checked", $"n_violations")
+    val bal = Tables(s, dir, "customer")
+      .agg(count(lit(1)).as("n_checked"),
+        count(when($"c_acctbal" < 0, 1)).as("n_violations"))
+      .select(lit("customer_bal_nonneg").as("rule"),
+        $"n_checked", $"n_violations")
+    val chars = Tables(s, dir, "documents")
+      .agg(count(lit(1)).as("n_checked"),
+        count(when($"n_chars" =!= length($"text"), 1)).as("n_violations"))
+      .select(lit("documents_nchars_consistent").as("rule"),
+        $"n_checked", $"n_violations")
+    Seq(pk, fk, qty, bal, chars).reduce(_ unionByName _)
+      .orderBy($"rule")
+  }
 }
