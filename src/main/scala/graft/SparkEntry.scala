@@ -163,6 +163,7 @@ object SparkEntry {
     "q50_recursive" -> (Relational.q50Recursive _),
     "q51_sql_udf" -> (Relational.q51SqlUdf _),
     "q55_argminmax" -> (Relational.q55ArgMinMax _),
+    "q58_hll_registers" -> (Relational.q58HllRegisters _),
     "q56_listagg" -> (Relational.q56ListAgg _),
     "q57_offset" -> (Relational.q57Offset _),
     "q52_observe" -> (Relational.q52Observe _),
@@ -2753,6 +2754,51 @@ object SparkEntry {
     // codepoint) and tokens < 32 bytes (no XXH64 stripe loop; max
     // observed 8) — if a testdata regeneration breaks either, rerun
     // the generator (it fails loudly) and extend it.
+    // q58: the HLL register build mirrored from first principles —
+    // XXH64 of the key's decimal text inlined via the same generator
+    // (tools/gen_xxh64_sql.py hll_sql, self-checked against the
+    // engine dump), then the pure-integer trailing-zero rank and the
+    // per-bucket max. Raw triple-quote WITHOUT stripMargin (the SQL
+    // contains bitwise `|`).
+    "q58_hll_registers" ->
+      """WITH dtok AS (SELECT DISTINCT o_custkey::VARCHAR AS tok FROM orders),
+tbytes AS (
+  SELECT tok, strlen(tok)::BIGINT AS n,
+    list_transform(range(1, strlen(tok) + 1),
+      i -> unicode(substr(tok, i::INT, 1))::UBIGINT) AS bs
+  FROM dtok),
+-- XXH64(token, seed 42), tokens < 32 bytes: no stripe loop
+tacc AS (
+  SELECT tok, n, bs,
+    list_reduce(
+      list_prepend(CAST((((2870177450012600303)::HUGEINT + (n::UBIGINT)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT),
+        list_transform(range(0, n // 8), j -> ((bs)[(j*8 + 1)]::UBIGINT + (bs)[(j*8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[(j*8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[(j*8 + 1)+3]::UBIGINT * 16777216::UBIGINT + (bs)[(j*8 + 1)+4]::UBIGINT * 4294967296::UBIGINT + (bs)[(j*8 + 1)+5]::UBIGINT * 1099511627776::UBIGINT + (bs)[(j*8 + 1)+6]::UBIGINT * 281474976710656::UBIGINT + (bs)[(j*8 + 1)+7]::UBIGINT * 72057594037927936::UBIGINT))),
+      (a, w) -> (list_transform([CAST((((w)::HUGEINT * 668265295::HUGEINT + (((w)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t1 -> (list_transform([(CAST((((t1)::HUGEINT * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t1) >> 33))], t2 -> (list_transform([CAST((((t2)::HUGEINT * 2246822535::HUGEINT + (((t2)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t3 -> (list_transform([xor(a, t3)], t4 -> (list_transform([(CAST((((t4)::HUGEINT * 134217728::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t4) >> 37))], t5 -> CAST((((CAST((((t5)::HUGEINT * 2246822535::HUGEINT + (((t5)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (9650029242287828579)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]))[1]) AS a2
+  FROM tbytes),
+tacc4 AS (
+  SELECT tok, n, bs,
+    CASE WHEN n % 8 >= 4 THEN (list_transform([((bs)[((n // 8) * 8 + 1)]::UBIGINT + (bs)[((n // 8) * 8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[((n // 8) * 8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[((n // 8) * 8 + 1)+3]::UBIGINT * 16777216::UBIGINT)], v0 -> (list_transform([CAST((((v0)::HUGEINT * 2246822535::HUGEINT + (((v0)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], v1 -> (list_transform([xor(a2, v1)], v2 -> (list_transform([(CAST((((v2)::HUGEINT * 8388608::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((v2) >> 41))], v3 -> CAST((((CAST((((v3)::HUGEINT * 668265295::HUGEINT + (((v3)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (1609587929392839161)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]
+         ELSE a2 END AS a3
+  FROM tacc),
+tacct AS (
+  SELECT tok,
+    list_reduce(
+      list_prepend(a3,
+        list_transform(range(0, n % 4), j -> bs[n - (n % 4) + j + 1])),
+      (a, b) -> (list_transform([CAST((((b)::HUGEINT * 374761413::HUGEINT + (((b)::HUGEINT * 668265263::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], u1 -> (list_transform([xor(a, u1)], u2 -> (list_transform([(CAST((((u2)::HUGEINT * 2048::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((u2) >> 53))], u3 -> CAST((((u3)::HUGEINT * 2246822535::HUGEINT + (((u3)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]) AS a4
+  FROM tacc4),
+thash AS (
+  SELECT tok, (list_transform([xor(a4, a4 >> 33)], z1 -> (list_transform([CAST((((z1)::HUGEINT * 668265295::HUGEINT + (((z1)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z2 -> (list_transform([xor(z2, z2 >> 29)], z3 -> (list_transform([CAST((((z3)::HUGEINT * 2654435833::HUGEINT + (((z3)::HUGEINT * 374761393::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z4 -> xor(z4, z4 >> 32)))[1]))[1]))[1]))[1] AS hu
+  FROM tacct),
+rho AS (
+  SELECT CAST(hu & 63::UBIGINT AS BIGINT) AS bucket,
+    CAST(hu >> 6 AS BIGINT) AS wi, tok
+  FROM thash)
+SELECT bucket, count(DISTINCT tok) AS n_keys,
+  max(CASE WHEN wi = 0 THEN 59
+       ELSE bit_count((wi & (-wi)) - 1)::INT + 1 END) AS max_rho
+FROM rho GROUP BY bucket ORDER BY bucket""",
+
     "d03_simhash" ->
       """WITH toks AS (
   SELECT doc_id, tok FROM (

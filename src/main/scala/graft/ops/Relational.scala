@@ -1111,4 +1111,44 @@ object Relational {
       .offset(20)
       .limit(10)
   }
+
+  /** q58 — a DETERMINISTIC HyperLogLog register sketch built from
+    * first principles, closing the verification gap q17 documents:
+    * `approx_count_distinct`'s HLL++ state is Spark-internal (q17 is
+    * the registry's one rows-only relational query), but the sketch
+    * CONSTRUCTION is pure integer arithmetic over a hash both engines
+    * can spell — so the registers themselves are oracle-checkable.
+    * Per value: h = xxhash64(decimal text of the key; canonicalized
+    * so the oracle hashes identical bytes — the d03 technique, and
+    * the oracle inlines the same XXH64 in SQL, tools/gen_xxh64_sql
+    * .py), bucket = low 6 bits (m = 64 registers), and the
+    * Flajolet-Martin rank of the remaining 58 bits — rho = trailing
+    * zeros + 1, computed with PURE integer ops
+    * (`bit_count((w & -w) - 1) + 1`; w = 0 caps at 59) so no
+    * log/float enters the pipeline. Registers are max(rho) per
+    * bucket; the estimator is then a driver-side fold over 64 small
+    * integers (alpha_m * m^2 / sum 2^-rho — deliberately NOT emitted:
+    * the float fold is the one non-mirrorable step, and the registers
+    * ARE the sketch).
+    *
+    * Scale shape: this is the textbook mergeable-state aggregate —
+    * partial max(rho) folds every partition to <= 64 (bucket, rho)
+    * pairs before the exchange, so a 100 TB distinct-count shuffles
+    * ~64 rows per partition regardless of data volume; n_keys
+    * (countDistinct per bucket) rides along as the exactness
+    * cross-check the oracle also recomputes. */
+  def q58HllRegisters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = xxhash64($"o_custkey".cast("string"))
+    val w = shiftrightunsigned(h, 6)
+    val rho = when(w === 0, lit(59))
+      .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)
+    Tables(s, dir, "orders")
+      .select(h.bitwiseAND(lit(63L)).as("bucket"), rho.as("rho"),
+        $"o_custkey")
+      .groupBy($"bucket")
+      .agg(countDistinct($"o_custkey").as("n_keys"),
+        max($"rho").as("max_rho"))
+      .orderBy($"bucket")
+  }
 }

@@ -116,7 +116,41 @@ def fingerprint_ctes():
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
     FROM documents) WHERE tok <> ''),
 dtok AS (SELECT DISTINCT tok FROM toks),
-tbytes AS (
+""" + xxh64_token_ctes() + f""",
+votes AS (
+  SELECT t.doc_id, bit.k,
+    sum(CASE WHEN (h.hu >> bit.k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks t JOIN thash h USING (tok)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) bit
+  GROUP BY t.doc_id, bit.k),
+fps AS (
+  SELECT d.doc_id,
+    coalesce(sum(CASE WHEN v.v > 0 THEN
+      CASE WHEN v.k = 63 THEN -9223372036854775808
+           ELSE (1::BIGINT << v.k::INT) END ELSE 0 END), 0)::BIGINT AS fp
+  FROM documents d LEFT JOIN votes v USING (doc_id)
+  GROUP BY d.doc_id)"""
+
+
+def xxh64_token_ctes():
+    """dtok (tok VARCHAR, ASCII, < 32 bytes) -> thash (tok, hu UBIGINT):
+    the inlined XXH64(tok, seed 42) chain, reusable by any oracle that
+    needs the hash of a token column (d03/d07 fingerprints, q58 HLL)."""
+    step8, stepb = xxh64_sql()
+    acc0 = (SEED + P5) % M64  # n<32 init, constant-folded
+    # 4-byte word step: acc ^= w4*P1; acc = rotl23(acc)*P2 + P3
+    step4 = let(word4('bs', '(n // 8) * 8 + 1'), "v0",
+            let(mulc("v0", P1), "v1",
+            let("xor(a2, v1)", "v2",
+            let(rotl("v2", 23), "v3",
+            add(mulc("v3", P2), P3)))))
+    # final avalanche
+    aval = let("xor(a4, a4 >> 33)", "z1",
+           let(mulc("z1", P2), "z2",
+           let("xor(z2, z2 >> 29)", "z3",
+           let(mulc("z3", P3), "z4",
+           "xor(z4, z4 >> 32)"))))
+    return f"""tbytes AS (
   SELECT tok, strlen(tok)::BIGINT AS n,
     list_transform(range(1, strlen(tok) + 1),
       i -> unicode(substr(tok, i::INT, 1))::UBIGINT) AS bs
@@ -143,20 +177,27 @@ tacct AS (
   FROM tacc4),
 thash AS (
   SELECT tok, {aval} AS hu
-  FROM tacct),
-votes AS (
-  SELECT t.doc_id, bit.k,
-    sum(CASE WHEN (h.hu >> bit.k) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM toks t JOIN thash h USING (tok)
-  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) bit
-  GROUP BY t.doc_id, bit.k),
-fps AS (
-  SELECT d.doc_id,
-    coalesce(sum(CASE WHEN v.v > 0 THEN
-      CASE WHEN v.k = 63 THEN -9223372036854775808
-           ELSE (1::BIGINT << v.k::INT) END ELSE 0 END), 0)::BIGINT AS fp
-  FROM documents d LEFT JOIN votes v USING (doc_id)
-  GROUP BY d.doc_id)"""
+  FROM tacct)"""
+
+
+def hll_sql():
+    """q58 oracle: DISTINCT o_custkey rendered as decimal text (the
+    byte sequence the engine hashes via cast(string)), XXH64 inlined,
+    then the pure-integer HLL register fold: bucket = low 6 bits,
+    rho = trailing zeros of the remaining 58 bits + 1 (w = 0 -> 59).
+    The trailing-zero rank runs on the SIGNED cast of w (< 2^58, so
+    exact) to keep every subexpression raise-free in DuckDB's unsigned
+    arithmetic."""
+    return ("WITH dtok AS (SELECT DISTINCT o_custkey::VARCHAR AS tok FROM orders),\n"
+            + xxh64_token_ctes() + """,
+rho AS (
+  SELECT CAST(hu & 63::UBIGINT AS BIGINT) AS bucket,
+    CAST(hu >> 6 AS BIGINT) AS wi, tok
+  FROM thash)
+SELECT bucket, count(DISTINCT tok) AS n_keys,
+  max(CASE WHEN wi = 0 THEN 59
+       ELSE bit_count((wi & (-wi)) - 1)::INT + 1 END) AS max_rho
+FROM rho GROUP BY bucket ORDER BY bucket""")
 
 
 def d03_sql():
@@ -207,11 +248,13 @@ if __name__ == "__main__":
     vout = sys.argv[2] if len(sys.argv) > 2 else None
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')")
     # self-check assumptions
     a = con.sql("SELECT max(strlen(tok)), max(CASE WHEN tok ~ '^[\\x00-\\x7F]*$' THEN 0 ELSE 1 END) FROM (SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents) WHERE tok <> ''").fetchone()
     assert a[0] < 32, f"token >= 32 bytes ({a[0]}): stripe loop needed"
     assert a[1] == 0, "non-ASCII token: byte!=codepoint"
-    for name, sql in (("d03_simhash", d03_sql()), ("d07_simhash_pairs", d07_sql())):
+    for name, sql in (("d03_simhash", d03_sql()), ("d07_simhash_pairs", d07_sql()),
+                      ("q58_hll_registers", hll_sql())):
         got = con.sql(sql).fetchall()
         print(f"{name}: {len(got)} rows")
         if vout:
