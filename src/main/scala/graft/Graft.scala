@@ -1471,6 +1471,40 @@ object Graft {
       .orderBy(col("bigram"))
   }
 
+  /** Deterministic HyperLogLog register sketch over `keyCol` (the
+    * q58 kernel, parameterized): h = xxhash64 of the key's DECIMAL
+    * TEXT (canonicalized so any engine can replicate the hashed
+    * bytes), bucket = low `bucketBits` bits (m = 2^bucketBits
+    * registers), rho = Flajolet-Martin rank of the remaining bits
+    * computed with pure integer ops (`bit_count((w & -w) - 1) + 1`,
+    * w = 0 capped at 64 - bucketBits + 1) — no log/float anywhere,
+    * so the registers are exactly reproducible cross-engine. Returns
+    * (bucket, n_keys, max_rho); the cardinality estimate is a
+    * driver-side fold over the m small integers (alpha_m * m^2 /
+    * sum 2^-rho — deliberately not emitted: the float fold is the
+    * one non-mirrorable step, and the registers ARE the mergeable
+    * sketch state).
+    *
+    * Scale shape: partial max(rho) folds every partition to <= m
+    * (bucket, rho) pairs before the exchange — a 100 TB distinct
+    * count shuffles ~m rows per partition regardless of volume. */
+  def hllRegisters(df: DataFrame, keyCol: String,
+      bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 16,
+      s"bucketBits out of range: $bucketBits")
+    val rhoCap = 64 - bucketBits + 1
+    val h = xxhash64(col(keyCol).cast("string"))
+    val w = shiftrightunsigned(h, bucketBits)
+    val rho = when(w === 0, lit(rhoCap))
+      .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)
+    df.select(h.bitwiseAND(lit((1L << bucketBits) - 1)).as("bucket"),
+        rho.as("rho"), col(keyCol).as("__k"))
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("__k")).as("n_keys"),
+        max(col("rho")).as("max_rho"))
+      .orderBy(col("bucket"))
+  }
+
   /** C4-style line-level boilerplate statistics: the corpus-frequency
     * line filter every web-scale pretraining pipeline runs (strip
     * lines that recur across many documents — nav bars, cookie

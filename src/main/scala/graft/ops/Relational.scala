@@ -1129,7 +1129,8 @@ object Relational {
     * bucket; the estimator is then a driver-side fold over 64 small
     * integers (alpha_m * m^2 / sum 2^-rho — deliberately NOT emitted:
     * the float fold is the one non-mirrorable step, and the registers
-    * ARE the sketch).
+    * ARE the sketch). Kernel: [[graft.Graft.hllRegisters]]
+    * (parameterized over frame/key/register count).
     *
     * Scale shape: this is the textbook mergeable-state aggregate —
     * partial max(rho) folds every partition to <= 64 (bucket, rho)
@@ -1137,18 +1138,6 @@ object Relational {
     * ~64 rows per partition regardless of data volume; n_keys
     * (countDistinct per bucket) rides along as the exactness
     * cross-check the oracle also recomputes. */
-  def q58HllRegisters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val h = xxhash64($"o_custkey".cast("string"))
-    val w = shiftrightunsigned(h, 6)
-    val rho = when(w === 0, lit(59))
-      .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1)
-    Tables(s, dir, "orders")
-      .select(h.bitwiseAND(lit(63L)).as("bucket"), rho.as("rho"),
-        $"o_custkey")
-      .groupBy($"bucket")
-      .agg(countDistinct($"o_custkey").as("n_keys"),
-        max($"rho").as("max_rho"))
-      .orderBy($"bucket")
-  }
+  def q58HllRegisters(s: SparkSession, dir: String): DataFrame =
+    graft.Graft.hllRegisters(Tables(s, dir, "orders"), "o_custkey")
 }

@@ -760,6 +760,29 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(r.isNullAt(5) && r.isNullAt(6), r.toString)
   }
 
+  test("hllRegisters: registers match a JVM-side replay of the hash math") {
+    val keys = (1L to 200L).toSeq
+    val df = keys.flatMap(k => Seq(k, k)).toDF("k") // dup rows: no effect
+    val got = Graft.hllRegisters(df, "k", bucketBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // independent replay: same xxhash64-of-text, bucket, trailing-zero rank
+    val expect = keys
+      .map { k =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(
+            k.toString), org.apache.spark.sql.types.StringType, 42L)
+        (h & 15L, k, {
+          val w = h >>> 4
+          if (w == 0) 61 else java.lang.Long.numberOfTrailingZeros(w) + 1
+        })
+      }
+      .groupBy(_._1).toSeq
+      .map { case (b, xs) =>
+        (b, xs.map(_._2).distinct.size.toLong, xs.map(_._3).max) }
+      .sortBy(_._1)
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
   test("boilerplateStats: shared lines flagged, tails and short docs kept") {
     // exactly 8 tokens, so it fills one window when it leads the doc
     val banner = "please accept our cookie policy before continuing here"
