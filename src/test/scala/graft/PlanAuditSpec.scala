@@ -131,6 +131,35 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"ORC read schema not pruned: $readSchema")
   }
 
+  test("q55: argmin/argmax partial-aggregates before the exchange") {
+    // the 100 TB claim: each partition folds to one (value, ordering)
+    // pair per group BEFORE any shuffle — partial_max_by must appear
+    // below the exchange, so the shuffle carries groups, not rows
+    val plan = ops.Relational.q55ArgMinMax(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") && plan.contains("partial_min_by"),
+      s"argmax does not partial-aggregate:\n$plan")
+  }
+
+  test("q57: offset pagination stays a TakeOrderedAndProject") {
+    // no global sort: top-(offset+limit) per partition, merged on the
+    // driver, offset dropped there
+    val plan = ops.Relational.q57Offset(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("offset=20"), s"offset not in the take node:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"offset page plans a global sort:\n$plan")
+  }
+
+  test("q58: the HLL register build partial-aggregates before the exchange") {
+    val plan = ops.Relational.q58HllRegisters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      s"register fold does not partial-aggregate:\n$plan")
+  }
+
   test("m05: the whole retrieval plan never reads the binary payload") {
     // the 100 TB claim under test: metadata-gated ANN touches sidecar
     // columns + embeddings only — every scan's ReadSchema must exclude
