@@ -198,6 +198,7 @@ object SparkEntry {
     "st15_tws_topk" -> (graft.streaming.Streams.st15TransformWithState _),
     "st16_chained" -> (graft.streaming.Streams.st16ChainedWindows _),
     "st17_full_join" -> (graft.streaming.Streams.st17StreamingFullJoin _),
+    "st18_timer_sessions" -> (graft.streaming.Streams.st18TimerSessions _),
     "c01_curation" -> (Curation.c01Curation _),
     "c02_assembly" -> (Curation.c02Assembly _),
     "c03_manifest" -> (Curation.c03Manifest _),
@@ -3447,6 +3448,29 @@ ORDER BY id_a, id_b""",
     // slice, plus the session end (last event + the 10-minute gap).
     // The strict-gap break rule (`>=` starts a new session) mirrors
     // streaming session_window's [start, end) semantics.
+    // st18: batch gaps-and-islands with the STRICT gap rule
+    // (> 15 min starts a new session) — the exact semantics the
+    // timer-driven processor implements; end = last event, not
+    // last + gap (st13's session_window convention).
+    "st18_timer_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id % 10 = 5),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       epoch_us(min(ts)) AS session_start_us,
+        |       epoch_us(max(ts)) AS session_end_us,
+        |       count(*) AS n_events
+        |FROM numbered
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
     "st13_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, ts,

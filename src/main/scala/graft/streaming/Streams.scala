@@ -1009,4 +1009,126 @@ object Streams {
       .select($"user_id", $"n_seen", $"topk_rank", $"event_id", $"value")
       .orderBy($"user_id", $"topk_rank")
   }
+
+  case class SessIn(user_id: Long, ts: java.sql.Timestamp)
+  case class SessState(start_us: Long, last_us: Long, n: Long)
+  case class SessOut(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long)
+
+  /** EVENT-TIME TIMER sessionizer — the transformWithState capability
+    * st15 leaves uncovered: per-key inactivity sessions closed by a
+    * REGISTERED TIMER when the watermark passes last-event + gap (the
+    * hand-rolled generalization of `session_window`, the shape every
+    * custom-timeout operator starts from). One live timer per key:
+    * each update deletes the previous deadline and re-arms at the new
+    * one, so `handleExpiredTimer` can close unconditionally. Sessions
+    * that end because a later event opens a new one are emitted
+    * in-line; idle tails are emitted by the timer — each session
+    * exactly once, append mode.
+    *
+    * Determinism under the replay harness: chunks are ts-sorted, so
+    * if a key's next within-gap event exists it is in the SAME chunk
+    * as any watermark that could prematurely fire the timer
+    * (watermark = chunk-max - delay; premature expiry would need
+    * chunk-max >= last + gap + delay, which puts the within-gap
+    * successor inside the chunk) — so timer closes and in-line closes
+    * partition the sessions identically to batch gaps-and-islands,
+    * which is exactly the oracle. */
+  class SessionTimerProcessor(gapMinutes: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, SessIn, SessOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues, ValueState}
+    @transient private var sess: ValueState[SessState] = _
+    private val gapUs = gapMinutes * 60L * 1000000L
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      sess = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[SessIn],
+        timers: TimerValues): Iterator[SessOut] = {
+      // micro-batch rows arrive unordered within the batch: sort so
+      // the fold sees event time (the cross-batch order is the replay
+      // harness's ts-sorted chunks). Timestamp.getTime is MILLIS-only;
+      // the events table carries micros — recover them from getNanos.
+      val evs = rows.map(r =>
+        r.ts.getTime / 1000 * 1000000L + r.ts.getNanos / 1000).toArray.sorted
+      var out = List.empty[SessOut]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      cur.foreach(c => getHandle.deleteTimer((c.last_us + gapUs) / 1000L))
+      evs.foreach { t =>
+        cur = cur match {
+          case Some(c) if t - c.last_us > gapUs =>
+            out ::= SessOut(key, c.start_us, c.last_us, c.n)
+            Some(SessState(t, t, 1))
+          case Some(c) =>
+            Some(SessState(c.start_us, math.max(c.last_us, t), c.n + 1))
+          case None => Some(SessState(t, t, 1))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.registerTimer((c.last_us + gapUs) / 1000L)
+      }
+      out.reverseIterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessOut] = {
+      // one live timer per key (re-armed on every update), so an
+      // expiry IS the current session's deadline: close and clear
+      if (sess.exists()) {
+        val c = sess.get()
+        sess.clear()
+        Iterator.single(SessOut(key, c.start_us, c.last_us, c.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** st18 — timer-driven inactivity sessions under the oracle gate:
+    * a 1-in-10 user slice replayed through [[SessionTimerProcessor]]
+    * (15-minute gap) in ts-sorted chunks; the terminal sentinel
+    * pushes the watermark 10 hours past every real row, so every
+    * open session's timer provably fires (noData = true gives the
+    * trailing watermark-only batch the timers flush in). The oracle
+    * is batch gaps-and-islands with the identical strict-gap rule —
+    * a session lost to a dropped timer, a timer double-fire, or
+    * state that fails to survive RocksDB across triggers hash-fails.
+    * Non-degenerate at sf0.001/0.01/0.1: 1/23/226 multi-event
+    * sessions, so the merge path is exercised everywhere.
+    * session_end_us is the LAST EVENT (the timer closes at
+    * last + gap but the session content ends at its last event —
+    * emitted so, unlike st13's session_window end = last + gap). */
+  def st18TimerSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 5)
+      .select($"user_id", $"ts")
+      .orderBy($"ts", $"user_id")
+      .as[(Long, java.sql.Timestamp)]
+      .collect()
+    require(data.nonEmpty,
+      s"st18: empty events slice (user_id % 10 == 5) in $dir")
+    val sentinelTs = new java.sql.Timestamp(
+      data.map(_._2.getTime).max + 10L * 3600 * 1000)
+    val sink = replay(s, (data :+ ((-1L, sentinelTs))).toSeq,
+        OutputMode.Append, "st18", nChunks = 3, noData = true,
+        confs = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider"))) { ds =>
+      import ds.sparkSession.implicits._
+      ds.toDF("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .as[(Long, java.sql.Timestamp)]
+        .map { case (u, t) => SessIn(u, t) }
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor(15),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append)
+        .toDF()
+    }
+    sink.filter($"user_id" >= 0)
+      .select($"user_id", $"session_start_us", $"session_end_us",
+        $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
 }
