@@ -164,6 +164,7 @@ object SparkEntry {
     "q51_sql_udf" -> (Relational.q51SqlUdf _),
     "q55_argminmax" -> (Relational.q55ArgMinMax _),
     "q58_hll_registers" -> (Relational.q58HllRegisters _),
+    "q59_nullsafe_join" -> (Relational.q59NullSafeJoin _),
     "q56_listagg" -> (Relational.q56ListAgg _),
     "q57_offset" -> (Relational.q57Offset _),
     "q52_observe" -> (Relational.q52Observe _),
@@ -2693,6 +2694,18 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY price DESC, l_orderkey, l_linenumber
         |LIMIT 10 OFFSET 20""".stripMargin,
+
+    // q59: IS NOT DISTINCT FROM mirrors <=> — the null-keyed group
+    // must survive the join with its full member count.
+    "q59_nullsafe_join" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal,
+        |    nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
+        |dim AS (SELECT seg, coalesce(seg, 'UNCLASSIFIED') AS seg_label
+        |        FROM (SELECT DISTINCT seg FROM c))
+        |SELECT d.seg_label, count(*) AS n_cust,
+        |  round(sum(c.c_acctbal), 2) AS sum_bal
+        |FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
+        |GROUP BY d.seg_label ORDER BY d.seg_label""".stripMargin,
 
     // q45: the incremental merge must equal the one-pass aggregate.
     "q45_incr_agg" ->

@@ -1140,4 +1140,35 @@ object Relational {
     * cross-check the oracle also recomputes. */
   def q58HllRegisters(s: SparkSession, dir: String): DataFrame =
     graft.Graft.hllRegisters(Tables(s, dir, "orders"), "o_custkey")
+
+  /** q59 — NULL-SAFE equi join (`<=>` / IS NOT DISTINCT FROM): the
+    * join a dimension lookup needs when NULL is a legitimate key
+    * value ("unclassified" buckets, optional attributes) — plain `=`
+    * silently drops every null-keyed row (null = null is UNKNOWN,
+    * q05/q15's three-valued-logic corner), while `<=>` matches
+    * null to null exactly once. Nulls are planted by NULLIF-ing one
+    * segment, the dim derives the same 4-values-plus-NULL domain, and
+    * the null group's survival (with its member count) is the
+    * property under test — an engine that planned `<=>` as plain
+    * equality would lose the largest group and hash-fail.
+    *
+    * Scale shape: EqualNullSafe is a HASH-JOINABLE key in Catalyst
+    * (null keys hash like any value under null-safe semantics), so
+    * this plans as a broadcast/shuffled hash join exactly like `=` —
+    * NOT the nested-loop a theta join would cost. The dim side here
+    * is 5 rows (broadcast); at 100 TB a null-safe fact-fact join
+    * shuffles on the coalesced key like any equi join. */
+  def q59NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal",
+        nullif($"c_mktsegment", lit("BUILDING")).as("seg"))
+    val dim = cust.select($"seg").distinct()
+      .withColumn("seg_label", coalesce($"seg", lit("UNCLASSIFIED")))
+    cust.join(dim, cust("seg") <=> dim("seg"))
+      .groupBy($"seg_label")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"c_acctbal"), 2).as("sum_bal"))
+      .orderBy($"seg_label")
+  }
 }
