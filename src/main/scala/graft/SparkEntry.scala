@@ -165,6 +165,7 @@ object SparkEntry {
     "q55_argminmax" -> (Relational.q55ArgMinMax _),
     "q58_hll_registers" -> (Relational.q58HllRegisters _),
     "q59_nullsafe_join" -> (Relational.q59NullSafeJoin _),
+    "q60_not_in_null" -> (Relational.q60NotInNull _),
     "q56_listagg" -> (Relational.q56ListAgg _),
     "q57_offset" -> (Relational.q57Offset _),
     "q52_observe" -> (Relational.q52Observe _),
@@ -2706,6 +2707,25 @@ object SparkEntry {
         |  round(sum(c.c_acctbal), 2) AS sum_bal
         |FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
         |GROUP BY d.seg_label ORDER BY d.seg_label""".stripMargin,
+
+    // q60: both engines must agree on the 3VL semantics — the
+    // null-bearing NOT IN counts zero, the clean NOT IN equals
+    // NOT EXISTS.
+    "q60_not_in_null" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |      UNION ALL SELECT CAST(NULL AS BIGINT)))
+        |    AS n_not_in_nullable,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderpriority = '1-URGENT')) AS n_not_exists,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |        AND o_custkey IS NOT NULL)) AS n_not_in_clean""".stripMargin,
 
     // q45: the incremental merge must equal the one-pass aggregate.
     "q45_incr_agg" ->

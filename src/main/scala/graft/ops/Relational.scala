@@ -1171,4 +1171,44 @@ object Relational {
         round(sum($"c_acctbal"), 2).as("sum_bal"))
       .orderBy($"seg_label")
   }
+
+  /** q60 — the NOT IN null trap, pinned: `x NOT IN (subquery)` under
+    * three-valued logic returns UNKNOWN (row dropped) for EVERY probe
+    * row the moment the list contains one NULL — the classic silent
+    * data-loss bug `NOT EXISTS` does not have. One report row carries
+    * all three spellings over the same data: NOT IN against a
+    * null-bearing list (must be 0 — an engine that treats NULL as
+    * just-another-value reports thousands here and hash-fails),
+    * NOT EXISTS (the correct customers-without-orders count), and
+    * NOT IN with nulls stripped (must equal NOT EXISTS).
+    *
+    * The physical interest: Catalyst plans the nullable NOT IN as a
+    * NULL-AWARE anti join (BroadcastHashJoin LeftAnti,
+    * isNullAwareAntiJoin=true — plan-asserted in PlanAuditSpec), a
+    * genuinely different algorithm from q05's plain anti join: the
+    * build side must additionally answer "does any build row have a
+    * null key", which is what makes the semantics cheap at scale
+    * instead of a per-row re-scan. The membership list is "customers
+    * with an URGENT order" (a strict subset at every SF, so the
+    * correct counts are non-degenerate) with one NULL planted
+    * explicitly via UNION ALL — SF-independent, unlike NULLIF on a
+    * key that might not occur. */
+  def q60NotInNull(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir, Seq("customer", "orders"))
+    s.sql(
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |      UNION ALL SELECT CAST(NULL AS BIGINT)))
+        |    AS n_not_in_nullable,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderpriority = '1-URGENT')) AS n_not_exists,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |        AND o_custkey IS NOT NULL)) AS n_not_in_clean""".stripMargin)
+  }
 }

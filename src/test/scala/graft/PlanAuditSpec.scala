@@ -160,6 +160,15 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"register fold does not partial-aggregate:\n$plan")
   }
 
+  test("q60: the nullable NOT IN plans a NULL-AWARE anti join") {
+    // BroadcastHashJoin's trailing boolean is isNullAwareAntiJoin —
+    // the algorithm that makes 3VL NOT IN cheap instead of a re-scan
+    val plan = ops.Relational.q60NotInNull(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"no null-aware anti join in plan:\n$plan")
+  }
+
   test("m05: the whole retrieval plan never reads the binary payload") {
     // the 100 TB claim under test: metadata-gated ANN touches sidecar
     // columns + embeddings only — every scan's ReadSchema must exclude
