@@ -47,6 +47,7 @@ object SparkEntry {
     "q24_sql_cte" -> (Relational.q24SqlCte _),
     "q25_full_outer" -> (Relational.q25FullOuter _),
     "q26_salted" -> (Relational.q26SaltedAgg _),
+    "q61_aqe_skew" -> (Skew.q61AqeSkew _),
     "q27_lateral" -> (Relational.q27Lateral _),
     "q28_ntile" -> (Relational.q28Ntile _),
     "q29_locf" -> (Relational.q29FillGaps _),
@@ -2707,6 +2708,18 @@ object SparkEntry {
         |  round(sum(c.c_acctbal), 2) AS sum_bal
         |FROM c JOIN dim d ON c.seg IS NOT DISTINCT FROM d.seg
         |GROUP BY d.seg_label ORDER BY d.seg_label""".stripMargin,
+
+    // q61: the AQE skew split must be a pure execution rewrite — the
+    // oracle computes the same hot-key join/aggregate directly.
+    "q61_aqe_skew" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 <> 0 THEN 0
+        |                       ELSE user_id END AS k, value
+        |           FROM events),
+        |d AS (SELECT c_custkey AS k, c_custkey % 3 AS grp FROM customer)
+        |SELECT coalesce(d.grp, -1) AS grp, count(*) AS n_rows,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM e LEFT JOIN d ON e.k = d.k
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     // q60: both engines must agree on the 3VL semantics — the
     // null-bearing NOT IN counts zero, the clean NOT IN equals

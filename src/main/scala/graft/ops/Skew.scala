@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation (builder prompt: "salting for skew, AQE for runtime
@@ -84,4 +84,78 @@ object Skew {
     phase1.groupBy(col(key)).agg(m.head, m.tail: _*)
       .select(col(key) +: specs.map(_.output): _*)
   }
+
+  /** Session for q61: AQE skew-join enabled with thresholds scaled to
+    * harness data volume — the DEFAULTS (256 MB) are sized for
+    * production shuffles, so proving the mechanism at sf0.01 means
+    * telling AQE what "skewed" means at this scale, exactly as a
+    * 100 TB deployment tunes the same knobs to its partition sizes.
+    * Broadcast is disabled so the join is the sort-merge shape skew
+    * splitting applies to. */
+  private[graft] def q61Session(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2
+  }
+
+  private[graft] def q61Join(s2: SparkSession, dir: String): DataFrame = {
+    import s2.implicits._
+    // 9-in-10 event rows collapse onto key 0: one shuffle partition
+    // carries ~90% of the left side — the hot-key shape. The
+    // repartition(8) stands in for the multi-task upstream every
+    // production shuffle has: AQE splits a skewed REDUCE partition
+    // along its MAP-output blocks (ShufflePartitionsUtil
+    // .createSkewPartitionSpecs), and the harness table is ONE
+    // parquet row group = one map task = one indivisible block —
+    // without upstream parallelism the split is structurally
+    // impossible, a sandbox artifact, not an engine property.
+    val ev = graft.Tables(s2, dir, "events")
+      .select(when($"user_id" % 10 =!= 0, lit(0L))
+        .otherwise($"user_id").as("k"), $"value")
+      .repartition(8)
+    // two structural conditions let OptimizeSkewedJoin actually fire,
+    // both the common production shape: (1) the dim side is a PLAIN
+    // scan→shuffle (an aggregate between the shuffle read and the
+    // join breaks the rule's SortExec-over-shuffle pattern — a
+    // derived `distinct()` dim silently disables the split); (2) the
+    // downstream aggregate groups on a NON-join-key attribute, so the
+    // join's output partitioning is re-shuffled anyway and splitting
+    // it costs no extra exchange (AQE declines otherwise unless
+    // forceOptimizeSkewedJoin)
+    val dim = graft.Tables(s2, dir, "customer")
+      .select($"c_custkey".as("k"), pmod($"c_custkey", lit(3)).as("grp"))
+    ev.join(dim, Seq("k"), "left")
+      .groupBy(coalesce($"grp", lit(-1L)).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"grp")
+  }
+
+  /** q61 — AQE RUNTIME skew-join split, the runtime counterpart of
+    * q26's compile-time salting (the builder prompt's "salting for
+    * skew, AQE for runtime re-plan" pair, now both oracle-gated): a
+    * join whose left side piles ~90% of its rows onto one key runs
+    * under adaptive execution with skew splitting enabled, and AQE
+    * rewrites the sort-merge join at runtime — the oversized
+    * partition is split into advisory-sized reads, each matched
+    * against a DUPLICATED copy of the right side's partition (the
+    * `skew=true` marker on the SMJ node, plan-asserted in
+    * PlanAuditSpec after execution since only the FINAL adaptive plan
+    * carries it). The oracle recomputes the aggregate directly: the
+    * split must be a pure execution rewrite, invisible in the answer.
+    *
+    * At 100 TB this is the first line of defense for unpredictable
+    * hot keys (salting remains the tool when skew is KNOWN and the
+    * two-phase shape is wanted); the session only rescales the
+    * skew thresholds to harness volume. */
+  def q61AqeSkew(s: SparkSession, dir: String): DataFrame =
+    q61Join(q61Session(s), dir)
 }

@@ -160,6 +160,18 @@ class PlanAuditSpec extends SparkSuiteBase {
       s"register fold does not partial-aggregate:\n$plan")
   }
 
+  test("q61: AQE splits the hot-key partition at runtime (skew=true)") {
+    // only the FINAL adaptive plan carries the marker, so execute
+    // first; sf0.01 for enough shuffle bytes to clear the (already
+    // harness-scaled) skew threshold
+    val df = ops.Skew.q61Join(ops.Skew.q61Session(spark),
+      "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n$plan")
+  }
+
   test("q60: the nullable NOT IN plans a NULL-AWARE anti join") {
     // BroadcastHashJoin's trailing boolean is isNullAwareAntiJoin —
     // the algorithm that makes 3VL NOT IN cheap instead of a re-scan
