@@ -173,6 +173,11 @@ object SparkEntry {
     "q53_collation" -> (Relational.q53Collation _),
     "q54_udaf_window" -> (Relational.q54UdafWindow _),
     "q48_interpolate" -> (Relational.q48Interpolate _),
+    "q62_percentiles" -> (Relational.q62Percentiles _),
+    "q63_regr" -> (Relational.q63RegrStats _),
+    "q64_bitbool" -> (Relational.q64BitBoolAgg _),
+    "q65_try" -> (Relational.q65TryArith _),
+    "q66_union_by_name" -> (Relational.q66UnionByName _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -2739,6 +2744,107 @@ object SparkEntry {
         |     (SELECT o_custkey FROM orders
         |      WHERE o_orderpriority = '1-URGENT'
         |        AND o_custkey IS NOT NULL)) AS n_not_in_clean""".stripMargin,
+
+    // q62: identical SQL-standard WITHIN GROUP spellings; quantities
+    // are integers and quarter-point fractions are powers of two, so
+    // the interpolated values are exact binary decimals in both
+    // engines — no round() needed (rounding discipline).
+    "q62_percentiles" ->
+      """SELECT l_returnflag,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p50_price_disc,
+        |  median(l_quantity) AS med_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q63: EXACT integer sufficient statistics (sums fit BIGINT and
+    // 2^53 at every SF), then the SAME IEEE expression tree as the
+    // Spark side — operand order mirrored term for term, so the
+    // derived doubles are bit-identical and need no round().
+    "q63_regr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) *
+        |             CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) *
+        |             CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT) *
+        |             CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT *,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM b)
+        |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+        |  cov / vx AS slope,
+        |  (CAST(sy AS DOUBLE) - (cov / vx) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept,
+        |  (cov * cov) / (vx * vy) AS r2,
+        |  cov / sqrt(vx * vy) AS corr_xy
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    // q64: all-integer/boolean aggregates — exact in both engines.
+    "q64_bitbool" ->
+      """SELECT o_orderpriority,
+        |  CAST(bit_and(o_orderkey) AS BIGINT) AS key_band,
+        |  CAST(bit_or(o_orderkey) AS BIGINT) AS key_bor,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bxor,
+        |  bool_and(o_totalprice > 1000) AS all_over_1000,
+        |  bool_or(o_orderstatus = 'F') AS any_finished,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q65: DuckDB has no try_ family — the mirrors are the defining
+    // rewrites: try_divide == x / nullif(d, 0); try_cast == TRY_CAST;
+    // try_element_at == native OOB list index (NULL by definition).
+    "q65_try" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN o_totalprice /
+        |    nullif(CAST(o_orderkey % 7 AS DOUBLE), 0) IS NULL
+        |    THEN 1 END) AS BIGINT) AS n_div_null,
+        |  round(sum(coalesce(o_totalprice /
+        |    nullif(CAST(o_orderkey % 7 AS DOUBLE), 0), 0)), 2)
+        |    AS sum_safe_div,
+        |  CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT))
+        |    AS BIGINT) AS sum_prio_digit,
+        |  CAST(count(TRY_CAST(o_orderstatus AS INT)) AS BIGINT)
+        |    AS n_status_casts,
+        |  CAST(count([o_orderstatus][5]) AS BIGINT) AS n_oob
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q66: UNION ALL BY NAME is DuckDB's native spelling of
+    // unionByName(allowMissingColumns) — missing columns null-fill,
+    // binding is by name despite the different projection orders.
+    // Spark asc = NULLS FIRST, so pin it.
+    "q66_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderpriority, o_totalprice, 'v1' AS source
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 <> 0)
+        |SELECT source, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_totalprice) AS BIGINT) AS n_priced,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS n_status,
+        |  round(sum(coalesce(o_totalprice, 0)), 2) AS sum_price
+        |FROM u GROUP BY ALL
+        |ORDER BY source NULLS FIRST, o_orderpriority""".stripMargin,
 
     // q45: the incremental merge must equal the one-pass aggregate.
     "q45_incr_agg" ->

@@ -1211,4 +1211,186 @@ object Relational {
         |      WHERE o_orderpriority = '1-URGENT'
         |        AND o_custkey IS NOT NULL)) AS n_not_in_clean""".stripMargin)
   }
+
+  /** q62 — exact percentiles: `percentile_cont` / `percentile_disc`
+    * (SQL:2008 WITHIN GROUP inverse-distribution functions) and
+    * `median`, grouped by return flag.
+    *
+    * Determinism across engines without any round(): quantities are
+    * integers 1..50 stored as doubles, and the quarter-point fractions
+    * {0, .25, .5, .75} of `(n-1)*p` are exact powers of two, so the
+    * interpolated value `a + (b-a)*frac` is an exact binary decimal in
+    * BOTH engines — no float divergence to paper over (the repo's
+    * rounding discipline: never round a division; here there is no
+    * division at all). percentile_disc is oracled by its SQL-standard
+    * definition (min value with cume_dist >= p) rather than trusting
+    * the oracle engine's variant to pick the same index convention.
+    *
+    * Scale shape: percentile_cont is NOT a partial-aggregable sketch —
+    * Spark plans a per-group sort (ObjectHashAggregate buffering the
+    * group). That is the honest cost of EXACT percentiles at 100 TB;
+    * the cheap path is q17's approx sketch family. Grouping by a
+    * 3-value flag bounds the number of buffered groups, and each
+    * group's buffer holds only the 50 distinct quantity values after
+    * Spark's internal value-count folding. */
+  def q62Percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir, Seq("lineitem"))
+    s.sql(
+      """SELECT l_returnflag,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p50_price_disc,
+        |  median(l_quantity) AS med_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** q63 — regression/correlation aggregates (`corr`, `regr_slope`,
+    * `regr_intercept`, `regr_r2`) computed from INTEGER sufficient
+    * statistics instead of the built-in streaming accumulators.
+    *
+    * Why not `corr(x, y)` directly: both engines implement it with
+    * order-dependent floating accumulation (Welford-style), so the
+    * low bits differ run-to-run and engine-to-engine — un-oracle-able.
+    * Here x = quantity (integer 1..50), y = floor(price) (integer
+    * dollars); the five sufficient sums n, Σx, Σy, Σxy, Σx², Σy² are
+    * EXACT BIGINTs (Σy² ≤ ~7e15 even at sf1 — inside both long and
+    * 2^53), and the derived slope/intercept/r²/corr are the SAME IEEE
+    * expression tree over those exact integers in Spark and DuckDB —
+    * bit-identical doubles, no rounding anywhere (operand-order
+    * mirroring, the q48 discipline).
+    *
+    * Scale shape: this is the partial-aggregation pattern the built-in
+    * forfeits determinism for — six longs per group fold map-side, the
+    * exchange carries ~48 bytes per (group × task), and the float
+    * arithmetic happens once per group after the final fold. At 100 TB
+    * the sufficient-statistics spelling is also the FASTER one. */
+  def q63RegrStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_quantity".cast("long")
+    val y = floor($"l_extendedprice").cast("long")
+    val base = Tables(s, dir, "lineitem")
+      .select($"l_returnflag", x.as("x"), y.as("y"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    // mirrored IEEE tree over exact-integer inputs; spell the oracle
+    // with the SAME operand order (see oracleSql) — no round()
+    val nd = $"n".cast("double")
+    val cov = nd * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")
+    val vx = nd * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")
+    val vy = nd * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double")
+    base.select(
+      $"l_returnflag", $"n", $"sx", $"sy", $"sxy", $"sxx", $"syy",
+      (cov / vx).as("slope"),
+      (($"sy".cast("double") - (cov / vx) * $"sx".cast("double")) / nd)
+        .as("intercept"),
+      ((cov * cov) / (vx * vy)).as("r2"),
+      (cov / sqrt(vx * vy)).as("corr_xy"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** q64 — bitwise and boolean aggregates: `bit_and`/`bit_or`/
+    * `bit_xor` over the order keys and `bool_and`/`bool_or` over
+    * predicates, per priority class.
+    *
+    * All-integer/boolean semantics — exact in both engines with zero
+    * float anywhere. bit_xor over a key set is the classic cheap
+    * set-digest (the q58 HLL's 1-bit cousin): xor-folding the keys of
+    * two runs detects any single-row divergence, which is why it
+    * earns a place in a 100 TB reconciliation toolkit.
+    *
+    * Scale shape: all five are partial-aggregable single-long states —
+    * the cheapest aggregate family there is; the exchange carries 5
+    * longs per (group × task). */
+  def q64BitBoolAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        bit_and($"o_orderkey").as("key_band"),
+        bit_or($"o_orderkey").as("key_bor"),
+        bit_xor($"o_orderkey").as("key_bxor"),
+        bool_and($"o_totalprice" > 1000).as("all_over_1000"),
+        bool_or($"o_orderstatus" === "F").as("any_finished"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** q65 — error-safe (`try_`) arithmetic: ANSI-mode error semantics
+    * turned into NULLs instead of job aborts. `try_divide` (÷0),
+    * `try_cast` (unparseable string), `try_element_at` (out-of-bounds
+    * index) — the tolerance battery a 100 TB ingest needs, because at
+    * a trillion rows every "can't happen" value happens and one
+    * poisoned row must not kill a 6-hour job (the reference's
+    * suppress-and-continue P17 semantics, applied at expression
+    * granularity instead of per-table try/except).
+    *
+    * The divisor `o_orderkey % 7` hits 0 on ~1/7 of rows — a real,
+    * SF-independent error population, counted in `n_div_null`.
+    * try_cast parses the leading digit of the priority ('1-URGENT' →
+    * 1 is cast-able only after substr; the raw status letter is not).
+    * DuckDB mirrors: x / nullif(d, 0), TRY_CAST, and native
+    * out-of-bounds list indexing (NULL by definition there).
+    *
+    * Scale shape: pure per-row expressions inside whole-stage codegen
+    * + one 5-group aggregate — nothing here shuffles more than the
+    * group digests. */
+  def q65TryArith(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir, Seq("orders"))
+    s.sql(
+      """SELECT o_orderpriority,
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN try_divide(o_totalprice,
+        |    CAST(o_orderkey % 7 AS DOUBLE)) IS NULL THEN 1 END)
+        |    AS n_div_null,
+        |  round(sum(coalesce(try_divide(o_totalprice,
+        |    CAST(o_orderkey % 7 AS DOUBLE)), 0)), 2) AS sum_safe_div,
+        |  sum(try_cast(substr(o_orderpriority, 1, 1) AS INT))
+        |    AS sum_prio_digit,
+        |  count(try_cast(o_orderstatus AS INT)) AS n_status_casts,
+        |  count(try_element_at(array(o_orderstatus), 5)) AS n_oob
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q66 — schema-drift union: `unionByName(allowMissingColumns)`
+    * over two projections with different column sets (the v1/v2
+    * ingest-evolution shape at the DataFrame level, complementing
+    * q35's file-level mergeSchema), then a `GROUP BY ALL` aggregate
+    * (SQL:2023-adjacent sugar both engines support) over the unified
+    * frame.
+    *
+    * unionByName resolves by NAME not position — the columns are
+    * deliberately projected in different orders on the two sides so a
+    * positional union would mis-bind, and the missing `o_totalprice` /
+    * `source` columns null-fill per branch (counted in the output, so
+    * a silent drop would flip the oracle).
+    *
+    * Scale shape: union is a zero-shuffle plan concatenation; the only
+    * exchange is the final 10-group aggregate. */
+  def q66UnionByName(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+    val v1 = orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderpriority", $"o_totalprice",
+        lit("v1").as("source"))
+    val v2 = orders.filter($"o_orderkey" % 2 =!= 0)
+      .select($"o_orderstatus", $"o_orderpriority")
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy($"source", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"o_totalprice").as("n_priced"),
+        count($"o_orderstatus").as("n_status"),
+        round(sum(coalesce($"o_totalprice", lit(0.0))), 2).as("sum_price"))
+      .orderBy($"source".asc_nulls_first, $"o_orderpriority")
+  }
 }

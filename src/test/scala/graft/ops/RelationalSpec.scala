@@ -223,6 +223,66 @@ class RelationalSpec extends SparkSuiteBase {
       s"no bloom filter aggregate on the creation side:\n${plan.take(4000)}")
   }
 
+  test("q62: exact percentiles obey p25 <= p50 <= p75 and median == p50") {
+    val rows = Relational.q62Percentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p75, s"percentiles out of order: $r")
+      assert(r.getDouble(5) == p50, s"median != percentile_cont(0.5): $r")
+      // quarter-point interpolation over integer quantities is an
+      // exact multiple of 0.25 — the cross-engine-exactness argument
+      assert(p25 * 4 == math.rint(p25 * 4), s"p25 not a quarter: $r")
+    }
+  }
+
+  test("q63: sufficient statistics fold partially before the exchange") {
+    val plan = physicalPlan(Relational.q63RegrStats(spark, sf))
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+    // and the derived slope/r2 agree with the textbook identities
+    val r = Relational.q63RegrStats(spark, sf).collect().head
+    val (n, sx, sy, sxy, sxx) =
+      (r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble,
+        r.getLong(4).toDouble, r.getLong(5).toDouble)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getDouble(7) == slope, "slope != mirrored IEEE tree")
+    assert(r.getDouble(10) >= -1.0 && r.getDouble(10) <= 1.0, "corr out of range")
+  }
+
+  test("q64: bit/bool aggregates fold partially and stay integer-exact") {
+    val plan = physicalPlan(Relational.q64BitBoolAgg(spark, sf))
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+    val r = Relational.q64BitBoolAgg(spark, sf).collect()
+    r.foreach { row =>
+      val (band, bor) = (row.getLong(1), row.getLong(2))
+      assert((band & bor) == band, s"bit_and must be a submask of bit_or: $row")
+    }
+  }
+
+  test("q65: try_divide nulls exactly the %7==0 rows, never aborts") {
+    val rows = Relational.q65TryArith(spark, sf).collect()
+    val nRows = rows.map(_.getLong(1)).sum
+    val nNull = rows.map(_.getLong(2)).sum
+    assert(nNull > 0 && nNull < nRows, s"divide-by-zero population degenerate")
+    // OOB element_at and non-numeric casts are all-null populations
+    assert(rows.forall(_.getLong(5) == 0L), "status letters must not cast")
+    assert(rows.forall(_.getLong(6) == 0L), "OOB index must be null")
+  }
+
+  test("q66: unionByName binds by name and null-fills missing columns") {
+    val rows = Relational.q66UnionByName(spark, sf).collect()
+    val v1 = rows.filter(r => !r.isNullAt(0) && r.getString(0) == "v1")
+    val v2 = rows.filter(_.isNullAt(0))
+    assert(v1.nonEmpty && v2.nonEmpty)
+    // v1 branch carries prices and no statuses; v2 the inverse — a
+    // positional union would scramble exactly this
+    assert(v1.forall(r => r.getLong(3) == r.getLong(2) && r.getLong(4) == 0L))
+    assert(v2.forall(r => r.getLong(3) == 0L && r.getLong(4) == r.getLong(2)))
+    // union is plan concatenation: no exchange below the aggregate
+    val plan = physicalPlan(Relational.q66UnionByName(spark, sf))
+    assert(plan.contains("Union"), s"no union in plan:\n$plan")
+  }
+
   test("semi/anti join row counts are consistent with their complement") {
     val customers = graft.Tables(spark, sf, "customer").count()
     val semi = Relational.q04SemiJoin(spark, sf)
