@@ -135,6 +135,7 @@ object SparkEntry {
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "s15_pq_topk" -> (Similarity.s15PqTopK _),
     "s23_pq_layout" -> (Similarity.s23PqLayout _),
+    "s24_hamming_topk" -> (Similarity.s24HammingTopK _),
     "s16_pq_recall" -> (Similarity.s16PqRecall _),
     "s17_ivfpq_topk" -> (Similarity.s17IvfPqTopK _),
     "s18_ivfpq_recall" -> (Similarity.s18IvfPqRecall _),
@@ -1701,6 +1702,31 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(c, 6) AS cos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // s24: the oracle ranks by the UNPACKED Hamming definition —
+    // count of sign mismatches — which equals bit_count(xor) of the
+    // engine's packed sigs by construction; rank order is all-integer
+    // (hamming, vec_id), so no float affects row identity.
+    "s24_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    len(list_filter(range(64),
+        |      i -> (e.v[i+1] > 0) <> (q.qv[i+1] > 0))) AS hamming
+        |  FROM q, e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming ASC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT r.query_id, r.rank, r.vec_id, CAST(r.hamming AS INT) AS hamming,
+        |  round(list_cosine_similarity(q.qv, e.v), 6) AS cos
+        |FROM ranked r
+        |JOIN q ON q.query_id = r.query_id
+        |JOIN e ON e.vec_id = r.vec_id
+        |WHERE r.rank <= 5
+        |ORDER BY r.query_id, r.rank""".stripMargin,
 
     "s02_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

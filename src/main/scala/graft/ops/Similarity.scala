@@ -880,4 +880,55 @@ object Similarity {
     graft.Graft.annRecall(s17IvfPqTopK(s, dir), s01CosineTopK(s, dir), k = K)
       .orderBy($"query_id")
   }
+
+  /** The 64 sign bits of a 64-dim vector packed into ONE BIGINT:
+    * bit i set iff dim i > 0. Pure codegen'd HOF pipeline (zip_with +
+    * aggregate with a bitwise-OR fold) — no UDF, no shuffle. */
+  private[graft] def signBits(v: Column): Column =
+    aggregate(
+      zip_with(v, sequence(lit(0), lit(63)),
+        (x, i) => when(x > lit(0f), call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** s24 — binary (sign-bit) quantized search: 64 dims -> 64 bits ->
+    * one BIGINT, candidates ranked by Hamming distance
+    * `bit_count(sig XOR qsig)`, then ONLY the k winners fetch their
+    * float vectors back for an exact-cosine rerank column (s11's
+    * rerank-after-prune shape at 32x compression instead of 4x).
+    *
+    * Stage 1 scans 8 bytes/vector — at 100 TB of fp32 embeddings the
+    * sig table is ~3 TB, a two-orders scan reduction, and XOR+popcount
+    * is the cheapest distance kernel there is (SIMD-friendly, fully
+    * inside whole-stage codegen here). Stage 2 touches k x |Q| rows.
+    * Everything is integer-exact until the display-only cosine: the
+    * Hamming rank order (tie-broken on vec_id) is deterministic in
+    * both engines, so the oracle needs no float tolerance anywhere
+    * that affects row identity.
+    *
+    * Oracle mirror: the UNPACKED definition — hamming(pack(a),
+    * pack(b)) == |{i : sign(a_i) != sign(b_i)}| — so the DuckDB side
+    * never has to reproduce the bit layout, only the math. */
+  def s24HammingTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val sigs = emb.select($"vec_id", signBits($"embedding").as("sig"))
+    val queries = broadcast(sigs.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"sig".as("qsig")))
+    val w = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"vec_id")
+    val winners = sigs.crossJoin(queries)
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        bit_count($"sig".bitwiseXOR($"qsig")).as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+    // rerank fetch: only k x |Q| winners touch float vectors again
+    winners
+      .join(emb.withColumnRenamed("embedding", "v"), "vec_id")
+      .join(broadcast(emb.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q"))), "query_id")
+      .select($"query_id", $"rank", $"vec_id", $"hamming",
+        round(cosine($"q", $"v"), 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
 }

@@ -621,4 +621,37 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(10L, 12L))
   }
+
+  test("s24: packed bit_count(xor) equals the unpacked sign-mismatch count") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = Similarity.s24HammingTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, v) = (emb(r.getLong(0)), emb(r.getLong(2)))
+      val unpacked = q.zip(v).count { case (a, b) => (a > 0) != (b > 0) }
+      assert(r.getInt(3) == unpacked,
+        s"hamming mismatch for ${r.getLong(0)}->${r.getLong(2)}")
+    }
+    // per query, rank order is monotone in hamming (ties on vec_id)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(1)).map(_.getInt(3))
+      assert(byRank.sorted.sameElements(byRank), "rank not monotone in hamming")
+    }
+  }
+
+  test("s24 plan: the candidate scan carries 8-byte sigs, never the vectors") {
+    val df = Similarity.s24HammingTopK(spark, "/root/testdata/sf0.001")
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the top-k window exchange must partition narrow (query_id,
+    // vec_id, hamming) rows — an embedding column there would mean the
+    // stage-1 scan is shipping floats, voiding the 32x claim
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("embedding")),
+      s"an exchange carries the raw vectors:\n${exchanges.mkString("\n")}")
+  }
 }
