@@ -2140,4 +2140,22 @@ object Graft {
         "min_str, max_str)"))
       .orderBy(col("column_name"))
   }
+
+  /** Unicode-normalize a text column in place (NFC default) via the
+    * native [[graft.functions.UnicodeNormalize]] expression — the
+    * canonicalization every fingerprint-based dedup in this engine
+    * assumes upstream (composed vs decomposed spellings of identical
+    * text hash apart otherwise; see the expression's scaladoc for the
+    * normalize-then-fingerprint ordering argument).
+    *
+    * Scale shape: a pure per-row projection inside whole-stage
+    * codegen with an isNormalized fast path — no shuffle, no UDF
+    * boxing; at 100 TB it rides the ingest scan for free. */
+  def normalizeText(df: DataFrame, textCol: String,
+      form: String = "NFC"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    df.withColumn(textCol, ColumnBridge.column(
+      graft.functions.UnicodeNormalize(
+        ColumnBridge.expression(col(textCol)), form)))
+  }
 }

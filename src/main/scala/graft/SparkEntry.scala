@@ -127,6 +127,7 @@ object SparkEntry {
     "t31_drift" -> (TextAnalysis.t31Drift _),
     "t32_pmi" -> (TextAnalysis.t32Pmi _),
     "t33_boiler" -> (TextAnalysis.t33Boilerplate _),
+    "t34_normalize" -> (TextAnalysis.t34Normalize _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -983,6 +984,25 @@ object SparkEntry {
         |      ORDER BY (c_bigram * n_tokens) / (c_w1 * c_w2) DESC, bigram
         |      LIMIT 50) q
         |ORDER BY bigram""".stripMargin,
+
+    // t34: identical planted decomposed input built in BOTH engines
+    // (the d05 planted-literal discipline), then each runs its OWN
+    // normalizer — java.text.Normalizer vs nfc_normalize — so the
+    // compare genuinely cross-checks NFC semantics. length() counts
+    // codepoints in both engines.
+    "t34_normalize" ->
+      """WITH p AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 4 = 0 THEN text
+        |         ELSE text || ' caf' ||
+        |           repeat('e' || chr(769), CAST(doc_id % 3 + 1 AS INT))
+        |    END AS raw
+        |  FROM documents),
+        |n AS (SELECT lang, raw, nfc_normalize(raw) AS t FROM p)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN t <> raw THEN 1 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
+        |  CAST(sum(length(t)) AS BIGINT) AS chars_nfc
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
 
     // t33: the same 8-token non-overlapping windows, grouped by line
     // TEXT where the engine groups by xxhash64(line) — identical

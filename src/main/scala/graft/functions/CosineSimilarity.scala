@@ -138,7 +138,28 @@ object GraftFunctions {
     ("minhash_sketch", classOf[MinHashSketch],
       checkedArity("minhash_sketch", 3, GraftFunctions.buildMinHashSketch)),
     ("int8_dot", classOf[Int8Dot],
-      checkedArity("int8_dot", 2, e => Int8Dot(e(0), e(1)))))
+      checkedArity("int8_dot", 2, e => Int8Dot(e(0), e(1)))),
+    ("unicode_normalize", classOf[UnicodeNormalize],
+      // 1- or 2-arg: the optional form must be a foldable string
+      // literal (plan-time config — see the expression's scaladoc),
+      // checked at resolution like minhash_sketch's width
+      (exprs: Seq[Expression]) => {
+        if (exprs.isEmpty || exprs.length > 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`unicode_normalize`", "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val form = if (exprs.length == 2) {
+          val f = exprs(1)
+          require(f.foldable && f.dataType == StringType,
+            s"unicode_normalize form must be a string literal, got ${f.sql}")
+          val v = f.eval()
+          require(v != null, "unicode_normalize form must not be NULL")
+          v.toString
+        } else "NFC"
+        UnicodeNormalize(exprs(0), form)
+      }))
 
   def register(spark: SparkSession): Unit = {
     // Register once per session: createOrReplaceTempFunction logs a WARN

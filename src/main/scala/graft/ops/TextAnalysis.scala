@@ -784,4 +784,43 @@ object TextAnalysis {
   def t33Boilerplate(s: SparkSession, dir: String): DataFrame =
     graft.Graft.boilerplateStats(
       Tables.spread(Tables(s, dir, "documents")), "doc_id", "text")
+
+  /** t34 — Unicode NFC normalization stats over the documents corpus
+    * via the native [[graft.functions.UnicodeNormalize]] expression
+    * ([[graft.Graft.normalizeText]]).
+    *
+    * The harness corpus is pure ASCII (already NFC), so the query
+    * PLANTS a decomposed population deterministically — 3/4 of docs
+    * get a suffix of (doc_id % 3 + 1) e+U+0301 combining pairs, each
+    * of which NFC composes to one é — the d05 planted-literal
+    * discipline: the engine and the oracle build the identical
+    * decomposed input, then each runs its OWN normalizer
+    * (java.text.Normalizer vs DuckDB nfc_normalize), so the oracle
+    * genuinely cross-checks the normalization semantics, not a copy
+    * of its output. The untouched 1/4 pins the fast path: already-
+    * normal text must pass through unchanged AND uncounted.
+    *
+    * Per-lang aggregate: docs changed, codepoint counts before/after
+    * (the composition shrinks each planted pair by exactly one
+    * codepoint in both engines — length() counts codepoints in
+    * both). */
+  def t34Normalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        when($"doc_id" % 4 === 0, $"text")
+          .otherwise(concat($"text", lit(" caf"),
+            // decomposed e + U+0301 via escape (a source-literal
+            // combining pair risks silent NFC re-encoding by tooling)
+            repeat(lit("e\u0301"), ($"doc_id" % 3 + 1).cast("int"))))
+          .as("raw"))
+    graft.Graft.normalizeText(planted.withColumn("text", $"raw"), "text")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"text" =!= $"raw", 1)).as("n_changed"),
+        sum(length($"raw")).as("chars_raw"),
+        sum(length($"text")).as("chars_nfc"))
+      .orderBy($"lang")
+  }
 }

@@ -816,4 +816,20 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got("tick tock") == 60000L && got("the end") == 30000L, got.toString)
     assert(!got.contains("tock the") || got("tock the") == 30000L)
   }
+
+  test("normalizeText: NFC in place over an arbitrary frame; other forms work") {
+    val df = Seq(
+      (1L, "cafe\u0301"),      // decomposed -> composes
+      (2L, "caf\u00e9"),       // already composed -> unchanged
+      (3L, "plain ascii"),     // fast path
+      (4L, null.asInstanceOf[String])) // null passes through
+      .toDF("id", "text")
+    val nfc = Graft.normalizeText(df, "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(nfc(1L).contains("caf\u00e9") && nfc(2L).contains("caf\u00e9"))
+    assert(nfc(3L).contains("plain ascii") && nfc(4L).isEmpty)
+    val nfd = Graft.normalizeText(df, "text", "NFD").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(nfd(2L).contains("cafe\u0301"), "NFD must decompose the composed form")
+  }
 }

@@ -183,4 +183,37 @@ class CodegenSpec extends SparkSuiteBase {
         s"expected WRONG_NUM_ARGS for [$sql], got: ${e.getCondition}: ${e.getMessage}")
     }
   }
+
+  test("unicode_normalize composes NFC inside codegen; NFD round-trips; null passes") {
+    GraftFunctions.register(spark)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(concat($"text", lit(" e\u0301")).as("s"))
+    val df = docs.select(
+      call_function("unicode_normalize", $"s").as("nfc"),
+      call_function("unicode_normalize", $"s", lit("NFD")).as("nfd"),
+      $"s")
+    val plan = df.queryExecution.executedPlan
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("unicode_normalize")),
+      s"unicode_normalize not inside codegen:\n$plan")
+    df.collect().foreach { r =>
+      val (nfc, nfd, raw) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(nfc.length == raw.length - 1, "NFC must compose e+U+0301 to one char")
+      assert(nfc.endsWith("\u00e9") && nfd == raw,
+        "NFD of already-decomposed input must be identity")
+      // the two forms round-trip through java.text.Normalizer semantics
+      assert(java.text.Normalizer.normalize(nfd, java.text.Normalizer.Form.NFC) == nfc)
+    }
+    // null in, null out (interpreted path)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    assert(UnicodeNormalize(Literal.create(null, StringType)).eval(null) == null)
+    // bad form rejected at construction with the reason
+    val e = intercept[IllegalArgumentException] {
+      UnicodeNormalize(Literal.create("x", StringType), "NFX")
+    }
+    assert(e.getMessage.contains("normalization form"))
+  }
 }
