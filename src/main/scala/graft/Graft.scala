@@ -2158,4 +2158,44 @@ object Graft {
       graft.functions.UnicodeNormalize(
         ColumnBridge.expression(col(textCol)), form)))
   }
+
+  /** Canonical form of an http(s) URL column — the CommonCrawl-style
+    * URL-level dedup key (a crawl sees the same page as
+    * `HTTPS://WWW.Site.com:443/p/?b=2&utm_source=x&a=1#top` and
+    * `https://site.com/p?a=1&b=2`; exact-dedup on the raw string
+    * keeps both). Steps, each a deliberate semantic choice:
+    * fragment dropped (never sent to the server), scheme+host
+    * lowercased (case-insensitive by RFC 3986), default ports :80/:443
+    * and a leading `www.` stripped, trailing path slashes trimmed,
+    * tracking params (utm_*, fbclid, gclid) removed, surviving query
+    * params SORTED (order-insensitive for virtually all servers —
+    * the lossy-but-right trade for a dedup key; keep the raw column
+    * alongside when fidelity matters).
+    *
+    * Pure per-row regex/HOF pipeline inside whole-stage codegen — no
+    * UDF, no shuffle; at 100 TB it rides the ingest scan. Every step
+    * is expressible identically in DuckDB, which is what makes t35
+    * oracle-checkable end to end. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    val host = regexp_replace(regexp_replace(host0, ":(80|443)$", ""), "^www\\.", "")
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = when(rest.contains("?"), regexp_extract(rest, "\\?(.*)$", 1))
+      .otherwise(lit(""))
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+    val qs = when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, qs)
+  }
+
+  /** [[canonicalizeUrl]] over a frame: adds `canonical_url` (and the
+    * extracted `domain`) next to the raw column. */
+  def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("domain",
+        regexp_extract(col("canonical_url"), "^[a-z][a-z0-9+.-]*://([^/?]+)", 1))
 }

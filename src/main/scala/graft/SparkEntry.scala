@@ -128,6 +128,7 @@ object SparkEntry {
     "t32_pmi" -> (TextAnalysis.t32Pmi _),
     "t33_boiler" -> (TextAnalysis.t33Boilerplate _),
     "t34_normalize" -> (TextAnalysis.t34Normalize _),
+    "t35_url_canon" -> (TextAnalysis.t35UrlCanon _),
     "s09_quant" -> (Similarity.s09Quantize _),
     "s10_recall" -> (Similarity.s10Recall _),
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
@@ -1003,6 +1004,63 @@ object SparkEntry {
         |  CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
         |  CAST(sum(length(t)) AS BIGINT) AS chars_nfc
         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t35: identical planted raw-URL variants in both engines, then
+    // each canonicalizes with its OWN regex/list pipeline — fragment
+    // and tracking-param stripping, case/port/www/trailing-slash
+    // folding, param sort. The variant collapse (n_canonical < n_raw)
+    // is the property under test.
+    "t35_url_canon" ->
+      """WITH p AS (SELECT doc_id,
+        |    source || '.example.com' AS dom,
+        |    CAST(doc_id % 16 AS VARCHAR) AS key,
+        |    doc_id % 4 AS v
+        |  FROM documents),
+        |raw AS (SELECT doc_id,
+        |    CASE v
+        |      WHEN 0 THEN 'https://' || dom || '/item/' || key || '?a=1&b=2'
+        |      WHEN 1 THEN 'HTTPS://WWW.' || upper(dom) || ':443/item/'
+        |        || key || '/?b=2&a=1#frag'
+        |      WHEN 2 THEN 'https://' || dom || ':443/item/' || key
+        |        || '?utm_source=feed&a=1&b=2'
+        |      ELSE 'https://www.' || dom || '/item/' || key
+        |        || '/?b=2&utm_campaign=x&a=1&fbclid=zzz'
+        |    END AS url FROM p),
+        |c0 AS (SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '') AS nf FROM raw),
+        |c1 AS (SELECT doc_id, url,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nf,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)),
+        |      ':(80|443)$', ''), '^www\.', '') AS host,
+        |    regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS rest
+        |  FROM c0),
+        |c2 AS (SELECT doc_id, url, scheme, host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+        |      AS path,
+        |    CASE WHEN contains(rest, '?')
+        |         THEN regexp_extract(rest, '\?(.*)$', 1) ELSE '' END AS query
+        |  FROM c1),
+        |c3 AS (SELECT doc_id, url, scheme, host, path,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      pa -> pa <> '' AND NOT regexp_matches(pa,
+        |        '^(utm_[^=]*|fbclid|gclid)='))) AS params FROM c2),
+        |canon AS (SELECT doc_id, url,
+        |    scheme || '://' || host || path ||
+        |    CASE WHEN len(params) > 0
+        |         THEN '?' || array_to_string(params, '&') ELSE '' END
+        |      AS canonical_url FROM c3),
+        |d AS (SELECT doc_id, url, canonical_url,
+        |    regexp_extract(canonical_url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?]+)', 1) AS domain FROM canon)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+        |  min(canonical_url) AS sample_url
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
 
     // t33: the same 8-token non-overlapping windows, grouped by line
     // TEXT where the engine groups by xxhash64(line) — identical

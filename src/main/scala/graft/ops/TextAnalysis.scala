@@ -823,4 +823,47 @@ object TextAnalysis {
         sum(length($"text")).as("chars_nfc"))
       .orderBy($"lang")
   }
+
+  /** t35 — URL canonicalization dedup stats
+    * ([[graft.Graft.canonicalizeUrls]]): the harness corpus has no URL
+    * column, so the query PLANTS one deterministically (the t34/d05
+    * planted-input discipline, built identically in both engines) —
+    * four raw formatting variants per logical page (case, www, :443,
+    * trailing slash, param order, utm/fbclid tracking noise,
+    * #fragment),
+    * keyed by `doc_id % 16` per source domain so several docs share a
+    * logical page at EVERY SF. The engine then canonicalizes with its
+    * own operator and the oracle with mirrored SQL — the variant
+    * collapse (n_canonical < n_raw) is the property under test, the
+    * exact thing raw-string exact-dedup gets wrong on a crawl.
+    *
+    * Scale shape: per-row regex/HOF canonicalization inside codegen,
+    * then one partial-aggregated group by domain — the 100 TB
+    * URL-dedup key-extraction pass. */
+  def t35UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = $"doc_id" % 4
+    val key = ($"doc_id" % 16).cast("string")
+    val dom = concat($"source", lit(".example.com"))
+    val raw = when(v === 0,
+        concat(lit("https://"), dom, lit("/item/"), key, lit("?a=1&b=2")))
+      .when(v === 1,
+        concat(lit("HTTPS://WWW."), upper(dom), lit(":443/item/"), key,
+          lit("/?b=2&a=1#frag")))
+      .when(v === 2,
+        concat(lit("https://"), dom, lit(":443/item/"), key,
+          lit("?utm_source=feed&a=1&b=2")))
+      .otherwise(
+        concat(lit("https://www."), dom, lit("/item/"), key,
+          lit("/?b=2&utm_campaign=x&a=1&fbclid=zzz")))
+    graft.Graft.canonicalizeUrls(
+        Tables(s, dir, "documents").select($"doc_id", raw.as("url")), "url")
+      .groupBy($"domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"url").as("n_raw"),
+        countDistinct($"canonical_url").as("n_canonical"),
+        min($"canonical_url").as("sample_url"))
+      .orderBy($"domain")
+  }
 }

@@ -832,4 +832,27 @@ class GraftFacadeSpec extends SparkSuiteBase {
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(nfd(2L).contains("cafe\u0301"), "NFD must decompose the composed form")
   }
+
+  test("canonicalizeUrl folds case/port/www/slash/fragment/tracking/param-order") {
+    val cases = Seq(
+      // the four t35 variants of one logical page
+      "https://s.example.com/item/3?a=1&b=2",
+      "HTTPS://WWW.S.EXAMPLE.COM:443/item/3/?b=2&a=1#frag",
+      "https://s.example.com:443/item/3?utm_source=feed&a=1&b=2",
+      "https://www.s.example.com/item/3/?b=2&utm_campaign=x&a=1&fbclid=zzz",
+      // edges: http:80, no query, ONLY tracking params, bare host
+      "HTTP://Host.Org:80/A/B/",
+      "https://host.org/x?utm_source=a&gclid=b",
+      "https://host.org")
+    val got = Graft.canonicalizeUrls(
+        cases.zipWithIndex.map(_.swap).toDF("id", "url"), "url")
+      .orderBy($"id").select($"canonical_url", $"domain")
+      .as[(String, String)].collect()
+    assert(got.take(4).map(_._1).distinct.toSeq ==
+      Seq("https://s.example.com/item/3?a=1&b=2"),
+      s"variants did not collapse: ${got.take(4).mkString("\n")}")
+    assert(got(4) == (("http://host.org/A/B", "host.org")))
+    assert(got(5)._1 == "https://host.org/x", "tracking-only query must drop '?'")
+    assert(got(6)._1 == "https://host.org")
+  }
 }
