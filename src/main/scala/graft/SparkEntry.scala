@@ -181,6 +181,8 @@ object SparkEntry {
     "q64_bitbool" -> (Relational.q64BitBoolAgg _),
     "q65_try" -> (Relational.q65TryArith _),
     "q66_union_by_name" -> (Relational.q66UnionByName _),
+    "q67_time_range_frame" -> (Relational.q67TimeRangeFrame _),
+    "q68_date_spine" -> (Relational.q68DateSpine _),
     "t01_langid" -> (TextAnalysis.t01LangId _),
     "t02_quality" -> (TextAnalysis.t02Quality _),
     "t03_token_stats" -> (TextAnalysis.t03TokenStats _),
@@ -2949,6 +2951,36 @@ object SparkEntry {
         |  round(sum(coalesce(o_totalprice, 0)), 2) AS sum_price
         |FROM u GROUP BY ALL
         |ORDER BY source NULLS FIRST, o_orderpriority""".stripMargin,
+
+    // q67: identical interval RANGE frame; ts-ties are frame peers in
+    // both engines so no tie-break is needed for the counts; the
+    // rolling double sum rounds per discipline.
+    "q67_time_range_frame" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_3d,
+        |  round(sum(value) OVER w, 2) AS sum_3d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // q68: generate_series mirrors sequence() (both ends inclusive);
+    // empty days must surface with zero counts, not vanish.
+    "q68_date_spine" ->
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |             CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+        |      INTERVAL 1 DAY)) AS DATE) AS day, p.o_orderpriority
+        |  FROM b, (SELECT DISTINCT o_orderpriority FROM orders) p),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(o_totalprice), 2) AS sum_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT s.day, s.o_orderpriority,
+        |  CAST(coalesce(d.n, 0) AS BIGINT) AS n_orders,
+        |  coalesce(d.sum_price, 0) AS sum_price
+        |FROM spine s LEFT JOIN daily d USING (day, o_orderpriority)
+        |ORDER BY day, o_orderpriority""".stripMargin,
 
     // q45: the incremental merge must equal the one-pass aggregate.
     "q45_incr_agg" ->

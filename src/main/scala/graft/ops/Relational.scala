@@ -1212,6 +1212,67 @@ object Relational {
         |        AND o_custkey IS NOT NULL)) AS n_not_in_clean""".stripMargin)
   }
 
+  /** q67 — time-interval RANGE window frame: per-user rolling 3-day
+    * event count and value sum, `RANGE BETWEEN INTERVAL '3' DAY
+    * PRECEDING AND CURRENT ROW` ordered by event time. Semantically
+    * distinct from q20's numeric range frame and q12's ROWS frames:
+    * the frame is bounded by the ORDER-BY VALUE (a timestamp minus a
+    * calendar interval), so frame membership is data-driven — gaps
+    * shrink the frame, bursts grow it, and ts-ties are peers (all
+    * included) which keeps the result order-insensitive and therefore
+    * cross-engine deterministic with no tie-breaking gymnastics.
+    *
+    * Scale shape: one shuffle on user_id + per-partition sort — the
+    * same cost as any window; the running frame is maintained by a
+    * sliding two-pointer over the sorted run, not a rescan (both
+    * engines). The rolling sum over doubles is frame-order-dependent
+    * only in float low bits -> round(2) per discipline. */
+  def q67TimeRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir, Seq("events"))
+    s.sql(
+      """SELECT user_id, event_id, ts,
+        |  count(*) OVER w AS n_3d,
+        |  round(sum(value) OVER w, 2) AS sum_3d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '3' DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin)
+  }
+
+  /** q68 — calendar-spine densification: daily order counts per
+    * priority INCLUDING zero days, the gap-filling report shape q48's
+    * interpolation assumes upstream. The spine is GENERATED —
+    * `sequence(min_day, max_day, interval 1 day)` exploded, crossed
+    * with the 5 priorities — then LEFT-joined to the facts; a
+    * grouped-facts-only report silently drops empty days, which is
+    * exactly the bug this operator family exists to prevent.
+    *
+    * Scale shape: the single real shuffle is the fact-side daily
+    * pre-aggregation, which collapses 100 TB of orders to one row per
+    * (day, priority) BEFORE any join; that aggregate (days x
+    * priorities, thousands of rows at any horizon) then BROADCASTS as
+    * the null-supplying side of the spine's left join (the preserved
+    * spine side cannot be broadcast, so the hint goes on the daily
+    * aggregate — plan-asserted in RelationalSpec). */
+  def q68DateSpine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+    val daily = orders
+      .groupBy(to_date($"o_orderdate").as("day"), $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
+    val bounds = orders.agg(
+      to_date(min($"o_orderdate")).as("d0"), to_date(max($"o_orderdate")).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(orders.select($"o_orderpriority").distinct())
+    spine
+      .join(broadcast(daily), Seq("day", "o_orderpriority"), "left")
+      .select($"day", $"o_orderpriority",
+        coalesce($"n", lit(0L)).as("n_orders"),
+        coalesce($"sum_price", lit(0.0)).as("sum_price"))
+      .orderBy($"day", $"o_orderpriority")
+  }
+
   /** q62 — exact percentiles: `percentile_cont` / `percentile_disc`
     * (SQL:2008 WITHIN GROUP inverse-distribution functions) and
     * `median`, grouped by return flag.

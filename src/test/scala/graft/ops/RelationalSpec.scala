@@ -283,6 +283,34 @@ class RelationalSpec extends SparkSuiteBase {
     assert(plan.contains("Union"), s"no union in plan:\n$plan")
   }
 
+  test("q67: the window frame is a value-driven RANGE over the interval") {
+    val df = Relational.q67TimeRangeFrame(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("RangeFrame") && plan.contains("INTERVAL"),
+      s"no interval range frame in plan:\n$plan")
+    // frame sums are monotone-bounded by the partition totals
+    val rows = df.collect()
+    assert(rows.forall(_.getLong(3) >= 1), "frame must include CURRENT ROW")
+    val perUser = rows.groupBy(_.getLong(0))
+    perUser.values.foreach { g =>
+      assert(g.map(_.getLong(3)).max <= g.length,
+        "frame count exceeds partition size")
+    }
+  }
+
+  test("q68: empty days surface as zeros; the daily aggregate broadcasts") {
+    val df = Relational.q68DateSpine(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"spine join must broadcast the daily aggregate:\n$plan")
+    val rows = df.collect()
+    // the spine is dense: every (day, priority) pair within bounds
+    val days = rows.map(_.getDate(0).toString).distinct.length
+    assert(rows.length == days * 5, s"spine not dense: ${rows.length} vs $days x 5")
+    assert(rows.exists(_.getLong(2) == 0L),
+      "no zero day at this SF — the left join is untested (pick a denser spine)")
+  }
+
   test("semi/anti join row counts are consistent with their complement") {
     val customers = graft.Tables(spark, sf, "customer").count()
     val semi = Relational.q04SemiJoin(spark, sf)
