@@ -2198,4 +2198,35 @@ object Graft {
     df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
       .withColumn("domain",
         regexp_extract(col("canonical_url"), "^[a-z][a-z0-9+.-]*://([^/?]+)", 1))
+
+  /** One-row referential-integrity audit of a child->parent
+    * relationship (the dbt `relationships` test, plus the reverse
+    * coverage direction dbt doesn't check): orphan child ROWS (fk
+    * value absent from the parent — null fks are not orphans, matching
+    * SQL FK semantics) and unreferenced PARENT rows (no child points
+    * at them — not a violation, but the number that catches a
+    * truncated child load).
+    *
+    * Scale shape: the orphan side is a LEFT ANTI join streaming the
+    * child once (parent dims broadcast when small, AQE decides);
+    * the reverse side anti-joins the parent against the DISTINCT
+    * child keys — the distinct partial-aggregates map-side, so the
+    * shuffle carries unique keys, never child rows. */
+  def fkAudit(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, relation: String): DataFrame = {
+    val c = child.select(col(childKey).as("__ck"))
+    val p = parent.select(col(parentKey).as("__ck"))
+    val stats = c.agg(count(lit(1)).as("n_child"),
+      count(col("__ck")).as("n_child_nonnull"))
+    val orphans = c.filter(col("__ck").isNotNull)
+      .join(p, Seq("__ck"), "left_anti").agg(count(lit(1)).as("o"))
+    val unref = p.join(c.select(col("__ck")).distinct(), Seq("__ck"), "left_anti")
+      .agg(count(lit(1)).as("u"))
+    val np = p.agg(count(lit(1)).as("n_parent"))
+    stats.crossJoin(orphans).crossJoin(np).crossJoin(unref)
+      .select(lit(relation).as("relation"),
+        col("n_child"), col("n_child_nonnull"),
+        col("o").as("n_orphan_rows"),
+        col("n_parent"), col("u").as("n_unref_parents"))
+  }
 }

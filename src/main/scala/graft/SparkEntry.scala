@@ -216,7 +216,8 @@ object SparkEntry {
     "c02_assembly" -> (Curation.c02Assembly _),
     "c03_manifest" -> (Curation.c03Manifest _),
     "c04_profile" -> ((s, dir) => Graft.profile(Tables(s, dir, "orders"))),
-    "c05_expectations" -> (Curation.c05Expectations _)
+    "c05_expectations" -> (Curation.c05Expectations _),
+    "c06_ref_integrity" -> (Curation.c06RefIntegrity _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -1333,6 +1334,38 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM qty UNION ALL SELECT * FROM bal
         |  UNION ALL SELECT * FROM ch)
         |ORDER BY rule""".stripMargin,
+
+    // c06: each edge audited in both directions via NOT IN over the
+    // non-null key sets — the defining spelling of orphans and
+    // unreferenced parents. All counts BIGINT-cast.
+    "c06_ref_integrity" ->
+      (Seq(
+        ("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        ("supplier.nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        ("nation.regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey")).map { case (name, c, ck, p, pk) =>
+        s"""SELECT '$name' AS relation,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $c) AS n_child,
+           |  (SELECT CAST(count($ck) AS BIGINT) FROM $c) AS n_child_nonnull,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $c
+           |     WHERE $ck IS NOT NULL AND $ck NOT IN
+           |       (SELECT $pk FROM $p)) AS n_orphan_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $p) AS n_parent,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $p WHERE $pk NOT IN
+           |     (SELECT DISTINCT $ck FROM $c WHERE $ck IS NOT NULL))
+           |    AS n_unref_parents""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY relation")),
 
     // c04: the single-pass column profile spelled per column — null
     // count, exact distinct, type-aware min/max (timestamps as epoch

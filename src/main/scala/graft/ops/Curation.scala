@@ -203,4 +203,37 @@ object Curation {
     Seq(pk, fk, qty, bal, chars).reduce(_ unionByName _)
       .orderBy($"rule")
   }
+
+  /** c06 — the FULL referential-integrity graph of the warehouse
+    * ([[graft.Graft.fkAudit]] per edge): every declared child->parent
+    * relationship audited in BOTH directions — orphan child rows
+    * (violations) and unreferenced parent rows (the truncated-load
+    * tripwire). c05 checks one FK as part of its expectation suite;
+    * this is the schema-wide audit a warehouse runs nightly.
+    *
+    * Scale shape: seven independent anti-join pairs, each following
+    * the fkAudit shape (child streamed once, distinct-key reverse
+    * probe); the per-edge one-row digests union into the report. */
+  def c06RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def t(n: String) = Tables(s, dir, n)
+    val edges = Seq(
+      ("orders.custkey->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"),
+      ("lineitem.orderkey->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"),
+      ("lineitem.partkey->part", t("lineitem"), "l_partkey",
+        t("part"), "p_partkey"),
+      ("lineitem.suppkey->supplier", t("lineitem"), "l_suppkey",
+        t("supplier"), "s_suppkey"),
+      ("customer.nationkey->nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey"),
+      ("supplier.nationkey->nation", t("supplier"), "s_nationkey",
+        t("nation"), "n_nationkey"),
+      ("nation.regionkey->region", t("nation"), "n_regionkey",
+        t("region"), "r_regionkey"))
+    edges.map { case (name, c, ck, p, pk2) =>
+      graft.Graft.fkAudit(c, ck, p, pk2, name)
+    }.reduce(_ unionByName _).orderBy($"relation")
+  }
 }

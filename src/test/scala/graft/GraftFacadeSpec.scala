@@ -855,4 +855,17 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got(5)._1 == "https://host.org/x", "tracking-only query must drop '?'")
     assert(got(6)._1 == "https://host.org")
   }
+
+  test("fkAudit counts orphan rows, ignores null fks, finds unreferenced parents") {
+    val child = Seq(Some(1L), Some(1L), Some(7L), None)
+      .toDF("fk") // two refs to parent 1, one orphan (7), one null
+    val parent = Seq(1L, 2L).toDF("pk") // parent 2 unreferenced
+    val r = Graft.fkAudit(child, "fk", parent, "pk", "child.fk->parent").head()
+    assert(r.getString(0) == "child.fk->parent")
+    assert(r.getLong(1) == 4L, "n_child")
+    assert(r.getLong(2) == 3L, "n_child_nonnull: null fk is not a reference")
+    assert(r.getLong(3) == 1L, "n_orphan_rows: only key 7; null is NOT an orphan")
+    assert(r.getLong(4) == 2L, "n_parent")
+    assert(r.getLong(5) == 1L, "n_unref_parents: parent 2")
+  }
 }
