@@ -124,13 +124,35 @@ object Bench {
     val prefix = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
     val nShare = prefix.values.groupBy(identity).view.mapValues(_.size).toMap
     def key(k: String) = if (nShare(prefix(k)) == 1) prefix(k) else k
-    val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fq(v) }
-      .mkString("{", ",", "}")
     val errPart =
       if (errors.isEmpty) ""
       else s""","errors":{"n_failed":${errors.size}}"""
     val sf = new java.io.File(sfDir).getName
-    s"""{"metric":"total","value":${f1(results.map(_._2).sum)},"unit":"sec","queries":$qs$errPart,"sf":"$sf"}"""
+    // Budget-aware entry admission (the round-12 format decision: at
+    // 197 registered queries even 3-char prefix keys x 3-char values
+    // outgrow the window, and per-value width cannot shrink further
+    // without destroying the resolution the per-query numbers exist
+    // for). Entries are admitted SLOWEST FIRST (ties by name) until
+    // the line would overflow; the omitted sub-budget tail — always
+    // the fastest queries, the ones a per-query reader cares least
+    // about — is summarized as "n_fast" (their times still count in
+    // the headline total, and the file artifact + stderr keep every
+    // query at full precision unconditionally).
+    def line(entries: Seq[(String, Double)], nFast: Int): String = {
+      val qs = entries.map { case (k, v) => s"\"" + key(k) + "\":" + fq(v) }
+        .mkString("{", ",", "}")
+      val fastPart = if (nFast > 0) s""","n_fast":$nFast""" else ""
+      s"""{"metric":"total","value":${f1(results.map(_._2).sum)},"unit":"sec","queries":$qs$fastPart$errPart,"sf":"$sf"}"""
+    }
+    val byPriority = results.sortBy { case (k, v) => (-v, k) }
+    // keep admitted entries in registry-name order for stable diffs
+    def attempt(n: Int): String = {
+      val kept = byPriority.take(n).map(_._1).toSet
+      line(results.filter(r => kept(r._1)), results.size - n)
+    }
+    Iterator.range(results.size, -1, -1).map(attempt)
+      .find(_.length <= 1985)
+      .getOrElse(line(Seq.empty, results.size))
   }
 
   def main(args: Array[String]): Unit = {

@@ -38,6 +38,29 @@ class BenchFormatSpec extends AnyFunSuite {
           "shorten the stdout format further (file artifact is unaffected)")
   }
 
+  test("budget admission drops only the fastest queries and counts them as n_fast") {
+    // realistic shape: every value renders 3 chars ("0.1".."9.9"), so
+    // at 197 queries a handful of entries MUST fold into n_fast — the
+    // admitted set must be exactly the slowest ones
+    val mixed = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+      .map { case (k, i) => k -> (if (i % 3 == 0) 5.0 + (i % 50) * 0.1 else 0.1) }
+    val line = Bench.stdoutLine(mixed, Map.empty, "/root/testdata/sf0.1")
+    assert(line.length <= 1985, s"${line.length} > 1985")
+    val nFast = """"n_fast":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    // every slow (>= 5s) query must be present; only 0.1s entries fold
+    val slow = mixed.filter(_._2 >= 5.0).map(_._1)
+    slow.foreach { k =>
+      val short = k.takeWhile(_ != '_')
+      assert(line.contains(s"\"$short\":"), s"slow query $k omitted from stdout")
+    }
+    nFast.foreach { n =>
+      assert(n > 0 && n < mixed.size / 2, s"n_fast=$n out of range")
+    }
+    // a small registry is never truncated and never emits n_fast
+    val small = Bench.stdoutLine(Seq("a_x" -> 0.1, "b_y" -> 3.0), Map.empty, "sf")
+    assert(!small.contains("n_fast") && small.contains("\"a\":0.1"), small)
+  }
+
   test("stdout keys shorten to the unique family prefix") {
     val line = Bench.stdoutLine(
       Seq("d11_semdedup" -> 3.2, "q01_pricing_summary" -> 0.4), Map.empty, "sf")
