@@ -1505,6 +1505,204 @@ object Graft {
       .orderBy(col("bucket"))
   }
 
+  /** Deterministic Count-Min sketch over `keyCol` (the q69 kernel):
+    * the MERGEABLE fixed-size frequency summary a 100 TB pipeline uses
+    * when the key cardinality itself is the problem (per-URL hit
+    * counts, per-token corpus frequencies) — a keyed groupBy would
+    * shuffle one row PER KEY; the sketch shuffles at most
+    * `depth * 2^widthBits` cells per partition regardless of both data
+    * volume and key cardinality, and two sketches merge by cell-wise
+    * addition (the update is a counter increment, so partial
+    * aggregation IS the sketch merge).
+    *
+    * Hash derivation is exactly reproducible cross-engine: one
+    * xxhash64 of the key's DECIMAL TEXT (the [[hllRegisters]]
+    * canonicalization), split into h1 = low 32 bits / h2 = high 32
+    * bits, row d probing column (h1 + d*h2) mod 2^widthBits
+    * (Kirsch-Mitzenmacher double hashing — d rows from one hash, all
+    * arithmetic below 2^34 so no overflow anywhere). Returns the
+    * sketch as a (depth, col, cnt) table — nonzero cells only, which
+    * IS the mergeable state; point estimates via [[cmsEstimate]].
+    * Standard guarantee: est >= true, est <= true + e/2^widthBits * N
+    * with probability 1 - (1/2)^depth-ish per the CM paper. */
+  def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      widthBits: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
+    require(widthBits >= 4 && widthBits <= 24,
+      s"widthBits out of range: $widthBits")
+    df.select(cmsCols(col(keyCol), depth, widthBits))
+      .select(posexplode(col("__cols")).as(Seq("depth", "col")))
+      .groupBy(col("depth"), col("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsSketch]]: for each row of
+    * `keys`, est = min over sketch rows d of cell(d, col_d(key)) — an
+    * empty cell reads 0 (possible only for keys absent from the
+    * sketched data). The sketch is bounded (`depth * 2^widthBits`
+    * rows) and broadcast; `keys` may be arbitrarily large — the probe
+    * is a broadcast join plus a key-sized min-groupBy, never a
+    * corpus-sized shuffle. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, widthBits: Int = 10): DataFrame = {
+    val probed = keys.select(col(keyCol), cmsCols(col(keyCol), depth, widthBits))
+      .select(col(keyCol), posexplode(col("__cols")).as(Seq("depth", "col")))
+      .join(broadcast(sketch), Seq("depth", "col"), "left")
+    probed.groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** The shared q69 probe derivation: `__cols` = array of the `depth`
+    * CMS column indices of `key` (index d at array position d). */
+  private def cmsCols(key: Column, depth: Int, widthBits: Int): Column = {
+    val h = xxhash64(key.cast("string"))
+    val h1 = h.bitwiseAND(lit(0xFFFFFFFFL))
+    val h2 = shiftrightunsigned(h, 32)
+    val width = 1L << widthBits
+    array((0 until depth).map(d =>
+      pmod(h1 + lit(d.toLong) * h2, lit(width)).cast("int")): _*).as("__cols")
+  }
+
+  /** Damped PageRank over an edge list (`src`, `dst` columns), every
+    * arithmetic step INTEGER-EXACT so distributed re-partitioning,
+    * merge order, and engine cannot change a single rank: ranks live
+    * in e9 fixed-point longs (every node starts at 10^9), one
+    * iteration is rank'(v) = (100-dampingPct)/100 * 10^9 +
+    * dampingPct * sum_{u->v} (rank(u) div outdeg(u)) div 100 with
+    * `div` the truncating integer division both Spark and DuckDB
+    * define identically on nonnegatives — no float ever exists, so
+    * there is no summation-order surface at all (the classic
+    * float-PageRank nondeterminism under retries/AQE).
+    *
+    * Scale shape: one hash join (edges x ranks, both partitioned on
+    * the join key) + one partial-folded sum per iteration; the ranks
+    * frame is NODE-sized, never edge-sized, and the driver holds
+    * nothing. The degree-annotated edge list is localCheckpoint'd
+    * once — it is reused every iteration, and checkpointing also cuts
+    * the lineage the iteration loop would otherwise compound into a
+    * re-planned tree per round. Dangling nodes (outdeg 0) cannot
+    * occur in an edge-list-defined graph (every listed node has >= 1
+    * out-edge when the caller lists both directions, the undirected
+    * convention); nodes with no IN-edges keep the teleport term via
+    * the left join. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct out of range: $dampingPct")
+    // the caller's edge plan materializes exactly ONCE (an un-severed
+    // lineage recomputes it per loop reference — measured 2x on q70);
+    // degree is node-sized and checkpointed too, so every iteration
+    // reads an in-memory edge list and broadcast-joins two node-sized
+    // sides instead of re-running upstream shuffles
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint()
+    val edgesD = e.join(deg, "src")
+    val nodes = deg.select(col("src").as("node"))
+    val teleport = (100L - dampingPct) * 10000000L  // (1-d) * 1e9
+    var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_e9"))
+    var i = 0
+    while (i < iters) {
+      val contrib = edgesD
+        .join(ranks, edgesD("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("rank_e9 div __outdeg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampingPct * coalesce(__in, 0L)) div 100"))
+            .as("rank_e9"))
+      i += 1
+      // long trainings: sever the compounding plan every few rounds
+      // (node-sized materialization, never edge-sized)
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Bloom-pruned incremental exact dedup — [[dedupIncremental]]'s
+    * answer (drop incoming rows whose normalized content is already
+    * indexed, then collapse intra-batch dups) with the index side
+    * PRUNED before the anti-join: the batch's fingerprints fold into a
+    * Bloom bitset built from first principles (no driver-side hashing
+    * library — `2^bitsLog2` bits as `2^bitsLog2/64` OR-folded longs,
+    * k probe positions per key via the same Kirsch-Mitzenmacher
+    * h1+i*h2 derivation as [[cmsSketch]]), and only index rows whose
+    * k bits are ALL set survive to the join. Bloom false positives
+    * keep a few extra index rows (harmless — the exact anti-join
+    * removes them); false negatives cannot occur, so the result is
+    * IDENTICAL to the unpruned anti-join.
+    *
+    * Why at 100 TB: the fingerprint index of a 100 TB lake is
+    * GB-scale while a daily batch is MB-scale. A plain anti-join
+    * shuffles the whole index against the tiny batch; here the bitset
+    * is a FIXED `2^bitsLog2` bits (collected once — bounded by the
+    * parameter, not the data, the k-means-centroid collect
+    * discipline), the index scan keeps only the ~batch-sized
+    * might-match slice, and AQE broadcasts that slice into the
+    * anti-join — the index is read but never shuffled. */
+  def dedupIncrementalBloom(incoming: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, bitsLog2: Int = 16,
+      k: Int = 4): DataFrame = {
+    val words = bloomWords(
+      incoming.select(xxhash64(normText(textCol)).as("__h")), bitsLog2, k)
+    val fresh = incoming.withColumn("__h", xxhash64(normText(textCol)))
+      .join(bloomMightContain(index, index("content_hash"), words, bitsLog2, k),
+        col("__h") === col("content_hash"), "left_anti")
+    keepFirstPerKey(fresh, col("__h"), idCol).drop("__h")
+  }
+
+  /** Bloom bitset of a long `__h` column as an Array of
+    * `2^bitsLog2 / 64` OR-folded words, built distributed (per-key
+    * bit masks partial-OR per partition, final OR per word) and
+    * collected — the collect is bounded by `bitsLog2`, never by the
+    * data. */
+  private[graft] def bloomWords(hashes: DataFrame, bitsLog2: Int,
+      k: Int): Array[Long] = {
+    require(bitsLog2 >= 6 && bitsLog2 <= 26,
+      s"bitsLog2 out of range: $bitsLog2")
+    require(k >= 1 && k <= 8, s"k out of range: $k")
+    val nWords = 1 << (bitsLog2 - 6)
+    val rows = hashes
+      .select(posexplode(bloomPositions(col("__h"), bitsLog2, k))
+        .as(Seq("__i", "__pos")))
+      .select((col("__pos") / 64).cast("int").as("__word"),
+        expr("shiftleft(1L, int(__pos % 64))").as("__mask"))
+      .groupBy(col("__word"))
+      .agg(bit_or(col("__mask")).as("__bits"))
+      .collect()
+    val words = new Array[Long](nWords)
+    rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Rows of `df` whose `hashCol`'s k Bloom positions are all set in
+    * `words` — pure codegen'd expressions over an array literal (the
+    * broadcast-as-literal pattern; no UDF, no join). */
+  private[graft] def bloomMightContain(df: DataFrame, hashCol: Column,
+      words: Array[Long], bitsLog2: Int, k: Int): DataFrame = {
+    val probed = df
+      .withColumn("__bp", bloomPositions(hashCol, bitsLog2, k))
+      .withColumn("__bw", lit(words))
+    val checks = (0 until k).map { i =>
+      val p = s"element_at(__bp, ${i + 1})"
+      expr(s"(element_at(__bw, int($p div 64) + 1) & " +
+        s"shiftleft(1L, int($p % 64))) != 0L")
+    }
+    probed.filter(checks.reduce(_ && _)).drop("__bp", "__bw")
+  }
+
+  private def bloomPositions(h: Column, bitsLog2: Int, k: Int): Column =
+    array((0 until k).map(i => bloomPosition(h, i, bitsLog2)): _*)
+
+  /** Probe position i of hash `h`: (h1 + i*h2) mod 2^bitsLog2 with
+    * h1/h2 the low/high 32 bits — nonneg, < 2^36, overflow-free. */
+  private def bloomPosition(h: Column, i: Int, bitsLog2: Int): Column =
+    pmod(h.bitwiseAND(lit(0xFFFFFFFFL)) +
+      lit(i.toLong) * shiftrightunsigned(h, 32), lit(1L << bitsLog2))
+
   /** C4-style line-level boilerplate statistics: the corpus-frequency
     * line filter every web-scale pretraining pipeline runs (strip
     * lines that recur across many documents — nav bars, cookie

@@ -217,7 +217,12 @@ object SparkEntry {
     "c03_manifest" -> (Curation.c03Manifest _),
     "c04_profile" -> ((s, dir) => Graft.profile(Tables(s, dir, "orders"))),
     "c05_expectations" -> (Curation.c05Expectations _),
-    "c06_ref_integrity" -> (Curation.c06RefIntegrity _)
+    "c06_ref_integrity" -> (Curation.c06RefIntegrity _),
+    "c07_anomaly_days" -> (Curation.c07AnomalyDays _),
+    "q69_cms_sketch" -> (Relational.q69CmsSketch _),
+    "q70_pagerank" -> (Relational.q70PageRank _),
+    "q71_attribution" -> (Relational.q71Attribution _),
+    "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -3825,6 +3830,170 @@ ORDER BY id_a, id_b""",
         |       count(*) AS n_events
         |FROM numbered
         |GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // q69: the full Count-Min sketch mirrored from first principles —
+    // per-key XXH64 (seed 42, decimal-text bytes) inlined by
+    // tools/gen_xxh64_sql.py cms_sql (self-checked against the engine
+    // dump), cells summed over keys, probe-side min over the 4 sketch
+    // rows. Raw triple-quote WITHOUT stripMargin (the inlined XXH64
+    // contains bitwise `|`).
+    "q69_cms_sketch" ->
+      """WITH dtok AS (SELECT l_partkey AS pk, l_partkey::VARCHAR AS tok,
+    count(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2),
+tbytes AS (
+  SELECT tok, strlen(tok)::BIGINT AS n,
+    list_transform(range(1, strlen(tok) + 1),
+      i -> unicode(substr(tok, i::INT, 1))::UBIGINT) AS bs
+  FROM dtok),
+-- XXH64(token, seed 42), tokens < 32 bytes: no stripe loop
+tacc AS (
+  SELECT tok, n, bs,
+    list_reduce(
+      list_prepend(CAST((((2870177450012600303)::HUGEINT + (n::UBIGINT)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT),
+        list_transform(range(0, n // 8), j -> ((bs)[(j*8 + 1)]::UBIGINT + (bs)[(j*8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[(j*8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[(j*8 + 1)+3]::UBIGINT * 16777216::UBIGINT + (bs)[(j*8 + 1)+4]::UBIGINT * 4294967296::UBIGINT + (bs)[(j*8 + 1)+5]::UBIGINT * 1099511627776::UBIGINT + (bs)[(j*8 + 1)+6]::UBIGINT * 281474976710656::UBIGINT + (bs)[(j*8 + 1)+7]::UBIGINT * 72057594037927936::UBIGINT))),
+      (a, w) -> (list_transform([CAST((((w)::HUGEINT * 668265295::HUGEINT + (((w)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t1 -> (list_transform([(CAST((((t1)::HUGEINT * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t1) >> 33))], t2 -> (list_transform([CAST((((t2)::HUGEINT * 2246822535::HUGEINT + (((t2)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t3 -> (list_transform([xor(a, t3)], t4 -> (list_transform([(CAST((((t4)::HUGEINT * 134217728::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t4) >> 37))], t5 -> CAST((((CAST((((t5)::HUGEINT * 2246822535::HUGEINT + (((t5)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (9650029242287828579)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]))[1]) AS a2
+  FROM tbytes),
+tacc4 AS (
+  SELECT tok, n, bs,
+    CASE WHEN n % 8 >= 4 THEN (list_transform([((bs)[((n // 8) * 8 + 1)]::UBIGINT + (bs)[((n // 8) * 8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[((n // 8) * 8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[((n // 8) * 8 + 1)+3]::UBIGINT * 16777216::UBIGINT)], v0 -> (list_transform([CAST((((v0)::HUGEINT * 2246822535::HUGEINT + (((v0)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], v1 -> (list_transform([xor(a2, v1)], v2 -> (list_transform([(CAST((((v2)::HUGEINT * 8388608::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((v2) >> 41))], v3 -> CAST((((CAST((((v3)::HUGEINT * 668265295::HUGEINT + (((v3)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (1609587929392839161)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]
+         ELSE a2 END AS a3
+  FROM tacc),
+tacct AS (
+  SELECT tok,
+    list_reduce(
+      list_prepend(a3,
+        list_transform(range(0, n % 4), j -> bs[n - (n % 4) + j + 1])),
+      (a, b) -> (list_transform([CAST((((b)::HUGEINT * 374761413::HUGEINT + (((b)::HUGEINT * 668265263::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], u1 -> (list_transform([xor(a, u1)], u2 -> (list_transform([(CAST((((u2)::HUGEINT * 2048::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((u2) >> 53))], u3 -> CAST((((u3)::HUGEINT * 2246822535::HUGEINT + (((u3)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]) AS a4
+  FROM tacc4),
+thash AS (
+  SELECT tok, (list_transform([xor(a4, a4 >> 33)], z1 -> (list_transform([CAST((((z1)::HUGEINT * 668265295::HUGEINT + (((z1)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z2 -> (list_transform([xor(z2, z2 >> 29)], z3 -> (list_transform([CAST((((z3)::HUGEINT * 2654435833::HUGEINT + (((z3)::HUGEINT * 374761393::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z4 -> xor(z4, z4 >> 32)))[1]))[1]))[1]))[1] AS hu
+  FROM tacct),
+hk AS (
+  SELECT d.pk, d.c,
+    (hu & 4294967295::UBIGINT) AS h1, (hu >> 32) AS h2
+  FROM thash t JOIN dtok d USING (tok)),
+cells AS (
+  SELECT r.range AS depth,
+    CAST((h1 + r.range::UBIGINT * h2) % 1024::UBIGINT AS BIGINT) AS col,
+    sum(c)::BIGINT AS cnt
+  FROM hk CROSS JOIN range(4) r
+  GROUP BY 1, 2),
+probes AS (SELECT pk, c, h1, h2 FROM hk WHERE pk <= 20),
+est AS (
+  SELECT p.pk, p.c,
+    min(coalesce(cells.cnt, 0))::BIGINT AS cms_est
+  FROM probes p CROSS JOIN range(4) r
+  LEFT JOIN cells ON cells.depth = r.range
+    AND cells.col = CAST((p.h1 + r.range::UBIGINT * p.h2) % 1024::UBIGINT AS BIGINT)
+  GROUP BY p.pk, p.c)
+SELECT pk AS l_partkey, c AS exact_cnt, cms_est,
+  cms_est - c AS overcount
+FROM est ORDER BY l_partkey""",
+
+    // q70: the same 3 integer-exact iterations unrolled as CTEs —
+    // DuckDB `//` and Spark `div` truncate identically on the
+    // nonnegative e9 fixed-point ranks, so the match is bit-for-bit
+    // (no float ever exists on either side).
+    "q70_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |edges AS (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM deg),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_e9 FROM nodes),
+        |r1 AS (SELECT n.node,
+        |    150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM edges e JOIN r0 r ON e.src = r.node
+        |    JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node),
+        |r2 AS (SELECT n.node,
+        |    150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM edges e JOIN r1 r ON e.src = r.node
+        |    JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node),
+        |r3 AS (SELECT n.node,
+        |    150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM edges e JOIN r2 r ON e.src = r.node
+        |    JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
+        |            ELSE 's:' || ((node - 1) // 2) END AS node,
+        |  CAST(rank_e9 AS BIGINT) AS rank_e9
+        |FROM r3 ORDER BY rank_e9 DESC, node LIMIT 50""".stripMargin,
+
+    // q71: integer-exact linear attribution — cents = round(value*100)
+    // rounds the same positive doubles in both engines, `//` mirrors
+    // `div`, and per-conversion credits reconcile to the cent by
+    // construction (remainder to the most recent touch).
+    "q71_attribution" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+        |  FROM events),
+        |purchases AS (
+        |  SELECT user_id, grp, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM marked WHERE event_type = 'purchase'),
+        |touches AS (
+        |  SELECT user_id, grp, event_type, ts, event_id,
+        |    count(*) OVER (PARTITION BY user_id, grp) AS n_touches,
+        |    row_number() OVER (PARTITION BY user_id, grp
+        |                       ORDER BY ts DESC, event_id DESC) AS touch_rank
+        |  FROM marked WHERE event_type IN ('click', 'view')),
+        |credited AS (
+        |  SELECT t.event_type,
+        |    cents // n_touches + CASE WHEN touch_rank = 1
+        |      THEN cents - n_touches * (cents // n_touches) ELSE 0 END
+        |      AS credit_cents
+        |  FROM touches t JOIN purchases p USING (user_id, grp)),
+        |direct AS (
+        |  SELECT 'direct' AS event_type, cents AS credit_cents
+        |  FROM purchases p
+        |  ANTI JOIN (SELECT DISTINCT user_id, grp FROM touches) t
+        |    USING (user_id, grp)),
+        |u AS (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+        |SELECT event_type AS channel, count(*) AS n_credits,
+        |  CAST(sum(credit_cents) AS BIGINT) AS credit_cents
+        |FROM u GROUP BY event_type ORDER BY channel""".stripMargin,
+
+    // d21: d15's oracle VERBATIM — the Bloom prune is answer-invariant
+    // (no false negatives; false positives die in the exact anti-join),
+    // so the same SQL gates the pruned path.
+    "d21_bloom_inc" ->
+      """WITH nrm AS (SELECT doc_id, lang, n_chars,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+        |  FROM documents),
+        |inc AS (SELECT * FROM nrm WHERE doc_id % 5 = 4),
+        |idx AS (SELECT DISTINCT k FROM nrm WHERE doc_id % 5 < 4),
+        |surv AS (SELECT i.* FROM inc i ANTI JOIN idx USING (k))
+        |SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |  FROM surv) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // c07: the 2-sigma test as pure integer algebra — HUGEINT mirrors
+    // the engine's DECIMAL(38,0) products exactly (both are exact
+    // integer arithmetic; only the comparison's boolean is emitted).
+    "c07_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT count(*)::HUGEINT AS n, sum(cnt)::HUGEINT AS s,
+        |    sum(cnt::HUGEINT * cnt::HUGEINT) AS sq FROM daily)
+        |SELECT day, cnt,
+        |  ((n * cnt::HUGEINT - s) * (n * cnt::HUGEINT - s)
+        |     > 4 * (n * sq - s * s)) AS is_anomaly
+        |FROM daily CROSS JOIN st ORDER BY day""".stripMargin
   )
 }

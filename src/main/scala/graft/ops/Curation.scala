@@ -236,4 +236,39 @@ object Curation {
       graft.Graft.fkAudit(c, ck, p, pk2, name)
     }.reduce(_ unionByName _).orderBy($"relation")
   }
+
+  /** c07 — ingest-volume anomaly audit: flag days whose event count
+    * sits more than 2 population standard deviations from the daily
+    * mean — the partition-level freshness/completeness tripwire a
+    * warehouse runs after every load (a half-loaded day or a
+    * double-loaded day shows up here before any query reads it).
+    *
+    * The 2-sigma test is INTEGER-EXACT — no mean, no sqrt, no float:
+    * |cnt - sum/n| > 2*sigma  <=>  (n*cnt - sum)^2 > 4*(n*sumsq -
+    * sum^2), every term a product of integer counts. Products are
+    * computed in DECIMAL(38,0) (mirrored as HUGEINT in the oracle) so
+    * the squares cannot overflow at any scale — day counts of 10^12
+    * square to 10^24, past BIGINT. The one-row (n, sum, sumsq) digest
+    * broadcasts back onto the 31-row daily frame.
+    *
+    * Scale shape: one partial-folded day-keyed aggregate over the
+    * scan (at 100 TB the day count usually comes free from partition
+    * metadata — q40's pushdown shape would answer it from footers);
+    * everything after operates on rows-per-day, not rows. */
+  def c07AnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val dec = "decimal(38,0)"
+    val stats = daily.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum($"cnt").cast(dec).as("s"),
+      sum($"cnt".cast(dec) * $"cnt".cast(dec)).as("sq"))
+    daily.crossJoin(broadcast(stats))
+      .select($"day", $"cnt",
+        (($"n" * $"cnt".cast(dec) - $"s") * ($"n" * $"cnt".cast(dec) - $"s") >
+          lit(4) * ($"n" * $"sq" - $"s" * $"s")).as("is_anomaly"))
+      .orderBy($"day")
+  }
 }

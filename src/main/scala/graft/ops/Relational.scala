@@ -1454,4 +1454,130 @@ object Relational {
         round(sum(coalesce($"o_totalprice", lit(0.0))), 2).as("sum_price"))
       .orderBy($"source".asc_nulls_first, $"o_orderpriority")
   }
+
+  /** q69 — Count-Min sketch frequency estimation
+    * ([[graft.Graft.cmsSketch]]/[[graft.Graft.cmsEstimate]] bound to
+    * `lineitem.l_partkey`): the fixed-size MERGEABLE alternative to a
+    * keyed count when key cardinality is the bottleneck. The sketch
+    * pass shuffles at most depth * 2^widthBits = 4096 cells per
+    * partition no matter how many parts (or rows) exist — a per-URL
+    * count over 100 TB shuffles KBs instead of the key space. The
+    * registered query then probes the 20 smallest part keys, joining
+    * the estimates against their filter-pushed exact counts, and
+    * emits (key, exact, est, overcount) — `overcount >= 0` is the CM
+    * one-sided error guarantee, and any cell corruption anywhere in
+    * the sketch shifts some probe's min and hash-fails.
+    *
+    * Exactness: hashing is xxhash64 of the key's decimal text (the
+    * q58 canonicalization the oracle inlines from the xxHash spec —
+    * tools/gen_xxh64_sql.py cms_sql), probes are Kirsch-Mitzenmacher
+    * (h1 + d*h2) mod 2^widthBits, counts are integers; nothing
+    * rounds. */
+  def q69CmsSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val sketch = graft.Graft.cmsSketch(li, "l_partkey", depth = 4, widthBits = 10)
+    val exact = li.filter($"l_partkey" <= 20)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("exact_cnt"))
+    graft.Graft.cmsEstimate(sketch, exact.select($"l_partkey"), "l_partkey",
+        depth = 4, widthBits = 10)
+      .join(exact, "l_partkey")
+      .select($"l_partkey", $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+      .orderBy($"l_partkey")
+  }
+
+  /** q70 — damped PageRank over the part<->supplier sourcing graph
+    * ([[graft.Graft.pageRank]]): nodes are parts and suppliers, one
+    * undirected edge per DISTINCT (l_partkey, l_suppkey) sourcing
+    * relationship, 3 iterations at damping 85 — the centrality query
+    * of supply-chain/link analysis. Every step is e9 fixed-point
+    * INTEGER arithmetic (truncating `div`), so the ranks are exactly
+    * reproducible in any engine — the oracle unrolls the same 3
+    * iterations in DuckDB with `//` division and matches bit-for-bit,
+    * something float PageRank can never promise (summation order).
+    *
+    * Scale shape: per iteration one node-keyed hash join + one
+    * partial-folded sum — edge-sized shuffle carrying an 8-byte rank,
+    * node-sized state, nothing on the driver; the edge list and the
+    * node-sized degree table are checkpointed once and reused. Node
+    * ids are 8-byte LONGS on the whole hot path (part 2k / supplier
+    * 2k+1 — longs hash and shuffle far cheaper than strings at 10^9
+    * nodes); the readable "p:/s:" label is decorated onto the FINAL
+    * node-sized frame only. Top 50 via TakeOrderedAndProject (q03's
+    * no-global-sort shape). */
+  def q70PageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val fwd = pairs.select(
+      ($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val edges = fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst")))
+    graft.Graft.pageRank(edges, iters = 3, dampingPct = 85)
+      .select(
+        when($"node" % 2 === 0, concat(lit("p:"), expr("node div 2")))
+          .otherwise(concat(lit("s:"), expr("(node - 1) div 2")))
+          .as("node"),
+        $"rank_e9")
+      .orderBy($"rank_e9".desc, $"node").limit(50)
+  }
+
+  /** q71 — multi-touch attribution over the events stream: each
+    * purchase's value (in exact cents) is credited LINEARLY across
+    * the user's click/view touches since their previous purchase,
+    * with the integer remainder going to the most recent touch
+    * (deterministic tie-break on event_id) and untouched purchases
+    * crediting a synthetic `direct` channel — the marketing-analytics
+    * workhorse (budget allocation runs on exactly this shape).
+    *
+    * Credit split is integer-exact: cents = round(value * 100) (both
+    * engines round the same positive 2-dp-quantized doubles), base =
+    * cents div n_touches, remainder = cents - n_touches * base to the
+    * last touch — per-conversion credits sum EXACTLY to cents, so the
+    * channel totals reconcile to the cent (the property finance asks
+    * for and float splits lose).
+    *
+    * Scale shape: ONE exchange on user_id covers the attribution
+    * window (running purchase count partitions each user's history
+    * into conversion windows), the touch->purchase join is keyed on
+    * (user, window ordinal) — co-partitioned by the same exchange —
+    * and the final rollup is a 3-group digest. */
+  def q71Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = ev
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value",
+        // sum over the EMPTY preceding frame is NULL, not 0 (first row
+        // per user) — coalesce, mirrored in the oracle
+        coalesce(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .over(w), lit(0L)).as("grp"))
+    val purchases = marked.filter($"event_type" === "purchase")
+      .select($"user_id", $"grp",
+        round($"value" * 100).cast("long").as("cents"))
+    val touches = marked
+      .filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"grp", $"event_type", $"ts", $"event_id")
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy($"user_id", $"grp")))
+      .withColumn("touch_rank", row_number().over(
+        Window.partitionBy($"user_id", $"grp")
+          .orderBy($"ts".desc, $"event_id".desc)))
+    val credited = touches.join(purchases, Seq("user_id", "grp"))
+      .select($"event_type",
+        (expr("cents div n_touches") +
+          when($"touch_rank" === 1,
+            $"cents" - $"n_touches" * expr("cents div n_touches"))
+            .otherwise(0L)).as("credit_cents"))
+    val direct = purchases.join(
+        touches.select($"user_id", $"grp").distinct(),
+        Seq("user_id", "grp"), "left_anti")
+      .select(lit("direct").as("event_type"), $"cents".as("credit_cents"))
+    credited.unionAll(direct)
+      .groupBy($"event_type".as("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum($"credit_cents").as("credit_cents"))
+      .orderBy($"channel")
+  }
 }

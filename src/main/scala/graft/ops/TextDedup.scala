@@ -174,6 +174,29 @@ object TextDedup {
       .orderBy($"doc_id")
   }
 
+  /** d21 — d15's incremental dedup with BLOOM-PRUNED index probing
+    * ([[graft.Graft.dedupIncrementalBloom]]): the batch's fingerprints
+    * fold into a fixed 2^16-bit first-principles Bloom bitset, only
+    * index rows whose 4 probe bits are all set survive to the exact
+    * anti-join, and the answer is PROVABLY d15's (Bloom has no false
+    * negatives; its false positives are removed by the exact join) —
+    * so the oracle is d15's SQL verbatim and any pruning bug
+    * hash-fails. Why a second registration of the same answer: the
+    * pruning is the 100 TB story (the GB-scale lake index is scanned
+    * but never shuffled — the might-match slice AQE broadcasts is
+    * batch-sized), and BloomIncSpec asserts the prune actually
+    * discards most of the index at harness scale. */
+  def d21BloomIncDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val incoming = docs.filter($"doc_id" % 5 === 4)
+    val corpus = docs.filter($"doc_id" % 5 < 4)
+    graft.Graft.dedupIncrementalBloom(
+        incoming, graft.Graft.exactIndex(corpus, "text"), "text", "doc_id")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** d16 — INCREMENTAL near-dup: which incoming docs near-duplicate a
     * lake whose banded MinHash index already exists
     * ([[graft.Graft.nearDupIndex]] + [[graft.Graft.nearDupIncremental]]

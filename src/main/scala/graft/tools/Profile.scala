@@ -87,6 +87,22 @@ object Profile {
       time("d11_edges_only") { edges.count() }
       time("d11_components") { TextDedup.componentMin(edges).count() }
     }
+
+    // q70 stage split: edge build + checkpoint vs the iteration loop
+    {
+      import org.apache.spark.sql.functions._
+      val pairs = Tables(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      time("q70_pairs_distinct") { pairs.count() }
+      val fwd = pairs.select(
+        concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      time("q70_pagerank_1it") { graft.Graft.pageRank(edges, 1).count() }
+      time("q70_pagerank_3it") { graft.Graft.pageRank(edges, 3).count() }
+      time("q70_full_1st") { graft.ops.Relational.q70PageRank(spark, sfDir).count() }
+      time("q70_full_2nd") { graft.ops.Relational.q70PageRank(spark, sfDir).count() }
+    }
     spark.stop()
   }
 }

@@ -868,4 +868,67 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(r.getLong(4) == 2L, "n_parent")
     assert(r.getLong(5) == 1L, "n_unref_parents: parent 2")
   }
+
+  test("cmsSketch: one-sided error, bounded state, cell-wise mergeability") {
+    val keys = (0 until 400).map(i => i % 37) // skewed multiplicities
+    val df = keys.toDF("k")
+    val sk = Graft.cmsSketch(df, "k", depth = 4, widthBits = 6)
+    assert(sk.count() <= 4 * 64, "state bounded by depth * width")
+    val exact = keys.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val est = Graft.cmsEstimate(sk, df.distinct(), "k", depth = 4, widthBits = 6)
+      .as[(Int, Long)].collect().toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CM estimate must never undercount (key $k)")
+    }
+    // mergeability: sketch(A ++ B) == cell-wise sum of the two sketches
+    val (a, b) = (df.filter($"k" % 2 === 0), df.filter($"k" % 2 =!= 0))
+    val merged = Graft.cmsSketch(a, "k", 4, 6)
+      .unionAll(Graft.cmsSketch(b, "k", 4, 6))
+      .groupBy($"depth", $"col").agg(sum($"cnt").as("cnt"))
+    val whole = sk.as[(Int, Int, Long)].collect().toSet
+    assert(merged.as[(Int, Int, Long)].collect().toSet == whole)
+  }
+
+  test("pageRank: integer-exact ranks match a driver-side replay on a path graph") {
+    // undirected path a-b-c: outdeg a=1, b=2, c=1
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val got = Graft.pageRank(edges, iters = 3, dampingPct = 85)
+      .as[(String, Long)].collect().toMap
+    // driver-side replay of the same integer recurrence
+    var r = Map("a" -> 1000000000L, "b" -> 1000000000L, "c" -> 1000000000L)
+    val deg = Map("a" -> 1L, "b" -> 2L, "c" -> 1L)
+    val in = Map("a" -> Seq("b"), "b" -> Seq("a", "c"), "c" -> Seq("b"))
+    for (_ <- 1 to 3) r = r.map { case (n, _) =>
+      n -> (150000000L + 85L * in(n).map(u => r(u) / deg(u)).sum / 100L)
+    }
+    assert(got == r, s"got $got want $r")
+    assert(got("b") > got("a") && got("a") == got("c"),
+      "center of the path outranks the symmetric endpoints")
+  }
+
+  test("dedupIncrementalBloom: identical to the unpruned anti-join, and prunes") {
+    val mk = (id: Long, t: String) => (id, t)
+    val corpus = (0L until 50L).map(i => mk(i, s"doc body number $i"))
+      .toDF("id", "text")
+    val batch = (Seq(mk(100L, "doc body number 7"), // exact dup of corpus
+        mk(101L, "DOC  body number 7"), // dup after normalization
+        mk(102L, "fresh one"), mk(103L, "fresh one"), // intra-batch dup
+        mk(104L, "fresh two"))).toDF("id", "text")
+    val idx = Graft.exactIndex(corpus, "text")
+    val viaBloom = Graft.dedupIncrementalBloom(batch, idx, "text", "id")
+      .select($"id").as[Long].collect().toSet
+    val plain = Graft.dedupIncremental(batch, idx, "text", "id")
+      .select($"id").as[Long].collect().toSet
+    assert(viaBloom == plain, "bloom prune must not change the answer")
+    assert(viaBloom == Set(102L, 104L))
+    // the prune really discards non-matching index rows: only the 1
+    // genuinely shared fingerprint (plus possible FPs) survives out of 50
+    val words = Graft.bloomWords(
+      batch.select(xxhash64(regexp_replace(lower(trim($"text")), "\\s+", " "))
+        .as("__h")), 16, 4)
+    val survivors = Graft.bloomMightContain(idx, col("content_hash"), words, 16, 4)
+    assert(survivors.count() < 10,
+      "bloom should discard most of the 50-row index at 2^16 bits")
+  }
 }

@@ -81,4 +81,22 @@ class CurationSpec extends SparkSuiteBase {
     assert(xor48(ids.toSeq) == out("region")._3, "local 48-bit xor mismatch")
     assert(xor48(ids.toSeq.drop(1)) != out("region")._3)
   }
+
+  test("c07: flags exactly the days violating the integer 2-sigma inequality") {
+    val out = Curation.c07AnomalyDays(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    // independent driver-side replay over the emitted daily counts
+    val cnts = out.map(_._2)
+    val (n, s2, sq) = (BigInt(cnts.length), BigInt(cnts.sum),
+      cnts.map(c => BigInt(c) * BigInt(c)).sum)
+    out.foreach { case (day, c, flagged) =>
+      val dev = n * BigInt(c) - s2
+      val want = dev * dev > 4 * (n * sq - s2 * s2)
+      assert(flagged == want, s"$day: engine $flagged, replay $want")
+    }
+    // the synthetic stream's partial boundary days must trip the wire
+    assert(out.exists(_._3), "no anomaly flagged — tripwire is dead")
+    assert(out.count(_._3) < out.length, "every day flagged — test is vacuous")
+  }
 }

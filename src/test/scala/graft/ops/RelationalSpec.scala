@@ -319,4 +319,25 @@ class RelationalSpec extends SparkSuiteBase {
       .agg(org.apache.spark.sql.functions.sum("n_customers")).head().getLong(0)
     assert(semi + anti == customers)
   }
+
+  test("q71: channel credits reconcile to the cent with total purchase value") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q71Attribution(spark, sf).collect()
+    val credited = out.map(_.getLong(2)).sum
+    val totalCents = graft.Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long"))).head().getLong(0)
+    assert(credited == totalCents,
+      s"attribution leaked money: credited $credited of $totalCents cents")
+    assert(out.map(_.getString(0)).toSeq == out.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("q69: CM estimates never undercount and the overcount column agrees") {
+    val rows = Relational.q69CmsSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"undercount at key ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+  }
 }

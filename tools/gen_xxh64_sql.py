@@ -200,6 +200,41 @@ SELECT bucket, count(DISTINCT tok) AS n_keys,
 FROM rho GROUP BY bucket ORDER BY bucket""")
 
 
+def cms_sql(depth=4, width=1024):
+    """q69 oracle: the full Count-Min sketch mirrored from first
+    principles — per-key counts of lineitem.l_partkey, XXH64 of the
+    key's decimal text (the engine's cast(string) bytes), cells
+    (d, (h1 + d*h2) mod width) summed over keys, then the probe-side
+    min over the sketch rows for the 20 smallest keys. All hash
+    arithmetic stays below 2^34 (h1, h2 < 2^32; d <= 7), so plain
+    UBIGINT ops are raise-free."""
+    return (
+        "WITH dtok AS (SELECT l_partkey AS pk, l_partkey::VARCHAR AS tok,\n"
+        "    count(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2),\n"
+        + xxh64_token_ctes() + f""",
+hk AS (
+  SELECT d.pk, d.c,
+    (hu & 4294967295::UBIGINT) AS h1, (hu >> 32) AS h2
+  FROM thash t JOIN dtok d USING (tok)),
+cells AS (
+  SELECT r.range AS depth,
+    CAST((h1 + r.range::UBIGINT * h2) % {width}::UBIGINT AS BIGINT) AS col,
+    sum(c)::BIGINT AS cnt
+  FROM hk CROSS JOIN range({depth}) r
+  GROUP BY 1, 2),
+probes AS (SELECT pk, c, h1, h2 FROM hk WHERE pk <= 20),
+est AS (
+  SELECT p.pk, p.c,
+    min(coalesce(cells.cnt, 0))::BIGINT AS cms_est
+  FROM probes p CROSS JOIN range({depth}) r
+  LEFT JOIN cells ON cells.depth = r.range
+    AND cells.col = CAST((p.h1 + r.range::UBIGINT * p.h2) % {width}::UBIGINT AS BIGINT)
+  GROUP BY p.pk, p.c)
+SELECT pk AS l_partkey, c AS exact_cnt, cms_est,
+  cms_est - c AS overcount
+FROM est ORDER BY l_partkey""")
+
+
 def d03_sql():
     return ("WITH " + fingerprint_ctes() +
             "\nSELECT doc_id, fp AS simhash64 FROM fps ORDER BY doc_id")
@@ -249,12 +284,14 @@ if __name__ == "__main__":
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
     con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
     # self-check assumptions
     a = con.sql("SELECT max(strlen(tok)), max(CASE WHEN tok ~ '^[\\x00-\\x7F]*$' THEN 0 ELSE 1 END) FROM (SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents) WHERE tok <> ''").fetchone()
     assert a[0] < 32, f"token >= 32 bytes ({a[0]}): stripe loop needed"
     assert a[1] == 0, "non-ASCII token: byte!=codepoint"
     for name, sql in (("d03_simhash", d03_sql()), ("d07_simhash_pairs", d07_sql()),
-                      ("q58_hll_registers", hll_sql())):
+                      ("q58_hll_registers", hll_sql()),
+                      ("q69_cms_sketch", cms_sql())):
         got = con.sql(sql).fetchall()
         print(f"{name}: {len(got)} rows")
         if vout:
