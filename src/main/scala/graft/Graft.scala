@@ -1622,6 +1622,72 @@ object Graft {
     ranks
   }
 
+  /** Multi-source BFS hop labels over an edge list (`src`, `dst`
+    * columns): every node reachable from `seeds` (a 1-column frame)
+    * within `maxHops` hops, labeled with its MINIMUM hop distance —
+    * the frontier algorithm (hop sets are set-exact, so the result is
+    * deterministic under any partitioning / retry / merge order; no
+    * arithmetic exists to diverge). Returns (node, hop).
+    *
+    * Scale shape: per hop ONE edges⋈frontier hash join (edge list
+    * localCheckpoint'd once and reused), a frontier-sized distinct,
+    * and an anti-join against visited — frontier and visited are
+    * NODE-sized, never edge-sized, and the driver holds nothing.
+    * Each new frontier and the growing visited set localCheckpoint
+    * so the loop's lineage never compounds (the [[pageRank]]
+    * discipline). An exhausted frontier short-circuits the loop via
+    * isEmpty — a metadata-cheap probe on the checkpointed frame. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30, s"maxHops out of range: $maxHops")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var visited = seeds
+      .select(col(seeds.columns(0)).as("node")).distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var i = 1
+    while (i <= maxHops && !frontier.isEmpty) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("hop"))
+        .localCheckpoint()
+      // visited is a plain union of ALREADY-checkpointed hop frames —
+      // re-checkpointing it would materialize the whole node set once
+      // per hop for no lineage benefit (the union tree is depth-1 over
+      // checkpoints)
+      visited = visited.unionAll(next)
+      frontier = next.select(col("node"))
+      i += 1
+    }
+    visited
+  }
+
+  /** Incremental JOIN-view maintenance: given the standing sides
+    * (`oldLeft`, `oldRight`) and the batch's appended rows
+    * (`deltaLeft`, `deltaRight`), returns EXACTLY the new view rows —
+    * ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB, the bilinear join-delta identity
+    * (the three cross terms, each containing at least one delta side;
+    * A⋈B is the standing view and is not recomputed). Append-only
+    * semantics: deletes/updates are out of scope (model them as the
+    * q36 SCD2 shape upstream).
+    *
+    * Why at 100 TB: the standing sides are lake-sized, the deltas are
+    * batch-sized — both terms join a batch-sized input against a
+    * standing side, so AQE broadcasts the delta and the lake side is
+    * scanned, never shuffled; the quadratic A⋈B term never runs.
+    * q75 registers the identity under the oracle gate (V_old ∪ ΔV
+    * must equal the from-scratch join to the cent). */
+  def incrJoinDelta(oldLeft: DataFrame, deltaLeft: DataFrame,
+      oldRight: DataFrame, deltaRight: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val newFromLeft = deltaLeft.join(oldRight.unionByName(deltaRight),
+      col(leftKey) === col(rightKey))
+    val newFromRight = oldLeft.join(deltaRight,
+      col(leftKey) === col(rightKey))
+    newFromLeft.unionByName(newFromRight)
+  }
+
   /** Bloom-pruned incremental exact dedup — [[dedupIncremental]]'s
     * answer (drop incoming rows whose normalized content is already
     * indexed, then collapse intra-batch dups) with the index side

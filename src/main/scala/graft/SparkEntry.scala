@@ -222,6 +222,10 @@ object SparkEntry {
     "q69_cms_sketch" -> (Relational.q69CmsSketch _),
     "q70_pagerank" -> (Relational.q70PageRank _),
     "q71_attribution" -> (Relational.q71Attribution _),
+    "q72_vwap" -> (Relational.q72Vwap _),
+    "q73_bfs_reach" -> (Relational.q73BfsReach _),
+    "q74_histogram" -> (Relational.q74Histogram _),
+    "q75_incr_join" -> (Relational.q75IncrJoin _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
   )
 
@@ -3981,6 +3985,76 @@ FROM est ORDER BY l_partkey""",
         |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
         |  FROM surv) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q72: e2 fixed-point inputs, HUGEINT weighted sums (mirrors the
+    // engine's DECIMAL(38,0) — both exact integer arithmetic), `//`
+    // mirrors Spark's decimal `div` (both truncate toward zero).
+    "q72_vwap" ->
+      """WITH x AS (SELECT l_partkey,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS cents,
+        |    CAST(round(l_quantity * 100) AS HUGEINT) AS qty
+        |  FROM lineitem),
+        |a AS (SELECT l_partkey, sum(cents * qty) AS num, sum(qty) AS den,
+        |    count(*) AS n_lines
+        |  FROM x GROUP BY 1)
+        |SELECT l_partkey, CAST(den AS BIGINT) AS qty_e2,
+        |  CAST((num * 100) // den AS BIGINT) AS vwap_e4,
+        |  CAST(n_lines AS BIGINT) AS n_lines
+        |FROM a ORDER BY l_partkey""".stripMargin,
+
+    // q73: the 3 BFS hop levels unrolled as CTEs — frontier = distinct
+    // neighbors minus visited, exactly the engine's set recurrence
+    // (NOT IN is null-safe here: node ids are never null).
+    "q73_bfs_reach" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |edges AS (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+        |v0 AS (SELECT DISTINCT l_partkey * 2 AS node, 0 AS hop
+        |  FROM pairs WHERE l_partkey <= 3),
+        |f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+        |  JOIN v0 ON e.src = v0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM v0)),
+        |v1 AS (SELECT node, hop FROM v0
+        |  UNION ALL SELECT node, 1 FROM f1),
+        |f2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+        |  JOIN f1 ON e.src = f1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT node, hop FROM v1
+        |  UNION ALL SELECT node, 2 FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+        |  JOIN f2 ON e.src = f2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM v2)),
+        |v3 AS (SELECT node, hop FROM v2
+        |  UNION ALL SELECT node, 3 FROM f3)
+        |SELECT hop::BIGINT AS hop, count(*)::BIGINT AS n_nodes,
+        |  CAST(sum(node) AS BIGINT) AS sum_node,
+        |  min(node) AS min_node, max(node) AS max_node
+        |FROM v3 GROUP BY hop ORDER BY hop""".stripMargin,
+
+    // q74: integer-cents binning — `//` mirrors `div` on the always-
+    // nonnegative (cents-lo)*20, so bucket boundaries are exact.
+    "q74_histogram" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM cents)
+        |SELECT ((cents - lo) * 20) // (hi - lo + 1) AS bucket,
+        |  count(*)::BIGINT AS n, min(cents) AS min_cents,
+        |  max(cents) AS max_cents, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM cents CROSS JOIN b
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // q75: the oracle recomputes the view FROM SCRATCH — the engine's
+    // V_old ∪ ΔV must reproduce it to the cent, which is exactly the
+    // incremental-maintenance identity being claimed.
+    "q75_incr_join" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     // c07: the 2-sigma test as pure integer algebra — HUGEINT mirrors
     // the engine's DECIMAL(38,0) products exactly (both are exact

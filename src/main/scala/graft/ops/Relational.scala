@@ -1580,4 +1580,129 @@ object Relational {
         sum($"credit_cents").as("credit_cents"))
       .orderBy($"channel")
   }
+
+  /** q72 — per-part volume-weighted average price (VWAP) over
+    * lineitem, every step INTEGER-EXACT: prices and quantities enter
+    * as e2 fixed-point (cents / centi-units — round(x*100) rounds the
+    * same positive 2-dp-quantized doubles in both engines, the q71
+    * discipline), the weighted sum accumulates in DECIMAL(38,0)
+    * (mirrored as HUGEINT — immune to summation ORDER and to overflow:
+    * per-row cents*qty is ~1e11, and a 100 TB key could sum past
+    * 2^63), and the final ratio is emitted as truncating integer
+    * division `(num*100) div den` = e4 price units (Spark decimal
+    * `div` and DuckDB HUGEINT `//` both truncate toward zero —
+    * verified, including negatives). A float VWAP can promise none of
+    * this: reduction order alone moves the last bits.
+    *
+    * Scale shape: ONE partial+final hash aggregate on l_partkey —
+    * partial aggregation collapses each scan task to its distinct
+    * part count before the exchange; no join, no second shuffle
+    * (the sort is the oracle-determinism tail, TakeOrdered-free
+    * because the full result is the deliverable). */
+  def q72Vwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    Tables(s, dir, "lineitem")
+      .select($"l_partkey",
+        round($"l_extendedprice" * 100).cast(dec).as("cents"),
+        round($"l_quantity" * 100).cast(dec).as("qty"))
+      .groupBy($"l_partkey")
+      .agg(sum($"cents" * $"qty").as("num"), sum($"qty").as("den"),
+        count(lit(1)).as("n_lines"))
+      .select($"l_partkey", $"den".cast("long").as("qty_e2"),
+        expr("(num * 100) div den").as("vwap_e4"), $"n_lines")
+      .orderBy($"l_partkey")
+  }
+
+  /** q73 — multi-source BFS reachability over the q70 part<->supplier
+    * sourcing graph ([[graft.Graft.bfsHops]]): from the seed parts
+    * (p <= 3), how much of the supply network is reachable in 1, 2, 3
+    * hops — the blast-radius / recall-traversal query (contaminated
+    * part -> which suppliers -> which other parts). Hop levels are
+    * set-exact (frontier = neighbors minus visited, all integer node
+    * ids), so the per-hop digest (count, sum, min, max of the encoded
+    * long ids) is deterministic and any membership error hash-fails
+    * the sum.
+    *
+    * Scale shape: per hop ONE edges⋈frontier hash join + distinct +
+    * anti-join against the node-sized visited set — the classic
+    * frontier BFS; the edge list localCheckpoints once (reused every
+    * hop), frontiers and visited are node-sized, the driver holds
+    * nothing. Node ids are the q70 8-byte longs (part 2k /
+    * supplier 2k+1). */
+  def q73BfsReach(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val fwd = pairs.select(
+      ($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val edges = fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = pairs.filter($"l_partkey" <= 3)
+      .select(($"l_partkey" * 2).as("node")).distinct()
+    graft.Graft.bfsHops(edges, seeds, maxHops = 3)
+      .groupBy($"hop")
+      .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_node"),
+        min($"node").as("min_node"), max($"node").as("max_node"))
+      .orderBy($"hop")
+  }
+
+  /** q74 — equi-width histogram of l_extendedprice in 20 buckets, the
+    * stats-collection / data-profiling workhorse (optimizer column
+    * stats, drift dashboards), computed entirely in INTEGER cents:
+    * bucket = ((cents - lo) * 20) div (hi - lo + 1) — the +1 makes
+    * the max land in bucket 19 and the divisor engine-identical
+    * truncating division, so bucket boundaries cannot float-drift the
+    * way (x - min)/width double binning can (a value exactly on a
+    * boundary is the common case for 2-dp prices).
+    *
+    * Scale shape: two passes over the column — a 1-row (lo, hi)
+    * digest broadcast back onto the scan, then one partial+final
+    * 20-group aggregate; both shuffles are KB-sized regardless of
+    * data volume. */
+  def q74Histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = Tables(s, dir, "lineitem")
+      .select(round($"l_extendedprice" * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    cents.crossJoin(broadcast(bounds))
+      .select(expr("((cents - lo) * 20) div (hi - lo + 1)").as("bucket"),
+        $"cents")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"cents").as("min_cents"),
+        max($"cents").as("max_cents"), sum($"cents").as("sum_cents"))
+      .orderBy($"bucket")
+  }
+
+  /** q75 — incremental materialized-view maintenance for a JOIN view
+    * ([[graft.Graft.incrJoinDelta]]): the view is orders ⋈ customer;
+    * a batch appends delta rows to BOTH sides, and the engine computes
+    * the view's delta WITHOUT re-joining the old sides — ΔV =
+    * ΔA ⋈ (B ∪ ΔB)  ∪  A_old ⋈ ΔB, the standard bilinear join-delta
+    * identity. The registered query folds V_old ∪ ΔV into a
+    * per-segment digest and the oracle recomputes the FULL view from
+    * scratch — any row the incremental path drops, duplicates, or
+    * fabricates moves a count or a cent sum and hash-fails.
+    *
+    * Scale shape: this is THE 100 TB join-view pattern — the daily
+    * cost is two delta-sized joins (both sides of each join carry one
+    * batch-sized input, which AQE broadcasts; the lake-sized
+    * A_old ⋈ B_old is never recomputed). The test harness's vOld
+    * union exists only to let the oracle check the identity. */
+  def q75IncrJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val oldO = o.filter($"o_orderkey" % 10 =!= 9)
+    val dO = o.filter($"o_orderkey" % 10 === 9)
+    val oldC = c.filter($"c_custkey" % 20 =!= 7)
+    val dC = c.filter($"c_custkey" % 20 === 7)
+    val vOld = oldO.join(oldC, $"o_custkey" === $"c_custkey")
+    val delta = graft.Graft.incrJoinDelta(oldO, dO, oldC, dC,
+      "o_custkey", "c_custkey")
+    vOld.unionByName(delta)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"c_mktsegment")
+  }
 }

@@ -907,6 +907,43 @@ class GraftFacadeSpec extends SparkSuiteBase {
       "center of the path outranks the symmetric endpoints")
   }
 
+  test("bfsHops: minimum hop labels, early exit, seeds-only degenerate case") {
+    // path graph 1-2-3-4-5 plus a triangle shortcut 1-3
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graft.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    // 3 is at hop 1 via the shortcut, NOT hop 2 via the path
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // maxHops truncates the traversal
+    val shallow = Graft.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(shallow == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // isolated seed: frontier empties immediately, loop short-circuits
+    val iso = Graft.bfsHops(edges, Seq(99L).toDF("node"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(iso == Map(99L -> 0L))
+  }
+
+  test("incrJoinDelta: V_old ++ delta equals the from-scratch join") {
+    val oldL = Seq((1L, "a"), (2L, "b")).toDF("lk", "lv")
+    val dL = Seq((2L, "b2"), (3L, "c")).toDF("lk", "lv")
+    val oldR = Seq((1L, 10L), (3L, 30L)).toDF("rk", "rv")
+    val dR = Seq((2L, 20L), (3L, 31L)).toDF("rk", "rv")
+    val delta = Graft.incrJoinDelta(oldL, dL, oldR, dR, "lk", "rk")
+    val incr = oldL.join(oldR, $"lk" === $"rk").unionByName(delta)
+      .select($"lk", $"lv", $"rv").as[(Long, String, Long)]
+      .collect().sorted.toSeq
+    val full = oldL.unionByName(dL)
+      .join(oldR.unionByName(dR), $"lk" === $"rk")
+      .select($"lk", $"lv", $"rv").as[(Long, String, Long)]
+      .collect().sorted.toSeq
+    assert(incr == full)
+    // the delta really is delta-only: no old-join rows leak into it
+    assert(!delta.select($"lk", $"lv", $"rv").as[(Long, String, Long)]
+      .collect().contains((1L, "a", 10L)))
+  }
+
   test("dedupIncrementalBloom: identical to the unpruned anti-join, and prunes") {
     val mk = (id: Long, t: String) => (id, t)
     val corpus = (0L until 50L).map(i => mk(i, s"doc body number $i"))

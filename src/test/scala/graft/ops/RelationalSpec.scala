@@ -332,6 +332,41 @@ class RelationalSpec extends SparkSuiteBase {
     assert(out.map(_.getString(0)).toSeq == out.map(_.getString(0)).toSeq.sorted)
   }
 
+  test("q72: vwap lies within [min, max] price per part and weights reconcile") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"), round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val bounds = li.groupBy("l_partkey")
+      .agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Relational.q72Vwap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx) = bounds(r.getLong(0))
+      val vwapE4 = r.getLong(2)
+      // truncated e4 vwap sits within the e4-scaled per-part price range
+      assert(vwapE4 >= mn * 100 - 1 && vwapE4 <= mx * 100,
+        s"part ${r.getLong(0)}: vwap_e4 $vwapE4 outside [$mn, $mx] cents")
+    }
+  }
+
+  test("q74: 20 buckets cover all rows, ranges nest, extremes hit ends") {
+    val rows = Relational.q74Histogram(spark, sf).collect()
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b <= 19))
+    assert(buckets.head == 0L && buckets.last == 19L,
+      "min must land in bucket 0 and max in bucket 19")
+    val total = rows.map(_.getLong(1)).sum
+    val liRows = graft.Tables(spark, sf, "lineitem").count()
+    assert(total == liRows, s"histogram covers $total of $liRows rows")
+    // per-bucket [min,max] ranges must not overlap across buckets
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) < b.getLong(2),
+        s"bucket ${a.getLong(0)} max >= bucket ${b.getLong(0)} min")
+    case _ => ()
+    }
+  }
+
   test("q69: CM estimates never undercount and the overcount column agrees") {
     val rows = Relational.q69CmsSketch(spark, sf).collect()
     assert(rows.nonEmpty)
