@@ -1663,6 +1663,83 @@ object Graft {
     visited
   }
 
+  /** All triangles of an undirected edge list (`src`, `dst`): rows
+    * (a, b, c) with a < b < c, each triangle emitted EXACTLY once —
+    * the graph-analytics primitive under clustering coefficients,
+    * cohesion metrics, and spam/fraud motif detection. The edge list
+    * is first ORIENTED by id (x = min, y = max, self-loops dropped,
+    * deduped), then triangles are two HASH joins: wedges a<b<c from
+    * e⋈e on the middle node, closed against e on the (a, c) pair —
+    * equi-keys only, no cartesian anywhere, and counting is set-exact
+    * (no arithmetic to diverge cross-engine).
+    *
+    * Scale shape: the oriented edge list localCheckpoints once and
+    * feeds all three join legs (un-checkpointed it would recompute
+    * its upstream per leg). Orientation bounds wedge work by the
+    * ordered degree; at true 100 TB scale orient by (degree, id)
+    * instead of raw id — same plan, provably minimal wedge count
+    * (the classic compact-forward refinement) — the id orientation
+    * here keeps the oracle mirror trivial. Returns a lazy frame:
+    * digest it (count/group), don't collect it — triangle sets are
+    * input-cubic in the worst case. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct().localCheckpoint()
+    // adjacency-intersection (the sorted-adjacency method): for edge
+    // (a, b), every c in N+(a) ∩ N+(b) closes a triangle a<b<c. Two
+    // edge ⋈ node-sized-adjacency hash joins + a per-edge array
+    // intersection — the wedge stream (sum of d_in*d_out, quadratic
+    // in degree) is NEVER materialized or shuffled, which is what
+    // made the naive e⋈e⋈e triple join sort 49M wedge rows twice at
+    // sf0.1 (37 s; this shape: ~2 s). SHUFFLE_HASH on the adjacency
+    // build side: node-sized <= edge-sized by construction, and SMJ
+    // would re-sort the edge stream per leg.
+    val adj = e.groupBy(col("x")).agg(sort_array(collect_list(col("y")))
+      .as("__nbrs")).localCheckpoint()
+    e.join(adj.select(col("x").as("__ax"), col("__nbrs").as("__na"))
+        .hint("shuffle_hash"), col("x") === col("__ax"))
+      .join(adj.select(col("x").as("__by"), col("__nbrs").as("__nb"))
+        .hint("shuffle_hash"), col("y") === col("__by"))
+      .select(col("x").as("a"), col("y").as("b"),
+        explode(array_intersect(col("__na"), col("__nb"))).as("c"))
+  }
+
+  /** Row-level snapshot reconciliation (the data-diff audit a
+    * warehouse runs between two drops of the same table): full-outer
+    * join `a` and `b` on `key` and classify every key as `added` (in
+    * b only), `removed` (in a only), `changed` (both sides, any
+    * non-key column differs under null-safe comparison), or
+    * `unchanged`. Returns (key, status) — digest downstream.
+    * Column sets must match; comparison is per-column `<=>` so a
+    * null-to-value transition counts as changed, not as a silent
+    * match (the three-valued-logic trap q60 pins).
+    *
+    * Scale shape: ONE full-outer hash join on the primary key — both
+    * sides shuffle-partition on the pk exactly once (or zero times if
+    * both snapshots are bucketed by pk, the q30 layout); the
+    * classification is a codegen'd projection and the usual digest
+    * is a 4-group partial+final aggregate. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    require(a.columns.toSet == b.columns.toSet,
+      s"snapshot schemas differ: ${a.columns.toSet} vs ${b.columns.toSet}")
+    val cols = a.columns.filterNot(_ == key).sorted
+    val an = a.select(col(key).as("__ka") +:
+      cols.map(c => col(c).as(s"__a_$c")): _*)
+    val bn = b.select(col(key).as("__kb") +:
+      cols.map(c => col(c).as(s"__b_$c")): _*)
+    val same = cols.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    an.join(bn, col("__ka") === col("__kb"), "full_outer")
+      .select(coalesce(col("__ka"), col("__kb")).as(key),
+        when(col("__ka").isNull, "added")
+          .when(col("__kb").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Incremental JOIN-view maintenance: given the standing sides
     * (`oldLeft`, `oldRight`) and the batch's appended rows
     * (`deltaLeft`, `deltaRight`), returns EXACTLY the new view rows —

@@ -226,6 +226,8 @@ object SparkEntry {
     "q73_bfs_reach" -> (Relational.q73BfsReach _),
     "q74_histogram" -> (Relational.q74Histogram _),
     "q75_incr_join" -> (Relational.q75IncrJoin _),
+    "q76_triangles" -> (Relational.q76Triangles _),
+    "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
   )
 
@@ -4055,6 +4057,41 @@ FROM est ORDER BY l_partkey""",
         |    AS cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // q76: identical oriented triple-join — set-exact, no arithmetic
+    // beyond the bucket mod and the corner-sum checksum.
+    "q76_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS x, b.p AS y
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+        |SELECT e1.x % 10 AS bucket, count(*)::BIGINT AS n_triangles,
+        |  CAST(sum(e1.x + e1.y + e2.y) AS BIGINT) AS corner_sum
+        |FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // c08: full-outer diff mirrored with IS NOT DISTINCT FROM — the
+    // same null-safe per-column comparison the facade compiles.
+    "c08_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT * FROM o WHERE k % 7 <> 3),
+        |b AS (SELECT k, o_custkey, o_orderpriority,
+        |    cents + CASE WHEN k % 11 = 0 THEN 100 ELSE 0 END AS cents
+        |  FROM o WHERE k % 5 <> 2),
+        |j AS (SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+        |          AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
+        |          AND a.cents IS NOT DISTINCT FROM b.cents THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM a FULL JOIN b ON a.k = b.k)
+        |SELECT status, count(*)::BIGINT AS n_keys,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
 
     // c07: the 2-sigma test as pure integer algebra — HUGEINT mirrors
     // the engine's DECIMAL(38,0) products exactly (both are exact

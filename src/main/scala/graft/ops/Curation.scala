@@ -271,4 +271,36 @@ object Curation {
           lit(4) * ($"n" * $"sq" - $"s" * $"s")).as("is_anomaly"))
       .orderBy($"day")
   }
+
+  /** c08 — snapshot reconciliation ([[graft.Graft.snapshotDiff]]):
+    * the row-level diff between two drops of the orders table — which
+    * primary keys were added, removed, changed, or untouched — the
+    * audit a warehouse runs before promoting a reload (and the shape
+    * of CDC validation). The harness constructs both snapshots
+    * deterministically from the one orders table: snapshot A drops
+    * keys ≡3 (mod 7), snapshot B drops keys ≡2 (mod 5) and bumps the
+    * price of keys ≡0 (mod 11) by exactly one dollar — so all four
+    * statuses occur and the expected classification is pure key
+    * arithmetic the oracle mirrors. Prices compare as integer CENTS
+    * (round(x*100), the q71 discipline) so "changed" can never be a
+    * float-noise artifact.
+    *
+    * The digest (status, count, key-sum) is integer-exact; any
+    * misclassified key moves a sum and hash-fails. Scale shape: one
+    * full-outer pk hash join + a 4-group digest — see the facade
+    * scaladoc. */
+  def c08SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val snapA = o.filter($"o_orderkey" % 7 =!= 3)
+    val snapB = o.filter($"o_orderkey" % 5 =!= 2)
+      .withColumn("cents", $"cents" +
+        when($"o_orderkey" % 11 === 0, 100L).otherwise(0L))
+    graft.Graft.snapshotDiff(snapA, snapB, "o_orderkey")
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_keys"), sum($"o_orderkey").as("key_sum"))
+      .orderBy($"status")
+  }
 }

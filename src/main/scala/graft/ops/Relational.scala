@@ -1705,4 +1705,33 @@ object Relational {
         sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
       .orderBy($"c_mktsegment")
   }
+
+  /** q76 — triangle counting ([[graft.Graft.triangles]]) over the
+    * part co-occurrence graph: parts are connected when they appear
+    * in the same order, and the triangle census (how often three
+    * parts mutually co-occur) is the cohesion/motif metric under
+    * basket analysis and clustering coefficients. The registered
+    * digest buckets triangles by smallest-corner mod 10 with a
+    * corner-sum checksum — any missing, duplicated, or fabricated
+    * triangle moves a count or a sum and hash-fails.
+    *
+    * Set-exact end to end: co-occurrence edges are a per-order
+    * self-join (fan-out bounded by order size, the q22 binning
+    * argument), oriented p1 < p2; triangles are two equi hash joins
+    * (see the facade scaladoc for the degree-orientation refinement
+    * at true scale). */
+  def q76Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val op = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val a = op.toDF("o", "p1")
+    val b = op.toDF("o", "p2")
+    val edges = a.join(b, "o").filter($"p1" < $"p2")
+      .select($"p1".as("src"), $"p2".as("dst"))
+    graft.Graft.triangles(edges)
+      .groupBy(($"a" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_triangles"),
+        sum($"a" + $"b" + $"c").as("corner_sum"))
+      .orderBy($"bucket")
+  }
 }

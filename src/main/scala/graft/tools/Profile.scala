@@ -88,6 +88,20 @@ object Profile {
       time("d11_components") { TextDedup.componentMin(edges).count() }
     }
 
+    // q76 stage split: co-occurrence edge build vs adjacency intersection
+    {
+      import org.apache.spark.sql.functions._
+      val op = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = op.toDF("o", "p1"); val b = op.toDF("o", "p2")
+      val edges = a.join(b, "o").filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      time("q76_edges_distinct") { edges.distinct().count() }
+      time("q76_triangles_full") { graft.Graft.triangles(edges).count() }
+      time("q76_full_1st") { graft.ops.Relational.q76Triangles(spark, sfDir).count() }
+      time("q76_full_2nd") { graft.ops.Relational.q76Triangles(spark, sfDir).count() }
+    }
+
     // q70 stage split: edge build + checkpoint vs the iteration loop
     {
       import org.apache.spark.sql.functions._

@@ -925,6 +925,34 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(iso == Map(99L -> 0L))
   }
 
+  test("triangles: each triangle exactly once, orientation-insensitive") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 (no new ones);
+    // input deliberately mixes directions and duplicates
+    val und = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 4L), (2L, 3L),
+      (4L, 2L), (3L, 4L), (4L, 5L), (5L, 4L), (1L, 1L))
+    val out = Graft.triangles(und.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == out.toSet.size, "a triangle emitted twice")
+    assert(out.toSet == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+    out.foreach { case (a, b, c) => assert(a < b && b < c) }
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged incl. the null transition") {
+    val a = Seq((1L, Some("x"), 10L), (2L, Some("y"), 20L),
+      (3L, None: Option[String], 30L), (4L, Some("z"), 40L))
+      .toDF("k", "tag", "v")
+    val b = Seq((1L, Some("x"), 10L),            // unchanged
+      (2L, Some("y2"), 20L),                     // changed (value)
+      (3L, Some("now-set"), 30L),                // changed (null -> value)
+      (5L, Some("new"), 50L))                    // added; 4 removed
+      .toDF("k", "tag", "v")
+    val got = Graft.snapshotDiff(a, b, "k")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
   test("incrJoinDelta: V_old ++ delta equals the from-scratch join") {
     val oldL = Seq((1L, "a"), (2L, "b")).toDF("lk", "lv")
     val dL = Seq((2L, "b2"), (3L, "c")).toDF("lk", "lv")
