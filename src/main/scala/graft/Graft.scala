@@ -24,6 +24,40 @@ object Graft {
       .drop("__rank")
   }
 
+  /** [[topKPerGroup]]'s answer through the engine's CUSTOM Catalyst
+    * operator path ([[graft.plans.TopKPerKeyNode]] →
+    * [[graft.plans.TopKPerKeyStrategy]] →
+    * [[graft.plans.TopKPerKeyExec]]): grouped top-k as two-phase
+    * bounded heaps instead of the window plan's full shuffle + sort —
+    * the partial stage forwards at most k rows per (key, partition)
+    * into the one exchange, so the shuffle carries survivors, not
+    * data, and NO sort of the input exists in the plan. The strategy
+    * self-registers on the session (idempotent) via the public
+    * `experimental.extraStrategies` hook; `GraftExtensions` also
+    * injects it for config-loaded sessions.
+    *
+    * `descending` orders `orderCol`; `tieBreak` (ascending) must make
+    * the per-key order total or boundary ties are partition-order
+    * dependent — same contract as [[topKPerGroup]]. */
+  def topKPerGroupNative(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, tieBreak: String, k: Int,
+      descending: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy
+    val child = df.queryExecution.analyzed
+    def attr(n: String) = child.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${child.output.map(_.name)}"))
+    val order = Seq(
+      SortOrder(attr(orderCol), if (descending) Descending else Ascending),
+      SortOrder(attr(tieBreak), Ascending))
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      plans.TopKPerKeyNode(groupCols.map(attr), order, k, child))
+  }
+
   /** As-of join: for each `left` row, the greatest `rightTs` <= its
     * `leftTs` within the same `key` — union + single window pass, no
     * range join (see PERF.md / q16). Emits left rows with a

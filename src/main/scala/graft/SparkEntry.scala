@@ -227,6 +227,7 @@ object SparkEntry {
     "q74_histogram" -> (Relational.q74Histogram _),
     "q75_incr_join" -> (Relational.q75IncrJoin _),
     "q76_triangles" -> (Relational.q76Triangles _),
+    "q77_native_topk" -> (Relational.q77NativeTopK _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
   )
@@ -4070,6 +4071,20 @@ FROM est ORDER BY l_partkey""",
         |FROM e e1 JOIN e e2 ON e1.y = e2.x
         |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // q77: the declarative window form — the custom bounded-heap
+    // operator must reproduce it row-for-row (ties total by
+    // cents desc, orderkey asc).
+    "q77_native_topk" ->
+      """SELECT o_custkey, o_orderkey, cents FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |        o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, cents DESC, o_orderkey""".stripMargin,
 
     // c08: full-outer diff mirrored with IS NOT DISTINCT FROM — the
     // same null-safe per-column comparison the facade compiles.

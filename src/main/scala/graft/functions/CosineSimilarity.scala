@@ -175,9 +175,13 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, cls, build) =>
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), build))
     }
+    // the custom whole-operator path (config-loaded sessions; the
+    // facade also self-registers via experimental.extraStrategies)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }

@@ -1734,4 +1734,27 @@ object Relational {
         sum($"a" + $"b" + $"c").as("corner_sum"))
       .orderBy($"bucket")
   }
+
+  /** q77 — grouped top-k through the engine's CUSTOM Catalyst
+    * operator ([[graft.Graft.topKPerGroupNative]] →
+    * [[graft.plans.TopKPerKeyExec]]): each customer's 3 priciest
+    * orders — q11's question answered by the bounded-heap physical
+    * operator instead of the window plan. The plan is partial heaps →
+    * ONE exchange carrying at most 3 rows per (customer, scan
+    * partition) → final heaps; no sort of the input anywhere (the
+    * tail ORDER BY sorts the k-bounded RESULT, which is output-sized
+    * by construction). The oracle is the plain `row_number()` window
+    * SQL — the custom operator must be answer-identical to the
+    * declarative form, tie-broken total by (price desc, orderkey
+    * asc). GraftFacadeSpec plan-asserts the no-sort/no-window shape
+    * and the two-phase operator pair. */
+  def q77NativeTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    graft.Graft.topKPerGroupNative(o, Seq("o_custkey"), "cents",
+        "o_orderkey", k = 3)
+      .orderBy($"o_custkey", $"cents".desc, $"o_orderkey")
+  }
 }

@@ -925,6 +925,31 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(iso == Map(99L -> 0L))
   }
 
+  test("topKPerGroupNative: matches the window-based topKPerGroup, plans no sort") {
+    val rows = (1 to 400).map(i => (i % 7, i.toLong, (i * 37 % 100).toDouble))
+    val df = rows.toDF("g", "id", "score")
+    val native = Graft.topKPerGroupNative(df, Seq("g"), "score", "id", 3)
+    val window = Graft.topKPerGroup(df, Seq($"g"), $"score", $"id", 3)
+    val n = native.as[(Int, Long, Double)].collect().toSet
+    val w = window.as[(Int, Long, Double)].collect().toSet
+    assert(n == w, s"native ${n.size} vs window ${w.size}")
+    // the custom physical operator is really in the plan, twice
+    // (partial + final), with no sort and no window anywhere
+    val plan = native.queryExecution.executedPlan.toString
+    assert("TopKPerKey ".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("WindowExec") && !plan.toLowerCase.contains("sortexec"),
+      s"custom path must not sort or window:\n$plan")
+    // ascending variant
+    val asc = Graft.topKPerGroupNative(df, Seq("g"), "score", "id", 2,
+      descending = false).as[(Int, Long, Double)].collect().toSet
+    val ascW = df.withColumn("__r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"g").orderBy($"score".asc, $"id".asc)))
+      .filter($"__r" <= 2).drop("__r")
+      .as[(Int, Long, Double)].collect().toSet
+    assert(asc == ascW)
+  }
+
   test("triangles: each triangle exactly once, orientation-insensitive") {
     // K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 (no new ones);
     // input deliberately mixes directions and duplicates
