@@ -1697,6 +1697,35 @@ object Graft {
     visited
   }
 
+  /** Harman's S-stemmer (the published 3-rule plural stripper —
+    * "How effective is suffixing?", JASIS 1991): first applicable
+    * rule of
+    *   1. `-ies` (but not `-eies`/`-aies`) → `-y`
+    *   2. `-es`  (but not `-aes`/`-ees`/`-oes`) → drop the `s`
+    *   3. `-s`   (but not `-us`/`-ss`) → drop the `s`
+    * else unchanged. Chosen over Porter for the engine's exactness
+    * discipline: three deterministic rules compile to a codegen'd
+    * CASE over `endswith` tests (no regex, no UDF, no dictionary) and
+    * mirror 1:1 into the DuckDB oracle — a full Porter stemmer's ~60
+    * interacting rules cannot be cross-engine-pinned the same way.
+    * ASCII-lowercase input assumed (apply after [[normalizeText]] /
+    * `lower`). */
+  def sStem(tok: Column): Column = {
+    val len = length(tok)
+    // an exception ending STOPS the cascade (leaves the token
+    // unchanged) — it does not fall through to a later rule
+    when(tok.endsWith("ies"),
+        when(!tok.endsWith("eies") && !tok.endsWith("aies"),
+          concat(tok.substr(lit(1), len - 3), lit("y"))).otherwise(tok))
+      .when(tok.endsWith("es"),
+        when(!tok.endsWith("aes") && !tok.endsWith("ees") &&
+          !tok.endsWith("oes"), tok.substr(lit(1), len - 1)).otherwise(tok))
+      .when(tok.endsWith("s"),
+        when(!tok.endsWith("us") && !tok.endsWith("ss"),
+          tok.substr(lit(1), len - 1)).otherwise(tok))
+      .otherwise(tok)
+  }
+
   /** All triangles of an undirected edge list (`src`, `dst`): rows
     * (a, b, c) with a < b < c, each triangle emitted EXACTLY once —
     * the graph-analytics primitive under clustering coefficients,

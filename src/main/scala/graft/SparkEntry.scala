@@ -228,6 +228,7 @@ object SparkEntry {
     "q75_incr_join" -> (Relational.q75IncrJoin _),
     "q76_triangles" -> (Relational.q76Triangles _),
     "q77_native_topk" -> (Relational.q77NativeTopK _),
+    "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
   )
@@ -4071,6 +4072,36 @@ FROM est ORDER BY l_partkey""",
         |FROM e e1 JOIN e e2 ON e1.y = e2.x
         |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // t36: the same 3 S-stemmer rules as a CASE — substr(1, len-n)
+    // agrees across engines including the len<=rule-length edge cases
+    // (substr with length 0 is '' in both).
+    "t36_stem" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT lang, tok,
+        |    CASE
+        |      WHEN tok LIKE '%ies' THEN
+        |        CASE WHEN tok NOT LIKE '%eies' AND tok NOT LIKE '%aies'
+        |          THEN substr(tok, 1, strlen(tok) - 3) || 'y' ELSE tok END
+        |      WHEN tok LIKE '%es' THEN
+        |        CASE WHEN tok NOT LIKE '%aes' AND tok NOT LIKE '%ees'
+        |          AND tok NOT LIKE '%oes'
+        |          THEN substr(tok, 1, strlen(tok) - 1) ELSE tok END
+        |      WHEN tok LIKE '%s' THEN
+        |        CASE WHEN tok NOT LIKE '%us' AND tok NOT LIKE '%ss'
+        |          THEN substr(tok, 1, strlen(tok) - 1) ELSE tok END
+        |      ELSE tok END AS stem
+        |  FROM toks)
+        |SELECT lang, count(*)::BIGINT AS n_tokens,
+        |  count(DISTINCT tok)::BIGINT AS n_types_raw,
+        |  count(DISTINCT stem)::BIGINT AS n_types_stemmed,
+        |  (count(DISTINCT tok) - count(DISTINCT stem))::BIGINT AS n_collapsed,
+        |  CAST(sum(strlen(stem)) AS BIGINT) AS stem_len_sum
+        |FROM st GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q77: the declarative window form — the custom bounded-heap
     // operator must reproduce it row-for-row (ties total by

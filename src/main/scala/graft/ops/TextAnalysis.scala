@@ -866,4 +866,32 @@ object TextAnalysis {
         min($"canonical_url").as("sample_url"))
       .orderBy($"domain")
   }
+
+  /** t36 — plural stemming ([[graft.Graft.sStem]], Harman's S-stemmer)
+    * over the corpus vocabulary: the lightweight morphological
+    * normalization an index/dedup pipeline applies so `models` and
+    * `model` hit the same posting list. The report is per-language:
+    * token count, raw type count, stemmed type count, and the number
+    * of COLLAPSED types (raw - stemmed — how much the stemmer folded
+    * the vocabulary), plus an order-independent xxhash-free checksum
+    * (sum of stem lengths) pinning every individual stem decision —
+    * one wrong rule application moves the sum and hash-fails.
+    *
+    * Scale shape: stemming is a per-token codegen'd CASE over
+    * endswith tests (no regex, no UDF) applied INSIDE the explode
+    * pass; both distincts partial-aggregate. The oracle mirrors the
+    * three rules as the same CASE in DuckDB. */
+  def t36Stem(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"lang", explode(TextDedup.tokens($"text")).as("tok"))
+      .select($"lang", $"tok", graft.Graft.sStem($"tok").as("stem"))
+    toks.groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"tok").as("n_types_raw"),
+        countDistinct($"stem").as("n_types_stemmed"),
+        (countDistinct($"tok") - countDistinct($"stem")).as("n_collapsed"),
+        sum(length($"stem")).as("stem_len_sum"))
+      .orderBy($"lang")
+  }
 }

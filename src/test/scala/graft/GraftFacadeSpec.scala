@@ -925,6 +925,24 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(iso == Map(99L -> 0L))
   }
 
+  test("sStem: the three Harman rules, their exceptions, and edge lengths") {
+    val cases = Map(
+      "ponies" -> "pony", "ties" -> "ty",          // rule 1
+      "eies" -> "eies", "aies" -> "aies",          // rule 1 exceptions
+      "churches" -> "churche",                     // rule 2 (S-stemmer, not Porter)
+      "canoes" -> "canoes", "sees" -> "sees",      // rule 2 exceptions (-oes/-ees)
+      "models" -> "model", "cats" -> "cat",        // rule 3
+      "focus" -> "focus", "glass" -> "glass",      // rule 3 exceptions
+      "model" -> "model", "s" -> "", "ies" -> "y", // no-op + minimal lengths
+      "es" -> "e")
+    val got = cases.keys.toSeq.toDF("tok")
+      .select($"tok", Graft.sStem($"tok").as("stem"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"sStem($in) = ${got(in)}, want $want")
+    }
+  }
+
   test("topKPerGroupNative: matches the window-based topKPerGroup, plans no sort") {
     val rows = (1 to 400).map(i => (i % 7, i.toLong, (i * 37 % 100).toDouble))
     val df = rows.toDF("g", "id", "score")
