@@ -42,15 +42,30 @@ object Graft {
   def topKPerGroupNative(df: DataFrame, groupCols: Seq[String],
       orderCol: String, tieBreak: String, k: Int,
       descending: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder}
+    require(groupCols.nonEmpty, "topKPerGroupNative needs >= 1 group column")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy
+    // registration is check-then-append on shared session state: guard
+    // with a lock so concurrent callers can't double-register (r12
+    // ADVICE); the strategy is a case object, so `contains` is stable
+    plans.TopKPerKeyStrategy.synchronized {
+      if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy
+    }
     val child = df.queryExecution.analyzed
-    def attr(n: String) = child.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not in ${child.output.map(_.name)}"))
+    // resolve through the session resolver (case-insensitive by
+    // default), matching how every other column reference in the
+    // engine resolves — not a hardcoded case-sensitive find
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute =
+      child.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${child.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous among ${many.map(_.name)}")
+      }
     val order = Seq(
       SortOrder(attr(orderCol), if (descending) Descending else Ascending),
       SortOrder(attr(tieBreak), Ascending))
@@ -1614,11 +1629,14 @@ object Graft {
     * nothing. The degree-annotated edge list is localCheckpoint'd
     * once — it is reused every iteration, and checkpointing also cuts
     * the lineage the iteration loop would otherwise compound into a
-    * re-planned tree per round. Dangling nodes (outdeg 0) cannot
-    * occur in an edge-list-defined graph (every listed node has >= 1
-    * out-edge when the caller lists both directions, the undirected
-    * convention); nodes with no IN-edges keep the teleport term via
-    * the left join. */
+    * re-planned tree per round. The node set is src ∪ dst, so a sink
+    * node (dst-only, outdeg 0) gets a rank row — its teleport term
+    * and inbound mass are kept; its own mass is dropped rather than
+    * redistributed (the standard "dangling mass discarded" variant —
+    * ranks then sum to less than N when sinks exist, which is exact
+    * and deterministic, just not the redistribute-to-all variant).
+    * Nodes with no IN-edges keep the teleport term via the left
+    * join. */
   def pageRank(edges: DataFrame, iters: Int = 3,
       dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
@@ -1633,7 +1651,13 @@ object Graft {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
       .localCheckpoint()
     val edgesD = e.join(deg, "src")
-    val nodes = deg.select(col("src").as("node"))
+    // node set = src ∪ dst: a sink node (appears only as dst) has no
+    // out-edges but still owns a rank row — it keeps its teleport term
+    // and accumulates inbound mass via the left join below (r12 ADVICE:
+    // deriving nodes from the out-degree table silently dropped it)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val teleport = (100L - dampingPct) * 10000000L  // (1-d) * 1e9
     var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_e9"))
     var i = 0
@@ -1795,10 +1819,17 @@ object Graft {
       cols.map(c => col(c).as(s"__b_$c")): _*)
     val same = cols.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    an.join(bn, col("__ka") === col("__kb"), "full_outer")
+    // null-safe join + presence markers: a NULL-pk row must match its
+    // NULL-pk counterpart (and classify by side presence, not by key
+    // nullness — under a plain equi-join a null-key `a` row never
+    // joins and was mislabeled 'added'; r12 ADVICE). <=> still plans
+    // as a hash join (EqualNullSafe is a supported hash-join key).
+    an.withColumn("__pa", lit(true))
+      .join(bn.withColumn("__pb", lit(true)),
+        col("__ka") <=> col("__kb"), "full_outer")
       .select(coalesce(col("__ka"), col("__kb")).as(key),
-        when(col("__ka").isNull, "added")
-          .when(col("__kb").isNull, "removed")
+        when(col("__pa").isNull, "added")
+          .when(col("__pb").isNull, "removed")
           .when(same, "unchanged")
           .otherwise("changed").as("status"))
   }
@@ -2495,13 +2526,21 @@ object Graft {
     *
     * Scale shape: the null/min/max metrics partial-aggregate to ONE
     * row before any exchange — a 100 TB profile of those is one scan
-    * plus a single-row shuffle. The exact multi-column distinct is
-    * the expensive half: Catalyst plans N count-distincts as an
-    * Expand (one duplicated stream per column) — the price of
-    * EXACTNESS, paid here because the oracle demands it. At real
-    * scale swap `countDistinct` for `approx_count_distinct` (the q17
-    * HLL operator) and the whole profile collapses back to one
-    * narrow pass; the report schema is unchanged.
+    * plus a single-row shuffle. The exact distincts are the expensive
+    * half; they are deliberately NOT one `df.agg` of N
+    * count-distincts, because Catalyst rewrites that as an Expand
+    * that duplicates EVERY input row once per profiled column (a
+    * 10-column table shuffles 10x its rows — measured 4.7 s vs 1.4 s
+    * on the harness table). Instead each column gets its own
+    * single-distinct aggregate — planned as the two-phase partial
+    * distinct with NO Expand, over a scan pruned to that one column —
+    * and the N one-row results cross-join (broadcast-trivial) onto
+    * the metrics row. Total I/O is each column read once, same as the
+    * single scan, and shuffle volume is the per-column distinct sets,
+    * not N copies of the table. At real scale swap `countDistinct`
+    * for `approx_count_distinct` (the q17 HLL operator) and the whole
+    * profile collapses to one narrow pass; the report schema is
+    * unchanged.
     *
     * Determinism: counts are integral; min/max are order-independent;
     * doubles pass through `round(_, roundScale)` per the value-
@@ -2530,11 +2569,16 @@ object Graft {
             min(c.cast("string")), max(c.cast("string")))
       }
       Seq((count(lit(1)) - count(c)).as(s"${f.name}__nulls"),
-        countDistinct(c).as(s"${f.name}__distinct"),
         mnN.as(s"${f.name}__min_num"), mxN.as(s"${f.name}__max_num"),
         mnS.as(s"${f.name}__min_str"), mxS.as(s"${f.name}__max_str"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val metricsRow = df.agg(aggs.head, aggs.tail: _*)
+    // one single-distinct aggregate per column: no Expand (see the
+    // scale-shape scaladoc), each branch's scan pruned to its column
+    val one = fields.foldLeft(metricsRow) { (acc, f) =>
+      acc.crossJoin(
+        df.agg(countDistinct(col(f.name)).as(s"${f.name}__distinct")))
+    }
     val stackArgs = fields.map(f =>
       s"'${f.name}', `${f.name}__nulls`, `${f.name}__distinct`, " +
         s"`${f.name}__min_num`, `${f.name}__max_num`, " +

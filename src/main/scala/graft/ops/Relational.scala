@@ -1741,9 +1741,10 @@ object Relational {
     * orders — q11's question answered by the bounded-heap physical
     * operator instead of the window plan. The plan is partial heaps →
     * ONE exchange carrying at most 3 rows per (customer, scan
-    * partition) → final heaps; no sort of the input anywhere (the
-    * tail ORDER BY sorts the k-bounded RESULT, which is output-sized
-    * by construction). The oracle is the plain `row_number()` window
+    * partition) → survivor-sized sort → streaming final take-k; no
+    * sort of the INPUT anywhere (both the required-ordering sort and
+    * the tail ORDER BY run over k-bounded rows, output-sized by
+    * construction). The oracle is the plain `row_number()` window
     * SQL — the custom operator must be answer-identical to the
     * declarative form, tie-broken total by (price desc, orderkey
     * asc). GraftFacadeSpec plan-asserts the no-sort/no-window shape

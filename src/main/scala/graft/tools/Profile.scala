@@ -108,9 +108,12 @@ object Profile {
       val pairs = Tables(spark, sfDir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
       time("q70_pairs_distinct") { pairs.count() }
+      // same long node encoding (2k / 2k+1) as q70PageRank, so these
+      // stage timings measure the registered query's plan, not a
+      // string-hashing variant (r12 ADVICE)
       val fwd = pairs.select(
-        concat(lit("p:"), col("l_partkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       time("q70_pagerank_1it") { graft.Graft.pageRank(edges, 1).count() }
       time("q70_pagerank_3it") { graft.Graft.pageRank(edges, 3).count() }

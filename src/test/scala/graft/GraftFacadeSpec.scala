@@ -907,6 +907,23 @@ class GraftFacadeSpec extends SparkSuiteBase {
       "center of the path outranks the symmetric endpoints")
   }
 
+  test("pageRank: a sink node (dst-only) keeps its rank row, teleport and inbound mass") {
+    // strictly directed: a -> b, a -> c; b and c are sinks (outdeg 0)
+    val edges = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val got = Graft.pageRank(edges, iters = 2, dampingPct = 85)
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("a", "b", "c"),
+      s"sink nodes must own rank rows, got ${got.keySet}")
+    // driver replay: a gets teleport only (no in-edges); b and c each
+    // get teleport + 85% of a's rank div 2
+    var r = Map("a" -> 1000000000L, "b" -> 1000000000L, "c" -> 1000000000L)
+    for (_ <- 1 to 2) r = Map(
+      "a" -> 150000000L,
+      "b" -> (150000000L + 85L * (r("a") / 2) / 100L),
+      "c" -> (150000000L + 85L * (r("a") / 2) / 100L))
+    assert(got == r, s"got $got want $r")
+  }
+
   test("bfsHops: minimum hop labels, early exit, seeds-only degenerate case") {
     // path graph 1-2-3-4-5 plus a triangle shortcut 1-3
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
@@ -943,7 +960,7 @@ class GraftFacadeSpec extends SparkSuiteBase {
     }
   }
 
-  test("topKPerGroupNative: matches the window-based topKPerGroup, plans no sort") {
+  test("topKPerGroupNative: matches the window-based topKPerGroup, sorts only survivors") {
     val rows = (1 to 400).map(i => (i % 7, i.toLong, (i * 37 % 100).toDouble))
     val df = rows.toDF("g", "id", "score")
     val native = Graft.topKPerGroupNative(df, Seq("g"), "score", "id", 3)
@@ -952,11 +969,17 @@ class GraftFacadeSpec extends SparkSuiteBase {
     val w = window.as[(Int, Long, Double)].collect().toSet
     assert(n == w, s"native ${n.size} vs window ${w.size}")
     // the custom physical operator is really in the plan, twice
-    // (partial + final), with no sort and no window anywhere
+    // (partial + final), with no window anywhere; the one permitted
+    // sort is the final stage's required ordering over the exchange's
+    // k-bounded survivors (above the partial TopKPerKey, never below)
     val plan = native.queryExecution.executedPlan.toString
     assert("TopKPerKey ".r.findAllIn(plan).size >= 2, plan)
-    assert(!plan.contains("WindowExec") && !plan.toLowerCase.contains("sortexec"),
-      s"custom path must not sort or window:\n$plan")
+    assert(!plan.contains("WindowExec"), s"custom path must not window:\n$plan")
+    val sortIdx = plan.toLowerCase.indexOf("sort")
+    val partialIdx = plan.indexOf("TopKPerKey",
+      plan.indexOf("TopKPerKey") + 1) // second occurrence = partial stage
+    assert(sortIdx < 0 || sortIdx < partialIdx,
+      s"only the survivor sort (above the partial stage) is allowed:\n$plan")
     // ascending variant
     val asc = Graft.topKPerGroupNative(df, Seq("g"), "score", "id", 2,
       descending = false).as[(Int, Long, Double)].collect().toSet
@@ -994,6 +1017,46 @@ class GraftFacadeSpec extends SparkSuiteBase {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("snapshotDiff: NULL primary keys match null-safely and classify by side presence") {
+    val a = Seq((Some(1L), "x"), (None: Option[Long], "only-in-a"),
+      (None: Option[Long], "only-in-a")).toDF("k", "tag")
+    val b = Seq((Some(1L), "x")).toDF("k", "tag")
+    val got = Graft.snapshotDiff(a.dropDuplicates("k"), b, "k")
+      .as[(Option[Long], String)].collect().toMap
+    // the null-key row exists only in a => removed (r12 ADVICE: the
+    // plain equi-join never matched it and mislabeled it 'added')
+    assert(got == Map(Some(1L) -> "unchanged", None -> "removed"), got.toString)
+    // and a null-key row present on BOTH sides pairs up null-safely
+    val b2 = Seq((Some(1L), "x"), (None: Option[Long], "only-in-a"))
+      .toDF("k", "tag")
+    val got2 = Graft.snapshotDiff(a.dropDuplicates("k"), b2, "k")
+      .as[(Option[Long], String)].collect().toMap
+    assert(got2 == Map(Some(1L) -> "unchanged", None -> "unchanged"),
+      got2.toString)
+  }
+
+  test("topKPerGroupNative: partial row budget degrades to pass-through, never to a wrong answer") {
+    val rows = (1 to 500).map(i => (i % 23, i.toLong, (i * 41 % 97).toDouble))
+    val df = rows.toDF("g", "id", "score")
+    val want = Graft.topKPerGroup(df, Seq($"g"), $"score", $"id", 4)
+      .as[(Int, Long, Double)].collect().toSet
+    val key = "spark.graft.topk.partialRowBudget"
+    val old = spark.conf.getOption(key)
+    try {
+      // budget of 1: the partial map freezes after a single retained
+      // row per partition; everything else streams through unfiltered
+      spark.conf.set(key, "1")
+      val got = Graft.topKPerGroupNative(df, Seq("g"), "score", "id", 4)
+        .as[(Int, Long, Double)].collect().toSet
+      assert(got == want, "budget fallback changed the answer")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("incrJoinDelta: V_old ++ delta equals the from-scratch join") {
