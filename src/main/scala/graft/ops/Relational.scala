@@ -1722,12 +1722,22 @@ object Relational {
     * at true scale). */
   def q76Triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val op = Tables(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val a = op.toDF("o", "p1")
-    val b = op.toDF("o", "p2")
-    val edges = a.join(b, "o").filter($"p1" < $"p2")
-      .select($"p1".as("src"), $"p2".as("dst"))
+    // co-occurrence pairs WITHOUT the self-join: one exchange folds
+    // lineitem to per-order sorted part sets (collect_set dedups
+    // map-side), then the i<j pair expansion is a NARROW
+    // higher-order-function transform — the (o,p)-distinct exchange
+    // AND the join exchange of the e⋈e phrasing both disappear
+    // (edge build measured 2.4 s -> sub-second at sf0.1)
+    val byOrder = Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+    val edges = byOrder
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> named_struct('src', x, 'dst', y))))""".stripMargin))
+        .as("e"))
+      .select($"e.src", $"e.dst")
     graft.Graft.triangles(edges)
       .groupBy(($"a" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_triangles"),
