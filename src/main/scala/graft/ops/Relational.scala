@@ -1768,4 +1768,113 @@ object Relational {
         "o_orderkey", k = 3)
       .orderBy($"o_custkey", $"cents".desc, $"o_orderkey")
   }
+
+  /** q78 — CDC changeset application ([[graft.Graft.applyChangeSet]],
+    * the MERGE INTO shape): a synthetic but fully deterministic
+    * change log against `orders` — two stacked updates on overlapping
+    * key sets (latest-wins must pick seq 2 where both exist), a
+    * delete stripe, and an insert stripe under shifted keys — applied
+    * to produce the new table state, digested per priority label.
+    * Every semantic (upsert vs insert, delete, latest-wins) moves a
+    * count or a cent sum: the oracle recomputes the same apply with
+    * window SQL, so a dropped delete, a doubled upsert, or
+    * first-wins-instead-of-latest hash-fails.
+    *
+    * Arithmetic stays oracle-safe: price perturbations are ADDITIONS
+    * of 2-dp constants (IEEE-identical in both engines on the
+    * 2-dp-quantized inputs) — never division, which could land on a
+    * half-cent and split the engines' rounding. */
+  def q78CdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+    def chg(df: DataFrame, seq: Int, op: String) =
+      df.withColumn("seq", lit(seq)).withColumn("op", lit(op))
+    val u1 = chg(o.filter($"o_orderkey" % 7 === 3)
+      .withColumn("o_totalprice", $"o_totalprice" + 100.0)
+      .withColumn("o_orderpriority", lit("9-UPD")), 1, "U")
+    val u2 = chg(o.filter($"o_orderkey" % 21 === 3)
+      .withColumn("o_totalprice", $"o_totalprice" + 200.0)
+      .withColumn("o_orderpriority", lit("9-UPD")), 2, "U")
+    val del = chg(o.filter($"o_orderkey" % 7 === 4), 1, "D")
+    val ins = chg(o.filter($"o_orderkey" % 7 === 5)
+      .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+      .withColumn("o_totalprice", $"o_totalprice" + 0.17)
+      .withColumn("o_orderpriority", lit("8-INS")), 1, "I")
+    val changes = Seq(u1, u2, del, ins).reduce(_ unionByName _)
+    graft.Graft.applyChangeSet(o, changes, "o_orderkey", "seq", "op")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** q79 — id-sequence gap audit ([[graft.Graft.sequenceGaps]]): the
+    * 50 widest runs of `l_orderkey` values never reaching the
+    * lineitem table (orders without lines — real gaps at every SF;
+    * the orders keyspace itself is dense in this generator). The
+    * op's two-level shape — bucket-partitioned `lead` for interior
+    * gaps + a global lead over only the bucketSize-x-smaller bucket
+    * summary — is exercised with a small bucket (1024) so BOTH paths
+    * produce rows at harness scale; the oracle is the textbook
+    * single-window lead, which is exactly what the op must equal. */
+  def q79SequenceGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    graft.Graft.sequenceGaps(li.select($"l_orderkey"), "l_orderkey",
+        bucketSize = 1024L)
+      .withColumn("gap_len", $"gap_end" - $"gap_start" + 1L)
+      .orderBy($"gap_len".desc, $"gap_start").limit(50)
+  }
+
+  /** q80 — bounded-round weighted shortest paths
+    * ([[graft.Graft.shortestPaths]]) over the part↔supplier sourcing
+    * graph (q70's long-encoded bipartite graph, edge weight = the
+    * MINIMUM observed line price in cents between the pair): 4
+    * Bellman-Ford relaxation rounds from every 1000th part, reporting
+    * the 100 cheapest reachable nodes. Integer-exact end to end
+    * (cents sums and mins — the q70 no-float argument), so the
+    * 4-round unrolled CTE oracle must match to the cent. */
+  def q80Sssp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pw = Tables(s, dir, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min(round($"l_extendedprice" * 100).cast("long")).as("w"))
+    val e = pw.select(($"l_partkey" * 2).as("src"),
+        ($"l_suppkey" * 2 + 1).as("dst"), $"w")
+      .unionAll(pw.select(($"l_suppkey" * 2 + 1).as("src"),
+        ($"l_partkey" * 2).as("dst"), $"w"))
+    val seeds = Tables(s, dir, "part")
+      .filter($"p_partkey" % 1000 === 1)
+      .select(($"p_partkey" * 2).as("node"))
+    graft.Graft.shortestPaths(e, seeds, iters = 4)
+      .select(
+        when($"node" % 2 === 0, concat(lit("p:"), expr("node div 2")))
+          .otherwise(concat(lit("s:"), expr("(node - 1) div 2")))
+          .as("node"),
+        $"d")
+      .orderBy($"d", $"node").limit(100)
+  }
+
+  /** q81 — event-sequence pattern matching
+    * ([[graft.Graft.eventPattern]], the MATCH_RECOGNIZE shape): per
+    * (user, day), events order by (ts, event_id), render to
+    * first-letter codes, and the non-overlapping matches of
+    * `v[vc]*p` — a view, any run of views/clicks, then a purchase —
+    * are counted; the digest histograms user-days by match count.
+    * The pattern is characters-and-classes only, so Spark's Java
+    * regex and DuckDB's RE2 agree exactly (see the facade scaladoc);
+    * the order is total (event_id is unique), so the rendered string
+    * — and therefore the count — is deterministic. */
+  def q81EventPattern(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    graft.Graft.eventPattern(ev,
+        keys = Seq($"user_id", $"ts".cast("date").as("day")),
+        order = Seq($"ts", $"event_id"),
+        code = substring($"event_type", 1, 1),
+        pattern = "v[vc]*p")
+      .groupBy($"n_matches".cast("long").as("n_matches"))
+      .agg(count(lit(1)).as("n_user_days"))
+      .orderBy($"n_matches")
+  }
 }

@@ -1102,4 +1102,77 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(survivors.count() < 10,
       "bloom should discard most of the 50-row index at 2^16 bits")
   }
+
+  test("applyChangeSet: insert, delete, latest-wins update, untouched passthrough") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "tag", "v")
+    val changes = Seq(
+      (2L, "b1", 21L, 1, "U"), (2L, "b2", 22L, 2, "U"), // latest (seq 2) wins
+      (3L, "c", 30L, 1, "D"),                           // delete
+      (4L, "d", 40L, 1, "I"))                           // insert
+      .toDF("k", "tag", "v", "seq", "op")
+    val got = Graft.applyChangeSet(base, changes, "k", "seq", "op")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b2", 22L), (4L, "d", 40L)), got)
+    // delete of an absent key and update of an absent key (= insert)
+    val changes2 = Seq((9L, "x", 90L, 1, "D"), (5L, "e", 50L, 1, "U"))
+      .toDF("k", "tag", "v", "seq", "op")
+    val got2 = Graft.applyChangeSet(base, changes2, "k", "seq", "op")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got2 == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (5L, "e", 50L)), got2)
+  }
+
+  test("sequenceGaps: interior, boundary-spanning, and empty-bucket gaps") {
+    // bucketSize 4: buckets [0..3][4..7][8..11][12..15][16..19]
+    // present: 1,2, 5, 14,15, 18 -> gaps (3,4) spans b0/b1, (6,13)
+    // spans b1..b3 across EMPTY bucket b2, (16,17) interior-to-none
+    val ids = Seq(1L, 2L, 5L, 14L, 15L, 18L).toDF("id")
+    val got = Graft.sequenceGaps(ids, "id", bucketSize = 4L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 4L), (6L, 13L), (16L, 17L)), got)
+    // intra-bucket gap too, plus duplicates in the input
+    val ids2 = Seq(8L, 8L, 10L, 11L, 13L).toDF("id")
+    val got2 = Graft.sequenceGaps(ids2, "id", bucketSize = 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(got2 == Set((9L, 9L), (12L, 12L)), got2)
+    // dense sequence: no gaps at all
+    assert(Graft.sequenceGaps((1L to 9L).toDF("id"), "id", 4L).isEmpty)
+  }
+
+  test("shortestPaths: cheaper multi-hop beats direct edge; rounds bound path length") {
+    // 1 -> 2 costs 100 direct, but 1 -> 3 -> 2 costs 10 + 10 = 20
+    val e = Seq((1L, 2L, 100L), (1L, 3L, 10L), (3L, 2L, 10L),
+      (2L, 4L, 5L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = Graft.shortestPaths(e, seeds, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 100L, 3L -> 10L),
+      s"1 round = direct edges only, got $r1")
+    val r3 = Graft.shortestPaths(e, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 0L, 2L -> 20L, 3L -> 10L, 4L -> 25L),
+      s"3 rounds find the cheap 2-hop path and its extension, got $r3")
+    intercept[IllegalArgumentException] {
+      Graft.shortestPaths(Seq((1L, 2L, -5L)).toDF("src", "dst", "w"),
+        seeds, iters = 1)
+    }
+  }
+
+  test("eventPattern: non-overlapping counts under a total order, zero-match groups") {
+    val ev = Seq(
+      // group A renders "vcvpvp" (ordered by ts, id): v[vc]*p matches
+      // "vcvp" then "vp" -> 2
+      ("A", 1L, 1L, "v"), ("A", 2L, 2L, "c"), ("A", 3L, 3L, "v"),
+      ("A", 4L, 4L, "p"), ("A", 5L, 5L, "v"), ("A", 6L, 6L, "p"),
+      // group B renders "cpe" -> 0 (no v before p)
+      ("B", 1L, 1L, "c"), ("B", 2L, 2L, "p"), ("B", 3L, 3L, "e"),
+      // group C: same ts, tie broken by id -> "vp" -> 1
+      ("C", 7L, 2L, "p"), ("C", 7L, 1L, "v"))
+      .toDF("g", "ts", "id", "code")
+    val got = Graft.eventPattern(ev, Seq($"g"), Seq($"ts", $"id"),
+        $"code", "v[vc]*p")
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("A" -> 2, "B" -> 0, "C" -> 1), got)
+  }
 }
