@@ -1865,7 +1865,9 @@ object Graft {
   /** CDC changeset application (the MERGE INTO / CDC-apply shape a
     * lakehouse runs per batch): `changes` carries upserts and deletes
     * against `base` — per key, only the LATEST change (greatest
-    * `seqCol`) applies; op `D` removes the key, any other op replaces
+    * `seqCol`) applies; op `D` removes the key, any other op — a NULL
+    * op included (the comparison is null-safe, so malformed CDC input
+    * upserts rather than silently deleting) — replaces
     * (key present in base) or inserts (absent) the row. Returns the
     * new table state with exactly `base`'s columns. `seqCol` must be
     * unique per key (a CDC log's LSN/offset is) or latest-wins is
@@ -1887,7 +1889,11 @@ object Graft {
     val latest = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
     val survivors = base.join(latest.select(col(key)), Seq(key), "left_anti")
-    val upserts = latest.filter(col(opCol) =!= "D")
+    // null-safe: a malformed NULL op must apply as an upsert, not fall
+    // through BOTH branches (=!= "D" is NULL for NULL op, which dropped
+    // the row from upserts while the anti-join had already removed the
+    // key from base — silent data loss; r13 ADVICE)
+    val upserts = latest.filter(!(col(opCol) <=> lit("D")))
       .select(base.columns.map(col).toSeq: _*)
     survivors.unionByName(upserts)
   }
@@ -1962,15 +1968,23 @@ object Graft {
     *
     * Either way the distance frame is NODE-sized, never edge-sized,
     * the edge list localCheckpoints once and is reused, and the
-    * driver holds nothing. Negative weights are rejected: with
-    * nonnegative weights a bounded-round result is monotone in
-    * `iters` and safe to read as "distance using <= iters hops". */
+    * driver holds nothing. Negative and NULL weights are rejected (an
+    * EAGER validation pass over the checkpointed edge list — one
+    * in-memory scan, paid once per call): with nonnegative weights a
+    * bounded-round result is monotone in `iters` and safe to read as
+    * "distance using <= iters hops". */
   def shortestPaths(edges: DataFrame, seeds: DataFrame,
       iters: Int, frontier: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .localCheckpoint()
-    require(e.filter(col("w") < 0).isEmpty, "negative edge weight")
+    // NULL weights (including uncastable strings under the long cast)
+    // must be rejected, not silently min()-ignored: NULL < 0 is NULL,
+    // so the negative-only guard let them through (r13 ADVICE). The
+    // guard runs on the already-materialized checkpoint, so the
+    // documented eager validation scan costs one in-memory pass.
+    require(e.filter(col("w").isNull || col("w") < 0).isEmpty,
+      "negative or null edge weight")
     var dist = seeds.select(col(seeds.columns(0)).as("node")).distinct()
       .withColumn("d", lit(0L)).localCheckpoint()
     var front = dist

@@ -1482,6 +1482,49 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 10 = 3
         |ORDER BY doc_id""".stripMargin,
 
+    // m01: every feature is an integer/digest function of the text
+    // bytes (all-ASCII in this corpus, so strlen/substr char semantics
+    // equal byte semantics) — the decode stub's outputs recompute
+    // exactly from the VARCHAR side (r13 verdict item 2: the former
+    // rows-only media stub is now hash-exact).
+    "m01_media_features" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST((((strlen(text) * 7 + 13) % 640 + 1) * 10000)
+        |    // ((strlen(text) * 11 + 29) % 480 + 1) AS BIGINT) AS aspect_pm,
+        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // m02: the integer resize (len * 64*64 div w*h, truncating) is
+    // re-tiled with repeat/substr, re-framed with generate_series, and
+    // each sampled frame's md5 prefix xor-folds — every stage is
+    // integer arithmetic over ASCII bytes, so the mirror is byte-exact
+    // (docs too short for one complete frame drop out on both sides).
+    "m02_frame_sample" ->
+      """WITH sized AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |    greatest(1, (strlen(text) * 4096)
+        |      // (((strlen(text) * 7 + 13) % 640 + 1)
+        |         * ((strlen(text) * 11 + 29) % 480 + 1))) AS outlen
+        |  FROM documents),
+        |tiled AS (
+        |  SELECT doc_id, outlen,
+        |    substr(repeat(text, CAST((outlen + len - 1) // len AS INTEGER)),
+        |      1, CAST(outlen AS INTEGER)) AS payload
+        |  FROM sized),
+        |idx AS (
+        |  SELECT doc_id, payload,
+        |    unnest(generate_series(0, CAST(outlen // 16 - 1 AS BIGINT))) AS i
+        |  FROM tiled),
+        |frames AS (
+        |  SELECT doc_id,
+        |    substr(payload, CAST(i * 16 + 1 AS INTEGER), 16) AS frame
+        |  FROM idx WHERE i % 3 = 0)
+        |SELECT doc_id, count(*)::BIGINT AS n_frames,
+        |  bit_xor(('0x' || substr(md5(frame), 1, 15))::BIGINT)
+        |    AS frames_checksum
+        |FROM frames GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // The fake media column IS the documents' UTF-8 bytes, so DuckDB's
     // md5 over the VARCHAR hashes the identical byte sequence the
     // Spark side hashes over the binary column.

@@ -29,32 +29,48 @@ object Multimodal {
   /** One media row: payload + typed metadata. */
   case class MediaRecord(doc_id: Long, media: Array[Byte], width: Int, height: Int)
 
-  /** Extracted features; fixed-width vector (here 3 dims). */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, f0: Double, f1: Double, f2: Double)
+  /** Extracted features. Every field is an EXACT function of the
+    * payload bytes and integer metadata (byte length, integer aspect
+    * ratio in permille-of-10000, first byte value, md5 fingerprint) —
+    * no float arithmetic anywhere, so the whole m01 pipeline is
+    * bit-reproducible AND independently recomputable by the DuckDB
+    * oracle (the m03 argument: the fake payload is the document's
+    * UTF-8 bytes, which DuckDB hashes/measures identically from the
+    * VARCHAR side). r13 verdict: this flips m01 from rows-only to
+    * hash-exact while keeping the stub-for-real-codec framing. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, aspect_pm: Long,
+      first_byte: Int, content_md5: String)
 
   /** STUB — stands in for an image/audio decode + feature extraction
     * (??? in a real deployment: JPEG decode, resample, model forward).
-    * Deterministic function of the bytes so the pipeline is testable. */
+    * Deterministic INTEGER/digest function of the bytes + metadata so
+    * the pipeline is testable and oracle-mirrorable: byte length,
+    * width*10000 div height (integer aspect), first byte value, and
+    * the md5 fingerprint. */
   def stubDecode(r: MediaRecord): MediaFeatures = {
-    val bytes = r.media
-    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.media).map(b => f"${b & 0xff}%02x").mkString
     MediaFeatures(
       doc_id = r.doc_id,
-      n_bytes = bytes.length.toLong,
-      f0 = r.width.toDouble / math.max(r.height, 1),
-      f1 = (bytes.headOption.map(_ & 0xff).getOrElse(0)).toDouble / 255.0,
-      f2 = math.round(sum.toDouble / math.max(bytes.length, 1)) / 255.0)
+      n_bytes = r.media.length.toLong,
+      aspect_pm = r.width.toLong * 10000L / math.max(r.height, 1),
+      first_byte = if (r.media.isEmpty) 0 else r.media.head & 0xff,
+      content_md5 = hex)
   }
 
   /** STUB — stands in for an image resize (??? in a real deployment:
     * decode, scale, re-encode). Deterministic: output byte length
     * scales with the target area so downstream size accounting is
-    * testable. Metadata is updated alongside the payload — the
-    * invariant a real resize must keep. */
+    * testable, via pure INTEGER arithmetic (len * targetArea div
+    * srcArea — truncating long division, which any SQL engine
+    * reproduces exactly; the earlier float `math.round` phrasing was
+    * the one step a DuckDB mirror could not pin). Metadata is updated
+    * alongside the payload — the invariant a real resize must keep. */
   def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
     if (r.media.isEmpty) return MediaRecord(r.doc_id, r.media, targetW, targetH)
-    val scale = (targetW.toLong * targetH).toDouble / (r.width.toLong * r.height)
-    val outLen = math.max(1, math.round(r.media.length * scale).toInt)
+    val outLen = math.max(1L,
+      r.media.length.toLong * targetW * targetH /
+        (r.width.toLong * r.height)).toInt
     val out = Array.tabulate[Byte](outLen)(i => r.media(i % r.media.length))
     MediaRecord(r.doc_id, out, targetW, targetH)
   }
@@ -74,11 +90,18 @@ object Multimodal {
 
   private[graft] def fakeMedia(s: SparkSession, dir: String) = {
     import s.implicits._
+    // width/height derive from the BYTE LENGTH (affine mod — varied but
+    // deterministic), not from xxhash64 as before r14: the oracle can
+    // recompute strlen-based metadata but has no Spark-compatible
+    // xxhash64, and this derivation is what flips m01/m02 from
+    // rows-only to hash-exact (r13 verdict item 2)
     Tables(s, dir, "documents")
       .select($"doc_id",
         encode($"text", "UTF-8").as("media"),
-        (pmod(xxhash64($"text"), lit(640)) + 1).cast("int").as("width"),
-        (pmod(xxhash64($"text", lit(1)), lit(480)) + 1).cast("int").as("height"))
+        (pmod(octet_length($"text") * 7 + 13, lit(640)) + 1)
+          .cast("int").as("width"),
+        (pmod(octet_length($"text") * 11 + 29, lit(480)) + 1)
+          .cast("int").as("height"))
       .as[MediaRecord]
   }
 
@@ -86,7 +109,16 @@ object Multimodal {
     * resized to 64x64 then sampled every 3rd 16-byte "frame"; output
     * is per-doc sampled-frame count + a deterministic checksum. The
     * flatMap inside mapPartitions is the demux shape: one input row
-    * fans out to frame rows without materializing all frames per doc. */
+    * fans out to frame rows without materializing all frames per doc.
+    *
+    * The checksum is a bit_xor fold of each frame's md5 prefix (first
+    * 15 hex digits = 60 bits, parsed as a long on both engines) — an
+    * order-insensitive digest the DuckDB oracle reconstructs by
+    * re-tiling the text with repeat/substr and re-framing it with
+    * generate_series (every stage of the resize+demux is integer
+    * arithmetic over ASCII bytes, so the VARCHAR mirror is
+    * byte-exact). Docs whose resized payload yields no complete frame
+    * produce no row — on both sides. */
   def m02FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     fakeMedia(s, dir)
@@ -95,8 +127,10 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_frames"),
-        // xor-fold, not sum: hash sums overflow LongType under ANSI mode
-        expr("bit_xor(xxhash64(frame))").as("frames_checksum"))
+        // xor-fold, not sum: hash sums overflow LongType under ANSI
+        // mode; 15 hex md5 digits = 60 bits, safely inside a long
+        expr("bit_xor(cast(conv(substring(md5(frame), 1, 15), 16, 10) as bigint))")
+          .as("frames_checksum"))
       .orderBy($"doc_id")
   }
 
@@ -234,16 +268,18 @@ object Multimodal {
 
   /** m01 — end-to-end multimodal pipeline over fake media: documents'
     * text bytes stand in for blobs, width/height metadata is derived
-    * deterministically, decode runs batchwise per partition, features
-    * aggregate downstream. */
+    * deterministically, decode runs batchwise per partition. Every
+    * emitted feature is integer/digest-exact (see [[MediaFeatures]]),
+    * so the DuckDB oracle recomputes the whole row from the text —
+    * the m-family's former rows-only check is now hash-exact. */
   def m01MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Batch shape: one iterator per partition — a JNI/py decoder would
     // amortize model/codec init across the partition exactly here.
     fakeMedia(s, dir).mapPartitions(_.map(stubDecode))
       .toDF()
-      .select($"doc_id", $"n_bytes",
-        round($"f0", 4).as("f0"), round($"f1", 4).as("f1"), round($"f2", 4).as("f2"))
+      .select($"doc_id", $"n_bytes", $"aspect_pm", $"first_byte",
+        $"content_md5")
       .orderBy($"doc_id")
   }
 

@@ -33,8 +33,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * (distinct keys per partition) x k rows — DATA-dependent, not
   * operator-bounded. It is therefore capped by
   * `spark.graft.topk.partialRowBudget` (default 1M retained rows,
-  * ~100 MB at 100 B/row): once the budget is reached, rows of keys
-  * not already in the map PASS THROUGH to the exchange unfiltered —
+  * ~100 MB at 100 B/row): once the budget is reached, NO heap grows —
+  * rows of new keys AND rows that would grow an existing key's
+  * under-k heap PASS THROUGH to the exchange unfiltered (r13 ADVICE:
+  * gating only new-key inserts let retention reach k x budget) —
   * correct (the partial contract is "any superset of the per-key
   * top-k"), degrading shuffle volume instead of OOMing the executor.
   * Past the budget the operator converges toward the window plan's
@@ -140,8 +142,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             Iterator.empty
           }
         } else if (heap.size() < limit) {
-          heap.add(row.copy()); held += 1
-          Iterator.empty
+          // budget applies to EXISTING keys' heap growth too (r13
+          // ADVICE: gating only new-key inserts let retention reach
+          // k*budget); pass-through stays superset-correct — the rows
+          // already heaped for this key are a superset candidate set
+          // and this row reaches the final stage via the exchange
+          if (held >= rowBudget) Iterator.single(row)
+          else {
+            heap.add(row.copy()); held += 1
+            Iterator.empty
+          }
         } else {
           if (rowOrd.compare(row, heap.peek()) < 0) {
             heap.poll()

@@ -975,10 +975,12 @@ class GraftFacadeSpec extends SparkSuiteBase {
     val plan = native.queryExecution.executedPlan.toString
     assert("TopKPerKey ".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("WindowExec"), s"custom path must not window:\n$plan")
-    val sortIdx = plan.toLowerCase.indexOf("sort")
     val partialIdx = plan.indexOf("TopKPerKey",
       plan.indexOf("TopKPerKey") + 1) // second occurrence = partial stage
-    assert(sortIdx < 0 || sortIdx < partialIdx,
+    // NO sort may appear anywhere below the partial stage (r13 ADVICE:
+    // checking only the first occurrence would miss a regression that
+    // adds a second, input-sized sort under the partial operator)
+    assert(plan.toLowerCase.indexOf("sort", partialIdx) < 0,
       s"only the survivor sort (above the partial stage) is allowed:\n$plan")
     // ascending variant
     val asc = Graft.topKPerGroupNative(df, Seq("g"), "score", "id", 2,

@@ -83,13 +83,15 @@ class TablesSpec extends SparkSuiteBase {
 
   test("every registered query has either oracle SQL or a scaladoc'd no-oracle reason") {
     // registry hygiene: a query key with no oracle entry is only
-    // legitimate for the documented no-oracle three (media stubs, HLL
-    // sketch; d03/d07 gained an inlined-XXH64 oracle in round 11) —
-    // anything else silently downgrades to a rows-only check and
-    // weakens the correctness gate
+    // legitimate for the documented no-oracle set (d03/d07 gained an
+    // inlined-XXH64 oracle in round 11; m01/m02 gained integer/digest
+    // oracles in round 14) — anything else silently downgrades to a
+    // rows-only check and weakens the correctness gate
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val allowed = Set(
-      "m01_media_features", "m02_frame_sample", "q17_approx_distinct")
+    // r14: m01/m02 gained integer/digest oracles — only the built-in
+    // HLL++ sketch remains inherently un-mirrorable (q58 covers the
+    // sketch semantics under the gate)
+    val allowed = Set("q17_approx_distinct")
     assert(noOracle == allowed,
       s"unexpected oracle-less queries: ${(noOracle -- allowed).toSeq.sorted
         .mkString(", ")}; missing expected: ${(allowed -- noOracle).toSeq.sorted

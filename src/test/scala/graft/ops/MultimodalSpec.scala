@@ -14,7 +14,13 @@ class MultimodalSpec extends SparkSuiteBase {
     val f2 = stubDecode(rec)
     assert(f1 == f2)
     assert(f1.n_bytes == 100L)
-    assert(f1.f0 == 1.0) // width/height
+    assert(f1.aspect_pm == 10000L) // width*10000 div height, square
+    assert(f1.first_byte == 0)     // payload bytes are 0..99
+    assert(f1.content_md5.length == 32 &&
+      f1.content_md5.forall("0123456789abcdef".contains(_)))
+    // md5 really fingerprints the CONTENT, not the metadata
+    assert(stubDecode(rec.copy(media = Array[Byte](1, 2, 3))).content_md5
+      != f1.content_md5)
   }
 
   test("resizeStub scales payload with target area and updates metadata") {
