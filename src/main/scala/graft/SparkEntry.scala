@@ -232,6 +232,7 @@ object SparkEntry {
     "q79_seq_gaps" -> (Relational.q79SequenceGaps _),
     "q80_sssp" -> (Relational.q80Sssp _),
     "q81_seq_pattern" -> (Relational.q81EventPattern _),
+    "q82_sssp_frontier" -> (Relational.q82SsspFrontier _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -4247,6 +4248,51 @@ FROM est ORDER BY l_partkey""",
         |            ELSE 's:' || ((node - 1) // 2) END AS node,
         |  CAST(d AS BIGINT) AS d
         |FROM d4 ORDER BY d, node LIMIT 100""".stripMargin,
+
+    // q82: the 6 frontier-mode relaxation rounds unrolled as CTEs —
+    // whole-set relaxation in SQL (min-merge per round) equals the
+    // engine's frontier/delta mode because both compute the same exact
+    // bounded-round Bellman-Ford fixpoint; integer cents throughout
+    // (the q80 argument).
+    "q82_sssp_frontier" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |el AS (SELECT o_orderkey AS src,
+        |    lead(o_orderkey) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst,
+        |    lead(cents) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderkey) AS w
+        |  FROM o),
+        |e AS (SELECT src, dst, w FROM el WHERE dst IS NOT NULL),
+        |d0 AS (SELECT min(o_orderkey) AS node, CAST(0 AS BIGINT) AS d
+        |  FROM o GROUP BY o_custkey),
+        |d1 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d0
+        |  UNION ALL SELECT e.dst, d0.d + e.w FROM d0
+        |    JOIN e ON d0.node = e.src) t GROUP BY node),
+        |d2 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d1
+        |  UNION ALL SELECT e.dst, d1.d + e.w FROM d1
+        |    JOIN e ON d1.node = e.src) t GROUP BY node),
+        |d3 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d2
+        |  UNION ALL SELECT e.dst, d2.d + e.w FROM d2
+        |    JOIN e ON d2.node = e.src) t GROUP BY node),
+        |d4 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d3
+        |  UNION ALL SELECT e.dst, d3.d + e.w FROM d3
+        |    JOIN e ON d3.node = e.src) t GROUP BY node),
+        |d5 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d4
+        |  UNION ALL SELECT e.dst, d4.d + e.w FROM d4
+        |    JOIN e ON d4.node = e.src) t GROUP BY node),
+        |d6 AS (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d5
+        |  UNION ALL SELECT e.dst, d5.d + e.w FROM d5
+        |    JOIN e ON d5.node = e.src) t GROUP BY node)
+        |SELECT node, CAST(d AS BIGINT) AS d FROM d6
+        |ORDER BY d DESC, node LIMIT 100""".stripMargin,
 
     // q81: ordered string_agg + RE2 extract_all — the pattern is
     // classes-and-literals only, where Java regex and RE2 count the

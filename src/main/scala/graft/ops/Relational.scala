@@ -1865,6 +1865,37 @@ object Relational {
     * regex and DuckDB's RE2 agree exactly (see the facade scaladoc);
     * the order is total (event_id is unique), so the rendered string
     * — and therefore the count — is deterministic. */
+  /** q82 — FRONTIER-mode shortest paths
+    * ([[graft.Graft.shortestPaths]] with `frontier = true`, the
+    * Pregel/delta-relaxation branch — r13 verdict item 1: it was dead
+    * code, exercised by no query) over a LONG-DIAMETER graph: each
+    * customer's orders chain by orderkey (order i → order i+1, weight
+    * = the destination order's price in cents), seeds are every
+    * customer's first order, 6 relaxation rounds. A chain graph is the
+    * frontier mode's home turf — round i's frontier is exactly the
+    * set of (i+1)-th orders, which SHRINKS as customers with short
+    * histories exhaust, so the frontier-sized edge join does
+    * strictly less work each round (the dense default re-relaxes
+    * every settled node every round). Integer-exact (cents sums and
+    * mins), so the 6-round unrolled-CTE oracle must match to the
+    * cent; the top 100 deepest accumulated distances are reported. */
+  def q82SsspFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    val e = o
+      .withColumn("dst", lead($"o_orderkey", 1).over(w))
+      .withColumn("w", lead($"cents", 1).over(w))
+      .filter($"dst".isNotNull)
+      .select($"o_orderkey".as("src"), $"dst", $"w")
+    val seeds = o.groupBy($"o_custkey").agg(min($"o_orderkey").as("node"))
+      .select($"node")
+    graft.Graft.shortestPaths(e, seeds, iters = 6, frontier = true)
+      .orderBy($"d".desc, $"node").limit(100)
+  }
+
   def q81EventPattern(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")

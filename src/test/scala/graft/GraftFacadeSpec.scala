@@ -1159,6 +1159,42 @@ class GraftFacadeSpec extends SparkSuiteBase {
       Graft.shortestPaths(Seq((1L, 2L, -5L)).toDF("src", "dst", "w"),
         seeds, iters = 1)
     }
+    // NULL weight = malformed input, rejected like a negative (r13
+    // ADVICE: NULL < 0 is NULL, so it slipped the guard and was
+    // silently min()-ignored)
+    intercept[IllegalArgumentException] {
+      Graft.shortestPaths(
+        Seq((1L, 2L, Some(5L)), (2L, 3L, None: Option[Long]))
+          .toDF("src", "dst", "w"), seeds, iters = 1)
+    }
+  }
+
+  test("shortestPaths: frontier mode equals dense mode incl. re-improved distances") {
+    // the delta-relaxation bug surface: node 1 is reached cheaply-late
+    // (0 -> 10 -> 11 -> 1 = 3 at round 3) AFTER being reached
+    // expensively-early (0 -> 1 = 100 at round 1), so a frontier
+    // implementation that fails to RE-relax node 1's out-edge after
+    // its improvement would leave node 2 at 101 instead of 4
+    val e = Seq((0L, 1L, 100L), (0L, 10L, 1L), (10L, 11L, 1L),
+      (11L, 1L, 1L), (1L, 2L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    for (iters <- Seq(1, 2, 4, 6)) {
+      val dense = Graft.shortestPaths(e, seeds, iters)
+        .as[(Long, Long)].collect().toMap
+      val front = Graft.shortestPaths(e, seeds, iters, frontier = true)
+        .as[(Long, Long)].collect().toMap
+      assert(front == dense, s"iters=$iters: frontier $front != dense $dense")
+    }
+    val f4 = Graft.shortestPaths(e, seeds, 4, frontier = true)
+      .as[(Long, Long)].collect().toMap
+    assert(f4 == Map(0L -> 0L, 1L -> 3L, 2L -> 4L, 10L -> 1L, 11L -> 2L),
+      s"re-improvement must propagate through node 1's out-edge, got $f4")
+    // early termination: the frontier empties at hop 2, long before
+    // iters — the short-circuit must not change the answer
+    val chain = Seq((1L, 2L, 7L), (2L, 3L, 7L)).toDF("src", "dst", "w")
+    val c = Graft.shortestPaths(chain, Seq(1L).toDF("node"), 10,
+      frontier = true).as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 0L, 2L -> 7L, 3L -> 14L), c.toString)
   }
 
   test("eventPattern: non-overlapping counts under a total order, zero-match groups") {
