@@ -233,6 +233,7 @@ object SparkEntry {
     "q80_sssp" -> (Relational.q80Sssp _),
     "q81_seq_pattern" -> (Relational.q81EventPattern _),
     "q82_sssp_frontier" -> (Relational.q82SsspFrontier _),
+    "q83_session_pattern" -> (Relational.q83SessionPattern _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -4293,6 +4294,30 @@ FROM est ORDER BY l_partkey""",
         |    JOIN e ON d5.node = e.src) t GROUP BY node)
         |SELECT node, CAST(d AS BIGINT) AS d FROM d6
         |ORDER BY d DESC, node LIMIT 100""".stripMargin,
+
+    // q83: the q47 sessionizer (same lag -> gap flag -> running sum)
+    // composed with the q81 string_agg + RE2 pattern count, grouped by
+    // the DERIVED (user, sid) instead of (user, day).
+    "q83_session_pattern" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id))
+        |         >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS gap
+        |  FROM events),
+        |numbered AS (
+        |  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |seqs AS (
+        |  SELECT user_id, sid,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM numbered GROUP BY 1, 2),
+        |m AS (SELECT CAST(len(regexp_extract_all(seq, 'v[vc]*p'))
+        |    AS BIGINT) AS n_matches FROM seqs)
+        |SELECT n_matches, count(*)::BIGINT AS n_sessions
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q81: ordered string_agg + RE2 extract_all — the pattern is
     // classes-and-literals only, where Java regex and RE2 count the

@@ -1896,6 +1896,40 @@ object Relational {
       .orderBy($"d".desc, $"node").limit(100)
   }
 
+  /** q83 — pattern matching over DERIVED sessions: the q47
+    * gaps-and-islands sessionizer (30-minute inactivity splits,
+    * total-ordered by (ts, event_id)) feeds its session id into
+    * [[graft.Graft.eventPattern]]'s group keys, so the `v[vc]*p`
+    * funnel regex scans each SESSION's code string, not a calendar
+    * unit — the production funnel shape the eventPattern scaladoc
+    * prescribes (q81 grouped by (user, day); here the group unit is
+    * the behaviorally-bounded session itself). Digest = sessions per
+    * match count.
+    *
+    * Scale shape: the sessionizer's two windows partition by user
+    * (q47's shape), then eventPattern's ONE exchange groups by
+    * (user, sid) — per-group state is one session's events, the
+    * bounded-session contract made literal. */
+  def q83SessionPattern(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("__gap",
+        when(unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byTs))
+          >= 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("sid", sum($"__gap")
+        .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.Graft.eventPattern(ev,
+        keys = Seq($"user_id", $"sid"),
+        order = Seq($"ts", $"event_id"),
+        code = substring($"event_type", 1, 1),
+        pattern = "v[vc]*p")
+      .groupBy($"n_matches".cast("long").as("n_matches"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_matches")
+  }
+
   def q81EventPattern(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")
