@@ -1905,18 +1905,45 @@ object Graft {
     *
     * Scale shape: the textbook `lead() OVER (ORDER BY id)` is a
     * 100 TB scale-killer — an unpartitioned window coalesces the
-    * whole id set into ONE task. This op keeps the heavy pass
+    * whole id set into ONE task. This op keeps EVERY pass
     * partitioned: ids bucket by `id div bucketSize`, intra-bucket
     * gaps come from `lead` partitioned ON THE BUCKET (parallel,
     * bounded by bucketSize rows per group), and cross-bucket gaps
-    * (including whole empty buckets) come from a lead over the
-    * per-bucket (min, max) SUMMARY — a frame `bucketSize`x smaller
-    * than the ids, the only place a global window runs. Exact: every
-    * gap is either interior to one bucket or spans a bucket boundary,
-    * never both. */
+    * (including whole empty buckets) come from the same trick applied
+    * RECURSIVELY to the per-bucket (min, max) summary: each level's
+    * lead is partitioned by the NEXT level's bucket (`__b div
+    * summaryFan`), so no window partition anywhere holds more than
+    * max(bucketSize, summaryFan) rows — at ANY cardinality (r13
+    * verdict item 5: the former single global lead over the level-1
+    * summary re-grew a one-task window at extreme keyspaces).
+    * `summaryFan` is deliberately separate from `bucketSize`: the
+    * level-1 pass over the DATA wants a cache-friendly bucket, while
+    * the summary levels hold 24-byte rows and can fan 2^20-wide — a
+    * 2^20 fan collapses the whole long domain in 3 levels (level
+    * count is driver arithmetic, ceil(log_fan(2^64 / bucketSize)),
+    * no Spark action).
+    *
+    * Exact: two adjacent non-empty buckets pair up by `lead` at
+    * exactly the FIRST level where their ancestors are distinct
+    * siblings under one parent (below it they sit in different
+    * partitions; above it they have merged into one summary row), and
+    * a level-k ancestor's min/max equal the gap-adjacent ids because
+    * every bucket between the pair is empty — so each gap is emitted
+    * exactly once, with exact bounds.
+    *
+    * `idBits` bounds the recursion depth (ids assumed to fit in that
+    * many bits; the default 64 covers every long). It is a PERF hint,
+    * not a correctness knob: after the partitioned levels a final
+    * residual lead runs over whatever summary roots remain — exactly
+    * one row when the hint holds (a no-op), and still the exact
+    * textbook answer (merely single-task over the residual) when it
+    * does not. */
   def sequenceGaps(df: DataFrame, idCol: String,
-      bucketSize: Long = 1L << 20): DataFrame = {
+      bucketSize: Long = 1L << 20, summaryFan: Long = 1L << 20,
+      idBits: Int = 64): DataFrame = {
     require(bucketSize >= 2, s"bucketSize out of range: $bucketSize")
+    require(summaryFan >= 2, s"summaryFan out of range: $summaryFan")
+    require(idBits >= 1 && idBits <= 64, s"idBits out of range: $idBits")
     val ids = df.select(col(idCol).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
       .withColumn("__b", expr(s"id div $bucketSize"))
@@ -1925,13 +1952,37 @@ object Graft {
         lead(col("id"), 1).over(Window.partitionBy(col("__b")).orderBy(col("id"))))
       .filter(col("__next") > col("id") + 1)
       .select((col("id") + 1).as("gap_start"), (col("__next") - 1).as("gap_end"))
-    val summary = ids.groupBy(col("__b"))
+    var gaps = intra
+    var cur = ids.groupBy(col("__b"))
       .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
-    val inter = summary
-      .withColumn("__nextMn", lead(col("__mn"), 1).over(Window.orderBy(col("__b"))))
+    // remaining bucket-index domain; once it fits in one bucket the
+    // loop's last level ran with a single (<= summaryFan rows)
+    // partition and the rolled-up summary is one row — done
+    var domain = BigInt(2).pow(idBits) / bucketSize
+    while (domain > 1) {
+      val withParent = cur.withColumn("__p", expr(s"__b div $summaryFan"))
+      val inter = withParent
+        .withColumn("__nextMn", lead(col("__mn"), 1)
+          .over(Window.partitionBy(col("__p")).orderBy(col("__b"))))
+        .filter(col("__nextMn") > col("__mx") + 1)
+        .select((col("__mx") + 1).as("gap_start"),
+          (col("__nextMn") - 1).as("gap_end"))
+      gaps = gaps.unionByName(inter)
+      cur = withParent.groupBy(col("__p"))
+        .agg(min(col("__mn")).as("__mn"), max(col("__mx")).as("__mx"))
+        .withColumnRenamed("__p", "__b")
+      domain = (domain + summaryFan - 1) / summaryFan
+    }
+    // residual roots: exactly one row when ids fit idBits (the lead
+    // finds nothing), and the exact single-task textbook fallback if a
+    // too-small hint left several
+    val residual = cur
+      .withColumn("__nextMn",
+        lead(col("__mn"), 1).over(Window.orderBy(col("__b"))))
       .filter(col("__nextMn") > col("__mx") + 1)
-      .select((col("__mx") + 1).as("gap_start"), (col("__nextMn") - 1).as("gap_end"))
-    intra.unionByName(inter)
+      .select((col("__mx") + 1).as("gap_start"),
+        (col("__nextMn") - 1).as("gap_end"))
+    gaps.unionByName(residual)
   }
 
   /** Bounded-round single-source (multi-seed) shortest paths over a

@@ -1820,8 +1820,12 @@ object Relational {
   def q79SequenceGaps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables(s, dir, "lineitem")
+    // idBits = 40 (orderkeys are dense ints far below 2^40 at any
+    // TPC-H scale) trims the summary recursion to 2 levels; the op's
+    // residual lead keeps the answer exact even if that hint were
+    // wrong
     graft.Graft.sequenceGaps(li.select($"l_orderkey"), "l_orderkey",
-        bucketSize = 1024L)
+        bucketSize = 1024L, idBits = 40)
       .withColumn("gap_len", $"gap_end" - $"gap_start" + 1L)
       .orderBy($"gap_len".desc, $"gap_start").limit(50)
   }

@@ -1142,6 +1142,42 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(Graft.sequenceGaps((1L to 9L).toDF("id"), "id", 4L).isEmpty)
   }
 
+  test("sequenceGaps: gaps spanning multiple summary LEVELS resolve once, exactly") {
+    // bucketSize = summaryFan = 2 forces a deep recursion: ids 0 and
+    // 40 are 5 summary levels apart (40 div 2^k differs from 0 up to
+    // k=5), so the gap (1, 39) must surface at the level where their
+    // ancestors first become siblings — and ONLY there (r13 verdict
+    // item 5: the recursive cross-bucket pass replaces the single
+    // global window). 6,7 adds a sibling pair at level 1; 36 adds a
+    // mid-range bucket so two cross-level gaps coexist.
+    val ids = Seq(0L, 6L, 7L, 36L, 40L).toDF("id")
+    val got = Graft.sequenceGaps(ids, "id", bucketSize = 2L,
+        summaryFan = 2L, idBits = 8)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.size == got.toSet.size, s"a gap emitted twice: $got")
+    assert(got.toSet == Set((1L, 5L), (8L, 35L), (37L, 39L)), got)
+    // a too-small idBits hint degrades to the residual single-task
+    // lead, never to a wrong answer (ids up to 40 don't fit 3 bits)
+    val hinted = Graft.sequenceGaps(ids, "id", bucketSize = 2L,
+        summaryFan = 2L, idBits = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(hinted == Set((1L, 5L), (8L, 35L), (37L, 39L)), hinted)
+    // and the recursion agrees with the one-window textbook answer on
+    // a randomized keyspace across bucket/fan combinations, including
+    // a narrow fan that exercises several live levels
+    val rnd = new scala.util.Random(14)
+    val sample = Seq.fill(300)(rnd.nextInt(100000).toLong).distinct
+    val want = sample.sorted.sliding(2).collect {
+      case Seq(a, b) if b > a + 1 => (a + 1, b - 1)
+    }.toSet
+    for ((sz, fan) <- Seq((3L, 1024L), (16L, 1L << 20), (4096L, 64L))) {
+      val g = Graft.sequenceGaps(sample.toDF("id"), "id", sz, fan)
+        .as[(Long, Long)].collect().toSet
+      assert(g == want,
+        s"bucketSize=$sz fan=$fan disagrees with the textbook lead")
+    }
+  }
+
   test("shortestPaths: cheaper multi-hop beats direct edge; rounds bound path length") {
     // 1 -> 2 costs 100 direct, but 1 -> 3 -> 2 costs 10 + 10 = 20
     val e = Seq((1L, 2L, 100L), (1L, 3L, 10L), (3L, 2L, 10L),
