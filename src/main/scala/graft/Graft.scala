@@ -1772,29 +1772,73 @@ object Graft {
     * 49M wedge rows twice at sf0.1: 37 s; this shape: ~2 s).
     * SHUFFLE_HASH on the adjacency build side: node-sized <=
     * edge-sized by construction, and SMJ would re-sort the edge
-    * stream per leg. At true 100 TB scale orient by (degree, id)
-    * instead of raw id — same plan, provably minimal intersection
-    * work (the compact-forward refinement) — the id orientation here
-    * keeps the oracle mirror trivial. Returns a lazy frame: digest it
-    * (count/group), don't collect it — triangle sets are input-cubic
-    * in the worst case. */
-  def triangles(edges: DataFrame): DataFrame = {
-    val adj = edges
+    * stream per leg.
+    *
+    * `byDegree = true` orients by (degree, id) instead of raw id —
+    * the compact-forward refinement: every node's forward adjacency
+    * is bounded by O(sqrt(edges)) regardless of skew, which provably
+    * minimizes total intersection work (sum over edges of
+    * min-endpoint forward degree). The census is IDENTICAL (emitted
+    * triples are re-sorted to a < b < c), so the oracle does not
+    * change; the price is one extra node-sized degree aggregate and
+    * two node-sized joins before the adjacency build. Use it when a
+    * hub node's forward list would otherwise be its full (possibly
+    * millions-wide) neighborhood — the 100 TB-scale default; raw-id
+    * orientation keeps the small-graph plan two joins shorter.
+    * Returns a lazy frame: digest it (count/group), don't collect it
+    * — triangle sets are input-cubic in the worst case. */
+  def triangles(edges: DataFrame, byDegree: Boolean = false): DataFrame = {
+    val und = edges
       .select(least(col("src"), col("dst")).as("x"),
         greatest(col("src"), col("dst")).as("y"))
       .filter(col("x") =!= col("y"))
-      .groupBy(col("x"))
-      .agg(sort_array(collect_set(col("y"))).as("__nbrs"))
-      .localCheckpoint()
+    val adj =
+      if (!byDegree)
+        und.groupBy(col("x"))
+          .agg(sort_array(collect_set(col("y"))).as("__nbrs"))
+          .localCheckpoint()
+      else {
+        // orient u -> v iff (deg(u), u) < (deg(v), v): a total order,
+        // so exactly one direction per edge survives and the forward
+        // graph is acyclic — each triangle still closes exactly once
+        val e0 = und.distinct().localCheckpoint()
+        val deg = e0.select(col("x").as("n"))
+          .unionAll(e0.select(col("y").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("__d"))
+        val ranked = e0
+          .join(deg.select(col("n").as("x"), col("__d").as("__dx"))
+            .hint("shuffle_hash"), "x")
+          .join(deg.select(col("n").as("y"), col("__d").as("__dy"))
+            .hint("shuffle_hash"), "y")
+        val fwd = col("__dx") < col("__dy") ||
+          (col("__dx") === col("__dy") && col("x") < col("y"))
+        ranked
+          .select(when(fwd, col("x")).otherwise(col("y")).as("u"),
+            when(fwd, col("y")).otherwise(col("x")).as("v"))
+          .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("__nbrs"))
+          .withColumnRenamed("u", "x")
+          .localCheckpoint()
+      }
     // deduped + oriented by construction: explode of the adjacency
     // sets IS the distinct edge list, no second exchange needed
     val e = adj.select(col("x"), explode(col("__nbrs")).as("y"))
-    e.join(adj.select(col("x").as("__ax"), col("__nbrs").as("__na"))
+    val closed = e
+      .join(adj.select(col("x").as("__ax"), col("__nbrs").as("__na"))
         .hint("shuffle_hash"), col("x") === col("__ax"))
       .join(adj.select(col("x").as("__by"), col("__nbrs").as("__nb"))
         .hint("shuffle_hash"), col("y") === col("__by"))
-      .select(col("x").as("a"), col("y").as("b"),
+      .select(col("x"), col("y"),
         explode(array_intersect(col("__na"), col("__nb"))).as("c"))
+    if (!byDegree)
+      closed.select(col("x").as("a"), col("y").as("b"), col("c"))
+    else
+      // degree orientation emits the triple in (degree, id) order —
+      // normalize to a < b < c so the census is orientation-invariant
+      closed
+        .select(array_sort(array(col("x"), col("y"), col("c"))).as("__t"))
+        .select(element_at(col("__t"), 1).as("a"),
+          element_at(col("__t"), 2).as("b"),
+          element_at(col("__t"), 3).as("c"))
   }
 
   /** Row-level snapshot reconciliation (the data-diff audit a

@@ -1004,6 +1004,23 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(out.toSet == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
       (2L, 3L, 4L)))
     out.foreach { case (a, b, c) => assert(a < b && b < c) }
+    // (degree, id) orientation: identical census, still a < b < c,
+    // still exactly-once — on the same graph AND on a hub-skewed one
+    // where the two orderings genuinely differ (the hub has max
+    // degree but min id)
+    val outDeg = Graft.triangles(und.toDF("src", "dst"), byDegree = true)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(outDeg.size == outDeg.toSet.size, "degree orientation dup")
+    assert(outDeg.toSet == out.toSet, s"census changed: $outDeg")
+    val hub = (2L to 9L).flatMap(i => Seq((1L, i))) ++
+      Seq((2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L), (3L, 5L))
+    val wantHub = Graft.triangles(hub.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+    val gotHub = Graft.triangles(hub.toDF("src", "dst"), byDegree = true)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotHub.size == gotHub.toSet.size, "degree orientation dup (hub)")
+    assert(gotHub.toSet == wantHub, s"hub census changed: $gotHub")
+    gotHub.foreach { case (a, b, c) => assert(a < b && b < c) }
   }
 
   test("snapshotDiff: added/removed/changed/unchanged incl. the null transition") {
