@@ -1643,31 +1643,40 @@ object Graft {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct out of range: $dampingPct")
     // the caller's edge plan materializes exactly ONCE (an un-severed
-    // lineage recomputes it per loop reference — measured 2x on q70);
-    // degree is node-sized and checkpointed too, so every iteration
-    // reads an in-memory edge list and broadcast-joins two node-sized
-    // sides instead of re-running upstream shuffles
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // lineage recomputes it per loop reference — measured 2x on q70),
+    // PRE-PARTITIONED on the probe key: edgesD checkpoints hash-
+    // partitioned on src and nodes on node, so each iteration's two
+    // joins see co-partitioned inputs and plan ZERO exchange on the
+    // checkpointed sides (r13 verdict item 3 — the only per-iteration
+    // shuffle left is the contrib scatter's groupBy(dst->node), the
+    // irreducible one). The degree join folds into the one-time build.
+    // EXPLICIT partition count: a bare repartition(col) is an AQE
+    // coalesce target, which erases the static HashPartitioning the
+    // checkpoint would otherwise carry into every iteration's join
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(nPart, col("src")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-      .localCheckpoint()
-    val edgesD = e.join(deg, "src")
+    val edgesD = e.join(deg.hint("shuffle_hash"), "src").localCheckpoint()
     // node set = src ∪ dst: a sink node (appears only as dst) has no
     // out-edges but still owns a rank row — it keeps its teleport term
     // and accumulates inbound mass via the left join below (r12 ADVICE:
     // deriving nodes from the out-degree table silently dropped it)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .repartition(nPart, col("node")).localCheckpoint()
     val teleport = (100L - dampingPct) * 10000000L  // (1-d) * 1e9
     var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_e9"))
     var i = 0
     while (i < iters) {
+      // shuffle_hash on the node-sized sides: a sort-merge plan would
+      // re-sort the checkpointed edge list every iteration
       val contrib = edgesD
-        .join(ranks, edgesD("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"), edgesD("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("rank_e9 div __outdeg").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(__in, 0L)) div 100"))
