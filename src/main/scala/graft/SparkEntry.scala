@@ -234,6 +234,7 @@ object SparkEntry {
     "q81_seq_pattern" -> (Relational.q81EventPattern _),
     "q82_sssp_frontier" -> (Relational.q82SsspFrontier _),
     "q83_session_pattern" -> (Relational.q83SessionPattern _),
+    "q84_ppr" -> (Relational.q84Ppr _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -3978,6 +3979,48 @@ FROM est ORDER BY l_partkey""",
         |r3 AS (SELECT n.node,
         |    150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
         |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM edges e JOIN r2 r ON e.src = r.node
+        |    JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
+        |            ELSE 's:' || ((node - 1) // 2) END AS node,
+        |  CAST(rank_e9 AS BIGINT) AS rank_e9
+        |FROM r3 ORDER BY rank_e9 DESC, node LIMIT 50""".stripMargin,
+
+    // q84: q70's unrolled integer CTEs with the teleport term gated on
+    // seed membership — same bit-for-bit truncating-division argument.
+    "q84_ppr" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |edges AS (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |sd AS (SELECT DISTINCT p_partkey * 2 AS node FROM part
+        |  WHERE p_partkey % 1000 = 1),
+        |ns AS (SELECT d.src AS node,
+        |    CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS seed
+        |  FROM deg d LEFT JOIN sd s ON d.src = s.node),
+        |r0 AS (SELECT node, CAST(seed * 1000000000 AS BIGINT) AS rank_e9
+        |  FROM ns),
+        |r1 AS (SELECT n.node,
+        |    n.seed * 150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM ns n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM edges e JOIN r0 r ON e.src = r.node
+        |    JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node),
+        |r2 AS (SELECT n.node,
+        |    n.seed * 150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM ns n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM edges e JOIN r1 r ON e.src = r.node
+        |    JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node),
+        |r3 AS (SELECT n.node,
+        |    n.seed * 150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM ns n LEFT JOIN (
         |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
         |    FROM edges e JOIN r2 r ON e.src = r.node
         |    JOIN deg d ON d.src = e.src

@@ -1941,6 +1941,34 @@ object Relational {
       .orderBy($"n_matches")
   }
 
+  /** q84 — personalized PageRank
+    * ([[graft.Graft.personalizedPageRank]]) over q70's bipartite
+    * part↔supplier sourcing graph, seeded at every 1000th part (the
+    * q80 seed slice): rank measures supply-chain proximity to the
+    * seed parts — the graph-curation expansion primitive (seed a few
+    * trusted nodes, harvest their neighborhood by affinity). Integer
+    * e9 fixed-point end to end, so the 3-iteration unrolled-CTE
+    * oracle matches bit-for-bit (the q70 argument); top 50 by rank. */
+  def q84Ppr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val fwd = pairs.select(
+      ($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val edges = fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Tables(s, dir, "part")
+      .filter($"p_partkey" % 1000 === 1)
+      .select(($"p_partkey" * 2).as("node"))
+    graft.Graft.personalizedPageRank(edges, seeds, iters = 3,
+        dampingPct = 85)
+      .select(
+        when($"node" % 2 === 0, concat(lit("p:"), expr("node div 2")))
+          .otherwise(concat(lit("s:"), expr("(node - 1) div 2")))
+          .as("node"),
+        $"rank_e9")
+      .orderBy($"rank_e9".desc, $"node").limit(50)
+  }
+
   def q81EventPattern(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")

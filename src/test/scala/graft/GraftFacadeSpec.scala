@@ -924,6 +924,27 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == r, s"got $got want $r")
   }
 
+  test("personalizedPageRank: teleport mass only at seeds, replay-exact, off-graph seeds ignored") {
+    // directed: 1 -> 2, 2 -> 1, 3 -> 1; seed = {1} (plus 99, absent
+    // from the graph — must be silently ignored)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = Graft.personalizedPageRank(edges, seeds, iters = 2,
+        dampingPct = 85)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+    // driver replay: r0 = (1e9, 0, 0); only node 1 keeps a teleport
+    var r = Map(1L -> 1000000000L, 2L -> 0L, 3L -> 0L)
+    for (_ <- 1 to 2) r = Map(
+      1L -> (150000000L + 85L * (r(2L) / 1 + r(3L) / 1) / 100L),
+      2L -> (85L * (r(1L) / 1) / 100L),
+      3L -> 0L)
+    assert(got == r, s"got $got want $r")
+    // node 3 (no in-edges, not a seed) must sit at exactly zero —
+    // personalized rank is proximity to the seeds, not presence
+    assert(got(3L) == 0L)
+  }
+
   test("bfsHops: minimum hop labels, early exit, seeds-only degenerate case") {
     // path graph 1-2-3-4-5 plus a triangle shortcut 1-3
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
