@@ -2134,8 +2134,13 @@ object Graft {
   def shortestPaths(edges: DataFrame, seeds: DataFrame,
       iters: Int, frontier: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
+    // pre-partitioned on the probe key with an explicit count (the
+    // pageRank discipline): every relaxation round's edge-sized join
+    // input is then a bare checkpoint scan — no per-round edge
+    // exchange, no per-round edge sort
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint()
+      .repartition(nPart, col("src")).localCheckpoint()
     // NULL weights (including uncastable strings under the long cast)
     // must be rejected, not silently min()-ignored: NULL < 0 is NULL,
     // so the negative-only guard let them through (r13 ADVICE). The
@@ -2149,7 +2154,8 @@ object Graft {
     var i = 0
     while (i < iters && (!frontier || !front.isEmpty)) {
       if (frontier) {
-        val cand = e.join(front, e("src") === front("node"))
+        val cand = e.join(front.hint("shuffle_hash"),
+            e("src") === front("node"))
           .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
           .groupBy(col("node")).agg(min(col("d")).as("d"))
         val improved = cand
@@ -2162,7 +2168,8 @@ object Graft {
           .groupBy(col("node")).agg(min(col("d")).as("d"))
         front = improved
       } else {
-        val relaxed = e.join(dist, e("src") === dist("node"))
+        val relaxed = e.join(dist.hint("shuffle_hash"),
+            e("src") === dist("node"))
           .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
         dist = dist.unionByName(relaxed)
           .groupBy(col("node")).agg(min(col("d")).as("d"))
