@@ -1855,16 +1855,24 @@ object Graft {
       .select(least(col("src"), col("dst")).as("x"),
         greatest(col("src"), col("dst")).as("y"))
       .filter(col("x") =!= col("y"))
+    // the id-oriented adjacency is the shared dedup stage: ONE
+    // exchange with map-side set folding, checkpointed partitioned
+    // on x
+    val adjId = und.groupBy(col("x"))
+      .agg(sort_array(collect_set(col("y"))).as("__nbrs"))
+      .localCheckpoint()
     val adj =
-      if (!byDegree)
-        und.groupBy(col("x"))
-          .agg(sort_array(collect_set(col("y"))).as("__nbrs"))
-          .localCheckpoint()
+      if (!byDegree) adjId
       else {
         // orient u -> v iff (deg(u), u) < (deg(v), v): a total order,
         // so exactly one direction per edge survives and the forward
-        // graph is acyclic — each triangle still closes exactly once
-        val e0 = und.distinct().localCheckpoint()
+        // graph is acyclic — each triangle still closes exactly once.
+        // The distinct edge list derives NARROWLY from adjId's explode
+        // (already deduped, already partitioned on x), so the degree
+        // count is the true distinct degree and the x-side degree join
+        // plans zero exchange; only the y-side join and the re-keyed
+        // adjacency build shuffle.
+        val e0 = adjId.select(col("x"), explode(col("__nbrs")).as("y"))
         val deg = e0.select(col("x").as("n"))
           .unionAll(e0.select(col("y").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("__d"))
