@@ -2028,7 +2028,10 @@ object Graft {
     * RECURSIVELY to the per-bucket (min, max) summary: each level's
     * lead is partitioned by the NEXT level's bucket (`__b div
     * summaryFan`), so no window partition anywhere holds more than
-    * max(bucketSize, summaryFan) rows — at ANY cardinality (r13
+    * max(bucketSize, summaryFan) rows (2x that for the one bucket
+    * straddling zero when ids are signed — `div` truncates toward
+    * zero, so bucket 0 spans ±(size-1); still parameter-bounded) — at
+    * ANY cardinality (r13
     * verdict item 5: the former single global lead over the level-1
     * summary re-grew a one-task window at extreme keyspaces).
     * `summaryFan` is deliberately separate from `bucketSize`: the

@@ -1208,6 +1208,14 @@ class GraftFacadeSpec extends SparkSuiteBase {
     val want = sample.sorted.sliding(2).collect {
       case Seq(a, b) if b > a + 1 => (a + 1, b - 1)
     }.toSet
+    // NEGATIVE ids: `div` truncates toward zero, so bucket 0 spans
+    // -(sz-1)..(sz-1) — wider than sz but still a monotone contiguous
+    // range, which is all the min/max summary recursion needs
+    val neg = Seq(-7L, -6L, -2L, 0L, 1L, 5L).toDF("id")
+    val gotNeg = Graft.sequenceGaps(neg, "id", bucketSize = 4L,
+        summaryFan = 2L, idBits = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(gotNeg == Set((-5L, -3L), (-1L, -1L), (2L, 4L)), gotNeg)
     for ((sz, fan) <- Seq((3L, 1024L), (16L, 1L << 20), (4096L, 64L))) {
       val g = Graft.sequenceGaps(sample.toDF("id"), "id", sz, fan)
         .as[(Long, Long)].collect().toSet
