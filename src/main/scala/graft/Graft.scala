@@ -2191,6 +2191,32 @@ object Graft {
     dist
   }
 
+  /** Gaps-and-islands sessionization (the q47 shape as a reusable
+    * facade op): per `user`, events order by (`ts`, `tieBreak`...) —
+    * a TOTAL order, include a unique tie-break — and a new session
+    * starts whenever the gap from the previous event reaches
+    * `gapMinutes`. Returns the input columns plus a 0-based `sid`
+    * per user; (user, sid) is the bounded group unit downstream ops
+    * key on ([[eventPattern]], t28 chunking, funnels).
+    *
+    * Scale shape: two windows, both partitioned BY USER (lag for the
+    * gap flag, running sum for the id) — per-partition state is one
+    * user's history, the same bounded-key contract as every window
+    * op here; no global window, no exchange beyond the one user
+    * hash-partitioning both windows share. */
+  def sessionize(events: DataFrame, user: Column, ts: Column,
+      tieBreak: Seq[Column], gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes out of range: $gapMinutes")
+    val byTs = Window.partitionBy(user).orderBy(ts +: tieBreak: _*)
+    events
+      .withColumn("__gap",
+        when(unix_micros(ts) - unix_micros(lag(ts, 1).over(byTs))
+          >= gapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("__gap"))
+        .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__gap")
+  }
+
   /** Ordered event-sequence pattern matching (the MATCH_RECOGNIZE /
     * funnel-regex shape): per group (`keys`), events sort by `order`
     * (must be total per group — include a unique tie-break), each

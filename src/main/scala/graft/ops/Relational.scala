@@ -953,17 +953,14 @@ object Relational {
     * value-quantization regime. */
   def q47Sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val sessFull = Window.partitionBy($"user_id", $"sid")
       .orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables(s, dir, "events")
-      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
-      .withColumn("__gap",
-        when(unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byTs))
-          >= 30L * 60 * 1000000, 1L).otherwise(0L))
-      .withColumn("sid", sum($"__gap")
-        .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.Graft.sessionize(
+        Tables(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type", $"value"),
+        user = $"user_id", ts = $"ts", tieBreak = Seq($"event_id"),
+        gapMinutes = 30)
       .withColumn("first_type", first($"event_type").over(sessFull))
       .withColumn("last_type", last($"event_type").over(sessFull))
       .groupBy($"user_id", $"sid", $"first_type", $"last_type")
@@ -1923,14 +1920,11 @@ object Relational {
     * bounded-session contract made literal. */
   def q83SessionPattern(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val ev = Tables(s, dir, "events")
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("__gap",
-        when(unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byTs))
-          >= 30L * 60 * 1000000, 1L).otherwise(0L))
-      .withColumn("sid", sum($"__gap")
-        .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ev = graft.Graft.sessionize(
+      Tables(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type"),
+      user = $"user_id", ts = $"ts", tieBreak = Seq($"event_id"),
+      gapMinutes = 30)
     graft.Graft.eventPattern(ev,
         keys = Seq($"user_id", $"sid"),
         order = Seq($"ts", $"event_id"),

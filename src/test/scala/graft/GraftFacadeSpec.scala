@@ -1279,6 +1279,22 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(c == Map(1L -> 0L, 2L -> 7L, 3L -> 14L), c.toString)
   }
 
+  test("sessionize: gap-boundary inclusive split, per-user 0-based ids, tie-break order") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, at(0), 1L), (1L, at(29), 2L),   // 29 min < 30 -> same session
+      (1L, at(59), 3L),                    // exactly 30 min -> NEW session
+      (1L, at(60), 4L),
+      (2L, at(0), 5L), (2L, at(200), 6L))  // second user independent
+      .toDF("user_id", "ts", "event_id")
+    val got = Graft.sessionize(ev, $"user_id", $"ts", Seq($"event_id"))
+      .select($"user_id", $"event_id", $"sid")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L),
+      (1L, 4L, 1L), (2L, 5L, 0L), (2L, 6L, 1L)), got)
+  }
+
   test("eventPattern: non-overlapping counts under a total order, zero-match groups") {
     val ev = Seq(
       // group A renders "vcvpvp" (ordered by ts, id): v[vc]*p matches
