@@ -1161,6 +1161,15 @@ class GraftFacadeSpec extends SparkSuiteBase {
       .as[(Long, String, Long)].collect().toSet
     assert(got2 == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
       (5L, "e", 50L)), got2)
+    // malformed NULL op applies as an UPSERT, never a silent delete
+    // (r13 ADVICE: =!= "D" was NULL for NULL op, dropping the row from
+    // upserts after the anti-join had already removed the key)
+    val changes3 = Seq((2L, "b9", 29L, 1, None: Option[String]))
+      .toDF("k", "tag", "v", "seq", "op")
+    val got3 = Graft.applyChangeSet(base, changes3, "k", "seq", "op")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got3 == Set((1L, "a", 10L), (2L, "b9", 29L), (3L, "c", 30L)),
+      got3)
   }
 
   test("sequenceGaps: interior, boundary-spanning, and empty-bucket gaps") {
