@@ -40,6 +40,21 @@ class PlanAuditSpec extends SparkSuiteBase {
       bad.mkString("\n"))
   }
 
+  test("graph iteration loops never sort-merge the checkpointed edge list") {
+    // pageRank / personalizedPageRank / shortestPaths checkpoint the
+    // edge frame pre-partitioned and hint shuffle_hash on the
+    // node-sized sides — an SMJ appearing in these plans means the
+    // hints were lost and every iteration re-sorts edge-sized data
+    // (r14: the q70 exchange-cut discipline, guarded here)
+    for (q <- Seq("q70_pagerank", "q84_ppr", "q80_sssp",
+        "q82_sssp_frontier")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: iteration join degraded to sort-merge:\n${plan.take(4000)}")
+    }
+  }
+
   test("q22 binned range join is an equi join, never a nested loop") {
     val plan = ops.Relational.q22RangeJoinBinned(spark, sf)
       .queryExecution.executedPlan.toString
