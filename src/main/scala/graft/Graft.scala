@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
+  /** Partitioning-preserving eager local checkpoint — the severing
+    * primitive every iterative graph loop here builds on. A plain
+    * `repartition(n, keys).localCheckpoint()` comes back reporting
+    * `UnknownPartitioning` in Spark 4.1 under AQE (measured; PERF.md
+    * round 14), so each severed round re-exchanges the EDGE-sized
+    * side of its join to re-place rows that are already correctly
+    * placed. This helper re-declares the `HashPartitioning(keys, n)`
+    * the repartition really applied (see
+    * [[org.apache.spark.sql.graftshim.PartitionedCheckpoint]]), so a
+    * round's join against the checkpoint plans a bare scan — zero
+    * exchange, which at 100 TB is the difference between a loop that
+    * shuffles the edge list once and one that shuffles it every
+    * round. */
+  private def checkpointOn(df: DataFrame, nPart: Int,
+      keys: String*): DataFrame =
+    org.apache.spark.sql.graftshim.PartitionedCheckpoint
+      .localCheckpointHashPartitioned(df, nPart, keys: _*)
+
   // ---- relational conveniences ----
 
   /** Top-k rows per group, deterministic under ties via `tieBreak`. */
@@ -1644,27 +1662,27 @@ object Graft {
       s"dampingPct out of range: $dampingPct")
     // the caller's edge plan materializes exactly ONCE (an un-severed
     // lineage recomputes it per loop reference — measured 2x on q70),
-    // PRE-PARTITIONED on the probe key: edgesD checkpoints hash-
-    // partitioned on src and nodes on node, so each iteration's two
-    // joins see co-partitioned inputs and plan ZERO exchange on the
-    // checkpointed sides (r13 verdict item 3 — the only per-iteration
-    // shuffle left is the contrib scatter's groupBy(dst->node), the
-    // irreducible one). The degree join folds into the one-time build.
-    // EXPLICIT partition count: a bare repartition(col) is an AQE
-    // coalesce target, which erases the static HashPartitioning the
-    // checkpoint would otherwise carry into every iteration's join
+    // PRE-PARTITIONED on the probe key via the partitioning-DECLARING
+    // checkpoint (checkpointOn): edgesD checkpoints hash-partitioned
+    // on src and nodes on node, so each iteration's two joins see
+    // co-partitioned inputs and plan ZERO exchange on the
+    // checkpointed sides — the only per-iteration shuffle left is the
+    // contrib scatter's groupBy(dst->node), the irreducible one. (A
+    // plain repartition+localCheckpoint does NOT suffice: under AQE
+    // the checkpoint reports UnknownPartitioning — PERF.md r14.)
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(nPart, col("src")).localCheckpoint()
+    val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "src")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    val edgesD = e.join(deg.hint("shuffle_hash"), "src").localCheckpoint()
+    val edgesD = checkpointOn(
+      e.join(deg.hint("shuffle_hash"), "src"), nPart, "src")
     // node set = src ∪ dst: a sink node (appears only as dst) has no
     // out-edges but still owns a rank row — it keeps its teleport term
     // and accumulates inbound mass via the left join below (r12 ADVICE:
     // deriving nodes from the out-degree table silently dropped it)
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
-      .repartition(nPart, col("node")).localCheckpoint()
+    val nodes = checkpointOn(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct(),
+      nPart, "node")
     val teleport = (100L - dampingPct) * 10000000L  // (1-d) * 1e9
     var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_e9"))
     var i = 0
@@ -1684,7 +1702,7 @@ object Graft {
       i += 1
       // long trainings: sever the compounding plan every few rounds
       // (node-sized materialization, never edge-sized)
-      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 4 == 0 && i < iters) ranks = checkpointOn(ranks, nPart, "node")
     }
     ranks
   }
@@ -1712,16 +1730,17 @@ object Graft {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct out of range: $dampingPct")
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(nPart, col("src")).localCheckpoint()
+    val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "src")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    val edgesD = e.join(deg.hint("shuffle_hash"), "src").localCheckpoint()
+    val edgesD = checkpointOn(
+      e.join(deg.hint("shuffle_hash"), "src"), nPart, "src")
     val seedSet = seeds.select(col(seeds.columns(0)).as("node")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
-      .join(seedSet.withColumn("__seed", lit(1L)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
-      .repartition(nPart, col("node")).localCheckpoint()
+    val nodes = checkpointOn(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+        .join(seedSet.withColumn("__seed", lit(1L)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed")),
+      nPart, "node")
     val teleport = (100L - dampingPct) * 10000000L  // (1-d) * 1e9
     var ranks = nodes.select(col("node"),
       (col("__seed") * 1000000000L).as("rank_e9"))
@@ -1738,9 +1757,130 @@ object Graft {
             expr(s"($dampingPct * coalesce(__in, 0L)) div 100"))
             .as("rank_e9"))
       i += 1
-      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 4 == 0 && i < iters) ranks = checkpointOn(ranks, nPart, "node")
     }
     ranks
+  }
+
+  /** Synchronous label propagation over an edge list (`src`, `dst`
+    * columns) — the deterministic variant of the classic community
+    * detector: every node starts labeled with its own id; each round
+    * a node adopts the MOST FREQUENT label among its in-neighbors
+    * {label(u) : u→v}, breaking count ties on the SMALLEST label; a
+    * node with no in-edges keeps its current label. Runs exactly
+    * `iters` synchronous rounds and returns (node, lbl). The
+    * textbook async/random-tie LPA is run-order dependent and
+    * unverifiable; this one is a pure integer function of the edge
+    * list — no floats, no RNG — so any partitioning, retry, or merge
+    * order yields the same labels and an unrolled-CTE oracle can
+    * mirror it bit-for-bit (the [[pageRank]] argument). Pass a
+    * symmetrized edge list for undirected community detection.
+    *
+    * Scale shape: the edge list checkpoints hash-partitioned on src
+    * once; labels are NODE-sized. Each round is one edges⋈labels
+    * hash join (zero exchange on the checkpointed side), a
+    * partial-folded (dst, lbl) count — shuffle volume is distinct
+    * (node, label) pairs, not edges — and a node-sized argmax fold:
+    * min(struct(-cnt, lbl)) picks max-count-then-min-label in one
+    * aggregate, no per-node row_number sort (struct min plans as a
+    * SortAggregate — a per-partition CPU sort — but the partial fold
+    * keeps the exchange NODE-sized; the all-hash alternative, max
+    * then min-of-argmax, would re-shuffle the PAIR-sized votes and
+    * lose more network than the sort costs). The edge and node
+    * builds use the partitioning-declaring checkpoint
+    * ([[checkpointOn]]), so every round's vote join reads the edge
+    * list as a bare co-partitioned scan; rounds stay compounded
+    * (labels sever only every 4 rounds) — within one compounded
+    * tree AQE stage reuse already dedups any repeated exchange, and
+    * severing each round would trade that for per-round
+    * materialization with no exchange left to save. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "src")
+    val nodes = checkpointOn(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct(),
+      nPart, "node")
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    var i = 0
+    while (i < iters) {
+      val votes = e
+        .join(labels.hint("shuffle_hash"), e("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__cnt"))
+      // one fold replaces the sort-based top-1: struct comparison is
+      // lexicographic, so min((-cnt, lbl)) = highest count, then
+      // smallest label (counts are >= 1, so -cnt never overflows)
+      val best = votes
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("__cnt")).as("nc"), col("lbl").as("l")))
+          .as("__b"))
+        .select(col("dst").as("node"), col("__b.l").as("__new"))
+      labels = labels.join(best.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("lbl")).as("lbl"))
+      i += 1
+      if (i % 4 == 0 && i < iters) labels = checkpointOn(labels, nPart, "node")
+    }
+    labels
+  }
+
+  /** Iterative k-core peel over an UNDIRECTED (symmetrized) edge
+    * list (`src`, `dst`): repeatedly delete every node whose degree
+    * among the surviving nodes is < `k`, until a fixpoint or
+    * `maxRounds` synchronous rounds; returns the survivors with
+    * their final within-core degree (node, deg). On a symmetrized
+    * list out-degree IS the undirected degree, so one orientation
+    * carries the count. Each round is a pure function of the
+    * previous survivor set — deterministic, CTE-unrollable — and the
+    * fixpoint (the true k-core) is idempotent, so an engine that
+    * short-circuits early equals an oracle that unrolls all
+    * `maxRounds` rounds. The standard graph-curation peel: link-farm
+    * and spam clusters live in high cores, tendrils and one-off
+    * pages in low ones.
+    *
+    * Scale shape: the edge list checkpoints hash-partitioned on dst
+    * once; survivors are NODE-sized and localCheckpoint each round
+    * partitioned on node, so the round's one edges⋈survivors join is
+    * co-partitioned on BOTH sides (dst ≡ node) and plans zero
+    * exchange. deg(v) then folds as a partial-combined groupBy(src)
+    * count — shuffle volume is node-sized per input partition, never
+    * edge-sized — and the src-side survival restriction is a
+    * node-sized semi-join (a peeled node must not resurrect; its
+    * edges are already invisible through the dst filter, and the
+    * semi-join hides its own row). An unchanged survivor count
+    * short-circuits the loop. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    require(maxRounds >= 1 && maxRounds <= 20,
+      s"maxRounds out of range: $maxRounds")
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "dst")
+    var keep = checkpointOn(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct(),
+      nPart, "node")
+    var nKeep = keep.count()
+    var round = 0
+    var done = false
+    var deg = keep.select(col("node"), lit(0L).as("deg"))
+    while (round < maxRounds && !done) {
+      // deg(v) = surviving out-edges of v (dst must survive); the
+      // src-side restriction rides the trailing semi-join
+      val d = e
+        .join(keep.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+          Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      deg = checkpointOn(
+        d.filter(col("deg") >= k).select(col("src").as("node"), col("deg")),
+        nPart, "node")
+      keep = deg.select(col("node"))
+      val n = keep.count()
+      done = n == nKeep
+      nKeep = n
+      round += 1
+    }
+    deg
   }
 
   /** Multi-source BFS hop labels over an edge list (`src`, `dst`
@@ -1761,18 +1901,21 @@ object Graft {
   def bfsHops(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 30, s"maxHops out of range: $maxHops")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var visited = seeds
-      .select(col(seeds.columns(0)).as("node")).distinct()
-      .withColumn("hop", lit(0L)).localCheckpoint()
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "src")
+    var visited = checkpointOn(
+      seeds.select(col(seeds.columns(0)).as("node")).distinct()
+        .withColumn("hop", lit(0L)),
+      nPart, "node")
     var frontier = visited.select(col("node"))
     var i = 1
     while (i <= maxHops && !frontier.isEmpty) {
-      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .select(col("node"), lit(i.toLong).as("hop"))
-        .localCheckpoint()
+      val next = checkpointOn(
+        e.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .select(col("node"), lit(i.toLong).as("hop")),
+        nPart, "node")
       // visited is a plain union of ALREADY-checkpointed hop frames —
       // re-checkpointing it would materialize the whole node set once
       // per hop for no lineage benefit (the union tree is depth-1 over
@@ -2150,8 +2293,9 @@ object Graft {
     // input is then a bare checkpoint scan — no per-round edge
     // exchange, no per-round edge sort
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .repartition(nPart, col("src")).localCheckpoint()
+    val e = checkpointOn(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")),
+      nPart, "src")
     // NULL weights (including uncastable strings under the long cast)
     // must be rejected, not silently min()-ignored: NULL < 0 is NULL,
     // so the negative-only guard let them through (r13 ADVICE). The
@@ -2159,8 +2303,10 @@ object Graft {
     // documented eager validation scan costs one in-memory pass.
     require(e.filter(col("w").isNull || col("w") < 0).isEmpty,
       "negative or null edge weight")
-    var dist = seeds.select(col(seeds.columns(0)).as("node")).distinct()
-      .withColumn("d", lit(0L)).localCheckpoint()
+    var dist = checkpointOn(
+      seeds.select(col(seeds.columns(0)).as("node")).distinct()
+        .withColumn("d", lit(0L)),
+      nPart, "node")
     var front = dist
     var i = 0
     while (i < iters && (!frontier || !front.isEmpty)) {
@@ -2169,12 +2315,13 @@ object Graft {
             e("src") === front("node"))
           .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
           .groupBy(col("node")).agg(min(col("d")).as("d"))
-        val improved = cand
-          .join(dist.select(col("node"), col("d").as("__old")),
-            Seq("node"), "left")
-          .filter(col("__old").isNull || col("d") < col("__old"))
-          .select(col("node"), col("d"))
-          .localCheckpoint()
+        val improved = checkpointOn(
+          cand
+            .join(dist.select(col("node"), col("d").as("__old")),
+              Seq("node"), "left")
+            .filter(col("__old").isNull || col("d") < col("__old"))
+            .select(col("node"), col("d")),
+          nPart, "node")
         dist = dist.unionByName(improved)
           .groupBy(col("node")).agg(min(col("d")).as("d"))
         front = improved
@@ -2186,7 +2333,7 @@ object Graft {
           .groupBy(col("node")).agg(min(col("d")).as("d"))
       }
       i += 1
-      if (i % 2 == 0 && i < iters) dist = dist.localCheckpoint()
+      if (i % 2 == 0 && i < iters) dist = checkpointOn(dist, nPart, "node")
     }
     dist
   }
@@ -2215,6 +2362,87 @@ object Graft {
       .withColumn("sid", sum(col("__gap"))
         .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__gap")
+  }
+
+  /** Peak interval concurrency per key (the "max concurrent
+    * sessions/open orders" telemetry classic): each row is an
+    * END-INCLUSIVE integer interval [`startCol`, `endCol`] (cast
+    * dates/timestamps to epoch-day/micros upstream — integer
+    * end-to-end keeps the sweep exact); concurrency at point t =
+    * #intervals containing t. Returns per key the maximum
+    * concurrency and the EARLIEST point attaining it (peak,
+    * peak_at) — the max is always attained at some interval start,
+    * and the min-t tie-break makes the witness deterministic. Rows
+    * with end < start are rejected.
+    *
+    * Scale shape: the +1/-1 boundary sweep — +1 at start, -1 at
+    * end+1, folded per (key, t) BEFORE the window, so the window
+    * input is distinct boundary points, not raw intervals — then ONE
+    * exchange on key and a per-key running sum + argmax. No global
+    * window at any cardinality; per-partition state is one key's
+    * boundary set (the bounded-key contract every window op here
+    * shares). */
+  def peakConcurrency(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    require(df.filter(col(startCol).isNull || col(endCol).isNull ||
+        col(endCol) < col(startCol)).isEmpty,
+      "null or inverted interval")
+    val deltas = df.select(col(keyCol).as("__k"),
+        col(startCol).cast("long").as("__t"), lit(1L).as("__d"))
+      .unionAll(df.select(col(keyCol).as("__k"),
+        (col(endCol).cast("long") + 1L).as("__t"), lit(-1L).as("__d")))
+      .groupBy(col("__k"), col("__t")).agg(sum(col("__d")).as("__net"))
+    val byT = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running sum at t = concurrency on [t, next boundary); the fold
+    // min((-conc, t)) picks the max concurrency, then the earliest
+    // witness, in one partial-folded aggregate
+    deltas
+      .withColumn("__c", sum(col("__net")).over(byT))
+      .groupBy(col("__k"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__t").as("t"))).as("__b"))
+      .select(col("__k").as(keyCol), (-col("__b.nc")).as("peak"),
+        col("__b.t").as("peak_at"))
+  }
+
+  /** Interval union per key (gaps-and-islands coverage): merges
+    * overlapping-or-adjacent END-INCLUSIVE integer intervals
+    * [`startCol`, `endCol`] — adjacent means the next start is
+    * ≤ current covered end + 1 — and returns per key the island
+    * count and the total covered point count (key, n_islands,
+    * covered): the "how many distinct active days / how many
+    * contiguous service episodes" audit. Integer end-to-end;
+    * rows with end < start are rejected.
+    *
+    * Scale shape: ONE exchange on key; two per-key windows (running
+    * max of end to flag island starts, running sum to number them)
+    * over (start, end)-sorted rows, then a two-level partial-folded
+    * aggregate (per-island extent, per-key digest). Per-partition
+    * state is one key's intervals — no global window, no driver
+    * state. */
+  def intervalCoverage(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    require(df.filter(col(startCol).isNull || col(endCol).isNull ||
+        col(endCol) < col(startCol)).isEmpty,
+      "null or inverted interval")
+    val rows = df.select(col(keyCol).as("__k"),
+      col(startCol).cast("long").as("__s"), col(endCol).cast("long").as("__e"))
+    val byStart = Window.partitionBy(col("__k"))
+      .orderBy(col("__s"), col("__e"))
+    val prevMax = max(col("__e")).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = rows
+      .withColumn("__new",
+        when(prevMax.isNull || col("__s") > prevMax + 1L, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("__k"), col("__isl"))
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is") + 1L).as("covered"))
+      .select(col("__k").as(keyCol), col("n_islands"), col("covered"))
   }
 
   /** Ordered event-sequence pattern matching (the MATCH_RECOGNIZE /

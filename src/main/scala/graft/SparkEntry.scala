@@ -235,6 +235,10 @@ object SparkEntry {
     "q82_sssp_frontier" -> (Relational.q82SsspFrontier _),
     "q83_session_pattern" -> (Relational.q83SessionPattern _),
     "q84_ppr" -> (Relational.q84Ppr _),
+    "q85_lpa" -> (Relational.q85Lpa _),
+    "q86_kcore" -> (Relational.q86Kcore _),
+    "q87_concurrency" -> (Relational.q87Concurrency _),
+    "q88_coverage" -> (Relational.q88Coverage _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -4029,6 +4033,129 @@ FROM est ORDER BY l_partkey""",
         |            ELSE 's:' || ((node - 1) // 2) END AS node,
         |  CAST(rank_e9 AS BIGINT) AS rank_e9
         |FROM r3 ORDER BY rank_e9 DESC, node LIMIT 50""".stripMargin,
+
+    // q85: the 3 synchronous LPA rounds unrolled — votes per
+    // (node, label), argmax by (count DESC, label) via row_number
+    // (mirrors the engine's min(struct(-cnt, lbl)) fold exactly),
+    // keep-own-label for in-degree-0 nodes via the left join.
+    "q85_lpa" ->
+      """WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM pairs),
+        |l0 AS (SELECT node, node AS lbl FROM
+        |  (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+        |v1 AS (SELECT e.dst AS node, l.lbl, count(*) AS cnt
+        |  FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+        |b1 AS (SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, lbl) AS rn FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT l.node, coalesce(b.lbl, l.lbl) AS lbl
+        |  FROM l0 l LEFT JOIN b1 b ON l.node = b.node),
+        |v2 AS (SELECT e.dst AS node, l.lbl, count(*) AS cnt
+        |  FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+        |b2 AS (SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, lbl) AS rn FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT l.node, coalesce(b.lbl, l.lbl) AS lbl
+        |  FROM l1 l LEFT JOIN b2 b ON l.node = b.node),
+        |v3 AS (SELECT e.dst AS node, l.lbl, count(*) AS cnt
+        |  FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+        |b3 AS (SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, lbl) AS rn FROM v3) WHERE rn = 1),
+        |l3 AS (SELECT l.node, coalesce(b.lbl, l.lbl) AS lbl
+        |  FROM l2 l LEFT JOIN b3 b ON l.node = b.node)
+        |SELECT lbl, count(*) AS n_nodes FROM l3
+        |GROUP BY 1 ORDER BY n_nodes DESC, lbl LIMIT 50""".stripMargin,
+
+    // q86: the 6 peel rounds unrolled — per round, degree counts only
+    // edges whose dst survived the previous round, the src-side join
+    // stops peeled nodes resurrecting, HAVING >= 6 peels; the engine
+    // short-circuits only on an unchanged survivor COUNT, which on a
+    // monotone-shrinking set implies an unchanged SET, so early stop
+    // equals the full unroll (and on this data no round converges —
+    // measured 5215→...→4962).
+    "q86_kcore" ->
+      """WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM pairs),
+        |k0 AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |k1 AS (SELECT e.src AS node, count(*) AS deg FROM edges e
+        |  JOIN k0 d ON e.dst = d.node JOIN k0 s ON e.src = s.node
+        |  GROUP BY e.src HAVING count(*) >= 6),
+        |k2 AS (SELECT e.src AS node, count(*) AS deg FROM edges e
+        |  JOIN k1 d ON e.dst = d.node JOIN k1 s ON e.src = s.node
+        |  GROUP BY e.src HAVING count(*) >= 6),
+        |k3 AS (SELECT e.src AS node, count(*) AS deg FROM edges e
+        |  JOIN k2 d ON e.dst = d.node JOIN k2 s ON e.src = s.node
+        |  GROUP BY e.src HAVING count(*) >= 6),
+        |k4 AS (SELECT e.src AS node, count(*) AS deg FROM edges e
+        |  JOIN k3 d ON e.dst = d.node JOIN k3 s ON e.src = s.node
+        |  GROUP BY e.src HAVING count(*) >= 6),
+        |k5 AS (SELECT e.src AS node, count(*) AS deg FROM edges e
+        |  JOIN k4 d ON e.dst = d.node JOIN k4 s ON e.src = s.node
+        |  GROUP BY e.src HAVING count(*) >= 6),
+        |k6 AS (SELECT e.src AS node, count(*) AS deg FROM edges e
+        |  JOIN k5 d ON e.dst = d.node JOIN k5 s ON e.src = s.node
+        |  GROUP BY e.src HAVING count(*) >= 6)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'o:' || (node // 2)
+        |            ELSE 'p:' || ((node - 1) // 2) END AS node,
+        |  CAST(deg AS BIGINT) AS deg
+        |FROM k6 ORDER BY node""".stripMargin,
+
+    // q87: the +1/-1 boundary sweep — epoch-day bounds (DATE - DATE
+    // is integer days in DuckDB, unix_date in Spark; round() agrees
+    // on positive quantities), deltas folded per (key, t) before the
+    // per-key running sum, argmax by (c DESC, t) mirrors the
+    // engine's min(struct(-c, t)) fold.
+    "q87_concurrency" ->
+      """WITH iv AS (SELECT l_suppkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + CAST(round(l_quantity) AS BIGINT) AS e
+        |  FROM lineitem),
+        |del AS (SELECT l_suppkey, s AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT l_suppkey, e + 1, -1 FROM iv),
+        |net AS (SELECT l_suppkey, t, sum(d) AS net FROM del GROUP BY 1, 2),
+        |run AS (SELECT l_suppkey, t,
+        |    sum(net) OVER (PARTITION BY l_suppkey ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM net)
+        |SELECT l_suppkey, CAST(peak AS BIGINT) AS peak,
+        |  CAST(peak_at AS BIGINT) AS peak_at
+        |FROM (SELECT l_suppkey, c AS peak, t AS peak_at,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY c DESC, t) AS rn
+        |  FROM run) WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
+
+    // q88: gaps-and-islands interval union — running max of e flags
+    // island starts (adjacent means s <= covered end + 1), running
+    // sum numbers them; tied (s, e) rows are identical tuples, so
+    // any tie order yields the same islands in both engines.
+    "q88_coverage" ->
+      """WITH iv AS (SELECT l_suppkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + CAST(round(l_quantity) AS BIGINT) AS e
+        |  FROM lineitem),
+        |srt AS (SELECT l_suppkey, s, e,
+        |    max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |isl AS (SELECT l_suppkey, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM srt),
+        |ext AS (SELECT l_suppkey, g, min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT l_suppkey, count(*) AS n_islands,
+        |  CAST(sum(i_e - i_s + 1) AS BIGINT) AS covered
+        |FROM ext GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
 
     // q71: integer-exact linear attribution — cents = round(value*100)
     // rounds the same positive doubles in both engines, `//` mirrors

@@ -1975,4 +1975,90 @@ object Relational {
       .agg(count(lit(1)).as("n_user_days"))
       .orderBy($"n_matches")
   }
+
+  /** q85 — deterministic label propagation
+    * ([[graft.Graft.labelPropagation]]) over the symmetrized
+    * order↔part bipartite graph (q86's edge set — the part↔supplier
+    * graph is so dense 3 rounds collapse it to 2 communities, a
+    * 2-row digest; this sparser graph yields 1,826, a real oracle
+    * surface), 3 synchronous rounds; the digest is the 50 largest
+    * communities (label, size) — the domain-level community detector
+    * the graph-curation family was one operator short of (q70 rank,
+    * q73 reach, q76 closure, q80/q82 distance, q84 affinity, d18
+    * connectivity — this adds COMMUNITY). Min-tie synchronous rounds
+    * are a pure integer function of the edge list, so the
+    * unrolled-CTE oracle matches label-for-label (the q70
+    * argument). */
+  def q85Lpa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val fwd = pairs.select(
+      ($"l_orderkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+    val edges = fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst")))
+    graft.Graft.labelPropagation(edges, iters = 3)
+      .groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"n_nodes".desc, $"lbl").limit(50)
+  }
+
+  /** q86 — k-core decomposition ([[graft.Graft.kCore]]) of the
+    * symmetrized order↔part bipartite graph (distinct lineitem
+    * pairs): 6 peel rounds at k=6 — chosen so the cascade is REAL on
+    * this data (measured survivor counts 5215→5145→5022→5004→4966→
+    * 4962: every round removes nodes, none short-circuits, so the
+    * oracle's 6 unrolled rounds each do work). Survivors carry their
+    * final within-core degree; output is every survivor, decoded and
+    * node-ordered — the spam/link-farm peel a web-scale curation
+    * pipeline runs before trusting link signals. */
+  def q86Kcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val fwd = pairs.select(
+      ($"l_orderkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+    val edges = fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst")))
+    graft.Graft.kCore(edges, k = 6, maxRounds = 6)
+      .select(
+        when($"node" % 2 === 0, concat(lit("o:"), expr("node div 2")))
+          .otherwise(concat(lit("p:"), expr("(node - 1) div 2")))
+          .as("node"),
+        $"deg")
+      .orderBy($"node")
+  }
+
+  /** q87 — peak interval concurrency
+    * ([[graft.Graft.peakConcurrency]]): each lineitem holds an
+    * end-inclusive "delivery window" [ship-day, ship-day +
+    * round(quantity)] in epoch days (the synthetic data does NOT
+    * respect shipdate ≥ orderdate, so the window derives from
+    * shipdate alone — both bounds integer-exact); per supplier, the
+    * maximum number of simultaneously open windows and the earliest
+    * day attaining it — the "max concurrent sessions" telemetry
+    * classic, keyed to stay distributed. */
+  def q87Concurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = Tables(s, dir, "lineitem")
+      .select($"l_suppkey",
+        unix_date($"l_shipdate".cast("date")).cast("long").as("s"),
+        (unix_date($"l_shipdate".cast("date")).cast("long") +
+          round($"l_quantity").cast("long")).as("e"))
+    graft.Graft.peakConcurrency(iv, "l_suppkey", "s", "e")
+      .orderBy($"l_suppkey")
+  }
+
+  /** q88 — interval union coverage ([[graft.Graft.intervalCoverage]]):
+    * q87's delivery windows merged per supplier into
+    * overlapping-or-adjacent islands; the digest is per-supplier
+    * island count + total covered days — the "distinct active days"
+    * audit, the interval complement of q87's peak. */
+  def q88Coverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val iv = li.select($"l_suppkey",
+        unix_date($"l_shipdate".cast("date")).cast("long").as("s"),
+        (unix_date($"l_shipdate".cast("date")).cast("long") +
+          round($"l_quantity").cast("long")).as("e"))
+    graft.Graft.intervalCoverage(iv, "l_suppkey", "s", "e")
+      .orderBy($"l_suppkey")
+  }
 }

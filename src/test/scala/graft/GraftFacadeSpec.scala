@@ -1320,4 +1320,97 @@ class GraftFacadeSpec extends SparkSuiteBase {
       .as[(String, Int)].collect().toMap
     assert(got == Map("A" -> 2, "B" -> 0, "C" -> 1), got)
   }
+
+  test("labelPropagation: majority beats min, ties break min, no-in-edge keeps label") {
+    // round 1 (all labels distinct): 3 <- min{1,2,5} = 1, 4 <- min{2,5}
+    // = 2, 1 <- {3} = 3, 6 <- min{3,4,2} = 2; 2 and 5 have no in-edges
+    // round 2: 3 <- min{3,2,5} = 2 (tie, all count 1), 4 <- min{2,5} =
+    // 2, 1 <- {1} = 1, and 6 sees labels {1, 2, 2} -> count-MAJORITY 2
+    // (a pure min-label bug would answer 1 here)
+    val e = Seq((1L, 3L), (2L, 3L), (5L, 3L), (2L, 4L), (5L, 4L),
+      (3L, 1L), (3L, 6L), (4L, 6L), (2L, 6L)).toDF("src", "dst")
+    val got = Graft.labelPropagation(e, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
+      5L -> 5L, 6L -> 2L), got)
+  }
+
+  test("kCore: cascading peel, fixpoint short-circuit, empty core") {
+    // triangle {1,2,3} + tail 3-4-5: k=2 peels 5 (deg 1), then 4
+    // (its degree FALLS to 1 once 5 is gone) — the cascade — and
+    // fixes at the triangle, every survivor at within-core degree 2
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val e = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val got = Graft.kCore(e, k = 2, maxRounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got)
+    // k above the max degree peels everything
+    assert(Graft.kCore(e, k = 4, maxRounds = 8).isEmpty)
+  }
+
+  test("peakConcurrency: overlap peak, earliest witness, folded duplicate boundaries") {
+    val iv = Seq(
+      ("a", 1L, 5L), ("a", 3L, 7L), ("a", 6L, 10L), // c: 1@1 2@3 2@6 1@8
+      ("b", 0L, 0L),                                // single point
+      ("c", 2L, 4L), ("c", 2L, 4L))                 // identical pair folds
+      .toDF("k", "s", "e")
+    val got = Graft.peakConcurrency(iv, "k", "s", "e")
+      .as[(String, Long, Long)].collect().toSet
+    // "a" peaks at 2 first reached at t=3 (also 2 at t=6 — min wins)
+    assert(got == Set(("a", 2L, 3L), ("b", 1L, 0L), ("c", 2L, 2L)), got)
+    val bad = Seq(("x", 5L, 4L)).toDF("k", "s", "e")
+    assertThrows[IllegalArgumentException] {
+      Graft.peakConcurrency(bad, "k", "s", "e")
+    }
+  }
+
+  test("partitioned checkpoint: declared hash partitioning survives, join plans zero exchange") {
+    // the severed-graph-loop primitive: a plain repartition+
+    // localCheckpoint reports UnknownPartitioning under AQE (Spark
+    // 4.1), so every severed round re-exchanges the edge list; the
+    // graftshim checkpoint declares the HashPartitioning it applied
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val edges = spark.range(0, 5000)
+      .select(($"id" % 97).as("src"), ($"id" % 89).as("dst"))
+    val plain = edges.repartition(nPart, $"src").localCheckpoint()
+    assert(plain.queryExecution.executedPlan.outputPartitioning.toString
+      .contains("UnknownPartitioning"),
+      "plain localCheckpoint now preserves partitioning — " +
+        "checkpointOn may be droppable (re-measure)")
+    val e = org.apache.spark.sql.graftshim.PartitionedCheckpoint
+      .localCheckpointHashPartitioned(edges, nPart, "src")
+    assert(e.queryExecution.executedPlan.outputPartitioning.toString
+      .toLowerCase.startsWith("hashpartitioning"),
+      e.queryExecution.executedPlan.outputPartitioning.toString)
+    val nodes = org.apache.spark.sql.graftshim.PartitionedCheckpoint
+      .localCheckpointHashPartitioned(
+        e.select($"src".as("node")).distinct(), nPart, "node")
+    // one severed round: edge-probe join on the declared keys must
+    // plan NO exchange on either checkpointed side (the only exchange
+    // allowed is the node-sized partial-agg fold)
+    val round = e
+      .join(nodes.withColumnRenamed("node", "src").hint("shuffle_hash"),
+        Seq("src"))
+      .groupBy($"dst").agg(count(lit(1)).as("deg"))
+    val plan = round.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([a-z]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges == List("dst"),
+      s"expected only the dst agg fold exchange, got $exchanges:\n$plan")
+    // and the values are untouched by the declaration
+    assert(round.agg(sum($"deg")).as[Long].head() == 5000L)
+  }
+
+  test("intervalCoverage: overlap merge, adjacency merge, gap split") {
+    val iv = Seq(
+      ("a", 1L, 5L), ("a", 3L, 7L),   // overlap -> [1,7]
+      ("a", 9L, 10L), ("a", 11L, 12L), // 9 > 7+1 splits; 11 <= 10+1 merges
+      ("b", 5L, 5L))
+      .toDF("k", "s", "e")
+    val got = Graft.intervalCoverage(iv, "k", "s", "e")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 11L), ("b", 1L, 1L)), got)
+  }
 }
