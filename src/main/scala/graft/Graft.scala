@@ -2445,6 +2445,75 @@ object Graft {
       .select(col("__k").as(keyCol), col("n_islands"), col("covered"))
   }
 
+  /** First-order Markov transition matrix over per-key event
+    * sequences: per `key`, events order by `order` (must be total
+    * per key — include a unique tie-break), consecutive pairs
+    * (prev_state → state) count globally, and each transition gets
+    * an EXACT integer probability `p_permille = (1000*n) div
+    * total(prev_state)` — integer floor-division end-to-end, so the
+    * matrix is bit-reproducible under any partitioning and mirrors
+    * into an oracle exactly (the same fixed-point discipline as
+    * [[pageRank]]). Returns (prev_state, state, n, p_permille) —
+    * the user-journey model behavioral curation pipelines fit
+    * before generating or filtering synthetic sequences; the
+    * complement of [[eventPattern]] (which MATCHES a given pattern,
+    * while this MINES the transition structure).
+    *
+    * Scale shape: ONE exchange on key for the lag window (bounded
+    * per-key history — the same contract as [[sessionize]]); pair
+    * counts fold partially map-side, so the post-window shuffle is
+    * distinct (prev, state) pairs — state-alphabet², not events;
+    * the per-prev total is alphabet-sized and AQE-broadcastable
+    * into the final join. */
+  def transitionMatrix(events: DataFrame, key: Column,
+      order: Seq[Column], state: Column): DataFrame = {
+    require(order.nonEmpty, "transitionMatrix needs >= 1 order column")
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val cnt = events
+      .withColumn("__s", state.cast("string"))
+      .withColumn("__p", lag(col("__s"), 1).over(w))
+      .filter(col("__p").isNotNull)
+      .groupBy(col("__p").as("prev_state"), col("__s").as("state"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("prev_state")).agg(sum(col("n")).as("__t"))
+    cnt.join(tot, Seq("prev_state"))
+      .select(col("prev_state"), col("state"), col("n"),
+        expr("(1000 * n) div __t").as("p_permille"))
+  }
+
+  /** Frequent n-step event paths (journey n-gram mining): per `key`,
+    * events order by `order` (total per key), every window of `n`
+    * CONSECUTIVE states becomes a `>`-joined path, and the top `k`
+    * paths by (count DESC, path) return as (path, n_occurrences) —
+    * deterministic under ties by the lexicographic tie-break. The
+    * discovery complement of [[eventPattern]]: that op counts
+    * matches of a KNOWN pattern; this one surfaces the patterns
+    * worth asking about. Windows never cross keys (the trailing
+    * leads are NULL at each key's tail and those rows drop).
+    *
+    * Scale shape: ONE exchange on key shared by all n-1 lead
+    * windows (one window spec → one sort, n-1 frame reads); path
+    * counts fold partially map-side so the shuffle carries distinct
+    * paths, not events; the final top-k is a TakeOrderedAndProject
+    * (driver holds k rows, never the path dictionary). */
+  def pathNgrams(events: DataFrame, key: Column, order: Seq[Column],
+      state: Column, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2 && n <= 8, s"n out of range: $n")
+    require(k >= 1 && k <= 10000, s"k out of range: $k")
+    require(order.nonEmpty, "pathNgrams needs >= 1 order column")
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    var df = events.withColumn("__s0", state.cast("string"))
+    for (i <- 1 until n)
+      df = df.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
+    // lead(n-1) non-null implies every closer lead is non-null, so
+    // one filter keeps exactly the full windows
+    df.filter(col(s"__s${n - 1}").isNotNull)
+      .select(concat_ws(">", (0 until n).map(i => col(s"__s$i")): _*)
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path")).limit(k)
+  }
+
   /** Ordered event-sequence pattern matching (the MATCH_RECOGNIZE /
     * funnel-regex shape): per group (`keys`), events sort by `order`
     * (must be total per group — include a unique tie-break), each

@@ -239,6 +239,8 @@ object SparkEntry {
     "q86_kcore" -> (Relational.q86Kcore _),
     "q87_concurrency" -> (Relational.q87Concurrency _),
     "q88_coverage" -> (Relational.q88Coverage _),
+    "q89_markov" -> (Relational.q89Markov _),
+    "q90_paths" -> (Relational.q90Paths _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -4156,6 +4158,38 @@ FROM est ORDER BY l_partkey""",
         |SELECT l_suppkey, count(*) AS n_islands,
         |  CAST(sum(i_e - i_s + 1) AS BIGINT) AS covered
         |FROM ext GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+
+    // q89: consecutive-pair counts via lag over the same (ts,
+    // event_id) total order; p_permille by integer floor division
+    // in BOTH engines (DuckDB // == Spark div on positives).
+    "q89_markov" ->
+      """WITH seq AS (SELECT event_type AS s,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |cnt AS (SELECT p AS prev_state, s AS state, count(*) AS n
+        |  FROM seq WHERE p IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_state, sum(n) AS t FROM cnt GROUP BY 1)
+        |SELECT c.prev_state, c.state, CAST(c.n AS BIGINT) AS n,
+        |  CAST((1000 * c.n) // t AS BIGINT) AS p_permille
+        |FROM cnt c JOIN tot USING (prev_state)
+        |ORDER BY prev_state, state""".stripMargin,
+
+    // q90: 3-step paths via two leads over the same total order;
+    // the WHERE on the farthest lead keeps exactly the full windows
+    // (closer leads are then non-null too); top-20 deterministic by
+    // (count DESC, path).
+    "q90_paths" ->
+      """WITH seq AS (SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS s1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS s2
+        |  FROM events)
+        |SELECT s0 || '>' || s1 || '>' || s2 AS path,
+        |  count(*) AS n_occurrences
+        |FROM seq WHERE s2 IS NOT NULL GROUP BY 1
+        |ORDER BY n_occurrences DESC, path LIMIT 20""".stripMargin,
 
     // q71: integer-exact linear attribution — cents = round(value*100)
     // rounds the same positive doubles in both engines, `//` mirrors

@@ -2046,6 +2046,32 @@ object Relational {
       .orderBy($"l_suppkey")
   }
 
+  /** q89 — first-order Markov transition matrix
+    * ([[graft.Graft.transitionMatrix]]) over per-user event streams
+    * ordered by (ts, event_id): global transition counts plus exact
+    * integer per-mille probabilities — the user-journey model a
+    * behavioral-data curation pipeline fits before filtering or
+    * synthesizing sequences. Complements q81/q83 (which MATCH a
+    * given pattern) with transition-structure MINING. */
+  def q89Markov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    graft.Graft.transitionMatrix(ev, $"user_id",
+        Seq($"ts", $"event_id"), $"event_type")
+      .orderBy($"prev_state", $"state")
+  }
+
+  /** q90 — top-20 3-step journey paths ([[graft.Graft.pathNgrams]])
+    * per user ordered by (ts, event_id) — frequent-path discovery,
+    * deterministic under count ties via the lexicographic path
+    * tie-break. */
+  def q90Paths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    graft.Graft.pathNgrams(ev, $"user_id", Seq($"ts", $"event_id"),
+      $"event_type", n = 3, k = 20)
+  }
+
   /** q88 — interval union coverage ([[graft.Graft.intervalCoverage]]):
     * q87's delivery windows merged per supplier into
     * overlapping-or-adjacent islands; the digest is per-supplier

@@ -1403,6 +1403,42 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(round.agg(sum($"deg")).as[Long].head() == 5000L)
   }
 
+  test("transitionMatrix: per-key pairs, exact permille, no cross-key pair") {
+    // user a: x->y->y->z ; user b: y->x — pairs never cross users
+    val ev = Seq(
+      ("a", 1L, "x"), ("a", 2L, "y"), ("a", 3L, "y"), ("a", 4L, "z"),
+      ("b", 1L, "y"), ("b", 2L, "x"))
+      .toDF("u", "t", "s")
+    val got = Graft.transitionMatrix(ev, $"u", Seq($"t"), $"s")
+      .as[(String, String, Long, Long)].collect().toSet
+    // from x: 1 pair (x->y) = 1000; from y: y->y 1, y->z 1, y->x 1
+    // -> each (1000*1) div 3 = 333
+    assert(got == Set(
+      ("x", "y", 1L, 1000L),
+      ("y", "y", 1L, 333L), ("y", "z", 1L, 333L), ("y", "x", 1L, 333L)),
+      got)
+  }
+
+  test("pathNgrams: windows stay within key, tie-break lexicographic, limit k") {
+    // user a: v v c p -> trigrams v>v>c, v>c>p ; user b: v v c ->
+    // v>v>c (counts: v>v>c 2, v>c>p 1); k=1 keeps the count winner
+    val ev = Seq(
+      ("a", 1L, "v"), ("a", 2L, "v"), ("a", 3L, "c"), ("a", 4L, "p"),
+      ("b", 1L, "v"), ("b", 2L, "v"), ("b", 3L, "c"))
+      .toDF("u", "t", "s")
+    val all = Graft.pathNgrams(ev, $"u", Seq($"t"), $"s", n = 3, k = 10)
+      .as[(String, Long)].collect().toList
+    assert(all == List(("v>v>c", 2L), ("v>c>p", 1L)), all)
+    val top1 = Graft.pathNgrams(ev, $"u", Seq($"t"), $"s", n = 3, k = 1)
+      .as[(String, Long)].collect().toList
+    assert(top1 == List(("v>v>c", 2L)), top1)
+    // bigrams tie at 1 except v>v (2) and v>c (2): lexicographic
+    // tie-break between the two 2-counts puts v>c first
+    val bi = Graft.pathNgrams(ev, $"u", Seq($"t"), $"s", n = 2, k = 2)
+      .as[(String, Long)].collect().toList
+    assert(bi == List(("v>c", 2L), ("v>v", 2L)), bi)
+  }
+
   test("intervalCoverage: overlap merge, adjacency merge, gap split") {
     val iv = Seq(
       ("a", 1L, 5L), ("a", 3L, 7L),   // overlap -> [1,7]
