@@ -1810,7 +1810,13 @@ object Graft {
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__cnt"))
       // one fold replaces the sort-based top-1: struct comparison is
       // lexicographic, so min((-cnt, lbl)) = highest count, then
-      // smallest label (counts are >= 1, so -cnt never overflows)
+      // smallest label (counts are >= 1, so -cnt never overflows).
+      // Measured alternative (PERF.md r14): routing this through
+      // topKPerGroupNative(k=1) did NOT beat the SortAggregate here
+      // (6.4-8.5 s vs 6.5 s at sf0.1) — the custom node sits in a
+      // COMPOUNDED 3-round tree whose repeated stages AQE dedups by
+      // canonical equality, and the heap pass saves less than the
+      // disturbed reuse costs; reverted
       val best = votes
         .groupBy(col("dst"))
         .agg(min(struct((-col("__cnt")).as("nc"), col("lbl").as("l")))
@@ -2443,6 +2449,60 @@ object Graft {
       .agg(count(lit(1)).as("n_islands"),
         sum(col("__ie") - col("__is") + 1L).as("covered"))
       .select(col("__k").as(keyCol), col("n_islands"), col("covered"))
+  }
+
+  /** Mergeable integer log-histogram quantiles (the HDR-histogram
+    * shape): positive long `value`s bucket by (floor(log2 v) with a
+    * `subBits`-bit mantissa prefix) — values below 2^(subBits+1) get
+    * EXACT singleton buckets, larger ones a bucket whose width is
+    * 2^-subBits of the value (relative error ≤ 2^-subBits) — and per
+    * `key` the requested `permilles` (nearest-rank: smallest bucket
+    * lower bound `q_lo` with 1000*cum ≥ p*total) return as
+    * (key, permille, q_lo). Everything is integer arithmetic on
+    * bucket LOWER BOUNDS: bit-reproducible under any partitioning,
+    * merge order, or engine — the mergeable-sketch counterpart to
+    * q62's exact `percentile_cont` (whose scaladoc documents the
+    * honest cost of exactness at 100 TB: a full per-group sort).
+    * Values must be ≥ 1 (shift upstream; log buckets need a positive
+    * domain) — violations are rejected eagerly.
+    *
+    * Scale shape: bucket counts fold partially map-side, so the ONE
+    * exchange carries (key × live buckets) rows — at subBits=3 the
+    * whole bucket space is ≤ (64-3)*8+16 ≈ 500 per key regardless of
+    * data volume, the fixed-size-sketch property that makes this the
+    * 100 TB quantile path; the per-key cumulative window then runs
+    * over ≤500 rows per key and the permille explode is a constant
+    * fan-out. No full sort of the data exists anywhere in the
+    * plan. */
+  def hdrQuantiles(df: DataFrame, keyCol: String, value: Column,
+      permilles: Seq[Int], subBits: Int = 3): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles out of range: $permilles")
+    require(subBits >= 0 && subBits <= 6, s"subBits out of range: $subBits")
+    val v = value.cast("long")
+    require(df.filter(v.isNull || v < 1L).isEmpty,
+      "hdrQuantiles needs values >= 1 (shift the domain upstream)")
+    // floor(log2 v) without floats: bin() renders the minimal binary
+    // string in both engines, so its length-1 is the exponent exactly
+    val vals = df.select(col(keyCol).as("__k"), v.as("__v"))
+      .withColumn("__b", (length(expr("bin(__v)")) - 1).cast("int"))
+      .withColumn("__lo",
+        when(col("__b") <= subBits, col("__v"))
+          .otherwise(expr(s"(__v div shiftleft(cast(1 as bigint), __b - $subBits))" +
+            s" * shiftleft(cast(1 as bigint), __b - $subBits)")))
+    val buckets = vals.groupBy(col("__k"), col("__lo"))
+      .agg(count(lit(1)).as("__n"))
+    val byLo = Window.partitionBy(col("__k")).orderBy(col("__lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("__cum", sum(col("__n")).over(byLo))
+      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy(col("__k"))))
+      .withColumn("permille",
+        explode(lit(permilles.map(_.toLong).toArray)))
+      .filter(lit(1000L) * col("__cum") >= col("permille") * col("__tot"))
+      .groupBy(col("__k"), col("permille"))
+      .agg(min(col("__lo")).as("q_lo"))
+      .select(col("__k").as(keyCol), col("permille"), col("q_lo"))
   }
 
   /** First-order Markov transition matrix over per-key event

@@ -241,6 +241,8 @@ object SparkEntry {
     "q88_coverage" -> (Relational.q88Coverage _),
     "q89_markov" -> (Relational.q89Markov _),
     "q90_paths" -> (Relational.q90Paths _),
+    "q91_hdr_quantiles" -> (Relational.q91HdrQuantiles _),
+    "q92_pipe_sql" -> (Relational.q92PipeSql _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -4190,6 +4192,42 @@ FROM est ORDER BY l_partkey""",
         |  count(*) AS n_occurrences
         |FROM seq WHERE s2 IS NOT NULL GROUP BY 1
         |ORDER BY n_occurrences DESC, path LIMIT 20""".stripMargin,
+
+    // q91: the log-bucket sketch mirrored bucket-for-bucket —
+    // floor(log2 v) = length(bin(v))-1 in both engines (no float
+    // log), lower bounds by integer shift/div, nearest-rank pick by
+    // 1000*cum >= p*total. DuckDB // floors like Spark div on
+    // positives; << matches shiftleft.
+    "q91_hdr_quantiles" ->
+      """WITH v AS (SELECT c_nationkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |b AS (SELECT c_nationkey,
+        |    CASE WHEN length(bin(cents)) - 1 <= 3 THEN cents
+        |         ELSE (cents // (1::BIGINT << (length(bin(cents)) - 4)))
+        |              * (1::BIGINT << (length(bin(cents)) - 4)) END AS lo
+        |  FROM v),
+        |c AS (SELECT c_nationkey, lo, count(*) AS n FROM b GROUP BY 1, 2),
+        |w AS (SELECT c_nationkey, lo,
+        |    sum(n) OVER (PARTITION BY c_nationkey ORDER BY lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY c_nationkey) AS tot
+        |  FROM c),
+        |e AS (SELECT c_nationkey, p.permille, lo FROM w,
+        |    (SELECT unnest([500, 950, 990]) AS permille) p
+        |  WHERE 1000 * cum >= permille * tot)
+        |SELECT c_nationkey, CAST(permille AS BIGINT) AS permille,
+        |  CAST(min(lo) AS BIGINT) AS q_lo
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q92: the pipe-syntax plan against its classic-SQL relation.
+    "q92_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice * 100)) AS BIGINT)
+        |    AS sum_price_cents
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q71: integer-exact linear attribution — cents = round(value*100)
     // rounds the same positive doubles in both engines, `//` mirrors

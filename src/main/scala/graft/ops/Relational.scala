@@ -2072,6 +2072,43 @@ object Relational {
       $"event_type", n = 3, k = 20)
   }
 
+  /** q91 — mergeable log-histogram quantiles
+    * ([[graft.Graft.hdrQuantiles]]): p50/p95/p99 of order totals in
+    * integer cents per nation through the fixed-size bucket sketch —
+    * the 100 TB quantile path (bounded shuffle, no per-group sort)
+    * whose exact counterpart q62 documents as inherently
+    * sort-priced. Customer is a broadcast dim join; every number in
+    * the result is a bucket lower bound, integer end-to-end. */
+  def q91HdrQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    val v = o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    graft.Graft.hdrQuantiles(v, "c_nationkey", $"cents",
+        permilles = Seq(500, 950, 990), subBits = 3)
+      .orderBy($"c_nationkey", $"permille")
+  }
+
+  /** q92 — Spark 4 SQL PIPE syntax (`|>` operators): the q01-family
+    * scan→filter→aggregate→sort expressed in the pipe dialect
+    * (SPARK-49555), proving the parser surface; the oracle is the
+    * equivalent classic SQL, so the check pins that the pipe plan
+    * computes the same relation. */
+  def q92PipeSql(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_p")
+    s.sql(
+      """FROM lineitem_p
+        ||> WHERE l_shipdate <= '1998-09-02'
+        ||> AGGREGATE count(*) AS n_rows,
+        |     cast(round(sum(l_quantity)) as bigint) AS sum_qty,
+        |     cast(round(sum(l_extendedprice * 100)) as bigint) AS sum_price_cents
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** q88 — interval union coverage ([[graft.Graft.intervalCoverage]]):
     * q87's delivery windows merged per supplier into
     * overlapping-or-adjacent islands; the digest is per-supplier

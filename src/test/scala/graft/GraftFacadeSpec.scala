@@ -1403,6 +1403,22 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(round.agg(sum($"deg")).as[Long].head() == 5000L)
   }
 
+  test("hdrQuantiles: exact small buckets, log bucket lower bounds, nearest rank") {
+    // subBits=3: values < 16 are exact singleton buckets; 20 -> b=4,
+    // width 2, lo=20; 100 -> b=6, width 8, lo=96
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 20L), ("a", 100L))
+      .toDF("k", "v")
+    val got = Graft.hdrQuantiles(df, "k", $"v", Seq(500, 990), subBits = 3)
+      .as[(String, Long, Long)].collect().toSet
+    // p500: cum>=2.5 first at lo=3 (the true median); p990: cum=5 at
+    // lo=96 (true 100, inside the width-8 bucket)
+    assert(got == Set(("a", 500L, 3L), ("a", 990L, 96L)), got)
+    // positive-domain contract
+    assertThrows[IllegalArgumentException] {
+      Graft.hdrQuantiles(Seq(("a", 0L)).toDF("k", "v"), "k", $"v", Seq(500))
+    }
+  }
+
   test("transitionMatrix: per-key pairs, exact permille, no cross-key pair") {
     // user a: x->y->y->z ; user b: y->x — pairs never cross users
     val ev = Seq(
