@@ -2535,8 +2535,11 @@ object Graft {
       .filter(col("__p").isNotNull)
       .groupBy(col("__p").as("prev_state"), col("__s").as("state"))
       .agg(count(lit(1)).as("n"))
-    val tot = cnt.groupBy(col("prev_state")).agg(sum(col("n")).as("__t"))
-    cnt.join(tot, Seq("prev_state"))
+    // per-prev total as a partition window over the alphabet²-sized
+    // count table — one pass, no self-join, no duplicated subtree
+    cnt
+      .withColumn("__t",
+        sum(col("n")).over(Window.partitionBy(col("prev_state"))))
       .select(col("prev_state"), col("state"), col("n"),
         expr("(1000 * n) div __t").as("p_permille"))
   }
