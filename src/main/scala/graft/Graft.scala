@@ -2475,34 +2475,65 @@ object Graft {
     * fan-out. No full sort of the data exists anywhere in the
     * plan. */
   def hdrQuantiles(df: DataFrame, keyCol: String, value: Column,
-      permilles: Seq[Int], subBits: Int = 3): DataFrame = {
-    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
-      s"permilles out of range: $permilles")
+      permilles: Seq[Int], subBits: Int = 3): DataFrame =
+    hdrQuantilesFromBuckets(
+      hdrBuckets(df, keyCol, value, subBits), keyCol, permilles)
+
+  /** The sketch-BUILD half of [[hdrQuantiles]]: per (key, bucket
+    * lower bound) counts — (keyCol, lo, n). The bucket table IS the
+    * mergeable sketch state: two bucket tables over disjoint data
+    * merge by [[hdrMerge]] (union + re-sum) into exactly the table
+    * the combined data would build, which is what makes incremental
+    * quantile monitoring possible without rescanning history (the
+    * q45/q75 incremental-maintenance pattern applied to
+    * percentiles). */
+  def hdrBuckets(df: DataFrame, keyCol: String, value: Column,
+      subBits: Int = 3): DataFrame = {
     require(subBits >= 0 && subBits <= 6, s"subBits out of range: $subBits")
     val v = value.cast("long")
     require(df.filter(v.isNull || v < 1L).isEmpty,
-      "hdrQuantiles needs values >= 1 (shift the domain upstream)")
+      "hdrBuckets needs values >= 1 (shift the domain upstream)")
     // floor(log2 v) without floats: bin() renders the minimal binary
     // string in both engines, so its length-1 is the exponent exactly
-    val vals = df.select(col(keyCol).as("__k"), v.as("__v"))
+    df.select(col(keyCol).as("__k"), v.as("__v"))
       .withColumn("__b", (length(expr("bin(__v)")) - 1).cast("int"))
       .withColumn("__lo",
         when(col("__b") <= subBits, col("__v"))
           .otherwise(expr(s"(__v div shiftleft(cast(1 as bigint), __b - $subBits))" +
             s" * shiftleft(cast(1 as bigint), __b - $subBits)")))
-    val buckets = vals.groupBy(col("__k"), col("__lo"))
-      .agg(count(lit(1)).as("__n"))
-    val byLo = Window.partitionBy(col("__k")).orderBy(col("__lo"))
+      .groupBy(col("__k").as(keyCol), col("__lo").as("lo"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge mergeable [[hdrBuckets]] sketch tables (same key column
+    * and subBits): union + re-sum. Associative and commutative —
+    * any merge tree over any partitioning of the data yields the
+    * identical bucket table. */
+  def hdrMerge(buckets: DataFrame, more: DataFrame*): DataFrame = {
+    val all = more.foldLeft(buckets)(_ unionByName _)
+    val keyCol = buckets.columns(0)
+    all.groupBy(col(keyCol), col("lo")).agg(sum(col("n")).as("n"))
+  }
+
+  /** The quantile-EXTRACT half of [[hdrQuantiles]]: nearest-rank
+    * permille picks over a bucket table from [[hdrBuckets]] /
+    * [[hdrMerge]]. */
+  def hdrQuantilesFromBuckets(buckets: DataFrame, keyCol: String,
+      permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles out of range: $permilles")
+    val byLo = Window.partitionBy(col(keyCol)).orderBy(col("lo"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     buckets
-      .withColumn("__cum", sum(col("__n")).over(byLo))
-      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy(col("__k"))))
+      .withColumn("__cum", sum(col("n")).over(byLo))
+      .withColumn("__tot",
+        sum(col("n")).over(Window.partitionBy(col(keyCol))))
       .withColumn("permille",
         explode(lit(permilles.map(_.toLong).toArray)))
       .filter(lit(1000L) * col("__cum") >= col("permille") * col("__tot"))
-      .groupBy(col("__k"), col("permille"))
-      .agg(min(col("__lo")).as("q_lo"))
-      .select(col("__k").as(keyCol), col("permille"), col("q_lo"))
+      .groupBy(col(keyCol), col("permille"))
+      .agg(min(col("lo")).as("q_lo"))
+      .select(col(keyCol), col("permille"), col("q_lo"))
   }
 
   /** First-order Markov transition matrix over per-key event

@@ -243,6 +243,7 @@ object SparkEntry {
     "q90_paths" -> (Relational.q90Paths _),
     "q91_hdr_quantiles" -> (Relational.q91HdrQuantiles _),
     "q92_pipe_sql" -> (Relational.q92PipeSql _),
+    "q93_hdr_incremental" -> (Relational.q93HdrIncremental _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -4217,6 +4218,32 @@ FROM est ORDER BY l_partkey""",
         |    (SELECT unnest([500, 950, 990]) AS permille) p
         |  WHERE 1000 * cum >= permille * tot)
         |SELECT c_nationkey, CAST(permille AS BIGINT) AS permille,
+        |  CAST(min(lo) AS BIGINT) AS q_lo
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q93: the oracle rebuilds the SAME quantiles from scratch over
+    // the whole table — the engine's split→sketch→merge→extract path
+    // must land on identical integers (merge ≡ rebuild, the
+    // mergeable-sketch contract).
+    "q93_hdr_incremental" ->
+      """WITH v AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT o_orderpriority,
+        |    CASE WHEN length(bin(cents)) - 1 <= 3 THEN cents
+        |         ELSE (cents // (1::BIGINT << (length(bin(cents)) - 4)))
+        |              * (1::BIGINT << (length(bin(cents)) - 4)) END AS lo
+        |  FROM v),
+        |c AS (SELECT o_orderpriority, lo, count(*) AS n FROM b GROUP BY 1, 2),
+        |w AS (SELECT o_orderpriority, lo,
+        |    sum(n) OVER (PARTITION BY o_orderpriority ORDER BY lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY o_orderpriority) AS tot
+        |  FROM c),
+        |e AS (SELECT o_orderpriority, p.permille, lo FROM w,
+        |    (SELECT unnest([500, 950, 990]) AS permille) p
+        |  WHERE 1000 * cum >= permille * tot)
+        |SELECT o_orderpriority, CAST(permille AS BIGINT) AS permille,
         |  CAST(min(lo) AS BIGINT) AS q_lo
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -2092,6 +2092,33 @@ object Relational {
       .orderBy($"c_nationkey", $"permille")
   }
 
+  /** q93 — INCREMENTAL quantiles via sketch merge
+    * ([[graft.Graft.hdrBuckets]] → [[graft.Graft.hdrMerge]] →
+    * [[graft.Graft.hdrQuantilesFromBuckets]]): order totals split at
+    * a date cutoff into base and delta, each folded to its own
+    * bucket sketch, MERGED (union + re-sum — the mergeable-sketch
+    * property), and the per-priority p50/p95/p99 extracted from the
+    * merged table. The oracle computes the same quantiles FROM
+    * SCRATCH over the whole table, so the check pins merge ≡ rebuild
+    * — the q45/q75 incremental-maintenance discipline applied to
+    * percentile monitoring (at 100 TB the base sketch is a tiny
+    * standing table; each day only the delta is scanned). */
+  def q93HdrIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderdate")
+    val base = o.filter($"o_orderdate" < lit("1997-01-01"))
+    val delta = o.filter($"o_orderdate" >= lit("1997-01-01"))
+    val merged = graft.Graft.hdrMerge(
+      graft.Graft.hdrBuckets(base, "o_orderpriority", $"cents"),
+      graft.Graft.hdrBuckets(delta, "o_orderpriority", $"cents"))
+    graft.Graft.hdrQuantilesFromBuckets(merged, "o_orderpriority",
+        Seq(500, 950, 990))
+      .orderBy($"o_orderpriority", $"permille")
+  }
+
   /** q92 — Spark 4 SQL PIPE syntax (`|>` operators): the q01-family
     * scan→filter→aggregate→sort expressed in the pipe dialect
     * (SPARK-49555), proving the parser surface; the oracle is the

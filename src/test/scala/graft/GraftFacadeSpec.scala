@@ -1419,6 +1419,27 @@ class GraftFacadeSpec extends SparkSuiteBase {
     }
   }
 
+  test("hdrMerge: merged split sketches equal the from-scratch sketch") {
+    val df = Seq.tabulate(200)(i => ("k" + (i % 3), (i % 37) + 1L))
+      .toDF("k", "v")
+    val whole = Graft.hdrBuckets(df, "k", $"v")
+      .as[(String, Long, Long)].collect().toSet
+    val merged = Graft.hdrMerge(
+        Graft.hdrBuckets(df.filter($"v" <= 20), "k", $"v"),
+        Graft.hdrBuckets(df.filter($"v" > 20), "k", $"v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == whole, s"merge != rebuild:\n$merged\n$whole")
+    // and the extracted quantiles agree too
+    val qw = Graft.hdrQuantilesFromBuckets(
+      Graft.hdrBuckets(df, "k", $"v"), "k", Seq(500, 990))
+      .as[(String, Long, Long)].collect().toSet
+    val qm = Graft.hdrQuantilesFromBuckets(Graft.hdrMerge(
+        Graft.hdrBuckets(df.filter($"v" <= 20), "k", $"v"),
+        Graft.hdrBuckets(df.filter($"v" > 20), "k", $"v")),
+      "k", Seq(500, 990)).as[(String, Long, Long)].collect().toSet
+    assert(qm == qw, s"$qm != $qw")
+  }
+
   test("transitionMatrix: per-key pairs, exact permille, no cross-key pair") {
     // user a: x->y->y->z ; user b: y->x — pairs never cross users
     val ev = Seq(
