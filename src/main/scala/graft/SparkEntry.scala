@@ -212,6 +212,7 @@ object SparkEntry {
     "st16_chained" -> (graft.streaming.Streams.st16ChainedWindows _),
     "st17_full_join" -> (graft.streaming.Streams.st17StreamingFullJoin _),
     "st18_timer_sessions" -> (graft.streaming.Streams.st18TimerSessions _),
+    "st19_sketch_monitor" -> (graft.streaming.Streams.st19SketchMonitor _),
     "c01_curation" -> (Curation.c01Curation _),
     "c02_assembly" -> (Curation.c02Assembly _),
     "c03_manifest" -> (Curation.c03Manifest _),
@@ -3863,6 +3864,32 @@ ORDER BY id_a, id_b""",
         |FROM numbered
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // st19: the streaming sketch-merge loop must land on the SAME
+    // integers as the from-scratch batch sketch over the whole slice
+    // (hdrMerge associativity) — the oracle is the q91 bucket mirror
+    // keyed on event_type.
+    "st19_sketch_monitor" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 5 = 1),
+        |b AS (SELECT event_type,
+        |    CASE WHEN length(bin(cents)) - 1 <= 3 THEN cents
+        |         ELSE (cents // (1::BIGINT << (length(bin(cents)) - 4)))
+        |              * (1::BIGINT << (length(bin(cents)) - 4)) END AS lo
+        |  FROM v),
+        |c AS (SELECT event_type, lo, count(*) AS n FROM b GROUP BY 1, 2),
+        |w AS (SELECT event_type, lo,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM c),
+        |e AS (SELECT event_type, p.permille, lo FROM w,
+        |    (SELECT unnest([500, 950, 990]) AS permille) p
+        |  WHERE 1000 * cum >= permille * tot)
+        |SELECT event_type, CAST(permille AS BIGINT) AS permille,
+        |  CAST(min(lo) AS BIGINT) AS q_lo
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "st13_sessions" ->
       """WITH marked AS (

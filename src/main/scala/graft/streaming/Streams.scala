@@ -1131,4 +1131,81 @@ object Streams {
         $"n_events")
       .orderBy($"user_id", $"session_start_us")
   }
+
+  /** st19 — streaming QUANTILE MONITORING via the mergeable HDR
+    * sketch, run genuinely incrementally: a 1-in-5-user event slice
+    * replays through a real streaming query whose `foreachBatch`
+    * sink maintains a STANDING BUCKET-SKETCH table — each
+    * micro-batch folds to its own [[graft.Graft.hdrBuckets]] sketch
+    * and [[graft.Graft.hdrMerge]]s into the running table with the
+    * st11 A/B generation flip; the final per-event-type p50/p95/p99
+    * extract from the last generation. This is production percentile
+    * monitoring at 100 TB: history is never rescanned — the standing
+    * state is the fixed-size bucket table (≤ ~500 rows per key at
+    * subBits=3), and each trigger touches only its delta.
+    *
+    * Deterministic for ANY chunking because hdrMerge is associative
+    * and commutative (integer bucket counts), so the final sketch
+    * equals the from-scratch sketch over the whole slice — the
+    * DuckDB oracle computes exactly those quantiles in batch (the
+    * q91/q93 mirror). Stateless stream (state lives in the sink), so
+    * no-data batches have nothing to do. Eager by design like
+    * st11. */
+  def st19SketchMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 5 === 1)
+      .select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .orderBy($"event_id")
+      .as[(Long, String, Long)]
+      .collect()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]],
+      s2.sqlContext)
+    val root = java.nio.file.Files.createTempDirectory("graft_st19_").toFile
+    @volatile var cur: Option[String] = None
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = in.toDS().toDF("event_id", "event_type", "cents")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = graft.Graft.hdrBuckets(batch, "event_type",
+          batch("cents"))
+        val merged = cur match {
+          case Some(p) =>
+            graft.Graft.hdrMerge(
+              batch.sparkSession.read.parquet(p), delta)
+          case None => delta
+        }
+        val next = new java.io.File(root, s"gen${gen.incrementAndGet()}").getPath
+        merged.write.mode("overwrite").parquet(next)
+        cur = Some(next)
+        ()
+      }
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val chunk = math.max(1, (data.length + 2) / 3)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sketch = s.read.parquet(cur.getOrElse(
+      throw new IllegalStateException("st19: no batch ever committed")))
+    val out = graft.Graft.hdrQuantilesFromBuckets(sketch, "event_type",
+        Seq(500, 950, 990))
+      .orderBy($"event_type", $"permille")
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    out
+  }
 }

@@ -312,6 +312,21 @@ class StreamsSpec extends SparkSuiteBase {
       s"upsert sink diverged: got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("st19: the streaming sketch-merge loop equals the batch from-scratch sketch") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st19SketchMonitor(spark, sf).collect().toSeq
+    val slice = graft.Tables(spark, sf, "events")
+      .filter($"user_id" % 5 === 1)
+      .select($"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+    val expected = graft.Graft.hdrQuantiles(slice, "event_type", $"cents",
+        Seq(500, 950, 990))
+      .orderBy($"event_type", $"permille")
+      .collect().toSeq
+    assert(got == expected,
+      s"streaming sketch diverged: got ${got.size}, expected ${expected.size}")
+  }
+
   test("st12: checkpointed catch-ups land the slice exactly once; re-runs are no-ops") {
     val sf = "/root/testdata/sf0.001"
     val expected = graft.Tables(spark, sf, "events")
