@@ -2488,21 +2488,27 @@ object Graft {
     * q45/q75 incremental-maintenance pattern applied to
     * percentiles). */
   def hdrBuckets(df: DataFrame, keyCol: String, value: Column,
-      subBits: Int = 3): DataFrame = {
+      subBits: Int = 3, weight: Column = lit(1L)): DataFrame = {
     require(subBits >= 0 && subBits <= 6, s"subBits out of range: $subBits")
     val v = value.cast("long")
-    require(df.filter(v.isNull || v < 1L).isEmpty,
-      "hdrBuckets needs values >= 1 (shift the domain upstream)")
+    val wt = weight.cast("long")
+    // one eager guard scan covers both contracts: log buckets need a
+    // positive value domain, and WEIGHTED quantiles (weight != 1 —
+    // e.g. "below which length does half the TOKEN MASS sit", the
+    // data-mix curation question) need nonnegative integer weights
+    // or nearest-rank cum/total logic silently inverts
+    require(df.filter(v.isNull || v < 1L || wt.isNull || wt < 0L).isEmpty,
+      "hdrBuckets needs values >= 1 and weights >= 0")
     // floor(log2 v) without floats: bin() renders the minimal binary
     // string in both engines, so its length-1 is the exponent exactly
-    df.select(col(keyCol).as("__k"), v.as("__v"))
+    df.select(col(keyCol).as("__k"), v.as("__v"), wt.as("__w"))
       .withColumn("__b", (length(expr("bin(__v)")) - 1).cast("int"))
       .withColumn("__lo",
         when(col("__b") <= subBits, col("__v"))
           .otherwise(expr(s"(__v div shiftleft(cast(1 as bigint), __b - $subBits))" +
             s" * shiftleft(cast(1 as bigint), __b - $subBits)")))
       .groupBy(col("__k").as(keyCol), col("__lo").as("lo"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("__w")).as("n"))
   }
 
   /** Merge mergeable [[hdrBuckets]] sketch tables (same key column

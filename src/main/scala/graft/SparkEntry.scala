@@ -245,6 +245,7 @@ object SparkEntry {
     "q91_hdr_quantiles" -> (Relational.q91HdrQuantiles _),
     "q92_pipe_sql" -> (Relational.q92PipeSql _),
     "q93_hdr_incremental" -> (Relational.q93HdrIncremental _),
+    "q94_weighted_quantiles" -> (Relational.q94WeightedQuantiles _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -4271,6 +4272,28 @@ FROM est ORDER BY l_partkey""",
         |    (SELECT unnest([500, 950, 990]) AS permille) p
         |  WHERE 1000 * cum >= permille * tot)
         |SELECT o_orderpriority, CAST(permille AS BIGINT) AS permille,
+        |  CAST(min(lo) AS BIGINT) AS q_lo
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q94: weighted buckets — n = sum(weight) instead of count; the
+    // nearest-rank pick then lands where the MASS median/percentile
+    // sits. Same integer mirror as q91.
+    "q94_weighted_quantiles" ->
+      """WITH b AS (SELECT source, n_chars,
+        |    CASE WHEN length(bin(n_chars)) - 1 <= 3 THEN n_chars
+        |         ELSE (n_chars // (1::BIGINT << (length(bin(n_chars)) - 4)))
+        |              * (1::BIGINT << (length(bin(n_chars)) - 4)) END AS lo
+        |  FROM documents),
+        |c AS (SELECT source, lo, sum(n_chars) AS n FROM b GROUP BY 1, 2),
+        |w AS (SELECT source, lo,
+        |    sum(n) OVER (PARTITION BY source ORDER BY lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS tot
+        |  FROM c),
+        |e AS (SELECT source, p.permille, lo FROM w,
+        |    (SELECT unnest([500, 900, 990]) AS permille) p
+        |  WHERE 1000 * cum >= permille * tot)
+        |SELECT source, CAST(permille AS BIGINT) AS permille,
         |  CAST(min(lo) AS BIGINT) AS q_lo
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -2119,6 +2119,24 @@ object Relational {
       .orderBy($"o_orderpriority", $"permille")
   }
 
+  /** q94 — WEIGHTED sketch quantiles ([[graft.Graft.hdrBuckets]]
+    * with a weight column): per source, the document length below
+    * which 50/90/99% of the total CHARACTER MASS sits (weight =
+    * n_chars, value = n_chars) — the data-mix curation question
+    * ("half the corpus volume lives in docs shorter than X"), which
+    * an unweighted doc-count percentile answers wrongly whenever
+    * length skews. Same integer bucket discipline as q91. */
+  def q94WeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"source", $"n_chars")
+    graft.Graft.hdrQuantilesFromBuckets(
+        graft.Graft.hdrBuckets(d, "source", $"n_chars",
+          subBits = 3, weight = $"n_chars"),
+        "source", Seq(500, 900, 990))
+      .orderBy($"source", $"permille")
+  }
+
   /** q92 — Spark 4 SQL PIPE syntax (`|>` operators): the q01-family
     * scan→filter→aggregate→sort expressed in the pipe dialect
     * (SPARK-49555), proving the parser surface; the oracle is the
