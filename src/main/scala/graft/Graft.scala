@@ -2379,7 +2379,9 @@ object Graft {
     * concurrency and the EARLIEST point attaining it (peak,
     * peak_at) — the max is always attained at some interval start,
     * and the min-t tie-break makes the witness deterministic. Rows
-    * with end < start are rejected.
+    * with end < start are rejected EAGERLY (one validation scan of
+    * the input before the sweep — the [[shortestPaths]] guard
+    * discipline; cache upstream if the double read matters).
     *
     * Scale shape: the +1/-1 boundary sweep — +1 at start, -1 at
     * end+1, folded per (key, t) BEFORE the window, so the window
@@ -2417,8 +2419,9 @@ object Graft {
     * ≤ current covered end + 1 — and returns per key the island
     * count and the total covered point count (key, n_islands,
     * covered): the "how many distinct active days / how many
-    * contiguous service episodes" audit. Integer end-to-end;
-    * rows with end < start are rejected.
+    * contiguous service episodes" audit. Integer end-to-end; rows
+    * with end < start are rejected EAGERLY (one validation scan
+    * before the windows, the [[shortestPaths]] guard discipline).
     *
     * Scale shape: ONE exchange on key; two per-key windows (running
     * max of end to flag island starts, running sum to number them)
@@ -2516,6 +2519,15 @@ object Graft {
     * any merge tree over any partitioning of the data yields the
     * identical bucket table. */
   def hdrMerge(buckets: DataFrame, more: DataFrame*): DataFrame = {
+    // every input must be a (key, lo, n) bucket table from
+    // [[hdrBuckets]] — a frame with another first column would merge
+    // under the wrong key silently
+    (buckets +: more).foreach { b =>
+      require(b.columns.length == 3 && b.columns(1) == "lo" &&
+        b.columns(2) == "n" && b.columns(0) == buckets.columns(0),
+        s"not a bucket table (expected (${buckets.columns(0)}, lo, n)): " +
+          b.columns.mkString(","))
+    }
     val all = more.foldLeft(buckets)(_ unionByName _)
     val keyCol = buckets.columns(0)
     all.groupBy(col(keyCol), col("lo")).agg(sum(col("n")).as("n"))
