@@ -2395,10 +2395,14 @@ object Graft {
     require(df.filter(col(startCol).isNull || col(endCol).isNull ||
         col(endCol) < col(startCol)).isEmpty,
       "null or inverted interval")
+    // both sweep boundaries explode out of ONE scan (a union of two
+    // selects would read the source twice)
     val deltas = df.select(col(keyCol).as("__k"),
-        col(startCol).cast("long").as("__t"), lit(1L).as("__d"))
-      .unionAll(df.select(col(keyCol).as("__k"),
-        (col(endCol).cast("long") + 1L).as("__t"), lit(-1L).as("__d")))
+        explode(array(
+          struct(col(startCol).cast("long").as("t"), lit(1L).as("d")),
+          struct((col(endCol).cast("long") + 1L).as("t"),
+            lit(-1L).as("d")))).as("__bd"))
+      .select(col("__k"), col("__bd.t").as("__t"), col("__bd.d").as("__d"))
       .groupBy(col("__k"), col("__t")).agg(sum(col("__d")).as("__net"))
     val byT = Window.partitionBy(col("__k")).orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
