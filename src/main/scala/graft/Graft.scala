@@ -1916,10 +1916,15 @@ object Graft {
     var frontier = visited.select(col("node"))
     var i = 1
     while (i <= maxHops && !frontier.isEmpty) {
+      // shuffle_hash on the node-sized sides: the declared-partition
+      // checkpoints carry no size stats, so an unhinted plan falls to
+      // sort-merge and re-sorts the EDGE list every hop
       val next = checkpointOn(
-        e.join(frontier.withColumnRenamed("node", "src"), "src")
+        e.join(frontier.withColumnRenamed("node", "src")
+            .hint("shuffle_hash"), "src")
           .select(col("dst").as("node")).distinct()
-          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .join(visited.select(col("node")).hint("shuffle_hash"),
+            Seq("node"), "left_anti")
           .select(col("node"), lit(i.toLong).as("hop")),
         nPart, "node")
       // visited is a plain union of ALREADY-checkpointed hop frames —
