@@ -1419,6 +1419,29 @@ class GraftFacadeSpec extends SparkSuiteBase {
     }
   }
 
+  test("graph/sequence ops are partitioning-invariant (repartition(7) == original)") {
+    val e = Seq((1L, 3L), (2L, 3L), (5L, 3L), (2L, 4L), (5L, 4L),
+      (3L, 1L), (3L, 6L), (4L, 6L), (2L, 6L), (6L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    assert(set(Graft.labelPropagation(e.repartition(7), 3)) ==
+      set(Graft.labelPropagation(e, 3)))
+    assert(set(Graft.kCore(e.unionAll(
+        e.select($"dst".as("src"), $"src".as("dst"))).repartition(7), 2)) ==
+      set(Graft.kCore(e.unionAll(
+        e.select($"dst".as("src"), $"src".as("dst"))), 2)))
+    val ev = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 1L, "y"),
+      ("b", 2L, "x"), ("a", 3L, "x")).toDF("u", "t", "s")
+    assert(set(Graft.transitionMatrix(ev.repartition(7), $"u", Seq($"t"), $"s")) ==
+      set(Graft.transitionMatrix(ev, $"u", Seq($"t"), $"s")))
+    assert(Graft.pathNgrams(ev.repartition(7), $"u", Seq($"t"), $"s", 2, 5)
+        .collect().toSeq ==
+      Graft.pathNgrams(ev, $"u", Seq($"t"), $"s", 2, 5).collect().toSeq)
+    val iv = Seq(("k", 1L, 5L), ("k", 3L, 7L), ("k", 9L, 9L)).toDF("k", "s", "e")
+    assert(set(Graft.hdrQuantiles(iv.repartition(7), "k", $"e", Seq(500, 990))) ==
+      set(Graft.hdrQuantiles(iv, "k", $"e", Seq(500, 990))))
+  }
+
   test("hdrMerge: merged split sketches equal the from-scratch sketch") {
     val df = Seq.tabulate(200)(i => ("k" + (i % 3), (i % 37) + 1L))
       .toDF("k", "v")
