@@ -55,6 +55,37 @@ class PlanAuditSpec extends SparkSuiteBase {
     }
   }
 
+  test("no registered query window-functions over an UNPARTITIONED corpus-sized input") {
+    // the recurring scale anti-pattern (sequenceGaps grew recursive
+    // bucketing to kill it): a Window with an empty partition spec
+    // funnels its whole input through ONE task. Bounded inputs are
+    // fine — every allowed entry names the reason its global window
+    // input is fixed-size (vocab heads, per-group digests, k-sized
+    // candidate sets), so a NEW unpartitioned window over real data
+    // fails this audit until justified here.
+    val allowed: Map[String, String] = Map(
+      "q48_interpolate" -> ("single-series resample: the window input is " +
+        "the calendar spine (days between min and max), never data-sized"),
+      "q79_seq_gaps" -> ("sequenceGaps residual roots: <= summaryFan rows " +
+        "by construction (exactly 1 when ids fit idBits) — the recursive " +
+        "bucketing already reduced every data-sized level")
+    )
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val globals = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty && !allowed.contains(name))
+          Some(s"$name plans ${globals.size} unpartitioned window(s)") else None
+      } catch { case scala.util.control.NonFatal(_) => None } // planning
+      // failures are the cartesian audit's job, not this one's
+    }
+    assert(bad.isEmpty, s"${bad.size} queries window over unpartitioned input " +
+      s"(add to `allowed` ONLY with a boundedness argument):\n" +
+      bad.mkString("\n"))
+  }
+
   test("q22 binned range join is an equi join, never a nested loop") {
     val plan = ops.Relational.q22RangeJoinBinned(spark, sf)
       .queryExecution.executedPlan.toString
