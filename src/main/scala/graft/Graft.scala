@@ -1938,6 +1938,56 @@ object Graft {
     visited
   }
 
+  /** Time-respecting (temporal) reachability — earliest-arrival
+    * labels over a CONTACT-EVENT edge list (`src`, `dst`, `t`
+    * integer event times): starting from `seeds` all "affected" at
+    * `startT`, an event (u→v, t) transmits iff `t >= arrival(u)`,
+    * and v's arrival becomes the MINIMUM such t. Runs `iters`
+    * synchronous relaxation rounds and returns (node, t_arr) for
+    * every node reachable through a TIME-ORDERED event chain — the
+    * contact-tracing / contamination-audit semantics a static BFS
+    * ([[bfsHops]]) cannot express: a path whose events run backwards
+    * in time never transmits, so static reachability over-reports.
+    * Monotone min-fold over integers — bounded-`iters` results read
+    * as "earliest arrival using <= iters transmissions", and the
+    * answer is a pure function of the edge set (any partitioning,
+    * retry, or union order — the [[pageRank]] determinism argument;
+    * an unrolled-CTE oracle mirrors it exactly). Pass both event
+    * directions for undirected contact.
+    *
+    * Scale shape: the event list checkpoints hash-partitioned on src
+    * ONCE ([[checkpointOn]] — the declared-partition severing
+    * primitive), so each round's relax join plans a bare edge scan;
+    * arrivals are NODE-sized, min-folded partially map-side, and
+    * sever every 2 rounds. The time filter rides the join, so a
+    * round's shuffle carries transmitting events only. */
+  def temporalReach(edges: DataFrame, seeds: DataFrame, startT: Long,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = checkpointOn(
+      edges.select(col("src"), col("dst"), col("t").cast("long").as("t")),
+      nPart, "src")
+    require(e.filter(col("t").isNull).isEmpty,
+      "null or uncastable event time")
+    var arr = checkpointOn(
+      seeds.select(col(seeds.columns(0)).as("node")).distinct()
+        .withColumn("t_arr", lit(startT)),
+      nPart, "node")
+    var i = 0
+    while (i < iters) {
+      val relaxed = e
+        .join(arr.hint("shuffle_hash"), e("src") === arr("node"))
+        .filter(col("t") >= col("t_arr"))
+        .select(col("dst").as("node"), col("t").as("t_arr"))
+      arr = arr.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("t_arr")).as("t_arr"))
+      i += 1
+      if (i % 2 == 0 && i < iters) arr = checkpointOn(arr, nPart, "node")
+    }
+    arr
+  }
+
   /** Harman's S-stemmer (the published 3-rule plural stripper —
     * "How effective is suffixing?", JASIS 1991): first applicable
     * rule of

@@ -246,6 +246,7 @@ object SparkEntry {
     "q92_pipe_sql" -> (Relational.q92PipeSql _),
     "q93_hdr_incremental" -> (Relational.q93HdrIncremental _),
     "q94_weighted_quantiles" -> (Relational.q94WeightedQuantiles _),
+    "q95_temporal_reach" -> (Relational.q95TemporalReach _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -4274,6 +4275,36 @@ FROM est ORDER BY l_partkey""",
         |SELECT o_orderpriority, CAST(permille AS BIGINT) AS permille,
         |  CAST(min(lo) AS BIGINT) AS q_lo
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q95: the 3 transmission rounds unrolled — each round min-folds
+    // the previous arrivals with the events whose time is >= the
+    // source's arrival (the time-respecting filter IS the semantics;
+    // dropping it gives q73's static over-count).
+    "q95_temporal_reach" ->
+      """WITH ev AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst, t FROM ev
+        |  UNION ALL SELECT dst, src, t FROM ev),
+        |a0 AS (SELECT s_suppkey * 2 + 1 AS node,
+        |    CAST(DATE '1996-01-01' - DATE '1970-01-01' AS BIGINT) AS t_arr
+        |  FROM supplier WHERE s_suppkey % 100 = 1),
+        |r1 AS (SELECT node, min(t_arr) AS t_arr FROM (
+        |    SELECT node, t_arr FROM a0 UNION ALL
+        |    SELECT e.dst, e.t FROM edges e
+        |    JOIN a0 a ON e.src = a.node AND e.t >= a.t_arr) GROUP BY node),
+        |r2 AS (SELECT node, min(t_arr) AS t_arr FROM (
+        |    SELECT node, t_arr FROM r1 UNION ALL
+        |    SELECT e.dst, e.t FROM edges e
+        |    JOIN r1 a ON e.src = a.node AND e.t >= a.t_arr) GROUP BY node),
+        |r3 AS (SELECT node, min(t_arr) AS t_arr FROM (
+        |    SELECT node, t_arr FROM r2 UNION ALL
+        |    SELECT e.dst, e.t FROM edges e
+        |    JOIN r2 a ON e.src = a.node AND e.t >= a.t_arr) GROUP BY node)
+        |SELECT t_arr,
+        |  CAST(count(*) FILTER (WHERE node % 2 = 0) AS BIGINT) AS n_cust,
+        |  CAST(count(*) FILTER (WHERE node % 2 = 1) AS BIGINT) AS n_supp
+        |FROM r3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q94: weighted buckets — n = sum(weight) instead of count; the
     // nearest-rank pick then lands where the MASS median/percentile

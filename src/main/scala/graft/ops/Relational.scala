@@ -2137,6 +2137,32 @@ object Relational {
       .orderBy($"source", $"permille")
   }
 
+  /** q95 — time-respecting contamination reach
+    * ([[graft.Graft.temporalReach]]): customer↔supplier contact
+    * events (one per lineitem, at ship-day) symmetrized; seed
+    * suppliers (s_suppkey % 100 == 1) flagged on 1996-01-01; 3
+    * transmission rounds of earliest-arrival relaxation. Digest:
+    * per arrival day, how many customers and suppliers are newly
+    * reachable — the contact-tracing audit a static BFS (q73)
+    * over-reports, because q73 would count time-backwards paths. */
+  def q95TemporalReach(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"),
+        unix_date($"l_shipdate".cast("date")).cast("long").as("t"))
+    val edges = ev.unionAll(ev.select($"dst".as("src"), $"src".as("dst"), $"t"))
+    val seeds = Tables(s, dir, "supplier")
+      .filter($"s_suppkey" % 100 === 1)
+      .select(($"s_suppkey" * 2 + 1).as("node"))
+    val startT = java.time.LocalDate.parse("1996-01-01").toEpochDay
+    graft.Graft.temporalReach(edges, seeds, startT, iters = 3)
+      .groupBy($"t_arr")
+      .agg(count(when($"node" % 2 === 0, 1)).as("n_cust"),
+        count(when($"node" % 2 === 1, 1)).as("n_supp"))
+      .orderBy($"t_arr")
+  }
+
   /** q92 — Spark 4 SQL PIPE syntax (`|>` operators): the q01-family
     * scan→filter→aggregate→sort expressed in the pipe dialect
     * (SPARK-49555), proving the parser surface; the oracle is the

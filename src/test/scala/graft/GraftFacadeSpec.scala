@@ -1440,6 +1440,28 @@ class GraftFacadeSpec extends SparkSuiteBase {
     val iv = Seq(("k", 1L, 5L), ("k", 3L, 7L), ("k", 9L, 9L)).toDF("k", "s", "e")
     assert(set(Graft.hdrQuantiles(iv.repartition(7), "k", $"e", Seq(500, 990))) ==
       set(Graft.hdrQuantiles(iv, "k", $"e", Seq(500, 990))))
+    val te = Seq((1L, 2L, 10L), (2L, 3L, 15L), (1L, 3L, 4L))
+      .toDF("src", "dst", "t")
+    assert(set(Graft.temporalReach(te.repartition(7), Seq(1L).toDF("n"), 5L, 3)) ==
+      set(Graft.temporalReach(te, Seq(1L).toDF("n"), 5L, 3)))
+  }
+
+  test("temporalReach: time-backwards paths never transmit; min arrival wins") {
+    // 1 -(t=10)-> 2 -(t=5)-> 3 : static BFS reaches 3, temporal must
+    // NOT (the 2->3 contact happened before 2 was affected);
+    // 1 -(t=12)-> 4 and 1 -(t=11)-> 4 : arrival at 4 is the min, 11;
+    // 4 -(t=11)-> 5 : same-time transmission DOES count (t >= arr)
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 5L), (1L, 4L, 12L),
+      (1L, 4L, 11L), (4L, 5L, 11L)).toDF("src", "dst", "t")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graft.temporalReach(e, seeds, startT = 0L, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 10L, 4L -> 11L, 5L -> 11L), got)
+    // and the static BFS indeed over-reports on the same graph — the
+    // contrast that justifies the operator
+    val static = Graft.bfsHops(e.select($"src", $"dst"), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(static.contains(3L), static)
   }
 
   test("hdrMerge: merged split sketches equal the from-scratch sketch") {
