@@ -1805,8 +1805,16 @@ object Graft {
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     var i = 0
     while (i < iters) {
-      val votes = e
-        .join(labels.hint("shuffle_hash"), e("src") === labels("node"))
+      // round 1's vote join is algebraically redundant: the initial
+      // labeling is the identity (lbl(src) = src), so the joined
+      // votes equal e.select(dst, src as lbl) exactly — including
+      // edge multiplicity on multigraphs. One edge-sized join
+      // eliminated per call; rounds 2+ need the real join.
+      val voteSrc =
+        if (i == 0) e.select(col("dst"), col("src").as("lbl"))
+        else e.join(labels.hint("shuffle_hash"), e("src") === labels("node"))
+          .select(col("dst"), col("lbl"))
+      val votes = voteSrc
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__cnt"))
       // one fold replaces the sort-based top-1: struct comparison is
       // lexicographic, so min((-cnt, lbl)) = highest count, then
