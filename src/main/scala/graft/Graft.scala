@@ -1687,12 +1687,20 @@ object Graft {
     var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_e9"))
     var i = 0
     while (i < iters) {
-      // shuffle_hash on the node-sized sides: a sort-merge plan would
-      // re-sort the checkpointed edge list every iteration
-      val contrib = edgesD
-        .join(ranks.hint("shuffle_hash"), edgesD("src") === ranks("node"))
-        .select(col("dst").as("node"),
-          expr("rank_e9 div __outdeg").as("__c"))
+      // round 1's rank join is algebraically redundant: every rank is
+      // the constant 1e9, so the joined scatter equals a direct
+      // projection of the degree-annotated edge list — one edge-sized
+      // join eliminated per call (the labelPropagation identity).
+      // Rounds 2+ join; shuffle_hash on the node-sized side keeps a
+      // sort-merge plan from re-sorting the checkpointed edge list.
+      val scatter =
+        if (i == 0) edgesD.select(col("dst").as("node"),
+          expr("cast(1000000000 as bigint) div __outdeg").as("__c"))
+        else edgesD
+          .join(ranks.hint("shuffle_hash"), edgesD("src") === ranks("node"))
+          .select(col("dst").as("node"),
+            expr("rank_e9 div __outdeg").as("__c"))
+      val contrib = scatter
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
       ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
