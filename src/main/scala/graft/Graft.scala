@@ -1887,12 +1887,17 @@ object Graft {
     var deg = keep.select(col("node"), lit(0L).as("deg"))
     while (round < maxRounds && !done) {
       // deg(v) = surviving out-edges of v (dst must survive); the
-      // src-side restriction rides the trailing semi-join
-      val d = e
-        .join(keep.withColumnRenamed("node", "dst").hint("shuffle_hash"),
-          Seq("dst"))
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      // src-side restriction rides the trailing semi-join. Round 1
+      // specializes: keep is ALL endpoints by construction, so both
+      // joins are vacuous and the round is one bare degree count
+      // (the labelPropagation/pageRank round-1 identity).
+      val d =
+        if (round == 0) e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        else e
+          .join(keep.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+            Seq("dst"))
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       deg = checkpointOn(
         d.filter(col("deg") >= k).select(col("src").as("node"), col("deg")),
         nPart, "node")
