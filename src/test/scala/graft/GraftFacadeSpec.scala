@@ -1419,6 +1419,24 @@ class GraftFacadeSpec extends SparkSuiteBase {
     }
   }
 
+  test("round-14 ops are empty-input safe") {
+    val e0 = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graft.labelPropagation(e0, 2).isEmpty)
+    assert(Graft.kCore(e0, 2).isEmpty)
+    val iv0 = Seq.empty[(String, Long, Long)].toDF("k", "s", "e")
+    assert(Graft.peakConcurrency(iv0, "k", "s", "e").isEmpty)
+    assert(Graft.intervalCoverage(iv0, "k", "s", "e").isEmpty)
+    val ev0 = Seq.empty[(String, Long, String)].toDF("u", "t", "s")
+    assert(Graft.transitionMatrix(ev0, $"u", Seq($"t"), $"s").isEmpty)
+    assert(Graft.pathNgrams(ev0, $"u", Seq($"t"), $"s", 2, 5).isEmpty)
+    assert(Graft.hdrQuantiles(iv0, "k", $"e", Seq(500)).isEmpty)
+    // temporalReach with no events still returns the seeds at startT
+    val te0 = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "t")
+    val arr = Graft.temporalReach(te0, Seq(9L).toDF("n"), 42L, 2)
+      .as[(Long, Long)].collect().toList
+    assert(arr == List((9L, 42L)), arr)
+  }
+
   test("graph/sequence ops are partitioning-invariant (repartition(7) == original)") {
     val e = Seq((1L, 3L), (2L, 3L), (5L, 3L), (2L, 4L), (5L, 4L),
       (3L, 1L), (3L, 6L), (4L, 6L), (2L, 6L), (6L, 1L), (1L, 2L))
