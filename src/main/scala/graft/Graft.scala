@@ -2081,11 +2081,15 @@ object Graft {
         greatest(col("src"), col("dst")).as("y"))
       .filter(col("x") =!= col("y"))
     // the id-oriented adjacency is the shared dedup stage: ONE
-    // exchange with map-side set folding, checkpointed partitioned
-    // on x
-    val adjId = und.groupBy(col("x"))
-      .agg(sort_array(collect_set(col("y"))).as("__nbrs"))
-      .localCheckpoint()
+    // exchange with map-side set folding, checkpointed with its x
+    // partitioning DECLARED (checkpointOn — a plain localCheckpoint
+    // reports UnknownPartitioning and the closure's x-side probe
+    // join re-exchanges the exploded edge list, PERF.md r14)
+    val nPartT = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val adjId = checkpointOn(
+      und.groupBy(col("x"))
+        .agg(sort_array(collect_set(col("y"))).as("__nbrs")),
+      nPartT, "x")
     val adj =
       if (!byDegree) adjId
       else {
@@ -2108,12 +2112,14 @@ object Graft {
             .hint("shuffle_hash"), "y")
         val fwd = col("__dx") < col("__dy") ||
           (col("__dx") === col("__dy") && col("x") < col("y"))
-        ranked
-          .select(when(fwd, col("x")).otherwise(col("y")).as("u"),
-            when(fwd, col("y")).otherwise(col("x")).as("v"))
-          .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("__nbrs"))
-          .withColumnRenamed("u", "x")
-          .localCheckpoint()
+        checkpointOn(
+          ranked
+            .select(when(fwd, col("x")).otherwise(col("y")).as("u"),
+              when(fwd, col("y")).otherwise(col("x")).as("v"))
+            .groupBy(col("u"))
+            .agg(sort_array(collect_set(col("v"))).as("__nbrs"))
+            .withColumnRenamed("u", "x"),
+          nPartT, "x")
       }
     // deduped + oriented by construction: explode of the adjacency
     // sets IS the distinct edge list, no second exchange needed
