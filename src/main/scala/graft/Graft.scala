@@ -31,6 +31,20 @@ object Graft {
     org.apache.spark.sql.graftshim.PartitionedCheckpoint
       .localCheckpointHashPartitioned(df, nPart, keys: _*)
 
+  /** In-plan eager validation: evaluates to `value`, or raises `msg`
+    * on the first row where `bad` holds. Riding the guard on a column
+    * the operator actually consumes keeps validation inside the SAME
+    * single scan the operator performs — the r14
+    * `require(df.filter(bad).isEmpty)` pattern ran a second full pass
+    * over the input, and at 100 TB an un-cached double scan doubles
+    * I/O on exactly the operators pitched as the scale path. Failure
+    * stays fail-fast in the sense that matters: the job aborts on the
+    * first offending row, before any result is emitted (asserted by
+    * the GraftFacadeSpec bad-input cases; the construction-time
+    * no-job property is pinned in PlanAuditSpec). */
+  private def guarded(bad: Column, msg: String, value: Column): Column =
+    when(bad, raise_error(lit(msg))).otherwise(value)
+
   // ---- relational conveniences ----
 
   /** Top-k rows per group, deterministic under ties via `tieBreak`. */
@@ -1986,11 +2000,13 @@ object Graft {
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters out of range: $iters")
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // the time-validity guard rides the one projection the (eager)
+    // checkpoint materializes — single scan, still fails at build time
+    val tl = col("t").cast("long")
     val e = checkpointOn(
-      edges.select(col("src"), col("dst"), col("t").cast("long").as("t")),
+      edges.select(col("src"), col("dst"),
+        guarded(tl.isNull, "null or uncastable event time", tl).as("t")),
       nPart, "src")
-    require(e.filter(col("t").isNull).isEmpty,
-      "null or uncastable event time")
     var arr = checkpointOn(
       seeds.select(col(seeds.columns(0)).as("node")).distinct()
         .withColumn("t_arr", lit(startT)),
@@ -2461,9 +2477,9 @@ object Graft {
     * concurrency and the EARLIEST point attaining it (peak,
     * peak_at) — the max is always attained at some interval start,
     * and the min-t tie-break makes the witness deterministic. Rows
-    * with end < start are rejected EAGERLY (one validation scan of
-    * the input before the sweep — the [[shortestPaths]] guard
-    * discipline; cache upstream if the double read matters).
+    * with null or inverted intervals abort the job on first contact
+    * (an in-plan [[guarded]] projection — validation shares the one
+    * sweep scan; since r15 no separate validation pass exists).
     *
     * Scale shape: the +1/-1 boundary sweep — +1 at start, -1 at
     * end+1, folded per (key, t) BEFORE the window, so the window
@@ -2474,14 +2490,15 @@ object Graft {
     * shares). */
   def peakConcurrency(df: DataFrame, keyCol: String,
       startCol: String, endCol: String): DataFrame = {
-    require(df.filter(col(startCol).isNull || col(endCol).isNull ||
-        col(endCol) < col(startCol)).isEmpty,
-      "null or inverted interval")
+    val bad = col(startCol).isNull || col(endCol).isNull ||
+      col(endCol) < col(startCol)
     // both sweep boundaries explode out of ONE scan (a union of two
-    // selects would read the source twice)
+    // selects would read the source twice); the interval-validity
+    // guard rides the start boundary, so validation shares that scan
     val deltas = df.select(col(keyCol).as("__k"),
         explode(array(
-          struct(col(startCol).cast("long").as("t"), lit(1L).as("d")),
+          struct(guarded(bad, "null or inverted interval",
+            col(startCol).cast("long")).as("t"), lit(1L).as("d")),
           struct((col(endCol).cast("long") + 1L).as("t"),
             lit(-1L).as("d")))).as("__bd"))
       .select(col("__k"), col("__bd.t").as("__t"), col("__bd.d").as("__d"))
@@ -2506,8 +2523,9 @@ object Graft {
     * count and the total covered point count (key, n_islands,
     * covered): the "how many distinct active days / how many
     * contiguous service episodes" audit. Integer end-to-end; rows
-    * with end < start are rejected EAGERLY (one validation scan
-    * before the windows, the [[shortestPaths]] guard discipline).
+    * with null or inverted intervals abort the job on first contact
+    * (in-plan [[guarded]] projection — validation shares the one
+    * input scan; since r15 no separate validation pass exists).
     *
     * Scale shape: ONE exchange on key; two per-key windows (running
     * max of end to flag island starts, running sum to number them)
@@ -2517,11 +2535,12 @@ object Graft {
     * state. */
   def intervalCoverage(df: DataFrame, keyCol: String,
       startCol: String, endCol: String): DataFrame = {
-    require(df.filter(col(startCol).isNull || col(endCol).isNull ||
-        col(endCol) < col(startCol)).isEmpty,
-      "null or inverted interval")
+    val bad = col(startCol).isNull || col(endCol).isNull ||
+      col(endCol) < col(startCol)
     val rows = df.select(col(keyCol).as("__k"),
-      col(startCol).cast("long").as("__s"), col(endCol).cast("long").as("__e"))
+      guarded(bad, "null or inverted interval",
+        col(startCol).cast("long")).as("__s"),
+      col(endCol).cast("long").as("__e"))
     val byStart = Window.partitionBy(col("__k"))
       .orderBy(col("__s"), col("__e"))
     val prevMax = max(col("__e")).over(
@@ -2553,7 +2572,8 @@ object Graft {
     * q62's exact `percentile_cont` (whose scaladoc documents the
     * honest cost of exactness at 100 TB: a full per-group sort).
     * Values must be ≥ 1 (shift upstream; log buckets need a positive
-    * domain) — violations are rejected eagerly.
+    * domain) — violations abort the job on first contact via the
+    * in-plan [[guarded]] projection (no separate validation scan).
     *
     * Scale shape: bucket counts fold partially map-side, so the ONE
     * exchange carries (key × live buckets) rows — at subBits=3 the
@@ -2581,16 +2601,19 @@ object Graft {
     require(subBits >= 0 && subBits <= 6, s"subBits out of range: $subBits")
     val v = value.cast("long")
     val wt = weight.cast("long")
-    // one eager guard scan covers both contracts: log buckets need a
+    // one in-plan guard covers both contracts: log buckets need a
     // positive value domain, and WEIGHTED quantiles (weight != 1 —
     // e.g. "below which length does half the TOKEN MASS sit", the
     // data-mix curation question) need nonnegative integer weights
-    // or nearest-rank cum/total logic silently inverts
-    require(df.filter(v.isNull || v < 1L || wt.isNull || wt < 0L).isEmpty,
-      "hdrBuckets needs values >= 1 and weights >= 0")
+    // or nearest-rank cum/total logic silently inverts; riding the
+    // guard on __v keeps validation inside the single build scan
+    val bad = v.isNull || v < 1L || wt.isNull || wt < 0L
     // floor(log2 v) without floats: bin() renders the minimal binary
     // string in both engines, so its length-1 is the exponent exactly
-    df.select(col(keyCol).as("__k"), v.as("__v"), wt.as("__w"))
+    df.select(col(keyCol).as("__k"),
+        guarded(bad, "hdrBuckets needs values >= 1 and weights >= 0", v)
+          .as("__v"),
+        wt.as("__w"))
       .withColumn("__b", (length(expr("bin(__v)")) - 1).cast("int"))
       .withColumn("__lo",
         when(col("__b") <= subBits, col("__v"))

@@ -1360,9 +1360,36 @@ class GraftFacadeSpec extends SparkSuiteBase {
       .as[(String, Long, Long)].collect().toSet
     // "a" peaks at 2 first reached at t=3 (also 2 at t=6 — min wins)
     assert(got == Set(("a", 2L, 3L), ("b", 1L, 0L), ("c", 2L, 2L)), got)
-    val bad = Seq(("x", 5L, 4L)).toDF("k", "s", "e")
-    assertThrows[IllegalArgumentException] {
-      Graft.peakConcurrency(bad, "k", "s", "e")
+  }
+
+  test("in-plan guards: bad input still fails, single scan, message intact") {
+    // r15: validation moved from a separate require(filter.isEmpty)
+    // pass INTO the operator's own projection (raise_error) — the
+    // input is read once, and the job still aborts before emitting a
+    // single result row. These cases pin the abort + message.
+    def failsWith(msg: String)(action: => Unit): Unit = {
+      val ex = intercept[Throwable](action)
+      def msgs(t: Throwable): List[String] = if (t == null) Nil
+        else Option(t.getMessage).toList ::: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains(msg)),
+        s"expected '$msg' in failure chain, got: $ex")
+    }
+    val inverted = Seq(("x", 5L, 4L)).toDF("k", "s", "e")
+    failsWith("null or inverted interval") {
+      Graft.peakConcurrency(inverted, "k", "s", "e").collect()
+    }
+    failsWith("null or inverted interval") {
+      Graft.intervalCoverage(inverted, "k", "s", "e").collect()
+    }
+    failsWith("hdrBuckets needs values >= 1 and weights >= 0") {
+      Graft.hdrBuckets(Seq(("x", 0L)).toDF("k", "v"), "k", $"v").collect()
+    }
+    // temporalReach's guard rides the EAGER checkpoint, so bad input
+    // fails at construction (no collect needed)
+    failsWith("null or uncastable event time") {
+      Graft.temporalReach(
+        Seq((1L, 2L, None: Option[Long])).toDF("src", "dst", "t"),
+        Seq(1L).toDF("n"), 0L, 2)
     }
   }
 
@@ -1413,9 +1440,12 @@ class GraftFacadeSpec extends SparkSuiteBase {
     // p500: cum>=2.5 first at lo=3 (the true median); p990: cum=5 at
     // lo=96 (true 100, inside the width-8 bucket)
     assert(got == Set(("a", 500L, 3L), ("a", 990L, 96L)), got)
-    // positive-domain contract
-    assertThrows[IllegalArgumentException] {
+    // positive-domain contract — in-plan guard since r15, so the
+    // abort surfaces at action time (the in-plan-guards test pins the
+    // message; here just that a violation cannot produce rows)
+    assertThrows[Throwable] {
       Graft.hdrQuantiles(Seq(("a", 0L)).toDF("k", "v"), "k", $"v", Seq(500))
+        .collect()
     }
   }
 
