@@ -1811,11 +1811,15 @@ object Graft {
     * lose more network than the sort costs). The edge and node
     * builds use the partitioning-declaring checkpoint
     * ([[checkpointOn]]), so every round's vote join reads the edge
-    * list as a bare co-partitioned scan; rounds stay compounded
-    * (labels sever only every 4 rounds) — within one compounded
-    * tree AQE stage reuse already dedups any repeated exchange, and
-    * severing each round would trade that for per-round
-    * materialization with no exchange left to save. */
+    * list as a bare co-partitioned scan; labels sever EVERY round
+    * (r15). The r13 compounded-tree decision predated the
+    * partitioning-declaring checkpoint: severing then cost a full
+    * label re-exchange per round, which AQE stage reuse beat. With
+    * the declared partitioning a severed round pays zero
+    * re-exchange, and cutting the compounded tree stops each round
+    * re-planning (and under AQE re-running) the whole prefix:
+    * measured min-of-3 at sf0.1, canary-flat, 5.5 s compounded →
+    * 4.0 s severed (PERF.md r15). */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
@@ -1855,7 +1859,11 @@ object Graft {
       labels = labels.join(best.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("lbl")).as("lbl"))
       i += 1
-      if (i % 4 == 0 && i < iters) labels = checkpointOn(labels, nPart, "node")
+      // sever every round: with the declared-partitioning checkpoint a
+      // severed label frame re-joins with zero exchange, so the old
+      // compounded-tree trade (AQE stage reuse vs re-planned prefix)
+      // flipped — see the scaladoc measurement
+      if (i < iters) labels = checkpointOn(labels, nPart, "node")
     }
     labels
   }

@@ -366,7 +366,7 @@ class PlanAuditSpec extends SparkSuiteBase {
         org.apache.spark.sql.DataFrame](
       "ok_query" -> ((s, _) => s.range(10).toDF("id")),
       "broken_query" -> ((s, _) => s.sql("SELECT * FROM no_such_table_xyz")))
-    val (timings, errors) = Bench.run(spark, sf, queries)
+    val (timings, errors, _) = Bench.run(spark, sf, queries)
     assert(timings.map(_._1) == Seq("broken_query", "ok_query"))
     assert(errors.keySet == Set("broken_query"))
     assert(errors("broken_query").contains("AnalysisException"))
