@@ -93,6 +93,7 @@ object SparkEntry {
     "f17_variant" -> (Scalar.f17Variant _),
     "f18_xml" -> (Scalar.f18Xml _),
     "f19_csv_scalar" -> (Scalar.f19CsvScalar _),
+    "f20_avro" -> (Scalar.f20Avro _),
     "d01_exact_dedup" -> (TextDedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (TextDedup.d02MinhashLsh _),
     "d03_simhash" -> (TextDedup.d03Simhash _),
@@ -3739,6 +3740,28 @@ ORDER BY id_a, id_b""",
         |  min(c_custkey) AS min_k, max(c_custkey) AS max_k
         |FROM customer GROUP BY seg
         |ORDER BY seg""".stripMargin,
+
+    // f20: the to_avro -> from_avro binary roundtrip must recover the
+    // source columns bit-exactly, with the planted-corrupt keys (every
+    // 1000th, empty payload) decoding to the NULL group under the
+    // PERMISSIVE contract — the oracle aggregates the source columns
+    // with those keys nulled, so codec drift hash-fails.
+    "f20_avro" ->
+      """SELECT CASE WHEN c_custkey % 1000 = 0 THEN NULL
+        |            ELSE c_mktsegment END AS seg,
+        |  count(*) AS n_cust,
+        |  count(CASE WHEN c_custkey % 1000 = 0 THEN NULL ELSE 1 END)
+        |    AS n_parsed,
+        |  round(sum(CASE WHEN c_custkey % 1000 = 0 THEN NULL
+        |                 ELSE c_acctbal END), 2) AS sum_bal,
+        |  min(CASE WHEN c_custkey % 1000 = 0 THEN NULL
+        |           ELSE c_custkey END) AS min_k,
+        |  max(CASE WHEN c_custkey % 1000 = 0 THEN NULL
+        |           ELSE c_custkey END) AS max_k,
+        |  count(CASE WHEN c_custkey % 1000 = 0 THEN NULL ELSE 1 END)
+        |    AS n_id_match
+        |FROM customer GROUP BY 1
+        |ORDER BY seg NULLS FIRST""".stripMargin,
 
     // f17: the variant decode/navigate path must read the same values
     // DuckDB's json extraction reads; the absent path is null in both.

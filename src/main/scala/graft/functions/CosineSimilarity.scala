@@ -139,6 +139,23 @@ object GraftFunctions {
       checkedArity("minhash_sketch", 3, GraftFunctions.buildMinHashSketch)),
     ("int8_dot", classOf[Int8Dot],
       checkedArity("int8_dot", 2, e => Int8Dot(e(0), e(1)))),
+    // *_bin, not to_avro/from_avro: Spark 4's catalyst registers those
+    // names as stubs that delegate to the spark-avro MODULE (absent
+    // here) and fail at runtime — shadowing a built-in name with
+    // different resolution semantics would be a trap for SQL users
+    ("to_avro_bin", classOf[ToAvroBinary],
+      checkedArity("to_avro_bin", 1, e => ToAvroBinary(e(0)))),
+    ("from_avro_bin", classOf[FromAvroBinary],
+      // the target schema is a plan-time DDL literal (the from_csv
+      // contract) — checked at resolution like minhash_sketch's width
+      checkedArity("from_avro_bin", 2, e => {
+        val s = e(1)
+        require(s.foldable && s.dataType == StringType,
+          s"from_avro_bin schema must be a DDL string literal, got ${s.sql}")
+        val v = s.eval()
+        require(v != null, "from_avro_bin schema must not be NULL")
+        FromAvroBinary(e(0), v.toString)
+      })),
     ("unicode_normalize", classOf[UnicodeNormalize],
       // 1- or 2-arg: the optional form must be a foldable string
       // literal (plan-time config — see the expression's scaladoc),

@@ -189,4 +189,45 @@ object Scalar {
         max($"x.k").as("max_k"))
       .orderBy($"seg")
   }
+
+  /** f20 — Avro binary codec battery ([[graft.functions.ToAvro]] /
+    * [[graft.functions.FromAvro]] — the engine's native expressions
+    * over Avro core, since the `spark-avro` connector module is not
+    * on this classpath; see the AvroCodec scaladoc for why the
+    * implementation mirrors the connector's public design). The
+    * Kafka-adjacent sibling of f19's CSV scalar codec: each
+    * customer's (k, seg, bal) encodes to schemaless Avro binary —
+    * readers supply the schema, the schema-registry contract — then
+    * decodes back under the PERMISSIVE tolerance contract (P17):
+    * every 1000th payload is planted corrupt (empty bytes) and must
+    * decode to a NULL struct, not fail the job. The oracle computes
+    * the same aggregate straight from the source columns with the
+    * corrupt keys nulled, so any encode/decode drift — zigzag varint,
+    * union branch index, IEEE double bits, UTF-8 bytes — hash-fails.
+    * Both directions are narrow per-row maps over the scan
+    * (CodegenFallback eval inside the codegen'd stage); no shuffle
+    * until the aggregate. */
+  def f20Avro(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => nc, expression => ex}
+    val encoded = nc(graft.functions.ToAvroBinary(ex(struct(
+      $"c_custkey".as("k"), $"c_mktsegment".as("seg"),
+      $"c_acctbal".as("bal")))))
+    // empty bytes can never be a valid record here: field 1's union
+    // index varint is already missing, so decode EOFs deterministically
+    val payload = when($"c_custkey" % 1000 === 0, lit(Array.empty[Byte]))
+      .otherwise(encoded)
+    Tables(s, dir, "customer")
+      .select($"c_custkey", payload.as("payload"))
+      .select($"c_custkey", nc(graft.functions.FromAvroBinary(ex($"payload"),
+        "k BIGINT, seg STRING, bal DOUBLE")).as("x"))
+      .groupBy($"x.seg".as("seg"))
+      .agg(count(lit(1)).as("n_cust"),
+        count($"x.k").as("n_parsed"),
+        round(sum($"x.bal"), 2).as("sum_bal"),
+        min($"x.k").as("min_k"),
+        max($"x.k").as("max_k"),
+        count(when($"x.k" === $"c_custkey", 1)).as("n_id_match"))
+      .orderBy($"seg".asc_nulls_first)
+  }
 }
