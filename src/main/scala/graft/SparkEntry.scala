@@ -135,6 +135,7 @@ object SparkEntry {
     "s11_qsearch" -> (Similarity.s11QuantizedSearch _),
     "s12_lsh_topk" -> (Similarity.s12LshTopK _),
     "s13_lsh_layout" -> (Similarity.s13LshLayout _),
+    "s25_inc_append" -> (Similarity.s25IncAppend _),
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "s15_pq_topk" -> (Similarity.s15PqTopK _),
     "s23_pq_layout" -> (Similarity.s23PqLayout _),
@@ -2290,6 +2291,9 @@ object SparkEntry {
     // — identical oracle by construction: the layout (and its
     // partition-pruned probe scan) must not change the answer.
     "s13_lsh_layout" -> Similarity.s12OracleSql,
+    // s25: the incremental-equals-rebuild gate — the base+appended
+    // index must answer exactly like the from-scratch pipeline
+    "s25_inc_append" -> Similarity.s12OracleSql,
 
     // s14: the 4 greedy MMR rounds unroll as CTEs (the t26 pattern);
     // per round, pN computes each candidate's redundancy penalty

