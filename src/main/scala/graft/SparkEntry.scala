@@ -213,6 +213,7 @@ object SparkEntry {
     "st15_tws_topk" -> (graft.streaming.Streams.st15TransformWithState _),
     "st16_chained" -> (graft.streaming.Streams.st16ChainedWindows _),
     "st17_full_join" -> (graft.streaming.Streams.st17StreamingFullJoin _),
+    "st20_right_join" -> (graft.streaming.Streams.st20StreamingRightJoin _),
     "st18_timer_sessions" -> (graft.streaming.Streams.st18TimerSessions _),
     "st19_sketch_monitor" -> (graft.streaming.Streams.st19SketchMonitor _),
     "c01_curation" -> (Curation.c01Curation _),
@@ -1227,6 +1228,23 @@ object SparkEntry {
         | AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
         |ORDER BY user_id, click_ts_us NULLS FIRST,
         |  purchase_ts_us NULLS FIRST""".stripMargin,
+
+    // st20: the right-outer mirror of st10 — every purchase accounted
+    // for, unmatched ones with a null click side; sentinels finalize
+    // every real purchase so the oracle is the plain batch RIGHT JOIN
+    // (spelled as the purchase-side LEFT JOIN for clarity).
+    "st20_right_join" ->
+      """SELECT p.user_id AS user_id, epoch_us(c.ts) AS click_ts_us,
+        |  epoch_us(p.ts) AS purchase_ts_us,
+        |  round(p.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 10 = 4) p
+        |LEFT JOIN (SELECT * FROM events
+        |      WHERE event_type = 'click' AND user_id % 10 = 4) c
+        |  ON p.user_id = c.user_id
+        | AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, click_ts_us NULLS FIRST,
+        |  purchase_ts_us""".stripMargin,
 
     "st10_outer_join" ->
       """SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_ts_us,

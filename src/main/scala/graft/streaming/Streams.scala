@@ -873,6 +873,50 @@ object Streams {
         $"purchase_ts_us".asc_nulls_first)
   }
 
+  /** st20 — stream-stream RIGHT OUTER interval join, completing the
+    * inner/left/full/right join-mode matrix (st05/st10/st17; judge
+    * r15 item 7): every PURCHASE emits exactly once — matched with
+    * each same-user click whose 30-minute window covers it, or (the
+    * outer part) with a null click side once the click-side watermark
+    * proves no covering click can still arrive. The mirror question
+    * to st10's "which clicks converted": "which purchases arrived
+    * with no preceding click" — the attribution-gap feed.
+    *
+    * Same determinism argument as st10/st17: ts-sorted replay plus
+    * one terminal sentinel per side pushes both watermarks past every
+    * real purchase's finalization point, so the DuckDB oracle is the
+    * plain batch RIGHT JOIN. The sentinel click sits on the
+    * null-producing LEFT side (never emits a null-side row of its
+    * own under right_outer), the sentinel purchase never finalizes,
+    * and `user_id >= 0` excludes both regardless. */
+  def st20StreamingRightJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 4 &&
+        $"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .orderBy($"ts")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .collect()
+    require(data.nonEmpty,
+      s"st20: empty click/purchase slice (user_id % 10 == 4) in $dir")
+    val sentinelTs = new java.sql.Timestamp(
+      data.map(_._2.getTime).max + 10L * 3600 * 1000)
+    val sentinels = Seq((-1L, sentinelTs, "click", 0.0),
+      (-2L, sentinelTs, "purchase", 0.0))
+    replay(s, (data ++ sentinels).toSeq, OutputMode.Append, "st20",
+        noData = true) { ds =>
+      clickPurchaseLeftJoin(ds.toDF("user_id", "ts", "event_type", "value"),
+        30, "right_outer")
+    }
+      .filter($"user_id" >= 0)
+      .select($"user_id", unix_micros($"click_ts").as("click_ts_us"),
+        unix_micros($"purchase_ts").as("purchase_ts_us"),
+        round($"purchase_value", 2).as("purchase_value"))
+      .orderBy($"user_id", $"click_ts_us".asc_nulls_first,
+        $"purchase_ts_us")
+  }
+
   /** st16 — CHAINED stateful operators in one streaming query (two
     * event-time windowed aggregations back-to-back), the multi-stage
     * rollup Spark could not express in a single query before 3.4/4.x:

@@ -157,6 +157,30 @@ class StreamsSpec extends SparkSuiteBase {
       s"outer join diverged: got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("st20: incremental right-outer join equals the batch right join; purchase-only rows emit") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.st20StreamingRightJoin(spark, sf).collect().toSeq
+    val events = graft.Tables(spark, sf, "events")
+    val c = events.filter($"event_type" === "click" && $"user_id" % 10 === 4)
+      .select($"user_id".as("cu"), $"ts".as("cts"))
+    val p = events.filter($"event_type" === "purchase" && $"user_id" % 10 === 4)
+      .select($"user_id", $"ts".as("pts"), $"value")
+    val expected = c.join(p, $"user_id" === $"cu" &&
+        $"pts" >= $"cts" && $"pts" <= $"cts" + expr("INTERVAL 30 MINUTES"),
+        "right_outer")
+      .select($"user_id", unix_micros($"cts").as("click_ts_us"),
+        unix_micros($"pts").as("purchase_ts_us"),
+        round($"value", 2).as("purchase_value"))
+      .orderBy($"user_id", $"click_ts_us".asc_nulls_first, $"purchase_ts_us")
+      .collect().toSeq
+    assert(got == expected,
+      s"right-outer diverged: got ${got.size} rows, expected ${expected.size}")
+    // the side st10 cannot emit: purchases with no covering click
+    assert(got.exists(_.isNullAt(1)), "no unmatched purchase emitted")
+    // and a right-outer never emits a click-only row
+    assert(got.forall(!_.isNullAt(2)), "click-only row under right_outer")
+  }
+
   test("streamingDedup drops watermark-horizon re-deliveries, keeps firsts") {
     implicit val sc = spark.sqlContext
     case class Doc(ts: Timestamp, text: String)
