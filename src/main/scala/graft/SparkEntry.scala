@@ -94,6 +94,7 @@ object SparkEntry {
     "f18_xml" -> (Scalar.f18Xml _),
     "f19_csv_scalar" -> (Scalar.f19CsvScalar _),
     "f20_avro" -> (Scalar.f20Avro _),
+    "f21_proto" -> (Scalar.f21Proto _),
     "d01_exact_dedup" -> (TextDedup.d01ExactDedup _),
     "d02_minhash_lsh" -> (TextDedup.d02MinhashLsh _),
     "d03_simhash" -> (TextDedup.d03Simhash _),
@@ -3784,6 +3785,26 @@ ORDER BY id_a, id_b""",
         |    AS n_id_match
         |FROM customer GROUP BY 1
         |ORDER BY seg NULLS FIRST""".stripMargin,
+
+    // f21: protobuf roundtrip with an unknown 4th field the reader
+    // must SKIP, corrupt keys (truncated tag) in the NULL group — the
+    // oracle aggregates source columns with corrupt keys nulled.
+    "f21_proto" ->
+      """SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |            ELSE o_orderpriority END AS pri,
+        |  count(*) AS n_orders,
+        |  count(CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE 1 END)
+        |    AS n_parsed,
+        |  round(sum(CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |                 ELSE o_totalprice END), 2) AS sum_price,
+        |  min(CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |           ELSE o_orderkey END) AS min_k,
+        |  max(CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |           ELSE o_orderkey END) AS max_k,
+        |  count(CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE 1 END)
+        |    AS n_id_match
+        |FROM orders GROUP BY 1
+        |ORDER BY pri NULLS FIRST""".stripMargin,
 
     // f17: the variant decode/navigate path must read the same values
     // DuckDB's json extraction reads; the absent path is null in both.

@@ -156,6 +156,17 @@ object GraftFunctions {
         require(v != null, "from_avro_bin schema must not be NULL")
         FromAvroBinary(e(0), v.toString)
       })),
+    ("to_proto_bin", classOf[ToProtoBinary],
+      checkedArity("to_proto_bin", 1, e => ToProtoBinary(e(0)))),
+    ("from_proto_bin", classOf[FromProtoBinary],
+      checkedArity("from_proto_bin", 2, e => {
+        val s = e(1)
+        require(s.foldable && s.dataType == StringType,
+          s"from_proto_bin schema must be a DDL string literal, got ${s.sql}")
+        val v = s.eval()
+        require(v != null, "from_proto_bin schema must not be NULL")
+        FromProtoBinary(e(0), v.toString)
+      })),
     ("unicode_normalize", classOf[UnicodeNormalize],
       // 1- or 2-arg: the optional form must be a foldable string
       // literal (plan-time config — see the expression's scaladoc),

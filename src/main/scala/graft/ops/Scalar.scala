@@ -230,4 +230,42 @@ object Scalar {
         count(when($"x.k" === $"c_custkey", 1)).as("n_id_match"))
       .orderBy($"seg".asc_nulls_first)
   }
+
+  /** f21 — Protobuf wire-format codec battery
+    * ([[graft.functions.ToProtoBinary]] /
+    * [[graft.functions.FromProtoBinary]], the spec-direct codec — see
+    * ProtoCodec's scaladoc): f20's Avro roundtrip repeated over the
+    * SECOND standard binary message format, on orders. Encode
+    * (okey, pri, price), decode under a WIDER-writer schema drill:
+    * the payload also carries a 4th field (o_custkey as proto field
+    * 4) the reader's DDL does not know — the decoder must SKIP it by
+    * wire type (the schema-evolution contract) and still recover
+    * fields 1-3 exactly. Corrupt rows (every 1000th) are a lone tag
+    * byte with no payload — a guaranteed truncation → NULL struct
+    * under the PERMISSIVE contract. Oracle: the same aggregate from
+    * the source columns with corrupt keys nulled (f18/f20 shape). */
+  def f21Proto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => nc, expression => ex}
+    val encoded = nc(graft.functions.ToProtoBinary(ex(struct(
+      $"o_orderkey".as("okey"), $"o_orderpriority".as("pri"),
+      $"o_totalprice".as("price"), $"o_custkey".as("extra")))))
+    // 0x08 = field 1 varint tag with its payload truncated away: the
+    // parser hits EOF deterministically (an EMPTY payload would be a
+    // VALID all-null proto message — not a corruption case)
+    val payload = when($"o_orderkey" % 1000 === 0, lit(Array[Byte](0x08)))
+      .otherwise(encoded)
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", payload.as("payload"))
+      .select($"o_orderkey", nc(graft.functions.FromProtoBinary(ex($"payload"),
+        "okey BIGINT, pri STRING, price DOUBLE")).as("x"))
+      .groupBy($"x.pri".as("pri"))
+      .agg(count(lit(1)).as("n_orders"),
+        count($"x.okey").as("n_parsed"),
+        round(sum($"x.price"), 2).as("sum_price"),
+        min($"x.okey").as("min_k"),
+        max($"x.okey").as("max_k"),
+        count(when($"x.okey" === $"o_orderkey", 1)).as("n_id_match"))
+      .orderBy($"pri".asc_nulls_first)
+  }
 }
