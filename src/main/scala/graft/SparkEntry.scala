@@ -137,6 +137,7 @@ object SparkEntry {
     "s12_lsh_topk" -> (Similarity.s12LshTopK _),
     "s13_lsh_layout" -> (Similarity.s13LshLayout _),
     "s25_inc_append" -> (Similarity.s25IncAppend _),
+    "s26_ivf_append" -> (Similarity.s26IvfAppend _),
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "s15_pq_topk" -> (Similarity.s15PqTopK _),
     "s23_pq_layout" -> (Similarity.s23PqLayout _),
@@ -417,7 +418,11 @@ object SparkEntry {
     // s23 searches the AT-REST PQ code table; the layout must not
     // change the answer (the s13/q46 discipline), so it shares s15's
     // oracle verbatim.
-    base + ("s23_pq_layout" -> base("s15_pq_topk"))
+    base + ("s23_pq_layout" -> base("s15_pq_topk")) +
+      // s26 searches the incrementally-maintained IVF posting layout;
+      // incremental build must not change the answer, so it shares
+      // s02's from-scratch oracle verbatim (the s25 discipline).
+      ("s26_ivf_append" -> base("s02_ivf_topk"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -648,6 +648,85 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Nearest-centroid cell assignment against FROZEN centroids — the
+    * posting-build half of the at-rest IVF index, shared by the s26
+    * base build and its batch append so both phases assign under the
+    * identical argmax (same tie-break as [[graft.Graft.ivfSearch]]:
+    * max cos, then max centroid_id). */
+  private def s26Assign(df: DataFrame, cent: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("c")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), col("centroid_id"), col("embedding")))
+        .as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.centroid_id").cast("int").as("cell"))
+
+  /** The s26 index: s02's IVF posting lists AT REST and maintained
+    * INCREMENTALLY — (vec_id, embedding) hive-partitioned by the
+    * assigned centroid cell, base = 90% of the corpus, then the
+    * remaining 10% appends via [[graft.Graft.partitionedAppend]] with
+    * assignment against the SAME frozen centroids (no retraining —
+    * the defining property of IVF maintenance: the model is fixed,
+    * only postings grow). Build guarded exactly like [[s25IndexPath]]. */
+  private[graft] def s26IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("ivf_inc", dir)
+    val marker = new java.io.File(path, "_APPEND_DONE")
+    if (!marker.exists()) {
+      Layout.sweepStaleFor("ivf_inc", dir)
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cent = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("centroid_id"), $"embedding".as("c"))
+      graft.Graft.writePartitioned(
+        s26Assign(emb.filter($"vec_id" % 10 =!= 7), cent), "cell", path)
+      graft.Graft.partitionedAppend(
+        s26Assign(emb.filter($"vec_id" % 10 === 7), cent), "cell", path)
+      marker.createNewFile(): Unit
+    }
+    path
+  }
+
+  /** s26 — IVF ANN search over the INCREMENTALLY-MAINTAINED posting
+    * layout: s02's probe discipline (top-nProbe cells per query
+    * against the frozen centroids), but the corpus side is the
+    * base+appended at-rest index and the probed cells prune
+    * partitions at plan time (the s13 property applied to IVF).
+    * Gated on s02's from-scratch oracle — assignment is per-vector,
+    * so the incremental build must answer IDENTICALLY to assigning
+    * the whole corpus in one shot; a batch row lost, double-appended,
+    * or assigned under drifted centroids hash-fails. Completes the
+    * incremental-ANN story next to s25's LSH half: at 100 TB the
+    * daily batch pays batch×k assignment cosines and batch-sized
+    * writes, never a corpus re-index. */
+  def s26IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s26IndexPath(s, dir)
+    val emb = Tables(s, dir, "embeddings")
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c"))
+    val probes = emb.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+      .crossJoin(broadcast(cent))
+      .select($"query_id", $"q", $"centroid_id",
+        cosine($"q", $"c").as("pcos"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"pcos".desc, $"centroid_id")))
+      .filter($"pr" <= 2)
+      .select($"query_id", $"q", $"centroid_id".cast("int").as("cell"))
+    val probeCells = probes.select($"cell").distinct().as[Int].collect().toSeq
+    val scored = s.read.parquet(path).filter($"cell".isin(probeCells: _*))
+      .join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Generated DuckDB oracle for s12 — the d05 exactness rules
     * (planes printed as %.17e exponent literals, signature sign =
     * `list_cosine_similarity > 0`), probe fan-out spelled as

@@ -698,4 +698,27 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(idx.count() == emb.count())
     assert(idx.select($"vec_id").distinct().count() == emb.count())
   }
+
+  test("s26: incremental IVF postings answer like one-shot s02; probe prunes cells at the scan") {
+    val sf = "/root/testdata/sf0.001"
+    val inc = Similarity.s26IvfAppend(spark, sf).collect().toSeq
+    val oneShot = Similarity.s02IvfTopK(spark, sf).collect().toSeq
+    assert(inc == oneShot,
+      s"incremental IVF diverged: ${inc.diff(oneShot).take(3)}")
+    // the probed cells must reach PartitionFilters (the s13 property
+    // applied to IVF): non-probed posting lists are never even listed
+    val path = Similarity.s26IndexPath(spark, sf)
+    val plan = spark.read.parquet(path)
+      .filter($"cell".isin(1, 2, 3))
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("cell"),
+      s"cell predicate did not reach PartitionFilters: $pf")
+    // every embedding is in exactly one posting list (base + batch,
+    // nothing lost or doubled)
+    val idx = spark.read.parquet(path)
+    val n = graft.Tables(spark, sf, "embeddings").count()
+    assert(idx.count() == n)
+    assert(idx.select($"vec_id").distinct().count() == n)
+  }
 }
