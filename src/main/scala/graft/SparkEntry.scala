@@ -203,6 +203,7 @@ object SparkEntry {
     "t14_bm25" -> (TextAnalysis.t14Bm25 _),
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
+    "m08_media_neardup" -> (Multimodal.m08NearDup _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _),
     "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _),
@@ -1565,6 +1566,33 @@ object SparkEntry {
         |  bit_xor(('0x' || substr(md5(frame), 1, 15))::BIGINT)
         |    AS frames_checksum
         |FROM frames GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m08: the oracle mirrors the banded candidate generation exactly
+    // (4 x 15-bit bands as equi-joins, DISTINCT across bands, Hamming
+    // via bit_count(xor)) over the same md5-prefix stub hash — the cap
+    // is load-provably inert at harness SFs (see the operator
+    // scaladoc), so engine and oracle see identical pair sets.
+    "m08_media_neardup" ->
+      """WITH ph AS (
+        |  SELECT d.doc_id,
+        |    ('0x' || substr(md5(r.text), 1, 15))::BIGINT AS phash
+        |  FROM documents d
+        |  JOIN documents r ON r.doc_id = d.doc_id - d.doc_id % 5),
+        |bands AS (
+        |  SELECT doc_id, phash, b, (phash >> (15 * b)) & 32767 AS v
+        |  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS a, x.phash AS ah,
+        |    y.doc_id AS b2, y.phash AS bh
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+        |SELECT CAST(bit_count(xor(ah, bh)) AS BIGINT) AS hd,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(a) AS BIGINT) AS sum_a,
+        |  CAST(sum(b2) AS BIGINT) AS sum_b
+        |FROM pairs
+        |WHERE bit_count(xor(ah, bh)) <= 2
+        |GROUP BY 1 ORDER BY hd""".stripMargin,
 
     // The fake media column IS the documents' UTF-8 bytes, so DuckDB's
     // md5 over the VARCHAR hashes the identical byte sequence the

@@ -338,4 +338,65 @@ object Multimodal {
         md5($"content").as("payload_md5"))
       .orderBy($"doc_id")
   }
+
+  /** m08 — media near-duplicate detection by banded perceptual-hash
+    * Hamming search: the image/video counterpart of text near-dup
+    * (d07), and the multimodal-curation op a media lake runs daily
+    * (re-posts, mirrors, re-encodes of the same asset). The
+    * perceptual hash is STUBBED (??? in a real deployment: pHash/dHash
+    * over decoded pixels) as the top 60 bits of md5 over the payload
+    * bytes — deterministic, DuckDB-mirrorable (the m02/m03 digest
+    * discipline), and sharing the defining property the pipeline
+    * exercises: identical payloads hash identically. The corpus is
+    * shaped like a re-post lake: blocks of 5 doc_ids share one
+    * payload (a self-join against the block representative), so true
+    * near-dup pairs exist at every SF.
+    *
+    * Pipeline (the REAL part, stub-independent): the 60-bit hash
+    * bands into 4 x 15 bits; candidates gather per (band, value)
+    * bucket with the d07 join-free collect_list discipline (sorted,
+    * 64-cap — bucket load here is ~5 x Poisson(|payloads|/2^15),
+    * far under the cap through sf0.1; production raises bands/bits
+    * before the cap bites, the d07 argument); in-bucket i<j pair
+    * expansion, cross-band DISTINCT, then the exact
+    * `bit_count(a ^ b) <= 2` Hamming verify touches candidates only —
+    * no all-pairs scan exists at any scale. Digest output (per
+    * Hamming distance: pair count + id sums) keeps rows O(threshold)
+    * at every SF. */
+  def m08NearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = Tables(s, dir, "documents")
+      .select($"doc_id".as("rep_id"), encode($"text", "UTF-8").as("media"))
+    val assets = Tables(s, dir, "documents")
+      .select($"doc_id", ($"doc_id" - $"doc_id" % 5).as("rep_id"))
+      .join(reps, "rep_id")
+      .select($"doc_id",
+        expr("cast(conv(substring(md5(media), 1, 15), 16, 10) as bigint)")
+          .as("phash"))
+    val bands = assets.select($"doc_id", $"phash",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            shiftright($"phash", 15 * b).bitwiseAND(lit(0x7FFFL))
+              .as("v"))): _*)).as("bd"))
+      .select($"doc_id", $"phash", $"bd.b", $"bd.v")
+    val buckets = bands.groupBy($"b", $"v")
+      .agg(slice(sort_array(collect_list(struct($"doc_id", $"phash"))),
+        1, 64).as("ms"))
+      .filter(size($"ms") >= 2)
+    val pairs = buckets.select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)),
+          |    y -> named_struct('a', x.doc_id, 'ah', x.phash,
+          |                      'b2', y.doc_id, 'bh', y.phash))))"""
+          .stripMargin)).as("p"))
+      .select($"p.a", $"p.ah", $"p.b2", $"p.bh")
+      .distinct()
+    pairs
+      .withColumn("hd", expr("bit_count(ah ^ bh)").cast("long"))
+      .filter($"hd" <= 2)
+      .groupBy($"hd")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"a").as("sum_a"), sum($"b2").as("sum_b"))
+      .orderBy($"hd")
+  }
 }
