@@ -250,6 +250,7 @@ object SparkEntry {
     "q90_paths" -> (Relational.q90Paths _),
     "q91_hdr_quantiles" -> (Relational.q91HdrQuantiles _),
     "q92_pipe_sql" -> (Relational.q92PipeSql _),
+    "q96_sql_sugar" -> (Relational.q96SqlSugar _),
     "q93_hdr_incremental" -> (Relational.q93HdrIncremental _),
     "q94_weighted_quantiles" -> (Relational.q94WeightedQuantiles _),
     "q95_temporal_reach" -> (Relational.q95TemporalReach _),
@@ -4435,6 +4436,17 @@ FROM est ORDER BY l_partkey""",
         |    AS sum_price_cents
         |FROM lineitem WHERE l_shipdate <= '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q96: star-EXCEPT + GROUP BY ALL + ORDER BY ALL against the
+    // explicit classic spelling (ORDER BY every output column — the
+    // ALL contract).
+    "q96_sql_sugar" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice * 100)) AS BIGINT)
+        |    AS sum_price_cents
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
     // q71: integer-exact linear attribution — cents = round(value*100)
     // rounds the same positive doubles in both engines, `//` mirrors

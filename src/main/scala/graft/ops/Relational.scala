@@ -2182,6 +2182,32 @@ object Relational {
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** q96 — the modern-SQL parser conveniences in one oracle-gated
+    * query (the q92 pipe-syntax discipline applied to the rest of the
+    * Spark 4 sugar): `SELECT * EXCEPT (cols)` projects away columns
+    * by exclusion (and genuinely narrows ReadSchema — the pruning
+    * rides the parser form), `GROUP BY ALL` infers the grouping set
+    * from the non-aggregate select items, `ORDER BY ALL` sorts by
+    * every output column left-to-right. The oracle spells the same
+    * relation in classic SQL (explicit projection, explicit GROUP BY
+    * 1,2, explicit ORDER BY list), so sugar-vs-classic divergence
+    * hash-fails. Side-effect-free like q92: reads the parquet path
+    * inline. */
+  def q96SqlSugar(s: SparkSession, dir: String): DataFrame = {
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  count(*) AS n_rows,
+         |  cast(round(sum(l_quantity)) as bigint) AS sum_qty,
+         |  cast(round(sum(l_extendedprice * 100)) as bigint) AS sum_price_cents
+         |FROM (
+         |  SELECT * EXCEPT (l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         |                   l_discount, l_tax)
+         |  FROM parquet.`$dir/lineitem.parquet`)
+         |WHERE l_shipdate <= '1998-09-02'
+         |GROUP BY ALL
+         |ORDER BY ALL""".stripMargin)
+  }
+
   /** q88 — interval union coverage ([[graft.Graft.intervalCoverage]]):
     * q87's delivery windows merged per supplier into
     * overlapping-or-adjacent islands; the digest is per-supplier

@@ -361,6 +361,18 @@ class PlanAuditSpec extends SparkSuiteBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q96: star-EXCEPT narrows the scan (excluded columns never read)") {
+    // the parser sugar must compose with column pruning: the EXCEPT
+    // list plus the aggregate's own pruning leaves a 5-column read
+    val plan = ops.Relational.q96SqlSugar(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty, s"no ReadSchema in plan:\n$plan")
+    for (c <- Seq("l_orderkey", "l_partkey", "l_discount"))
+      assert(!readSchema.contains(c), s"excluded column $c read: $readSchema")
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
   test("Bench records a broken query as an error, not a silent timing") {
     val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame](
