@@ -2476,6 +2476,47 @@ object Graft {
       .drop("__gap")
   }
 
+  /** Exact fixed-point exponential moving average with α = 1/2 over
+    * per-key integer series: e_1 = x_1, e_t = (e_{t-1} + x_t) / 2 —
+    * the recency-weighted smoother (load trending, rate limiting,
+    * per-entity health scores) the running-mean window (q12) cannot
+    * express. Floating-point EWMA is order-fragile and un-oracle-able;
+    * this one rides an integer identity instead: with
+    * f_t := e_t · 2^(t-1), the recurrence becomes the plain running
+    * sum f_t = x_1 + Σ_{i=2..t} x_i · 2^(i-2), so ONE per-key window
+    * sum computes the exact numerator and the result returns as the
+    * nearest-floor permille `1000·f_t div 2^(t-1)` — pure integer
+    * arithmetic, bit-reproducible under any partitioning, mirrored
+    * by an oracle with the same sum (the [[pageRank]] fixed-point
+    * discipline applied to smoothing). Series length per key must
+    * stay ≤ ~45 (2^(t-2) multiplier plus the 1000 scale inside a
+    * LONG) — the per-order / per-session shape; violations abort via
+    * the in-plan [[guarded]] projection, one scan.
+    *
+    * Scale shape: ONE exchange on key, one window sum over the key's
+    * bounded history, a narrow projection — the [[sessionize]]
+    * bounded-key contract. Returns the input keys/order plus
+    * (ewma_num = f_t, ewma_den_log2 = t-1, ewma_permille). */
+  def ewmaHalf(df: DataFrame, key: Column, order: Seq[Column],
+      value: Column): DataFrame = {
+    val byT = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(byT))
+      .withColumn("__x", guarded(
+        value.isNull || value < 0L || col("__rn") > 45,
+        "ewmaHalf needs non-negative integer values and <= 45 rows per key",
+        value.cast("long")))
+      .withColumn("__term",
+        when(col("__rn") === 1, col("__x"))
+          .otherwise(expr(
+            "__x * shiftleft(cast(1 as bigint), __rn - 2)")))
+      .withColumn("ewma_num", sum(col("__term")).over(
+        byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ewma_den_log2", (col("__rn") - 1).cast("long"))
+      .withColumn("ewma_permille",
+        expr("(1000 * ewma_num) div shiftleft(cast(1 as bigint), ewma_den_log2)"))
+      .drop("__rn", "__x", "__term")
+  }
+
   /** Peak interval concurrency per key (the "max concurrent
     * sessions/open orders" telemetry classic): each row is an
     * END-INCLUSIVE integer interval [`startCol`, `endCol`] (cast

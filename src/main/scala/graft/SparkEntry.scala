@@ -251,6 +251,7 @@ object SparkEntry {
     "q91_hdr_quantiles" -> (Relational.q91HdrQuantiles _),
     "q92_pipe_sql" -> (Relational.q92PipeSql _),
     "q96_sql_sugar" -> (Relational.q96SqlSugar _),
+    "q97_ewma" -> (Relational.q97Ewma _),
     "q93_hdr_incremental" -> (Relational.q93HdrIncremental _),
     "q94_weighted_quantiles" -> (Relational.q94WeightedQuantiles _),
     "q95_temporal_reach" -> (Relational.q95TemporalReach _),
@@ -4447,6 +4448,33 @@ FROM est ORDER BY l_partkey""",
         |    AS sum_price_cents
         |FROM lineitem WHERE l_shipdate <= '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
+    // q97: the EWMA fixed-point identity re-spelled as the same
+    // window sum (HUGEINT window sums cast back; << mirrors
+    // shiftleft, // mirrors div on the positive domain).
+    "q97_ewma" ->
+      """WITH x AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, CAST(round(l_quantity) AS BIGINT),
+        |        l_partkey, l_suppkey) AS rn
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT l_orderkey, l_linenumber, rn,
+        |    CASE WHEN rn = 1 THEN q
+        |         ELSE q * (1::BIGINT << (rn - 2)) END AS term
+        |  FROM x),
+        |s AS (
+        |  SELECT l_orderkey, l_linenumber, rn,
+        |    sum(term) OVER (PARTITION BY l_orderkey ORDER BY rn) AS num
+        |  FROM t)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(num AS BIGINT) AS ewma_num,
+        |  CAST(rn - 1 AS BIGINT) AS ewma_den_log2,
+        |  CAST((1000 * num) // (1::BIGINT << (rn - 1)) AS BIGINT)
+        |    AS ewma_permille
+        |FROM s ORDER BY l_orderkey, l_linenumber, rn""".stripMargin,
 
     // q71: integer-exact linear attribution — cents = round(value*100)
     // rounds the same positive doubles in both engines, `//` mirrors

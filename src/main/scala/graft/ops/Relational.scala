@@ -2208,6 +2208,29 @@ object Relational {
          |ORDER BY ALL""".stripMargin)
   }
 
+  /** q97 — exact fixed-point exponential smoothing
+    * ([[graft.Graft.ewmaHalf]]): per-order EWMA (α = 1/2) of line
+    * quantities in linenumber order — the recency-weighted trend the
+    * plain running mean (q12) dilutes. Integer identity end-to-end
+    * (numerator, log2 denominator, floor permille), so the oracle
+    * mirrors the same window sum bit-for-bit; order sizes cap at
+    * ~7 lines, far under the operator's 45-row integer-width bound. */
+  def q97Ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (orderkey, linenumber) is NOT unique in the harness data — the
+    // EWMA order needs a total tie-break (q in the key makes any
+    // residual tie value-identical, so the output SET is
+    // deterministic either way)
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        round($"l_quantity").cast("long").as("q"))
+    graft.Graft.ewmaHalf(li, $"l_orderkey",
+        Seq($"l_linenumber", $"q", $"l_partkey", $"l_suppkey"), $"q")
+      .select($"l_orderkey", $"l_linenumber", $"ewma_num",
+        $"ewma_den_log2", $"ewma_permille")
+      .orderBy($"l_orderkey", $"l_linenumber", $"ewma_den_log2")
+  }
+
   /** q88 — interval union coverage ([[graft.Graft.intervalCoverage]]):
     * q87's delivery windows merged per supplier into
     * overlapping-or-adjacent islands; the digest is per-supplier

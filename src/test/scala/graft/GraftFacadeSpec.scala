@@ -1362,6 +1362,32 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(got == Set(("a", 2L, 3L), ("b", 1L, 0L), ("c", 2L, 2L)), got)
   }
 
+  test("ewmaHalf: exact halving recurrence, per-key isolation, guard fires") {
+    // k=a: 4, 8, 6 -> e = 4, 6, 6  (exact); k=b: 10 -> 10
+    val df = Seq(("a", 1L, 4L), ("a", 2L, 8L), ("a", 3L, 6L),
+      ("b", 1L, 10L)).toDF("k", "t", "v")
+    val got = Graft.ewmaHalf(df, $"k", Seq($"t"), $"v")
+      .select($"k", $"t", $"ewma_num", $"ewma_den_log2", $"ewma_permille")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // f_t = x1 + sum x_i 2^(i-2): a -> 4, 12, 24; e = f/2^(t-1)
+    assert(got == Set(
+      ("a", 1L, 4L, 0L, 4000L),
+      ("a", 2L, 12L, 1L, 6000L),
+      ("a", 3L, 24L, 2L, 6000L),
+      ("b", 1L, 10L, 0L, 10000L)), got)
+    // non-integer permille floors: 4 then 5 -> (4+5)/2 = 4.5 -> 4500
+    val half = Graft.ewmaHalf(
+        Seq(("c", 1L, 4L), ("c", 2L, 5L)).toDF("k", "t", "v"),
+        $"k", Seq($"t"), $"v")
+      .filter($"t" === 2).select($"ewma_permille").as[Long].head()
+    assert(half == 4500L)
+    // the 45-row integer-width guard aborts at action time
+    val long = Seq.tabulate(46)(i => ("d", i.toLong, 1L)).toDF("k", "t", "v")
+    assertThrows[Throwable] {
+      Graft.ewmaHalf(long, $"k", Seq($"t"), $"v").collect()
+    }
+  }
+
   test("in-plan guards: bad input still fails, single scan, message intact") {
     // r15: validation moved from a separate require(filter.isEmpty)
     // pass INTO the operator's own projection (raise_error) — the
