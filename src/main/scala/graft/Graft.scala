@@ -3657,4 +3657,437 @@ object Graft {
         col("o").as("n_orphan_rows"),
         col("n_parent"), col("u").as("n_unref_parents"))
   }
+
+  // ---- association / frontier / spatial / series diagnostics ----
+
+  /** Market-basket pair association (Agrawal-Srikant A-priori at
+    * k = 2, the retail "frequently bought together" kernel): for every
+    * unordered item pair co-present in a basket, the co-occurrence
+    * count plus the classic rule metrics in exact integer fixed point
+    * — confidence(a→b) = P(b|a) as permille (`1000*n_pair div n_a`)
+    * and lift = P(a,b)/(P(a)P(b)) as ppm — so every number is
+    * bit-reproducible cross-engine (no float ratios).
+    *
+    * Pair generation is NOT a self-join: baskets fold to a sorted
+    * item-set array in ONE exchange on the basket key (partial
+    * collect_set), and pairs explode from the array via codegen'd
+    * array HOFs — so the per-basket blowup is m(m-1)/2 with m bounded
+    * by `maxBasketSize` (0 disables the guard), enforced in-plan via
+    * raise_error on the SAME pass, no validation scan. Pair counts and
+    * per-item basket counts both partial-fold map-side; the metric
+    * joins run over the already-reduced pair/item frames (AQE
+    * broadcasts the item side when it is dimension-sized). At 100 TB
+    * the shuffle carries (pair, count) partials, never baskets. */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
+    val bi = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct() // presence, not line multiplicity (market-basket law)
+    val items0 = sort_array(collect_set(col("__i")))
+    val baskets = bi.groupBy(col("__b"))
+      .agg((if (maxBasketSize > 0)
+              guarded(size(items0) > maxBasketSize,
+                s"basketPairs: basket exceeds maxBasketSize=$maxBasketSize",
+                items0)
+            else items0).as("__items"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), i + lit(2),
+            greatest(size(col("__items")) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val nBaskets = bi.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    pairs
+      .join(itemCnt.select(col("__i").as("item_a"), col("__n").as("n_a")),
+        Seq("item_a"))
+      .join(itemCnt.select(col("__i").as("item_b"), col("__n").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_pair"), col("n_a"),
+        col("n_b"),
+        expr("1000L * n_pair div n_a").as("conf_ab_permille"),
+        expr("1000L * n_pair div n_b").as("conf_ba_permille"),
+        expr("1000000L * n_pair * __nb div (n_a * n_b)").as("lift_e6"))
+  }
+
+  /** 2-D Pareto frontier / skyline (Börzsönyi et al., ICDE'01) over
+    * integer criteria, BOTH minimized: returns the distinct
+    * non-dominated (x, y) points with the count of input rows sitting
+    * exactly on each (a point is dominated iff some other point is
+    * ≤ on both coordinates and < on at least one).
+    *
+    * Scale shape — the classic sort-sweep made distributed without a
+    * global window: (1) partial-folded reduction to per-(x,y) counts,
+    * then per-x min(y) — the frame is now at most |distinct x| rows;
+    * (2) range-repartition that reduced frame on x and run the
+    * prefix-min sweep as a window PARTITIONED by the physical
+    * partition id (sorted within, zero data-sized state); (3) the
+    * cross-partition carry is the per-partition min(y) prefix —
+    * partition-count-sized, folded on the driver and broadcast back.
+    * No global sort, no unpartitioned window, no driver state beyond
+    * one long per partition. Ties: equal (x, y) duplicates are all
+    * non-dominated and survive together; a point whose y EQUALS the
+    * strict-prefix min is dominated (the earlier point wins on x). */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val s = df.sparkSession
+    val counts = df
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("n_rows"))
+    val perX = counts.groupBy(col("__x")).agg(min(col("__y")).as("__ymin"))
+    val nParts = s.sessionState.conf.numShufflePartitions
+    // localCheckpoint PINS the range partitioning: repartitionByRange
+    // SAMPLES its boundaries per job, so without materialization the
+    // driver-stats job below and the final plan could cut partitions
+    // differently and the per-pid carry would describe rows that moved
+    // (caught live by q107's cum drift — same class as the r14
+    // localCheckpoint finding, opposite direction). After the
+    // checkpoint __pid is plain data, immune to re-planning.
+    val ranged = perX.repartitionByRange(nParts, col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // cross-partition prefix: per-pid mins are partition-count-sized —
+    // the one deliberately driver-side fold (bounded by nParts, not data)
+    val pidMins = ranged.groupBy(col("__pid")).agg(min(col("__ymin")).as("__m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MaxValue
+    val prefixRows = pidMins.toSeq.map { case (pid, m) =>
+      val before = acc; acc = math.min(acc, m); (pid, before)
+    }
+    import s.implicits._
+    val prefixDf = prefixRows.toDF("__pid", "__pmin")
+    val wPid = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = ranged
+      .join(broadcast(prefixDf), Seq("__pid"), "left")
+      .withColumn("__before", least(
+        coalesce(min(col("__ymin")).over(wPid), lit(Long.MaxValue)),
+        coalesce(col("__pmin"), lit(Long.MaxValue))))
+      .filter(col("__ymin") < col("__before"))
+      .select(col("__x"), col("__ymin").as("__y"))
+    counts.join(frontier, Seq("__x", "__y"))
+      .select(col("__x").as(xCol), col("__y").as(yCol), col("n_rows"))
+  }
+
+  /** Planar radius self-join over integer coordinates (the spatial
+    * "find all pairs within distance r" kernel): returns every
+    * unordered point pair with squared euclidean distance ≤ r² —
+    * exact, because coordinates are integers and the distance test is
+    * pure BIGINT arithmetic (no trig, no floats, so the result is
+    * bit-identical cross-engine; callers with lat/lon project to
+    * integer milli-degrees first).
+    *
+    * Scale shape — uniform grid partitioning (the classic fixed-grid
+    * spatial join): each point lands in ONE r×r cell
+    * (floor-division via the sign-safe `((v % r) + r) % r` identity);
+    * the left side explodes to its 3×3 cell neighborhood, the right
+    * side keys by its own cell, and the equi-join on the cell id is an
+    * ordinary hash join — every qualifying pair is produced EXACTLY
+    * once (the neighbor offset that aligns the two cells is unique,
+    * and `id_a < id_b` kills the mirror). Candidate volume is bounded
+    * by 9× point count versus the n² of a naive theta join; dense
+    * cells are a documented skew point (salt the cell key or shrink r
+    * if one cell holds a hub — AQE skew-split also applies since the
+    * join is equi). */
+  def gridRadiusJoin(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long): DataFrame = {
+    require(radius > 0, s"radius must be positive: $radius")
+    // sign-safe floor division: (c - pmod(c, r)) is an exact multiple of
+    // r, so the double division is exact and the long cast lossless
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(radius))) / lit(radius)).cast("long")
+    val pts = df.select(col(idCol).cast("long").as("__id"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .filter(col("__id").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+    val withCell = pts
+      .withColumn("__cx", fdiv(col("__x")))
+      .withColumn("__cy", fdiv(col("__y")))
+    val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val left = withCell.select(col("__id").as("id_a"),
+        col("__x").as("__xa"), col("__y").as("__ya"),
+        explode(offsets).as("__o"),
+        col("__cx"), col("__cy"))
+      .select(col("id_a"), col("__xa"), col("__ya"),
+        (col("__cx") + col("__o.dx")).as("__kx"),
+        (col("__cy") + col("__o.dy")).as("__ky"))
+    val right = withCell.select(col("__id").as("id_b"),
+      col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__cx").as("__kx"), col("__cy").as("__ky"))
+    val dx = col("__xa") - col("__xb")
+    val dy = col("__ya") - col("__yb")
+    left.join(right, Seq("__kx", "__ky"))
+      .filter(col("id_a") < col("id_b") &&
+        dx * dx + dy * dy <= lit(radius * radius))
+      .select(col("id_a"), col("id_b"),
+        (dx * dx + dy * dy).as("dist_sq"))
+  }
+
+  /** Maximum drawdown of the per-key cumulative series (the
+    * finance/inventory "worst peak-to-trough" diagnostic): running-sum
+    * `deltaCol` per key in `orderCols` order, track the running peak,
+    * and report the largest peak-minus-current drop with its earliest
+    * trough position — all in exact integer arithmetic. Returns one
+    * row per key: (key, n_points, final_value, high_water,
+    * max_drawdown, trough_rn).
+    *
+    * Scale shape: ONE exchange on the key; two per-key running windows
+    * (cumulative sum, running max) over the key's own partition, then
+    * a single partial-folded `min(struct(-dd, rn))` argmax — the
+    * earliest-trough witness rides the same fold that finds the max,
+    * so no second pass and no global window. `orderCols` must totally
+    * order each key's rows for a deterministic cumsum (residual ties
+    * must be delta-identical). */
+  def maxDrawdown(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      deltaCol: Column): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df
+      .withColumn("__d", deltaCol.cast("long"))
+      .withColumn("__rn", row_number().over(byKey))
+      .withColumn("__cum", sum(col("__d")).over(run))
+      .withColumn("__peak", max(col("__cum")).over(run))
+      .withColumn("__dd", col("__peak") - col("__cum"))
+    staged.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__d")).as("final_value"),
+        max(col("__peak")).as("high_water"),
+        min(struct((-col("__dd")).as("ndd"), col("__rn").as("rn"))).as("__w"))
+      .select(col(keyCol), col("n_points"), col("final_value"),
+        col("high_water"), (-col("__w.ndd")).as("max_drawdown"),
+        col("__w.rn").cast("long").as("trough_rn"))
+  }
+
+  /** Benford first-significant-digit audit over a positive integer
+    * measure (the forensic-accounting / data-quality screen for
+    * fabricated or truncated numeric columns): per digit 1-9 the
+    * observed count, observed share in permille (integer division),
+    * the Benford-law expectation log10(1+1/d) FIXED as permille
+    * literals (301 176 125 97 79 67 58 51 46 — pinning the one
+    * irrational constant makes the whole audit bit-reproducible
+    * cross-engine), and the signed deviation. Rows with null or
+    * non-positive values are excluded (Benford applies to positive
+    * magnitudes only). All 9 digits always appear, zero-filled.
+    *
+    * Scale shape: the first digit is a codegen'd substring of the
+    * decimal text — no log/float — and the digit groupBy partial-folds
+    * every partition to ≤ 9 rows before the exchange; the total joins
+    * back as a broadcast 1-row frame. A 100 TB column audits in one
+    * scan + a 9-row shuffle. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val s = df.sparkSession
+    val pos = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0)
+    val counts = pos
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val digits = s.range(1, 10).select(col("id").cast("int").as("digit"))
+    val total = pos.agg(count(lit(1)).as("__t"))
+    val benford = array(Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+      .map(v => lit(v.toLong)): _*)
+    digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("1000L * n div __t").as("obs_permille"),
+        element_at(benford, col("digit")).as("exp_permille"))
+      .withColumn("dev_permille", col("obs_permille") - col("exp_permille"))
+  }
+
+  /** Single changepoint detection per key via the CUSUM statistic
+    * (Page 1954; the "where did this series shift level" screen): for
+    * each split position k (1 ≤ k < n, both halves nonempty) the score
+    * |n·C_k − k·T| — the mean-centered cumulative sum ×n, kept in
+    * exact integer form via the identity n·Σᵢ≤ₖ(xᵢ − T/n) = n·C_k −
+    * k·T, so no float mean ever exists — and reports the argmax split
+    * (earliest on ties) with the level on each side in permille.
+    * Keys with fewer than 2 points have no valid split and are
+    * omitted. The score product is computed in DECIMAL(38,0) so
+    * billion-row series cannot overflow int64; the reported score is
+    * cast back to long (exact while |score| < 2^63, i.e. any series a
+    * long-valued mean shift can describe).
+    *
+    * Scale shape: ONE exchange on the key; per-key running windows
+    * (row_number, cumulative sum) plus two whole-partition constants
+    * (n, T) over the same partitioning, then a partial-folded
+    * min(struct) argmax carrying the witness (k, C_k) — no self-join,
+    * no global window, no driver state. */
+  def cusumChangepoint(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valueCol: Column): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy(col(keyCol))
+    val dec = "decimal(38,0)"
+    val score = abs(col("__n").cast(dec) * col("__c").cast(dec) -
+      col("__k").cast(dec) * col("__tot").cast(dec))
+    df.withColumn("__v", valueCol.cast("long"))
+      .withColumn("__k", row_number().over(byKey).cast("long"))
+      .withColumn("__c", sum(col("__v")).over(run))
+      .withColumn("__n", count(lit(1)).over(full).cast("long"))
+      .withColumn("__tot", sum(col("__v")).over(full))
+      .filter(col("__k") < col("__n"))
+      .withColumn("__score", score)
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_points"), max(col("__tot")).as("total"),
+        min(struct((-col("__score")).as("ns"), col("__k").as("k"),
+          col("__c").as("c"))).as("__w"))
+      .select(col(keyCol), col("n_points"), col("total"),
+        col("__w.k").as("cp_rn"),
+        (-col("__w.ns")).cast("long").as("score"),
+        expr("1000L * __w.c div __w.k").as("mean_before_permille"),
+        expr("1000L * (total - __w.c) div (n_points - __w.k)")
+          .as("mean_after_permille"))
+  }
+
+  /** Distributed prefix sum (the scan primitive behind ABC/Pareto
+    * classing, cumulative market share, rank-percentile tables —
+    * anywhere a GLOBAL running total over a sorted frame is needed):
+    * adds `cum` = running sum of `valueCol` in `orderCols` order
+    * WITHOUT the single-task global window Spark would otherwise plan.
+    * Same machinery as [[skyline2D]]'s sweep: range-repartition on the
+    * order, per-partition running sum as a window PARTITIONED by the
+    * physical partition id, and the cross-partition carry — one long
+    * per partition — folded on the driver and broadcast back as
+    * per-partition offsets. `orderCols` must totally order the rows
+    * (residual ties make `cum` order-dependent).
+    *
+    * Scale shape: one range exchange + one partition-local window; the
+    * only driver state is partition-count-sized. The classic two-phase
+    * parallel scan, spelled in DataFrame operators. */
+  def distributedCumSum(df: DataFrame, orderCols: Seq[Column],
+      valueCol: Column): DataFrame = {
+    val s = df.sparkSession
+    val nParts = s.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins the sampled range boundaries so the offsets
+    // collected below describe the SAME partition contents the final
+    // plan reads — see the [[skyline2D]] comment (q107 caught the
+    // unpinned version drifting between jobs)
+    val ranged = df.withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(nParts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val pidSums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = pidSums.toSeq.map { case (pid, sm) =>
+      val before = acc; acc += sm; (pid, before)
+    }
+    import s.implicits._
+    val offDf = offsets.toDF("__pid", "__off")
+    val wPid = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offDf), Seq("__pid"), "left")
+      .withColumn("cum",
+        coalesce(col("__off"), lit(0L)) + sum(col("__v")).over(wPid))
+      .drop("__v", "__pid", "__off")
+  }
+
+  /** ABC / Pareto-class analysis (the inventory-management 80-15-5
+    * rule): ranks keys by a summed measure descending, computes each
+    * key's cumulative share of the total via [[distributedCumSum]]
+    * (no global single-task window), and assigns class 'A' while the
+    * RUNNING total is within `aPermille` of the grand total, 'B'
+    * within `bPermille`, else 'C' — all comparisons in exact integer
+    * cross-multiplied form (cum·1000 ≤ p·total), no float shares.
+    * Returns (key, value, cum, abc_class).
+    *
+    * Scale shape: the measure fold is a partial-folded groupBy (the
+    * frame entering the scan is key-cardinality-sized, not
+    * data-sized); then one range exchange + partition-local window
+    * from the cumsum primitive. */
+  def abcClasses(df: DataFrame, keyCol: String, valueCol: Column,
+      aPermille: Int = 800, bPermille: Int = 950): DataFrame = {
+    require(0 < aPermille && aPermille <= bPermille && bPermille <= 1000,
+      s"bad class cut points: $aPermille/$bPermille")
+    val per = df.groupBy(col(keyCol))
+      .agg(sum(valueCol.cast("long")).as("value"))
+    val scanned = distributedCumSum(per,
+      Seq(col("value").desc, col(keyCol)), col("value"))
+    val total = per.agg(sum(col("value")).as("__t"))
+    scanned.crossJoin(broadcast(total))
+      .select(col(keyCol), col("value"), col("cum"),
+        when(col("cum") * 1000 <= lit(aPermille.toLong) * col("__t"), "A")
+          .when(col("cum") * 1000 <= lit(bPermille.toLong) * col("__t"), "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Lag-k autocorrelation diagnostics per key, in EXACT integer form:
+    * emits for each key the series length n, the total T, and the
+    * n²-scaled numerator / denominator of the Pearson lag-`lag`
+    * autocorrelation — num = Σₜ(n·xₜ−T)(n·xₜ₋ₗ−T) over t > l,
+    * den = Σₜ(n·xₜ−T)² — computed in DECIMAL(38,0) so no float mean
+    * ever exists and both engines produce identical integers (the
+    * ratio num/den is the one non-mirrorable float fold, left to the
+    * caller — the [[hllRegisters]] discipline). `orderCols` must
+    * totally order each key's rows.
+    *
+    * Scale shape: ONE exchange on the key; a per-key lag window plus
+    * two whole-partition constants, then a partial-folded sum — no
+    * self-join, no global window. */
+  def autocorrDiag(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      valueCol: Column, lagK: Int = 1): DataFrame = {
+    require(lagK >= 1, s"lag must be >= 1: $lagK")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val full = Window.partitionBy(col(keyCol))
+    val dec = "decimal(38,0)"
+    def dev(c: Column): Column =
+      col("__n").cast(dec) * c.cast(dec) - col("__tot").cast(dec)
+    // emitted as long for cross-engine dtype parity; the products are
+    // exact in DECIMAL(38,0) and the guard aborts (in-plan, no second
+    // scan) rather than let a silent overflow-to-null escape — a series
+    // whose n²-scaled moments exceed 2^63 needs the decimal spelling
+    def toLong(c: Column, what: String): Column =
+      guarded(abs(c) > lit(Long.MaxValue).cast(dec),
+        s"autocorrDiag: $what exceeds int64 — n²-scaled moments overflow",
+        c.cast("long"))
+    df.withColumn("__v", valueCol.cast("long"))
+      .withColumn("__prev", lag(col("__v"), lagK).over(byKey))
+      .withColumn("__n", count(lit(1)).over(full).cast("long"))
+      .withColumn("__tot", sum(col("__v")).over(full))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_points"), max(col("__tot")).as("total"),
+        sum(when(col("__prev").isNotNull,
+          dev(col("__v")) * dev(col("__prev")))).as("__num"),
+        sum(dev(col("__v")) * dev(col("__v"))).as("__den"))
+      .filter(col("n_points") > lagK)
+      .select(col(keyCol), col("n_points"), col("total"),
+        toLong(col("__num"), "num_scaled").as("num_scaled"),
+        toLong(col("__den"), "den_scaled").as("den_scaled"))
+  }
+
+  /** Register-level set algebra over two [[hllRegisters]] sketches —
+    * the MERGEABILITY that makes HLL the 100 TB distinct-count tool:
+    * the union of two key sets' sketches is the per-bucket max of
+    * their registers (no rescan of either input), so sketches built
+    * per partition / per day / per tenant fold into any rollup after
+    * the fact. Returns per bucket the two input registers (0 where a
+    * sketch never touched the bucket) and the union register; the
+    * intersection estimate, when wanted, is driver-side
+    * inclusion-exclusion over the three estimates — deliberately not
+    * emitted (the float fold is the one non-mirrorable step, exactly
+    * as in [[hllRegisters]]).
+    *
+    * Scale shape: both inputs are already ≤ m-row register frames; the
+    * full-outer join and maxes are dimension-sized. The heavy lifting
+    * happened in the two register builds, each a one-scan
+    * partial-folded sketch. */
+  def hllUnionRegisters(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("bucket"), col("max_rho").as("__ra"))
+    val r = b.select(col("bucket"), col("max_rho").as("__rb"))
+    l.join(r, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("__ra"), lit(0)).cast("int").as("rho_a"),
+        coalesce(col("__rb"), lit(0)).cast("int").as("rho_b"),
+        greatest(coalesce(col("__ra"), lit(0)),
+          coalesce(col("__rb"), lit(0))).cast("int").as("rho_union"))
+  }
 }

@@ -255,6 +255,17 @@ object SparkEntry {
     "q93_hdr_incremental" -> (Relational.q93HdrIncremental _),
     "q94_weighted_quantiles" -> (Relational.q94WeightedQuantiles _),
     "q95_temporal_reach" -> (Relational.q95TemporalReach _),
+    "q98_basket" -> (Relational.q98Basket _),
+    "q99_skyline" -> (Relational.q99Skyline _),
+    "q100_geo_join" -> (Relational.q100GeoJoin _),
+    "q101_drawdown" -> (Relational.q101Drawdown _),
+    "q102_benford" -> (Relational.q102Benford _),
+    "q103_cusum" -> (Relational.q103Cusum _),
+    "q104_hll_union" -> (Relational.q104HllUnion _),
+    "q105_autocorr" -> (Relational.q105Autocorr _),
+    "q106_seasonal" -> (Relational.q106Seasonal _),
+    "q107_abc" -> (Relational.q107Abc _),
+    "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -3255,6 +3266,60 @@ SELECT bucket, count(DISTINCT tok) AS n_keys,
        ELSE bit_count((wi & (-wi)) - 1)::INT + 1 END) AS max_rho
 FROM rho GROUP BY bucket ORDER BY bucket""",
 
+    // q104: q58's register mirror extended with per-epoch set tags
+    // (tools/gen_xxh64_sql.py hll_union_sql, self-checked against the
+    // engine dump) — per-bucket max rho per set and overall, the
+    // register-level union. Raw triple-quote (SQL contains `|`).
+    "q104_hll_union" ->
+      """WITH tagged AS (SELECT DISTINCT o_custkey::VARCHAR AS tok,
+    year(o_orderdate) AS yr FROM orders
+  WHERE (year(o_orderdate) = 1996 AND month(o_orderdate) = 1) OR (year(o_orderdate) = 1998 AND month(o_orderdate) = 7)),
+dtok AS (SELECT DISTINCT tok FROM tagged),
+tbytes AS (
+  SELECT tok, strlen(tok)::BIGINT AS n,
+    list_transform(range(1, strlen(tok) + 1),
+      i -> unicode(substr(tok, i::INT, 1))::UBIGINT) AS bs
+  FROM dtok),
+-- XXH64(token, seed 42), tokens < 32 bytes: no stripe loop
+tacc AS (
+  SELECT tok, n, bs,
+    list_reduce(
+      list_prepend(CAST((((2870177450012600303)::HUGEINT + (n::UBIGINT)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT),
+        list_transform(range(0, n // 8), j -> ((bs)[(j*8 + 1)]::UBIGINT + (bs)[(j*8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[(j*8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[(j*8 + 1)+3]::UBIGINT * 16777216::UBIGINT + (bs)[(j*8 + 1)+4]::UBIGINT * 4294967296::UBIGINT + (bs)[(j*8 + 1)+5]::UBIGINT * 1099511627776::UBIGINT + (bs)[(j*8 + 1)+6]::UBIGINT * 281474976710656::UBIGINT + (bs)[(j*8 + 1)+7]::UBIGINT * 72057594037927936::UBIGINT))),
+      (a, w) -> (list_transform([CAST((((w)::HUGEINT * 668265295::HUGEINT + (((w)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t1 -> (list_transform([(CAST((((t1)::HUGEINT * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t1) >> 33))], t2 -> (list_transform([CAST((((t2)::HUGEINT * 2246822535::HUGEINT + (((t2)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t3 -> (list_transform([xor(a, t3)], t4 -> (list_transform([(CAST((((t4)::HUGEINT * 134217728::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t4) >> 37))], t5 -> CAST((((CAST((((t5)::HUGEINT * 2246822535::HUGEINT + (((t5)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (9650029242287828579)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]))[1]) AS a2
+  FROM tbytes),
+tacc4 AS (
+  SELECT tok, n, bs,
+    CASE WHEN n % 8 >= 4 THEN (list_transform([((bs)[((n // 8) * 8 + 1)]::UBIGINT + (bs)[((n // 8) * 8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[((n // 8) * 8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[((n // 8) * 8 + 1)+3]::UBIGINT * 16777216::UBIGINT)], v0 -> (list_transform([CAST((((v0)::HUGEINT * 2246822535::HUGEINT + (((v0)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], v1 -> (list_transform([xor(a2, v1)], v2 -> (list_transform([(CAST((((v2)::HUGEINT * 8388608::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((v2) >> 41))], v3 -> CAST((((CAST((((v3)::HUGEINT * 668265295::HUGEINT + (((v3)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (1609587929392839161)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]
+         ELSE a2 END AS a3
+  FROM tacc),
+tacct AS (
+  SELECT tok,
+    list_reduce(
+      list_prepend(a3,
+        list_transform(range(0, n % 4), j -> bs[n - (n % 4) + j + 1])),
+      (a, b) -> (list_transform([CAST((((b)::HUGEINT * 374761413::HUGEINT + (((b)::HUGEINT * 668265263::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], u1 -> (list_transform([xor(a, u1)], u2 -> (list_transform([(CAST((((u2)::HUGEINT * 2048::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((u2) >> 53))], u3 -> CAST((((u3)::HUGEINT * 2246822535::HUGEINT + (((u3)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]) AS a4
+  FROM tacc4),
+thash AS (
+  SELECT tok, (list_transform([xor(a4, a4 >> 33)], z1 -> (list_transform([CAST((((z1)::HUGEINT * 668265295::HUGEINT + (((z1)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z2 -> (list_transform([xor(z2, z2 >> 29)], z3 -> (list_transform([CAST((((z3)::HUGEINT * 2654435833::HUGEINT + (((z3)::HUGEINT * 374761393::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z4 -> xor(z4, z4 >> 32)))[1]))[1]))[1]))[1] AS hu
+  FROM tacct),
+wr AS (
+  SELECT tok, CAST(hu & 63::UBIGINT AS BIGINT) AS bucket,
+    CAST(hu >> 6 AS BIGINT) AS wi
+  FROM thash),
+r AS (
+  SELECT g.yr, wr.bucket,
+    CASE WHEN wi = 0 THEN 59
+         ELSE bit_count((wi & (-wi)) - 1)::INT + 1 END AS rho
+  FROM wr JOIN tagged g USING (tok))
+SELECT bucket,
+  CAST(coalesce(max(CASE WHEN yr = 1996 THEN rho END), 0) AS INT)
+    AS rho_a,
+  CAST(coalesce(max(CASE WHEN yr = 1998 THEN rho END), 0) AS INT)
+    AS rho_b,
+  CAST(max(rho) AS INT) AS rho_union
+FROM r GROUP BY bucket ORDER BY bucket""",
+
     "d03_simhash" ->
       """WITH toks AS (
   SELECT doc_id, tok FROM (
@@ -4475,6 +4540,220 @@ FROM est ORDER BY l_partkey""",
         |  CAST((1000 * num) // (1::BIGINT << (rn - 1)) AS BIGINT)
         |    AS ewma_permille
         |FROM s ORDER BY l_orderkey, l_linenumber, rn""".stripMargin,
+
+    // q98: the pair generation spelled as the naive self-join the
+    // engine deliberately avoids (the answer is join-order-invariant);
+    // `//` mirrors div on the all-positive count domain.
+    "q98_basket" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+        |ic AS (SELECT i, count(*) AS n FROM bi GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_pair
+        |      FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i GROUP BY 1, 2),
+        |f AS (SELECT * FROM p WHERE n_pair >= 2)
+        |SELECT item_a, item_b, n_pair, ia.n AS n_a, ib.n AS n_b,
+        |  1000 * n_pair // ia.n AS conf_ab_permille,
+        |  1000 * n_pair // ib.n AS conf_ba_permille,
+        |  1000000 * n_pair * nb.n_baskets // (ia.n * ib.n) AS lift_e6
+        |FROM f JOIN ic ia ON f.item_a = ia.i
+        |JOIN ic ib ON f.item_b = ib.i CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // q99: the frontier spelled as the global sort-sweep (prefix min
+    // over x order) the engine distributes via range partitions; a
+    // point whose min-y EQUALS the strict prefix min is dominated.
+    "q99_skyline" ->
+      """WITH c AS (SELECT CAST(p_size AS BIGINT) AS size,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |    count(*) AS n_rows FROM part GROUP BY 1, 2),
+        |m AS (SELECT size, min(price_cents) AS ymin FROM c GROUP BY 1),
+        |f AS (SELECT size, ymin FROM (
+        |  SELECT size, ymin, min(ymin) OVER (ORDER BY size
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM m) t
+        |  WHERE pm IS NULL OR ymin < pm)
+        |SELECT c.size, c.price_cents, c.n_rows FROM c
+        |JOIN f ON c.size = f.size AND c.price_cents = f.ymin
+        |ORDER BY c.size, c.price_cents""".stripMargin,
+
+    // q100: the brute-force n² theta join the grid join must equal —
+    // coordinates are pure integer key arithmetic (same precedence,
+    // positive domain) so both engines derive identical points.
+    "q100_geo_join" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+        |    c_custkey * 48271 % 360001 - 180000 AS x,
+        |    c_custkey * 16807 % 170001 - 85000 AS y FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 144000000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q101: the drawdown windows re-spelled directly; the argmax
+    // trough is min(rn) at the max drawdown (the engine's
+    // min(struct(-dd, rn)) fold).
+    "q101_drawdown" ->
+      """WITH x AS (SELECT l_suppkey,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CASE WHEN l_returnflag = 'R'
+        |         THEN -CAST(round(l_quantity) AS BIGINT)
+        |         ELSE CAST(round(l_quantity) AS BIGINT) END AS d,
+        |    l_shipdate, l_orderkey, l_linenumber, l_partkey FROM lineitem),
+        |s AS (SELECT l_suppkey, d,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate,
+        |      l_orderkey, l_linenumber, l_partkey, q, d) AS rn,
+        |    sum(d) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate,
+        |      l_orderkey, l_linenumber, l_partkey, q, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM x),
+        |s2 AS (SELECT l_suppkey, rn, cum,
+        |    max(cum) OVER (PARTITION BY l_suppkey ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM s),
+        |s3 AS (SELECT l_suppkey, rn, peak - cum AS dd, peak FROM s2),
+        |a AS (SELECT l_suppkey, count(*) AS n_points,
+        |    max(peak) AS high_water, max(dd) AS max_drawdown
+        |  FROM s3 GROUP BY 1),
+        |t AS (SELECT l_suppkey, sum(d) AS final_value FROM x GROUP BY 1),
+        |tr AS (SELECT s3.l_suppkey, min(rn) AS trough_rn FROM s3
+        |  JOIN a USING (l_suppkey) WHERE s3.dd = a.max_drawdown GROUP BY 1)
+        |SELECT a.l_suppkey, n_points, CAST(final_value AS BIGINT) AS final_value,
+        |  CAST(high_water AS BIGINT) AS high_water,
+        |  CAST(max_drawdown AS BIGINT) AS max_drawdown, trough_rn
+        |FROM a JOIN t USING (l_suppkey) JOIN tr USING (l_suppkey)
+        |ORDER BY a.l_suppkey""".stripMargin,
+
+    // q102: first digit as text (no float log), the Benford
+    // expectation pinned to the same permille literals, `//` on the
+    // nonnegative count domain.
+    "q102_benford" ->
+      """WITH pos AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND round(o_totalprice * 100) > 0),
+        |c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n FROM pos GROUP BY 1),
+        |t AS (SELECT count(*) AS tt FROM pos),
+        |d AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+        |e AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+        |    (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)) AS e(dg, ep))
+        |SELECT d.digit, coalesce(c.n, 0) AS n,
+        |  1000 * coalesce(c.n, 0) // t.tt AS obs_permille,
+        |  CAST(e.ep AS BIGINT) AS exp_permille,
+        |  1000 * coalesce(c.n, 0) // t.tt - e.ep AS dev_permille
+        |FROM d LEFT JOIN c USING (digit) JOIN e ON e.dg = d.digit
+        |CROSS JOIN t
+        |ORDER BY d.digit""".stripMargin,
+
+    // q103: the CUSUM identity n*C_k - k*T in HUGEINT (mirrors the
+    // engine's DECIMAL(38,0)), argmax = min(k) at the max score; all
+    // cumulative sums nonnegative so `//` mirrors div.
+    "q103_cusum" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS v
+        |  FROM events),
+        |s AS (SELECT user_id, v,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS k,
+        |    sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(v) OVER (PARTITION BY user_id) AS tot
+        |  FROM x),
+        |sc AS (SELECT user_id, k, c, n, tot,
+        |    abs(n::HUGEINT * c::HUGEINT - k::HUGEINT * tot::HUGEINT)
+        |      AS score
+        |  FROM s WHERE k < n),
+        |a AS (SELECT user_id, max(n) AS n_points, max(tot) AS total,
+        |    max(score) AS mx FROM sc GROUP BY 1),
+        |b AS (SELECT sc.user_id, min(k) AS cp_rn FROM sc
+        |  JOIN a USING (user_id) WHERE sc.score = a.mx GROUP BY 1),
+        |w AS (SELECT sc.user_id, sc.k, sc.c FROM sc
+        |  JOIN b ON sc.user_id = b.user_id AND sc.k = b.cp_rn)
+        |SELECT a.user_id, a.n_points, CAST(a.total AS BIGINT) AS total,
+        |  b.cp_rn, CAST(a.mx AS BIGINT) AS score,
+        |  CAST(1000 * w.c // w.k AS BIGINT) AS mean_before_permille,
+        |  CAST(1000 * (a.total - w.c) // (a.n_points - w.k) AS BIGINT)
+        |    AS mean_after_permille
+        |FROM a JOIN b USING (user_id) JOIN w USING (user_id)
+        |ORDER BY a.user_id""".stripMargin,
+
+    // q105: the autocorr diagnostics in HUGEINT (mirrors the engine's
+    // DECIMAL(38,0)); sum skips the NULL lag rows in both engines.
+    "q105_autocorr" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS v
+        |  FROM events),
+        |s AS (SELECT user_id, v,
+        |    lag(v, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS pv,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(v) OVER (PARTITION BY user_id) AS tot
+        |  FROM x),
+        |d AS (SELECT user_id, n, tot,
+        |    (n::HUGEINT * v::HUGEINT - tot::HUGEINT) AS dv,
+        |    CASE WHEN pv IS NULL THEN NULL
+        |         ELSE (n::HUGEINT * pv::HUGEINT - tot::HUGEINT) END AS dp
+        |  FROM s)
+        |SELECT user_id, max(n) AS n_points,
+        |  CAST(max(tot) AS BIGINT) AS total,
+        |  CAST(sum(dv * dp) AS BIGINT) AS num_scaled,
+        |  CAST(sum(dv * dv) AS BIGINT) AS den_scaled
+        |FROM d GROUP BY user_id HAVING max(n) > 1
+        |ORDER BY user_id""".stripMargin,
+
+    // q106: the seasonal index cross-multiplied in HUGEINT; DuckDB's
+    // dayofweek is already 0 = Sunday (Spark's dayofweek - 1).
+    "q106_seasonal" ->
+      """WITH e AS (SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+        |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents
+        |  FROM events),
+        |c AS (SELECT event_type, dow, count(*) AS n_cell,
+        |    sum(cents) AS sum_cell FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n_type,
+        |    sum(cents) AS sum_type FROM e GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.n_cell,
+        |  CAST(c.sum_cell AS BIGINT) AS sum_cell,
+        |  CAST(1000 * c.sum_cell * t.n_type // (c.n_cell * t.sum_type)
+        |    AS BIGINT) AS seasonal_permille
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY c.event_type, c.dow""".stripMargin,
+
+    // q107: the ABC scan as the global window the engine distributes;
+    // class cuts in exact cross-multiplied integers.
+    "q107_abc" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round(l_quantity) AS BIGINT) AS rev FROM lineitem),
+        |p AS (SELECT l_partkey, CAST(sum(rev) AS BIGINT) AS value
+        |  FROM li GROUP BY 1),
+        |t AS (SELECT sum(value) AS tot FROM p),
+        |s AS (SELECT l_partkey, value,
+        |    CAST(sum(value) OVER (ORDER BY value DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM p)
+        |SELECT s.l_partkey, s.value, s.cum,
+        |  CASE WHEN s.cum * 1000 <= 800 * t.tot THEN 'A'
+        |       WHEN s.cum * 1000 <= 950 * t.tot THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM s CROSS JOIN t
+        |ORDER BY s.l_partkey""".stripMargin,
+
+    // st21: the exact-regime SpaceSaving answer IS the batch count
+    // rank (capacity > distinct users: no eviction, err 0).
+    "st21_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n_seen FROM events GROUP BY 1),
+        |r AS (SELECT event_type, user_id, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, user_id) AS hh_rank
+        |  FROM c)
+        |SELECT r.event_type, t.n_seen, CAST(r.hh_rank AS INT) AS hh_rank,
+        |  r.user_id, r.cnt AS est_cnt, CAST(0 AS BIGINT) AS err
+        |FROM r JOIN t USING (event_type) WHERE hh_rank <= 10
+        |ORDER BY event_type, hh_rank""".stripMargin,
 
     // q71: integer-exact linear attribution — cents = round(value*100)
     // rounds the same positive doubles in both engines, `//` mirrors

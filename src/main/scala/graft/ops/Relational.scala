@@ -2246,4 +2246,164 @@ object Relational {
     graft.Graft.intervalCoverage(iv, "l_suppkey", "s", "e")
       .orderBy($"l_suppkey")
   }
+
+  /** q98 — market-basket pair association ([[graft.Graft.basketPairs]]):
+    * orders as baskets, parts as items, pairs co-bought in ≥ 2 orders,
+    * with confidence/lift in exact integer fixed point. Pair
+    * generation explodes from per-order sorted item arrays (one
+    * exchange on the order key), never a self-join. */
+  def q98Basket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    graft.Graft.basketPairs(li, "l_orderkey", "l_partkey",
+        minPairCount = 2L, maxBasketSize = 1000)
+      .orderBy($"item_a", $"item_b")
+  }
+
+  /** q99 — 2-D Pareto frontier ([[graft.Graft.skyline2D]]): the parts
+    * no other part beats on BOTH size and price (minimize both),
+    * price in exact cents; the distributed sort-sweep (per-x
+    * reduction, range-partitioned prefix-min, partition-count-sized
+    * driver carry) — no global window. */
+  def q99Skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables(s, dir, "part")
+      .select($"p_size".cast("long").as("size"),
+        round($"p_retailprice" * 100).cast("long").as("price_cents"))
+    graft.Graft.skyline2D(p, "size", "price_cents")
+      .orderBy($"size", $"price_cents")
+  }
+
+  /** q100 — planar radius self-join ([[graft.Graft.gridRadiusJoin]]):
+    * customers projected to deterministic integer milli-degree
+    * coordinates (pure key arithmetic, mirrorable in any engine), all
+    * pairs within 12000 milli-degrees by exact integer squared
+    * euclidean distance — grid-cell hash join, 9 candidate cells per
+    * point, never the n² theta join the oracle spells. */
+  def q100GeoJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables(s, dir, "customer").select(
+      $"c_custkey".as("id"),
+      ($"c_custkey" * 48271L % 360001L - 180000L).as("x"),
+      ($"c_custkey" * 16807L % 170001L - 85000L).as("y"))
+    graft.Graft.gridRadiusJoin(pts, "id", "x", "y", radius = 12000L)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** q101 — inventory drawdown ([[graft.Graft.maxDrawdown]]): per
+    * supplier, the cumulative net shipped quantity (returns negative)
+    * in ship-date order, and the worst peak-to-trough drop with its
+    * earliest trough position. Integer quantities end to end. */
+  def q101Drawdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+        $"l_partkey", round($"l_quantity").cast("long").as("q"),
+        when($"l_returnflag" === "R", -round($"l_quantity").cast("long"))
+          .otherwise(round($"l_quantity").cast("long")).as("delta"))
+    // (orderkey, linenumber) is not unique in the harness data (q97
+    // lesson): q in the order makes residual ties delta-identical, so
+    // the cumsum — and therefore the drawdown — is deterministic
+    graft.Graft.maxDrawdown(li, "l_suppkey",
+        Seq($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey",
+          $"q", $"delta"),
+        $"delta")
+      .orderBy($"l_suppkey")
+  }
+
+  /** q102 — Benford first-digit audit ([[graft.Graft.benfordProfile]])
+    * of order totals in cents: per digit 1-9 the observed count/share
+    * against the pinned-permille Benford expectation. One scan, 9-row
+    * shuffle. */
+  def q102Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+    graft.Graft.benfordProfile(o, "cents").orderBy($"digit")
+  }
+
+  /** q103 — CUSUM changepoint per user ([[graft.Graft.cusumChangepoint]])
+    * over event values in cents, time order: the split position
+    * maximizing |n·C_k − k·T| with the level on each side — the exact
+    * integer spelling of the mean-shift screen. */
+  def q103Cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        coalesce(round($"value" * 100).cast("long"), lit(0L)).as("cents"))
+    graft.Graft.cusumChangepoint(e, "user_id", Seq($"ts", $"event_id"),
+        $"cents")
+      .orderBy($"user_id")
+  }
+
+  /** q104 — HLL register set algebra ([[graft.Graft.hllUnionRegisters]]):
+    * the 1996 and 1998 buyer sketches ([[graft.Graft.hllRegisters]],
+    * q58's kernel) merged register-wise — the mergeability proof that
+    * per-epoch sketches fold into any rollup without rescanning. */
+  def q104HllUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+    def sketch(yr: Int, mo: Int) = graft.Graft.hllRegisters(
+      o.filter(year($"o_orderdate") === yr && month($"o_orderdate") === mo)
+        .select($"o_custkey"),
+      "o_custkey")
+    graft.Graft.hllUnionRegisters(sketch(1996, 1), sketch(1998, 7))
+      .orderBy($"bucket")
+  }
+
+  /** q105 — lag-1 autocorrelation diagnostics per user
+    * ([[graft.Graft.autocorrDiag]]): the n²-scaled Pearson
+    * numerator/denominator over each user's event-value series in
+    * exact integers — no float mean anywhere; the ratio is the
+    * caller's one float fold (the HLL-registers discipline). */
+  def q105Autocorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        coalesce(round($"value" * 100).cast("long"), lit(0L)).as("cents"))
+    graft.Graft.autocorrDiag(e, "user_id", Seq($"ts", $"event_id"),
+        $"cents", lagK = 1)
+      .orderBy($"user_id")
+  }
+
+  /** q106 — day-of-week seasonal index per event type: each (type,
+    * dow) cell's average value as a permille of the type's overall
+    * average, in exact cross-multiplied integers
+    * (1000·sum_cell·n_type div (n_cell·sum_type)). Two partial-folded
+    * aggregates and a broadcast join on the type — the retail
+    * "weekend lift" audit with zero floats. */
+  def q106Seasonal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"event_type",
+        (dayofweek($"ts") - 1).as("dow"), // 0 = Sunday, both engines
+        coalesce(round($"value" * 100).cast("long"), lit(0L)).as("cents"))
+    val cell = e.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n_cell"), sum($"cents").as("sum_cell"))
+    val tot = e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_type"), sum($"cents").as("sum_type"))
+    cell.join(broadcast(tot), Seq("event_type"))
+      .select($"event_type", $"dow", $"n_cell", $"sum_cell",
+        expr("1000L * sum_cell * n_type div (n_cell * sum_type)")
+          .as("seasonal_permille"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  /** q107 — ABC/Pareto classification ([[graft.Graft.abcClasses]]) of
+    * parts by lineitem revenue (cents): rank descending, cumulative
+    * share via the DISTRIBUTED prefix-sum primitive
+    * ([[graft.Graft.distributedCumSum]] — no single-task global
+    * window), class A within 800‰ of total revenue, B within 950‰,
+    * C beyond. */
+  def q107Abc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_partkey",
+        // integer product of separately-rounded factors — no
+        // double-product associativity drift between engines
+        (round($"l_extendedprice" * 100).cast("long") *
+          round($"l_quantity").cast("long")).as("rev_cents"))
+    graft.Graft.abcClasses(li, "l_partkey", $"rev_cents")
+      .orderBy($"l_partkey")
+  }
 }

@@ -1252,4 +1252,108 @@ object Streams {
     rm(root)
     out
   }
+
+  case class HhIn(event_type: String, user_id: Long)
+  case class HhCounter(item: Long, cnt: Long, err: Long)
+  case class HhRow(event_type: String, n_seen: Long, hh_rank: Int,
+    user_id: Long, est_cnt: Long, err: Long)
+
+  /** Streaming heavy hitters per key via SpaceSaving (Metwally et al.
+    * 2005, the Stream-Summary algorithm): a FIXED-CAPACITY counter set
+    * per group — when a new item arrives with the set full, the
+    * minimum counter is evicted and the newcomer inherits its count as
+    * `err` (the classic ≤ n/capacity overestimation bound) — which is
+    * what bounds streaming top-k state at 100 TB where per-item exact
+    * counting would hold one state row per key·item. State is ONE
+    * named ListState of ≤ `capacity` (item, cnt, err) rows; each batch
+    * emits the current top-`k` by (cnt desc, item asc) plus the
+    * running n_seen, so the Update-mode sink's max-n_seen row per
+    * (key, rank) is the final answer.
+    *
+    * Within-batch arrival order is nondeterministic after the shuffle,
+    * and SpaceSaving eviction is order-dependent — so the EXACT-regime
+    * contract (capacity ≥ distinct items per key: no eviction, every
+    * cnt exact, err 0, fully order-independent) is what the oracle
+    * gates; the eviction path is asserted against the algorithm's
+    * INVARIANTS (est ≥ true ≥ est − err, heavy item survives) in
+    * StreamsSpec, which hold for every arrival order. */
+  class SpaceSavingProcessor(capacity: Int, k: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, HhIn, HhRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var counters: ListState[HhCounter] = _
+    @transient private var nSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getListState[HhCounter]("counters",
+        Encoders.product[HhCounter], TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("nSeen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[HhIn],
+        timers: TimerValues): Iterator[HhRow] = {
+      val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+      if (counters.exists())
+        counters.get().foreach(c => m(c.item) = (c.cnt, c.err))
+      var n = if (nSeen.exists()) nSeen.get() else 0L
+      rows.foreach { r =>
+        n += 1
+        m.get(r.user_id) match {
+          case Some((c, e)) => m(r.user_id) = (c + 1, e)
+          case None if m.size < capacity => m(r.user_id) = (1L, 0L)
+          case None =>
+            // evict the min counter (item asc tie-break for
+            // determinism given an arrival order); newcomer inherits
+            // its count as the overestimation bound
+            val (evict, (minC, _)) = m.minBy { case (it, (c, _)) => (c, it) }
+            m.remove(evict)
+            m(r.user_id) = (minC + 1, minC)
+        }
+      }
+      counters.put(m.map { case (it, (c, e)) => HhCounter(it, c, e) }.toArray)
+      nSeen.update(n)
+      m.toSeq.map { case (it, (c, e)) => (it, c, e) }
+        .sortBy { case (it, c, _) => (-c, it) }.take(k)
+        .zipWithIndex.iterator.map { case ((it, c, e), i) =>
+          HhRow(key, n, i + 1, it, c, e) }
+    }
+  }
+
+  /** st21 — streaming heavy hitters under the oracle gate: the full
+    * events table keyed by event_type replayed through
+    * [[SpaceSavingProcessor]] in 3 micro-batches with capacity 4096 —
+    * above the distinct-user count at every harness SF (1,500 at
+    * sf0.1), so the sketch runs in
+    * its EXACT regime (no eviction, order-independent; see the
+    * processor scaladoc) and the final top-10 per type must equal the
+    * batch count-rank oracle with err = 0. The counter set and
+    * n_seen must survive RocksDB across triggers: a dropped counter,
+    * a count reset, or a rank computed from one batch's worth of data
+    * hash-fails. Eviction behavior is StreamsSpec's job. */
+  def st21HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .select($"event_type", $"user_id")
+      .orderBy($"event_id")
+      .as[(String, Long)]
+      .collect()
+    require(data.nonEmpty, s"st21: empty events table in $dir")
+    val sink = replay(s, data.toSeq, OutputMode.Update, "st21", nChunks = 3,
+        confs = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider"))) { ds =>
+      import ds.sparkSession.implicits._
+      ds.map { case (t, u) => HhIn(t, u) }
+        .groupByKey(_.event_type)
+        .transformWithState(new SpaceSavingProcessor(capacity = 4096, k = 10),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update)
+        .toDF()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"hh_rank").orderBy($"n_seen".desc)
+    sink.withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"event_type", $"n_seen", $"hh_rank", $"user_id",
+        $"est_cnt", $"err")
+      .orderBy($"event_type", $"hh_rank")
+  }
 }

@@ -543,4 +543,43 @@ class StreamsSpec extends SparkSuiteBase {
     val misaligned = df.filter(pmod($"window_start_us", lit(fiveMinUs)) =!= 0).count()
     assert(misaligned == 0, "window starts must sit on the 5-minute grid")
   }
+
+  test("st21: SpaceSaving eviction holds the sketch invariants under capacity pressure") {
+    // one key, capacity 4, 9 distinct items, heavy item 1 (50 of 58
+    // arrivals) — eviction MUST happen; the assertions below hold for
+    // ANY within-batch arrival order (the exact-regime oracle gate is
+    // st21's job, this pins the eviction path):
+    //   Σ cnt == n (each arrival bumps exactly one counter by 1)
+    //   ≤ capacity counters survive
+    //   est ≥ true ≥ est − err for the reported heavy item
+    val data: Seq[Streams.HhIn] =
+      (1 to 30).map(_ => Streams.HhIn("k", 1L)) ++
+        (2L to 9L).map(Streams.HhIn("k", _)) ++
+        (1 to 20).map(_ => Streams.HhIn("k", 1L))
+    val sink = Streams.replay(spark, data,
+        org.apache.spark.sql.streaming.OutputMode.Update, "st21spec",
+        nChunks = 2,
+        confs = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider"))) { ds =>
+      import ds.sparkSession.implicits._
+      ds.groupByKey(_.event_type)
+        .transformWithState(new Streams.SpaceSavingProcessor(4, 4),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update)
+        .toDF()
+    }
+    val fin = sink.orderBy($"n_seen".desc, $"hh_rank").collect()
+      .filter(_.getAs[Long]("n_seen") == 58L)
+    assert(fin.nonEmpty && fin.length <= 4, s"final emission: ${fin.toSeq}")
+    assert(fin.map(_.getAs[Long]("est_cnt")).sum == 58L,
+      s"count mass not conserved: ${fin.toSeq}")
+    val heavy = fin.find(_.getAs[Long]("user_id") == 1L).getOrElse(
+      fail(s"heavy item evicted — SpaceSaving guarantee broken: ${fin.toSeq}"))
+    val est = heavy.getAs[Long]("est_cnt")
+    val err = heavy.getAs[Long]("err")
+    assert(est >= 50L && est - err <= 50L,
+      s"heavy-item bounds violated: est=$est err=$err true=50")
+    assert(heavy.getAs[Int]("hh_rank") == 1, "heavy item must rank first")
+  }
 }

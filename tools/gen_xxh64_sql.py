@@ -200,6 +200,38 @@ SELECT bucket, count(DISTINCT tok) AS n_keys,
 FROM rho GROUP BY bucket ORDER BY bucket""")
 
 
+def hll_union_sql(year_a=1996, month_a=1, year_b=1998, month_b=7):
+    """q104 oracle: the two per-epoch buyer key sets (1996-01 and
+    1998-07 — narrow enough that the registers actually differ) hashed
+    once (the union of the sets feeds the shared XXH64 CTE chain),
+    tagged by membership, then per-bucket max rho per set and overall —
+    the register-level union the engine computes by full-outer-joining
+    two hllRegisters frames. Missing registers read as 0."""
+    pa = f"(year(o_orderdate) = {year_a} AND month(o_orderdate) = {month_a})"
+    pb = f"(year(o_orderdate) = {year_b} AND month(o_orderdate) = {month_b})"
+    return (f"WITH tagged AS (SELECT DISTINCT o_custkey::VARCHAR AS tok,\n"
+            f"    year(o_orderdate) AS yr FROM orders\n"
+            f"  WHERE {pa} OR {pb}),\n"
+            "dtok AS (SELECT DISTINCT tok FROM tagged),\n"
+            + xxh64_token_ctes() + f""",
+wr AS (
+  SELECT tok, CAST(hu & 63::UBIGINT AS BIGINT) AS bucket,
+    CAST(hu >> 6 AS BIGINT) AS wi
+  FROM thash),
+r AS (
+  SELECT g.yr, wr.bucket,
+    CASE WHEN wi = 0 THEN 59
+         ELSE bit_count((wi & (-wi)) - 1)::INT + 1 END AS rho
+  FROM wr JOIN tagged g USING (tok))
+SELECT bucket,
+  CAST(coalesce(max(CASE WHEN yr = {year_a} THEN rho END), 0) AS INT)
+    AS rho_a,
+  CAST(coalesce(max(CASE WHEN yr = {year_b} THEN rho END), 0) AS INT)
+    AS rho_b,
+  CAST(max(rho) AS INT) AS rho_union
+FROM r GROUP BY bucket ORDER BY bucket""")
+
+
 def cms_sql(depth=4, width=1024):
     """q69 oracle: the full Count-Min sketch mirrored from first
     principles — per-key counts of lineitem.l_partkey, XXH64 of the
@@ -291,6 +323,7 @@ if __name__ == "__main__":
     assert a[1] == 0, "non-ASCII token: byte!=codepoint"
     for name, sql in (("d03_simhash", d03_sql()), ("d07_simhash_pairs", d07_sql()),
                       ("q58_hll_registers", hll_sql()),
+                      ("q104_hll_union", hll_union_sql()),
                       ("q69_cms_sketch", cms_sql())):
         got = con.sql(sql).fetchall()
         print(f"{name}: {len(got)} rows")
