@@ -4064,6 +4064,96 @@ object Graft {
         toLong(col("__den"), "den_scaled").as("den_scaled"))
   }
 
+  /** Pairwise correlation SUFFICIENT STATISTICS over integer measures
+    * (the profiling screen behind any correlation matrix): for every
+    * unordered measure pair, exact integer (n, Σx, Σy, Σx², Σy², Σxy)
+    * after listwise null deletion — the Pearson r assembly
+    * (nΣxy−ΣxΣy)/√(…) is the caller's one float fold, exactly the
+    * [[hllRegisters]] registers-not-estimate discipline. Sums
+    * accumulate in DECIMAL(38,0) and abort in-plan if a moment
+    * exceeds int64 (choose coarser units, not silent wraparound).
+    *
+    * Scale shape: ONE scan, ONE partial-folded aggregate to a single
+    * row (every Σ map-side-combines), then a constant-width explode to
+    * pair rows — no shuffle carries data, no self-join, no melt. A
+    * 100 TB correlation screen costs exactly one pass. */
+  def corrMoments(df: DataFrame, measures: Seq[(String, Column)]): DataFrame = {
+    require(measures.size >= 2, "corrMoments needs at least two measures")
+    require(measures.map(_._1).distinct.size == measures.size,
+      "duplicate measure names")
+    val dec = "decimal(38,0)"
+    def toLong(c: Column, what: String): Column =
+      guarded(abs(c) > lit(Long.MaxValue).cast(dec),
+        s"corrMoments: $what exceeds int64 — use coarser measure units",
+        c.cast("long"))
+    val base = df.select(measures.map { case (n, c) =>
+      c.cast("long").as(s"__$n") }: _*).na.drop()
+    val names = measures.map(_._1)
+    val pairs = for { i <- names.indices; j <- i + 1 until names.size }
+      yield (names(i), names(j))
+    def d(n: String) = col(s"__$n").cast(dec)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      names.flatMap { n => Seq(
+        sum(d(n)).as(s"__s_$n"),
+        sum(d(n) * d(n)).as(s"__ss_$n")) } ++
+      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"__sp_${a}_$b") }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("m_x"), lit(b).as("m_y"), col("__n").as("n_rows"),
+        toLong(col(s"__s_$a"), s"sum($a)").as("sum_x"),
+        toLong(col(s"__s_$b"), s"sum($b)").as("sum_y"),
+        toLong(col(s"__ss_$a"), s"sum(${a}^2)").as("sum_xx"),
+        toLong(col(s"__ss_$b"), s"sum(${b}^2)").as("sum_yy"),
+        toLong(col(s"__sp_${a}_$b"), s"sum(${a}*$b)").as("sum_xy"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Per-shard MERGEABLE MinHash signatures over a text column's
+    * whitespace token sets — the set-similarity sketch that, like
+    * [[hllRegisters]] for cardinality, folds across shards without
+    * rescanning: the signature of a union of shards is the
+    * element-wise MIN of their signatures. Returns (grp, perm, sig)
+    * for every group in `groupCol` PLUS a derived `__all__` row per
+    * permutation computed by MERGING the group signatures (never
+    * rescanning tokens) — gate it against a from-scratch corpus
+    * signature to prove mergeability. Permutation i multiplies the
+    * xxhash64 token hash by the odd constant 2000006·i + 12345
+    * mod 2^63 (= a 64-bit wrapping multiply with the sign bit masked)
+    * — pure integer ops any engine reproduces bit-for-bit.
+    *
+    * Scale shape: tokens explode off the scan, the (group, token)
+    * distinct partial-folds, and every per-(group, perm) MIN
+    * partial-folds again — the shuffle carries ≤ groups × perms rows
+    * per partition, never tokens; the merge row is a second
+    * groups-sized fold. */
+  def minhashShardSignatures(df: DataFrame, groupCol: String,
+      textCol: String, numPerms: Int = 16): DataFrame = {
+    require(numPerms >= 1 && numPerms <= 512, s"numPerms: $numPerms")
+    val perms = array((0 until numPerms).map(i =>
+      lit(2000006L * i + 12345L)): _*)
+    val toks = df.select(col(groupCol).cast("string").as("grp"),
+        explode(graft.ops.TextDedup.tokens(col(textCol))).as("__tok"))
+      .distinct()
+    // permutation = (h * a) mod 2^63 — identical to masking the sign
+    // bit off a 64-bit wrapping multiply (2^63 divides 2^64, and
+    // h & MaxLong == h mod 2^63 distributes through the product), but
+    // spelled in DECIMAL because ANSI Spark raises on long overflow
+    val dec = "decimal(38,0)"
+    val two63 = lit(new java.math.BigDecimal("9223372036854775808")).cast(dec)
+    val sigs = toks
+      .select(col("grp"),
+        xxhash64(col("__tok")).bitwiseAND(lit(Long.MaxValue)).as("__h"),
+        posexplode(perms).as(Seq("perm", "__a")))
+      .groupBy(col("grp"), col("perm"))
+      .agg(min(pmod(col("__h").cast(dec) * col("__a").cast(dec), two63)
+        .cast("long")).as("sig"))
+    val merged = sigs.groupBy(col("perm"))
+      .agg(min(col("sig")).as("sig"))
+      .select(lit("__all__").as("grp"), col("perm"), col("sig"))
+    sigs.unionByName(merged)
+  }
+
   /** Register-level set algebra over two [[hllRegisters]] sketches —
     * the MERGEABILITY that makes HLL the 100 TB distinct-count tool:
     * the union of two key sets' sketches is the per-bucket max of

@@ -265,6 +265,9 @@ object SparkEntry {
     "q105_autocorr" -> (Relational.q105Autocorr _),
     "q106_seasonal" -> (Relational.q106Seasonal _),
     "q107_abc" -> (Relational.q107Abc _),
+    "q108_corrmat" -> (Relational.q108CorrMat _),
+    "q109_cdf" -> (Relational.q109Cdf _),
+    "d22_minhash_union" -> (TextDedup.d22MinhashUnion _),
     "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
@@ -3266,6 +3269,62 @@ SELECT bucket, count(DISTINCT tok) AS n_keys,
        ELSE bit_count((wi & (-wi)) - 1)::INT + 1 END) AS max_rho
 FROM rho GROUP BY bucket ORDER BY bucket""",
 
+    // d22: per-shard MinHash signatures and the FROM-SCRATCH corpus
+    // signature (tools/gen_xxh64_sql.py minhash_union_sql, self-checked
+    // against the engine dump) — the engine derives __all__ by merging
+    // shard signatures, so merge != rescan hash-fails here. Raw
+    // triple-quote (SQL contains `|`).
+    "d22_minhash_union" ->
+      """WITH tagged AS (SELECT DISTINCT source AS grp, tok FROM (
+    SELECT source, unnest(list_filter(
+      string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents) t),
+dtok AS (SELECT DISTINCT tok FROM tagged),
+tbytes AS (
+  SELECT tok, strlen(tok)::BIGINT AS n,
+    list_transform(range(1, strlen(tok) + 1),
+      i -> unicode(substr(tok, i::INT, 1))::UBIGINT) AS bs
+  FROM dtok),
+-- XXH64(token, seed 42), tokens < 32 bytes: no stripe loop
+tacc AS (
+  SELECT tok, n, bs,
+    list_reduce(
+      list_prepend(CAST((((2870177450012600303)::HUGEINT + (n::UBIGINT)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT),
+        list_transform(range(0, n // 8), j -> ((bs)[(j*8 + 1)]::UBIGINT + (bs)[(j*8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[(j*8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[(j*8 + 1)+3]::UBIGINT * 16777216::UBIGINT + (bs)[(j*8 + 1)+4]::UBIGINT * 4294967296::UBIGINT + (bs)[(j*8 + 1)+5]::UBIGINT * 1099511627776::UBIGINT + (bs)[(j*8 + 1)+6]::UBIGINT * 281474976710656::UBIGINT + (bs)[(j*8 + 1)+7]::UBIGINT * 72057594037927936::UBIGINT))),
+      (a, w) -> (list_transform([CAST((((w)::HUGEINT * 668265295::HUGEINT + (((w)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t1 -> (list_transform([(CAST((((t1)::HUGEINT * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t1) >> 33))], t2 -> (list_transform([CAST((((t2)::HUGEINT * 2246822535::HUGEINT + (((t2)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t3 -> (list_transform([xor(a, t3)], t4 -> (list_transform([(CAST((((t4)::HUGEINT * 134217728::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t4) >> 37))], t5 -> CAST((((CAST((((t5)::HUGEINT * 2246822535::HUGEINT + (((t5)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (9650029242287828579)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]))[1]) AS a2
+  FROM tbytes),
+tacc4 AS (
+  SELECT tok, n, bs,
+    CASE WHEN n % 8 >= 4 THEN (list_transform([((bs)[((n // 8) * 8 + 1)]::UBIGINT + (bs)[((n // 8) * 8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[((n // 8) * 8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[((n // 8) * 8 + 1)+3]::UBIGINT * 16777216::UBIGINT)], v0 -> (list_transform([CAST((((v0)::HUGEINT * 2246822535::HUGEINT + (((v0)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], v1 -> (list_transform([xor(a2, v1)], v2 -> (list_transform([(CAST((((v2)::HUGEINT * 8388608::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((v2) >> 41))], v3 -> CAST((((CAST((((v3)::HUGEINT * 668265295::HUGEINT + (((v3)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (1609587929392839161)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]
+         ELSE a2 END AS a3
+  FROM tacc),
+tacct AS (
+  SELECT tok,
+    list_reduce(
+      list_prepend(a3,
+        list_transform(range(0, n % 4), j -> bs[n - (n % 4) + j + 1])),
+      (a, b) -> (list_transform([CAST((((b)::HUGEINT * 374761413::HUGEINT + (((b)::HUGEINT * 668265263::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], u1 -> (list_transform([xor(a, u1)], u2 -> (list_transform([(CAST((((u2)::HUGEINT * 2048::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((u2) >> 53))], u3 -> CAST((((u3)::HUGEINT * 2246822535::HUGEINT + (((u3)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]) AS a4
+  FROM tacc4),
+thash AS (
+  SELECT tok, (list_transform([xor(a4, a4 >> 33)], z1 -> (list_transform([CAST((((z1)::HUGEINT * 668265295::HUGEINT + (((z1)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z2 -> (list_transform([xor(z2, z2 >> 29)], z3 -> (list_transform([CAST((((z3)::HUGEINT * 2654435833::HUGEINT + (((z3)::HUGEINT * 374761393::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z4 -> xor(z4, z4 >> 32)))[1]))[1]))[1]))[1] AS hu
+  FROM tacct),
+perms AS (SELECT CAST(range AS INT) AS perm,
+    (2000006 * range + 12345)::UBIGINT AS a FROM range(16)),
+masked AS (
+  SELECT t.tok, p.perm,
+    CAST(CAST((t.hu::HUGEINT * p.a::HUGEINT) % 18446744073709551616::HUGEINT
+      AS UBIGINT) & 9223372036854775807::UBIGINT AS BIGINT) AS mh
+  FROM thash t CROSS JOIN perms p),
+sigs AS (
+  SELECT g.grp, m.perm, min(m.mh) AS sig
+  FROM masked m JOIN tagged g USING (tok) GROUP BY 1, 2),
+uni AS (
+  SELECT '__all__' AS grp, perm, min(mh) AS sig
+  FROM masked GROUP BY 2)
+SELECT grp, perm, sig FROM (
+  SELECT * FROM sigs UNION ALL SELECT * FROM uni) u
+ORDER BY grp, perm""",
+
     // q104: q58's register mirror extended with per-epoch set tags
     // (tools/gen_xxh64_sql.py hll_union_sql, self-checked against the
     // engine dump) — per-bucket max rho per set and overall, the
@@ -4739,6 +4798,57 @@ FROM est ORDER BY l_partkey""",
         |       ELSE 'C' END AS abc_class
         |FROM s CROSS JOIN t
         |ORDER BY s.l_partkey""".stripMargin,
+
+    // q108: the one-pass moment sums re-spelled directly; HUGEINT
+    // sums cast back (all six pair rows come off one aggregate).
+    "q108_corrmat" ->
+      """WITH x AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS price,
+        |    CAST(round(l_discount * 1000) AS BIGINT) AS disc,
+        |    CAST(round(l_tax * 1000) AS BIGINT) AS tax FROM lineitem),
+        |a AS (SELECT count(*) AS n,
+        |    sum(qty) AS s_qty, sum(qty*qty) AS ss_qty,
+        |    sum(price) AS s_price, sum(price*price) AS ss_price,
+        |    sum(disc) AS s_disc, sum(disc*disc) AS ss_disc,
+        |    sum(tax) AS s_tax, sum(tax*tax) AS ss_tax,
+        |    sum(qty*price) AS sp_qty_price, sum(qty*disc) AS sp_qty_disc,
+        |    sum(qty*tax) AS sp_qty_tax, sum(price*disc) AS sp_price_disc,
+        |    sum(price*tax) AS sp_price_tax, sum(disc*tax) AS sp_disc_tax
+        |  FROM x)
+        |SELECT m_x, m_y, n AS n_rows,
+        |  CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y,
+        |  CAST(sum_xx AS BIGINT) AS sum_xx, CAST(sum_yy AS BIGINT) AS sum_yy,
+        |  CAST(sum_xy AS BIGINT) AS sum_xy
+        |FROM (
+        |  SELECT 'qty' AS m_x, 'price' AS m_y, n, s_qty AS sum_x,
+        |    s_price AS sum_y, ss_qty AS sum_xx, ss_price AS sum_yy,
+        |    sp_qty_price AS sum_xy FROM a
+        |  UNION ALL SELECT 'qty', 'disc', n, s_qty, s_disc, ss_qty,
+        |    ss_disc, sp_qty_disc FROM a
+        |  UNION ALL SELECT 'qty', 'tax', n, s_qty, s_tax, ss_qty,
+        |    ss_tax, sp_qty_tax FROM a
+        |  UNION ALL SELECT 'price', 'disc', n, s_price, s_disc, ss_price,
+        |    ss_disc, sp_price_disc FROM a
+        |  UNION ALL SELECT 'price', 'tax', n, s_price, s_tax, ss_price,
+        |    ss_tax, sp_price_tax FROM a
+        |  UNION ALL SELECT 'disc', 'tax', n, s_disc, s_tax, ss_disc,
+        |    ss_tax, sp_disc_tax FROM a) u
+        |ORDER BY m_x, m_y""".stripMargin,
+
+    // q109: the CDF scan as the global window the engine distributes.
+    "q109_cdf" ->
+      """WITH c AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS n FROM c),
+        |s AS (SELECT qty, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM c)
+        |SELECT s.qty, s.cnt, s.cum,
+        |  CAST(1000 * s.cum // t.n AS BIGINT) AS cdf_permille
+        |FROM s CROSS JOIN t
+        |ORDER BY s.qty""".stripMargin,
 
     // st21: the exact-regime SpaceSaving answer IS the batch count
     // rank (capacity > distinct users: no eviction, err 0).

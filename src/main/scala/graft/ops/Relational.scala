@@ -2406,4 +2406,37 @@ object Relational {
     graft.Graft.abcClasses(li, "l_partkey", $"rev_cents")
       .orderBy($"l_partkey")
   }
+
+  /** q108 — correlation sufficient statistics
+    * ([[graft.Graft.corrMoments]]) over the four lineitem measures
+    * (quantity units, price dollars, discount/tax permille): exact
+    * integer (n, Σx, Σy, Σx², Σy², Σxy) per pair in ONE scan — the
+    * Pearson assembly is the caller's float fold. */
+  def q108CorrMat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    graft.Graft.corrMoments(li, Seq(
+        "qty" -> round($"l_quantity"),
+        "price" -> round($"l_extendedprice"),
+        "disc" -> round($"l_discount" * 1000),
+        "tax" -> round($"l_tax" * 1000)))
+      .orderBy($"m_x", $"m_y")
+  }
+
+  /** q109 — exact distributed CDF of order quantities: per distinct
+    * quantity the count, running count via
+    * [[graft.Graft.distributedCumSum]] (no single-task global window),
+    * and the percentile in integer permille. */
+  def q109Cdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables(s, dir, "lineitem")
+      .select(round($"l_quantity").cast("long").as("qty"))
+    val counts = q.groupBy($"qty").agg(count(lit(1)).as("cnt"))
+    val scanned = graft.Graft.distributedCumSum(counts, Seq($"qty"), $"cnt")
+    val total = counts.agg(sum($"cnt").as("__n"))
+    scanned.crossJoin(broadcast(total))
+      .select($"qty", $"cnt", $"cum",
+        expr("1000L * cum div __n").as("cdf_permille"))
+      .orderBy($"qty")
+  }
 }

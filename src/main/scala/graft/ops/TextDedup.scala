@@ -986,4 +986,17 @@ object TextDedup {
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }
+  /** d22 — mergeable per-shard MinHash signatures
+    * ([[graft.Graft.minhashShardSignatures]]): each source's token-set
+    * signature plus the `__all__` row derived by MERGING the shard
+    * signatures (element-wise min, never rescanning tokens). The
+    * oracle computes the corpus row FROM SCRATCH over all tokens, so a
+    * merge that is not equivalent to a rescan hash-fails — the
+    * set-similarity twin of q104's HLL register union. */
+  def d22MinhashUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+    graft.Graft.minhashShardSignatures(docs, "source", "text", numPerms = 16)
+      .orderBy($"grp", $"perm")
+  }
 }

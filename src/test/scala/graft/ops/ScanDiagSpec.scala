@@ -70,6 +70,54 @@ class ScanDiagSpec extends SparkSuiteBase {
     assert(got(2) > 0L)
   }
 
+  test("corrMoments emits exact sufficient statistics per pair") {
+    // x = 1,2,3; y = 2,4,6 (y = 2x, perfectly correlated); z = 5,5,5
+    val df = Seq((1, 2, 5), (2, 4, 5), (3, 6, 5)).toDF("x", "y", "z")
+    val got = Graft.corrMoments(df, Seq("x" -> $"x", "y" -> $"y",
+        "z" -> $"z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // (x,y): n=3 Σx=6 Σy=12 Σx²=14 Σy²=56 Σxy=28
+    assert(got(("x", "y")) == ((3L, 6L, 12L, 14L, 56L, 28L)))
+    // Pearson numerator nΣxy−ΣxΣy = 84−72 = 12 > 0; z is constant:
+    assert(got(("x", "z")) == ((3L, 6L, 15L, 14L, 75L, 30L)))
+    assert(got(("y", "z")) == ((3L, 12L, 15L, 56L, 75L, 60L)))
+    assert(got.size == 3)
+  }
+
+  test("corrMoments drops rows with any null measure (listwise)") {
+    val df = Seq((Some(1), Some(2)), (Some(2), None), (None, Some(9)),
+      (Some(3), Some(6))).toDF("x", "y")
+    val r = Graft.corrMoments(df, Seq("x" -> $"x", "y" -> $"y"))
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 2L)
+    assert(r.getAs[Long]("sum_x") == 4L)
+    assert(r.getAs[Long]("sum_y") == 8L)
+  }
+
+  test("minhashShardSignatures: merged __all__ row equals a from-scratch corpus signature") {
+    val df = Seq(("s1", "alpha beta gamma"), ("s1", "beta delta"),
+      ("s2", "epsilon zeta"), ("s3", "alpha zeta eta theta"))
+      .toDF("src", "text")
+    val sigs = Graft.minhashShardSignatures(df, "src", "text", numPerms = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(sigs.size == 4 * 8)
+    // from scratch over the whole corpus: one group
+    val scratch = Graft.minhashShardSignatures(
+        df.withColumn("src", lit("c")), "src", "text", numPerms = 8)
+      .filter($"grp" === "c")
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    for (p <- 0 until 8) {
+      assert(sigs(("__all__", p)) == scratch(p),
+        s"merge != rescan at perm $p")
+      // and the merge really is the element-wise min of the shards
+      assert(sigs(("__all__", p)) ==
+        Seq("s1", "s2", "s3").map(g => sigs((g, p))).min)
+    }
+  }
+
   test("scan ops are partitioning-invariant under repartition(7)") {
     val df = (1 to 300).map { i => (i % 11, i, ((i * 16807) % 50).toLong) }
       .toDF("k", "t", "v")

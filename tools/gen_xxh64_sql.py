@@ -232,6 +232,37 @@ SELECT bucket,
 FROM r GROUP BY bucket ORDER BY bucket""")
 
 
+def minhash_union_sql(num_perms=16):
+    """d22 oracle: per-source whitespace-token-set MinHash signatures
+    (permutation i = wrapping 64-bit multiply of the XXH64 token hash
+    by the odd constant 2000006*i + 12345, sign bit masked), plus the
+    corpus '__all__' row computed FROM SCRATCH over all distinct tokens
+    — the engine derives that row by element-wise-MIN-merging the shard
+    signatures, so this gate proves merge == rescan."""
+    return ("WITH tagged AS (SELECT DISTINCT source AS grp, tok FROM (\n"
+            "    SELECT source, unnest(list_filter(\n"
+            "      string_split(lower(text), ' '), x -> x <> '')) AS tok\n"
+            "    FROM documents) t),\n"
+            "dtok AS (SELECT DISTINCT tok FROM tagged),\n"
+            + xxh64_token_ctes() + f""",
+perms AS (SELECT CAST(range AS INT) AS perm,
+    (2000006 * range + 12345)::UBIGINT AS a FROM range({num_perms})),
+masked AS (
+  SELECT t.tok, p.perm,
+    CAST(CAST((t.hu::HUGEINT * p.a::HUGEINT) % 18446744073709551616::HUGEINT
+      AS UBIGINT) & 9223372036854775807::UBIGINT AS BIGINT) AS mh
+  FROM thash t CROSS JOIN perms p),
+sigs AS (
+  SELECT g.grp, m.perm, min(m.mh) AS sig
+  FROM masked m JOIN tagged g USING (tok) GROUP BY 1, 2),
+uni AS (
+  SELECT '__all__' AS grp, perm, min(mh) AS sig
+  FROM masked GROUP BY 2)
+SELECT grp, perm, sig FROM (
+  SELECT * FROM sigs UNION ALL SELECT * FROM uni) u
+ORDER BY grp, perm""")
+
+
 def cms_sql(depth=4, width=1024):
     """q69 oracle: the full Count-Min sketch mirrored from first
     principles — per-key counts of lineitem.l_partkey, XXH64 of the
@@ -324,6 +355,7 @@ if __name__ == "__main__":
     for name, sql in (("d03_simhash", d03_sql()), ("d07_simhash_pairs", d07_sql()),
                       ("q58_hll_registers", hll_sql()),
                       ("q104_hll_union", hll_union_sql()),
+                      ("d22_minhash_union", minhash_union_sql()),
                       ("q69_cms_sketch", cms_sql())):
         got = con.sql(sql).fetchall()
         print(f"{name}: {len(got)} rows")
