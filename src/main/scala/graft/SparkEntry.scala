@@ -4853,9 +4853,11 @@ FROM est ORDER BY l_partkey""",
     // st21: the exact-regime SpaceSaving answer IS the batch count
     // rank (capacity > distinct users: no eviction, err 0).
     "st21_heavy_hitters" ->
-      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT event_type, count(*) AS n_seen FROM events GROUP BY 1),
+      """WITH ev AS (SELECT event_type, user_id FROM events
+        |  WHERE user_id % 3 = 1),
+        |c AS (SELECT event_type, user_id, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n_seen FROM ev GROUP BY 1),
         |r AS (SELECT event_type, user_id, cnt,
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY cnt DESC, user_id) AS hh_rank

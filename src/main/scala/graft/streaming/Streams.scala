@@ -1318,8 +1318,8 @@ object Streams {
     }
   }
 
-  /** st21 — streaming heavy hitters under the oracle gate: the full
-    * events table keyed by event_type replayed through
+  /** st21 — streaming heavy hitters under the oracle gate: a
+    * 1-in-3-user event slice keyed by event_type replayed through
     * [[SpaceSavingProcessor]] in 3 micro-batches with capacity 4096 —
     * above the distinct-user count at every harness SF (1,500 at
     * sf0.1), so the sketch runs in
@@ -1332,11 +1332,12 @@ object Streams {
   def st21HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val data = Tables(s, dir, "events")
+      .filter($"user_id" % 3 === 1) // bounded replay slice, st15 discipline
       .select($"event_type", $"user_id")
       .orderBy($"event_id")
       .as[(String, Long)]
       .collect()
-    require(data.nonEmpty, s"st21: empty events table in $dir")
+    require(data.nonEmpty, s"st21: empty events slice (user_id % 3 == 1) in $dir")
     val sink = replay(s, data.toSeq, OutputMode.Update, "st21", nChunks = 3,
         confs = Seq("spark.sql.streaming.stateStore.providerClass" ->
           ("org.apache.spark.sql.execution.streaming." +
