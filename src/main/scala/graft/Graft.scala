@@ -4154,6 +4154,55 @@ object Graft {
     sigs.unionByName(merged)
   }
 
+  /** Exact median / MAD / outlier screen per key (the robust-stats
+    * twin of mean±stddev, immune to the outliers it hunts): per key
+    * the LOWER MEDIAN (smallest value whose running count reaches
+    * ⌈n/2⌉ — an actual data value, integer-exact, no averaging
+    * convention to drift cross-engine), the median absolute deviation
+    * under the same convention, and the count of points beyond
+    * `k`·MAD. Returns (key, n_points, median, mad, n_outliers).
+    *
+    * Scale shape: everything rides per-(key, value) COUNTS — two
+    * count-fold + windowed-cumsum rounds (both windows PARTITIONED by
+    * the key over value-cardinality-sized input) and a broadcast-sized
+    * median join back; the raw data is scanned once per round, never
+    * sorted globally. The selection `min(value where cum ≥ rank)` is a
+    * partial-folded conditional min, not a second window. */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: Column,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def medianOf(values: DataFrame, vCol: String): DataFrame = {
+      // values: (key, v, c) counts; lower median via running count
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      values
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(keyCol))))
+        .groupBy(col(keyCol))
+        .agg(max(col("__n")).as("__n"),
+          min(when(col("__cum") * 2 >= col("__n"), col(vCol)))
+            .as("__med"))
+    }
+    val vals = df.select(col(keyCol), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col(keyCol), col("__v")).agg(count(lit(1)).as("__c"))
+    val med = medianOf(vals, "__v")
+    val devs = vals.join(med.select(col(keyCol), col("__med")), Seq(keyCol))
+      .groupBy(col(keyCol), abs(col("__v") - col("__med")).as("__d"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = medianOf(devs, "__d")
+      .select(col(keyCol), col("__med").as("__mad"))
+    devs.join(mad, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n_points"),
+        sum(when(col("__d") > lit(k.toLong) * col("__mad"), col("__c"))
+          .otherwise(lit(0L))).as("n_outliers"),
+        max(col("__mad")).as("mad"))
+      .join(med.select(col(keyCol), col("__med").as("median")), Seq(keyCol))
+      .select(col(keyCol), col("n_points"), col("median"), col("mad"),
+        col("n_outliers"))
+  }
+
   /** Register-level set algebra over two [[hllRegisters]] sketches —
     * the MERGEABILITY that makes HLL the 100 TB distinct-count tool:
     * the union of two key sets' sketches is the per-bucket max of

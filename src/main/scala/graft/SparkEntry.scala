@@ -267,8 +267,11 @@ object SparkEntry {
     "q107_abc" -> (Relational.q107Abc _),
     "q108_corrmat" -> (Relational.q108CorrMat _),
     "q109_cdf" -> (Relational.q109Cdf _),
+    "q110_mad" -> (Relational.q110Mad _),
+    "q111_ratio_parent" -> (Relational.q111RatioParent _),
     "d22_minhash_union" -> (TextDedup.d22MinhashUnion _),
     "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
+    "st22_hll_monitor" -> (streaming.Streams.st22HllMonitor _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
@@ -3269,6 +3272,50 @@ SELECT bucket, count(DISTINCT tok) AS n_keys,
        ELSE bit_count((wi & (-wi)) - 1)::INT + 1 END) AS max_rho
 FROM rho GROUP BY bucket ORDER BY bucket""",
 
+    // st22: the q58 register mirror over the sliced user ids, no
+    // n_keys (tools/gen_xxh64_sql.py st22_hll_sql, self-checked) — the
+    // from-scratch twin of the incrementally merged standing table.
+    // Raw triple-quote (SQL contains `|`).
+    "st22_hll_monitor" ->
+      """WITH dtok AS (SELECT DISTINCT user_id::VARCHAR AS tok
+  FROM events WHERE user_id % 5 = 2),
+tbytes AS (
+  SELECT tok, strlen(tok)::BIGINT AS n,
+    list_transform(range(1, strlen(tok) + 1),
+      i -> unicode(substr(tok, i::INT, 1))::UBIGINT) AS bs
+  FROM dtok),
+-- XXH64(token, seed 42), tokens < 32 bytes: no stripe loop
+tacc AS (
+  SELECT tok, n, bs,
+    list_reduce(
+      list_prepend(CAST((((2870177450012600303)::HUGEINT + (n::UBIGINT)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT),
+        list_transform(range(0, n // 8), j -> ((bs)[(j*8 + 1)]::UBIGINT + (bs)[(j*8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[(j*8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[(j*8 + 1)+3]::UBIGINT * 16777216::UBIGINT + (bs)[(j*8 + 1)+4]::UBIGINT * 4294967296::UBIGINT + (bs)[(j*8 + 1)+5]::UBIGINT * 1099511627776::UBIGINT + (bs)[(j*8 + 1)+6]::UBIGINT * 281474976710656::UBIGINT + (bs)[(j*8 + 1)+7]::UBIGINT * 72057594037927936::UBIGINT))),
+      (a, w) -> (list_transform([CAST((((w)::HUGEINT * 668265295::HUGEINT + (((w)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t1 -> (list_transform([(CAST((((t1)::HUGEINT * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t1) >> 33))], t2 -> (list_transform([CAST((((t2)::HUGEINT * 2246822535::HUGEINT + (((t2)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], t3 -> (list_transform([xor(a, t3)], t4 -> (list_transform([(CAST((((t4)::HUGEINT * 134217728::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((t4) >> 37))], t5 -> CAST((((CAST((((t5)::HUGEINT * 2246822535::HUGEINT + (((t5)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (9650029242287828579)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]))[1]) AS a2
+  FROM tbytes),
+tacc4 AS (
+  SELECT tok, n, bs,
+    CASE WHEN n % 8 >= 4 THEN (list_transform([((bs)[((n // 8) * 8 + 1)]::UBIGINT + (bs)[((n // 8) * 8 + 1)+1]::UBIGINT * 256::UBIGINT + (bs)[((n // 8) * 8 + 1)+2]::UBIGINT * 65536::UBIGINT + (bs)[((n // 8) * 8 + 1)+3]::UBIGINT * 16777216::UBIGINT)], v0 -> (list_transform([CAST((((v0)::HUGEINT * 2246822535::HUGEINT + (((v0)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], v1 -> (list_transform([xor(a2, v1)], v2 -> (list_transform([(CAST((((v2)::HUGEINT * 8388608::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((v2) >> 41))], v3 -> CAST((((CAST((((v3)::HUGEINT * 668265295::HUGEINT + (((v3)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT))::HUGEINT + (1609587929392839161)::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]))[1]
+         ELSE a2 END AS a3
+  FROM tacc),
+tacct AS (
+  SELECT tok,
+    list_reduce(
+      list_prepend(a3,
+        list_transform(range(0, n % 4), j -> bs[n - (n % 4) + j + 1])),
+      (a, b) -> (list_transform([CAST((((b)::HUGEINT * 374761413::HUGEINT + (((b)::HUGEINT * 668265263::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], u1 -> (list_transform([xor(a, u1)], u2 -> (list_transform([(CAST((((u2)::HUGEINT * 2048::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) | ((u2) >> 53))], u3 -> CAST((((u3)::HUGEINT * 2246822535::HUGEINT + (((u3)::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)))[1]))[1]))[1]) AS a4
+  FROM tacc4),
+thash AS (
+  SELECT tok, (list_transform([xor(a4, a4 >> 33)], z1 -> (list_transform([CAST((((z1)::HUGEINT * 668265295::HUGEINT + (((z1)::HUGEINT * 3266489917::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z2 -> (list_transform([xor(z2, z2 >> 29)], z3 -> (list_transform([CAST((((z3)::HUGEINT * 2654435833::HUGEINT + (((z3)::HUGEINT * 374761393::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT)], z4 -> xor(z4, z4 >> 32)))[1]))[1]))[1]))[1] AS hu
+  FROM tacct),
+rho AS (
+  SELECT CAST(hu & 63::UBIGINT AS BIGINT) AS bucket,
+    CAST(hu >> 6 AS BIGINT) AS wi
+  FROM thash)
+SELECT bucket,
+  max(CASE WHEN wi = 0 THEN 59
+       ELSE bit_count((wi & (-wi)) - 1)::INT + 1 END) AS max_rho
+FROM rho GROUP BY bucket ORDER BY bucket""",
+
     // d22: per-shard MinHash signatures and the FROM-SCRATCH corpus
     // signature (tools/gen_xxh64_sql.py minhash_union_sql, self-checked
     // against the engine dump) — the engine derives __all__ by merging
@@ -4849,6 +4896,59 @@ FROM est ORDER BY l_partkey""",
         |  CAST(1000 * s.cum // t.n AS BIGINT) AS cdf_permille
         |FROM s CROSS JOIN t
         |ORDER BY s.qty""".stripMargin,
+
+    // q110: the lower-median convention spelled identically (smallest
+    // value whose doubled running count reaches n); everything rides
+    // per-(key, value) counts so both engines fold the same frames.
+    "q110_mad" ->
+      """WITH e AS (SELECT event_type,
+        |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS v
+        |  FROM events),
+        |c AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |m1 AS (SELECT event_type, min(CASE WHEN cum * 2 >= n THEN v END)
+        |    AS med FROM (
+        |  SELECT event_type, v,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM c) t
+        |  GROUP BY 1),
+        |d AS (SELECT c.event_type, abs(v - med) AS dv, sum(c.c) AS c
+        |  FROM c JOIN m1 USING (event_type) GROUP BY 1, 2),
+        |m2 AS (SELECT event_type, min(CASE WHEN cum * 2 >= n THEN dv END)
+        |    AS mad FROM (
+        |  SELECT event_type, dv,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY dv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM d) t
+        |  GROUP BY 1)
+        |SELECT d.event_type, CAST(sum(d.c) AS BIGINT) AS n_points,
+        |  CAST(max(m1.med) AS BIGINT) AS median,
+        |  CAST(max(m2.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN d.dv > 3 * m2.mad THEN d.c ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q111: share-of-parent in cross-multiplied integers; the window
+    // partitions by region (5 rows each).
+    "q111_ratio_parent" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |    AS region_rev_cents,
+        |  CAST(1000 * rev_cents //
+        |    sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |    AS share_permille,
+        |  CAST(row_number() OVER (PARTITION BY r_name
+        |    ORDER BY rev_cents DESC, n_name) AS BIGINT) AS rank_in_region
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
 
     // st21: the exact-regime SpaceSaving answer IS the batch count
     // rank (capacity > distinct users: no eviction, err 0).

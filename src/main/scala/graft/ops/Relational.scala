@@ -2439,4 +2439,46 @@ object Relational {
         expr("1000L * cum div __n").as("cdf_permille"))
       .orderBy($"qty")
   }
+
+  /** q110 — robust outlier screen ([[graft.Graft.madOutliers]]): per
+    * event type the exact lower-median of value cents, the median
+    * absolute deviation under the same convention, and how many events
+    * sit beyond 3·MAD — the outlier count that outliers themselves
+    * cannot drag (the mean±3σ failure mode). */
+  def q110Mad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"event_type",
+        coalesce(round($"value" * 100).cast("long"), lit(0L)).as("cents"))
+    graft.Graft.madOutliers(e, "event_type", $"cents", k = 3)
+      .orderBy($"event_type")
+  }
+
+  /** q111 — hierarchical share-of-parent: nation revenue as a permille
+    * of its region's revenue (exact cross-multiplied integers) with
+    * the nation's rank inside the region — the classic drill-down
+    * ratio-to-parent readout. Dims broadcast; the fact fold is one
+    * partial-folded aggregate; the ranking window partitions by
+    * region (bounded). */
+  def q111RatioParent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"r_name")
+    val rk = org.apache.spark.sql.expressions.Window.partitionBy($"r_name")
+      .orderBy($"rev_cents".desc, $"n_name")
+    rev
+      .withColumn("region_rev_cents", sum($"rev_cents").over(w))
+      .withColumn("share_permille",
+        expr("1000L * rev_cents div region_rev_cents"))
+      .withColumn("rank_in_region", row_number().over(rk).cast("long"))
+      .orderBy($"r_name", $"n_name")
+  }
 }

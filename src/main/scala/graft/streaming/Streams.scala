@@ -1253,6 +1253,84 @@ object Streams {
     out
   }
 
+  /** st22 — streaming DISTINCT-COUNT monitoring via the mergeable HLL
+    * register sketch ([[graft.Graft.hllRegisters]], q58's kernel), run
+    * genuinely incrementally on the st19 standing-table pattern: each
+    * micro-batch folds to its own register frame and merges into the
+    * running table by per-bucket max ([[graft.Graft.hllUnionRegisters]]
+    * — q104's union, exercised as the streaming accumulator), with the
+    * st11 A/B generation flip. Deterministic for ANY chunking because
+    * register max-merge is associative, commutative, and idempotent
+    * (re-delivery cannot inflate a max — the property that makes HLL
+    * the at-least-once-safe streaming distinct counter, unlike an
+    * additive count). The oracle rebuilds the registers from scratch
+    * over the whole slice, so merge != rescan hash-fails. History is
+    * never rescanned: standing state is the fixed ≤ 2^bucketBits-row
+    * register table regardless of stream volume. Stateless stream
+    * (state lives in the sink), eager by design like st19. */
+  def st22HllMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 5 === 2)
+      .select($"event_id", $"user_id")
+      .orderBy($"event_id")
+      .as[(Long, Long)]
+      .collect()
+    require(data.nonEmpty,
+      s"st22: empty events slice (user_id % 5 == 2) in $dir")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+      s2.sqlContext)
+    val root = java.nio.file.Files.createTempDirectory("graft_st22_").toFile
+    @volatile var cur: Option[String] = None
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = in.toDS().toDF("event_id", "user_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = graft.Graft.hllRegisters(
+            batch.select(org.apache.spark.sql.functions.col("user_id")),
+            "user_id")
+          .select(org.apache.spark.sql.functions.col("bucket"),
+            org.apache.spark.sql.functions.col("max_rho"))
+        val merged = cur match {
+          case Some(p) =>
+            graft.Graft.hllUnionRegisters(
+                batch.sparkSession.read.parquet(p), delta)
+              .select(org.apache.spark.sql.functions.col("bucket"),
+                org.apache.spark.sql.functions.col("rho_union")
+                  .cast("int").as("max_rho"))
+          case None => delta
+        }
+        val next = new java.io.File(root, s"gen${gen.incrementAndGet()}").getPath
+        merged.write.mode("overwrite").parquet(next)
+        cur = Some(next)
+        ()
+      }
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val chunk = math.max(1, (data.length + 2) / 3)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = s.read.parquet(cur.getOrElse(
+        throw new IllegalStateException("st22: no batch ever committed")))
+      .orderBy($"bucket")
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    out
+  }
+
   case class HhIn(event_type: String, user_id: Long)
   case class HhCounter(item: Long, cnt: Long, err: Long)
   case class HhRow(event_type: String, n_seen: Long, hh_rank: Int,

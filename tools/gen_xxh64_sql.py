@@ -232,6 +232,25 @@ SELECT bucket,
 FROM r GROUP BY bucket ORDER BY bucket""")
 
 
+def st22_hll_sql():
+    """st22 oracle: the q58 register build over the distinct user_ids
+    of the 1-in-5 event slice, WITHOUT n_keys (per-build distinct
+    counts are not register-mergeable, so the streaming accumulator
+    never has them) — the from-scratch mirror of the incrementally
+    merged standing table."""
+    return ("WITH dtok AS (SELECT DISTINCT user_id::VARCHAR AS tok\n"
+            "  FROM events WHERE user_id % 5 = 2),\n"
+            + xxh64_token_ctes() + """,
+rho AS (
+  SELECT CAST(hu & 63::UBIGINT AS BIGINT) AS bucket,
+    CAST(hu >> 6 AS BIGINT) AS wi
+  FROM thash)
+SELECT bucket,
+  max(CASE WHEN wi = 0 THEN 59
+       ELSE bit_count((wi & (-wi)) - 1)::INT + 1 END) AS max_rho
+FROM rho GROUP BY bucket ORDER BY bucket""")
+
+
 def minhash_union_sql(num_perms=16):
     """d22 oracle: per-source whitespace-token-set MinHash signatures
     (permutation i = wrapping 64-bit multiply of the XXH64 token hash
@@ -348,6 +367,7 @@ if __name__ == "__main__":
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
     con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')")
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
     # self-check assumptions
     a = con.sql("SELECT max(strlen(tok)), max(CASE WHEN tok ~ '^[\\x00-\\x7F]*$' THEN 0 ELSE 1 END) FROM (SELECT unnest(string_split(lower(text),' ')) AS tok FROM documents) WHERE tok <> ''").fetchone()
     assert a[0] < 32, f"token >= 32 bytes ({a[0]}): stripe loop needed"
@@ -356,6 +376,7 @@ if __name__ == "__main__":
                       ("q58_hll_registers", hll_sql()),
                       ("q104_hll_union", hll_union_sql()),
                       ("d22_minhash_union", minhash_union_sql()),
+                      ("st22_hll_monitor", st22_hll_sql()),
                       ("q69_cms_sketch", cms_sql())):
         got = con.sql(sql).fetchall()
         print(f"{name}: {len(got)} rows")
