@@ -498,13 +498,17 @@ object Graft {
     * from an equi-join on the first `blockLen` chars of each side's
     * match column, verified by `levenshtein <= maxDist` — the only
     * fuzzy-join shape that survives scale (never all-pairs). The
-    * smaller `right` side broadcasts. Returns left ++ right columns
-    * plus `dist`. The blocking contract is part of the semantics:
-    * matches differing inside the block prefix are NOT found. */
+    * block-key join is UN-HINTED (r16: the dictionary side grows with
+    * the corpus, so a forced broadcast is the q111 failure mode — AQE
+    * broadcasts a small dictionary at runtime and falls back to a
+    * shuffle-hash join on the block key when both sides are
+    * corpus-sized). Returns left ++ right columns plus `dist`. The
+    * blocking contract is part of the semantics: matches differing
+    * inside the block prefix are NOT found. */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       leftCol: String, rightCol: String,
       blockLen: Int, maxDist: Int): DataFrame =
-    left.join(broadcast(right),
+    left.join(right,
         substring(col(leftCol), 1, blockLen) ===
           substring(col(rightCol), 1, blockLen))
       .withColumn("dist", levenshtein(col(leftCol), col(rightCol)).cast("long"))
@@ -3798,17 +3802,20 @@ object Graft {
   def gridRadiusJoin(df: DataFrame, idCol: String, xCol: String,
       yCol: String, radius: Long): DataFrame = {
     require(radius > 0, s"radius must be positive: $radius")
-    // sign-safe floor division: (c - pmod(c, r)) is an exact multiple of
-    // r, so the double division is exact and the long cast lossless
-    def fdiv(c: Column): Column =
-      ((c - pmod(c, lit(radius))) / lit(radius)).cast("long")
+    // sign-safe floor division in EXACT integer arithmetic: (c -
+    // pmod(c, r)) is an exact multiple of r and `div` is int64
+    // integral division — no double detour, so cells stay exact for
+    // the full long coordinate range (the r15 ADVICE item: long `/`
+    // is double division, which mis-rounds multiples beyond 2^53).
+    def fdiv(name: String): Column =
+      expr(s"($name - pmod($name, ${radius}L)) div ${radius}L")
     val pts = df.select(col(idCol).cast("long").as("__id"),
         col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
       .filter(col("__id").isNotNull && col("__x").isNotNull &&
         col("__y").isNotNull)
     val withCell = pts
-      .withColumn("__cx", fdiv(col("__x")))
-      .withColumn("__cy", fdiv(col("__y")))
+      .withColumn("__cx", fdiv("__x"))
+      .withColumn("__cy", fdiv("__y"))
     val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 }
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
     val left = withCell.select(col("__id").as("id_a"),
@@ -3940,7 +3947,14 @@ object Graft {
           col("__c").as("c"))).as("__w"))
       .select(col(keyCol), col("n_points"), col("total"),
         col("__w.k").as("cp_rn"),
-        (-col("__w.ns")).cast("long").as("score"),
+        // guarded cast-back (the corrMoments/autocorrDiag discipline,
+        // r15 ADVICE): a self-describing in-plan abort instead of an
+        // opaque ANSI CAST_OVERFLOW when the n²-scaled score leaves
+        // int64
+        guarded(abs(col("__w.ns")) > lit(Long.MaxValue).cast(dec),
+          "cusumChangepoint: score exceeds int64 — report the decimal " +
+            "score directly for series this large",
+          (-col("__w.ns")).cast("long")).as("score"),
         expr("1000L * __w.c div __w.k").as("mean_before_permille"),
         expr("1000L * (total - __w.c) div (n_points - __w.k)")
           .as("mean_after_permille"))
@@ -3968,8 +3982,11 @@ object Graft {
     // localCheckpoint pins the sampled range boundaries so the offsets
     // collected below describe the SAME partition contents the final
     // plan reads — see the [[skyline2D]] comment (q107 caught the
-    // unpinned version drifting between jobs)
-    val ranged = df.withColumn("__v", valueCol.cast("long"))
+    // unpinned version drifting between jobs). Null contract (r15
+    // ADVICE): a null value contributes 0 to the running sum (the
+    // coalesce below) — without it an all-null range partition sums to
+    // NULL and the driver fold NPEs.
+    val ranged = df.withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
       .repartitionByRange(nParts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
@@ -4013,10 +4030,18 @@ object Graft {
     val scanned = distributedCumSum(per,
       Seq(col("value").desc, col(keyCol)), col("value"))
     val total = per.agg(sum(col("value")).as("__t"))
+    // class-cut comparison in DECIMAL(38,0): cum reaches the grand
+    // total, so cum*1000 in plain long arithmetic overflows int64 once
+    // the total passes ~9.2e15 (r15 ADVICE) — comparisons never cast
+    // back, so the decimal spelling is exact at any scale.
+    val dec = "decimal(38,0)"
+    def cut(p: Int): Column =
+      col("cum").cast(dec) * lit(1000L).cast(dec) <=
+        lit(p.toLong).cast(dec) * col("__t").cast(dec)
     scanned.crossJoin(broadcast(total))
       .select(col(keyCol), col("value"), col("cum"),
-        when(col("cum") * 1000 <= lit(aPermille.toLong) * col("__t"), "A")
-          .when(col("cum") * 1000 <= lit(bPermille.toLong) * col("__t"), "B")
+        when(cut(aPermille), "A")
+          .when(cut(bPermille), "B")
           .otherwise("C").as("abc_class"))
   }
 

@@ -44,13 +44,15 @@ object Relational {
   }
 
   /** q02 — 5-way star join: revenue per nation for one region.
-    * region/nation/customer are dimension tables: explicitly
-    * `broadcast()`-ed so the only shuffle is the big lineitem⋈orders
-    * equi-join on l_orderkey (AQE can still convert it if one side
-    * shrinks under the filter). The region filter prunes 4/5 of the dim
-    * rows before the broadcast is built. At 100 TB customer may be too
-    * big to broadcast — AQE's size check then demotes it to shuffle join
-    * automatically; the declarative plan is unchanged.
+    * nation (25 rows) and region (5) are forever-small and carry
+    * explicit `broadcast()` hints; the customer-side dim subtree is
+    * UN-HINTED (r16: a hint OVERRIDES AQE's size check, so hinting a
+    * scale-growing table forces a 100×-OOM broadcast — the q111
+    * lesson; un-hinted, AQE broadcasts it at harness scale and
+    * demotes to a shuffle join when customer outgrows the threshold).
+    * The only unavoidable shuffle is the big lineitem⋈orders
+    * equi-join on l_orderkey. The region filter prunes 4/5 of the dim
+    * rows before any join.
     */
   def q02StarJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -61,7 +63,7 @@ object Relational {
       .select($"c_custkey", $"n_name")
     Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .join(dims, $"o_custkey" === $"c_custkey")
       .groupBy($"n_name")
       .agg(
         round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
@@ -2078,14 +2080,16 @@ object Relational {
     * integer cents per nation through the fixed-size bucket sketch —
     * the 100 TB quantile path (bounded shuffle, no per-group sort)
     * whose exact counterpart q62 documents as inherently
-    * sort-priced. Customer is a broadcast dim join; every number in
-    * the result is a bucket lower bound, integer end-to-end. */
+    * sort-priced. The customer key-map join is un-hinted (r16:
+    * customer grows with scale — AQE broadcasts it here and correctly
+    * shuffle-joins at 100×); every number in the result is a bucket
+    * lower bound, integer end-to-end. */
   def q91HdrQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables(s, dir, "orders")
     val c = Tables(s, dir, "customer")
       .select($"c_custkey", $"c_nationkey")
-    val v = o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+    val v = o.join(c, $"o_custkey" === $"c_custkey")
       .select($"c_nationkey",
         round($"o_totalprice" * 100).cast("long").as("cents"))
     graft.Graft.hdrQuantiles(v, "c_nationkey", $"cents",
@@ -2382,10 +2386,18 @@ object Relational {
       .agg(count(lit(1)).as("n_cell"), sum($"cents").as("sum_cell"))
     val tot = e.groupBy($"event_type")
       .agg(count(lit(1)).as("n_type"), sum($"cents").as("sum_type"))
+    // cross-multiply in DECIMAL(38,0): the DuckDB oracle computes
+    // sum(BIGINT) in HUGEINT, so at large event volumes the long
+    // product 1000·sum_cell·n_type overflows int64 on the Spark side
+    // only — the r15 ADVICE item. The div quotient is a bounded
+    // permille ratio, so the LongType result of `div` is always exact.
     cell.join(broadcast(tot), Seq("event_type"))
       .select($"event_type", $"dow", $"n_cell", $"sum_cell",
-        expr("1000L * sum_cell * n_type div (n_cell * sum_type)")
-          .as("seasonal_permille"))
+        expr("""(1000 * cast(sum_cell as decimal(38,0))
+                |   * cast(n_type as decimal(38,0)))
+                | div (cast(n_cell as decimal(38,0))
+                |   * cast(sum_type as decimal(38,0)))"""
+          .stripMargin).as("seasonal_permille"))
       .orderBy($"event_type", $"dow")
   }
 
@@ -2457,20 +2469,28 @@ object Relational {
   /** q111 — hierarchical share-of-parent: nation revenue as a permille
     * of its region's revenue (exact cross-multiplied integers) with
     * the nation's rank inside the region — the classic drill-down
-    * ratio-to-parent readout. Dims broadcast; the fact fold is one
-    * partial-folded aggregate; the ranking window partitions by
+    * ratio-to-parent readout. Scale shape (r15 verdict fix): the fact
+    * fold happens FIRST — orders partial-folds to per-custkey cents
+    * before any join, so the customer join's probe side is already
+    * key-cardinality-sized; that join carries NO hint (customer grows
+    * with scale factor — AQE broadcasts it at harness scale and
+    * correctly falls back to a shuffle join at 100×, where a forced
+    * broadcast would OOM). Only the forever-small dims (nation 25,
+    * region 5) keep explicit hints. The ranking window partitions by
     * region (bounded). */
   def q111RatioParent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rev = Tables(s, dir, "orders")
-      .join(broadcast(Tables(s, dir, "customer")),
-        $"o_custkey" === $"c_custkey")
+    val perCust = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cust_cents"))
+    val rev = perCust
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables(s, dir, "nation")),
         $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables(s, dir, "region")),
         $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"))
+      .agg(sum($"cust_cents").as("rev_cents"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"r_name")
     val rk = org.apache.spark.sql.expressions.Window.partitionBy($"r_name")
       .orderBy($"rev_cents".desc, $"n_name")

