@@ -3497,6 +3497,96 @@ object Graft {
     n
   }
 
+  /** Small-file compaction for a HIVE-PARTITIONED index layout (the
+    * maintenance pass behind [[partitionedAppend]]: every appended
+    * batch adds one file per touched partition directory, and after
+    * enough batches a pruned probe pays per-FILE open/footer costs
+    * inside every bucket it reads). Rewrites ONLY the partitions that
+    * hold more than one data file — the common case after N appends is
+    * that most partitions are already compact, and this pass never
+    * touches them (contrast [[compactParquet]], which rewrites the
+    * whole table; at a 100 TB index the multi-file subset after a
+    * daily append is batch-sized, not index-sized).
+    *
+    * Shape: partition selection reads file-system METADATA only; the
+    * rewrite is ONE distributed job over just the multi-file
+    * partitions (`basePath` keeps the partition column), repartitioned
+    * by the partition column so each directory lands as a single
+    * file; then a per-partition file swap adopts the compacted file
+    * and drops the fragments. The swap window (delete + move) is not
+    * atomic — production puts this behind a transactional table
+    * format's snapshot commit (Delta/Iceberg OPTIMIZE); callers here
+    * guard with a marker and rebuild on a half-swapped layout, the
+    * [[ops.Similarity]] append-marker discipline. Compaction must not
+    * change ANY query answer over the index — s27 gates exactly that,
+    * byte-identical search results before/after.
+    *
+    * Returns the number of partitions compacted (0 = layout already
+    * compact; the call is then metadata-only and job-free). */
+  def compactIndex(s: SparkSession, path: String, partitionCol: String): Int = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"no index layout at $path")
+    def dataFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val multi = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(partitionCol + "="))
+      .filter(d => dataFiles(d).length > 1)
+    if (multi.isEmpty) return 0
+    val staging = new java.io.File(
+      root.getParentFile, root.getName + "__compacting")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(staging) // clear a previous crashed pass
+    s.read.option("basePath", path)
+      .parquet(multi.map(_.getAbsolutePath).toSeq: _*)
+      .repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).mode("overwrite")
+      .parquet(staging.getAbsolutePath)
+    multi.foreach { d =>
+      val compacted = dataFiles(new java.io.File(staging, d.getName))
+      require(compacted.nonEmpty, s"compaction lost partition ${d.getName}")
+      dataFiles(d).foreach(f => f.delete(): Unit)
+      compacted.foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(d, f.getName).toPath): Unit
+      }
+    }
+    rmTree(staging)
+    multi.length
+  }
+
+  /** Deterministic per-key k-reservoir sample (t37's oracle-checked
+    * binding; [[graft.functions.ReservoirSample]] carries the
+    * algorithm notes): for each `keyCol` group, the `k` payloads with
+    * the smallest (hashCol, payloadCol) pairs, emitted one row per
+    * sampled payload with its in-sample rank. `hashCol` must be a
+    * deterministic uniform 64-bit function of the row identity (salted
+    * xxhash64, an md5-derived long) — that choice IS the sample; rand()
+    * here would be neither re-runnable nor oracle-checkable.
+    *
+    * Scale shape: ONE partial-folded aggregate — every partition
+    * reduces each key to at most k (hash, payload) pairs BEFORE the
+    * exchange (ObjectHashAggregate partial/final, the minhash_sketch
+    * machinery), so a billion-row key ships k pairs, and the
+    * posexplode fans the final k-array back to rows. No window, no
+    * per-key sort of the data. */
+  def reservoirSample(df: DataFrame, keyCol: String, hashCol: Column,
+      payloadCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val agg = ColumnBridge.column(graft.functions.ReservoirSample(
+      ColumnBridge.expression(hashCol.cast("long")),
+      ColumnBridge.expression(payloadCol.cast("long")), k)
+      .toAggregateExpression())
+    df.groupBy(col(keyCol))
+      .agg(agg.as("__res"))
+      .select(col(keyCol), posexplode(col("__res")).as(Seq("__pos", "sampled")))
+      .select(col(keyCol), (col("__pos") + 1).cast("long").as("rk"),
+        col("sampled"))
+  }
+
   /** Single-pass per-column data-quality profile (the Deequ/dbt-style
     * contract check a pipeline runs before trusting a new drop): for
     * every column of `df`, null count, exact distinct count, and

@@ -138,6 +138,7 @@ object SparkEntry {
     "s13_lsh_layout" -> (Similarity.s13LshLayout _),
     "s25_inc_append" -> (Similarity.s25IncAppend _),
     "s26_ivf_append" -> (Similarity.s26IvfAppend _),
+    "s27_compact_search" -> (Similarity.s27CompactedSearch _),
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "s15_pq_topk" -> (Similarity.s15PqTopK _),
     "s23_pq_layout" -> (Similarity.s23PqLayout _),
@@ -273,6 +274,7 @@ object SparkEntry {
     "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
     "st22_hll_monitor" -> (streaming.Streams.st22HllMonitor _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
+    "t37_reservoir" -> (TextAnalysis.t37Reservoir _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
   )
@@ -1548,69 +1550,150 @@ object SparkEntry {
     // equal byte semantics) — the decode stub's outputs recompute
     // exactly from the VARCHAR side (r13 verdict item 2: the former
     // rows-only media stub is now hash-exact).
+    // m01: the oracle recomputes the DECODED-pixel statistics from the
+    // pixel-synthesis formula (multiplicative mix mod 199) with
+    // generate_series — PNG is lossless, so a hash match proves the
+    // Spark side's javax.imageio encode->decode->extract chain is
+    // pixel-exact. aHash bits are the exact integer compare
+    // cell_sum*64 > total; bands are 16 cells each, row-major.
     "m01_media_features" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST((((strlen(text) * 7 + 13) % 640 + 1) * 10000)
-        |    // ((strlen(text) * 11 + 29) % 480 + 1) AS BIGINT) AS aspect_pm,
-        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
-        |  md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // m02: the integer resize (len * 64*64 div w*h, truncating) is
-    // re-tiled with repeat/substr, re-framed with generate_series, and
-    // each sampled frame's md5 prefix xor-folds — every stage is
-    // integer arithmetic over ASCII bytes, so the mirror is byte-exact
-    // (docs too short for one complete frame drop out on both sides).
-    "m02_frame_sample" ->
-      """WITH sized AS (
-        |  SELECT doc_id, text, strlen(text) AS len,
-        |    greatest(1, (strlen(text) * 4096)
-        |      // (((strlen(text) * 7 + 13) % 640 + 1)
-        |         * ((strlen(text) * 11 + 29) % 480 + 1))) AS outlen
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w,
+        |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h
         |  FROM documents),
-        |tiled AS (
-        |  SELECT doc_id, outlen,
-        |    substr(repeat(text, CAST((outlen + len - 1) // len AS INTEGER)),
-        |      1, CAST(outlen AS INTEGER)) AS payload
-        |  FROM sized),
-        |idx AS (
-        |  SELECT doc_id, payload,
-        |    unnest(generate_series(0, CAST(outlen // 16 - 1 AS BIGINT))) AS i
-        |  FROM tiled),
-        |frames AS (
-        |  SELECT doc_id,
-        |    substr(payload, CAST(i * 16 + 1 AS INTEGER), 16) AS frame
-        |  FROM idx WHERE i % 3 = 0)
-        |SELECT doc_id, count(*)::BIGINT AS n_frames,
-        |  bit_xor(('0x' || substr(md5(frame), 1, 15))::BIGINT)
-        |    AS frames_checksum
-        |FROM frames GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+        |    ((d.doc_id + 1) * (xs.x + 3) * (ys.y + 7) + d.doc_id * 7) % 199 AS r,
+        |    ((d.doc_id + 2) * (xs.x + 5) * (ys.y + 11) + d.doc_id * 11) % 199 AS g,
+        |    ((d.doc_id + 3) * (xs.x + 7) * (ys.y + 13) + d.doc_id * 13) % 199 AS b
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys),
+        |cells AS (
+        |  SELECT doc_id, w, h, ((y // (h // 8)) * 8 + (x // (w // 8))) AS c,
+        |    CAST(sum(299 * r + 587 * g + 114 * b) AS BIGINT) AS cell_sum,
+        |    CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(b) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id, w, h, c),
+        |tot AS (
+        |  SELECT doc_id, w, h, CAST(sum(cell_sum) AS BIGINT) AS total,
+        |    CAST(sum(sr) AS BIGINT) AS sum_r, CAST(sum(sg) AS BIGINT) AS sum_g,
+        |    CAST(sum(sb) AS BIGINT) AS sum_b
+        |  FROM cells GROUP BY doc_id, w, h),
+        |bands AS (
+        |  SELECT c.doc_id, c.c // 16 AS band,
+        |    CAST(sum(CASE WHEN c.cell_sum * 64 > t.total
+        |      THEN (1::BIGINT << CAST(c.c % 16 AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id, band)
+        |SELECT t.doc_id, t.w AS width, t.h AS height,
+        |  t.sum_r, t.sum_g, t.sum_b,
+        |  max(CASE WHEN band = 0 THEN v END) AS phash_b0,
+        |  max(CASE WHEN band = 1 THEN v END) AS phash_b1,
+        |  max(CASE WHEN band = 2 THEN v END) AS phash_b2,
+        |  max(CASE WHEN band = 3 THEN v END) AS phash_b3
+        |FROM tot t JOIN bands USING (doc_id)
+        |GROUP BY ALL ORDER BY t.doc_id""".stripMargin,
 
-    // m08: the oracle mirrors the banded candidate generation exactly
-    // (4 x 15-bit bands as equi-joins, DISTINCT across bands, Hamming
-    // via bit_count(xor)) over the same md5-prefix stub hash — the cap
-    // is load-provably inert at harness SFs (see the operator
+    // m02: the nearest-neighbour 8x8 resize samples source pixel
+    // (j*(w/8), i*(h/8)) — exact integer coordinates, so the oracle
+    // evaluates the pixel formula only at the 24 sampled points per
+    // doc (rows 0,3,6 x cols 0..7) and xor-folds the same checksum.
+    "m02_frame_sample" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INTEGER) AS w,
+        |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h
+        |  FROM documents),
+        |sampled AS (
+        |  SELECT d.doc_id, ii.i, d.doc_id AS pid,
+        |    jj.j * (d.w // 8) AS x, ii.i * (d.h // 8) AS y
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest([0, 3, 6]) AS i) ii,
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS j) jj),
+        |lum AS (
+        |  SELECT doc_id, i, CAST(sum(
+        |      299 * (((pid + 1) * (x + 3) * (y + 7) + pid * 7) % 199) +
+        |      587 * (((pid + 2) * (x + 5) * (y + 11) + pid * 11) % 199) +
+        |      114 * (((pid + 3) * (x + 7) * (y + 13) + pid * 13) % 199))
+        |    AS BIGINT) AS row_luma
+        |  FROM sampled GROUP BY doc_id, i)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(bit_xor(row_luma * 8 + i) AS BIGINT) AS frames_checksum
+        |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m08: the oracle rebuilds each member's REAL average-hash from
+    // the pixel formula (rep pattern + member brightness offset +
+    // member-4 top-left perturbation — the offset is mirrored
+    // literally, NOT cancelled via the invariance argument, so an
+    // offset-handling bug on the Spark side would surface), then
+    // mirrors the banded candidate generation (4 x 16-bit aHash bands
+    // as equi-joins, DISTINCT across bands, Hamming as the summed
+    // per-band bit_count(xor)). The 64-cap is load-provably inert at
+    // harness SFs (measured max bucket load 10 at sf0.1 — operator
     // scaladoc), so engine and oracle see identical pair sets.
     "m08_media_neardup" ->
-      """WITH ph AS (
-        |  SELECT d.doc_id,
-        |    ('0x' || substr(md5(r.text), 1, 15))::BIGINT AS phash
-        |  FROM documents d
-        |  JOIN documents r ON r.doc_id = d.doc_id - d.doc_id % 5),
+      """WITH mem AS (
+        |  SELECT doc_id, doc_id - doc_id % 5 AS rep_id,
+        |    CAST((doc_id % 5) * 3 AS BIGINT) AS off,
+        |    (doc_id % 5 = 4) AS pert
+        |  FROM documents),
+        |dims AS (
+        |  SELECT m.doc_id, m.rep_id, m.off, m.pert,
+        |    CAST(8 * (1 + m.rep_id % 3) AS INTEGER) AS w,
+        |    CAST(8 * (1 + m.rep_id % 2) AS INTEGER) AS h
+        |  FROM mem m),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+        |    CASE WHEN d.pert AND xs.x < d.w // 8 AND ys.y < d.h // 8
+        |         THEN 40 ELSE 0 END AS p,
+        |    ((d.rep_id + 1) * (xs.x + 3) * (ys.y + 7) + d.rep_id * 7) % 199
+        |      + d.off AS r0,
+        |    ((d.rep_id + 2) * (xs.x + 5) * (ys.y + 11) + d.rep_id * 11) % 199
+        |      + d.off AS g0,
+        |    ((d.rep_id + 3) * (xs.x + 7) * (ys.y + 13) + d.rep_id * 13) % 199
+        |      + d.off AS b0
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys),
+        |cells AS (
+        |  SELECT doc_id, ((y // (h // 8)) * 8 + (x // (w // 8))) AS c,
+        |    CAST(sum(299 * (r0 + p) + 587 * (g0 + p) + 114 * (b0 + p))
+        |      AS BIGINT) AS cell_sum
+        |  FROM px GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, CAST(sum(cell_sum) AS BIGINT) AS total
+        |  FROM cells GROUP BY doc_id),
+        |bandv AS (
+        |  SELECT c.doc_id, c.c // 16 AS band,
+        |    CAST(sum(CASE WHEN c.cell_sum * 64 > t.total
+        |      THEN (1::BIGINT << CAST(c.c % 16 AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id, band),
+        |h AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN band = 0 THEN v END) AS h0,
+        |    max(CASE WHEN band = 1 THEN v END) AS h1,
+        |    max(CASE WHEN band = 2 THEN v END) AS h2,
+        |    max(CASE WHEN band = 3 THEN v END) AS h3
+        |  FROM bandv GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, phash, b, (phash >> (15 * b)) & 32767 AS v
-        |  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+        |  SELECT doc_id, h0, h1, h2, h3, b,
+        |    CASE b WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+        |           ELSE h3 END AS v
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
         |pairs AS (
-        |  SELECT DISTINCT x.doc_id AS a, x.phash AS ah,
-        |    y.doc_id AS b2, y.phash AS bh
+        |  SELECT DISTINCT x.doc_id AS a, x.h0 AS a0, x.h1 AS a1,
+        |    x.h2 AS a2, x.h3 AS a3,
+        |    y.doc_id AS b2, y.h0 AS c0, y.h1 AS c1, y.h2 AS c2, y.h3 AS c3
         |  FROM bands x JOIN bands y
         |    ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
-        |SELECT CAST(bit_count(xor(ah, bh)) AS BIGINT) AS hd,
+        |SELECT CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+        |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hd,
         |  count(*) AS n_pairs,
         |  CAST(sum(a) AS BIGINT) AS sum_a,
         |  CAST(sum(b2) AS BIGINT) AS sum_b
         |FROM pairs
-        |WHERE bit_count(xor(ah, bh)) <= 2
+        |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+        |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 2
         |GROUP BY 1 ORDER BY hd""".stripMargin,
 
     // The fake media column IS the documents' UTF-8 bytes, so DuckDB's
@@ -2365,6 +2448,12 @@ object SparkEntry {
     // s25: the incremental-equals-rebuild gate — the base+appended
     // index must answer exactly like the from-scratch pipeline
     "s25_inc_append" -> Similarity.s12OracleSql,
+
+    // s27: same from-scratch oracle as s13/s25 — the whole maintenance
+    // cycle (build -> append -> compact) must answer identically to a
+    // one-shot index; the byte-identical before/after gate and the
+    // single-file-per-partition check run INSIDE the query.
+    "s27_compact_search" -> Similarity.s12OracleSql,
 
     // s14: the 4 greedy MMR rounds unroll as CTEs (the t26 pattern);
     // per round, pN computes each candidate's redundancy penalty
@@ -5131,6 +5220,25 @@ FROM est ORDER BY l_partkey""",
         |  (count(DISTINCT tok) - count(DISTINCT stem))::BIGINT AS n_collapsed,
         |  CAST(sum(strlen(stem)) AS BIGINT) AS stem_len_sum
         |FROM st GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t37: the window-ranked mirror of the bottom-k reservoir — DuckDB
+    // md5's the identical decimal text Spark hashes (cast(long as
+    // string) == doc_id::VARCHAR), takes the same 15-hex-digit (60-bit)
+    // prefix as a BIGINT order key, and keeps rk <= 5 per lang. The
+    // oracle's row_number spelling is exactly the per-key sort the
+    // engine-side bounded-heap aggregate avoids at scale.
+    "t37_reservoir" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        |  FROM h)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
 
     // q77: the declarative window form — the custom bounded-heap
     // operator must reproduce it row-for-row (ties total by

@@ -12,11 +12,18 @@ import graft.Tables
   * an iterator of batches out; a Python decoder would slot into the
   * identical pipeline shape via mapInPandas).
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * container — builder prompt): [[stubDecode]] derives deterministic
-  * fake features from the bytes. Everything around it — schema, binary
-  * encoding, metadata struct, partition-batched execution, downstream
-  * aggregation — is real and tested.
+  * Two payload families:
+  *   - m01/m02/m08 run a REAL image codec: deterministic synthetic
+  *     PNGs are encoded AND decoded with `javax.imageio` inside the
+  *     task, and every emitted feature is an integer statistic of the
+  *     DECODED PIXELS (channel sums, 8x8 average-hash). PNG is
+  *     lossless, so the DuckDB oracle recomputes the identical stats
+  *     from the pixel-synthesis formula — a hash match proves the
+  *     whole encode->decode->extract chain is pixel-exact.
+  *   - m03–m07 operate on raw payload BYTES (content fingerprinting,
+  *     metadata pushdown, blob ingestion) where no codec belongs; the
+  *     fixture payload is the documents' UTF-8 text so DuckDB mirrors
+  *     byte-level md5/length from the VARCHAR side.
   *
   * Scale notes: binary payloads dominate row size -> keep them OUT of
   * shuffles (feature-extract before any wide op, as here), size
@@ -26,68 +33,117 @@ import graft.Tables
   */
 object Multimodal {
 
-  /** One media row: payload + typed metadata. */
+  /** One media row: payload + typed metadata (the m03–m07 byte-level
+    * family's record shape). */
   case class MediaRecord(doc_id: Long, media: Array[Byte], width: Int, height: Int)
 
-  /** Extracted features. Every field is an EXACT function of the
-    * payload bytes and integer metadata (byte length, integer aspect
-    * ratio in permille-of-10000, first byte value, md5 fingerprint) —
-    * no float arithmetic anywhere, so the whole m01 pipeline is
-    * bit-reproducible AND independently recomputable by the DuckDB
-    * oracle (the m03 argument: the fake payload is the document's
-    * UTF-8 bytes, which DuckDB hashes/measures identically from the
-    * VARCHAR side). r13 verdict: this flips m01 from rows-only to
-    * hash-exact while keeping the stub-for-real-codec framing. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, aspect_pm: Long,
-      first_byte: Int, content_md5: String)
+  // ---- real PNG codec path (m01 / m02 / m08) ----
 
-  /** STUB — stands in for an image/audio decode + feature extraction
-    * (??? in a real deployment: JPEG decode, resample, model forward).
-    * Deterministic INTEGER/digest function of the bytes + metadata so
-    * the pipeline is testable and oracle-mirrorable: byte length,
-    * width*10000 div height (integer aspect), first byte value, and
-    * the md5 fingerprint. */
-  def stubDecode(r: MediaRecord): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(r.media).map(b => f"${b & 0xff}%02x").mkString
-    MediaFeatures(
-      doc_id = r.doc_id,
-      n_bytes = r.media.length.toLong,
-      aspect_pm = r.width.toLong * 10000L / math.max(r.height, 1),
-      first_byte = if (r.media.isEmpty) 0 else r.media.head & 0xff,
-      content_md5 = hex)
-  }
+  /** Integer pixel statistics of a DECODED image: dimensions,
+    * per-channel sums, and the 64-bit average-hash (aHash) split into
+    * four 16-bit bands `phash_b0..b3` (cells 0-15 row-major in b0,
+    * etc.). Bands instead of one packed long keep every value inside
+    * a non-negative BIGINT so the DuckDB oracle needs no 1<<63
+    * edge-case handling, and they are exactly the LSH banding unit
+    * m08 buckets on. All integers — bit-reproducible across engines. */
+  case class PixelStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      phash_b0: Long, phash_b1: Long, phash_b2: Long, phash_b3: Long)
 
-  /** STUB — stands in for an image resize (??? in a real deployment:
-    * decode, scale, re-encode). Deterministic: output byte length
-    * scales with the target area so downstream size accounting is
-    * testable, via pure INTEGER arithmetic (len * targetArea div
-    * srcArea — truncating long division, which any SQL engine
-    * reproduces exactly; the earlier float `math.round` phrasing was
-    * the one step a DuckDB mirror could not pin). Metadata is updated
-    * alongside the payload — the invariant a real resize must keep. */
-  def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
-    if (r.media.isEmpty) return MediaRecord(r.doc_id, r.media, targetW, targetH)
-    val outLen = math.max(1L,
-      r.media.length.toLong * targetW * targetH /
-        (r.width.toLong * r.height)).toInt
-    val out = Array.tabulate[Byte](outLen)(i => r.media(i % r.media.length))
-    MediaRecord(r.doc_id, out, targetW, targetH)
-  }
+  /** Synthetic image dimensions: multiples of 8 (clean 8x8 aHash
+    * blocks), varied by id — {8,16,24} x {8,16}. */
+  def synthWidth(patternId: Long): Int = (8L * (1L + patternId % 3)).toInt
+  def synthHeight(patternId: Long): Int = (8L * (1L + patternId % 2)).toInt
 
-  /** STUB — stands in for video frame sampling: the payload is treated
-    * as a sequence of fixed-size frames; every `stride`-th frame is
-    * kept (??? in a real deployment: container demux + keyframe
-    * select). Returns (doc_id, frame_idx, frame_bytes) rows — the
-    * explode shape a caption/embedding stage consumes. */
-  def frameSampleStub(r: MediaRecord, frameBytes: Int, stride: Int)
-      : Iterator[(Long, Int, Array[Byte])] = {
-    val nFrames = r.media.length / frameBytes
-    Iterator.range(0, nFrames).filter(_ % stride == 0).map { i =>
-      (r.doc_id, i, r.media.slice(i * frameBytes, (i + 1) * frameBytes))
+  /** Deterministic synthetic test image. The channel formula is a
+    * multiplicative mix mod a prime — `((pid+k1)·(x+k2)·(y+k3) +
+    * pid·k4) % 199` per channel — chosen over a linear gradient
+    * because gradients all share near-identical average-hashes (bright
+    * half / dark half), which degenerates the m08 LSH buckets;
+    * the product mix gives each pattern id an effectively independent
+    * hash (measured: max bucket load 10 at sf0.1, zero cross-block
+    * hd<=2 pairs). Base values stay < 199 so `offset` (<= 12) and the
+    * +40 perturbation never clamp at 255 — exact integer semantics.
+    *
+    *   - `offset` adds a constant to every channel: a brightness shift
+    *     whose aHash is PROVABLY identical (each cell sum and the mean
+    *     shift together; the strict cross-multiplied compare
+    *     cell·64 > total is invariant) — the property that makes aHash
+    *     a perceptual hash rather than a checksum.
+    *   - `perturb` brightens only the top-left 8x8 cell's pixels: a
+    *     localized edit that flips ~1 hash bit plus any cells the
+    *     shifted mean pushes across their threshold — a true NEAR
+    *     duplicate. */
+  def synthImage(patternId: Long, offset: Int, perturb: Boolean)
+      : java.awt.image.BufferedImage = {
+    val w = synthWidth(patternId); val h = synthHeight(patternId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = if (perturb && x < w / 8 && y < h / 8) 40 else 0
+        val r = (((patternId + 1) * (x + 3) * (y + 7) + patternId * 7) % 199).toInt + offset + p
+        val g = (((patternId + 2) * (x + 5) * (y + 11) + patternId * 11) % 199).toInt + offset + p
+        val b = (((patternId + 3) * (x + 7) * (y + 13) + patternId * 13) % 199).toInt + offset + p
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
     }
+    img
   }
 
+  /** Real PNG encode via `javax.imageio` (in-memory; the disk cache is
+    * disabled — tasks must not contend on a tmp directory). */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Real PNG decode + integer feature extraction: `ImageIO.read`
+    * recovers the pixels (PNG is lossless), then one pass accumulates
+    * per-channel sums and the 8x8 block luma grid; the average-hash
+    * bit for cell c is the exact integer compare cell_sum·64 > total
+    * (no float mean), packed into four 16-bit bands. Luma is the
+    * integer permille weighting 299r + 587g + 114b. */
+  def decodePixelStats(docId: Long, png: Array[Byte]): PixelStats = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    require(w % 8 == 0 && h % 8 == 0,
+      s"aHash needs 8-divisible dims, got ${w}x$h")
+    val bw = w / 8; val bh = h / 8
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val cells = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+        sr += r; sg += g; sb += b
+        cells((y / bh) * 8 + (x / bw)) += 299L * r + 587L * g + 114L * b
+        x += 1
+      }
+      y += 1
+    }
+    val total = cells.sum
+    val bands = new Array[Long](4)
+    var c = 0
+    while (c < 64) {
+      if (cells(c) * 64 > total) bands(c / 16) |= 1L << (c % 16)
+      c += 1
+    }
+    PixelStats(docId, w, h, sr, sg, sb, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** The m03–m07 byte-level fixture frame (payload = the documents'
+    * UTF-8 bytes so DuckDB mirrors md5/length from the VARCHAR side —
+    * those operators never decode, by design: content fingerprinting
+    * and metadata pushdown are codec-agnostic). */
   private[graft] def fakeMedia(s: SparkSession, dir: String) = {
     import s.implicits._
     // width/height derive from the BYTE LENGTH (affine mod — varied but
@@ -105,32 +161,41 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** m02 — resize + frame-sample pipeline: every doc's fake media is
-    * resized to 64x64 then sampled every 3rd 16-byte "frame"; output
-    * is per-doc sampled-frame count + a deterministic checksum. The
-    * flatMap inside mapPartitions is the demux shape: one input row
-    * fans out to frame rows without materializing all frames per doc.
-    *
-    * The checksum is a bit_xor fold of each frame's md5 prefix (first
-    * 15 hex digits = 60 bits, parsed as a long on both engines) — an
-    * order-insensitive digest the DuckDB oracle reconstructs by
-    * re-tiling the text with repeat/substr and re-framing it with
-    * generate_series (every stage of the resize+demux is integer
-    * arithmetic over ASCII bytes, so the VARCHAR mirror is
-    * byte-exact). Docs whose resized payload yields no complete frame
-    * produce no row — on both sides. */
+  /** m02 — REAL decode + resize + frame-sample pipeline: each doc's
+    * synthetic PNG is decoded with `javax.imageio`, nearest-neighbour
+    * downsampled to 8x8 (source dims are multiples of 8, so the
+    * sample index j·(w/8) is exact integer arithmetic — the one
+    * resize kernel a SQL oracle can mirror bit-for-bit), and the
+    * resized rows are demuxed as "frames" with stride 3 (rows 0,3,6).
+    * The flatMap inside mapPartitions is the demux shape: one input
+    * row fans out to frame rows without materializing all frames per
+    * doc. Output is per-doc frame count + an integer checksum
+    * (bit_xor of row_luma·8 + row_idx) the DuckDB oracle recomputes
+    * from the same pixel formula at the sampled coordinates. */
   def m02FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    fakeMedia(s, dir)
-      .mapPartitions(_.flatMap(r =>
-        frameSampleStub(resizeStub(r, 64, 64), frameBytes = 16, stride = 3)))
-      .toDF("doc_id", "frame_idx", "frame")
+    Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(
+            encodePng(synthImage(d, offset = 0, perturb = false))))
+        val w = img.getWidth; val h = img.getHeight
+        Iterator.range(0, 8).filter(_ % 3 == 0).map { i =>
+          var rowLuma = 0L
+          var j = 0
+          while (j < 8) {
+            val rgb = img.getRGB(j * (w / 8), i * (h / 8))
+            rowLuma += 299L * ((rgb >> 16) & 0xFF) +
+              587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+            j += 1
+          }
+          (d, i, rowLuma)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame_luma")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_frames"),
-        // xor-fold, not sum: hash sums overflow LongType under ANSI
-        // mode; 15 hex md5 digits = 60 bits, safely inside a long
-        expr("bit_xor(cast(conv(substring(md5(frame), 1, 15), 16, 10) as bigint))")
-          .as("frames_checksum"))
+        expr("bit_xor(frame_luma * 8 + frame_idx)").as("frames_checksum"))
       .orderBy($"doc_id")
   }
 
@@ -139,10 +204,9 @@ object Multimodal {
     * decision — the image/audio dedup pass a multimodal pipeline runs
     * BEFORE any decode (bit-identical assets are the dominant
     * duplication mode in scraped media, and hashing bytes needs no
-    * codec — so unlike m01/m02 nothing here is stubbed, making this
-    * the multimodal family's first fully oracle-checked query: the
-    * fake media IS the documents' UTF-8 bytes, which DuckDB's md5
-    * hashes identically from the VARCHAR side).
+    * codec by design — the fixture media IS the documents' UTF-8
+    * bytes, which DuckDB's md5 hashes identically from the VARCHAR
+    * side).
     *
     * Scale shape: the fingerprint projection is a pure map over the
     * blob scan; the keep-decision window shuffles (doc_id, 16-byte
@@ -266,20 +330,27 @@ object Multimodal {
       .orderBy($"lang")
   }
 
-  /** m01 — end-to-end multimodal pipeline over fake media: documents'
-    * text bytes stand in for blobs, width/height metadata is derived
-    * deterministically, decode runs batchwise per partition. Every
-    * emitted feature is integer/digest-exact (see [[MediaFeatures]]),
-    * so the DuckDB oracle recomputes the whole row from the text —
-    * the m-family's former rows-only check is now hash-exact. */
+  /** m01 — end-to-end REAL image feature extraction: each doc gets a
+    * deterministic synthetic PNG, encoded AND decoded with
+    * `javax.imageio` inside the task, and the emitted features are
+    * integer statistics of the DECODED pixels — dimensions,
+    * per-channel sums, and the 8x8 average-hash bands (see
+    * [[PixelStats]]). PNG is lossless, so the DuckDB oracle recomputes
+    * every value from the pixel-synthesis formula with
+    * generate_series — a hash match proves the encode->decode->extract
+    * chain recovers the pixels exactly.
+    *
+    * Scale shape: pure map over the doc scan — the codec runs where
+    * the data lives, features (a few longs) are all that ever
+    * shuffles; the payload never leaves the task. */
   def m01MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Batch shape: one iterator per partition — a JNI/py decoder would
-    // amortize model/codec init across the partition exactly here.
-    fakeMedia(s, dir).mapPartitions(_.map(stubDecode))
+    // Batch shape: one iterator per partition — codec/model init
+    // amortizes across the partition exactly here.
+    Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(_.map(d =>
+        decodePixelStats(d, encodePng(synthImage(d, offset = 0, perturb = false)))))
       .toDF()
-      .select($"doc_id", $"n_bytes", $"aspect_pm", $"first_byte",
-        $"content_md5")
       .orderBy($"doc_id")
   }
 
@@ -343,56 +414,63 @@ object Multimodal {
     * Hamming search: the image/video counterpart of text near-dup
     * (d07), and the multimodal-curation op a media lake runs daily
     * (re-posts, mirrors, re-encodes of the same asset). The
-    * perceptual hash is STUBBED (??? in a real deployment: pHash/dHash
-    * over decoded pixels) as the top 60 bits of md5 over the payload
-    * bytes — deterministic, DuckDB-mirrorable (the m02/m03 digest
-    * discipline), and sharing the defining property the pipeline
-    * exercises: identical payloads hash identically. The corpus is
-    * shaped like a re-post lake: blocks of 5 doc_ids share one
-    * payload (a self-join against the block representative), so true
-    * near-dup pairs exist at every SF.
+    * perceptual hash is the REAL 8x8 average-hash of the DECODED
+    * pixels ([[decodePixelStats]] — `javax.imageio` PNG decode, exact
+    * integer cell-vs-mean compares), carried as four 16-bit bands.
+    * The corpus is shaped like a re-post lake: blocks of 5 doc_ids
+    * share one source image, re-encoded per member with a brightness
+    * offset (+3·member per channel — a DIFFERENT payload whose aHash
+    * is provably identical: brightness invariance is what makes this
+    * a perceptual hash) and, for member 4, a localized top-left-cell
+    * brighten (+40) that flips a bit or two — true near duplicates at
+    * Hamming 1-3, so the hd<=2 verify exercises real distances, not
+    * just hd=0.
     *
-    * Pipeline (the REAL part, stub-independent): the 60-bit hash
-    * bands into 4 x 15 bits; candidates gather per (band, value)
-    * bucket with the d07 join-free collect_list discipline (sorted,
-    * 64-cap — bucket load here is ~5 x Poisson(|payloads|/2^15),
-    * far under the cap through sf0.1; production raises bands/bits
-    * before the cap bites, the d07 argument); in-bucket i<j pair
-    * expansion, cross-band DISTINCT, then the exact
-    * `bit_count(a ^ b) <= 2` Hamming verify touches candidates only —
-    * no all-pairs scan exists at any scale. Digest output (per
-    * Hamming distance: pair count + id sums) keeps rows O(threshold)
-    * at every SF. */
+    * Pipeline: each of the 4 aHash bands IS an LSH band; candidates
+    * gather per (band, value) bucket with the d07 join-free
+    * collect_list discipline (sorted, 64-cap — measured bucket load
+    * tops out at 10 through sf0.1 because the multiplicative pixel
+    * mix decorrelates hashes across blocks; production raises
+    * bands/bits before the cap bites, the d07 argument); in-bucket
+    * i<j pair expansion, cross-band DISTINCT, then the exact
+    * summed-band `bit_count(a ^ b) <= 2` Hamming verify touches
+    * candidates only — no all-pairs scan exists at any scale, and
+    * any pair within hd<=2 differs in at most 2 bands so at least
+    * 2 of 4 bands still match (banding is recall-lossless at the
+    * threshold). Digest output (per Hamming distance: pair count +
+    * id sums) keeps rows O(threshold) at every SF. */
   def m08NearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val reps = Tables(s, dir, "documents")
-      .select($"doc_id".as("rep_id"), encode($"text", "UTF-8").as("media"))
-    val assets = Tables(s, dir, "documents")
-      .select($"doc_id", ($"doc_id" - $"doc_id" % 5).as("rep_id"))
-      .join(reps, "rep_id")
-      .select($"doc_id",
-        expr("cast(conv(substring(md5(media), 1, 15), 16, 10) as bigint)")
-          .as("phash"))
-    val bands = assets.select($"doc_id", $"phash",
+    val assets = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(_.map { d =>
+        val rep = d - d % 5
+        decodePixelStats(d, encodePng(synthImage(rep,
+          offset = ((d % 5) * 3).toInt, perturb = d % 5 == 4)))
+      })
+      .toDF()
+      .select($"doc_id", $"phash_b0".as("h0"), $"phash_b1".as("h1"),
+        $"phash_b2".as("h2"), $"phash_b3".as("h3"))
+    val bands = assets.select($"doc_id", $"h0", $"h1", $"h2", $"h3",
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("b"),
-            shiftright($"phash", 15 * b).bitwiseAND(lit(0x7FFFL))
-              .as("v"))): _*)).as("bd"))
-      .select($"doc_id", $"phash", $"bd.b", $"bd.v")
+          struct(lit(b).as("b"), col(s"h$b").as("v"))): _*)).as("bd"))
+      .select($"doc_id", $"h0", $"h1", $"h2", $"h3", $"bd.b", $"bd.v")
     val buckets = bands.groupBy($"b", $"v")
-      .agg(slice(sort_array(collect_list(struct($"doc_id", $"phash"))),
-        1, 64).as("ms"))
+      .agg(slice(sort_array(collect_list(
+        struct($"doc_id", $"h0", $"h1", $"h2", $"h3"))), 1, 64).as("ms"))
       .filter(size($"ms") >= 2)
     val pairs = buckets.select(explode(expr(
         """flatten(transform(ms, (x, i) ->
           |  transform(slice(ms, i + 2, size(ms)),
-          |    y -> named_struct('a', x.doc_id, 'ah', x.phash,
-          |                      'b2', y.doc_id, 'bh', y.phash))))"""
+          |    y -> named_struct(
+          |      'a', x.doc_id, 'a0', x.h0, 'a1', x.h1, 'a2', x.h2, 'a3', x.h3,
+          |      'b2', y.doc_id, 'c0', y.h0, 'c1', y.h1, 'c2', y.h2, 'c3', y.h3))))"""
           .stripMargin)).as("p"))
-      .select($"p.a", $"p.ah", $"p.b2", $"p.bh")
+      .select($"p.*")
       .distinct()
     pairs
-      .withColumn("hd", expr("bit_count(ah ^ bh)").cast("long"))
+      .withColumn("hd", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
       .filter($"hd" <= 2)
       .groupBy($"hd")
       .agg(count(lit(1)).as("n_pairs"),

@@ -624,20 +624,12 @@ object Similarity {
     path
   }
 
-  /** s25 — ANN search over the INCREMENTALLY-MAINTAINED LSH index:
-    * s13's probe set, pruned scan, and scoring, but the index was
-    * built as base + appended batch ([[s25IndexPath]]) instead of one
-    * shot. The oracle is the FROM-SCRATCH pipeline (s12/s13's
-    * generated SQL over the full corpus) — the incremental-equals-
-    * rebuild gate d15/d16 established, applied to ANN (judge r15
-    * item 4): any batch row lost, double-appended, or hashed under a
-    * drifted signature hash-fails. At 100 TB this is the daily-batch
-    * path: signature cost scales with the BATCH, reads prune exactly
-    * as before, and [[graft.Graft.compact]] is the occasional
-    * maintenance pass when appended files accumulate. */
-  def s25IncAppend(s: SparkSession, dir: String): DataFrame = {
+  /** The s13/s25/s27 shared search stage over an at-rest LSH layout:
+    * probe set, plan-time partition-pruned scan, exact cosine on
+    * candidates, per-query top-k. */
+  private def lshSearchOver(s: SparkSession, dir: String,
+      path: String): DataFrame = {
     import s.implicits._
-    val path = s25IndexPath(s, dir)
     val probes = s13Probes(s, dir)
     val probeSigs = probes.select($"sig").distinct().as[Int].collect().toSeq
     val scored = s13PrunedScan(s, path, probeSigs)
@@ -649,6 +641,75 @@ object Similarity {
       .filter($"rank" <= K)
       .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** s25 — ANN search over the INCREMENTALLY-MAINTAINED LSH index:
+    * s13's probe set, pruned scan, and scoring, but the index was
+    * built as base + appended batch ([[s25IndexPath]]) instead of one
+    * shot. The oracle is the FROM-SCRATCH pipeline (s12/s13's
+    * generated SQL over the full corpus) — the incremental-equals-
+    * rebuild gate d15/d16 established, applied to ANN (judge r15
+    * item 4): any batch row lost, double-appended, or hashed under a
+    * drifted signature hash-fails. At 100 TB this is the daily-batch
+    * path: signature cost scales with the BATCH, reads prune exactly
+    * as before, and [[graft.Graft.compactIndex]] is the occasional
+    * maintenance pass when appended files accumulate (s27 gates it). */
+  def s25IncAppend(s: SparkSession, dir: String): DataFrame =
+    lshSearchOver(s, dir, s25IndexPath(s, dir))
+
+  /** s27's own base+append layout copy (tag `lsh_cmp`) — s27 compacts
+    * its index IN PLACE, and s25's spec pins the pre-compaction file
+    * layout of ITS copy, so the two must not share a directory. */
+  private[graft] def s27IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("lsh_cmp", dir)
+    val marker = new java.io.File(path, "_APPEND_DONE")
+    if (!marker.exists()) {
+      Layout.sweepStaleFor("lsh_cmp", dir)
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
+        s12SigOf($"embedding").cast("int").as("sig"))
+      graft.Graft.writePartitioned(emb.filter($"vec_id" % 10 =!= 7),
+        "sig", path)
+      graft.Graft.partitionedAppend(emb.filter($"vec_id" % 10 === 7),
+        "sig", path)
+      marker.createNewFile(): Unit
+    }
+    path
+  }
+
+  /** s27 — index COMPACTION under the answer-invariance gate: the
+    * s25-shaped appended layout (2 data files in every batch-touched
+    * sig partition) searches once, [[graft.Graft.compactIndex]]
+    * rewrites ONLY the multi-file partitions (metadata-selected, one
+    * distributed job, per-partition file swap), and the search runs
+    * again over the compacted layout. The query itself enforces the
+    * two maintenance contracts before returning:
+    *   - byte-identical results: the before/after top-k rows must be
+    *     EXACTLY equal (same doubles, same order) — compaction is a
+    *     physical-layout operation with zero answer surface;
+    *   - single-file partitions: every sig directory holds exactly
+    *     one data file afterwards — the file-count win IS the point
+    *     (each pruned probe then pays one open per bucket, not one
+    *     per accumulated batch).
+    * Gated on the same from-scratch oracle as s13/s25 — the full
+    * maintenance cycle (build → append → compact) answers identically
+    * to a one-shot index. Idempotent: a re-run finds zero multi-file
+    * partitions and compactIndex is metadata-only, job-free. */
+  def s27CompactedSearch(s: SparkSession, dir: String): DataFrame = {
+    val path = s27IndexPath(s, dir)
+    val before = lshSearchOver(s, dir, path).collect()
+    graft.Graft.compactIndex(s, path, "sig")
+    val fragmented = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("sig="))
+      .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.startsWith("part-")) != 1)
+    require(fragmented.isEmpty,
+      s"compaction left multi-file partitions: ${fragmented.map(_.getName).mkString(",")}")
+    val afterDf = lshSearchOver(s, dir, path)
+    require(before.toSeq == afterDf.collect().toSeq,
+      "compaction changed search results — answer invariance violated")
+    afterDf
   }
 
   /** Nearest-centroid cell assignment against FROZEN centroids — the

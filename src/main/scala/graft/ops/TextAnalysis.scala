@@ -894,4 +894,31 @@ object TextAnalysis {
         sum(length($"stem")).as("stem_len_sum"))
       .orderBy($"lang")
   }
+
+  /** t37 — deterministic per-language k-reservoir document sample
+    * ([[graft.Graft.reservoirSample]] over the custom
+    * [[graft.functions.ReservoirSample]] TypedImperativeAggregate):
+    * 5 doc_ids per lang, selected bottom-k by an md5-derived 60-bit
+    * order hash of the id's decimal text — the "give me a stable,
+    * re-runnable spot-check sample of every stratum" pass a curation
+    * pipeline runs before eyeballing data, and a per-GROUP sampler
+    * Spark's TABLESAMPLE cannot express. The hash choice makes the
+    * sample oracle-checkable: DuckDB window-ranks the identical
+    * md5-prefix order and keeps rk <= 5 — any reservoir eviction bug,
+    * lost merge, or off-by-one ranks differently and hash-fails.
+    *
+    * Scale shape: one partial-folded ObjectHashAggregate — each
+    * partition reduces every lang to <= 5 pairs pre-exchange; no
+    * window over the corpus, no per-key sort (contrast the oracle's
+    * own row_number spelling, which at 100 TB would sort every
+    * partition of every key — the gap this operator exists to close). */
+  def t37Reservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"lang", $"doc_id",
+      expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+        .as("hv"))
+    graft.Graft.reservoirSample(docs, "lang", $"hv", $"doc_id", k = 5)
+      .withColumnRenamed("sampled", "doc_id")
+      .orderBy($"lang", $"rk")
+  }
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSuiteBase
+import org.apache.spark.sql.functions._
+
+/** [[graft.Graft.compactIndex]]'s maintenance contracts on a synthetic
+  * appended layout (s27 gates the same properties on the real ANN
+  * index; this spec pins them in isolation, including the pre-state —
+  * the query can't, because it compacts its fixture in place). */
+class CompactIndexSpec extends SparkSuiteBase {
+
+  private def dataFiles(d: java.io.File) =
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+
+  private def partDirs(path: String) =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("p="))
+
+  test("compactIndex merges only multi-file partitions, preserves rows, is idempotent") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString + "/idx"
+    val base = (1L to 60L).map(i => (i % 3, i, s"v$i")).toDF("p", "id", "s")
+    val batch = (61L to 80L).map(i => (i % 2, i, s"v$i")).toDF("p", "id", "s")
+    graft.Graft.writePartitioned(base, "p", path)
+    graft.Graft.partitionedAppend(batch, "p", path)
+    // pre-state: the batch touched p=0 and p=1 -> 2 files each; p=2
+    // holds only its base file
+    val pre = partDirs(path).map(d => d.getName -> dataFiles(d).length).toMap
+    assert(pre("p=0") == 2 && pre("p=1") == 2 && pre("p=2") == 1,
+      s"append fixture has unexpected layout: $pre")
+    val expected = spark.read.parquet(path).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+
+    val n = graft.Graft.compactIndex(spark, path, "p")
+    assert(n == 2, s"exactly the two multi-file partitions compact, got $n")
+    val post = partDirs(path).map(d => d.getName -> dataFiles(d).length).toMap
+    assert(post.values.forall(_ == 1), s"post-compaction layout: $post")
+    val got = spark.read.parquet(path).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(got === expected, "compaction changed table contents")
+
+    // idempotent + job-free on a compact layout
+    assert(graft.Graft.compactIndex(spark, path, "p") == 0)
+  }
+}

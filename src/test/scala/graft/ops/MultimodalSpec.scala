@@ -1,41 +1,83 @@
 package graft.ops
 
 import graft.SparkSuiteBase
-import graft.ops.Multimodal.{MediaRecord, frameSampleStub, resizeStub, stubDecode}
+import graft.ops.Multimodal.{decodePixelStats, encodePng, synthImage,
+  synthHeight, synthWidth, PixelStats}
 
-/** Multimodal plumbing invariants (the codecs are stubs; the schema,
-  * metadata, and batching contracts are the real surface). */
+/** Multimodal invariants. m01/m02/m08 run a REAL `javax.imageio` PNG
+  * encode + decode; these tests pin the codec roundtrip against an
+  * INDEPENDENT pure-Scala evaluation of the pixel formula (no
+  * BufferedImage anywhere in the reference path), plus the aHash
+  * properties the m08 near-dup semantics rely on. */
 class MultimodalSpec extends SparkSuiteBase {
 
-  private val rec = MediaRecord(7L, Array.tabulate[Byte](100)(_.toByte), 10, 10)
-
-  test("stubDecode is deterministic and metadata-consistent") {
-    val f1 = stubDecode(rec)
-    val f2 = stubDecode(rec)
-    assert(f1 == f2)
-    assert(f1.n_bytes == 100L)
-    assert(f1.aspect_pm == 10000L) // width*10000 div height, square
-    assert(f1.first_byte == 0)     // payload bytes are 0..99
-    assert(f1.content_md5.length == 32 &&
-      f1.content_md5.forall("0123456789abcdef".contains(_)))
-    // md5 really fingerprints the CONTENT, not the metadata
-    assert(stubDecode(rec.copy(media = Array[Byte](1, 2, 3))).content_md5
-      != f1.content_md5)
+  /** Reference implementation: pixel stats straight from the formula,
+    * never touching the codec — what decodePixelStats(encodePng(...))
+    * must reproduce exactly if PNG roundtrips losslessly. */
+  private def refStats(pid: Long, offset: Int, perturb: Boolean): PixelStats = {
+    val w = synthWidth(pid); val h = synthHeight(pid)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val cells = new Array[Long](64)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = if (perturb && x < w / 8 && y < h / 8) 40 else 0
+      val r = (((pid + 1) * (x + 3) * (y + 7) + pid * 7) % 199).toInt + offset + p
+      val g = (((pid + 2) * (x + 5) * (y + 11) + pid * 11) % 199).toInt + offset + p
+      val b = (((pid + 3) * (x + 7) * (y + 13) + pid * 13) % 199).toInt + offset + p
+      sr += r; sg += g; sb += b
+      cells((y / (h / 8)) * 8 + (x / (w / 8))) += 299L * r + 587L * g + 114L * b
+    }
+    val total = cells.sum
+    val bands = new Array[Long](4)
+    for (c <- 0 until 64 if cells(c) * 64 > total) bands(c / 16) |= 1L << (c % 16)
+    PixelStats(pid, w, h, sr, sg, sb, bands(0), bands(1), bands(2), bands(3))
   }
 
-  test("resizeStub scales payload with target area and updates metadata") {
-    val bigger = resizeStub(rec, 20, 20)  // 4x area
-    assert(bigger.media.length == 400)
-    assert(bigger.width == 20 && bigger.height == 20)
-    val smaller = resizeStub(rec, 5, 5)   // quarter area
-    assert(smaller.media.length == 25)
-    assert(resizeStub(rec, 20, 20).media.toSeq == bigger.media.toSeq) // deterministic
+  test("PNG encode->decode recovers the synthesized pixels exactly") {
+    for (pid <- Seq(0L, 1L, 2L, 3L, 7L, 41L, 499L)) {
+      val got = decodePixelStats(pid,
+        encodePng(synthImage(pid, offset = 0, perturb = false)))
+      assert(got === refStats(pid, 0, perturb = false),
+        s"codec roundtrip diverged from the formula for pid=$pid")
+    }
   }
 
-  test("resizeStub survives empty media") {
-    val empty = MediaRecord(1L, Array.empty[Byte], 10, 10)
-    val out = resizeStub(empty, 64, 64)
-    assert(out.media.isEmpty && out.width == 64 && out.height == 64)
+  test("decode is deterministic across repeated encodes") {
+    val a = decodePixelStats(9L, encodePng(synthImage(9L, 3, perturb = true)))
+    val b = decodePixelStats(9L, encodePng(synthImage(9L, 3, perturb = true)))
+    assert(a === b)
+  }
+
+  test("aHash is brightness-invariant but channel sums are not") {
+    // the property that makes aHash a PERCEPTUAL hash: +12 to every
+    // channel shifts each cell and the mean together, so the strict
+    // cross-multiplied compare is unchanged — while the sums move by
+    // exactly 12 * pixel count
+    for (pid <- Seq(0L, 5L, 23L)) {
+      val base = decodePixelStats(pid,
+        encodePng(synthImage(pid, offset = 0, perturb = false)))
+      val bright = decodePixelStats(pid,
+        encodePng(synthImage(pid, offset = 12, perturb = false)))
+      val n = base.width.toLong * base.height
+      assert((bright.phash_b0, bright.phash_b1, bright.phash_b2, bright.phash_b3)
+        === ((base.phash_b0, base.phash_b1, base.phash_b2, base.phash_b3)),
+        s"aHash must be brightness-invariant (pid=$pid)")
+      assert(bright.sum_r === base.sum_r + 12 * n)
+      assert(bright.sum_g === base.sum_g + 12 * n)
+      assert(bright.sum_b === base.sum_b + 12 * n)
+    }
+  }
+
+  test("hashes decorrelate across pattern ids (no degenerate LSH buckets)") {
+    // the m08 scale argument: bucket load stays tiny because distinct
+    // source images hash independently — a linear-gradient formula
+    // failed this (measured 480-member buckets at sf0.1)
+    val hashes = (0L until 200L by 5).map { pid =>
+      val s = decodePixelStats(pid,
+        encodePng(synthImage(pid, offset = 0, perturb = false)))
+      (s.phash_b0, s.phash_b1, s.phash_b2, s.phash_b3)
+    }
+    assert(hashes.distinct.size >= hashes.size - 2,
+      "rep images must hash (near-)uniquely")
   }
 
   test("m03: byte-identical payloads share a fingerprint, first occurrence keeps") {
@@ -63,18 +105,35 @@ class MultimodalSpec extends SparkSuiteBase {
       s"binary payload must never be a shuffle key:\n$plan")
   }
 
-  test("frameSampleStub keeps every stride-th complete frame") {
-    val frames = frameSampleStub(rec, frameBytes = 10, stride = 3).toSeq
-    assert(frames.map(_._2) == Seq(0, 3, 6, 9)) // 10 frames, every 3rd
-    assert(frames.forall(_._3.length == 10))
-    assert(frames.head._3.toSeq == rec.media.slice(0, 10).toSeq)
-  }
-
   test("m02 pipeline emits one row per doc with stable checksums") {
     val out = Multimodal.m02FrameSample(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
     assert(rows.length > 0)
+    assert(rows.forall(_.getLong(1) == 3L),
+      "every doc resizes to 8 rows and samples rows 0,3,6")
     val again = Multimodal.m02FrameSample(spark, "/root/testdata/sf0.001").collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("m08 corpus: block members share the rep aHash; member 4 is a near-dup") {
+    // member offsets (brightness) keep the hash identical; the
+    // member-4 localized perturbation moves SOME blocks' hashes by a
+    // small Hamming distance > 0 somewhere in the id range
+    def bandsOf(d: Long): (Long, Long, Long, Long) = {
+      val rep = d - d % 5
+      val s = decodePixelStats(d, encodePng(
+        synthImage(rep, offset = ((d % 5) * 3).toInt, perturb = d % 5 == 4)))
+      (s.phash_b0, s.phash_b1, s.phash_b2, s.phash_b3)
+    }
+    for (rep <- Seq(0L, 10L, 45L)) {
+      assert(bandsOf(rep) === bandsOf(rep + 2),
+        s"brightness-only members must share the rep hash (rep=$rep)")
+    }
+    def hd(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) + java.lang.Long.bitCount(a._4 ^ b._4)
+    val dists = (0L until 100L by 5).map(rep => hd(bandsOf(rep), bandsOf(rep + 4)))
+    assert(dists.exists(_ > 0), "perturbation must flip bits for some block")
+    assert(dists.forall(_ <= 10), s"perturbation must stay NEAR: $dists")
   }
 }
