@@ -139,6 +139,7 @@ object SparkEntry {
     "s25_inc_append" -> (Similarity.s25IncAppend _),
     "s26_ivf_append" -> (Similarity.s26IvfAppend _),
     "s27_compact_search" -> (Similarity.s27CompactedSearch _),
+    "s28_ivf_compact" -> (Similarity.s28IvfCompact _),
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "s15_pq_topk" -> (Similarity.s15PqTopK _),
     "s23_pq_layout" -> (Similarity.s23PqLayout _),
@@ -444,7 +445,10 @@ object SparkEntry {
       // s26 searches the incrementally-maintained IVF posting layout;
       // incremental build must not change the answer, so it shares
       // s02's from-scratch oracle verbatim (the s25 discipline).
-      ("s26_ivf_append" -> base("s02_ivf_topk"))
+      ("s26_ivf_append" -> base("s02_ivf_topk")) +
+      // s28 compacts the appended IVF layout in place; compaction is
+      // answer-invariant, so it shares the same from-scratch oracle.
+      ("s28_ivf_compact" -> base("s02_ivf_topk"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -764,9 +764,15 @@ object Similarity {
     * incremental-ANN story next to s25's LSH half: at 100 TB the
     * daily batch pays batch×k assignment cosines and batch-sized
     * writes, never a corpus re-index. */
-  def s26IvfAppend(s: SparkSession, dir: String): DataFrame = {
+  def s26IvfAppend(s: SparkSession, dir: String): DataFrame =
+    ivfSearchOver(s, dir, s26IndexPath(s, dir))
+
+  /** The s26/s28 shared IVF search over an at-rest posting layout:
+    * probe cells from the frozen centroids, plan-time cell-pruned
+    * scan, exact cosine, per-query top-k. */
+  private def ivfSearchOver(s: SparkSession, dir: String,
+      path: String): DataFrame = {
     import s.implicits._
-    val path = s26IndexPath(s, dir)
     val emb = Tables(s, dir, "embeddings")
     val cent = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("centroid_id"), $"embedding".as("c"))
@@ -789,6 +795,53 @@ object Similarity {
       .filter($"rank" <= K)
       .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** s28's own IVF base+append layout copy (tag `ivf_cmp`) — the s27
+    * argument: compaction mutates the directory in place, so it must
+    * not share s26's fixture. */
+  private[graft] def s28IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("ivf_cmp", dir)
+    val marker = new java.io.File(path, "_APPEND_DONE")
+    if (!marker.exists()) {
+      Layout.sweepStaleFor("ivf_cmp", dir)
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cent = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("centroid_id"), $"embedding".as("c"))
+      graft.Graft.writePartitioned(
+        s26Assign(emb.filter($"vec_id" % 10 =!= 7), cent), "cell", path)
+      graft.Graft.partitionedAppend(
+        s26Assign(emb.filter($"vec_id" % 10 === 7), cent), "cell", path)
+      marker.createNewFile(): Unit
+    }
+    path
+  }
+
+  /** s28 — IVF posting-layout compaction under the same
+    * answer-invariance gate as s27 (its LSH twin — together they close
+    * the r15 "nothing compacts an appended vector index" gap for BOTH
+    * at-rest index families): search the appended cell layout,
+    * [[graft.Graft.compactIndex]] the multi-file cells, search again;
+    * byte-identical results and single-file cells enforced in-query;
+    * gated on s02's from-scratch oracle, so the full IVF maintenance
+    * cycle (assign -> append -> compact) answers identically to a
+    * one-shot build. */
+  def s28IvfCompact(s: SparkSession, dir: String): DataFrame = {
+    val path = s28IndexPath(s, dir)
+    val before = ivfSearchOver(s, dir, path).collect()
+    graft.Graft.compactIndex(s, path, "cell")
+    val fragmented = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.startsWith("part-")) != 1)
+    require(fragmented.isEmpty,
+      s"compaction left multi-file cells: ${fragmented.map(_.getName).mkString(",")}")
+    val afterDf = ivfSearchOver(s, dir, path)
+    require(before.toSeq == afterDf.collect().toSeq,
+      "compaction changed IVF search results — answer invariance violated")
+    afterDf
   }
 
   /** Generated DuckDB oracle for s12 — the d05 exactness rules
