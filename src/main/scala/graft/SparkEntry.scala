@@ -271,6 +271,7 @@ object SparkEntry {
     "q109_cdf" -> (Relational.q109Cdf _),
     "q110_mad" -> (Relational.q110Mad _),
     "q111_ratio_parent" -> (Relational.q111RatioParent _),
+    "q112_kmv" -> (Relational.q112Kmv _),
     "d22_minhash_union" -> (TextDedup.d22MinhashUnion _),
     "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
     "st22_hll_monitor" -> (streaming.Streams.st22HllMonitor _),
@@ -5042,6 +5043,33 @@ FROM est ORDER BY l_partkey""",
         |  CAST(row_number() OVER (PARTITION BY r_name
         |    ORDER BY rev_cents DESC, n_name) AS BIGINT) AS rank_in_region
         |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
+    // q112: the window-ranked KMV mirror — same md5-prefix 60-bit
+    // hashes over the distinct (type, user) pairs, kth-smallest via
+    // row_number, and the same integer estimator with HUGEINT doing
+    // the (k-1)*2^60 numerator that DECIMAL(38,0) does on the Spark
+    // side. Ties on hv (a 60-bit collision) rank arbitrarily but
+    // carry equal values, so the output is deterministic either way.
+    "q112_kmv" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM d),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_exact
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(max(n_exact) AS BIGINT) AS n_exact,
+        |  CAST(coalesce(max(CASE WHEN rk = 64 THEN hv END), 0) AS BIGINT)
+        |    AS kth_hash,
+        |  CAST(CASE WHEN max(n_exact) < 64 THEN max(n_exact)
+        |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
+        |            // max(CASE WHEN rk = 64 THEN hv END) END AS BIGINT)
+        |    AS n_estimated
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // st21: the exact-regime SpaceSaving answer IS the batch count
     // rank (capacity > distinct users: no eviction, err 0).

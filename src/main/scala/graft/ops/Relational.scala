@@ -2466,6 +2466,54 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** q112 — KMV (k-minimum-values) distinct-count estimation per
+    * event type, built ON the engine's own reservoir aggregate: the
+    * k smallest 60-bit hashes of the DISTINCT user ids per type ARE a
+    * KMV sketch ([[graft.functions.ReservoirSample]] with hash as
+    * both order and payload), and the estimator is exact integer
+    * arithmetic — est = (k-1)·2^60 div h_(k) when the sketch is full,
+    * the sketch size itself when the group has fewer than k distincts
+    * (a full enumeration is exact by definition). Emitted next to the
+    * exact distinct count, so the row is its own error report — the
+    * sketch-evaluation readout q58 (HLL) gets from q17.
+    *
+    * Why this next to q58's HLL: KMV is the OTHER classic mergeable
+    * distinct sketch (bottom-k union = union of bottom-k — the same
+    * merge the reservoir aggregate already proves), trades k longs of
+    * state for a standard error ~1/sqrt(k-2), and unlike HLL its
+    * registers double as a uniform SAMPLE of the distinct keys.
+    *
+    * Scale shape: one distinct fold (partial-aggregated), one
+    * O(k)-state reservoir fold, no window over data. The oracle
+    * window-ranks the same md5-prefix hashes and applies the same
+    * integer formula. */
+  def q112Kmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val d = Tables(s, dir, "events")
+      .select($"event_type", $"user_id").distinct()
+      .withColumn("hv", expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"))
+    val sketch = graft.Graft.reservoirSample(d, "event_type", $"hv", $"hv", k)
+    sketch.groupBy($"event_type")
+      .agg(count(lit(1)).as("m"),
+        max(when($"rk" === k, $"sampled")).as("kth_hash"))
+      .join(
+        Tables(s, dir, "events").groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n_exact")),
+        Seq("event_type"))
+      .select($"event_type", $"n_exact",
+        coalesce($"kth_hash", lit(0L)).as("kth_hash"),
+        // (k-1)·2^60 = 7.3e19 overflows int64 — the numerator is
+        // DECIMAL(38,0) (mirroring the oracle's HUGEINT); the quotient
+        // is ~the distinct count and safely long
+        when($"m" < k, $"m").otherwise(
+          expr(s"(cast(${k - 1} as decimal(38,0)) " +
+            "* cast(1152921504606846976 as decimal(38,0))) div kth_hash"))
+          .as("n_estimated"))
+      .orderBy($"event_type")
+  }
+
   /** q111 — hierarchical share-of-parent: nation revenue as a permille
     * of its region's revenue (exact cross-multiplied integers) with
     * the nation's rank inside the region — the classic drill-down
