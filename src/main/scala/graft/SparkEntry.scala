@@ -275,6 +275,7 @@ object SparkEntry {
     "d22_minhash_union" -> (TextDedup.d22MinhashUnion _),
     "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
     "st22_hll_monitor" -> (streaming.Streams.st22HllMonitor _),
+    "st23_sample_monitor" -> (streaming.Streams.st23ReservoirMonitor _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "t37_reservoir" -> (TextAnalysis.t37Reservoir _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
@@ -5070,6 +5071,25 @@ FROM est ORDER BY l_partkey""",
         |            // max(CASE WHEN rk = 64 THEN hv END) END AS BIGINT)
         |    AS n_estimated
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // st23: the from-scratch window-ranked mirror of the standing
+    // reservoir — t37's oracle shape over the replayed event slice
+    // (multiset semantics: every event row ranks; equal (hv, user)
+    // pairs carry equal values, so tie order cannot change the
+    // output). Equality pins every cross-chunk eviction.
+    "st23_sample_monitor" ->
+      """WITH ev AS (SELECT event_type, user_id FROM events
+        |  WHERE user_id % 5 = 4),
+        |h AS (SELECT event_type, user_id,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM ev),
+        |r AS (SELECT event_type, user_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hv, user_id) AS rk
+        |  FROM h)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id
+        |FROM r WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
 
     // st21: the exact-regime SpaceSaving answer IS the batch count
     // rank (capacity > distinct users: no eviction, err 0).

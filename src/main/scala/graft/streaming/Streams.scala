@@ -1435,4 +1435,89 @@ object Streams {
         $"est_cnt", $"err")
       .orderBy($"event_type", $"hh_rank")
   }
+
+  /** st23 — streaming SAMPLE MAINTENANCE via the mergeable bottom-k
+    * reservoir ([[graft.Graft.reservoirSample]] over the t37 custom
+    * aggregate), run genuinely incrementally on the st19
+    * standing-table pattern: a 1-in-5-user event slice replays
+    * through a real streaming query whose `foreachBatch` sink keeps a
+    * STANDING per-event-type sample table — each micro-batch unions
+    * the standing sample rows with its delta and re-folds the
+    * bottom-k (bottom-k(bottom-k(A) ∪ B) = bottom-k(A ∪ B), the
+    * reservoir's mergeability, so the chunking can never change the
+    * answer). The order hash is recomputed from the payload
+    * (md5-derived, deterministic), so the standing table stores only
+    * (event_type, user_id) — k rows per key, the entire streaming
+    * state.
+    *
+    * This is live sample maintenance at 100 TB: "keep 5 random rows
+    * per key, always current, never rescan history" — each trigger
+    * touches its delta plus a k-row standing table. The DuckDB oracle
+    * window-ranks the whole slice from scratch (the t37 mirror);
+    * equality pins every eviction across every chunk boundary.
+    * Stateless stream (state lives in the sink); eager by design
+    * like st11/st19/st22. */
+  def st23ReservoirMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 5 === 4)
+      .select($"event_id", $"event_type", $"user_id")
+      .orderBy($"event_id")
+      .as[(Long, String, Long)]
+      .collect()
+    require(data.nonEmpty,
+      s"st23: empty events slice (user_id % 5 == 4) in $dir")
+    val hv = "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]],
+      s2.sqlContext)
+    val root = java.nio.file.Files.createTempDirectory("graft_st23_").toFile
+    @volatile var cur: Option[String] = None
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = in.toDS().toDF("event_id", "event_type", "user_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.select(col("event_type"), col("user_id"))
+        val pool = cur match {
+          case Some(p) =>
+            batch.sparkSession.read.parquet(p).unionByName(delta)
+          case None => delta
+        }
+        val folded = graft.Graft.reservoirSample(
+            pool.withColumn("__hv", expr(hv)),
+            "event_type", col("__hv"), col("user_id"), k = 5)
+          .select(col("event_type"), col("sampled").as("user_id"))
+        val next = new java.io.File(root, s"gen${gen.incrementAndGet()}").getPath
+        folded.write.mode("overwrite").parquet(next)
+        cur = Some(next)
+        ()
+      }
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val chunk = math.max(1, (data.length + 2) / 3)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val standing = s.read.parquet(cur.getOrElse(
+      throw new IllegalStateException("st23: no batch ever committed")))
+    val out = graft.Graft.reservoirSample(
+        standing.withColumn("__hv", expr(hv)),
+        "event_type", col("__hv"), col("user_id"), k = 5)
+      .withColumnRenamed("sampled", "user_id")
+      .orderBy($"event_type", $"rk")
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    out
+  }
 }
