@@ -37,6 +37,27 @@ object Bench {
     * focused re-run refuted. With passes separated by the full sweep
     * (~tens of seconds), a burst lands in at most one of a query's
     * samples and the min discards it. */
+  /** Fixed 25-job no-data loop: measures per-JOB scheduler dispatch
+    * latency, the quantity the DATA canaries (q02/q03/s05 — 1-3 real
+    * jobs each) cannot see. Why it exists (round-16 spread
+    * investigation, PERF.md): the iterative graph queries run 10-60
+    * tiny jobs each, so moderate background host load multiplies
+    * their wall time through dispatch latency while leaving the
+    * single-job canaries FLAT — exactly the signature of the r15
+    * driver run (q80 5.3 s with q02 at its focused 0.8). Recording
+    * this per PASS in the artifact lets a reader attribute a loop-
+    * query swing to environment (job latency moved too) vs plan (job
+    * latency flat) without re-running anything. Each iteration builds
+    * its own trivial plan, so the probe prices planning + dispatch —
+    * the same per-round cost structure the loops pay. Clean-host
+    * reading: ~2.5-4 s for the 25 jobs. */
+  private def jobLatency(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 25) { spark.range(1000).count(); i += 1 }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       reps: Int = 2)
@@ -46,13 +67,17 @@ object Bench {
     val names = queries.keys.toSeq.sorted
     val times = scala.collection.mutable.LinkedHashMap(
       names.map(_ -> Seq.newBuilder[Double]): _*)
-    for (_ <- 1 to reps; name <- names if !errors.contains(name)) {
-      val t0 = System.nanoTime()
-      try queries(name)(spark, sfDir).count()
-      catch { case e: Throwable =>
-        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+    val jobLat = Seq.newBuilder[Double]
+    for (_ <- 1 to reps) {
+      jobLat += jobLatency(spark)
+      for (name <- names if !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try queries(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        times(name) += (System.nanoTime() - t0) / 1e9
       }
-      times(name) += (System.nanoTime() - t0) / 1e9
     }
     val results = names.map { name =>
       val ts = times(name).result()
@@ -65,9 +90,13 @@ object Bench {
     }
     // per-rep times also return so the artifact can carry the canary
     // evidence (round-15 judge item: claimed wins and the committed
-    // bench must not be able to diverge silently again)
+    // bench must not be able to diverge silently again); the
+    // "__job_latency" pseudo-entry carries the per-pass dispatch-
+    // latency probe (never a registered query — consumers key the
+    // real queries by registry name)
     (results, errors.toMap,
-      names.map(n => n -> times(n).result()).toMap)
+      names.map(n => n -> times(n).result()).toMap
+        + ("__job_latency" -> jobLat.result()))
   }
 
   /** JSON string escape: backslash, quote, and ALL control chars. */
@@ -284,7 +313,11 @@ object Bench {
     // from a plan regression (canaries flat) without re-running
     // anything — the PERF.md mid-round discipline, made standing in
     // the artifact (round-15 judge item 6)
-    val canaryNames = Seq("q02_star_join", "q03_top_orders", "s05_knn")
+    // __job_latency: per-pass 25-job dispatch-latency probe — the
+    // canary for the MANY-TINY-JOBS queries (graph loops) that data
+    // canaries cannot cover (see jobLatency())
+    val canaryNames =
+      Seq("q02_star_join", "q03_top_orders", "s05_knn", "__job_latency")
     val canJson = canaryNames
       .flatMap(n => perRep.get(n).filter(_.nonEmpty).map(ts =>
         s""""$n":[${ts.map(t => String.format(java.util.Locale.ROOT,
