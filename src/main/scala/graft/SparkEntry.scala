@@ -48,6 +48,7 @@ object SparkEntry {
     "q25_full_outer" -> (Relational.q25FullOuter _),
     "q26_salted" -> (Relational.q26SaltedAgg _),
     "q61_aqe_skew" -> (Skew.q61AqeSkew _),
+    "q114_hybrid_join" -> (Skew.q114HybridJoin _),
     "q27_lateral" -> (Relational.q27Lateral _),
     "q28_ntile" -> (Relational.q28Ntile _),
     "q29_locf" -> (Relational.q29FillGaps _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q34_csv_permissive" -> (Layout.q34CsvPermissive _),
     "q35_schema_evolution" -> (Layout.q35SchemaEvolution _),
     "q36_scd2" -> (Relational.q36Scd2 _),
+    "q115_snap_history" -> (Relational.q115SnapHistory _),
     "q37_compaction" -> (Layout.q37Compaction _),
     "q38_jdbc_roundtrip" -> (Layout.q38JdbcRoundtrip _),
     "q39_funnel" -> (Relational.q39Funnel _),
@@ -206,6 +208,7 @@ object SparkEntry {
     "m01_media_features" -> (Multimodal.m01MediaFeatures _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m08_media_neardup" -> (Multimodal.m08NearDup _),
+    "m09_audio_features" -> (Multimodal.m09AudioFeatures _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _),
     "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _),
@@ -230,6 +233,7 @@ object SparkEntry {
     "c07_anomaly_days" -> (Curation.c07AnomalyDays _),
     "q69_cms_sketch" -> (Relational.q69CmsSketch _),
     "q70_pagerank" -> (Relational.q70PageRank _),
+    "q113_hits" -> (Relational.q113Hits _),
     "q71_attribution" -> (Relational.q71Attribution _),
     "q72_vwap" -> (Relational.q72Vwap _),
     "q73_bfs_reach" -> (Relational.q73BfsReach _),
@@ -1637,6 +1641,34 @@ object SparkEntry {
     // per-band bit_count(xor)). The 64-cap is load-provably inert at
     // harness SFs (measured max bucket load 10 at sf0.1 — operator
     // scaladoc), so engine and oracle see identical pair sets.
+    // m09: PCM is lossless, so the oracle recomputes the decoded-
+    // sample statistics straight from the synthesis formula —
+    // nonnegative BIGINT products mod 4001 shifted to ±2000, summed
+    // and lag-compared per doc (zero crossings are STRICT sign flips,
+    // v·prev < 0). sample_rate is pinned 8000: the engine reads it
+    // from the parsed fmt chunk, so a header-walk bug would surface
+    // as a mismatch here.
+    "m09_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, t.range AS t,
+        |    ((doc_id * 7 + 13) * (t.range + 5) * (t.range + 11)
+        |      + doc_id * 17) % 4001 - 2000 AS v
+        |  FROM documents CROSS JOIN range(160) t
+        |  WHERE t.range < 64 + (doc_id % 4) * 32),
+        |z AS (
+        |  SELECT doc_id, t, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "m08_media_neardup" ->
       """WITH mem AS (
         |  SELECT doc_id, doc_id - doc_id % 5 AS rep_id,
@@ -2759,6 +2791,26 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q115: the same lag-compare / row_number / lead window pipeline
+    // in DuckDB; dates and strings only, so no arithmetic can diverge.
+    "q115_snap_history" ->
+      """WITH snap AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d,
+        |         arg_max(o_orderpriority, o_orderkey) AS prio
+        |  FROM orders WHERE o_custkey % 50 = 0
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT k, d, prio,
+        |    lag(prio) OVER (PARTITION BY k ORDER BY d) AS pp
+        |  FROM snap),
+        |c AS (SELECT k, d, prio FROM m WHERE pp IS NULL OR pp <> prio)
+        |SELECT k, prio,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  d AS effective_from,
+        |  lead(d) OVER w AS effective_to
+        |FROM c WINDOW w AS (PARTITION BY k ORDER BY d)
+        |ORDER BY k, version""".stripMargin,
+
     // q36 mirrors the SCD2 merge relationally: the same dim/delta
     // derivation, a full-outer join, and the four branches as a UNION
     // ALL (the engine's single-pass explode and this union are
@@ -3110,6 +3162,20 @@ object SparkEntry {
         |  round(sum(e.value), 2) AS sum_value
         |FROM e LEFT JOIN d ON e.k = d.k
         |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // q114: the hybrid hot/cold split must be answer-invariant — the
+    // oracle is the PLAIN inner join the hybrid rewrites (hot ∪ cold
+    // covers every key exactly once, so the heavy-key choice can only
+    // change the plan, never the rows).
+    "q114_hybrid_join" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 <> 0 THEN 1
+        |                       ELSE user_id END AS k,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM e JOIN customer ON e.k = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     // q60: both engines must agree on the 3VL semantics — the
     // null-bearing NOT IN counts zero, the clean NOT IN equals
@@ -4392,6 +4458,55 @@ FROM est ORDER BY l_partkey""",
         |            ELSE 's:' || ((node - 1) // 2) END AS node,
         |  CAST(rank_e9 AS BIGINT) AS rank_e9
         |FROM r3 ORDER BY rank_e9 DESC, node LIMIT 50""".stripMargin,
+
+    // q113: the 2 HITS rounds unrolled — each half-step is an integer
+    // sum + a max-normalized integral division; DuckDB HUGEINT `//`
+    // and Spark DECIMAL(38,0) `div` truncate identically on the
+    // nonnegative e6 fixed-point scores (no float ever exists on
+    // either side).
+    "q113_hits" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM pairs
+        |  UNION SELECT dst FROM pairs),
+        |a1r AS (SELECT dst AS node, sum(CAST(1000000 AS BIGINT)) AS raw
+        |  FROM pairs GROUP BY dst),
+        |a1m AS (SELECT max(raw) AS mx FROM a1r),
+        |a1 AS (SELECT n.node, CASE WHEN coalesce(mx, 0) = 0 THEN 0
+        |    ELSE (coalesce(r.raw, 0) * 1000000) // mx END AS auth
+        |  FROM nodes n LEFT JOIN a1r r ON n.node = r.node CROSS JOIN a1m),
+        |h1r AS (SELECT e.src AS node, sum(a.auth) AS raw
+        |  FROM pairs e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+        |h1m AS (SELECT max(raw) AS mx FROM h1r),
+        |h1 AS (SELECT n.node, CASE WHEN coalesce(mx, 0) = 0 THEN 0
+        |    ELSE (coalesce(r.raw, 0) * 1000000) // mx END AS hub
+        |  FROM nodes n LEFT JOIN h1r r ON n.node = r.node CROSS JOIN h1m),
+        |a2r AS (SELECT e.dst AS node, sum(h.hub) AS raw
+        |  FROM pairs e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+        |a2m AS (SELECT max(raw) AS mx FROM a2r),
+        |a2 AS (SELECT n.node, CASE WHEN coalesce(mx, 0) = 0 THEN 0
+        |    ELSE (coalesce(r.raw, 0) * 1000000) // mx END AS auth
+        |  FROM nodes n LEFT JOIN a2r r ON n.node = r.node CROSS JOIN a2m),
+        |h2r AS (SELECT e.src AS node, sum(a.auth) AS raw
+        |  FROM pairs e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+        |h2m AS (SELECT max(raw) AS mx FROM h2r),
+        |h2 AS (SELECT n.node, CASE WHEN coalesce(mx, 0) = 0 THEN 0
+        |    ELSE (coalesce(r.raw, 0) * 1000000) // mx END AS hub
+        |  FROM nodes n LEFT JOIN h2r r ON n.node = r.node CROSS JOIN h2m),
+        |lbl AS (SELECT CASE WHEN h.node % 2 = 0 THEN 'c:' || (h.node // 2)
+        |      ELSE 's:' || ((h.node - 1) // 2) END AS node,
+        |    CAST(h.hub AS BIGINT) AS hub_e6,
+        |    CAST(a.auth AS BIGINT) AS auth_e6
+        |  FROM h2 h JOIN a2 a ON h.node = a.node),
+        |tops AS (
+        |  (SELECT node, 'hub' AS side, hub_e6 AS score_e6 FROM lbl
+        |   ORDER BY score_e6 DESC, node LIMIT 20)
+        |  UNION ALL
+        |  (SELECT node, 'auth' AS side, auth_e6 AS score_e6 FROM lbl
+        |   ORDER BY score_e6 DESC, node LIMIT 20))
+        |SELECT node, side, score_e6 FROM tops
+        |ORDER BY side, score_e6 DESC, node""".stripMargin,
 
     // q84: q70's unrolled integer CTEs with the teleport term gated on
     // seed membership — same bit-for-bit truncating-division argument.

@@ -477,4 +477,132 @@ object Multimodal {
         sum($"a").as("sum_a"), sum($"b2").as("sum_b"))
       .orderBy($"hd")
   }
+
+  // ---- real RIFF/WAV codec path (m09) ----
+
+  /** Integer waveform statistics of DECODED PCM audio. All longs —
+    * bit-reproducible across engines (the PixelStats discipline). */
+  case class AudioStats(doc_id: Long, n_samples: Long, sample_rate: Long,
+      sum_amp: Long, sum_abs: Long, zero_cross: Long, peak: Long)
+
+  /** Deterministic synthetic 16-bit PCM: n = 64 + (id%4)·32 samples,
+    * s(t) = ((id·7+13)·(t+5)·(t+11) + id·17) % 4001 − 2000 — a
+    * multiplicative mix (the [[synthImage]] rationale) whose values
+    * stay in ±2000, and whose every term is nonnegative BIGINT
+    * arithmetic a SQL oracle mirrors exactly. */
+  def synthPcm(id: Long): Array[Short] = {
+    val n = (64 + (id % 4) * 32).toInt
+    val a = new Array[Short](n)
+    var t = 0
+    while (t < n) {
+      a(t) = ((((id * 7 + 13) * (t + 5) * (t + 11) + id * 17) % 4001)
+        - 2000).toShort
+      t += 1
+    }
+    a
+  }
+
+  /** Real RIFF/WAVE encode: canonical chunk layout (RIFF/WAVE header,
+    * 16-byte PCM `fmt ` chunk, `data` chunk of little-endian int16
+    * mono samples) plus a LIST/INFO chunk BETWEEN fmt and data — junk
+    * a correct reader must skip by walking chunk sizes, so a decoder
+    * that hardcodes byte offsets fails loudly rather than reading
+    * garbage samples. */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val listPayload = "INFOjunk".getBytes("US-ASCII") // even-sized
+    val riffSize = 4 + (8 + 16) + (8 + listPayload.length) + (8 + dataSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                        // PCM
+      .putShort(1)                        // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)             // byte rate
+      .putShort(2)                        // block align
+      .putShort(16)                       // bits per sample
+    buf.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length)
+      .put(listPayload)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Real WAV decode + integer feature extraction: verifies the
+    * RIFF/WAVE magics, WALKS the chunk list (skipping unknown chunks
+    * by their declared size, odd sizes padded per spec) to locate
+    * `fmt ` and `data`, validates 16-bit mono PCM, then one pass over
+    * the little-endian samples accumulates sum, |sum|, strict
+    * sign-flip zero crossings (v(t)·v(t−1) < 0 — a zero sample
+    * crosses nothing), and the peak amplitude. The sample_rate in the
+    * output is the PARSED fmt-chunk value, so the oracle's pinned
+    * 8000 proves the header round-trip, not just the payload. */
+  def decodeWavStats(docId: Long, wav: Array[Byte]): AudioStats = {
+    val buf = java.nio.ByteBuffer.wrap(wav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF file")
+    buf.getInt // declared riff size
+    require(tag() == "WAVE", "not a WAVE form")
+    var sampleRate = -1; var bits = -1; var channels = -1; var fmt = -1
+    var dataOff = -1; var dataLen = -1
+    while (buf.remaining() >= 8 && (sampleRate < 0 || dataOff < 0)) {
+      val id = tag(); val sz = buf.getInt
+      id match {
+        case "fmt " =>
+          fmt = buf.getShort; channels = buf.getShort
+          sampleRate = buf.getInt; buf.getInt; buf.getShort
+          bits = buf.getShort
+          if (sz > 16) buf.position(buf.position() + (sz - 16))
+        case "data" =>
+          dataOff = buf.position(); dataLen = sz
+          buf.position(buf.position() + sz)
+        case _ => // skip unknown chunk, odd sizes pad to even per spec
+          buf.position(buf.position() + sz + (sz & 1))
+      }
+    }
+    require(fmt == 1 && channels == 1 && bits == 16,
+      s"expected 16-bit mono PCM, got fmt=$fmt ch=$channels bits=$bits")
+    require(dataOff >= 0 && dataLen % 2 == 0, "missing/odd data chunk")
+    val n = dataLen / 2
+    var sum = 0L; var sumAbs = 0L; var zc = 0L; var peak = 0L
+    var prev = 0; var t = 0
+    buf.position(dataOff)
+    while (t < n) {
+      val v = buf.getShort.toInt
+      sum += v; sumAbs += math.abs(v)
+      if (t > 0 && v.toLong * prev < 0) zc += 1
+      if (math.abs(v) > peak) peak = math.abs(v)
+      prev = v
+      t += 1
+    }
+    AudioStats(docId, n.toLong, sampleRate.toLong, sum, sumAbs, zc, peak)
+  }
+
+  /** m09 — REAL audio codec pipeline (the `javax.imageio` discipline
+    * applied to sound): per document a deterministic 16-bit PCM
+    * waveform is synthesized, encoded to honest RIFF/WAV bytes
+    * (canonical chunks plus a LIST chunk the reader must skip), then
+    * DECODED back by a chunk-walking parser, and every emitted
+    * feature — sample count, parsed header rate, amplitude sums,
+    * strict zero crossings, peak — is an integer statistic of the
+    * decoded samples. PCM is lossless, so the DuckDB oracle
+    * recomputes identical stats from the synthesis formula: a hash
+    * match proves the encode → chunk-walk → decode → extract chain is
+    * sample-exact. Scale shape: embarrassingly parallel mapPartitions
+    * (encode+decode never leaves the task), features-before-shuffle;
+    * the only exchange is the final presentation sort. */
+  def m09AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        decodeWavStats(id, encodeWav(synthPcm(id), 8000))
+      })
+      .toDF()
+      .orderBy($"doc_id")
+  }
 }

@@ -637,6 +637,27 @@ object Relational {
       .orderBy($"c_custkey", $"valid_from")
   }
 
+  /** q115 — snapshot-series → SCD2 interval history
+    * ([[graft.Graft.snapshotHistory]], the batch complement of q36's
+    * single-delta merge): each customer's per-day observed order
+    * priority (multi-order days collapse deterministically via
+    * max_by on the unique order key / DuckDB arg_max) compresses
+    * into validity intervals — consecutive unchanged days merge, a
+    * NULL effective_to marks the current state. The probe restricts
+    * to custkey % 50 = 0 so the emitted history is a readable slice;
+    * the filter pushes to the scan on both engines. Oracle: the same
+    * lag-compare / row_number / lead window pipeline in DuckDB SQL —
+    * no arithmetic exists to diverge (dates and strings only). */
+  def q115SnapHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snaps = Tables(s, dir, "orders")
+      .filter($"o_custkey" % 50 === 0)
+      .groupBy($"o_custkey".as("k"), $"o_orderdate".as("d"))
+      .agg(max_by($"o_orderpriority", $"o_orderkey").as("prio"))
+    graft.Graft.snapshotHistory(snaps, "k", "d", Seq("prio"))
+      .orderBy($"k", $"version")
+  }
+
   /** q44 — cohort RETENTION: users grouped by first-activity week
     * (the cohort), counted distinct in each later week offset — the
     * second product-analytics staple next to q39's funnel, and the
@@ -1519,6 +1540,37 @@ object Relational {
           .as("node"),
         $"rank_e9")
       .orderBy($"rank_e9".desc, $"node").limit(50)
+  }
+
+  /** q113 — HITS hubs & authorities over the directed
+    * customer→supplier purchase graph (who-buys-from-whom, distinct
+    * pairs via lineitem⋈orders): hub customers are those buying from
+    * authoritative suppliers, authoritative suppliers those bought by
+    * hub customers — the mutual-reinforcement readout PageRank's
+    * single score can't express (a huge buyer and a popular supplier
+    * are DIFFERENT roles; q70 would conflate them). Two synchronous
+    * [[graft.Graft.hits]] rounds in integer e6 fixed-point with
+    * max-normalization; top 20 per side, ties broken on the node
+    * label. Oracle: the two rounds unrolled as integer CTEs — DuckDB
+    * `//` and Spark `div` truncate identically on the nonnegative
+    * fixed-point scores, so the match is bit-for-bit. */
+  def q113Hits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val r = graft.Graft.hits(pairs, iters = 2)
+    def lbl = when($"node" % 2 === 0, concat(lit("c:"), expr("node div 2")))
+      .otherwise(concat(lit("s:"), expr("(node - 1) div 2"))).as("node")
+    val hubs = r.select(lbl, lit("hub").as("side"), $"hub_e6".as("score_e6"))
+      .orderBy($"score_e6".desc, $"node").limit(20)
+    val auths = r
+      .select(lbl, lit("auth").as("side"), $"auth_e6".as("score_e6"))
+      .orderBy($"score_e6".desc, $"node").limit(20)
+    hubs.unionAll(auths).orderBy($"side", $"score_e6".desc, $"node")
   }
 
   /** q71 — multi-touch attribution over the events stream: each

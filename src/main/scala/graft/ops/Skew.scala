@@ -25,6 +25,53 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hybrid hot/cold equi-join — the third skew tool beside
+    * [[saltedJoin]] (known skew, two-phase shape) and q61's AQE split
+    * (runtime skew, sort-merge shape): the big side's HEAVIEST keys
+    * take a broadcast path (only the dim rows matching those keys are
+    * broadcast — a bounded slice of a dim that is itself too big to
+    * broadcast whole), everything else takes the ordinary shuffle
+    * path, and the two disjoint halves union. The answer is
+    * key-partition-invariant: hot ∪ cold covers every key exactly
+    * once, so WHICH keys land in the hot set cannot change the result
+    * — only the plan. That invariance is what makes the heavy-key
+    * detection safely approximate: with `sampleOneIn` > 1 the
+    * frequency pre-pass reads a deterministic 1-in-n row slice
+    * (xxhash64 of the row id — no RNG, no extra shuffle; `minCount`
+    * then applies to SAMPLED counts), so at 100 TB the pre-pass is a
+    * cheap partial-folded count over ~1/n of the fact, not a second
+    * full scan. Driver state is the heavy-key list itself, bounded by
+    * `topK` (never data-sized).
+    *
+    * Null keys drop on both paths exactly as the plain inner join
+    * drops them (`isin`'s null propagates to a filtered-out NULL
+    * predicate), so the hybrid is a pure plan rewrite of
+    * `big.join(dim, Seq(key))`. */
+  def hybridSkewJoin(big: DataFrame, dim: DataFrame, key: String,
+      topK: Int = 64, minCount: Long = 1000L,
+      sampleOneIn: Int = 1): DataFrame = {
+    require(topK >= 1 && topK <= 1024, s"topK out of range: $topK")
+    require(sampleOneIn >= 1, s"sampleOneIn out of range: $sampleOneIn")
+    val probe =
+      if (sampleOneIn == 1) big
+      else big.filter(pmod(xxhash64(monotonically_increasing_id()),
+        lit(sampleOneIn)) === 0)
+    val heavyKeys = probe.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount && col(key).isNotNull)
+      .orderBy(col("__n").desc, col(key))
+      .limit(topK)
+      .select(col(key))
+      .collect().map(_.get(0))
+    if (heavyKeys.isEmpty) big.join(dim, Seq(key))
+    else {
+      val hot = big.filter(col(key).isin(heavyKeys: _*))
+        .join(broadcast(dim.filter(col(key).isin(heavyKeys: _*))), Seq(key))
+      val cold = big.filter(!col(key).isin(heavyKeys: _*))
+        .join(dim, Seq(key))
+      hot.unionByName(cold)
+    }
+  }
+
   /** Typed aggregate specs for [[saltedAgg]]: each spec derives BOTH its
     * partial (per key+salt) and merge (per key) expressions, so the two
     * phases cannot be mismatched — the failure mode of the earlier API,
@@ -158,4 +205,33 @@ object Skew {
     * skew thresholds to harness volume. */
   def q61AqeSkew(s: SparkSession, dir: String): DataFrame =
     q61Join(q61Session(s), dir)
+
+  /** q114 — hybrid hot/cold skew join: the q61 hot-key shape (9-in-10
+    * event rows collapse onto customer key 1) joined to the customer
+    * dim through [[hybridSkewJoin]] with a 1-in-16 sampled frequency
+    * pre-pass — the hot key's rows broadcast-join against just its
+    * own dim row while the long tail shuffle-joins, and the union
+    * reproduces the plain inner join bit-for-bit (the oracle IS the
+    * plain join: the hybrid must be answer-invariant). cents are
+    * exact (events.value is 2-dp-quantized positive, the q71
+    * rounding argument). At 100 TB this is the shape for a fact whose
+    * dim is too big to broadcast whole but whose hot keys are few:
+    * salting (q26) replicates the dim n-fold; AQE (q61) needs the
+    * skew to survive into one reduce partition; the hybrid pays one
+    * sampled pre-pass and removes the hot key from the shuffle
+    * entirely. */
+  def q114HybridJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables(s, dir, "events")
+      .select(when($"user_id" % 10 =!= 0, lit(1L))
+        .otherwise($"user_id").as("k"),
+        round($"value" * 100).cast("long").as("cents"))
+    val dim = graft.Tables(s, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment")
+    hybridSkewJoin(ev, dim, "k", topK = 8, minCount = 32L,
+      sampleOneIn = 16)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      .orderBy($"c_mktsegment")
+  }
 }

@@ -136,4 +136,52 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(dists.exists(_ > 0), "perturbation must flip bits for some block")
     assert(dists.forall(_ <= 10), s"perturbation must stay NEAR: $dists")
   }
+
+  test("WAV encode->decode recovers the synthesized samples exactly") {
+    // reference stats straight from the formula — no ByteBuffer, no
+    // RIFF anywhere in this path (the refStats discipline for audio)
+    import Multimodal.{synthPcm, encodeWav, decodeWavStats, AudioStats}
+    def ref(id: Long): AudioStats = {
+      val n = (64 + (id % 4) * 32).toInt
+      val vs = (0 until n).map(t =>
+        (((id * 7 + 13) * (t + 5) * (t + 11) + id * 17) % 4001 - 2000).toInt)
+      AudioStats(id, n.toLong, 8000L,
+        vs.map(_.toLong).sum, vs.map(v => math.abs(v).toLong).sum,
+        vs.zip(vs.drop(1)).count { case (a, b) => a.toLong * b < 0 }.toLong,
+        vs.map(v => math.abs(v).toLong).max)
+    }
+    for (id <- Seq(0L, 1L, 2L, 3L, 17L, 5000L, 123456789L)) {
+      val got = decodeWavStats(id, encodeWav(synthPcm(id), 8000))
+      assert(got === ref(id), s"codec roundtrip diverged for id=$id")
+    }
+  }
+
+  test("WAV decoder walks chunks (rejects garbage, skips odd-sized junk)") {
+    import Multimodal.{synthPcm, encodeWav, decodeWavStats}
+    // not RIFF at all
+    intercept[IllegalArgumentException] {
+      decodeWavStats(0L, Array.fill[Byte](64)(0x41))
+    }
+    // odd-sized junk chunk between fmt and data must be pad-skipped:
+    // splice a 5-byte "junk" chunk (+1 pad) into a real file
+    val base = encodeWav(synthPcm(7L), 8000)
+    val insertAt = 12 + 8 + 16 // after fmt chunk
+    val junk = java.nio.ByteBuffer.allocate(8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("junk".getBytes("US-ASCII")).putInt(5)
+      .put(Array[Byte](1, 2, 3, 4, 5, 0)).array()
+    val spliced = base.take(insertAt) ++ junk ++ base.drop(insertAt)
+    // fix the RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + junk.length)
+    assert(decodeWavStats(7L, spliced) ===
+      decodeWavStats(7L, base), "odd-size junk chunk broke the walk")
+    // stereo/wrong-bits headers must be rejected, not misread
+    val bad = base.clone()
+    val fb = java.nio.ByteBuffer.wrap(bad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fb.putShort(12 + 8 + 2, 2.toShort) // channels := 2
+    intercept[IllegalArgumentException] { decodeWavStats(7L, bad) }
+  }
 }

@@ -63,6 +63,39 @@ class SkewSourcesSpec extends SparkSuiteBase {
     }
   }
 
+  test("hybrid skew join equals the plain join and splits hot-broadcast / cold-shuffle") {
+    val ev = graft.Tables(spark, sf, "events")
+      .select(when($"user_id" % 10 =!= 0, lit(1L))
+        .otherwise($"user_id").as("k"), $"event_id")
+    val dim = graft.Tables(spark, sf, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment")
+    val plain = ev.join(dim, Seq("k"))
+      .agg(count(lit(1)), sum($"event_id")).head()
+    // exact pre-pass (sampleOneIn=1): the hot key always detected
+    val hybrid = Skew.hybridSkewJoin(ev, dim, "k", topK = 4,
+      minCount = 100L)
+    assert(hybrid.agg(count(lit(1)), sum($"event_id")).head() == plain)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try { // suppress auto-broadcast so the split is structural, not AQE's
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Skew.hybridSkewJoin(ev, dim, "k", topK = 4,
+        minCount = 100L).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"hot path lost its broadcast:\n${plan.take(3000)}")
+      assert(plan.contains("Union"), s"no union of halves:\n${plan.take(3000)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cold path lost its shuffle join:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // threshold never met -> pure fallback to the plain join
+    val fallback = Skew.hybridSkewJoin(ev, dim, "k", topK = 4,
+      minCount = Long.MaxValue)
+    assert(fallback.agg(count(lit(1)), sum($"event_id")).head() == plain)
+    // sampled pre-pass stays answer-invariant regardless of hot-set hits
+    val sampled = Skew.hybridSkewJoin(ev, dim, "k", topK = 4,
+      minCount = 8L, sampleOneIn = 16)
+    assert(sampled.agg(count(lit(1)), sum($"event_id")).head() == plain)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // The builder-prompt skew strategy is two-layer: AQE's runtime
     // skew-join split handles shuffle skew automatically; explicit
