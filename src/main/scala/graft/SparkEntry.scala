@@ -104,6 +104,7 @@ object SparkEntry {
     "d07_simhash_pairs" -> (TextDedup.d07SimhashPairs _),
     "d08_neardup_dedup" -> (TextDedup.d08NearDupDedup _),
     "d18_components" -> (TextDedup.d18ComponentsDistributed _),
+    "d23_inc_components" -> (TextDedup.d23IncComponents _),
     "d19_containment" -> (TextDedup.d19Containment _),
     "d20_keep_best" -> (TextDedup.d20KeepBest _),
     "d05_embedding_dedup" -> (Similarity.d05EmbeddingDedup _),
@@ -278,6 +279,7 @@ object SparkEntry {
     "q112_kmv" -> (Relational.q112Kmv _),
     "d22_minhash_union" -> (TextDedup.d22MinhashUnion _),
     "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
+    "st24_semi_join" -> (streaming.Streams.st24StreamingSemiJoin _),
     "st22_hll_monitor" -> (streaming.Streams.st22HllMonitor _),
     "st23_sample_monitor" -> (streaming.Streams.st23ReservoirMonitor _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
@@ -892,6 +894,25 @@ object SparkEntry {
         |FROM reach GROUP BY a
         |ORDER BY doc_id""".stripMargin,
 
+    // d23: the oracle is the FROM-SCRATCH recursive-CTE closure over
+    // the full edge set (standing stars + batch links) — exactly the
+    // answer the incremental merge must reproduce. Components are ≤ 8
+    // nodes by construction, so the closure stays linear in ids.
+    "d23_inc_components" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS c FROM customer),
+        |e0 AS (
+        |  SELECT c AS a, c - c % 4 AS b FROM cust WHERE c % 4 <> 0
+        |  UNION ALL
+        |  SELECT c, c + 4 FROM cust WHERE c % 40 = 0),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS node_id, least(a, min(b)) AS component_id
+        |FROM reach GROUP BY a
+        |ORDER BY node_id""".stripMargin,
+
     // d19 brute-forces the containment score on the chunk strings
     // (the engine's hashed/bucket-capped path must agree — max
     // chunk-share on this corpus is 5, far under the 64 cap).
@@ -1245,6 +1266,17 @@ object SparkEntry {
         | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
         |WHERE p.event_type = 'purchase' AND p.user_id % 10 = 0
         |ORDER BY user_id, purchase_ts_us, click_ts_us""".stripMargin,
+
+    // st24: semi emission is match-driven and at-most-once per click,
+    // so under ts-sorted replay the sink equals the batch EXISTS.
+    "st24_semi_join" ->
+      """SELECT c.user_id, epoch_us(c.ts) AS click_ts_us
+        |FROM events c
+        |WHERE c.event_type = 'click' AND c.user_id % 10 = 6
+        |  AND EXISTS (SELECT 1 FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |      AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 360 MINUTE)
+        |ORDER BY user_id, click_ts_us""".stripMargin,
 
     // st10: the watermark sentinels finalize EVERY real click (see the
     // operator scaladoc), so the oracle is the plain batch LEFT JOIN —

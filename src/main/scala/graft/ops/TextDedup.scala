@@ -579,6 +579,70 @@ object TextDedup {
       .orderBy($"doc_id")
   }
 
+  /** Incremental connected components — merge a batch of new edges
+    * into a STANDING labeling (`labels`: id, root with root = the
+    * component minimum, [[componentMin]]'s contract) without
+    * reprocessing the standing edge set. Each standing component
+    * collapses to ONE star edge (labeled batch endpoint → its old
+    * root), so the merge graph componentMin runs on is
+    * (batch ∪ touched-roots)-sized — batch-sized work against a
+    * lake-sized labeling, the d15/d16/s25 maintenance discipline
+    * applied to graphs. Untouched components never shuffle: their
+    * rows ride the left join unmatched and keep their root.
+    *
+    * Exactness: an old root is its component's minimum id, so
+    * min(batch ids ∪ touched old roots) = min over all merged
+    * members — the incremental labeling equals the from-scratch
+    * [[componentMin]] over standing ∪ batch edges (d23's oracle gate).
+    *
+    * Scale shape: one distinct over batch endpoints, one semi-join to
+    * bridge them (labels-side partitioned on id), componentMin over
+    * the batch-sized merge graph, then ONE left join keyed on the old
+    * root to relabel — the standing labeling is scanned once and
+    * never re-clustered. */
+  def incrementalComponents(labels: DataFrame, batchPairs: DataFrame,
+      maxRounds: Int = 16): DataFrame = {
+    val ends = batchPairs.select(col("id_a").as("id"))
+      .unionAll(batchPairs.select(col("id_b").as("id"))).distinct()
+    val bridges = ends.join(labels, "id")
+      .select(col("id").as("id_a"), col("root").as("id_b"))
+    val merged = componentMin(batchPairs.unionAll(bridges), maxRounds)
+    val rootMap = merged
+      .join(labels.select(col("root").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("id").as("__old_root"), col("root").as("__new_root"))
+    val relabeled = labels
+      .join(rootMap, labels("root") === rootMap("__old_root"), "left")
+      .select(labels("id"),
+        coalesce(col("__new_root"), labels("root")).as("root"))
+    val fresh = merged.join(labels, Seq("id"), "left_anti")
+    relabeled.unionAll(fresh.select(col("id"), col("root")))
+  }
+
+  /** d23 — [[incrementalComponents]] under the oracle gate: a
+    * synthetic bounded-component graph over the customer ids
+    * (stars of 4 consecutive ids; every 40th id's batch edge links
+    * two stars into an 8-node component) is labeled incrementally —
+    * standing stars first, link edges as the batch — and the merged
+    * labeling is hash-checked against DuckDB's recursive-CTE
+    * transitive closure over the FULL edge set, i.e. the from-scratch
+    * answer the incremental path must reproduce. Components stay ≤ 8
+    * nodes at every SF, so the oracle's closure is linear in ids
+    * (d18's oracle, by contrast, is quadratic inside clusters). */
+  def d23IncComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
+    val standing = cust
+      .select($"c".as("id_a"), ($"c" - $"c" % 4).as("id_b"))
+      .filter($"id_a" =!= $"id_b")
+    val labels = componentMin(standing)
+    val batch = cust.filter($"c" % 40 === 0)
+      .select($"c".as("id_a"), ($"c" + 4).as("id_b"))
+    incrementalComponents(labels, batch)
+      .select($"id".as("node_id"), $"root".as("component_id"))
+      .orderBy($"node_id")
+  }
+
   /** d19 — asymmetric CONTAINMENT dedup
     * ([[containmentPairs]], which this binds to the corpus): detect
     * "document A lives inside document B" — the scraped-web

@@ -107,6 +107,35 @@ object Streams {
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-stream LEFT SEMI interval join — converted clicks: each
+    * click emits AT MOST ONCE, as soon as the first purchase by the
+    * same user lands inside the following `intervalMinutes`, and
+    * carries only click-side columns (the membership question "did
+    * this click convert?", without the per-purchase fan-out the inner
+    * join produces — a click with 3 purchases emits 3 inner rows but
+    * 1 semi row). Unmatched clicks never emit and their state evicts
+    * once the watermark passes click_ts + interval. Completes the
+    * stream-stream join-mode matrix (inner st05 / left st10 / full
+    * st17 / right st20 / semi here). State sizing is the
+    * [[clickPurchaseLeftJoin]] rule: the watermark delay must cover
+    * the interval or matches at the horizon edge drop. */
+  def clickConversionSemiJoin(events: DataFrame,
+      intervalMinutes: Int = 10): DataFrame = {
+    val delay = s"${math.max(10, intervalMinutes)} minutes"
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    clicks.join(purchases,
+      expr(s"""c_user = p_user AND
+              purchase_ts BETWEEN click_ts
+              AND click_ts + INTERVAL $intervalMinutes MINUTES"""),
+      "left_semi")
+      .select(col("c_user").as("user_id"), col("click_ts"))
+  }
+
   /** Streaming exact dedup at ingest: drop re-deliveries of the same
     * content key within the watermark horizon. State carries one entry
     * per distinct key seen inside the horizon and is evicted as the
@@ -915,6 +944,40 @@ object Streams {
         round($"purchase_value", 2).as("purchase_value"))
       .orderBy($"user_id", $"click_ts_us".asc_nulls_first,
         $"purchase_ts_us")
+  }
+
+  /** st24 — the stream-stream LEFT SEMI interval join
+    * ([[clickConversionSemiJoin]]) run genuinely incrementally: the
+    * st05 replay harness through the symmetric join state store, semi
+    * rows emitting in the micro-batch where the FIRST matching
+    * purchase arrives. Determinism under ts-sorted replay: every
+    * purchase that can match a click arrives in an
+    * earlier-or-equal-or-later batch but always BEFORE the watermark
+    * evicts that click (delay covers the interval), each converted
+    * click emits exactly once, and unmatched clicks emit never — so
+    * the sink's final table equals the batch EXISTS, which is what
+    * the oracle spells. No sentinels: semi emission is match-driven,
+    * not eviction-driven (the st05 argument, not st20's). */
+  def st24StreamingSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 6 &&
+        $"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .orderBy($"ts")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .collect()
+    require(data.nonEmpty,
+      s"st24: empty click/purchase slice (user_id % 10 == 6) in $dir")
+    // 360-minute interval: the sf0.01 slice converts 18 clicks vs 2 at
+    // st05's 30 minutes — the state/eviction mechanics are
+    // interval-independent, the oracle diff is 9x wider
+    replay(s, data.toSeq, OutputMode.Append, "st24") { ds =>
+      clickConversionSemiJoin(
+        ds.toDF("user_id", "ts", "event_type", "value"), 360)
+    }
+      .select($"user_id", unix_micros($"click_ts").as("click_ts_us"))
+      .orderBy($"user_id", $"click_ts_us")
   }
 
   /** st16 — CHAINED stateful operators in one streaming query (two

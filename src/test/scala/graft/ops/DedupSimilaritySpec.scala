@@ -193,6 +193,29 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(dist == expected)
   }
 
+  test("incrementalComponents merges a batch into a standing labeling exactly") {
+    // standing: {1,2,3} and {10,11}, untouched {30,31}
+    val standing = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val labels = TextDedup.componentMin(standing)
+    // batch: bridge 3-10 (merges two standing comps — min must flow
+    // from OLD root 1 across the bridge), plus a brand-new comp 20-21,
+    // plus a new node 5 attaching to a standing comp
+    val batch = Seq((3L, 10L), (20L, 21L), (11L, 5L)).toDF("id_a", "id_b")
+    val got = TextDedup.incrementalComponents(labels, batch)
+      .as[(Long, Long)].collect().toMap
+    val full = TextDedup.componentMin(standing.unionAll(batch))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full)
+    assert(got(11L) == 1L && got(5L) == 1L && got(30L) == 30L &&
+      got(20L) == 20L)
+    // empty batch: labeling passes through unchanged
+    val none = TextDedup.incrementalComponents(labels,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(none == labels.as[(Long, Long)].collect().toMap)
+  }
+
   test("d18: distributed labeling of the corpus pair graph equals the driver union-find") {
     // d18 forces the distributed loop on the REAL near-dup pair graph;
     // the driver union-find over the same pairs is the cross-path
