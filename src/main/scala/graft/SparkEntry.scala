@@ -70,6 +70,7 @@ object SparkEntry {
     "t17_domains" -> (TextAnalysis.t17Domains _),
     "d09_chunks" -> (TextDedup.d09ChunkDedup _),
     "d10_fuzzy" -> (Relational.d10FuzzyJoin _),
+    "q116_typo_distance" -> (Relational.q116TypoDistance _),
     "t15_pii" -> (TextAnalysis.t15Pii _),
     "t16_nll" -> (TextAnalysis.t16UnigramNll _),
     "s04_radius" -> (Similarity.s04Radius _),
@@ -1938,6 +1939,35 @@ object SparkEntry {
         |  coalesce(min(CASE WHEN rn > 1 THEN chunk_idx END), -1) AS first_dup_idx
         |FROM r GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // q116: DuckDB's damerau_levenshtein IS the reference
+    // implementation the engine's native expression is pinned to
+    // (byte-level true DL) — same capped nation blocks, same pairs,
+    // integer histogram.
+    "q116_typo_distance" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_custkey % 50 = 0),
+        |v AS (
+        |  SELECT 'swap' AS kind, c_name,
+        |    substr(c_name,1,15) || substr(c_name,17,1) ||
+        |    substr(c_name,16,1) || substr(c_name,18,100) AS variant FROM c
+        |  UNION ALL
+        |  SELECT 'del', c_name,
+        |    substr(c_name,1,15) || substr(c_name,17,100) FROM c
+        |  UNION ALL
+        |  SELECT 'swap_sub', c_name,
+        |    substr(c_name,1,15) || substr(c_name,17,1) ||
+        |    substr(c_name,16,1) || 'X' FROM c
+        |  UNION ALL
+        |  SELECT 'dblswap', c_name,
+        |    substr(c_name,1,13) || substr(c_name,15,1) ||
+        |    substr(c_name,14,1) || substr(c_name,17,1) ||
+        |    substr(c_name,16,1) || substr(c_name,18,100) FROM c)
+        |SELECT kind, count(*)::BIGINT AS n,
+        |  CAST(min(damerau_levenshtein(c_name, variant)) AS BIGINT) AS min_dl,
+        |  CAST(max(damerau_levenshtein(c_name, variant)) AS BIGINT) AS max_dl,
+        |  CAST(sum(damerau_levenshtein(c_name, variant)) AS BIGINT) AS sum_dl
+        |FROM v GROUP BY kind ORDER BY kind""".stripMargin,
 
     "d10_fuzzy" ->
       """SELECT c_custkey, s_suppkey,

@@ -139,6 +139,9 @@ object GraftFunctions {
       checkedArity("minhash_sketch", 3, GraftFunctions.buildMinHashSketch)),
     ("int8_dot", classOf[Int8Dot],
       checkedArity("int8_dot", 2, e => Int8Dot(e(0), e(1)))),
+    ("damerau_levenshtein", classOf[DamerauLevenshtein],
+      checkedArity("damerau_levenshtein", 2,
+        e => DamerauLevenshtein(e(0), e(1)))),
     // *_bin, not to_avro/from_avro: Spark 4's catalyst registers those
     // names as stubs that delegate to the spark-avro MODULE (absent
     // here) and fail at runtime — shadowing a built-in name with

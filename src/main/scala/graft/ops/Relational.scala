@@ -479,6 +479,51 @@ object Relational {
       .orderBy($"c_custkey", $"s_suppkey")
   }
 
+  /** q116 — transposition-aware edit-distance profile via the native
+    * [[graft.functions.DamerauLevenshtein]] Catalyst expression
+    * (true/unrestricted DL — the typo-class distance Spark's built-in
+    * `levenshtein` understates by scoring every swap as 2 edits; d10's
+    * fuzzy join inherits that blind spot). Customer names
+    * pair up inside nation blocks CAPPED at 16 rows (row_number over
+    * the bounded nation key — the pair space is 25·C(16,2) at EVERY
+    * scale factor, the string-similarity-join discipline), and the
+    * distance histogram digests per edit distance. Semantics are
+    * byte-level true DL pinned to DuckDB's `damerau_levenshtein`, so
+    * the oracle IS the reference implementation — any recurrence slip
+    * (OSA instead of true DL, codepoints instead of bytes) hash-fails
+    * here and vector-fails in CodegenSpec. */
+  def q116TypoDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+      .filter($"c_custkey" % 50 === 0)
+      .select($"c_custkey", $"c_name")
+    // four deterministic typo classes built in-query: adjacent swap
+    // (the class true DL scores 1 and plain levenshtein scores 2 —
+    // the discriminating case), deletion, swap+substitution, and a
+    // double swap. ASCII names, so char and byte positions coincide
+    // on both engines.
+    val variants = c.select($"c_name", expr(
+      """stack(4,
+        |  'swap', concat(substring(c_name,1,15), substring(c_name,17,1),
+        |    substring(c_name,16,1), substring(c_name,18,100)),
+        |  'del', concat(substring(c_name,1,15), substring(c_name,17,100)),
+        |  'swap_sub', concat(substring(c_name,1,15), substring(c_name,17,1),
+        |    substring(c_name,16,1), 'X'),
+        |  'dblswap', concat(substring(c_name,1,13), substring(c_name,15,1),
+        |    substring(c_name,14,1), substring(c_name,17,1),
+        |    substring(c_name,16,1), substring(c_name,18,100))
+        |) as (kind, variant)""".stripMargin))
+    val dl = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.DamerauLevenshtein(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression($"c_name"),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression($"variant")))
+    variants.withColumn("dl", dl.cast("long"))
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n"), min($"dl").as("min_dl"),
+        max($"dl").as("max_dl"), sum($"dl").as("sum_dl"))
+      .orderBy($"kind")
+  }
+
   /** q26 — salted two-phase aggregation, driver-visible: the
     * [[Skew.saltedAgg]] hot-key mitigation registered as a harness
     * query so its correctness contract (identical to the plain

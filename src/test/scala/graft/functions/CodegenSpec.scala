@@ -216,4 +216,42 @@ class CodegenSpec extends SparkSuiteBase {
     }
     assert(e.getMessage.contains("normalization form"))
   }
+
+  test("damerau_levenshtein matches the DuckDB reference vectors and stays in codegen") {
+    GraftFunctions.register(spark)
+    // vectors probed against DuckDB 1.0.0's damerau_levenshtein (the
+    // oracle implementation): TRUE DL (CA~ABC=2 where OSA says 3),
+    // byte-level UTF-8 (béta~beta=2: the 2-byte é costs sub+del)
+    val vectors = Seq(
+      ("CA", "ABC", 2), ("ab", "ba", 1), ("abc", "ca", 2),
+      ("", "abc", 3), ("kitten", "sitting", 3), ("abcdef", "abcfed", 2),
+      ("a", "a", 0), ("", "", 0), ("xy", "yx", 1), ("smtih", "smith", 1),
+      ("thee", "the", 1), ("béta", "beta", 2), ("ab", "aab", 1))
+    // static kernel (the interpreted/codegen shared path)
+    import org.apache.spark.unsafe.types.UTF8String
+    vectors.foreach { case (a, b, d) =>
+      assert(DamerauLevenshtein.distance(
+        UTF8String.fromString(a), UTF8String.fromString(b)) == d,
+        s"distance('$a','$b') != $d")
+      assert(DamerauLevenshtein.distance(
+        UTF8String.fromString(b), UTF8String.fromString(a)) == d,
+        s"distance must be symmetric for ('$a','$b')")
+    }
+    // through SQL on a parquet-backed scan: must sit inside codegen
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val df = docs.select(call_function("damerau_levenshtein",
+      substring($"text", 1, 12), substring($"text", 2, 12)).as("d"))
+    val plan = df.queryExecution.executedPlan
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("damerau_levenshtein")),
+      s"damerau_levenshtein not inside codegen:\n$plan")
+    assert(df.collect().forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 12))
+    // null propagation (interpreted path)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    assert(DamerauLevenshtein(Literal.create(null, StringType),
+      Literal.create("x", StringType)).eval(null) == null)
+  }
 }
