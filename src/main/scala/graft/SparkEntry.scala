@@ -278,6 +278,7 @@ object SparkEntry {
     "q110_mad" -> (Relational.q110Mad _),
     "q111_ratio_parent" -> (Relational.q111RatioParent _),
     "q112_kmv" -> (Relational.q112Kmv _),
+    "q117_kmv_jaccard" -> (Relational.q117KmvJaccard _),
     "d22_minhash_union" -> (TextDedup.d22MinhashUnion _),
     "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
     "st24_semi_join" -> (streaming.Streams.st24StreamingSemiJoin _),
@@ -285,6 +286,7 @@ object SparkEntry {
     "st23_sample_monitor" -> (streaming.Streams.st23ReservoirMonitor _),
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "t37_reservoir" -> (TextAnalysis.t37Reservoir _),
+    "t38_feature_hash" -> (TextAnalysis.t38FeatureHash _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
   )
@@ -5249,6 +5251,57 @@ FROM est ORDER BY l_partkey""",
         |    AS n_estimated
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // q117: the same bottom-64 sketches combined pairwise with list
+    // functions — union slice, both-membership filter, the q112
+    // HUGEINT estimator on the union's k-th value; all integers, so
+    // the KMV combine is bit-identical.
+    "q117_kmv_jaccard" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |d AS (
+        |  SELECT user_id, unnest(list_filter([0, 1, 2],
+        |    s -> user_id % 3 = s OR user_id % 5 = s))::BIGINT AS seg
+        |  FROM u),
+        |h AS (
+        |  SELECT seg,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM d),
+        |r AS (
+        |  SELECT seg, hv,
+        |    row_number() OVER (PARTITION BY seg ORDER BY hv) AS rk
+        |  FROM h),
+        |sk AS (SELECT seg, list_sort(list(hv)) AS sk
+        |       FROM r WHERE rk <= 64 GROUP BY seg),
+        |p AS (SELECT a.seg AS ta, b.seg AS tb,
+        |        a.sk AS ska, b.sk AS skb
+        |      FROM sk a JOIN sk b ON a.seg < b.seg),
+        |c AS (SELECT ta, tb, ska, skb,
+        |        list_slice(list_sort(list_distinct(list_concat(ska, skb))),
+        |          1, 64) AS u
+        |      FROM p),
+        |m AS (SELECT ta, tb, u, len(u) AS k_eff,
+        |        len(list_filter(u, h -> list_contains(ska, h)
+        |          AND list_contains(skb, h))) AS matches
+        |      FROM c),
+        |e AS (SELECT ta, tb, k_eff, matches,
+        |        CASE WHEN k_eff < 64 THEN k_eff
+        |          ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // u[64]
+        |        END AS union_est
+        |      FROM m),
+        |x AS (SELECT a.seg AS ta, b.seg AS tb,
+        |        count(*) AS n_exact_inter
+        |      FROM d a JOIN d b ON a.user_id = b.user_id
+        |        AND a.seg < b.seg
+        |      GROUP BY 1, 2)
+        |SELECT e.ta, e.tb,
+        |  CAST(coalesce(x.n_exact_inter, 0) AS BIGINT) AS n_exact_inter,
+        |  CAST(k_eff AS BIGINT) AS k_eff,
+        |  CAST(matches AS BIGINT) AS matches,
+        |  CAST(union_est AS BIGINT) AS union_est,
+        |  CAST((matches * union_est) // k_eff AS BIGINT) AS inter_est,
+        |  CAST((1000 * matches) // k_eff AS BIGINT) AS jac_permille
+        |FROM e LEFT JOIN x ON e.ta = x.ta AND e.tb = x.tb
+        |ORDER BY 1, 2""".stripMargin,
+
     // st23: the from-scratch window-ranked mirror of the standing
     // reservoir — t37's oracle shape over the replayed event slice
     // (multiset semantics: every event row ranks; equal (hv, user)
@@ -5468,6 +5521,36 @@ FROM est ORDER BY l_partkey""",
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
         |FROM r WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    // t38: the polynomial rolling hash is spelled portably on both
+    // sides — list_reduce here, the aggregate() HOF there — folding
+    // (a*31 + codepoint) mod 1048573 from seed 7, bucket = mod 64;
+    // every intermediate fits int64 exactly, so the bucketing (and
+    // therefore every collision) is identical.
+    "t38_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(lower(text), ' '), x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split(tok, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1048573) % 64 AS bucket
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, bucket, count(*) AS cnt
+        |        FROM b GROUP BY 1, 2),
+        |r AS (SELECT doc_id, bucket, cnt,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY cnt DESC, bucket) AS rn
+        |      FROM cnt)
+        |SELECT doc_id, count(*)::BIGINT AS n_buckets,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(max(CASE WHEN rn = 1 THEN bucket END) AS BIGINT)
+        |    AS top_bucket,
+        |  CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_cnt
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q77: the declarative window form — the custom bounded-heap
     // operator must reproduce it row-for-row (ties total by

@@ -2611,6 +2611,70 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** q117 — KMV sketch ALGEBRA: set intersection / Jaccard estimation
+    * between overlapping user segments from their bottom-64 sketches
+    * alone (q112 estimates each set's cardinality; this combines two
+    * sketches — the cross-segment overlap question "how many users do
+    * segments A and B share?" answered without re-scanning either
+    * side, the audience-overlap primitive). Standard KMV combine
+    * (Beyer et al., SIGMOD'07): the union sketch is the k smallest of
+    * the merged hash sets, ρ = |{h ∈ union sketch : h in BOTH input
+    * sketches}| / k estimates Jaccard, and ρ · |A ∪ B|-estimate
+    * estimates the intersection. Everything is integer arithmetic on
+    * the deterministic md5-prefix hashes (the q112 discipline), the
+    * exact intersection rides alongside for the error readout, and
+    * the per-type arrays are k-bounded (64) so the pair compute is
+    * driver-free and tiny at every scale.
+    *
+    * Scale shape: sketches build via the bounded-heap reservoir
+    * aggregate (one partial-folded pass, k values per type); the pair
+    * frame is |types|² rows of 64-element arrays. The exact-side join
+    * is the verification harness, not the operator. */
+  def q117KmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    // three PARTIALLY overlapping user segments (u%3=s OR u%5=s): the
+    // event-type user sets themselves coincide on this corpus (every
+    // active user emits every type — Jaccard 1.0 across the board,
+    // which would leave the combine untested), and segment sizes
+    // exceed k already at sf0.01 so the k-th-value estimator branch is
+    // exercised at the correctness gate, not just at bench scale
+    val d = Tables(s, dir, "events")
+      .select($"user_id").distinct()
+      .select($"user_id", explode(expr(
+        "filter(array(0L, 1L, 2L), s -> user_id % 3 = s or user_id % 5 = s)"))
+        .as("seg"))
+      .withColumn("hv", expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"))
+    val sk = graft.Graft.reservoirSample(d, "seg", $"hv", $"hv", k)
+      .groupBy($"seg")
+      .agg(sort_array(collect_list($"sampled")).as("sk"))
+    val pairs = sk.select($"seg".as("ta"), $"sk".as("ska"))
+      .join(sk.select($"seg".as("tb"), $"sk".as("skb")),
+        $"ta" < $"tb")
+      .withColumn("u",
+        expr(s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $k)"))
+      .withColumn("k_eff", size($"u").cast("long"))
+      .withColumn("matches", expr(
+        "cast(size(filter(u, h -> array_contains(ska, h)" +
+          " and array_contains(skb, h))) as bigint)"))
+      .withColumn("union_est",
+        when($"k_eff" < k, $"k_eff").otherwise(expr(
+          s"(cast(${k - 1} as decimal(38,0)) " +
+            s"* cast(1152921504606846976 as decimal(38,0))) div element_at(u, $k)")))
+      .select($"ta", $"tb", $"k_eff", $"matches", $"union_est",
+        expr("(matches * union_est) div k_eff").as("inter_est"),
+        expr("(1000 * matches) div k_eff").as("jac_permille"))
+    val exact = d.select($"seg".as("ta"), $"user_id")
+      .join(d.select($"seg".as("tb"), $"user_id"), Seq("user_id"))
+      .filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("n_exact_inter"))
+    pairs.join(exact, Seq("ta", "tb"), "left")
+      .select($"ta", $"tb", coalesce($"n_exact_inter", lit(0L)).as("n_exact_inter"),
+        $"k_eff", $"matches", $"union_est", $"inter_est", $"jac_permille")
+      .orderBy($"ta", $"tb")
+  }
+
   /** q111 — hierarchical share-of-parent: nation revenue as a permille
     * of its region's revenue (exact cross-multiplied integers) with
     * the nation's rank inside the region — the classic drill-down

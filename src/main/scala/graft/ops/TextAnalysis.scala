@@ -921,4 +921,46 @@ object TextAnalysis {
       .withColumnRenamed("sampled", "doc_id")
       .orderBy($"lang", $"rk")
   }
+
+  /** t38 — feature hashing (the hashing trick, Weinberger ICML'09):
+    * tokens map to a FIXED 64-bucket feature space through a
+    * polynomial rolling hash of their codepoints — the vectorizer
+    * that needs NO vocabulary pass, no dictionary broadcast, and no
+    * growth as the corpus scales (the reason hashed features, not
+    * fitted vocabularies, are what 100 TB featurization pipelines
+    * ship: the t20/t25 tf-idf path must materialize and join a term
+    * dictionary; this path is one embarrassingly parallel projection).
+    * Collisions are the accepted trade and are VISIBLE here: the
+    * digest is per-doc (nnz buckets, token count, argmax bucket with
+    * smallest-bucket tie-break), so a collision-handling slip on
+    * either engine hash-fails. The hash is spelled portably —
+    * fold((a·31 + codepoint) mod 1048573) over the token's chars,
+    * seed 7, bucket = mod 64 — as a Spark `aggregate` HOF mirrored by
+    * DuckDB's list_reduce, exact in int64 on both.
+    *
+    * Scale shape: tokenize → hash → (doc, bucket) partial-folded
+    * count; the per-doc digest windows over ≤ 64 rows per doc. The
+    * 1-in-20 doc slice is presentation bounding only. */
+  def t38FeatureHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id",
+        explode(split(lower($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+    val hashed = toks.withColumn("bucket", expr(
+      """aggregate(transform(split(tok, ''), c -> cast(ascii(c) as bigint)),
+        |  cast(7 as bigint), (a, x) -> (a * 31 + x) % 1048573) % 64"""
+        .stripMargin))
+    val cnt = hashed.groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"doc_id").orderBy($"cnt".desc, $"bucket")
+    cnt.withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"cnt").as("n_tokens"),
+        max(when($"rn" === 1, $"bucket")).as("top_bucket"),
+        max(when($"rn" === 1, $"cnt")).as("top_cnt"))
+      .orderBy($"doc_id")
+  }
 }
