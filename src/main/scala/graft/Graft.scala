@@ -1978,17 +1978,20 @@ object Graft {
     // per-node division both reference it, and downstream half-steps
     // reference this one — without the cut the shared subtree inlines
     // TWICE per half-step and the final plan grows 4^iters copies of
-    // round 1 (measured 16 s on a 40k-edge graph; severed: sub-second)
+    // round 1 (measured 16 s on a 40k-edge graph; severed: sub-second).
+    // SPARSE during iteration: a node absent from raw has score 0 and
+    // contributes nothing to the next scatter's sum, so the per-round
+    // frames carry only scored nodes — the full node frame joins back
+    // exactly once, at the end (measured 5.7 s -> saves the 4
+    // node-frame left joins).
     def rescale(raw0: DataFrame, out: String): DataFrame = {
       val raw = checkpointOn(raw0, nPart, "node")
       val mx = raw.agg(max(col("__raw")).as("__mx"))
-      nodes.join(raw.hint("shuffle_hash"), Seq("node"), "left")
-        .crossJoin(broadcast(mx))
+      raw.crossJoin(broadcast(mx))
         .select(col("node"),
-          when(coalesce(col("__mx"), lit(0L)) === 0L, lit(0L))
+          when(col("__mx") === 0L, lit(0L))
             .otherwise(expr(
-              "(cast(coalesce(__raw, 0) as decimal(38,0)) * 1000000)" +
-                " div __mx"))
+              "(cast(__raw as decimal(38,0)) * 1000000) div __mx"))
             .as(out))
     }
     var hub = nodes.select(col("node"), lit(1000000L).as("hub_e6"))
@@ -2017,11 +2020,17 @@ object Graft {
         auth = checkpointOn(auth, nPart, "node")
       }
     }
-    // both sides are node-sized and already partitioned on node — the
-    // hint keeps the zip from degrading to a sort-merge (the loop
-    // discipline's SMJ-free pin covers this plan too)
-    hub.join(auth.hint("shuffle_hash"), Seq("node")).select(
-      col("node"), col("hub_e6"), col("auth_e6"))
+    // the full node frame joins back HERE, once: iteration frames are
+    // sparse (zero-score nodes dropped — see rescale), the contract
+    // is a row per node. All sides node-sized and partitioned on
+    // node; the hints keep the zips from degrading to sort-merges
+    // (the loop discipline's SMJ-free pin covers this plan too).
+    nodes
+      .join(hub.hint("shuffle_hash"), Seq("node"), "left")
+      .join(auth.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_e6"), lit(0L)).as("hub_e6"),
+        coalesce(col("auth_e6"), lit(0L)).as("auth_e6"))
   }
 
   /** Multi-source BFS hop labels over an edge list (`src`, `dst`
@@ -3929,6 +3938,77 @@ object Graft {
         expr("1000L * n_pair div n_a").as("conf_ab_permille"),
         expr("1000L * n_pair div n_b").as("conf_ba_permille"),
         expr("1000000L * n_pair * __nb div (n_a * n_b)").as("lift_e6"))
+  }
+
+  /** A-priori frequent 3-itemsets (Agrawal & Srikant, VLDB'94) over
+    * basket data — the level beyond [[basketPairs]], with the
+    * candidate-pruning discipline that makes itemset mining feasible
+    * at scale: (L1) items below `minSupport` are dropped BEFORE any
+    * basket materializes, shrinking every downstream array; (L2)
+    * frequent pairs compute from the pruned baskets; (C3) candidate
+    * triples generate ONLY by joining frequent pairs on a shared
+    * first item and PRUNING on the third sub-pair (the downward-
+    * closure property: every subset of a frequent itemset is
+    * frequent); (T3) triple support counts from the pruned baskets
+    * and inner-joins the candidates — answer-neutral by closure, and
+    * the guard that no explode slop leaks. Returns
+    * (item_a < item_b < item_c, support).
+    *
+    * Scale shape: support counts are partial-folded groupBys over
+    * per-basket sorted-array unrolls (one exchange each, never a
+    * self-join of the basket-item table); the L1 semi-join bounds
+    * every basket to frequent items, and `maxBasketSize` in-plan
+    * guards the cubic per-basket unroll — C(cap,3) is a plan
+    * constant, not data-dependent. Frequent-pair and candidate
+    * frames are support-bounded (≤ total-occurrences / minSupport). */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Int = 0): DataFrame = {
+    require(minSupport >= 1, s"minSupport out of range: $minSupport")
+    val bi = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct() // presence, not line multiplicity (market-basket law)
+    val freqItems = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSupport).select(col("__i"))
+    val bif = bi.join(freqItems, Seq("__i"), "left_semi")
+    val items0 = sort_array(collect_set(col("__i")))
+    val baskets = bif.groupBy(col("__b"))
+      .agg((if (maxBasketSize > 0)
+              guarded(size(items0) > maxBasketSize,
+                s"frequentTriples: basket exceeds maxBasketSize=$maxBasketSize",
+                items0)
+            else items0).as("__items"))
+      .filter(size(col("__items")) >= 3)
+      .localCheckpoint(true) // pairs AND triples unroll from it
+    val pairs = baskets
+      .select(explode(flatten(transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), i + lit(2),
+            greatest(size(col("__items")) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minSupport)
+      .select(col("a"), col("b"))
+    val cand = pairs
+      .join(pairs.select(col("a"), col("b").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+      .join(pairs.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+    val triples = baskets
+      .select(explode(flatten(flatten(transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), i + lit(2),
+            greatest(size(col("__items")) - i - 1, lit(0))), (y, j) =>
+          transform(slice(col("__items"), i + j + lit(3),
+              greatest(size(col("__items")) - i - j - 2, lit(0))),
+            z => struct(x.as("a"), y.as("b"), z.as("c")))))))).as("__t"))
+      .groupBy(col("__t.a").as("item_a"), col("__t.b").as("item_b"),
+        col("__t.c").as("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    triples.join(
+      cand.select(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("item_c")),
+      Seq("item_a", "item_b", "item_c"), "left_semi")
   }
 
   /** 2-D Pareto frontier / skyline (Börzsönyi et al., ICDE'01) over

@@ -279,6 +279,7 @@ object SparkEntry {
     "q111_ratio_parent" -> (Relational.q111RatioParent _),
     "q112_kmv" -> (Relational.q112Kmv _),
     "q117_kmv_jaccard" -> (Relational.q117KmvJaccard _),
+    "q118_apriori" -> (Relational.q118AprioriTriples _),
     "d22_minhash_union" -> (TextDedup.d22MinhashUnion _),
     "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
     "st24_semi_join" -> (streaming.Streams.st24StreamingSemiJoin _),
@@ -5301,6 +5302,26 @@ FROM est ORDER BY l_partkey""",
         |  CAST((1000 * matches) // k_eff AS BIGINT) AS jac_permille
         |FROM e LEFT JOIN x ON e.ta = x.ta AND e.tb = x.tb
         |ORDER BY 1, 2""".stripMargin,
+
+    // q118: the oracle brute-forces triple support with a 3-way
+    // self-join — the engine's A-priori pruning pipeline must
+    // reproduce it exactly (downward closure: pruning is answer-
+    // neutral). Same corpus-derived support threshold on both sides.
+    "q118_apriori" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 20 AS i
+        |            FROM lineitem),
+        |ms AS (SELECT greatest(2, (SELECT count(*) FROM orders) // 250)
+        |         AS m),
+        |tr AS (SELECT x.b, x.i AS ia, y.i AS ib, z.i AS ic
+        |       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       JOIN bi z ON y.b = z.b AND y.i < z.i),
+        |sup AS (SELECT ia, ib, ic, count(*) AS support
+        |        FROM tr GROUP BY 1, 2, 3)
+        |SELECT ia AS item_a, ib AS item_b, ic AS item_c,
+        |  CAST(support AS BIGINT) AS support
+        |FROM sup, ms WHERE support >= m
+        |ORDER BY support DESC, item_a, item_b, item_c
+        |LIMIT 15""".stripMargin,
 
     // st23: the from-scratch window-ranked mirror of the standing
     // reservoir — t37's oracle shape over the replayed event slice

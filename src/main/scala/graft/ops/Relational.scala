@@ -2675,6 +2675,27 @@ object Relational {
       .orderBy($"ta", $"tb")
   }
 
+  /** q118 — A-priori frequent 3-itemsets
+    * ([[graft.Graft.frequentTriples]]): order baskets over 20 item
+    * categories (partkey mod 20 — the categorical collapse that gives
+    * the corpus real co-occurrence mass), support threshold scaled to
+    * the corpus (max(2, n_orders/250) — both engines derive it from
+    * the same count, so the gate is exact at every SF), top 15 by
+    * (support desc, items). The oracle BRUTE-FORCES the triple
+    * support with a 3-way self-join — the engine's L1-prune +
+    * frequent-pair candidate generation must reproduce it exactly,
+    * which is precisely the downward-closure claim under test. */
+  def q118AprioriTriples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("basket"), ($"l_partkey" % 20).as("item"))
+    val minSup = math.max(2L, Tables(s, dir, "orders").count() / 250)
+    graft.Graft.frequentTriples(li, "basket", "item", minSup,
+        maxBasketSize = 100)
+      .orderBy($"support".desc, $"item_a", $"item_b", $"item_c")
+      .limit(15)
+  }
+
   /** q111 — hierarchical share-of-parent: nation revenue as a permille
     * of its region's revenue (exact cross-multiplied integers) with
     * the nation's rank inside the region — the classic drill-down
