@@ -1733,6 +1733,63 @@ object Graft {
     ranks
   }
 
+  /** Warm-start PageRank — [[pageRank]]'s loop initialized from a
+    * PRIOR rank vector instead of the uniform 1e9: the graph-
+    * maintenance primitive (the d23/s25/s26 discipline applied to
+    * iterative analytics). After a batch of edges lands, ranks
+    * re-converge from yesterday's fixed point in a couple of rounds
+    * instead of re-paying the full iteration count from cold — the
+    * standard production cadence for web-scale rank maintenance.
+    * Nodes new to the graph start at the cold 1e9; prior ranks of
+    * vanished nodes drop (the join is on the CURRENT node set). Same
+    * integer e9 fixed-point discipline as [[pageRank]], so the result
+    * is exactly "iters more synchronous rounds from `init`" — fully
+    * mirrorable by unrolled CTEs (q119's gate). No round-1 identity
+    * here: the init vector is arbitrary, so every round joins.
+    *
+    * Scale shape: identical to [[pageRank]] — checkpointed
+    * pre-partitioned edge/node builds, node-sized state, zero
+    * edge-sized exchange per round; the init join is one extra
+    * node-sized hash join at build time. */
+  def pageRankFrom(edges: DataFrame, init: DataFrame, iters: Int = 2,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct out of range: $dampingPct")
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "src")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val edgesD = checkpointOn(
+      e.join(deg.hint("shuffle_hash"), "src"), nPart, "src")
+    val nodes = checkpointOn(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct(),
+      nPart, "node")
+    val teleport = (100L - dampingPct) * 10000000L
+    var ranks = checkpointOn(
+      nodes.join(init.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("rank_e9"), lit(1000000000L)).as("rank_e9")),
+      nPart, "node")
+    var i = 0
+    while (i < iters) {
+      val scatter = edgesD
+        .join(ranks.hint("shuffle_hash"), edgesD("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("rank_e9 div __outdeg").as("__c"))
+      val contrib = scatter
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampingPct * coalesce(__in, 0L)) div 100"))
+            .as("rank_e9"))
+      i += 1
+      if (i % 4 == 0 && i < iters) ranks = checkpointOn(ranks, nPart, "node")
+    }
+    ranks
+  }
+
   /** Personalized PageRank: [[pageRank]] with the teleport mass
     * restricted to a SEED set — the random walker restarts at the
     * seeds instead of everywhere, so rank measures proximity TO the

@@ -236,6 +236,7 @@ object SparkEntry {
     "q69_cms_sketch" -> (Relational.q69CmsSketch _),
     "q70_pagerank" -> (Relational.q70PageRank _),
     "q113_hits" -> (Relational.q113Hits _),
+    "q119_inc_pagerank" -> (Relational.q119IncPageRank _),
     "q71_attribution" -> (Relational.q71Attribution _),
     "q72_vwap" -> (Relational.q72Vwap _),
     "q73_bfs_reach" -> (Relational.q73BfsReach _),
@@ -4572,6 +4573,71 @@ FROM est ORDER BY l_partkey""",
         |   ORDER BY score_e6 DESC, node LIMIT 20))
         |SELECT node, side, score_e6 FROM tops
         |ORDER BY side, score_e6 DESC, node""".stripMargin,
+
+    // q119: all five rounds unrolled — 3 standing (the q70 CTEs over
+    // the filtered pair set), the warm-start left join (carried ranks
+    // coalesce to cold 1e9), and 2 rounds over the merged graph. The
+    // node sets simplify to the out-degree keys because the edge list
+    // is symmetric (src set == dst set), matching the q70 oracle.
+    "q119_inc_pagerank" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |            WHERE l_orderkey % 10 <> 0),
+        |se AS (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM sp
+        |  UNION ALL
+        |  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM sp),
+        |sd AS (SELECT src, count(*) AS outdeg FROM se GROUP BY src),
+        |sn AS (SELECT src AS node FROM sd),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_e9 FROM sn),
+        |r1 AS (SELECT n.node,
+        |    150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM sn n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM se e JOIN r0 r ON e.src = r.node
+        |    JOIN sd d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node),
+        |r2 AS (SELECT n.node,
+        |    150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM sn n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM se e JOIN r1 r ON e.src = r.node
+        |    JOIN sd d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node),
+        |r3 AS (SELECT n.node,
+        |    150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM sn n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM se e JOIN r2 r ON e.src = r.node
+        |    JOIN sd d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node),
+        |ap AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ae AS (
+        |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM ap
+        |  UNION ALL
+        |  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM ap),
+        |ad AS (SELECT src, count(*) AS outdeg FROM ae GROUP BY src),
+        |an AS (SELECT src AS node FROM ad),
+        |w0 AS (SELECT n.node,
+        |    CAST(coalesce(r.rank_e9, 1000000000) AS BIGINT) AS rank_e9
+        |  FROM an n LEFT JOIN r3 r ON n.node = r.node),
+        |w1 AS (SELECT n.node,
+        |    150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM an n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM ae e JOIN w0 r ON e.src = r.node
+        |    JOIN ad d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node),
+        |w2 AS (SELECT n.node,
+        |    150000000 + (85 * coalesce(c.i, 0)) // 100 AS rank_e9
+        |  FROM an n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS i
+        |    FROM ae e JOIN w1 r ON e.src = r.node
+        |    JOIN ad d ON d.src = e.src
+        |    GROUP BY e.dst) c ON n.node = c.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'p:' || (node // 2)
+        |            ELSE 's:' || ((node - 1) // 2) END AS node,
+        |  CAST(rank_e9 AS BIGINT) AS rank_e9
+        |FROM w2 ORDER BY rank_e9 DESC, node LIMIT 50""".stripMargin,
 
     // q84: q70's unrolled integer CTEs with the teleport term gated on
     // seed membership — same bit-for-bit truncating-division argument.
