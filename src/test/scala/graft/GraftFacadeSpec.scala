@@ -1595,6 +1595,74 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(bi == List(("v>c", 2L), ("v>v", 2L)), bi)
   }
 
+  test("hits: mutual reinforcement replay-exact on a toy bipartite graph") {
+    // directed: h1 -> {a1, a2}, h2 -> {a1}
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"))
+      .toDF("src", "dst")
+    val got = Graft.hits(edges, iters = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // hand replay (e6 fixed point, max-normalized, truncating div):
+    // iter1: a_raw a1=2e6 a2=1e6 -> a1=1e6 a2=500000;
+    //        h_raw h1=1.5e6 h2=1e6 -> h1=1e6 h2=666666
+    // iter2: a_raw a1=1666666 a2=1e6 -> a1=1e6 a2=600000;
+    //        h_raw h1=1.6e6 h2=1e6 -> h1=1e6 h2=625000
+    assert(got == Map(
+      "h1" -> ((1000000L, 0L)), "h2" -> ((625000L, 0L)),
+      "a1" -> ((0L, 1000000L)), "a2" -> ((0L, 600000L))), got)
+  }
+
+  test("pageRankFrom: warm start composes with the cold run; new nodes start cold") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    // 1 warm round from the 2-round fixed point == 3 cold rounds
+    val warm = Graft.pageRankFrom(edges,
+        Graft.pageRank(edges, iters = 2), iters = 1)
+      .as[(String, Long)].collect().toMap
+    val cold3 = Graft.pageRank(edges, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(warm == cold3, s"warm $warm != cold $cold3")
+    // batch adds c-d: d is new to the graph and must start at 1e9;
+    // its first warm rank is teleport + 85% of c's carried rank div 2
+    val edges2 = edges.unionAll(Seq(("c", "d"), ("d", "c")).toDF("src", "dst"))
+    val init = Graft.pageRank(edges, iters = 2)
+      .as[(String, Long)].collect().toMap
+    val w2 = Graft.pageRankFrom(edges2,
+        Graft.pageRank(edges, iters = 2), iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(w2.keySet == Set("a", "b", "c", "d"))
+    assert(w2("d") == 150000000L + 85L * (init("c") / 2) / 100L, w2)
+  }
+
+  test("frequentTriples: A-priori pruning equals brute force on toy baskets") {
+    val bi = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (3L, "c"),
+      (4L, "a"), (4L, "b"), (4L, "d"),
+      (5L, "x"), (5L, "y"), (5L, "z")).toDF("b", "i")
+    val got = Graft.frequentTriples(bi, "b", "i", minSupport = 3)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", "c", 3L)), got)
+    // minSupport 1 degenerates to the brute-force triple census
+    val all = Graft.frequentTriples(bi, "b", "i", minSupport = 1)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(all == Set(
+      ("a", "b", "c", 3L), ("a", "b", "d", 2L), ("a", "c", "d", 1L),
+      ("b", "c", "d", 1L), ("x", "y", "z", 1L)), all)
+  }
+
+  test("snapshotHistory: interval compression with change detection") {
+    val snaps = Seq(
+      ("k1", 1, "A"), ("k1", 2, "A"), ("k1", 3, "B"), ("k1", 4, "B"),
+      ("k1", 5, "A"), ("k2", 1, "X")).toDF("k", "d", "v")
+    val got = Graft.snapshotHistory(snaps, "k", "d", Seq("v"))
+      .as[(String, String, Long, Int, Option[Int])].collect().toSet
+    assert(got == Set(
+      ("k1", "A", 1L, 1, Some(3)), ("k1", "B", 2L, 3, Some(5)),
+      ("k1", "A", 3L, 5, None), ("k2", "X", 1L, 1, None)), got)
+  }
+
   test("intervalCoverage: overlap merge, adjacency merge, gap split") {
     val iv = Seq(
       ("a", 1L, 5L), ("a", 3L, 7L),   // overlap -> [1,7]
