@@ -211,6 +211,7 @@ object SparkEntry {
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m08_media_neardup" -> (Multimodal.m08NearDup _),
     "m09_audio_features" -> (Multimodal.m09AudioFeatures _),
+    "m10_container_demux" -> (Multimodal.m10ContainerDemux _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _),
     "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _),
@@ -1678,6 +1679,39 @@ object SparkEntry {
     // per-band bit_count(xor)). The 64-cap is load-provably inert at
     // harness SFs (measured max bucket load 10 at sf0.1 — operator
     // scaladoc), so engine and oracle see identical pair sets.
+    // m10: PNG is lossless, so the oracle recomputes the sampled
+    // (stride-2) frames' channel sums straight from the frame-
+    // synthesis formula — a reader that ignores the offset index or
+    // samples the wrong frames diverges here.
+    "m10_container_demux" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        |fr AS (
+        |  SELECT doc_id, f.range AS f,
+        |    (doc_id % 50) * 7 + f.range * 3 + 1 AS pid
+        |  FROM d CROSS JOIN range(5) f
+        |  WHERE f.range < 3 + doc_id % 3 AND f.range % 2 = 0),
+        |px AS (
+        |  SELECT doc_id, pid, x.range AS x, y.range AS y
+        |  FROM fr CROSS JOIN range(24) x CROSS JOIN range(16) y
+        |  WHERE x.range < 8 * (1 + pid % 3)
+        |    AND y.range < 8 * (1 + pid % 2)),
+        |sums AS (
+        |  SELECT doc_id,
+        |    sum(((pid+1) * (x+3) * (y+7) + pid*7) % 199) AS sr,
+        |    sum(((pid+2) * (x+5) * (y+11) + pid*11) % 199) AS sg,
+        |    sum(((pid+3) * (x+7) * (y+13) + pid*13) % 199) AS sb
+        |  FROM px GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS ns FROM fr GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(3 + d.doc_id % 3 AS BIGINT) AS n_frames,
+        |  CAST(cnt.ns AS BIGINT) AS n_sampled,
+        |  CAST(sums.sr AS BIGINT) AS sum_r,
+        |  CAST(sums.sg AS BIGINT) AS sum_g,
+        |  CAST(sums.sb AS BIGINT) AS sum_b
+        |FROM d JOIN cnt ON d.doc_id = cnt.doc_id
+        |JOIN sums ON d.doc_id = sums.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // m09: PCM is lossless, so the oracle recomputes the decoded-
     // sample statistics straight from the synthesis formula —
     // nonnegative BIGINT products mod 4001 shifted to ±2000, summed

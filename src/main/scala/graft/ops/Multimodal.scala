@@ -583,6 +583,98 @@ object Multimodal {
     AudioStats(docId, n.toLong, sampleRate.toLong, sum, sumAbs, zc, peak)
   }
 
+  // ---- real multi-frame container path (m10) ----
+
+  /** Real "video" container encode: magic `GFTV`, big-endian u32
+    * frame count, a u32 offset index (one entry per frame, relative
+    * to the container start), then the PNG frame payloads
+    * back-to-back. The index is load-bearing: frames are
+    * variable-length PNGs, so a reader that does not parse the index
+    * cannot find frame k. */
+  def encodeContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val headerLen = 8 + 4 * frames.length
+    val total = headerLen + frames.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+    buf.put("GFTV".getBytes("US-ASCII")).putInt(frames.length)
+    var off = headerLen
+    frames.foreach { f => buf.putInt(off); off += f.length }
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Real container demux + frame decode: verifies the magic, reads
+    * the frame count and offset index, then for every SAMPLED frame
+    * (stride 2 — the m02 frame-sampling shape at the byte level)
+    * slices its payload by the index (frame k ends where k+1 begins,
+    * the last at the container end) and runs the REAL
+    * `javax.imageio` decode + pixel accumulation. Returns
+    * (doc_id, n_frames, n_sampled, summed channel sums across the
+    * sampled frames). */
+  def demuxStats(docId: Long, container: Array[Byte]): ContainerStats = {
+    val buf = java.nio.ByteBuffer.wrap(container)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GFTV", "bad container magic")
+    val n = buf.getInt
+    require(n >= 1 && n <= 1024, s"implausible frame count $n")
+    val offs = Array.fill(n)(buf.getInt)
+    var f = 0
+    var sampled = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+    while (f < n) {
+      if (f % 2 == 0) {
+        val from = offs(f)
+        val until = if (f + 1 < n) offs(f + 1) else container.length
+        val png = java.util.Arrays.copyOfRange(container, from, until)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF
+            sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        sampled += 1
+      }
+      f += 1
+    }
+    ContainerStats(docId, n.toLong, sampled, sr, sg, sb)
+  }
+
+  case class ContainerStats(doc_id: Long, n_frames: Long,
+      n_sampled: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** m10 — REAL multi-frame container pipeline (the byte-level
+    * counterpart of m02's row-level frame demux): each asset is an
+    * honest container — magic, frame count, an offset INDEX the
+    * reader must parse (PNG frames are variable-length), then 3–5
+    * real PNG payloads — demuxed by [[demuxStats]], which slices
+    * every stride-2 sampled frame by the index and decodes it with
+    * `javax.imageio`. Features are integer channel sums of the
+    * decoded sampled pixels; PNG is lossless, so the oracle
+    * recomputes them straight from the frame-synthesis formula. A
+    * reader that ignores the index or samples the wrong frames
+    * hash-fails. The 1-in-10 doc slice bounds the oracle's pixel
+    * expansion; the engine path is embarrassingly parallel
+    * mapPartitions (encode + demux + decode never leave the task). */
+  def m10ContainerDemux(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .filter(_ % 10 == 0)
+      .mapPartitions(_.map { id =>
+        val n = (3 + id % 3).toInt
+        val frames = (0 until n).map(f =>
+          encodePng(synthImage((id % 50) * 7 + f * 3 + 1,
+            offset = 0, perturb = false)))
+        demuxStats(id, encodeContainer(frames))
+      })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   /** m09 — REAL audio codec pipeline (the `javax.imageio` discipline
     * applied to sound): per document a deterministic 16-bit PCM
     * waveform is synthesized, encoded to honest RIFF/WAV bytes

@@ -137,6 +137,21 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(dists.forall(_ <= 10), s"perturbation must stay NEAR: $dists")
   }
 
+  test("container demux samples stride-2 frames by the offset index") {
+    import Multimodal.{encodeContainer, demuxStats, ContainerStats}
+    val frames = (0 until 5).map(f => encodePng(synthImage(f * 3 + 1, 0, perturb = false)))
+    val got = demuxStats(9L, encodeContainer(frames))
+    // reference: decode the sampled frames directly — no container,
+    // no index anywhere in this path
+    val exp = Seq(0, 2, 4).map(f => decodePixelStats(0L, frames(f)))
+    assert(got == ContainerStats(9L, 5L, 3L,
+      exp.map(_.sum_r).sum, exp.map(_.sum_g).sum, exp.map(_.sum_b).sum), got)
+    // garbage magic is rejected, not misread
+    intercept[IllegalArgumentException] {
+      demuxStats(0L, Array.fill[Byte](32)(7))
+    }
+  }
+
   test("WAV encode->decode recovers the synthesized samples exactly") {
     // reference stats straight from the formula — no ByteBuffer, no
     // RIFF anywhere in this path (the refStats discipline for audio)
