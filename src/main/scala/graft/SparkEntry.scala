@@ -290,6 +290,7 @@ object SparkEntry {
     "t36_stem" -> (TextAnalysis.t36Stem _),
     "t37_reservoir" -> (TextAnalysis.t37Reservoir _),
     "t38_feature_hash" -> (TextAnalysis.t38FeatureHash _),
+    "t39_linear_score" -> (TextAnalysis.t39LinearScore _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
   )
@@ -5642,6 +5643,32 @@ FROM est ORDER BY l_partkey""",
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
         |FROM r WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    // t39: t38's hashed buckets scored by a weight vector DERIVED
+    // in-plan from the bucket id — identical spelling both sides, so
+    // the whole featurize->infer chain is integer-exact.
+    "t39_linear_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(lower(text), ' '), x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split(tok, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1048573) % 64 AS bucket
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, bucket, count(*) AS cnt
+        |        FROM b GROUP BY 1, 2),
+        |sc AS (SELECT doc_id,
+        |         sum(cnt) AS n_tokens,
+        |         sum(cnt * ((bucket * 37 + 11) % 100 - 50)) AS score
+        |       FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // t38: the polynomial rolling hash is spelled portably on both
     // sides — list_reduce here, the aggregate() HOF there — folding

@@ -941,6 +941,44 @@ object TextAnalysis {
     * Scale shape: tokenize → hash → (doc, bucket) partial-folded
     * count; the per-doc digest windows over ≤ 64 rows per doc. The
     * 1-in-20 doc slice is presentation bounding only. */
+  /** t39 — linear-model inference over hashed features (the
+    * fasttext-style quality classifier pattern, which is how
+    * production corpus filters actually run at scale): documents
+    * vectorize through t38's 64-bucket hashing trick, a FIXED weight
+    * vector scores each bucket (here a deterministic synthetic model
+    * — w(b) = ((b·37 + 11) mod 100) − 50 — spelled identically on
+    * both engines; a real deployment broadcasts its trained weights
+    * the same way), and each document gets score = Σ count(b)·w(b)
+    * plus the sign decision. The point under test is the INFERENCE
+    * PLUMBING: featurize → weight join-free (weights derive in-plan
+    * from the bucket id — zero state, zero broadcast) → per-doc fold,
+    * one exchange end to end, no vocabulary, no model file.
+    *
+    * Scale shape: identical to t38 plus one more partial-folded
+    * aggregate; embarrassingly parallel inference, the shape that
+    * scores 100 TB of text without a model server. */
+  def t39LinearScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id",
+        explode(split(lower($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+    val hashed = toks.withColumn("bucket", expr(
+      """aggregate(transform(split(tok, ''), c -> cast(ascii(c) as bigint)),
+        |  cast(7 as bigint), (a, x) -> (a * 31 + x) % 1048573) % 64"""
+        .stripMargin))
+    hashed.groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", expr("(bucket * 37 + 11) % 100 - 50"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_tokens"),
+        sum($"cnt" * $"w").as("score"))
+      .select($"doc_id", $"n_tokens", $"score",
+        when($"score" > 0, lit("keep")).otherwise(lit("drop")).as("label"))
+      .orderBy($"doc_id")
+  }
+
   def t38FeatureHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables(s, dir, "documents")
