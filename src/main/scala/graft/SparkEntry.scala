@@ -282,6 +282,8 @@ object SparkEntry {
     "q112_kmv" -> (Relational.q112Kmv _),
     "q117_kmv_jaccard" -> (Relational.q117KmvJaccard _),
     "q118_apriori" -> (Relational.q118AprioriTriples _),
+    "q120_ohlc" -> (Relational.q120Ohlc _),
+    "q121_pit_join" -> (Relational.q121PitJoin _),
     "d22_minhash_union" -> (TextDedup.d22MinhashUnion _),
     "st21_heavy_hitters" -> (streaming.Streams.st21HeavyHitters _),
     "st24_semi_join" -> (streaming.Streams.st24StreamingSemiJoin _),
@@ -5423,6 +5425,56 @@ FROM est ORDER BY l_partkey""",
         |FROM sup, ms WHERE support >= m
         |ORDER BY support DESC, item_a, item_b, item_c
         |LIMIT 15""".stripMargin,
+
+    // q120: arg_min/arg_max on the unique (date, orderkey, linenumber)
+    // rank mirror Spark's min_by/max_by exactly; integer cents and
+    // integer quantities end to end.
+    "q120_ohlc" ->
+      """WITH t AS (
+        |  SELECT l_partkey % 25 AS series,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate) // 7 AS week,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (
+        |      PARTITION BY l_partkey % 25,
+        |                   date_diff('day', DATE '1970-01-01', l_shipdate) // 7
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT series, CAST(week AS BIGINT) AS week,
+        |  CAST(arg_min(cents, rn) AS BIGINT) AS open,
+        |  CAST(max(cents) AS BIGINT) AS high,
+        |  CAST(min(cents) AS BIGINT) AS low,
+        |  CAST(arg_max(cents, rn) AS BIGINT) AS close,
+        |  CAST(sum(qty) AS BIGINT) AS volume,
+        |  count(*)::BIGINT AS n_trades
+        |FROM t GROUP BY series, week
+        |ORDER BY series, week""".stripMargin,
+
+    // q121: the same interval build as q115's history, then the
+    // point-in-time range match (from <= d < to, null to = open
+    // interval) — dates and exact cents only.
+    "q121_pit_join" ->
+      """WITH snap AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d,
+        |         arg_max(o_orderpriority, o_orderkey) AS prio
+        |  FROM orders WHERE o_custkey % 50 = 0
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT k, d, prio,
+        |    lag(prio) OVER (PARTITION BY k ORDER BY d) AS pp
+        |  FROM snap),
+        |c AS (SELECT k, d, prio FROM m WHERE pp IS NULL OR pp <> prio),
+        |h AS (SELECT k, prio, d AS f,
+        |        lead(d) OVER (PARTITION BY k ORDER BY d) AS t
+        |      FROM c),
+        |fx AS (SELECT o_custkey AS k, o_orderdate AS fd,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |       FROM orders WHERE o_custkey % 50 = 0)
+        |SELECT h.prio, count(*)::BIGINT AS n_orders,
+        |  CAST(sum(fx.cents) AS BIGINT) AS sum_cents
+        |FROM fx JOIN h ON fx.k = h.k AND fx.fd >= h.f
+        |  AND (h.t IS NULL OR fx.fd < h.t)
+        |GROUP BY h.prio ORDER BY h.prio""".stripMargin,
 
     // st23: the from-scratch window-ranked mirror of the standing
     // reservoir — t37's oracle shape over the replayed event slice

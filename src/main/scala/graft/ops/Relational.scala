@@ -2730,6 +2730,70 @@ object Relational {
       .limit(15)
   }
 
+  /** q120 — OHLC bar resampling (open/high/low/close + volume per
+    * series per week): the canonical time-series downsample every
+    * market/telemetry store materializes, and a shape the plain
+    * min/max aggregate cannot finish — open and close are
+    * POSITIONAL (first/last in event order), so determinism needs a
+    * total order. Rows rank by (ship date, order key, line number) —
+    * unique, hence a deterministic row_number — and open/close are
+    * arg_min/arg_max of the cents on that rank (both engines'
+    * min_by/arg_min agree on unique keys). ONE exchange: the rank
+    * window partitions on (series, week) and the bar aggregate groups
+    * on the same keys, so Catalyst reuses the partitioning. Prices in
+    * exact cents (2-dp-quantized doubles, the q71/q72 argument);
+    * volume sums integer-valued quantities. */
+  def q120Ohlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select(($"l_partkey" % 25).as("series"),
+        expr("datediff(l_shipdate, date'1970-01-01') div 7").as("week"),
+        $"l_shipdate", $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("qty"))
+    val w = Window.partitionBy($"series", $"week")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    li.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy($"series", $"week")
+      .agg(min_by($"cents", $"rn").as("open"),
+        max($"cents").as("high"),
+        min($"cents").as("low"),
+        max_by($"cents", $"rn").as("close"),
+        sum($"qty").as("volume"),
+        count(lit(1)).as("n_trades"))
+      .orderBy($"series", $"week")
+  }
+
+  /** q121 — SCD2 POINT-IN-TIME join: every order enriched with the
+    * dimension state that was CURRENT on its order date — the
+    * "as-of the fact's own timestamp" join that makes SCD2 history
+    * (q115) actually usable, and the one a naive latest-state join
+    * silently gets wrong (it back-dates today's attributes onto old
+    * facts — training-data leakage in the feature-store sense). The
+    * history comes from [[graft.Graft.snapshotHistory]] over the
+    * observed per-day priorities; each fact matches the interval with
+    * effective_from <= d < effective_to (null effective_to = open).
+    * Join is keyed on the entity with a residual range predicate —
+    * per-key version counts are small and bounded, so the range
+    * residual stays cheap at any scale (the q16 as-of family's
+    * bounded-key contract). Digest: order count + exact cents per
+    * point-in-time priority. */
+  def q121PitJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").filter($"o_custkey" % 50 === 0)
+    val snaps = o.groupBy($"o_custkey".as("k"), $"o_orderdate".as("d"))
+      .agg(max_by($"o_orderpriority", $"o_orderkey").as("prio"))
+    val hist = graft.Graft.snapshotHistory(snaps, "k", "d", Seq("prio"))
+    val facts = o.select($"o_custkey".as("k"), $"o_orderdate".as("fd"),
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    facts.join(hist,
+        facts("k") === hist("k") && $"fd" >= $"effective_from" &&
+          ($"effective_to".isNull || $"fd" < $"effective_to"))
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sum_cents"))
+      .orderBy($"prio")
+  }
+
   /** q111 — hierarchical share-of-parent: nation revenue as a permille
     * of its region's revenue (exact cross-multiplied integers) with
     * the nation's rank inside the region — the classic drill-down
