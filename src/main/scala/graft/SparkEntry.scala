@@ -294,6 +294,8 @@ object SparkEntry {
     "t38_feature_hash" -> (TextAnalysis.t38FeatureHash _),
     "t39_linear_score" -> (TextAnalysis.t39LinearScore _),
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
+    "c09_purge_audit" -> (Curation.c09PurgeAudit _),
+    "st25_bars" -> (streaming.Streams.st25StreamingBars _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
   )
 
@@ -902,6 +904,29 @@ object SparkEntry {
         |SELECT a AS doc_id, least(a, min(b)) AS component_id
         |FROM reach GROUP BY a
         |ORDER BY doc_id""".stripMargin,
+
+    // c09: the cascade in plain IN-subqueries — per-table purge
+    // digests plus the structurally-zero leak check.
+    "c09_purge_audit" ->
+      """WITH tomb AS (SELECT c_custkey AS k FROM customer
+        |              WHERE c_custkey % 97 = 0),
+        |do_ AS (SELECT o_orderkey FROM orders
+        |        WHERE o_custkey IN (SELECT k FROM tomb)),
+        |dl AS (SELECT l_orderkey FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+        |SELECT 'customer' AS tbl, count(*)::BIGINT AS n_purged,
+        |  CAST(coalesce(sum(k), 0) AS BIGINT) AS key_sum FROM tomb
+        |UNION ALL
+        |SELECT 'lineitem', count(*)::BIGINT,
+        |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) FROM dl
+        |UNION ALL
+        |SELECT 'orders', count(*)::BIGINT,
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) FROM do_
+        |UNION ALL
+        |SELECT 'surviving_fk_leaks', count(*)::BIGINT, CAST(0 AS BIGINT)
+        |FROM orders WHERE o_custkey IN (SELECT k FROM tomb)
+        |  AND o_orderkey NOT IN (SELECT o_orderkey FROM do_)
+        |ORDER BY tbl""".stripMargin,
 
     // d23: the oracle is the FROM-SCRATCH recursive-CTE closure over
     // the full edge set (standing stars + batch links) — exactly the
@@ -4330,6 +4355,33 @@ ORDER BY id_a, id_b""",
         |        FROM s GROUP BY 1, 2)
         |SELECT epoch_us(wstart) AS window_start_us, event_type, n_events,
         |       sum_value
+        |FROM agg, wm
+        |WHERE epoch_us(wstart + INTERVAL '1 hour') <= wm.w_us
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
+    // st25: the rank-based arg_min/arg_max over the whole slice is
+    // the positional open/close the streaming partials must merge to;
+    // windows pass the same final-watermark rule as st09.
+    "st25_bars" ->
+      """WITH s AS (SELECT event_id, ts, event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE user_id % 10 = 2),
+        |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 600000000
+        |         AS w_us FROM s),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |        ORDER BY ts, event_id) AS rn
+        |      FROM s),
+        |agg AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        |          event_type,
+        |          arg_min(cents, rn) AS open, max(cents) AS high,
+        |          min(cents) AS low, arg_max(cents, rn) AS close,
+        |          count(*) AS n_events
+        |        FROM r GROUP BY 1, 2)
+        |SELECT epoch_us(wstart) AS window_start_us, event_type,
+        |  CAST(open AS BIGINT) AS open, CAST(high AS BIGINT) AS high,
+        |  CAST(low AS BIGINT) AS low, CAST(close AS BIGINT) AS close,
+        |  CAST(n_events AS BIGINT) AS n_events
         |FROM agg, wm
         |WHERE epoch_us(wstart + INTERVAL '1 hour') <= wm.w_us
         |ORDER BY window_start_us, event_type""".stripMargin,

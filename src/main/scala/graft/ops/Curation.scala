@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -289,6 +289,45 @@ object Curation {
     * misclassified key moves a sum and hash-fails. Scale shape: one
     * full-outer pk hash join + a 4-group digest — see the facade
     * scaladoc. */
+  /** c09 — right-to-be-forgotten purge CASCADE audit: given a
+    * tombstone set of customer keys, size the deletion's blast radius
+    * across the FK graph before executing it — the per-table purged
+    * row counts + key checksums (customer → their orders → those
+    * orders' lineitems, each a semi-join reachability hop), plus the
+    * post-purge leak check (surviving orders that still reference a
+    * tombstoned customer — structurally zero, and the audit proves
+    * it). This is the read-side half of GDPR deletion at scale: the
+    * cascade is pure semi/anti joins keyed on the FK edges, no
+    * wide-row shuffles, and the digests partial-fold — the same plan
+    * at 100 TB sizes a purge without touching a byte of payload. */
+  def c09PurgeAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tomb = Tables(s, dir, "customer")
+      .filter($"c_custkey" % 97 === 0).select($"c_custkey".as("k"))
+    val orders = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    val deadOrders = orders
+      .join(tomb, orders("o_custkey") === tomb("k"), "left_semi")
+    val deadLi = li.join(deadOrders.select($"o_orderkey"),
+      li("l_orderkey") === $"o_orderkey", "left_semi")
+    def digest(df: DataFrame, keyCol: Column, tbl: String): DataFrame =
+      df.agg(count(lit(1)).as("n_purged"),
+          coalesce(sum(keyCol), lit(0L)).as("key_sum"))
+        .select(lit(tbl).as("tbl"), $"n_purged", $"key_sum")
+    val leaks = orders
+      .join(deadOrders.select($"o_orderkey".as("__dk")),
+        orders("o_orderkey") === $"__dk", "left_anti")
+      .join(tomb, orders("o_custkey") === tomb("k"), "left_semi")
+      .agg(count(lit(1)).as("n_purged"))
+      .select(lit("surviving_fk_leaks").as("tbl"), $"n_purged",
+        lit(0L).as("key_sum"))
+    digest(tomb, $"k", "customer")
+      .unionAll(digest(deadLi, $"l_orderkey", "lineitem"))
+      .unionAll(digest(deadOrders, $"o_orderkey", "orders"))
+      .unionAll(leaks)
+      .orderBy($"tbl")
+  }
+
   def c08SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables(s, dir, "orders")

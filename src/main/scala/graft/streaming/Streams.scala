@@ -34,6 +34,33 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming OHLC bars: per (1-hour window, event_type) the
+    * open/high/low/close of the integer-cents value plus the event
+    * count — the market-data/telemetry downsample (batch twin: q120)
+    * with the streaming twist that open and close are POSITIONAL:
+    * min_by/max_by over the (ts, event_id) struct gives the first and
+    * last event in event-time order deterministically (event_id
+    * breaks ts ties), and the declarative aggregate remains
+    * incrementally mergeable across micro-batches — each partial
+    * carries its candidate extremum and the merge picks the smaller/
+    * larger key, so bar state is O(1) per open window. Append mode:
+    * a bar emits exactly once when the watermark passes its end. */
+  def streamingBars(events: DataFrame): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min_by(col("cents"), ord).as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        max_by(col("cents"), ord).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"))
+  }
+
   /** Session windows (10-minute gap) per user. */
   def sessionCounts(events: DataFrame): DataFrame =
     events
@@ -978,6 +1005,30 @@ object Streams {
     }
       .select($"user_id", unix_micros($"click_ts").as("click_ts_us"))
       .orderBy($"user_id", $"click_ts_us")
+  }
+
+  /** st25 — streaming OHLC bars ([[streamingBars]]) run genuinely
+    * incrementally: the st09 append-mode watermark-finalization
+    * machinery (bars emit in the watermark-only batch after their
+    * hour closes — noData opt-in) carrying POSITIONAL aggregates:
+    * min_by/max_by over (ts, event_id) must merge correctly across
+    * micro-batch partials for open/close to land on the true first/
+    * last event, which is exactly what the oracle's rank-based
+    * arg_min/arg_max over the whole slice checks. */
+  def st25StreamingBars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables(s, dir, "events")
+      .filter($"user_id" % 10 === 2)
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"ts")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .collect()
+    replay(s, data.toSeq, OutputMode.Append, "st25", noData = true) { ds =>
+      streamingBars(ds.toDF("event_id", "ts", "event_type", "value"))
+    }
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"open", $"high", $"low", $"close", $"n_events")
+      .orderBy($"window_start_us", $"event_type")
   }
 
   /** st16 — CHAINED stateful operators in one streaming query (two
