@@ -2735,14 +2735,19 @@ object Relational {
     * market/telemetry store materializes, and a shape the plain
     * min/max aggregate cannot finish — open and close are
     * POSITIONAL (first/last in event order), so determinism needs a
-    * total order. Rows rank by (ship date, order key, line number) —
-    * unique, hence a deterministic row_number — and open/close are
-    * arg_min/arg_max of the cents on that rank (both engines'
-    * min_by/arg_min agree on unique keys). ONE exchange: the rank
-    * window partitions on (series, week) and the bar aggregate groups
-    * on the same keys, so Catalyst reuses the partitioning. Prices in
-    * exact cents (2-dp-quantized doubles, the q71/q72 argument);
-    * volume sums integer-valued quantities. */
+    * total order: the (ship date, order key, line number) struct is
+    * UNIQUE, and min_by/max_by over it pick the first/last event as a
+    * plain partial-folded aggregate — NO rank window. That is the
+    * load-bearing scale choice: bar-group COUNT is bounded (25 series
+    * × the calendar) but bar-group SIZE grows with data volume, so a
+    * per-group row_number sort would funnel each week's full history
+    * through one task at 100 TB, while the struct-keyed extremum
+    * carries one candidate per partition into the merge. The oracle
+    * spells the same positional answer with its own rank window —
+    * exactly the per-key sort this operator exists to avoid (the t37
+    * oracle-vs-engine gap). Prices in exact cents (2-dp-quantized
+    * doubles, the q71/q72 argument); volume sums integer-valued
+    * quantities. */
   def q120Ohlc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables(s, dir, "lineitem")
@@ -2751,14 +2756,12 @@ object Relational {
         $"l_shipdate", $"l_orderkey", $"l_linenumber",
         round($"l_extendedprice" * 100).cast("long").as("cents"),
         $"l_quantity".cast("long").as("qty"))
-    val w = Window.partitionBy($"series", $"week")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
-    li.withColumn("rn", row_number().over(w).cast("long"))
-      .groupBy($"series", $"week")
-      .agg(min_by($"cents", $"rn").as("open"),
+    val ord = struct($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    li.groupBy($"series", $"week")
+      .agg(min_by($"cents", ord).as("open"),
         max($"cents").as("high"),
         min($"cents").as("low"),
-        max_by($"cents", $"rn").as("close"),
+        max_by($"cents", ord).as("close"),
         sum($"qty").as("volume"),
         count(lit(1)).as("n_trades"))
       .orderBy($"series", $"week")
