@@ -1636,12 +1636,17 @@ object Relational {
         ($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst")))
     }
-    val li = Tables(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    // ONE distinct pass serves both graphs: each pair carries a
+    // standing flag (any non-%10 order sources it), so the standing
+    // and merged edge sets derive from the same checkpointed
+    // pair-sized frame instead of two full lineitem shuffles
+    val pairFlags = Tables(s, dir, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(max(when($"l_orderkey" % 10 =!= 0, 1).otherwise(0)).as("st"))
+      .localCheckpoint(true)
     val standing = edgesOf(
-      li.filter($"l_orderkey" % 10 =!= 0)
-        .select($"l_partkey", $"l_suppkey").distinct())
-    val all = edgesOf(li.select($"l_partkey", $"l_suppkey").distinct())
+      pairFlags.filter($"st" === 1).select($"l_partkey", $"l_suppkey"))
+    val all = edgesOf(pairFlags.select($"l_partkey", $"l_suppkey"))
     val r3 = graft.Graft.pageRank(standing, iters = 3, dampingPct = 85)
     graft.Graft.pageRankFrom(all, r3, iters = 2, dampingPct = 85)
       .select(
