@@ -15,6 +15,8 @@ class StreamsSpec extends SparkSuiteBase {
   import spark.implicits._
 
   case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+  case class Bv(event_id: Long, ts: Timestamp, event_type: String,
+      value: Double)
   private def ev(minute: Int, typ: String, v: Double, u: Long = 1L) =
     Ev(Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), typ, v, u)
 
@@ -134,6 +136,62 @@ class StreamsSpec extends SparkSuiteBase {
         .as[(Long, Option[Double])].collect().toSeq
       assert(afterB2 == Seq((1L, None)),
         s"unmatched click did not finalize with nulls: $afterB2")
+    } finally q.stop()
+  }
+
+  test("semi join: a converted click emits exactly once; unconverted never") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.clickConversionSemiJoin(in.toDF())
+      .writeStream.format("memory").queryName("ssemi")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(5, "click", 0.0, 1L), ev(8, "purchase", 1.0, 1L))
+      q.processAllAvailable()
+      // a SECOND purchase inside the same click's window must not
+      // re-emit the click (semi = membership, not fan-out), and an
+      // unconverted click never emits at all
+      in.addData(ev(9, "purchase", 2.0, 1L), ev(30, "click", 0.0, 2L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id FROM ssemi")
+        .as[Long].collect().toSeq
+      assert(rows == Seq(1L), s"semi join emitted $rows")
+    } finally q.stop()
+  }
+
+  test("streaming bars: positional open/close across batches; late rows drop") {
+    implicit val sc = spark.sqlContext
+    def bv(id: Long, minute: Int, v: Double) =
+      Bv(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), "t", v)
+    val in = MemoryStream[Bv]
+    val q = Streams.streamingBars(in.toDF())
+      .writeStream.format("memory").queryName("sbars")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(bv(1, 20, 5.0), bv(2, 40, 9.0))
+      q.processAllAvailable()
+      // out-of-order rows land in a LATER batch but their hour window
+      // is still open (aggregation state expires by WINDOW end vs
+      // watermark, not by row time) — both must fold in, and the
+      // positional merge must CORRECT the open to the now-earliest
+      // event (10:05) while close stays the latest (10:40)
+      in.addData(bv(3, 35, 7.0), bv(4, 5, 1.0))
+      q.processAllAvailable()
+      // sentinel pushes the watermark past 11:00 -> the bar finalizes
+      in.addData(Bv(99L, Timestamp.valueOf("2024-01-01 11:59:00"), "t", 0.0))
+      q.processAllAvailable()
+      val bars = spark.sql(
+        "SELECT open, high, low, close, n_events FROM sbars")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(bars == Seq((100L, 900L, 100L, 900L, 4L)),
+        s"bar wrong: $bars")
+      // a row behind the now-FINALIZED window drops: no re-emission,
+      // no new bar for the closed hour (append-mode exactly-once)
+      in.addData(bv(5, 45, 50.0))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT count(*) FROM sbars")
+        .as[Long].head()
+      assert(after == 1L, s"closed-window row leaked: $after rows")
     } finally q.stop()
   }
 
