@@ -2006,6 +2006,16 @@ object Graft {
     * (node, hub_e6, auth_e6) for every node in src ∪ dst; a node with
     * no in-edges has auth_e6 = 0, no out-edges hub_e6 = 0.
     *
+    * MULTI-EDGE contract (ADVICE r16): edges are NOT deduplicated —
+    * a duplicate (src, dst) row acts as a parallel edge, weighting
+    * both the round-1 in-degree shortcut and every join-path sum by
+    * its multiplicity. That is the standard weighted-HITS reading of
+    * a multigraph; callers wanting simple-graph semantics must
+    * `.distinct()` the edge list first (q113 does exactly that at its
+    * callsite). Kept out of this function because a forced distinct
+    * is a full extra shuffle the already-distinct common case would
+    * pay every call.
+    *
     * Scale shape: the [[pageRank]] loop discipline — the edge list
     * localCheckpoints ONCE pre-partitioned on each probe key, so the
     * two per-round scatter joins plan zero exchange on the edge side;
@@ -4035,6 +4045,14 @@ object Graft {
                 s"frequentTriples: basket exceeds maxBasketSize=$maxBasketSize",
                 items0)
             else items0).as("__items"))
+      // The >= 3 size filter precedes BOTH unrolls, so the pair
+      // counts below are supports restricted to >= 3-item baskets —
+      // NOT true L2 supports (a pair living only in 2-item baskets
+      // undercounts and may be pruned). That cannot drop a frequent
+      // triple's candidate: every basket containing a triple has
+      // >= 3 frequent items, so a frequent triple's sub-pairs reach
+      // at least the triple's own support inside this restriction.
+      // Do not expose the pair frame as an L2 result (ADVICE r16).
       .filter(size(col("__items")) >= 3)
       .localCheckpoint(true) // pairs AND triples unroll from it
     val pairs = baskets

@@ -31,7 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Cost is O(|a|·|b|) time and space per row — a string-similarity
   * join must block/cap its candidate pairs regardless (q116 caps
   * blocks at 16), so the quadratic cell count is bounded by the
-  * caller's pair discipline, not by data volume. */
+  * caller's pair discipline, not by data volume. Because the function
+  * is registered for general SQL use, inputs are HARD-CAPPED at
+  * [[DamerauLevenshtein.MaxBytes]] UTF-8 bytes per side — a caller
+  * pointing it at full document bodies gets an immediate
+  * IllegalArgumentException naming the bound, not a silent per-row
+  * multi-GB matrix allocation and an executor OOM (ADVICE r16). The
+  * DP is for short identifier-ish strings (names, SKUs, tokens);
+  * document-scale similarity belongs to the shingle/MinHash family. */
 case class DamerauLevenshtein(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -54,14 +61,24 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
 object DamerauLevenshtein {
 
+  /** Per-side input bound in UTF-8 bytes: 4096² ints ≈ 64 MB is the
+    * worst single-row matrix we accept; anything larger is a misuse
+    * of a quadratic-space kernel (see class scaladoc). */
+  val MaxBytes: Int = 4096
+
   /** True Damerau-Levenshtein over the raw UTF-8 bytes — the
     * textbook `da`/`db` last-occurrence recurrence (Lowrance &
     * Wagner '75 as commonly stated), byte alphabet (256-slot last-row
     * table). The (len+2)² matrix carries the `maxd` sentinel border
-    * the transposition term needs. */
+    * the transposition term needs. Inputs beyond [[MaxBytes]] are
+    * rejected (IllegalArgumentException) before any allocation. */
   def distance(sa: UTF8String, sb: UTF8String): Int = {
     val a = sa.getBytes; val b = sb.getBytes
     val la = a.length; val lb = b.length
+    require(la <= MaxBytes && lb <= MaxBytes,
+      s"damerau_levenshtein input exceeds $MaxBytes bytes " +
+        s"($la, $lb) — the O(|a|*|b|) DP is for short strings; use the " +
+        "shingle/MinHash operators for document-scale similarity")
     if (la == 0) return lb
     if (lb == 0) return la
     val maxd = la + lb

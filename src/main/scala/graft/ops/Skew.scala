@@ -38,6 +38,20 @@ object Skew {
     * detection safely approximate: with `sampleOneIn` > 1 the
     * frequency pre-pass reads a deterministic 1-in-n row slice
     * (xxhash64 of the row id — no RNG, no extra shuffle; `minCount`
+    *
+    * Two operational caveats (ADVICE r16), both cost-side only — the
+    * hot ∪ cold invariance above means neither can change an answer:
+    *   - the heavy-key pre-pass is an EAGER Spark job that runs at
+    *     DataFrame-CONSTRUCTION time (the hot set must exist before
+    *     the plan can be built), unlike every lazy operator around it;
+    *   - with `sampleOneIn` > 1 the slice keys on
+    *     `monotonically_increasing_id()`, which depends on the
+    *     physical partition layout of `big` — two runs over
+    *     differently-partitioned but row-identical inputs can detect
+    *     different hot sets and therefore build different PLANS
+    *     (same result). Callers needing a layout-stable plan should
+    *     sample on a hash of stable row content or pass
+    *     `sampleOneIn = 1` (exact counts, layout-free).
     * then applies to SAMPLED counts), so at 100 TB the pre-pass is a
     * cheap partial-folded count over ~1/n of the fact, not a second
     * full scan. Driver state is the heavy-key list itself, bounded by

@@ -253,5 +253,15 @@ class CodegenSpec extends SparkSuiteBase {
     import org.apache.spark.sql.types.StringType
     assert(DamerauLevenshtein(Literal.create(null, StringType),
       Literal.create("x", StringType)).eval(null) == null)
+    // length guard (ADVICE r16): document-scale input fails loudly
+    // instead of allocating a quadratic matrix
+    val big = UTF8String.fromString("x" * (DamerauLevenshtein.MaxBytes + 1))
+    val cap = intercept[IllegalArgumentException] {
+      DamerauLevenshtein.distance(big, UTF8String.fromString("y"))
+    }
+    assert(cap.getMessage.contains("4096"))
+    // exactly at the bound still computes
+    val atCap = UTF8String.fromString("x" * DamerauLevenshtein.MaxBytes)
+    assert(DamerauLevenshtein.distance(atCap, atCap) == 0)
   }
 }
