@@ -296,7 +296,8 @@ object SparkEntry {
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "c09_purge_audit" -> (Curation.c09PurgeAudit _),
     "st25_bars" -> (streaming.Streams.st25StreamingBars _),
-    "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _)
+    "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _),
+    "d24_substring_runs" -> (TextDedup.d24SubstringRuns _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -946,6 +947,40 @@ object SparkEntry {
         |SELECT a AS node_id, least(a, min(b)) AS component_id
         |FROM reach GROUP BY a
         |ORDER BY node_id""".stripMargin,
+
+    // d24: the from-scratch spelling of maximal shared token runs —
+    // positional 8-gram STRINGS self-joined on equality (the engine
+    // joins on the variadic xxhash64 of the same 8 tokens — 2^-64
+    // collision argument), then the identical gaps-and-islands
+    // extension. No gram-frequency cap here: max gram frequency on
+    // this corpus is 4 (probed at every SF), so the engine's 64-cap
+    // provably never binds.
+    "d24_substring_runs" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (SELECT doc_id, ts,
+        |         unnest(range(0, greatest(len(ts) - 7, 0))) AS pos
+        |       FROM toks),
+        |g AS (SELECT doc_id, pos,
+        |        array_to_string(list_slice(ts, pos + 1, pos + 8), ' ') AS gram
+        |      FROM g0),
+        |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+        |             b.doc_id AS id_b, b.pos AS pos_b
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
+        |          pos_a - row_number() OVER (
+        |            PARTITION BY id_a, id_b, pos_a - pos_b
+        |            ORDER BY pos_a) AS island
+        |        FROM p),
+        |runs AS (SELECT id_a, id_b,
+        |           min(pos_a) AS start_a, min(pos_b) AS start_b,
+        |           count(*) + 7 AS run_tokens
+        |         FROM isl GROUP BY id_a, id_b, diag, island)
+        |SELECT id_a, id_b, start_a, start_b,
+        |  CAST(run_tokens AS BIGINT) AS run_tokens
+        |FROM runs WHERE run_tokens >= 20
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
 
     // d19 brute-forces the containment score on the chunk strings
     // (the engine's hashed/bucket-capped path must agree — max

@@ -1063,4 +1063,92 @@ object TextDedup {
     graft.Graft.minhashShardSignatures(docs, "source", "text", numPerms = 16)
       .orderBy($"grp", $"perm")
   }
+
+  /** Exact SUBSTRING-level dedup (the most-cited pass in public
+    * training-data pipelines — Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", where it is a
+    * suffix array; here the scalable approximation is k-gram hash
+    * RUNS with run extension): find every maximal run of >=
+    * `minRunTokens` consecutive tokens shared verbatim between two
+    * documents, reported as (id_a, id_b, start_a, start_b,
+    * run_tokens) with 0-based token offsets. This is the duplication
+    * mode BOTH existing families miss: d09 dedups at fixed chunk
+    * boundaries (a repeated passage straddling a boundary escapes),
+    * and MinHash needs the overlap to dominate the whole doc — a
+    * 50-token license block inside two otherwise-unrelated documents
+    * is invisible to either, and is exactly what substring dedup
+    * removes.
+    *
+    * Algorithm: positional k-token gram hashes (the [[shingleHashes]]
+    * machinery — NOT distinct'd, position matters here) gather into
+    * per-hash buckets; cross-doc position pairs unroll join-free
+    * ([[unrollPairs]]); matches between a doc pair lying on one
+    * DIAGONAL (pos_a - pos_b constant) at consecutive pos_a are one
+    * shared run — the classic gaps-and-islands step (island id =
+    * pos_a - row_number over the diagonal) extends gram matches into
+    * maximal runs of length n_grams + k - 1 tokens.
+    *
+    * Scale shape: shuffles carry (8-byte gram hash, id, int pos) —
+    * never text; the bucket aggregate is ONE partial-folded
+    * collect_list whose fan-in `maxGramFreq` caps BEFORE any pair
+    * exists (a gram in more docs than the cap is boilerplate — the
+    * d17 df-gate argument; at harness scale the cap provably never
+    * binds: max gram frequency is 4, so the DuckDB oracle needs no
+    * mirror of it), and the islands window partitions on
+    * (id_a, id_b, diagonal), whose width is bounded by document
+    * length, not corpus size. No join anywhere.
+    *
+    * Exactness: gram equality is xxhash64 equality over the k tokens
+    * (variadic — token boundaries hash positionally, so no
+    * concatenation ambiguity); the oracle compares the space-joined
+    * gram STRING, identical up to a 2^-64-per-pair collision (d01's
+    * argument). Same-doc repeats pair within a bucket too and are
+    * dropped (id_a < id_b is cross-doc by the sorted unroll). */
+  def substringRuns(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minRunTokens: Int = 20, maxGramFreq: Int = 64): DataFrame = {
+    require(k >= 2, s"k out of range: $k")
+    require(minRunTokens >= k,
+      s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    require(maxGramFreq >= 2, s"maxGramFreq out of range: $maxGramFreq")
+    val grams = docs
+      .select(col(idCol).as("__id"),
+        posexplode(shingleHashes(col(textCol), k)).as(Seq("pos", "h")))
+    val buckets = grams.groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("__id"), col("pos")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxGramFreq))
+    val pairs = buckets
+      .select(explode(unrollPairs(col("ms"), (a, b) =>
+        struct(a.getField("__id").as("id_a"),
+          a.getField("pos").as("pos_a"),
+          b.getField("__id").as("id_b"),
+          b.getField("pos").as("pos_b")))).as("p"))
+      .select(col("p.id_a"), col("p.pos_a"), col("p.id_b"), col("p.pos_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val w = Window
+      .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("__island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("__diag"), col("__island"))
+      .agg(min(col("pos_a")).cast("long").as("start_a"),
+        min(col("pos_b")).cast("long").as("start_b"),
+        (count(lit(1)) + (k - 1)).as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("run_tokens"))
+  }
+
+  /** d24 — [[substringRuns]] under the oracle gate: every >= 20-token
+    * verbatim run shared between two corpus documents (8-token grams),
+    * hash-checked against DuckDB's self-join-on-gram-string +
+    * gaps-and-islands CTE — the from-scratch spelling of the same
+    * maximal-run semantics. The corpus genuinely exercises it: the
+    * planted near-dup clusters share runs up to ~95 tokens that d09's
+    * chunking reports only as chunk-identity and MinHash only as
+    * whole-doc similarity. */
+  def d24SubstringRuns(s: SparkSession, dir: String): DataFrame =
+    substringRuns(Tables.spread(Tables(s, dir, "documents")),
+      "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
 }

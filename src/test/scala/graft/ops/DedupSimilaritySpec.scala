@@ -744,4 +744,33 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(idx.count() == n)
     assert(idx.select($"vec_id").distinct().count() == n)
   }
+
+  test("d24 kernel: maximal shared runs with exact offsets; cross-doc only; cap drops boilerplate") {
+    // doc 1 and 2 share tokens 5..16 of doc 1 (12 tokens) starting at
+    // token 0 of doc 2; doc 3 repeats a gram internally (no self-pair);
+    // doc 4 shares nothing long enough.
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, "one two three four five " + run + " tail1 tail2"),
+      (2L, run + " other words here"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8"),
+      (4L, "unrelated content that shares no gram with anything else at all")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.substringRuns(d, "doc_id", "text",
+        k = 4, minRunTokens = 10)
+      .orderBy($"id_a", $"id_b", $"start_a")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // run = 12 tokens at offsets (5, 0); the maximal-run contract
+    // means ONE row, not one per window position
+    assert(got == Seq((1L, 2L, 5L, 0L, 12L)), s"got $got")
+    // same-doc repeats never pair (doc 3 absent above); boilerplate
+    // cap: a gram in more buckets than maxGramFreq emits no pairs
+    val boiler = (1 to 6).map(i => (i.toLong, run)).toDF("doc_id", "text")
+    val capped = TextDedup.substringRuns(boiler, "doc_id", "text",
+      k = 4, minRunTokens = 10, maxGramFreq = 5)
+    assert(capped.isEmpty, "gram over the frequency cap must emit no pairs")
+    val uncapped = TextDedup.substringRuns(boiler, "doc_id", "text",
+      k = 4, minRunTokens = 10, maxGramFreq = 6)
+    assert(uncapped.count() == 15, "6 identical docs -> C(6,2) full-length runs")
+  }
 }
