@@ -3756,6 +3756,130 @@ object Graft {
     multi.length
   }
 
+  /** Write a dedup component LABELING (`id`, `root` — the
+    * [[ops.TextDedup.componentMin]] contract: root = component-minimum
+    * id) AT REST, hive-partitioned by a hash bucket OF THE ROOT
+    * (`rb = pmod(xxhash64(root), buckets)`). Root-bucketing is the
+    * layout decision that makes [[componentsIncremental]] batch-cheap:
+    * every row of a component lives in ONE bucket, so a batch that
+    * merges R standing components rewrites at most R bucket
+    * directories — partition-pruned copy-on-write upsert (the
+    * Hudi/Iceberg merge discipline), never an index-sized scan. Size
+    * `buckets` so one bucket is a few compaction-target files at the
+    * lake's label count (production: thousands; harness: 32).
+    *
+    * Contract: `buckets` and the id TYPE must match across
+    * [[componentsIndex]] / [[componentsIncremental]] calls on one
+    * store (both feed xxhash64, which is type-sensitive) — a real
+    * deployment records them in table properties. */
+  def componentsIndex(labels: DataFrame, path: String,
+      buckets: Int = 32): Unit = {
+    require(buckets >= 1, s"buckets out of range: $buckets")
+    writePartitioned(labels.select(col("id"), col("root"))
+      .withColumn("rb",
+        pmod(xxhash64(col("root")), lit(buckets)).cast("int")),
+      "rb", path)
+  }
+
+  /** The read side of the label store: the full current labeling
+    * (partition column dropped). Point lookups by root should filter
+    * on `rb = pmod(xxhash64(root), buckets)` first — that is the
+    * pruned-probe path the layout exists for. */
+  def componentsRead(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).select(col("id"), col("root"))
+
+  /** Merge a batch of new duplicate-pair edges into the AT-REST
+    * labeling WITHOUT re-clustering (or even re-shuffling) the
+    * standing lake — [[ops.TextDedup.incrementalComponents]]'s merge
+    * math (shared via `incrementalMergeParts`, so in-memory and
+    * at-rest relabeling provably agree) applied as a partition-pruned
+    * copy-on-write upsert:
+    *
+    *   1. the batch-sized merge graph labels via componentMin; the
+    *      root remap (`old_root -> new_root`, non-identity rows) and
+    *      the fresh-vertex labels are checkpointed BEFORE any file
+    *      mutation;
+    *   2. only the bucket directories holding a remapped old root are
+    *      read back (dir-pruned scan), relabeled with ONE left join
+    *      against the batch-sized remap, and rewritten via a staging
+    *      dir + per-partition file swap (the [[compactIndex]] swap
+    *      discipline — callers guard with a marker and rebuild on a
+    *      half-swapped layout); rows whose root moved land in their
+    *      NEW root's bucket, keeping the root-bucket invariant;
+    *   3. fresh vertices append via [[partitionedAppend]] (new files
+    *      only); [[compactIndex]] on `rb` is the maintenance pass
+    *      when appended/moved files accumulate.
+    *
+    * Untouched buckets: never read, never listed, byte-identical
+    * after — the daily-crawl cadence costs batch-proportional I/O
+    * against a lake-sized labeling (d25 gates the answer against the
+    * from-scratch closure; ComponentsStoreSpec pins the file-level
+    * properties). Returns the number of bucket directories
+    * rewritten. */
+  def componentsIncremental(s: SparkSession, path: String,
+      batchPairs: DataFrame, buckets: Int = 32,
+      maxRounds: Int = 16): Int = {
+    require(buckets >= 1, s"buckets out of range: $buckets")
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"no label store at $path")
+    def dataFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    def rbOf(c: Column): Column = pmod(xxhash64(c), lit(buckets)).cast("int")
+    val standing = componentsRead(s, path)
+    val (merged, rootMapAll) =
+      ops.TextDedup.incrementalMergeParts(standing, batchPairs, maxRounds)
+    // Everything derived from the standing FILES is forced eagerly
+    // here — after the swap below, the lazy `standing` plan's file
+    // listing would dangle on deleted fragments.
+    val rootMap = rootMapAll
+      .filter(col("__old_root") =!= col("__new_root"))
+      .localCheckpoint(true)
+    val fresh = merged.join(standing, Seq("id"), "left_anti")
+      .select(col("id"), col("root"))
+      .withColumn("rb", rbOf(col("root")))
+      .localCheckpoint(true)
+    val touched = rootMap.select(rbOf(col("__old_root")).as("rb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    var rewritten = 0
+    if (touched.nonEmpty) {
+      val touchedDirs = touched.map(b => new java.io.File(root, s"rb=$b"))
+        .filter(_.isDirectory)
+      val staging = new java.io.File(
+        root.getParentFile, root.getName + "__relabel")
+      rmTree(staging) // clear a previous crashed pass
+      s.read.option("basePath", path)
+        .parquet(touchedDirs.map(_.getAbsolutePath).toSeq: _*)
+        .select(col("id"), col("root"))
+        .join(rootMap, col("root") === col("__old_root"), "left")
+        .select(col("id"),
+          coalesce(col("__new_root"), col("root")).as("root"))
+        .withColumn("rb", rbOf(col("root")))
+        .repartition(col("rb"))
+        .write.partitionBy("rb").mode("overwrite")
+        .parquet(staging.getAbsolutePath)
+      touchedDirs.foreach(d => dataFiles(d).foreach(f => f.delete(): Unit))
+      Option(staging.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("rb="))
+        .foreach { sd =>
+          val target = new java.io.File(root, sd.getName)
+          target.mkdirs(): Unit
+          dataFiles(sd).foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(target, f.getName).toPath): Unit
+          }
+        }
+      rmTree(staging)
+      rewritten = touchedDirs.length
+    }
+    if (!fresh.isEmpty) partitionedAppend(fresh, "rb", path)
+    rewritten
+  }
+
   /** Deterministic per-key k-reservoir sample (t37's oracle-checked
     * binding; [[graft.functions.ReservoirSample]] carries the
     * algorithm notes): for each `keyCol` group, the `k` payloads with

@@ -297,7 +297,8 @@ object SparkEntry {
     "c09_purge_audit" -> (Curation.c09PurgeAudit _),
     "st25_bars" -> (streaming.Streams.st25StreamingBars _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _),
-    "d24_substring_runs" -> (TextDedup.d24SubstringRuns _)
+    "d24_substring_runs" -> (TextDedup.d24SubstringRuns _),
+    "d25_label_store" -> (TextDedup.d25PersistedComponents _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -939,6 +940,24 @@ object SparkEntry {
         |  SELECT c AS a, c - c % 4 AS b FROM cust WHERE c % 4 <> 0
         |  UNION ALL
         |  SELECT c, c + 4 FROM cust WHERE c % 40 = 0),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS node_id, least(a, min(b)) AS component_id
+        |FROM reach GROUP BY a
+        |ORDER BY node_id""".stripMargin,
+
+    // d25: the d23 oracle shape (from-scratch closure over
+    // standing ∪ batch edges) on the mod-5/35 star graph — the at-rest
+    // copy-on-write relabel must reproduce it exactly.
+    "d25_label_store" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS c FROM customer),
+        |e0 AS (
+        |  SELECT c AS a, c - c % 5 AS b FROM cust WHERE c % 5 <> 0
+        |  UNION ALL
+        |  SELECT c, c + 5 FROM cust WHERE c % 35 = 0),
         |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
         |reach(a, b) AS (
         |  SELECT a, b FROM e

@@ -602,21 +602,39 @@ object TextDedup {
     * never re-clustered. */
   def incrementalComponents(labels: DataFrame, batchPairs: DataFrame,
       maxRounds: Int = 16): DataFrame = {
-    val ends = batchPairs.select(col("id_a").as("id"))
-      .unionAll(batchPairs.select(col("id_b").as("id"))).distinct()
-    val bridges = ends.join(labels, "id")
-      .select(col("id").as("id_a"), col("root").as("id_b"))
-    val merged = componentMin(batchPairs.unionAll(bridges), maxRounds)
-    val rootMap = merged
-      .join(labels.select(col("root").as("id")).distinct(),
-        Seq("id"), "left_semi")
-      .select(col("id").as("__old_root"), col("root").as("__new_root"))
+    val (merged, rootMap) = incrementalMergeParts(labels, batchPairs, maxRounds)
     val relabeled = labels
       .join(rootMap, labels("root") === rootMap("__old_root"), "left")
       .select(labels("id"),
         coalesce(col("__new_root"), labels("root")).as("root"))
     val fresh = merged.join(labels, Seq("id"), "left_anti")
     relabeled.unionAll(fresh.select(col("id"), col("root")))
+  }
+
+  /** The merge half of [[incrementalComponents]], shared with the
+    * AT-REST store ([[graft.Graft.componentsIncremental]]) so the two
+    * paths cannot drift: returns
+    *   - `merged` — the batch-sized merge graph's labeling
+    *     (batch endpoints ∪ their old roots), eagerly
+    *     localCheckpoint'ed: both consumers read it twice and it holds
+    *     a [[componentMin]] loop upstream;
+    *   - `rootMap` — (`__old_root`, `__new_root`) for every STANDING
+    *     root that appears in the merge graph (identity rows
+    *     included; callers filter). */
+  private[graft] def incrementalMergeParts(labels: DataFrame,
+      batchPairs: DataFrame, maxRounds: Int = 16)
+      : (DataFrame, DataFrame) = {
+    val ends = batchPairs.select(col("id_a").as("id"))
+      .unionAll(batchPairs.select(col("id_b").as("id"))).distinct()
+    val bridges = ends.join(labels, "id")
+      .select(col("id").as("id_a"), col("root").as("id_b"))
+    val merged = componentMin(batchPairs.unionAll(bridges), maxRounds)
+      .localCheckpoint(true)
+    val rootMap = merged
+      .join(labels.select(col("root").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("id").as("__old_root"), col("root").as("__new_root"))
+    (merged, rootMap)
   }
 
   /** d23 — [[incrementalComponents]] under the oracle gate: a
@@ -1151,4 +1169,49 @@ object TextDedup {
     substringRuns(Tables.spread(Tables(s, dir, "documents")),
       "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+
+  /** The d25 label STORE: d23's incremental-components cadence taken
+    * at rest — standing star components (5-wide, over customer ids)
+    * are labeled, written via [[graft.Graft.componentsIndex]]
+    * (root-bucketed layout), and the batch link edges (every 35th id
+    * bridges two adjacent stars into a <= 10-node component) merge in
+    * via [[graft.Graft.componentsIncremental]] — the copy-on-write
+    * relabel that rewrites ONLY the buckets holding a remapped root.
+    * Guarded once per (JVM, source dir) behind a completion marker; a
+    * half-built or half-swapped layout (no marker) rebuilds from
+    * scratch — the overwrite base write makes recovery idempotent
+    * (the s25 discipline). */
+  private[graft] def d25IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("cmp_idx", dir)
+    val marker = new java.io.File(path, "_INC_DONE")
+    if (!marker.exists()) {
+      Layout.sweepStaleFor("cmp_idx", dir)
+      import s.implicits._
+      val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
+      val standing = cust
+        .select($"c".as("id_a"), ($"c" - $"c" % 5).as("id_b"))
+        .filter($"id_a" =!= $"id_b")
+      graft.Graft.componentsIndex(componentMin(standing), path)
+      val batch = cust.filter($"c" % 35 === 0)
+        .select($"c".as("id_a"), ($"c" + 5).as("id_b"))
+      graft.Graft.componentsIncremental(s, path, batch): Unit
+      marker.createNewFile(): Unit
+    }
+    path
+  }
+
+  /** d25 — the PERSISTED component-label store under the oracle gate:
+    * the full at-rest labeling after [[d25IndexPath]]'s build → append
+    * cycle, hash-checked against DuckDB's from-scratch recursive-CTE
+    * closure over standing ∪ batch edges — the answer the incremental
+    * at-rest relabel must reproduce exactly (d23 gates the in-memory
+    * half; this gates the file-swap half, which is what a daily dedup
+    * cadence actually maintains). Components stay <= 10 nodes by
+    * construction, so the oracle closure is linear in ids. */
+  def d25PersistedComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.componentsRead(s, d25IndexPath(s, dir))
+      .select($"id".as("node_id"), $"root".as("component_id"))
+      .orderBy($"node_id")
+  }
 }
