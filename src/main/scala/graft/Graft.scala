@@ -3756,6 +3756,121 @@ object Graft {
     multi.length
   }
 
+  /** The tombstone sidecar of an at-rest index layout: a parquet
+    * directory under `<path>/_tombstones`. The underscore prefix means
+    * Spark's file listing IGNORES it, so plain reads of the layout
+    * never see tombstone rows — they are purge REQUESTS, not data. */
+  private def tombstoneDir(path: String): java.io.File =
+    new java.io.File(path, "_tombstones")
+
+  /** Record a purge request (GDPR / right-to-be-forgotten) against an
+    * at-rest index layout WITHOUT touching the index's data files:
+    * `ids` rows (`idCol`, `partitionCol`) append into the layout's
+    * tombstone sidecar. The caller supplies the partition value each
+    * purged row lives under — derivable batch-side from the purge
+    * request itself (LSH: re-hash the embedding's signature; IVF:
+    * re-assign against the frozen centroids) — which is what lets
+    * [[compactOut]] later prune the physical delete to exactly the
+    * touched partition directories instead of scanning the index.
+    *
+    * Scale shape: a tombstone write is purge-request-sized (one small
+    * parquet append), the index's files stay byte-identical, and the
+    * "deleted now" guarantee comes from [[readMasked]] until the next
+    * [[compactOut]] — the standard lake deletion discipline (Delta
+    * deletion vectors / Iceberg delete files): logical-delete cheap
+    * and immediate, physical rewrite deferred and partition-pruned. */
+  def tombstone(path: String, ids: DataFrame, idCol: String,
+      partitionCol: String): Unit =
+    ids.select(col(idCol), col(partitionCol))
+      .coalesce(1)
+      .write.mode("append").parquet(tombstoneDir(path).getPath)
+
+  /** Read an at-rest index layout MINUS its tombstoned rows: the
+    * layout scan anti-joined against the broadcast tombstone sidecar
+    * on `idCol`. This is the read every query must use between a
+    * [[tombstone]] and the next [[compactOut]] — the anti-join is the
+    * logical delete. Tombstone sets are purge-request-sized (bounded
+    * by deletion-request law, not by corpus growth), so the broadcast
+    * is always small; deterministic filters on the layout's columns
+    * still push THROUGH the anti-join to the scan, so partition
+    * pruning on the index is unchanged. */
+  def readMasked(s: SparkSession, path: String, idCol: String): DataFrame = {
+    val scan = s.read.parquet(path)
+    val td = tombstoneDir(path)
+    if (!td.isDirectory) scan
+    else scan.join(
+      broadcast(s.read.parquet(td.getPath).select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Physically remove tombstoned rows from an at-rest index layout —
+    * the compact-out pass that turns [[tombstone]]'s logical deletes
+    * into bytes actually gone (the GDPR requirement c09's cascade
+    * audit sizes; this is the verb that executes it on the index
+    * families). Partition-pruned by construction: the tombstone rows
+    * carry their partition values, so ONLY the named partition
+    * directories are read, rewritten minus the tombstoned ids
+    * (staging dir + per-partition file swap, the [[compactIndex]]
+    * swap discipline — same non-atomicity caveat: production puts the
+    * swap behind a transactional commit), and the tombstone sidecar is
+    * cleared on success. A partition whose every row was purged is
+    * dropped outright. Untouched partitions: never listed, never
+    * read, byte-identical after — purge cost is proportional to the
+    * purge set's partition footprint, not the index.
+    *
+    * Returns the number of partition directories rewritten (0 = no
+    * tombstones pending; metadata-only, job-free). Idempotent: ids
+    * already absent just rewrite their partitions unchanged. */
+  def compactOut(s: SparkSession, path: String, partitionCol: String,
+      idCol: String): Int = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"no index layout at $path")
+    val td = tombstoneDir(path)
+    if (!td.isDirectory) return 0
+    def dataFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    // Purge-request-sized driver gather: the partition values name the
+    // directories to rewrite (the broadcast-variable pattern).
+    val tombs = s.read.parquet(td.getPath)
+    val touchedVals = tombs.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0).toString).sorted
+    val touchedDirs = touchedVals
+      .map(v => new java.io.File(root, s"$partitionCol=$v"))
+      .filter(_.isDirectory)
+    var rewritten = 0
+    if (touchedDirs.nonEmpty) {
+      val staging = new java.io.File(
+        root.getParentFile, root.getName + "__purging")
+      rmTree(staging) // clear a previous crashed pass
+      s.read.option("basePath", path)
+        .parquet(touchedDirs.map(_.getAbsolutePath).toSeq: _*)
+        .join(broadcast(tombs.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+        .repartition(col(partitionCol))
+        .write.partitionBy(partitionCol).mode("overwrite")
+        .parquet(staging.getAbsolutePath)
+      touchedDirs.foreach { d =>
+        dataFiles(d).foreach(f => f.delete(): Unit)
+        val purged = new java.io.File(staging, d.getName)
+        if (purged.isDirectory) {
+          dataFiles(purged).foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(d, f.getName).toPath): Unit
+          }
+        } else rmTree(d) // every row purged — drop the partition
+      }
+      rmTree(staging)
+      rewritten = touchedDirs.length
+    }
+    rmTree(td) // requests executed — clear the sidecar
+    rewritten
+  }
+
   /** Write a dedup component LABELING (`id`, `root` — the
     * [[ops.TextDedup.componentMin]] contract: root = component-minimum
     * id) AT REST, hive-partitioned by a hash bucket OF THE ROOT
@@ -3878,6 +3993,88 @@ object Graft {
     }
     if (!fresh.isEmpty) partitionedAppend(fresh, "rb", path)
     rewritten
+  }
+
+  /** Purge vertices from the AT-REST component labeling — the GDPR
+    * path into the dedup label store ([[componentsIndex]]'s layout),
+    * completing the forget-this-document cycle c09 audits on the
+    * relational side. Semantics: removing a vertex from a LABEL store
+    * preserves the grouping of the remaining ids (labels hold no
+    * edges, so nothing can split — edge-level deletion would need the
+    * pair log), but the component ID must stay canonical (root =
+    * component-minimum id), so a component whose ROOT is purged
+    * re-roots to its minimum REMAINING member.
+    *
+    * Shape (the [[componentsIncremental]] copy-on-write discipline):
+    *   1. ONE semi-join of the labeling against the purge set finds
+    *      the victims' roots (batch-sized result, checkpointed before
+    *      any file mutation). The root-bucket invariant then names the
+    *      touched directories: every member of a purge-touched
+    *      component lives in `rb = hash(root) % buckets`.
+    *   2. Only those buckets are read back; purged ids drop via a
+    *      broadcast anti-join; each old-root group re-roots to its
+    *      window-minimum kept id (the window is complete because a
+    *      component never spans buckets); rows land in their NEW
+    *      root's bucket through the staging-dir + file-swap path.
+    *   3. Untouched buckets: never listed, never read, byte-identical
+    *      after. Purge cost ∝ touched components, not the lake.
+    * The labeling semi-join in step 1 scans two 8-byte columns of the
+    * store — GBs against the corpus's TBs, the same index-not-corpus
+    * argument as d15 (at-rest purge requests don't carry roots, so
+    * one pruned-column pass is the lookup).
+    *
+    * Returns the number of bucket directories rewritten. */
+  def componentsPurge(s: SparkSession, path: String, purged: DataFrame,
+      buckets: Int = 32): Int = {
+    require(buckets >= 1, s"buckets out of range: $buckets")
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"no label store at $path")
+    def dataFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    def rbOf(c: Column): Column = pmod(xxhash64(c), lit(buckets)).cast("int")
+    val purgeIds = purged.select(col("id")).distinct()
+    // Forced eagerly: everything derived from the standing FILES must
+    // materialize before the swap deletes fragments under the plan.
+    val victims = componentsRead(s, path)
+      .join(purgeIds, Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val touched = victims.select(rbOf(col("root")).as("rb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val touchedDirs = touched.map(b => new java.io.File(root, s"rb=$b"))
+      .filter(_.isDirectory)
+    if (touchedDirs.isEmpty) return 0
+    val staging = new java.io.File(
+      root.getParentFile, root.getName + "__purge")
+    rmTree(staging) // clear a previous crashed pass
+    val purgeB = broadcast(purgeIds)
+    s.read.option("basePath", path)
+      .parquet(touchedDirs.map(_.getAbsolutePath).toSeq: _*)
+      .select(col("id"), col("root"))
+      .join(purgeB, Seq("id"), "left_anti")
+      .withColumn("root",
+        functions.min(col("id")).over(Window.partitionBy(col("root"))))
+      .withColumn("rb", rbOf(col("root")))
+      .repartition(col("rb"))
+      .write.partitionBy("rb").mode("overwrite")
+      .parquet(staging.getAbsolutePath)
+    touchedDirs.foreach(d => dataFiles(d).foreach(f => f.delete(): Unit))
+    Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("rb="))
+      .foreach { sd =>
+        val target = new java.io.File(root, sd.getName)
+        target.mkdirs(): Unit
+        dataFiles(sd).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(target, f.getName).toPath): Unit
+        }
+      }
+    rmTree(staging)
+    touchedDirs.length
   }
 
   /** Deterministic per-key k-reservoir sample (t37's oracle-checked

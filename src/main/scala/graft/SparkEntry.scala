@@ -143,6 +143,8 @@ object SparkEntry {
     "s26_ivf_append" -> (Similarity.s26IvfAppend _),
     "s27_compact_search" -> (Similarity.s27CompactedSearch _),
     "s28_ivf_compact" -> (Similarity.s28IvfCompact _),
+    "s29_tombstone_purge" -> (Similarity.s29TombstonePurge _),
+    "s30_tombstone_ivf" -> (Similarity.s30TombstoneIvf _),
     "s14_mmr_topk" -> (Similarity.s14MmrTopK _),
     "s15_pq_topk" -> (Similarity.s15PqTopK _),
     "s23_pq_layout" -> (Similarity.s23PqLayout _),
@@ -298,7 +300,8 @@ object SparkEntry {
     "st25_bars" -> (streaming.Streams.st25StreamingBars _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _),
     "d24_substring_runs" -> (TextDedup.d24SubstringRuns _),
-    "d25_label_store" -> (TextDedup.d25PersistedComponents _)
+    "d25_label_store" -> (TextDedup.d25PersistedComponents _),
+    "d26_label_purge" -> (TextDedup.d26LabelPurge _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -966,6 +969,29 @@ object SparkEntry {
         |SELECT a AS node_id, least(a, min(b)) AS component_id
         |FROM reach GROUP BY a
         |ORDER BY node_id""".stripMargin,
+
+    // d26: d25's from-scratch closure minus the purged ids, re-rooted
+    // per OLD component by window-min — the label-semantics purge
+    // contract (labels hold no edges, so vertex deletion never splits
+    // a component; a purged ROOT demotes to the minimum survivor).
+    "d26_label_purge" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS c FROM customer),
+        |e0 AS (
+        |  SELECT c AS a, c - c % 5 AS b FROM cust WHERE c % 5 <> 0
+        |  UNION ALL
+        |  SELECT c, c + 5 FROM cust WHERE c % 35 = 0),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (SELECT a AS id, least(a, min(b)) AS root
+        |        FROM reach GROUP BY a),
+        |kept AS (SELECT id, root FROM lab
+        |         WHERE id % 20 <> 0 AND id % 20 <> 7)
+        |SELECT id AS node_id,
+        |  min(id) OVER (PARTITION BY root) AS component_id
+        |FROM kept ORDER BY node_id""".stripMargin,
 
     // d24: the from-scratch spelling of maximal shared token runs —
     // positional 8-gram STRINGS self-joined on equality (the engine
@@ -2674,6 +2700,44 @@ object SparkEntry {
     // one-shot index; the byte-identical before/after gate and the
     // single-file-per-partition check run INSIDE the query.
     "s27_compact_search" -> Similarity.s12OracleSql,
+
+    // s29: the from-scratch LSH pipeline over the corpus WITHOUT the
+    // purged rows — what the index must answer both masked (tombstone
+    // sidecar) and after the physical compact-out; the byte-identical
+    // masked-vs-compacted gate runs INSIDE the query.
+    "s29_tombstone_purge" -> Similarity.s29OracleSql,
+
+    // s30: s02's from-scratch IVF pipeline with the purge set removed
+    // from the ASSIGNED corpus only — centroids (vec_id < 16) and
+    // queries (vec_id < 10) are never purged by construction, so the
+    // model and the probe set are identical to s02's.
+    "s30_tombstone_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, v, centroid_id AS bucket FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id DESC) AS rn
+        |    FROM e, c) t
+        |  WHERE rn = 1 AND NOT (vec_id % 10 = 3 AND vec_id >= 16)),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id AS bucket FROM (
+        |    SELECT q.query_id, q.qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS pr
+        |    FROM q, c) t WHERE pr <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
+        |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // s14: the 4 greedy MMR rounds unroll as CTEs (the t26 pattern);
     // per round, pN computes each candidate's redundancy penalty

@@ -624,15 +624,18 @@ object Similarity {
     path
   }
 
-  /** The s13/s25/s27 shared search stage over an at-rest LSH layout:
-    * probe set, plan-time partition-pruned scan, exact cosine on
-    * candidates, per-query top-k. */
-  private def lshSearchOver(s: SparkSession, dir: String,
-      path: String): DataFrame = {
+  /** The s13/s25/s27/s29 shared search stage over an at-rest LSH
+    * layout: probe set, plan-time partition-pruned scan, exact cosine
+    * on candidates, per-query top-k. `corpusOf` maps the probe
+    * signatures to the corpus frame — the seam that lets s29 swap the
+    * plain pruned scan for a tombstone-masked read without forking the
+    * search. */
+  private def lshSearchCorpus(s: SparkSession, dir: String,
+      corpusOf: Seq[Int] => DataFrame): DataFrame = {
     import s.implicits._
     val probes = s13Probes(s, dir)
     val probeSigs = probes.select($"sig").distinct().as[Int].collect().toSeq
-    val scored = s13PrunedScan(s, path, probeSigs)
+    val scored = corpusOf(probeSigs)
       .join(broadcast(probes), "sig")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
@@ -642,6 +645,10 @@ object Similarity {
       .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
       .orderBy($"query_id", $"rank")
   }
+
+  private def lshSearchOver(s: SparkSession, dir: String,
+      path: String): DataFrame =
+    lshSearchCorpus(s, dir, sigs => s13PrunedScan(s, path, sigs))
 
   /** s25 — ANN search over the INCREMENTALLY-MAINTAINED LSH index:
     * s13's probe set, pruned scan, and scoring, but the index was
@@ -767,11 +774,13 @@ object Similarity {
   def s26IvfAppend(s: SparkSession, dir: String): DataFrame =
     ivfSearchOver(s, dir, s26IndexPath(s, dir))
 
-  /** The s26/s28 shared IVF search over an at-rest posting layout:
-    * probe cells from the frozen centroids, plan-time cell-pruned
-    * scan, exact cosine, per-query top-k. */
-  private def ivfSearchOver(s: SparkSession, dir: String,
-      path: String): DataFrame = {
+  /** The s26/s28/s30 shared IVF search over an at-rest posting
+    * layout: probe cells from the frozen centroids, plan-time
+    * cell-pruned scan, exact cosine, per-query top-k. `corpusOf` maps
+    * the probed cells to the posting frame (the lshSearchCorpus seam,
+    * IVF half). */
+  private def ivfSearchCorpus(s: SparkSession, dir: String,
+      corpusOf: Seq[Int] => DataFrame): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
     val cent = emb.filter($"vec_id" < 16)
@@ -786,7 +795,7 @@ object Similarity {
       .filter($"pr" <= 2)
       .select($"query_id", $"q", $"centroid_id".cast("int").as("cell"))
     val probeCells = probes.select($"cell").distinct().as[Int].collect().toSeq
-    val scored = s.read.parquet(path).filter($"cell".isin(probeCells: _*))
+    val scored = corpusOf(probeCells)
       .join(broadcast(probes), "cell")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", cosine($"q", $"embedding").as("cos"))
@@ -796,6 +805,11 @@ object Similarity {
       .select($"query_id", $"rank", $"vec_id", round($"cos", 6).as("cos"))
       .orderBy($"query_id", $"rank")
   }
+
+  private def ivfSearchOver(s: SparkSession, dir: String,
+      path: String): DataFrame =
+    ivfSearchCorpus(s, dir, cells =>
+      s.read.parquet(path).filter(col("cell").isin(cells: _*)))
 
   /** s28's own IVF base+append layout copy (tag `ivf_cmp`) — the s27
     * argument: compaction mutates the directory in place, so it must
@@ -844,6 +858,123 @@ object Similarity {
     afterDf
   }
 
+  /** The s29/s30 purge set: ~10% of the corpus, disjoint from the
+    * queries (vec_id < 10) and the frozen IVF centroids (vec_id < 16)
+    * so deletion exercises only CORPUS rows — purging a query or a
+    * centroid is a different operation (the request would invalidate
+    * the probe set / the index model, not just postings). */
+  private def purgeSet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .filter($"vec_id" % 10 === 3 && $"vec_id" >= 16)
+      .select($"vec_id", $"embedding")
+  }
+  private[graft] val PurgePredSql = "vec_id % 10 = 3 AND vec_id >= 16"
+
+  /** s29's own base+append layout copy (tag `lsh_del`) — tombstoning
+    * and compact-out mutate the directory in place, so it must not
+    * share s25/s27's fixtures (the s27 isolation argument). */
+  private[graft] def s29IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("lsh_del", dir)
+    val marker = new java.io.File(path, "_APPEND_DONE")
+    if (!marker.exists()) {
+      Layout.sweepStaleFor("lsh_del", dir)
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
+        s12SigOf($"embedding").cast("int").as("sig"))
+      graft.Graft.writePartitioned(emb.filter($"vec_id" % 10 =!= 7),
+        "sig", path)
+      graft.Graft.partitionedAppend(emb.filter($"vec_id" % 10 === 7),
+        "sig", path)
+      marker.createNewFile(): Unit
+    }
+    path
+  }
+
+  /** s29 — tombstone DELETION from the at-rest LSH index under the
+    * oracle gate (the GDPR path into the ANN family — c09 audits the
+    * relational purge cascade; this executes the index half):
+    *   1. [[graft.Graft.tombstone]] records the purge set in the
+    *      layout's sidecar, carrying each victim's signature
+    *      (recomputed from the purge request's embedding — never an
+    *      index scan);
+    *   2. the search runs over [[graft.Graft.readMasked]] — the
+    *      logical delete: the broadcast anti-join must already answer
+    *      as if the rows were gone;
+    *   3. [[graft.Graft.compactOut]] physically rewrites ONLY the
+    *      sig partitions the tombstones name and clears the sidecar;
+    *   4. the search re-runs over the plain layout and must be
+    *      byte-identical to the masked pass — logical and physical
+    *      deletion agree exactly.
+    * Gated on the from-scratch oracle built WITHOUT the purged rows
+    * ([[s29OracleSql]]) — a row still findable after its purge, or a
+    * surviving neighbor lost by an over-eager rewrite, hash-fails.
+    * At 100 TB: the tombstone write is request-sized, the masked read
+    * adds one broadcast anti-join, and the rewrite touches the purge
+    * set's partition footprint — never the index. */
+  def s29TombstonePurge(s: SparkSession, dir: String): DataFrame = {
+    val path = s29IndexPath(s, dir)
+    val purge = purgeSet(s, dir)
+      .select(col("vec_id"), s12SigOf(col("embedding")).cast("int").as("sig"))
+    graft.Graft.tombstone(path, purge, "vec_id", "sig")
+    val masked = lshSearchCorpus(s, dir, sigs =>
+      graft.Graft.readMasked(s, path, "vec_id")
+        .filter(col("sig").isin(sigs: _*))).collect()
+    graft.Graft.compactOut(s, path, "sig", "vec_id"): Unit
+    val afterDf = lshSearchOver(s, dir, path)
+    require(masked.toSeq == afterDf.collect().toSeq,
+      "purge compact-out changed search results — logical/physical deletion disagree")
+    afterDf
+  }
+
+  /** s30's own IVF layout copy (tag `ivf_del`) — the s29 isolation
+    * argument, posting-list half. */
+  private[graft] def s30IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("ivf_del", dir)
+    val marker = new java.io.File(path, "_APPEND_DONE")
+    if (!marker.exists()) {
+      Layout.sweepStaleFor("ivf_del", dir)
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cent = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("centroid_id"), $"embedding".as("c"))
+      graft.Graft.writePartitioned(
+        s26Assign(emb.filter($"vec_id" % 10 =!= 7), cent), "cell", path)
+      graft.Graft.partitionedAppend(
+        s26Assign(emb.filter($"vec_id" % 10 === 7), cent), "cell", path)
+      marker.createNewFile(): Unit
+    }
+    path
+  }
+
+  /** s30 — tombstone deletion from the at-rest IVF posting layout:
+    * s29's four-step cycle (tombstone → masked search → compact-out →
+    * byte-identical plain search) with the victim's partition value
+    * RE-ASSIGNED against the frozen centroids — the purge request
+    * carries an embedding, and nearest-centroid assignment is a pure
+    * batch-side function of it, so the physical delete prunes to the
+    * victims' cells without consulting the index. Gated on s02's
+    * oracle restricted to the surviving corpus. Together with s29 this
+    * closes deletion for BOTH at-rest ANN families the append
+    * (s25/s26) and compaction (s27/s28) passes maintain. */
+  def s30TombstoneIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s30IndexPath(s, dir)
+    val emb = Tables(s, dir, "embeddings")
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c"))
+    val purge = s26Assign(purgeSet(s, dir), cent).select($"vec_id", $"cell")
+    graft.Graft.tombstone(path, purge, "vec_id", "cell")
+    val masked = ivfSearchCorpus(s, dir, cells =>
+      graft.Graft.readMasked(s, path, "vec_id")
+        .filter(col("cell").isin(cells: _*))).collect()
+    graft.Graft.compactOut(s, path, "cell", "vec_id"): Unit
+    val afterDf = ivfSearchOver(s, dir, path)
+    require(masked.toSeq == afterDf.collect().toSeq,
+      "purge compact-out changed IVF search results — logical/physical deletion disagree")
+    afterDf
+  }
+
   /** Generated DuckDB oracle for s12 — the d05 exactness rules
     * (planes printed as %.17e exponent literals, signature sign =
     * `list_cosine_similarity > 0`), probe fan-out spelled as
@@ -852,7 +983,13 @@ object Similarity {
     * s12/s13 oracles and s21's recall composition (the s11Ctes/s17Ctes
     * stripping contract: stripped here, call sites append a stripped
     * tail). */
-  private[graft] def s12OracleCtes: String = {
+  private[graft] def s12OracleCtes: String = s12OracleCtesFiltered("")
+
+  /** The s12 CTEs with an optional corpus-side EXCLUSION predicate
+    * (over alias `s`) — s29's oracle is the identical from-scratch
+    * pipeline minus the purged rows; probes stay drawn from the full
+    * table (queries are never purged by construction). */
+  private[graft] def s12OracleCtesFiltered(excludeCorpus: String): String = {
     val sigExpr = (0 until S12Bits).map { b =>
       val lits = s12Planes(b).map(f =>
         String.format(java.util.Locale.ROOT, "%.17e", Double.box(f.toDouble)))
@@ -862,23 +999,33 @@ object Similarity {
     }.mkString(" + ")
     val probeList = ("sig" +: (0 until S12Bits).map(b =>
       s"xor(sig, ${1L << b})")).mkString(", ")
+    val excl =
+      if (excludeCorpus.isEmpty) "" else s" AND NOT ($excludeCorpus)"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |s AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
        |p AS (SELECT vec_id AS query_id, v AS qv, unnest([$probeList]) AS psig
        |      FROM s WHERE vec_id < 10),
        |scored AS (
        |  SELECT p.query_id, s.vec_id, list_cosine_similarity(p.qv, s.v) AS c
-       |  FROM p JOIN s ON s.sig = p.psig AND s.vec_id <> p.query_id),
+       |  FROM p JOIN s ON s.sig = p.psig AND s.vec_id <> p.query_id$excl),
        |ranked AS (
        |  SELECT query_id, vec_id, c,
        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
        |  FROM scored)""".stripMargin
   }
 
-  private[graft] def s12OracleSql: String =
-    s12OracleCtes + """
+  private val s12RankTail: String = """
        |SELECT query_id, rank, vec_id, round(c, 6) AS cos
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private[graft] def s12OracleSql: String = s12OracleCtes + s12RankTail
+
+  /** s29's oracle: the s12/s13 from-scratch pipeline over the corpus
+    * WITHOUT the purged rows — what the index must answer after the
+    * tombstone (masked read) and after the compact-out alike. */
+  private[graft] def s29OracleSql: String =
+    s12OracleCtesFiltered("s.vec_id % 10 = 3 AND s.vec_id >= 16") +
+      s12RankTail
 
   /** The s10/s16/s18/s19 recall tail over an `ap` head plus s01's
     * exact head derived straight from `e` — appended to an index's

@@ -1214,4 +1214,56 @@ object TextDedup {
       .select($"id".as("node_id"), $"root".as("component_id"))
       .orderBy($"node_id")
   }
+
+  /** d26's own label-store copy (tag `cmp_del`) — purge mutates the
+    * directory in place, so it must not share d25's fixture (the
+    * s27/s29 isolation argument). Build cycle identical to
+    * [[d25IndexPath]]: standing closure at rest, then one incremental
+    * batch merge. */
+  private[graft] def d26IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("cmp_del", dir)
+    val marker = new java.io.File(path, "_INC_DONE")
+    if (!marker.exists()) {
+      Layout.sweepStaleFor("cmp_del", dir)
+      import s.implicits._
+      val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
+      val standing = cust
+        .select($"c".as("id_a"), ($"c" - $"c" % 5).as("id_b"))
+        .filter($"id_a" =!= $"id_b")
+      graft.Graft.componentsIndex(componentMin(standing), path)
+      val batch = cust.filter($"c" % 35 === 0)
+        .select($"c".as("id_a"), ($"c" + 5).as("id_b"))
+      graft.Graft.componentsIncremental(s, path, batch): Unit
+      marker.createNewFile(): Unit
+    }
+    path
+  }
+
+  /** d26 — vertex PURGE from the persisted label store
+    * ([[graft.Graft.componentsPurge]] under the oracle gate): the
+    * GDPR forget-this-document request executed against the at-rest
+    * dedup labeling, completing the deletion story for the third
+    * at-rest index family (s29/s30 cover the ANN layouts). The purge
+    * set (`id % 20 ∈ {0, 7}`) deliberately includes component ROOTS
+    * (multiples of 20 are multiples of 5 — the standing roots), so the
+    * oracle exercises the re-rooting contract: a surviving component
+    * whose root was purged must relabel to its minimum remaining
+    * member, and rows physically move to the new root's bucket.
+    * Oracle: the from-scratch closure over standing ∪ batch edges
+    * (d25's recursive CTE), minus the purged ids, re-rooted per old
+    * component by window-min — exactly the label-semantics contract
+    * (labels hold no edges, so deletion never splits a component).
+    * Idempotent: a second call finds zero victims and is
+    * metadata-only. */
+  def d26LabelPurge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = d26IndexPath(s, dir)
+    val purge = Tables(s, dir, "customer")
+      .select($"c_custkey".as("id"))
+      .filter($"id" % 20 === 0 || $"id" % 20 === 7)
+    graft.Graft.componentsPurge(s, path, purge): Unit
+    graft.Graft.componentsRead(s, path)
+      .select($"id".as("node_id"), $"root".as("component_id"))
+      .orderBy($"node_id")
+  }
 }
