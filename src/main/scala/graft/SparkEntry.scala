@@ -214,6 +214,7 @@ object SparkEntry {
     "m08_media_neardup" -> (Multimodal.m08NearDup _),
     "m09_audio_features" -> (Multimodal.m09AudioFeatures _),
     "m10_container_demux" -> (Multimodal.m10ContainerDemux _),
+    "m11_jpeg_features" -> (Multimodal.m11JpegFeatures _),
     "st01_tumbling_windows" -> (graft.streaming.Streams.st01TumblingWindows _),
     "st02_session_windows" -> (graft.streaming.Streams.st02SessionWindows _),
     "st03_streaming_tumbling" -> (graft.streaming.Streams.st03StreamingTumbling _),
@@ -298,6 +299,7 @@ object SparkEntry {
     "c08_snapshot_diff" -> (Curation.c08SnapshotDiff _),
     "c09_purge_audit" -> (Curation.c09PurgeAudit _),
     "st25_bars" -> (streaming.Streams.st25StreamingBars _),
+    "st26_neardup_gate" -> (streaming.Streams.st26NearDupGate _),
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _),
     "d24_substring_runs" -> (TextDedup.d24SubstringRuns _),
     "d25_label_store" -> (TextDedup.d25PersistedComponents _),
@@ -472,7 +474,29 @@ object SparkEntry {
       ("s26_ivf_append" -> base("s02_ivf_topk")) +
       // s28 compacts the appended IVF layout in place; compaction is
       // answer-invariant, so it shares the same from-scratch oracle.
-      ("s28_ivf_compact" -> base("s02_ivf_topk"))
+      ("s28_ivf_compact" -> base("s02_ivf_topk")) +
+      // st26: batch spelling of the streaming near-dup ingest gate —
+      // d03's from-scratch SimHash CTEs (ending in fps(doc_id, fp)),
+      // then incoming (doc_id % 5 = 4) minus every doc within
+      // hamming<=6 of a lake (doc_id % 5 < 4) fingerprint. The exact
+      // re-delivery dedup needs no SQL: DISTINCT incoming ids IS the
+      // incoming slice.
+      ("st26_neardup_gate" -> {
+        val fpTail = "\nSELECT doc_id, fp AS simhash64 FROM fps ORDER BY doc_id"
+        val d03 = base("d03_simhash")
+        require(d03.endsWith(fpTail),
+          "d03 oracle tail moved — fix st26's CTE reuse")
+        d03.dropRight(fpTail.length) +
+          """,
+            |inc AS (SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 4),
+            |lake AS (SELECT fp FROM fps WHERE doc_id % 5 < 4),
+            |blocked AS (SELECT DISTINCT i.doc_id
+            |  FROM inc i JOIN lake l ON bit_count(xor(i.fp, l.fp)) <= 6)
+            |SELECT d.doc_id, d.lang, d.n_chars
+            |FROM documents d JOIN inc ON d.doc_id = inc.doc_id
+            |WHERE d.doc_id NOT IN (SELECT doc_id FROM blocked)
+            |ORDER BY d.doc_id""".stripMargin
+      })
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -1847,6 +1871,21 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m11: the synthesis formula inverted — quadrant value = 8 +
+    // 16·((id·A+B) mod 15), so the decoded-mean bucket must be
+    // exactly (id·A+B) mod 15; the JPEG roundtrip's quantization
+    // error (flat gray MCUs: DC-step only, ~2 levels at quality 0.9)
+    // is absorbed by the 16-wide bucket with the mean at its center.
+    "m11_jpeg_features" ->
+      """SELECT doc_id,
+        |  CAST(16 * (1 + doc_id % 2) AS INT) AS width,
+        |  CAST(16 * (1 + doc_id % 2) AS INT) AS height,
+        |  CAST((doc_id * 3 + 1) % 15 AS BIGINT) AS q00,
+        |  CAST((doc_id * 5 + 2) % 15 AS BIGINT) AS q01,
+        |  CAST((doc_id * 7 + 4) % 15 AS BIGINT) AS q10,
+        |  CAST((doc_id * 11 + 8) % 15 AS BIGINT) AS q11
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m08_media_neardup" ->
       """WITH mem AS (

@@ -354,6 +354,119 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // ---- real LOSSY codec path (m11: JPEG) ----
+
+  /** m11's record: decoded-quadrant brightness BUCKETS — the
+    * tolerance-bucketed feature a LOSSY codec gate needs (contrast
+    * m01's exact sums: PNG is lossless, JPEG is not, so the contract
+    * is "decoded mean within the bucket", not "pixels equal"). */
+  case class JpegQuadStats(doc_id: Long, width: Int, height: Int,
+      q00: Long, q01: Long, q10: Long, q11: Long)
+
+  /** Per-quadrant synthesis parameters: value(q) = 8 + 16·((id·A(q) +
+    * B(q)) mod 15), quadrant index q = 2·qy + qx. Flat BUCKET-CENTERED
+    * gray quadrants are the design that makes a lossy roundtrip
+    * oracle-checkable:
+    *   - grayscale kills chroma subsampling (single JPEG component);
+    *   - quadrants of an 8-divisible image are unions of FLAT 8x8
+    *     MCUs, so the only loss is DC-coefficient quantization —
+    *     bounded by half the DC quant step (~2 gray levels at
+    *     quality 0.9);
+    *   - true means sit at 8 mod 16 (bucket centers), so the decoded
+    *     mean stays inside [16m, 16m+15] with ~6 levels of margin and
+    *     `(sum/npix)/16` recovers m exactly — any codec drift past
+    *     the tolerance hash-fails the oracle. */
+  private val QuadA = Array(3L, 5L, 7L, 11L)
+  private val QuadB = Array(1L, 2L, 4L, 8L)
+
+  /** Deterministic quadrant-flat grayscale test image: 16x16 or 32x32
+    * by id parity (quadrants = 1 or 4 whole JPEG MCUs). */
+  def synthGrayQuad(docId: Long): java.awt.image.BufferedImage = {
+    val side = (16L * (1L + docId % 2)).toInt
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val q = 2 * (if (y < side / 2) 0 else 1) + (if (x < side / 2) 0 else 1)
+        val v = (8L + 16L * ((docId * QuadA(q) + QuadB(q)) % 15L)).toInt
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Real JPEG encode via `javax.imageio` with an EXPLICIT quality —
+    * the default would float with the JDK; pinning it is what makes
+    * the quantization-error budget a constant of the fixture. */
+  def encodeJpeg(img: java.awt.image.BufferedImage,
+      quality: Float = 0.9f): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    writer.setOutput(out)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    out.close()
+    baos.toByteArray
+  }
+
+  /** Real JPEG decode + tolerance-bucketed feature extraction: decode
+    * the (lossy) bytes, accumulate integer gray sums per quadrant,
+    * and bucket each quadrant's integer mean by 16 — the rounding
+    * discipline that absorbs the codec's quantization error (t16's
+    * rounded-score idea applied to pixels). */
+  def decodeJpegQuadStats(docId: Long, jpeg: Array[Byte]): JpegQuadStats = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val sums = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val q = 2 * (if (y < h / 2) 0 else 1) + (if (x < w / 2) 0 else 1)
+        sums(q) += raster.getSample(x, y, 0)
+        x += 1
+      }
+      y += 1
+    }
+    val npix = (w.toLong / 2) * (h.toLong / 2)
+    def bucket(q: Int): Long = (sums(q) / npix) / 16L
+    JpegQuadStats(docId, w, h, bucket(0), bucket(1), bucket(2), bucket(3))
+  }
+
+  /** m11 — the LOSSY half of the codec battery (m01/m02/m08/m10 cover
+    * lossless PNG; real corpora are overwhelmingly JPEG): each doc
+    * gets a deterministic quadrant-flat grayscale image, encoded AND
+    * decoded as real baseline JPEG (`javax.imageio`, explicit quality
+    * 0.9) inside the task, and the emitted features are the decoded
+    * quadrants' brightness buckets. The DuckDB oracle recomputes the
+    * buckets from the synthesis formula — a hash match proves the
+    * whole lossy encode->decode->extract chain lands inside the
+    * declared error budget on every quadrant of every image (the
+    * gate VERIFIES the tolerance claim rather than assuming it).
+    * Same scale shape as m01: pure map over the doc scan, codec runs
+    * where the data lives, only a few longs shuffle. */
+  def m11JpegFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(_.map(d =>
+        decodeJpegQuadStats(d, encodeJpeg(synthGrayQuad(d)))))
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   /** Stage a directory of standalone binary files — the object-store
     * landing zone a multimodal pipeline ingests from (one blob per
     * asset, id in the filename). The payload is the documents' UTF-8

@@ -180,6 +180,38 @@ object Streams {
       .dropDuplicatesWithinWatermark("__key")
       .drop("__key")
 
+  /** Streaming NEAR-dup ingest gate: admit only streamed documents
+    * whose SimHash is farther than `maxHamming` bits from EVERY
+    * fingerprint in the standing index — the production crawl gate
+    * (exact-id dedup, [[streamingDedup]], catches re-deliveries;
+    * boilerplate rewrites and mirror pages need the near-dup radius).
+    * Two stages, both stream-legal:
+    *   - within-watermark exact dedup on the id (at-least-once
+    *     delivery suppression — state carries 8-byte keys inside the
+    *     horizon, evicted as the watermark advances);
+    *   - a stream-static LEFT ANTI join against the fingerprint frame
+    *     under the `bit_count(xor) <= maxHamming` predicate. The
+    *     static side is a broadcast nested-loop per micro-batch —
+    *     right-sized because a standing simhash index is 8 bytes/doc
+    *     (GBs against the corpus's TBs, the d15 index-not-corpus
+    *     argument) and at broadcast-breaking lake sizes the banded
+    *     layout (d07's 16-bit blocks as equi-join keys, pigeonhole-
+    *     complete for maxHamming <= 3) replaces the nested loop.
+    * Stateless past the dedup: each admitted row emits in its arrival
+    * batch; nothing about the gate accumulates. `standingFps` must be
+    * a batch (static) frame with a single `fp` LongType column. */
+  def nearDupIngestGate(docs: DataFrame, standingFps: DataFrame,
+      maxHamming: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark(idCol)
+      .withColumn("__sh", graft.ops.TextDedup.simhash(col(textCol)))
+      .join(broadcast(standingFps.select(col("fp"))),
+        bit_count(col("__sh").bitwiseXOR(col("fp"))) <= lit(maxHamming),
+        "left_anti")
+      .drop("__sh")
+
   /** Custom streaming state via mapGroupsWithState: per-user running
     * totals that survive across micro-batches (the kind of bespoke
     * accumulator `flatMapGroupsWithState` exists for). */
@@ -1029,6 +1061,52 @@ object Streams {
       .select(unix_micros($"window_start").as("window_start_us"),
         $"event_type", $"open", $"high", $"low", $"close", $"n_events")
       .orderBy($"window_start_us", $"event_type")
+  }
+
+  /** st26 — the streaming NEAR-dup ingest gate ([[nearDupIngestGate]])
+    * run GENUINELY INCREMENTALLY under the oracle gate: the incoming
+    * slice (doc_id % 5 == 4, with every third doc re-delivered — the
+    * st06 at-least-once planting) streams through within-watermark
+    * exact dedup and then the stream-static anti-join against the
+    * LAKE's standing SimHash fingerprints (doc_id % 5 < 4 — the
+    * d15/d16 daily-crawl split); only documents farther than 6 bits
+    * from every standing fingerprint are admitted. Event time is
+    * synthesized deterministically from the id (the documents table
+    * carries none); the oracle mirrors the formula implicitly by
+    * NOT depending on it: ts-sorted replay means nothing is late, a
+    * re-delivery lands within a batch of its first copy (st06's
+    * argument), and the anti-join is stateless, so the sink equals
+    * the batch spelling — incoming docs minus exact re-deliveries
+    * minus the hamming<=6 matches, which is what the DuckDB oracle
+    * (d03's from-scratch SimHash CTEs + one cross join) computes.
+    * Threshold 6 (vs d07's pairing radius 3): an ingest gate trades
+    * precision for dedup aggressiveness — at radius 3 this corpus
+    * blocks nothing at sf0.01 and the gate would be vacuous; 6 blocks
+    * ~30% at every SF (measured), exercising both paths. The static
+    * side rebuilds per micro-batch here (harness); production reads
+    * the at-rest fingerprint artifact the d15 family maintains. */
+  def st26NearDupGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables(s, dir, "documents")
+      .filter($"doc_id" % 5 === 4)
+      .select($"doc_id",
+        timestamp_seconds(lit(1700000000L) + $"doc_id").as("ts"),
+        $"text", $"lang", $"n_chars")
+    val data = slice.unionAll(slice.filter($"doc_id" % 3 === 0))
+      .orderBy($"ts", $"doc_id")
+      .as[(Long, java.sql.Timestamp, String, String, Long)]
+      .collect()
+    replay(s, data.toSeq, OutputMode.Append, "st26") { ds =>
+      // static side built in the REPLAY session (the st07 discipline)
+      val lakeFps = Tables(ds.sparkSession, dir, "documents")
+        .filter(col("doc_id") % 5 < 4)
+        .select(graft.ops.TextDedup.simhash(col("text")).as("fp"))
+      nearDupIngestGate(
+        ds.toDF("doc_id", "ts", "text", "lang", "n_chars"),
+        lakeFps, maxHamming = 6)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }
+      .orderBy($"doc_id")
   }
 
   /** st16 — CHAINED stateful operators in one streaming query (two

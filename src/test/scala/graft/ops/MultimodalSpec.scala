@@ -199,4 +199,36 @@ class MultimodalSpec extends SparkSuiteBase {
     fb.putShort(12 + 8 + 2, 2.toShort) // channels := 2
     intercept[IllegalArgumentException] { decodeWavStats(7L, bad) }
   }
+
+  test("JPEG lossy roundtrip stays inside the bucket tolerance on every quadrant") {
+    import graft.ops.Multimodal._
+    // sweep a spread of ids covering both sizes and all residues mod 15
+    (0L until 64L).foreach { id =>
+      val img = synthGrayQuad(id)
+      val stats = decodeJpegQuadStats(id, encodeJpeg(img))
+      val side = (16L * (1L + id % 2)).toInt
+      assert(stats.width == side && stats.height == side)
+      val expect = Array((id * 3 + 1) % 15, (id * 5 + 2) % 15,
+        (id * 7 + 4) % 15, (id * 11 + 8) % 15)
+      assert(Seq(stats.q00, stats.q01, stats.q10, stats.q11) ==
+        expect.toSeq, s"bucket drift for id $id")
+      // and the per-pixel DC error really is small (the budget the
+      // bucket width rests on): flat MCUs decode within a few levels
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(encodeJpeg(img)))
+      var worst = 0
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val d = math.abs(dec.getRaster.getSample(x, y, 0) -
+            img.getRaster.getSample(x, y, 0))
+          if (d > worst) worst = d
+          x += 1
+        }
+        y += 1
+      }
+      assert(worst <= 6, s"per-pixel JPEG error $worst exceeds budget for id $id")
+    }
+  }
 }
