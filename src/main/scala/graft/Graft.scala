@@ -1441,6 +1441,50 @@ object Graft {
       .drop("__stratum", "__quota")
   }
 
+  /** Epoch-style mixture MATERIALIZATION (t40's oracle-checked
+    * binding): replicate each row `weightCol` times, where the weight
+    * is a per-source epoch factor that may exceed 1 (up-sample: every
+    * row appears floor(w) times, plus once more for a deterministic
+    * hash-fraction of rows) or sit below 1 (down-sample: keep-
+    * probability w). This is the OTHER half of data-mix construction
+    * next to [[mixtureSample]]: mixtureSample draws a fixed-size
+    * sample to a recipe; epochMix materializes the "train source X
+    * for 2.25 epochs" schedule the recipe compiles to — the row
+    * multiset a sequence packer ([[packSequences]]-class ops)
+    * actually consumes. The fractional coin is the t08 md5 bucket
+    * (first 16 bits of salted md5 of the id): deterministic,
+    * engine-reproducible, layout-independent, and INDEPENDENT across
+    * salts (a doc's extra-copy decision must not correlate with its
+    * split assignment). Emits `copy` (1-based copy index).
+    *
+    * Weights are exact-binary fractions of 65536 by contract
+    * (2.25, 1.5, 0.5 — the cut `frac(w)·65536` must be integer-exact
+    * so both engines compare the same integers; enforce upstream).
+    * `maxEpochs` caps replication in-plan (a typo'd weight of 1000
+    * would 1000x the corpus before anything noticed — the abort rides
+    * the same projection that computes the copy count, the r14
+    * single-scan guard discipline).
+    *
+    * Scale shape: NARROW — a projection computing the copy count and
+    * one explode(sequence(...)); no shuffle, no window, no driver
+    * data. Replicated volume is Σ w_s·|s| by construction; at 100 TB
+    * the explode multiplies rows exactly where the data lives and
+    * downstream ops see an ordinary frame. */
+  def epochMix(df: DataFrame, weightCol: Column, idCol: String,
+      salt: String = "epoch", maxEpochs: Int = 16): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit(s"$salt:"),
+      col(idCol).cast("string")).cast("binary")), 1, 4), 16, 10).cast("long")
+    val whole = floor(weightCol).cast("int")
+    val cut = ((weightCol - floor(weightCol)) * 65536).cast("long")
+    val n = guarded(weightCol < 0 || weightCol > maxEpochs,
+      s"epochMix: weight outside [0, $maxEpochs]",
+      whole + when(bucket < cut, 1).otherwise(0))
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(1), col("__n"))))
+      .drop("__n")
+  }
+
   /** Radius (range) similarity search (s04's oracle-checked binding):
     * every corpus vector within cosine >= `tau` of each query — the
     * "find everything this similar" primitive (cosineTopK answers "the
@@ -2333,6 +2377,67 @@ object Graft {
         .select(element_at(col("__t"), 1).as("a"),
           element_at(col("__t"), 2).as("b"),
           element_at(col("__t"), 3).as("c"))
+  }
+
+  /** Common-neighbor LINK PREDICTION (q122's oracle-checked binding):
+    * for every NON-adjacent vertex pair sharing at least one common
+    * neighbor, the common-neighbor count and the resource-allocation
+    * index Σ_z 1/deg(z) — the classic "which edges are missing"
+    * primitive (recommend related parts, suggest merges, complete a
+    * co-occurrence graph). The RA score ships in FIXED-POINT integer
+    * form (Σ of 1e12 div deg(z)): integer folds are order-independent
+    * and engine-exact where a float Σ1/deg (or Adamic-Adar's Σ1/ln d)
+    * would hash-drift between engines; swapping the weight for
+    * 1e12 div ln-table[deg] recovers Adamic-Adar under the same
+    * discipline.
+    *
+    * Input contract: `edges` (src, dst) DISTINCT with src < dst (the
+    * [[triangles]] orientation). `maxHubDegree` drops high-degree
+    * intermediaries BEFORE the pair expansion — the quadratic guard:
+    * a hub of degree d alone yields d²/2 candidate pairs, and hubs
+    * carry no signal (RA already discounts them as 1/d); the cap is
+    * part of the DECLARED semantics (the oracle applies it too), the
+    * d02 bucket-cap discipline.
+    *
+    * Scale shape: one node-sized degree aggregate joined back on the
+    * neighbor key; the pair expansion is a self-join ON z — both
+    * sides arrive partitioned by z from that join, so the expansion
+    * reuses the exchange; per-z fan-out is ≤ cap² by construction.
+    * The (a,b) score fold and the existing-edge anti-join shuffle
+    * candidate pairs, never adjacency; final top-k is
+    * TakeOrderedAndProject (bounded driver result), deterministic via
+    * the (score, cn, a, b) total order. */
+  def linkPredict(edges: DataFrame, maxHubDegree: Int = 64,
+      k: Int = 50): DataFrame = {
+    require(maxHubDegree >= 2, s"maxHubDegree out of range: $maxHubDegree")
+    require(k >= 1, s"k out of range: $k")
+    // EAGER BY DESIGN (the pageRank severing argument): the caller's
+    // edge plan is consumed 4x (both adjacency directions, the degree
+    // fold, the anti-join) — un-severed, each reference re-runs the
+    // whole corpus-sized edge build (q122's plan showed 5 copies of
+    // the lineitem pipeline). One checkpoint makes every consumer a
+    // bare scan of the edge-sized artifact; the capped adjacency
+    // checkpoints PRE-PARTITIONED on z so the pair self-join plans
+    // zero exchange on either side.
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val adj = e.select(col("src").as("z"), col("dst").as("n"))
+      .unionAll(e.select(col("dst").as("z"), col("src").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("__deg"))
+    val small = checkpointOn(
+      adj.join(deg.hint("shuffle_hash"), "z")
+        .filter(col("__deg") <= maxHubDegree), nPart, "z")
+    val cand = small.select(col("z"), col("n").as("a"), col("__deg"))
+      .join(small.select(col("z"), col("n").as("b")), "z")
+      .filter(col("a") < col("b"))
+    val scored = cand.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000000L div __deg")).as("ra_e12"))
+    scored
+      .join(e.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_e12").desc, col("cn").desc, col("a"), col("b"))
+      .limit(k)
   }
 
   /** Row-level snapshot reconciliation (the data-diff audit a

@@ -303,7 +303,9 @@ object SparkEntry {
     "d21_bloom_inc" -> (TextDedup.d21BloomIncDedup _),
     "d24_substring_runs" -> (TextDedup.d24SubstringRuns _),
     "d25_label_store" -> (TextDedup.d25PersistedComponents _),
-    "d26_label_purge" -> (TextDedup.d26LabelPurge _)
+    "d26_label_purge" -> (TextDedup.d26LabelPurge _),
+    "q122_link_pred" -> (Relational.q122LinkPredict _),
+    "t40_epoch_mix" -> (TextAnalysis.t40EpochMix _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -993,6 +995,53 @@ object SparkEntry {
         |SELECT a AS node_id, least(a, min(b)) AS component_id
         |FROM reach GROUP BY a
         |ORDER BY node_id""".stripMargin,
+
+    // q122: the engine's edge build as a lineitem self-join, the same
+    // degree cap on the shared neighbor, RA as integer division of
+    // 1e12 (order-independent integer folds — no float Σ1/deg), the
+    // same total-order tie-break. sum of BIGINT -> HUGEINT in DuckDB,
+    // hence the CASTs.
+    "q122_link_pred" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |           WHERE l_quantity >= 40),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey),
+        |adj AS (SELECT src AS z, dst AS n FROM e
+        |        UNION ALL SELECT dst, src FROM e),
+        |deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+        |small AS (SELECT a.z, a.n, deg.d FROM adj a JOIN deg USING (z)
+        |          WHERE d <= 64),
+        |cand AS (SELECT x.n AS a, y.n AS b, x.d FROM small x
+        |         JOIN small y ON x.z = y.z AND x.n < y.n),
+        |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+        |         CAST(sum(1000000000000 // d) AS BIGINT) AS ra_e12
+        |       FROM cand GROUP BY a, b),
+        |ne AS (SELECT sc.a, sc.b, sc.cn, sc.ra_e12 FROM sc
+        |       LEFT JOIN e ON sc.a = e.src AND sc.b = e.dst
+        |       WHERE e.src IS NULL)
+        |SELECT a AS part_a, b AS part_b, cn, ra_e12 FROM ne
+        |ORDER BY ra_e12 DESC, cn DESC, part_a, part_b LIMIT 50""".stripMargin,
+
+    // t40: the same CASE weight table (whole copies + the exact
+    // 1/65536 fractional cut), the same salted-md5 16-bit bucket as
+    // t08/t13, generate_series for the copies (inclusive bounds;
+    // empty when n = 0).
+    "t40_epoch_mix" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
+        |              WHEN 'fr' THEN 1 ELSE 0 END AS whole,
+        |    CASE lang WHEN 'en' THEN 16384 WHEN 'de' THEN 32768
+        |              WHEN 'es' THEN 49152 WHEN 'fr' THEN 0
+        |              ELSE 32768 END AS cut
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, whole +
+        |    CASE WHEN ('0x' || substr(md5('epoch:' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < cut
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy FROM b
+        |ORDER BY doc_id, copy""".stripMargin,
 
     // d26: d25's from-scratch closure minus the purged ids, re-rooted
     // per OLD component by window-min — the label-semantics purge

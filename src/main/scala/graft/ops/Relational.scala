@@ -2837,4 +2837,36 @@ object Relational {
       .withColumn("rank_in_region", row_number().over(rk).cast("long"))
       .orderBy($"r_name", $"n_name")
   }
+
+  /** q122 — common-neighbor LINK PREDICTION
+    * ([[graft.Graft.linkPredict]]) over the bulk co-purchase part
+    * graph: parts co-ordered on high-quantity lines (l_quantity >=
+    * 40 — the q76 co-occurrence build restricted to bulk lines, which
+    * keeps the graph sparse enough that prediction is meaningful:
+    * median degree ~4 vs ~115 unrestricted) form distinct src<dst
+    * edges; the operator then scores every non-adjacent pair by
+    * common-neighbor count and the fixed-point resource-allocation
+    * index and returns the global top-50 — "which parts are bought
+    * together in bulk but never yet on one order". Integer scores,
+    * total-order tie-break: deterministic at every SF. Oracle: the
+    * same edge build as a lineitem self-join, the same degree cap,
+    * integer-division RA, LIMIT 50. */
+  def q122LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byOrder = Tables(s, dir, "lineitem")
+      .filter($"l_quantity" >= 40)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+    val edges = byOrder
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> named_struct('src', x, 'dst', y))))""".stripMargin))
+        .as("e"))
+      .select($"e.src", $"e.dst")
+      .distinct()
+    graft.Graft.linkPredict(edges, maxHubDegree = 64, k = 50)
+      .select($"a".as("part_a"), $"b".as("part_b"), $"cn", $"ra_e12")
+      .orderBy($"ra_e12".desc, $"cn".desc, $"part_a", $"part_b")
+  }
 }

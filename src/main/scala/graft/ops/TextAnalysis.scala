@@ -1001,4 +1001,24 @@ object TextAnalysis {
         max(when($"rn" === 1, $"cnt")).as("top_cnt"))
       .orderBy($"doc_id")
   }
+
+  /** t40 — epoch-style mixture materialization
+    * ([[graft.Graft.epochMix]]): the "train en for 2.25 epochs, zh
+    * for 0.5" schedule executed as deterministic row replication —
+    * floor(w) whole copies plus one more for the salted-md5-bucket
+    * fraction of ids (t08's hash, different salt: copy decisions and
+    * split assignment stay independent). Weights are exact 1/65536
+    * fractions by the operator contract, so both engines compare the
+    * same integer cut. Oracle: the same CASE table, the same md5
+    * bucket, generate_series for the copies. */
+  def t40EpochMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = when($"lang" === "en", 2.25).when($"lang" === "de", 1.5)
+      .when($"lang" === "es", 0.75).when($"lang" === "fr", 1.0)
+      .otherwise(0.5)
+    graft.Graft.epochMix(
+        Tables(s, dir, "documents").select($"doc_id", $"lang"), w, "doc_id")
+      .select($"doc_id", $"lang", $"copy".cast("long").as("copy"))
+      .orderBy($"doc_id", $"copy")
+  }
 }
