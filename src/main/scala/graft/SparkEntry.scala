@@ -305,7 +305,9 @@ object SparkEntry {
     "d25_label_store" -> (TextDedup.d25PersistedComponents _),
     "d26_label_purge" -> (TextDedup.d26LabelPurge _),
     "q122_link_pred" -> (Relational.q122LinkPredict _),
-    "t40_epoch_mix" -> (TextAnalysis.t40EpochMix _)
+    "t40_epoch_mix" -> (TextAnalysis.t40EpochMix _),
+    "t41_dup_grams" -> (TextAnalysis.t41DupGrams _),
+    "st27_label_maint" -> (streaming.Streams.st27LabelMaintenance _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -1042,6 +1044,48 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy FROM b
         |ORDER BY doc_id, copy""".stripMargin,
+
+    // t41: grams as positional 8-token STRINGS (the engine joins on
+    // their variadic xxhash64 — d24's 2^-64 argument), df as a
+    // count(DISTINCT doc), integer permille. Docs under 8 tokens have
+    // no grams and drop on both engines.
+    "t41_dup_grams" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (SELECT doc_id, ts,
+        |         unnest(range(0, greatest(len(ts) - 7, 0))) AS pos
+        |       FROM toks),
+        |g AS (SELECT doc_id,
+        |        array_to_string(list_slice(ts, pos + 1, pos + 8), ' ') AS gram
+        |      FROM g0),
+        |gdf AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(1000 * sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) // count(*)
+        |    AS BIGINT) AS dup_permille
+        |FROM g JOIN gdf USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // st27: the streaming label maintenance must land the store at the
+    // from-scratch closure over standing ∪ ALL streamed pair batches —
+    // d25's oracle with the second streamed edge family added.
+    "st27_label_maint" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS c FROM customer),
+        |e0 AS (
+        |  SELECT c AS a, c - c % 5 AS b FROM cust WHERE c % 5 <> 0
+        |  UNION ALL
+        |  SELECT c, c + 5 FROM cust WHERE c % 35 = 0
+        |  UNION ALL
+        |  SELECT c, c + 10 FROM cust WHERE c % 55 = 0),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS node_id, least(a, min(b)) AS component_id
+        |FROM reach GROUP BY a
+        |ORDER BY node_id""".stripMargin,
 
     // d26: d25's from-scratch closure minus the purged ids, re-rooted
     // per OLD component by window-min — the label-semantics purge

@@ -1021,4 +1021,40 @@ object TextAnalysis {
       .select($"doc_id", $"lang", $"copy".cast("long").as("copy"))
       .orderBy($"doc_id", $"copy")
   }
+
+  /** t41 — CROSS-doc duplicated-gram fraction: per document, how many
+    * of its positional 8-token grams also occur in at least one OTHER
+    * document — the Gopher-class dedup quality signal t10 does NOT
+    * measure (t10 is intra-doc repetition; a doc can be internally
+    * clean and still be 90% boilerplate shared with the rest of the
+    * crawl). Report: gram count, cross-duplicated gram count, and the
+    * integer permille — the score a pipeline thresholds on before or
+    * instead of hard substring dedup (d24 removes the runs; this
+    * grades the documents).
+    *
+    * Scale shape: grams fold to 8-byte xxhash64 BEFORE any exchange
+    * (the d24/t07 discipline — shuffles carry hashes, never text);
+    * the document-frequency fold is a partial+final count over
+    * (hash, doc) distinct pairs; the score join keys on the hash and
+    * the final per-doc fold is partial+final. Integer permille via
+    * `div` — no float anywhere.
+    *
+    * Exactness: gram identity is xxhash64 equality (2^-64-per-pair
+    * collision argument, d01/d24); the oracle pairs on the
+    * space-joined gram STRING. Docs shorter than 8 tokens have no
+    * grams and drop from the report on both engines. */
+  def t41DupGrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(TextDedup.shingleHashes($"text", 8)).as("h"))
+    val gdf = grams.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("gdf"))
+    grams.join(gdf, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"gdf" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_permille", expr("1000L * n_dup div n_grams"))
+      .orderBy($"doc_id")
+  }
 }

@@ -1109,6 +1109,75 @@ object Streams {
       .orderBy($"doc_id")
   }
 
+  /** st27 — STREAMING maintenance of the PERSISTED component-label
+    * store: micro-batches of duplicate-pair edges fold into the
+    * at-rest labeling via [[graft.Graft.componentsIncremental]] inside
+    * `foreachBatch` — the d25 daily-crawl cadence compressed to
+    * micro-batch cadence, and the entry that ties the streaming story
+    * to the at-rest-index story (st11 upserts a snapshot table; this
+    * maintains a GRAPH artifact where a batch can merge standing
+    * components, demote roots, and move rows across buckets).
+    * Each batch pays batch-proportional I/O: the merge graph is
+    * batch-sized, only buckets holding a remapped root rewrite, and
+    * untouched buckets stay byte-identical (ComponentsStoreSpec pins
+    * the file-level claims).
+    *
+    * Deterministic because union-find closure is confluent: whatever
+    * the chunking, the final labeling equals the from-scratch closure
+    * over standing ∪ ALL streamed pairs — which is exactly the DuckDB
+    * recursive-CTE oracle. Idempotent across invocations for the same
+    * reason: re-applying merged edges produces an identity root-map
+    * and zero rewrites. The store copy (tag `cmp_stream`) is its own
+    * fixture: the stream mutates it in place, so it must not share
+    * d25/d26's directories. */
+  def st27LabelMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = graft.ops.Layout.tmpPath("cmp_stream", dir)
+    val marker = new java.io.File(path, "_BASE_DONE")
+    if (!marker.exists()) {
+      graft.ops.Layout.sweepStaleFor("cmp_stream", dir)
+      val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
+      val standing = cust
+        .select($"c".as("id_a"), ($"c" - $"c" % 5).as("id_b"))
+        .filter($"id_a" =!= $"id_b")
+      graft.Graft.componentsIndex(
+        graft.ops.TextDedup.componentMin(standing), path)
+      marker.createNewFile(): Unit
+    }
+    val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
+    val data = cust.filter($"c" % 35 === 0)
+      .select($"c".as("id_a"), ($"c" + 5).as("id_b"))
+      .unionAll(cust.filter($"c" % 55 === 0)
+        .select($"c".as("id_a"), ($"c" + 10).as("id_b")))
+      .orderBy($"id_a", $"id_b")
+      .as[(Long, Long)].collect()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long)]], s2.sqlContext)
+    val q = in.toDS().toDF("id_a", "id_b")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.Graft.componentsIncremental(
+          batch.sparkSession, path, batch): Unit
+        ()
+      }
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val chunk = math.max(1, (data.length + 2) / 3)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.Graft.componentsRead(s, path)
+      .select($"id".as("node_id"), $"root".as("component_id"))
+      .orderBy($"node_id")
+  }
+
   /** st16 — CHAINED stateful operators in one streaming query (two
     * event-time windowed aggregations back-to-back), the multi-stage
     * rollup Spark could not express in a single query before 3.4/4.x:

@@ -1673,4 +1673,46 @@ class GraftFacadeSpec extends SparkSuiteBase {
       .as[(String, Long, Long)].collect().toSet
     assert(got == Set(("a", 2L, 11L), ("b", 1L, 1L)), got)
   }
+
+  test("linkPredict scores non-adjacent pairs by common neighbors, hub cap prunes intermediaries") {
+    // triangle-plus: (1,4) is the only non-adjacent pair, via z in {2,3}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graft.linkPredict(edges, maxHubDegree = 64, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // deg(2) = deg(3) = 3 -> ra = 2 * (1e12 div 3)
+    assert(got == Seq((1L, 4L, 2L, 2L * (1000000000000L / 3L))), got)
+
+    // star: all leaf pairs go through hub 9 (degree 4) ...
+    val star = Seq((5L, 9L), (6L, 9L), (7L, 9L), (8L, 9L)).toDF("src", "dst")
+    val open = Graft.linkPredict(star, maxHubDegree = 64, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(open.length == 6 && open.forall(_._4 == 1000000000000L / 4L), open.toSeq)
+    // ... and a cap below the hub degree prunes every candidate
+    assert(Graft.linkPredict(star, maxHubDegree = 3, k = 10).isEmpty)
+  }
+
+  test("epochMix replicates floor(w) + deterministic fractional copy; guard aborts on runaway weights") {
+    val df = spark.range(0, 200).toDF("id")
+    val out = Graft.epochMix(df, lit(2.25), "id")
+      .groupBy($"id").agg(count(lit(1)).as("n"))
+    val counts = out.as[(Long, Long)].collect().toMap
+    assert(counts.size == 200 && counts.values.forall(n => n == 2 || n == 3))
+    // the fractional copy is the md5-bucket coin, re-derivable exactly
+    val expect3 = df.withColumn("b", conv(substring(md5(concat(lit("epoch:"),
+        $"id".cast("string")).cast("binary")), 1, 4), 16, 10).cast("long"))
+      .filter($"b" < 16384).select($"id").as[Long].collect().toSet
+    assert(counts.filter(_._2 == 3).keySet == expect3)
+    // re-run is byte-identical (no rand anywhere)
+    val again = Graft.epochMix(df, lit(2.25), "id")
+      .groupBy($"id").agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(again == counts)
+    // whole weights replicate exactly; zero drops; runaway weight aborts
+    assert(Graft.epochMix(df, lit(1.0), "id").count() == 200)
+    assert(Graft.epochMix(df, lit(0.0), "id").isEmpty)
+    val ex = intercept[Exception] {
+      Graft.epochMix(df, lit(1000.0), "id").count()
+    }
+    assert(ex.getMessage.contains("epochMix: weight outside"), ex.getMessage)
+  }
 }
