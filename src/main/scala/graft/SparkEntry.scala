@@ -5740,7 +5740,8 @@ FROM est ORDER BY l_partkey""",
         |    row_number() OVER (
         |      PARTITION BY l_partkey % 25,
         |                   date_diff('day', DATE '1970-01-01', l_shipdate) // 7
-        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |               round(l_extendedprice * 100)) AS rn
         |  FROM lineitem)
         |SELECT series, CAST(week AS BIGINT) AS week,
         |  CAST(arg_min(cents, rn) AS BIGINT) AS open,

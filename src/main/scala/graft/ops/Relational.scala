@@ -2761,7 +2761,15 @@ object Relational {
         $"l_shipdate", $"l_orderkey", $"l_linenumber",
         round($"l_extendedprice" * 100).cast("long").as("cents"),
         $"l_quantity".cast("long").as("qty"))
-    val ord = struct($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    // cents joins the ordering key because the SYNTHETIC lineitem is
+    // not PK-clean: (l_orderkey, l_linenumber) duplicates exist
+    // (118k at sf0.1), and 3 sf0.1 groups tie on the full
+    // (shipdate, orderkey, linenumber) prefix with DIFFERENT prices —
+    // without the price tie-break both engines' arg-min/max picks
+    // flicker run-to-run (caught by the r17 sf0.1 determinism sweep;
+    // rows tying on the whole key INCLUDING cents are pick-invariant
+    // since cents is the emitted payload).
+    val ord = struct($"l_shipdate", $"l_orderkey", $"l_linenumber", $"cents")
     li.groupBy($"series", $"week")
       .agg(min_by($"cents", ord).as("open"),
         max($"cents").as("high"),
