@@ -307,7 +307,8 @@ object SparkEntry {
     "q122_link_pred" -> (Relational.q122LinkPredict _),
     "t40_epoch_mix" -> (TextAnalysis.t40EpochMix _),
     "t41_dup_grams" -> (TextAnalysis.t41DupGrams _),
-    "st27_label_maint" -> (streaming.Streams.st27LabelMaintenance _)
+    "st27_label_maint" -> (streaming.Streams.st27LabelMaintenance _),
+    "d27_fp_purge" -> (TextDedup.d27FpPurge _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -1044,6 +1045,24 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy FROM b
         |ORDER BY doc_id, copy""".stripMargin,
+
+    // d27: d15's incremental-dedup oracle with the purged docs
+    // excluded from the INDEX side — a re-submission of a forgotten
+    // document must be admitted. The masked-vs-compacted byte-identity
+    // gate runs inside the query.
+    "d27_fp_purge" ->
+      """WITH nrm AS (SELECT doc_id, lang, n_chars,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+        |  FROM documents),
+        |inc AS (SELECT * FROM nrm WHERE doc_id % 5 = 4),
+        |idx AS (SELECT DISTINCT k FROM nrm
+        |        WHERE doc_id % 5 < 4 AND doc_id % 20 <> 8),
+        |surv AS (SELECT i.* FROM inc i ANTI JOIN idx USING (k))
+        |SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |  FROM surv) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // t41: grams as positional 8-token STRINGS (the engine joins on
     // their variadic xxhash64 — d24's 2^-64 argument), df as a

@@ -1239,6 +1239,73 @@ object TextDedup {
     path
   }
 
+  /** d27's own at-rest exact-fingerprint index copy (tag `fp_del`) —
+    * the [[graft.Graft.exactIndex]] artifact PERSISTED (what d15/d21
+    * derive inline each run, a real pipeline keeps between batches),
+    * hive-partitioned by a hash bucket of the fingerprint so purges
+    * and probes prune directories. Mutated in place by d27, so it
+    * shares nothing (the s29 isolation argument). */
+  private[graft] def d27IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("fp_del", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Layout.sweepStaleFor("fp_del", dir)
+      import s.implicits._
+      val lake = Tables(s, dir, "documents").filter($"doc_id" % 5 < 4)
+      graft.Graft.writePartitioned(
+        graft.Graft.exactIndex(lake, "text")
+          .withColumn("hb",
+            pmod(xxhash64($"content_hash"), lit(32)).cast("int")),
+        "hb", path)
+    }
+    path
+  }
+
+  /** d27 — tombstone deletion from the AT-REST exact-fingerprint
+    * index, closing the GDPR loop for the third index family the
+    * daily-crawl cadence maintains (s29 LSH, s30 IVF, d26 labels —
+    * this one is d15/d21's probe artifact). REFERENCE-CORRECT
+    * semantics: forgetting a document must not forget a fingerprint
+    * some OTHER retained document still carries, so the tombstone set
+    * is the purged docs' hashes ANTI-joined against the retained
+    * lake's hashes — one column-pruned pass over the 8-byte hash
+    * column (the d26 lookup argument: index-sized, never
+    * corpus-sized; a production index would carry a refcount and skip
+    * the pass). On THIS corpus no purged hash is shared (probed), so
+    * the tombstones are exactly the purge set's hashes.
+    *
+    * Gate: the incoming batch dedups against the MASKED index
+    * ([[graft.Graft.readMasked]] — an incoming re-submission of a
+    * forgotten document must now be ADMITTED), then
+    * [[graft.Graft.compactOut]] rewrites only the tombstoned hash
+    * buckets, and the dedup re-runs over the plain layout —
+    * byte-identical or the query aborts. Oracle: d15's anti-join SQL
+    * with the purged docs excluded from the index side. */
+  def d27FpPurge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = d27IndexPath(s, dir)
+    val docs = Tables(s, dir, "documents")
+    val purged = docs.filter($"doc_id" % 5 < 4 && $"doc_id" % 20 === 8)
+    val kept = docs.filter($"doc_id" % 5 < 4 && $"doc_id" % 20 =!= 8)
+    val tomb = graft.Graft.exactIndex(purged, "text")
+      .join(graft.Graft.exactIndex(kept, "text"),
+        Seq("content_hash"), "left_anti")
+      .withColumn("hb", pmod(xxhash64($"content_hash"), lit(32)).cast("int"))
+    graft.Graft.tombstone(path, tomb, "content_hash", "hb")
+    val incoming = docs.filter($"doc_id" % 5 === 4)
+    def dedupAgainst(idx: org.apache.spark.sql.DataFrame) =
+      graft.Graft.dedupIncremental(
+          incoming, idx.select($"content_hash"), "text", "doc_id")
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    val masked = dedupAgainst(
+      graft.Graft.readMasked(s, path, "content_hash")).collect()
+    graft.Graft.compactOut(s, path, "hb", "content_hash"): Unit
+    val afterDf = dedupAgainst(s.read.parquet(path))
+    require(masked.toSeq == afterDf.collect().toSeq,
+      "fp purge compact-out changed dedup results — logical/physical deletion disagree")
+    afterDf
+  }
+
   /** d26 — vertex PURGE from the persisted label store
     * ([[graft.Graft.componentsPurge]] under the oracle gate): the
     * GDPR forget-this-document request executed against the at-rest
