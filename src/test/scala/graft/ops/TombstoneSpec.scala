@@ -67,6 +67,25 @@ class TombstoneSpec extends SparkSuiteBase {
     assert(graft.Graft.readMasked(spark, path, "id").count() == 3)
   }
 
+  test("masked read keeps plan-time partition pruning under the anti-join") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-tombprune").toString + "/idx"
+    val rows = Seq((1L, 0, "a"), (2L, 1, "b"), (3L, 2, "c"))
+      .toDF("id", "sig", "payload")
+    graft.Graft.writePartitioned(rows, "sig", path)
+    graft.Graft.tombstone(path, Seq((1L, 0)).toDF("id", "sig"), "id", "sig")
+    // the s29 probe shape: a literal partition filter APPLIED ON TOP of
+    // the masked read must still push through the anti-join to the
+    // scan — at 100 TB this is the difference between listing 7 probe
+    // directories and listing the index
+    val probed = graft.Graft.readMasked(spark, path, "id")
+      .filter($"sig".isin(1, 2))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [sig"),
+      s"partition filter did not reach the masked scan:\n$plan")
+    assert(probed.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("componentsPurge: purged root demotes to min survivor, rows move buckets, untouched buckets byte-identical") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-tombcmp").toString + "/idx"
