@@ -3786,10 +3786,8 @@ object Graft {
   def compactParquet(s: SparkSession, inputPath: String, outputPath: String,
       targetBytes: Long, clusterBy: Seq[String] = Nil): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val bytes = Option(new java.io.File(inputPath).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .map(_.length).sum
+    val (lfs, inRoot) = graft.internal.LayoutFs.of(s, inputPath)
+    val bytes = lfs.dataFiles(inRoot).map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = s.read.parquet(inputPath)
     val shaped =
@@ -3816,48 +3814,44 @@ object Graft {
     * partitions (`basePath` keeps the partition column), repartitioned
     * by the partition column so each directory lands as a single
     * file; then a per-partition file swap adopts the compacted file
-    * and drops the fragments. The swap window (delete + move) is not
-    * atomic — production puts this behind a transactional table
-    * format's snapshot commit (Delta/Iceberg OPTIMIZE); callers here
-    * guard with a marker and rebuild on a half-swapped layout, the
-    * [[ops.Similarity]] append-marker discipline. Compaction must not
-    * change ANY query answer over the index — s27 gates exactly that,
-    * byte-identical search results before/after.
+    * and drops the fragments. The swap runs under
+    * [[internal.SwapJournal]]'s journaled move-in-first protocol —
+    * every crash point recovers to the committed state (originals are
+    * never deleted before the journal preserving their staged
+    * replacements is durable), and all file ops route through the
+    * Hadoop FileSystem of the PATH'S scheme ([[internal.LayoutFs]]),
+    * so the same pass runs on local disk, HDFS, and object stores.
+    * Still not one atomic commit — production wraps it in a
+    * transactional table format's snapshot (Delta/Iceberg OPTIMIZE).
+    * Compaction must not change ANY query answer over the index — s27
+    * gates exactly that, byte-identical search results before/after.
     *
     * Returns the number of partitions compacted (0 = layout already
     * compact; the call is then metadata-only and job-free). */
   def compactIndex(s: SparkSession, path: String, partitionCol: String): Int = {
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"no index layout at $path")
-    def dataFiles(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-    val multi = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(partitionCol + "="))
-      .filter(d => dataFiles(d).length > 1)
+    import org.apache.hadoop.fs.Path
+    val (lfs, root) = graft.internal.LayoutFs.of(s, path)
+    require(lfs.isDir(root), s"no index layout at $path")
+    val staging = new Path(root.getParent, root.getName + "__compacting")
+    graft.internal.SwapJournal.recover(lfs, root, staging)
+    val multi = lfs.partitionDirs(root, partitionCol)
+      .filter(d => lfs.dataFiles(d).length > 1)
     if (multi.isEmpty) return 0
-    val staging = new java.io.File(
-      root.getParentFile, root.getName + "__compacting")
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(): Unit
-    }
-    rmTree(staging) // clear a previous crashed pass
     s.read.option("basePath", path)
-      .parquet(multi.map(_.getAbsolutePath).toSeq: _*)
+      .parquet(multi.map(_.toString).toSeq: _*)
       .repartition(col(partitionCol))
       .write.partitionBy(partitionCol).mode("overwrite")
-      .parquet(staging.getAbsolutePath)
+      .parquet(staging.toString)
     multi.foreach { d =>
-      val compacted = dataFiles(new java.io.File(staging, d.getName))
-      require(compacted.nonEmpty, s"compaction lost partition ${d.getName}")
-      dataFiles(d).foreach(f => f.delete(): Unit)
-      compacted.foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(d, f.getName).toPath): Unit
-      }
+      require(lfs.dataFiles(new Path(staging, d.getName)).nonEmpty,
+        s"compaction lost partition ${d.getName}")
     }
-    rmTree(staging)
+    graft.internal.SwapJournal.commit(lfs, root, staging,
+      graft.internal.SwapJournal.Plan(
+        staged = multi.map(_.getName).toSeq,
+        oldFiles = multi.flatMap(d =>
+          lfs.dataFiles(d).map(f => s"${d.getName}/${f.getPath.getName}")).toSeq,
+        drops = Nil))
     multi.length
   }
 
@@ -3865,8 +3859,8 @@ object Graft {
     * directory under `<path>/_tombstones`. The underscore prefix means
     * Spark's file listing IGNORES it, so plain reads of the layout
     * never see tombstone rows — they are purge REQUESTS, not data. */
-  private def tombstoneDir(path: String): java.io.File =
-    new java.io.File(path, "_tombstones")
+  private def tombstonePath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_tombstones")
 
   /** Record a purge request (GDPR / right-to-be-forgotten) against an
     * at-rest index layout WITHOUT touching the index's data files:
@@ -3888,7 +3882,7 @@ object Graft {
       partitionCol: String): Unit =
     ids.select(col(idCol), col(partitionCol))
       .coalesce(1)
-      .write.mode("append").parquet(tombstoneDir(path).getPath)
+      .write.mode("append").parquet(tombstonePath(path).toString)
 
   /** Read an at-rest index layout MINUS its tombstoned rows: the
     * layout scan anti-joined against the broadcast tombstone sidecar
@@ -3901,10 +3895,11 @@ object Graft {
     * pruning on the index is unchanged. */
   def readMasked(s: SparkSession, path: String, idCol: String): DataFrame = {
     val scan = s.read.parquet(path)
-    val td = tombstoneDir(path)
-    if (!td.isDirectory) scan
+    val (lfs, _) = graft.internal.LayoutFs.of(s, path)
+    val td = tombstonePath(path)
+    if (!lfs.isDir(td)) scan
     else scan.join(
-      broadcast(s.read.parquet(td.getPath).select(col(idCol)).distinct()),
+      broadcast(s.read.parquet(td.toString).select(col(idCol)).distinct()),
       Seq(idCol), "left_anti")
   }
 
@@ -3915,64 +3910,87 @@ object Graft {
     * families). Partition-pruned by construction: the tombstone rows
     * carry their partition values, so ONLY the named partition
     * directories are read, rewritten minus the tombstoned ids
-    * (staging dir + per-partition file swap, the [[compactIndex]]
-    * swap discipline — same non-atomicity caveat: production puts the
-    * swap behind a transactional commit), and the tombstone sidecar is
+    * ([[internal.SwapJournal]]'s journaled crash-safe swap over
+    * [[internal.LayoutFs]] — runs on HDFS/object stores, recovers a
+    * crashed pass to the committed state; production still wraps the
+    * window in a transactional commit), and the tombstone sidecar is
     * cleared on success. A partition whose every row was purged is
-    * dropped outright. Untouched partitions: never listed, never
-    * read, byte-identical after — purge cost is proportional to the
-    * purge set's partition footprint, not the index.
+    * dropped outright; a tombstoned value matching NO directory
+    * aborts loudly if live rows still carry it (escaping/layout
+    * mismatch must never silently drop a purge request) and is
+    * skipped only when genuinely already purged. Untouched
+    * partitions: never listed, never read, byte-identical after —
+    * purge cost is proportional to the purge set's partition
+    * footprint, not the index.
     *
     * Returns the number of partition directories rewritten (0 = no
     * tombstones pending; metadata-only, job-free). Idempotent: ids
     * already absent just rewrite their partitions unchanged. */
   def compactOut(s: SparkSession, path: String, partitionCol: String,
       idCol: String): Int = {
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"no index layout at $path")
-    val td = tombstoneDir(path)
-    if (!td.isDirectory) return 0
-    def dataFiles(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(): Unit
-    }
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val (lfs, root) = graft.internal.LayoutFs.of(s, path)
+    require(lfs.isDir(root), s"no index layout at $path")
+    val staging = new Path(root.getParent, root.getName + "__purging")
+    graft.internal.SwapJournal.recover(lfs, root, staging)
+    val td = tombstonePath(path)
+    if (!lfs.isDir(td)) return 0
     // Purge-request-sized driver gather: the partition values name the
-    // directories to rewrite (the broadcast-variable pattern).
-    val tombs = s.read.parquet(td.getPath)
+    // directories to rewrite (the broadcast-variable pattern). Dir
+    // names go through the WRITER'S escaping
+    // (ExternalCatalogUtils.getPartitionPathString: Hive path escapes,
+    // null/empty -> __HIVE_DEFAULT_PARTITION__), so special-character
+    // values resolve to the directories Spark actually wrote.
+    val tombs = s.read.parquet(td.toString)
     val touchedVals = tombs.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0).toString).sorted
-    val touchedDirs = touchedVals
-      .map(v => new java.io.File(root, s"$partitionCol=$v"))
-      .filter(_.isDirectory)
+      .collect().map(_.get(0))
+    val byDir = touchedVals.map { v =>
+      (v, ExternalCatalogUtils.getPartitionPathString(partitionCol,
+        if (v == null) null else v.toString))
+    }.sortBy(_._2)
+    val (present, missing) = byDir.partition {
+      case (_, dn) => lfs.isDir(new Path(root, dn))
+    }
+    // A tombstoned value with NO matching directory is only legal when
+    // the layout holds no rows for it (an idempotent re-run after a
+    // completed purge dropped the partition). Any live row behind a
+    // missing dir means the purge request would be silently dropped —
+    // fail loudly instead of clearing the sidecar over it.
+    if (missing.nonEmpty) {
+      val vals = missing.map(_._1).filter(_ != null)
+      val pred = (if (vals.nonEmpty) col(partitionCol).isin(vals.toSeq: _*)
+        else lit(false)) ||
+        (if (missing.exists(_._1 == null)) col(partitionCol).isNull
+        else lit(false))
+      require(s.read.parquet(path).filter(pred).isEmpty,
+        s"tombstoned $partitionCol values match no partition directory " +
+          s"yet rows exist — layout/escaping mismatch: " +
+          missing.map(_._2).mkString(", "))
+    }
+    val touchedDirs = present.map { case (_, dn) => new Path(root, dn) }
     var rewritten = 0
     if (touchedDirs.nonEmpty) {
-      val staging = new java.io.File(
-        root.getParentFile, root.getName + "__purging")
-      rmTree(staging) // clear a previous crashed pass
       s.read.option("basePath", path)
-        .parquet(touchedDirs.map(_.getAbsolutePath).toSeq: _*)
+        .parquet(touchedDirs.map(_.toString).toSeq: _*)
         .join(broadcast(tombs.select(col(idCol)).distinct()),
           Seq(idCol), "left_anti")
         .repartition(col(partitionCol))
         .write.partitionBy(partitionCol).mode("overwrite")
-        .parquet(staging.getAbsolutePath)
-      touchedDirs.foreach { d =>
-        dataFiles(d).foreach(f => f.delete(): Unit)
-        val purged = new java.io.File(staging, d.getName)
-        if (purged.isDirectory) {
-          dataFiles(purged).foreach { f =>
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(d, f.getName).toPath): Unit
-          }
-        } else rmTree(d) // every row purged — drop the partition
-      }
-      rmTree(staging)
+        .parquet(staging.toString)
+      val touchedNames = touchedDirs.map(_.getName)
+      val stagedNames = touchedNames
+        .filter(n => lfs.isDir(new Path(staging, n)))
+      graft.internal.SwapJournal.commit(lfs, root, staging,
+        graft.internal.SwapJournal.Plan(
+          staged = stagedNames.toSeq,
+          oldFiles = touchedDirs.flatMap(d => lfs.dataFiles(d)
+            .map(f => s"${d.getName}/${f.getPath.getName}")).toSeq,
+          // every row purged — drop the partition dir outright
+          drops = touchedNames.diff(stagedNames).toSeq))
       rewritten = touchedDirs.length
     }
-    rmTree(td) // requests executed — clear the sidecar
+    lfs.rmTree(td) // requests executed — clear the sidecar
     rewritten
   }
 
@@ -4040,15 +4058,12 @@ object Graft {
       batchPairs: DataFrame, buckets: Int = 32,
       maxRounds: Int = 16): Int = {
     require(buckets >= 1, s"buckets out of range: $buckets")
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"no label store at $path")
-    def dataFiles(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(): Unit
-    }
+    val (lfs, rootP) = graft.internal.LayoutFs.of(s, path)
+    require(lfs.isDir(rootP), s"no label store at $path")
+    val staging = new org.apache.hadoop.fs.Path(
+      rootP.getParent, rootP.getName + "__relabel")
+    // complete a crashed predecessor BEFORE reading the standing files
+    graft.internal.SwapJournal.recover(lfs, rootP, staging)
     def rbOf(c: Column): Column = pmod(xxhash64(c), lit(buckets)).cast("int")
     val standing = componentsRead(s, path)
     val (merged, rootMapAll) =
@@ -4067,13 +4082,11 @@ object Graft {
       .distinct().collect().map(_.getInt(0)).sorted
     var rewritten = 0
     if (touched.nonEmpty) {
-      val touchedDirs = touched.map(b => new java.io.File(root, s"rb=$b"))
-        .filter(_.isDirectory)
-      val staging = new java.io.File(
-        root.getParentFile, root.getName + "__relabel")
-      rmTree(staging) // clear a previous crashed pass
+      val touchedDirs = touched
+        .map(b => new org.apache.hadoop.fs.Path(rootP, s"rb=$b"))
+        .filter(lfs.isDir)
       s.read.option("basePath", path)
-        .parquet(touchedDirs.map(_.getAbsolutePath).toSeq: _*)
+        .parquet(touchedDirs.map(_.toString).toSeq: _*)
         .select(col("id"), col("root"))
         .join(rootMap, col("root") === col("__old_root"), "left")
         .select(col("id"),
@@ -4081,19 +4094,17 @@ object Graft {
         .withColumn("rb", rbOf(col("root")))
         .repartition(col("rb"))
         .write.partitionBy("rb").mode("overwrite")
-        .parquet(staging.getAbsolutePath)
-      touchedDirs.foreach(d => dataFiles(d).foreach(f => f.delete(): Unit))
-      Option(staging.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("rb="))
-        .foreach { sd =>
-          val target = new java.io.File(root, sd.getName)
-          target.mkdirs(): Unit
-          dataFiles(sd).foreach { f =>
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(target, f.getName).toPath): Unit
-          }
-        }
-      rmTree(staging)
+        .parquet(staging.toString)
+      // staged dirs include NEW buckets rows moved into; a touched
+      // bucket whose every row moved out gets no staged files and its
+      // now-empty dir drops (the compactOut dropped-partition rule)
+      val stagedNames = lfs.partitionDirs(staging, "rb").map(_.getName)
+      graft.internal.SwapJournal.commit(lfs, rootP, staging,
+        graft.internal.SwapJournal.Plan(
+          staged = stagedNames.toSeq,
+          oldFiles = touchedDirs.flatMap(d => lfs.dataFiles(d)
+            .map(f => s"${d.getName}/${f.getPath.getName}")).toSeq,
+          drops = touchedDirs.map(_.getName).diff(stagedNames).toSeq))
       rewritten = touchedDirs.length
     }
     if (!fresh.isEmpty) partitionedAppend(fresh, "rb", path)
@@ -4132,15 +4143,12 @@ object Graft {
   def componentsPurge(s: SparkSession, path: String, purged: DataFrame,
       buckets: Int = 32): Int = {
     require(buckets >= 1, s"buckets out of range: $buckets")
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"no label store at $path")
-    def dataFiles(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(): Unit
-    }
+    val (lfs, rootP) = graft.internal.LayoutFs.of(s, path)
+    require(lfs.isDir(rootP), s"no label store at $path")
+    val staging = new org.apache.hadoop.fs.Path(
+      rootP.getParent, rootP.getName + "__purge")
+    // complete a crashed predecessor BEFORE reading the standing files
+    graft.internal.SwapJournal.recover(lfs, rootP, staging)
     def rbOf(c: Column): Column = pmod(xxhash64(c), lit(buckets)).cast("int")
     val purgeIds = purged.select(col("id")).distinct()
     // Forced eagerly: everything derived from the standing FILES must
@@ -4150,15 +4158,13 @@ object Graft {
       .localCheckpoint(true)
     val touched = victims.select(rbOf(col("root")).as("rb"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val touchedDirs = touched.map(b => new java.io.File(root, s"rb=$b"))
-      .filter(_.isDirectory)
+    val touchedDirs = touched
+      .map(b => new org.apache.hadoop.fs.Path(rootP, s"rb=$b"))
+      .filter(lfs.isDir)
     if (touchedDirs.isEmpty) return 0
-    val staging = new java.io.File(
-      root.getParentFile, root.getName + "__purge")
-    rmTree(staging) // clear a previous crashed pass
     val purgeB = broadcast(purgeIds)
     s.read.option("basePath", path)
-      .parquet(touchedDirs.map(_.getAbsolutePath).toSeq: _*)
+      .parquet(touchedDirs.map(_.toString).toSeq: _*)
       .select(col("id"), col("root"))
       .join(purgeB, Seq("id"), "left_anti")
       .withColumn("root",
@@ -4166,19 +4172,16 @@ object Graft {
       .withColumn("rb", rbOf(col("root")))
       .repartition(col("rb"))
       .write.partitionBy("rb").mode("overwrite")
-      .parquet(staging.getAbsolutePath)
-    touchedDirs.foreach(d => dataFiles(d).foreach(f => f.delete(): Unit))
-    Option(staging.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("rb="))
-      .foreach { sd =>
-        val target = new java.io.File(root, sd.getName)
-        target.mkdirs(): Unit
-        dataFiles(sd).foreach { f =>
-          java.nio.file.Files.move(f.toPath,
-            new java.io.File(target, f.getName).toPath): Unit
-        }
-      }
-    rmTree(staging)
+      .parquet(staging.toString)
+    // a fully-emptied or fully-moved-out bucket drops its directory
+    // (the compactOut convention — no empty rb= dirs left behind)
+    val stagedNames = lfs.partitionDirs(staging, "rb").map(_.getName)
+    graft.internal.SwapJournal.commit(lfs, rootP, staging,
+      graft.internal.SwapJournal.Plan(
+        staged = stagedNames.toSeq,
+        oldFiles = touchedDirs.flatMap(d => lfs.dataFiles(d)
+          .map(f => s"${d.getName}/${f.getPath.getName}")).toSeq,
+        drops = touchedDirs.map(_.getName).diff(stagedNames).toSeq))
     touchedDirs.length
   }
 

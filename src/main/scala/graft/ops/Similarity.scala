@@ -536,7 +536,7 @@ object Similarity {
     * prunes FILES at plan time. */
   private[graft] def s13IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("lsh_idx", dir)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_SUCCESS")) {
       Layout.sweepStaleFor("lsh_idx", dir)
       import s.implicits._
       graft.Graft.writePartitioned(
@@ -609,8 +609,7 @@ object Similarity {
     * the overwrite base write makes the recovery idempotent. */
   private[graft] def s25IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("lsh_inc", dir)
-    val marker = new java.io.File(path, "_APPEND_DONE")
-    if (!marker.exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_APPEND_DONE")) {
       Layout.sweepStaleFor("lsh_inc", dir)
       import s.implicits._
       val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
@@ -619,7 +618,7 @@ object Similarity {
         "sig", path)
       graft.Graft.partitionedAppend(emb.filter($"vec_id" % 10 === 7),
         "sig", path)
-      marker.createNewFile(): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
     }
     path
   }
@@ -669,8 +668,7 @@ object Similarity {
     * layout of ITS copy, so the two must not share a directory. */
   private[graft] def s27IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("lsh_cmp", dir)
-    val marker = new java.io.File(path, "_APPEND_DONE")
-    if (!marker.exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_APPEND_DONE")) {
       Layout.sweepStaleFor("lsh_cmp", dir)
       import s.implicits._
       val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
@@ -679,7 +677,7 @@ object Similarity {
         "sig", path)
       graft.Graft.partitionedAppend(emb.filter($"vec_id" % 10 === 7),
         "sig", path)
-      marker.createNewFile(): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
     }
     path
   }
@@ -706,11 +704,9 @@ object Similarity {
     val path = s27IndexPath(s, dir)
     val before = lshSearchOver(s, dir, path).collect()
     graft.Graft.compactIndex(s, path, "sig")
-    val fragmented = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("sig="))
-      .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
-        .count(f => f.isFile && f.getName.startsWith("part-")) != 1)
+    val (lfs, rootP) = graft.internal.LayoutFs.of(s, path)
+    val fragmented = lfs.partitionDirs(rootP, "sig")
+      .filter(d => lfs.dataFiles(d).length != 1)
     require(fragmented.isEmpty,
       s"compaction left multi-file partitions: ${fragmented.map(_.getName).mkString(",")}")
     val afterDf = lshSearchOver(s, dir, path)
@@ -743,8 +739,7 @@ object Similarity {
     * only postings grow). Build guarded exactly like [[s25IndexPath]]. */
   private[graft] def s26IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("ivf_inc", dir)
-    val marker = new java.io.File(path, "_APPEND_DONE")
-    if (!marker.exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_APPEND_DONE")) {
       Layout.sweepStaleFor("ivf_inc", dir)
       import s.implicits._
       val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
@@ -754,7 +749,7 @@ object Similarity {
         s26Assign(emb.filter($"vec_id" % 10 =!= 7), cent), "cell", path)
       graft.Graft.partitionedAppend(
         s26Assign(emb.filter($"vec_id" % 10 === 7), cent), "cell", path)
-      marker.createNewFile(): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
     }
     path
   }
@@ -816,8 +811,7 @@ object Similarity {
     * not share s26's fixture. */
   private[graft] def s28IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("ivf_cmp", dir)
-    val marker = new java.io.File(path, "_APPEND_DONE")
-    if (!marker.exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_APPEND_DONE")) {
       Layout.sweepStaleFor("ivf_cmp", dir)
       import s.implicits._
       val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
@@ -827,7 +821,7 @@ object Similarity {
         s26Assign(emb.filter($"vec_id" % 10 =!= 7), cent), "cell", path)
       graft.Graft.partitionedAppend(
         s26Assign(emb.filter($"vec_id" % 10 === 7), cent), "cell", path)
-      marker.createNewFile(): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
     }
     path
   }
@@ -845,11 +839,9 @@ object Similarity {
     val path = s28IndexPath(s, dir)
     val before = ivfSearchOver(s, dir, path).collect()
     graft.Graft.compactIndex(s, path, "cell")
-    val fragmented = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
-      .filter(d => Option(d.listFiles()).getOrElse(Array.empty)
-        .count(f => f.isFile && f.getName.startsWith("part-")) != 1)
+    val (lfs, rootP) = graft.internal.LayoutFs.of(s, path)
+    val fragmented = lfs.partitionDirs(rootP, "cell")
+      .filter(d => lfs.dataFiles(d).length != 1)
     require(fragmented.isEmpty,
       s"compaction left multi-file cells: ${fragmented.map(_.getName).mkString(",")}")
     val afterDf = ivfSearchOver(s, dir, path)
@@ -876,8 +868,7 @@ object Similarity {
     * share s25/s27's fixtures (the s27 isolation argument). */
   private[graft] def s29IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("lsh_del", dir)
-    val marker = new java.io.File(path, "_APPEND_DONE")
-    if (!marker.exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_APPEND_DONE")) {
       Layout.sweepStaleFor("lsh_del", dir)
       import s.implicits._
       val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
@@ -886,7 +877,7 @@ object Similarity {
         "sig", path)
       graft.Graft.partitionedAppend(emb.filter($"vec_id" % 10 === 7),
         "sig", path)
-      marker.createNewFile(): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
     }
     path
   }
@@ -931,8 +922,7 @@ object Similarity {
     * argument, posting-list half. */
   private[graft] def s30IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("ivf_del", dir)
-    val marker = new java.io.File(path, "_APPEND_DONE")
-    if (!marker.exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_APPEND_DONE")) {
       Layout.sweepStaleFor("ivf_del", dir)
       import s.implicits._
       val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
@@ -942,7 +932,7 @@ object Similarity {
         s26Assign(emb.filter($"vec_id" % 10 =!= 7), cent), "cell", path)
       graft.Graft.partitionedAppend(
         s26Assign(emb.filter($"vec_id" % 10 === 7), cent), "cell", path)
-      marker.createNewFile(): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
     }
     path
   }
@@ -1184,7 +1174,7 @@ object Similarity {
     * are touched only by the rerank join). */
   private[graft] def s23IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("pq_idx", dir)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_SUCCESS")) {
       Layout.sweepStaleFor("pq_idx", dir)
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")

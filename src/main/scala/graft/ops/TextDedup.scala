@@ -1183,8 +1183,7 @@ object TextDedup {
     * (the s25 discipline). */
   private[graft] def d25IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("cmp_idx", dir)
-    val marker = new java.io.File(path, "_INC_DONE")
-    if (!marker.exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_INC_DONE")) {
       Layout.sweepStaleFor("cmp_idx", dir)
       import s.implicits._
       val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
@@ -1195,7 +1194,7 @@ object TextDedup {
       val batch = cust.filter($"c" % 35 === 0)
         .select($"c".as("id_a"), ($"c" + 5).as("id_b"))
       graft.Graft.componentsIncremental(s, path, batch): Unit
-      marker.createNewFile(): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_INC_DONE")
     }
     path
   }
@@ -1222,8 +1221,7 @@ object TextDedup {
     * batch merge. */
   private[graft] def d26IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("cmp_del", dir)
-    val marker = new java.io.File(path, "_INC_DONE")
-    if (!marker.exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_INC_DONE")) {
       Layout.sweepStaleFor("cmp_del", dir)
       import s.implicits._
       val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
@@ -1234,7 +1232,7 @@ object TextDedup {
       val batch = cust.filter($"c" % 35 === 0)
         .select($"c".as("id_a"), ($"c" + 5).as("id_b"))
       graft.Graft.componentsIncremental(s, path, batch): Unit
-      marker.createNewFile(): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_INC_DONE")
     }
     path
   }
@@ -1247,7 +1245,7 @@ object TextDedup {
     * shares nothing (the s29 isolation argument). */
   private[graft] def d27IndexPath(s: SparkSession, dir: String): String = {
     val path = Layout.tmpPath("fp_del", dir)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_SUCCESS")) {
       Layout.sweepStaleFor("fp_del", dir)
       import s.implicits._
       val lake = Tables(s, dir, "documents").filter($"doc_id" % 5 < 4)
