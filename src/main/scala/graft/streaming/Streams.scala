@@ -189,28 +189,67 @@ object Streams {
     *   - within-watermark exact dedup on the id (at-least-once
     *     delivery suppression — state carries 8-byte keys inside the
     *     horizon, evicted as the watermark advances);
-    *   - a stream-static LEFT ANTI join against the fingerprint frame
-    *     under the `bit_count(xor) <= maxHamming` predicate. The
-    *     static side is a broadcast nested-loop per micro-batch —
-    *     right-sized because a standing simhash index is 8 bytes/doc
-    *     (GBs against the corpus's TBs, the d15 index-not-corpus
-    *     argument) and at broadcast-breaking lake sizes the banded
-    *     layout (d07's 16-bit blocks as equi-join keys, pigeonhole-
-    *     complete for maxHamming <= 3) replaces the nested loop.
+    *   - the BANDED pigeonhole filter (d07's machinery as stream-
+    *     static EQUI-joins): the 64-bit fingerprint splits into B
+    *     disjoint blocks (B = 4×16-bit for radius ≤ 3, 8×8-bit for
+    *     radius ≤ 7); two fingerprints within `maxHamming` < B bits
+    *     must agree on ≥ 1 whole block, so the standing side groups
+    *     into per-block bucket tables (block value → fp list) and
+    *     each micro-batch row LEFT-joins its B block keys against
+    *     them — hash joins on 8-byte keys, never a nested loop — then
+    *     one codegen'd `exists(bit_count(xor) ≤ h)` over the bucket
+    *     lists verifies true hamming. Candidate compares per row drop
+    *     from |lake| (the pre-r18 broadcast nested loop) to
+    *     B × |lake| / 2^blockBits, and with the equi keys the planner
+    *     is free to SHUFFLE the bucket tables instead of broadcasting
+    *     a lake-grown frame — the memory cliff the nested loop hits
+    *     at ~10^10 docs. Production materializes the banded bucket
+    *     tables AT REST next to the fingerprint index (the d15
+    *     discipline) so micro-batches read them pre-grouped instead
+    *     of re-grouping the fp frame; radius > 7 (no pigeonhole-
+    *     complete banding of a 64-bit code at 8 blocks) falls back to
+    *     the nested-loop predicate, which StreamsSpec pins as the
+    *     ONLY path allowed to plan one.
     * Stateless past the dedup: each admitted row emits in its arrival
     * batch; nothing about the gate accumulates. `standingFps` must be
     * a batch (static) frame with a single `fp` LongType column. */
   def nearDupIngestGate(docs: DataFrame, standingFps: DataFrame,
       maxHamming: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text", tsCol: String = "ts"): DataFrame =
-    docs
+      textCol: String = "text", tsCol: String = "ts"): DataFrame = {
+    val deduped = docs
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
       .withColumn("__sh", graft.ops.TextDedup.simhash(col(textCol)))
-      .join(broadcast(standingFps.select(col("fp"))),
+    val gated = if (maxHamming > 7) {
+      deduped.join(broadcast(standingFps.select(col("fp"))),
         bit_count(col("__sh").bitwiseXOR(col("fp"))) <= lit(maxHamming),
         "left_anti")
-      .drop("__sh")
+    } else {
+      val nb = if (maxHamming <= 3) 4 else 8
+      val w = 64 / nb
+      val mask = (1L << w) - 1
+      def blockOf(c: org.apache.spark.sql.Column,
+          b: Int): org.apache.spark.sql.Column =
+        shiftright(c, b * w).bitwiseAND(lit(mask))
+      val joined = (0 until nb).foldLeft(deduped) { (acc, b) =>
+        val bucket = standingFps
+          .groupBy(blockOf(col("fp"), b).as(s"__k$b"))
+          .agg(collect_list(col("fp")).as(s"__fps$b"))
+        acc.withColumn(s"__k$b", blockOf(col("__sh"), b))
+          .join(bucket, Seq(s"__k$b"), "left")
+      }
+      // coalesce(…, false): an unmatched block key leaves a null list,
+      // and null must read "no candidate here", not poison the OR
+      val hit = (0 until nb).map { b =>
+        coalesce(exists(col(s"__fps$b"),
+          f => bit_count(col("__sh").bitwiseXOR(f)) <= lit(maxHamming)),
+          lit(false))
+      }.reduce(_ || _)
+      joined.filter(!hit)
+        .drop((0 until nb).flatMap(b => Seq(s"__k$b", s"__fps$b")): _*)
+    }
+    gated.drop("__sh")
+  }
 
   /** Custom streaming state via mapGroupsWithState: per-user running
     * totals that survive across micro-batches (the kind of bespoke

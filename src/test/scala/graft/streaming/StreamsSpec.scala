@@ -261,6 +261,45 @@ class StreamsSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("nearDupIngestGate: banded path admits far docs, blocks near ones, plans NO nested-loop join") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    // the standing fingerprints are the gate inputs' OWN simhashes —
+    // computed through the same expression, so "identical text" is
+    // hamming 0 (blocked at any radius) and distinct texts on this
+    // corpus-free toy are far apart (admitted)
+    val standing = spark.createDataFrame(Seq(Tuple1(0L))).toDF("seed")
+      .select(graft.ops.TextDedup.simhash(
+        org.apache.spark.sql.functions.lit(
+          "the quick brown fox jumps over the lazy dog")).as("fp"))
+    def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val q = Streams.nearDupIngestGate(
+        in.toDF().toDF("doc_id", "ts", "text"), standing, maxHamming = 6)
+      .writeStream.format("memory").queryName("gatestream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (1L, t(1), "the quick brown fox jumps over the lazy dog"), // exact
+        (2L, t(2), "completely different content about spark plans"),
+        (2L, t(3), "completely different content about spark plans")) // re-delivery
+      q.processAllAvailable()
+      val admitted = spark.sql("SELECT doc_id FROM gatestream")
+        .as[Long].collect().toSeq.sorted
+      // doc 1 is hamming-0 from the standing fp (blocked); doc 2 is far
+      // (admitted once — the within-watermark dedup eats the re-delivery)
+      assert(admitted == Seq(2L), s"gate admitted $admitted")
+      // the micro-batch physical plan must hold banded equi-joins only —
+      // the broadcast nested loop over a lake-growing fp table is the
+      // r17-flagged scale cliff (legal solely on the radius>7 fallback)
+      val buf = new java.io.ByteArrayOutputStream()
+      scala.Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      val plan = buf.toString
+      assert(plan.contains("Join"), s"no join in gate plan:\n$plan")
+      assert(!plan.contains("NestedLoop"),
+        s"banded gate must not plan a nested-loop join:\n$plan")
+    } finally q.stop()
+  }
+
   test("file-queue stream reads docs and archives consumed files (S6)") {
     val in = Files.createTempDirectory("graft-stream-in")
     val archive = Files.createTempDirectory("graft-stream-archive")
