@@ -3994,6 +3994,82 @@ object Graft {
     rewritten
   }
 
+  /** Retrain-and-migrate for the at-rest IVF posting layout — the
+    * remaining index-lifecycle event after append (s26), compaction
+    * (s28), and deletion (s30): the centroid model DRIFTS as the
+    * corpus grows, and re-centering must not cost a full rebuild.
+    * Given the retrained `newCentroids` (`centroid_id`, `c` — the
+    * [[kmeansFit]] shape), every posting re-scores against the new
+    * model in ONE assignment pass (broadcast-centroid argmax, the
+    * [[ivfSearch]] tie-break: max cos, then max centroid_id) and only
+    * rows whose cell CHANGES drive file work:
+    *   1. the moved set (vec_id, old cell, new cell) checkpoints
+    *      BEFORE any mutation (migration-sized, not index-sized);
+    *   2. ONLY partitions that lose a row are read back and rewritten
+    *      minus-the-movers-plus-the-stayers; movers land in their NEW
+    *      cell's directory via the staged write — a cell that only
+    *      RECEIVES rows keeps its existing files byte-identical and
+    *      just gains the staged file ([[partitionedAppend]]'s
+    *      new-files-only property, mid-migration);
+    *   3. the swap is [[internal.SwapJournal]]'s crash-safe protocol
+    *      over [[internal.LayoutFs]]; a donor cell emptied of every
+    *      row drops its directory.
+    * Cells whose membership is unchanged on BOTH sides: never listed,
+    * never read, byte-identical after. Cost ∝ assignment scan (one
+    * pass, map-side k cosines per vector) + the moved set's partition
+    * footprint — under mild drift that is a small fraction of the
+    * index, the property that makes periodic re-centering affordable
+    * at 100 TB. s31 gates the answer: post-migration search must be
+    * byte-identical to a from-scratch index trained on the same
+    * centroids. Returns the number of donor partitions rewritten. */
+  def ivfMigrate(s: SparkSession, path: String,
+      newCentroids: DataFrame): Int = {
+    import org.apache.hadoop.fs.Path
+    val (lfs, root) = graft.internal.LayoutFs.of(s, path)
+    require(lfs.isDir(root), s"no index layout at $path")
+    val staging = new Path(root.getParent, root.getName + "__migrating")
+    graft.internal.SwapJournal.recover(lfs, root, staging)
+    val cent = broadcast(newCentroids
+      .select(col("centroid_id"), col("c")))
+    // one assignment scan; the shuffle carries one narrow row per
+    // vector (partial-folded argmax), and only movers survive it
+    val moved = s.read.parquet(path)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .crossJoin(cent)
+      .select(col("vec_id"), col("cell"), col("centroid_id"),
+        ops.Similarity.cosine(col("embedding"), col("c")).as("__cos"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(struct(col("__cos"), col("centroid_id"))).as("__best"))
+      .select(col("vec_id"), col("cell"),
+        col("__best.centroid_id").cast("int").as("__new_cell"))
+      .filter(col("cell") =!= col("__new_cell"))
+      .localCheckpoint(true)
+    val donors = moved.select(col("cell")).distinct()
+      .collect().map(_.get(0).toString).sorted
+    if (donors.isEmpty) return 0
+    val donorDirs = donors.map(v => new Path(root, s"cell=$v"))
+    donorDirs.foreach(d => require(lfs.isDir(d),
+      s"moved rows name a missing partition dir $d — layout mismatch"))
+    s.read.option("basePath", path)
+      .parquet(donorDirs.map(_.toString).toSeq: _*)
+      .join(moved.select(col("vec_id"), col("__new_cell")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("__new_cell"), col("cell")).as("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(staging.toString)
+    val stagedNames = lfs.partitionDirs(staging, "cell").map(_.getName)
+    val donorNames = donorDirs.map(_.getName)
+    graft.internal.SwapJournal.commit(lfs, root, staging,
+      graft.internal.SwapJournal.Plan(
+        staged = stagedNames.toSeq,
+        oldFiles = donorDirs.flatMap(d => lfs.dataFiles(d)
+          .map(f => s"${d.getName}/${f.getPath.getName}")).toSeq,
+        drops = donorNames.diff(stagedNames).toSeq))
+    donorDirs.length
+  }
+
   /** Write a dedup component LABELING (`id`, `root` — the
     * [[ops.TextDedup.componentMin]] contract: root = component-minimum
     * id) AT REST, hive-partitioned by a hash bucket OF THE ROOT

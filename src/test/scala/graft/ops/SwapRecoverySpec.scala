@@ -129,6 +129,62 @@ class SwapRecoverySpec extends SparkSuiteBase {
     assert(graft.Graft.compactOut(spark, path, "grp", "id") == 0)
   }
 
+  test("ivfMigrate: donors rewrite, pure recipients keep files byte-identical and gain the movers") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfmig").toString + "/idx"
+    // old model put b in cell 0; the retrained centroids (c0=(1,0),
+    // c1=(0,1)) send it to cell 1 — a stays, c stays
+    val rows = Seq(
+      (10L, Array(1.0f, 0.0f), 0),  // a: stays in 0
+      (11L, Array(0.0f, 1.0f), 0),  // b: moves 0 -> 1
+      (12L, Array(0.1f, 1.0f), 1))  // c: stays in 1
+      .toDF("vec_id", "embedding", "cell")
+    graft.Graft.writePartitioned(rows, "cell", path)
+    val (lfs, root) = lfsOf(path)
+    def files(dir: String): Map[String, Long] =
+      lfs.dataFiles(new Path(root, dir))
+        .map(f => f.getPath.getName -> f.getLen).toMap
+    val preCell1 = files("cell=1")
+
+    val cent = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "c")
+    val rewritten = graft.Graft.ivfMigrate(spark, path, cent)
+    assert(rewritten == 1, s"only the donor cell should rewrite, got $rewritten")
+    val atRest = spark.read.parquet(path)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(atRest == Map(10L -> 0, 11L -> 1, 12L -> 1),
+      s"migrated assignment wrong: $atRest")
+    // the recipient keeps its original file untouched and gains the
+    // staged mover file
+    val postCell1 = files("cell=1")
+    preCell1.foreach { case (n, len) =>
+      assert(postCell1.get(n).contains(len),
+        s"recipient's pre-existing file $n changed (pre=$len post=${postCell1.get(n)})")
+    }
+    assert(postCell1.size > preCell1.size, "mover file must append to the recipient")
+    // idempotent: a second migration against the same model moves nothing
+    assert(graft.Graft.ivfMigrate(spark, path, cent) == 0)
+  }
+
+  test("ivfMigrate drops a donor cell emptied of every row") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfmigdrop").toString + "/idx"
+    val rows = Seq(
+      (20L, Array(0.0f, 1.0f), 0),  // whole of cell 0 moves to 1
+      (21L, Array(0.1f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "cell")
+    graft.Graft.writePartitioned(rows, "cell", path)
+    val cent = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "c")
+    assert(graft.Graft.ivfMigrate(spark, path, cent) == 1)
+    val (lfs, root) = lfsOf(path)
+    assert(lfs.partitionDirs(root, "cell").map(_.getName).sorted.toSeq
+      == Seq("cell=1"), "emptied donor dir must drop")
+    val atRest = spark.read.parquet(path)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(atRest == Map(20L -> 1, 21L -> 1))
+  }
+
   test("componentsPurge drops a fully-emptied bucket directory") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-swapempty").toString + "/idx"
