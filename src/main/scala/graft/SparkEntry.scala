@@ -310,7 +310,9 @@ object SparkEntry {
     "st27_label_maint" -> (streaming.Streams.st27LabelMaintenance _),
     "d27_fp_purge" -> (TextDedup.d27FpPurge _),
     "d28_inc_substring" -> (TextDedup.d28IncSubstringRuns _),
-    "s31_ivf_migrate" -> (Similarity.s31MigratedSearch _)
+    "s31_ivf_migrate" -> (Similarity.s31MigratedSearch _),
+    "d29_gram_purge" -> (TextDedup.d29GramPurge _),
+    "st28_gram_maint" -> (streaming.Streams.st28GramMaintenance _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -1217,6 +1219,73 @@ object SparkEntry {
         |             b.doc_id AS id_b, b.pos AS pos_b
         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |        AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))),
+        |isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
+        |          pos_a - row_number() OVER (
+        |            PARTITION BY id_a, id_b, pos_a - pos_b
+        |            ORDER BY pos_a) AS island
+        |        FROM p),
+        |runs AS (SELECT id_a, id_b,
+        |           min(pos_a) AS start_a, min(pos_b) AS start_b,
+        |           count(*) + 7 AS run_tokens
+        |         FROM isl GROUP BY id_a, id_b, diag, island)
+        |SELECT id_a, id_b, start_a, start_b,
+        |  CAST(run_tokens AS BIGINT) AS run_tokens
+        |FROM runs WHERE run_tokens >= 20
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+    // d29: d28's cross-split oracle with the purged lake documents
+    // (doc_id % 20 IN (8, 16) — always lake-side: mod 5 = 3, 1; 16
+    // intersects the planted run participants, so the purge removes
+    // actual reported runs) excluded from the pair space, i.e. the
+    // gram index as if the victims had never been ingested — what
+    // masked AND compacted probes must both report.
+    "d29_gram_purge" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (SELECT doc_id, ts,
+        |         unnest(range(0, greatest(len(ts) - 7, 0))) AS pos
+        |       FROM toks),
+        |g AS (SELECT doc_id, pos,
+        |        array_to_string(list_slice(ts, pos + 1, pos + 8), ' ') AS gram
+        |      FROM g0),
+        |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+        |             b.doc_id AS id_b, b.pos AS pos_b
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |        AND ((a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4))
+        |        AND a.doc_id % 20 NOT IN (8, 16)
+        |        AND b.doc_id % 20 NOT IN (8, 16)),
+        |isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
+        |          pos_a - row_number() OVER (
+        |            PARTITION BY id_a, id_b, pos_a - pos_b
+        |            ORDER BY pos_a) AS island
+        |        FROM p),
+        |runs AS (SELECT id_a, id_b,
+        |           min(pos_a) AS start_a, min(pos_b) AS start_b,
+        |           count(*) + 7 AS run_tokens
+        |         FROM isl GROUP BY id_a, id_b, diag, island)
+        |SELECT id_a, id_b, start_a, start_b,
+        |  CAST(run_tokens AS BIGINT) AS run_tokens
+        |FROM runs WHERE run_tokens >= 20
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+    // st28: the full d24 pair space minus its lake-lake pairs — every
+    // maximal run involving >= 1 incoming doc, which the streaming
+    // probe+self-pair union reproduces independent of chunking.
+    "st28_gram_maint" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (SELECT doc_id, ts,
+        |         unnest(range(0, greatest(len(ts) - 7, 0))) AS pos
+        |       FROM toks),
+        |g AS (SELECT doc_id, pos,
+        |        array_to_string(list_slice(ts, pos + 1, pos + 8), ' ') AS gram
+        |      FROM g0),
+        |p AS (SELECT a.doc_id AS id_a, a.pos AS pos_a,
+        |             b.doc_id AS id_b, b.pos AS pos_b
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |        AND (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)),
         |isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
         |          pos_a - row_number() OVER (
         |            PARTITION BY id_a, id_b, pos_a - pos_b

@@ -1245,6 +1245,18 @@ object TextDedup {
   def substringRunsIncremental(s: SparkSession, indexPath: String,
       batch: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minRunTokens: Int = 20, maxGramFreq: Int = 64,
+      buckets: Int = 32): DataFrame =
+    substringRunsIncrementalOver(s.read.parquet(indexPath), batch,
+      idCol, textCol, k, minRunTokens, maxGramFreq, buckets)
+
+  /** [[substringRunsIncremental]] over an index FRAME instead of a
+    * path — the seam d29 probes the tombstone-MASKED index through
+    * (the literal `gb` prune still pushes through readMasked's
+    * anti-join to the scan, the TombstoneSpec-pinned property) and
+    * st28 probes the mid-stream growing index through. */
+  def substringRunsIncrementalOver(index: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minRunTokens: Int = 20, maxGramFreq: Int = 64,
       buckets: Int = 32): DataFrame = {
     require(minRunTokens >= k,
       s"minRunTokens ($minRunTokens) must be >= k ($k)")
@@ -1254,7 +1266,7 @@ object TextDedup {
     val probeBuckets = bg
       .select(pmod(col("h"), lit(buckets)).cast("int").as("gb"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val lakeCand = s.read.parquet(indexPath)
+    val lakeCand = index
       .filter(col("gb").isin(probeBuckets.toSeq: _*))
       .join(bg.select(col("h")).distinct(), Seq("h"), "left_semi")
       .select(col("h"), col("doc_id").as("__lid"), col("pos").as("lpos"))
@@ -1291,6 +1303,77 @@ object TextDedup {
     substringRunsIncremental(s, d28IndexPath(s, dir), batch,
       "doc_id", "text")
       .orderBy($"id_a", $"id_b", $"start_a", $"start_b")
+  }
+
+  /** d29's own gram-index copy (tag `sub_del`) — purge mutates the
+    * directory in place, so it must not share d28's fixture (the
+    * s29/d26 isolation argument). Build cycle identical to
+    * [[d28IndexPath]]. */
+  private[graft] def d29IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("sub_del", dir)
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_APPEND_DONE")) {
+      Layout.sweepStaleFor("sub_del", dir)
+      import s.implicits._
+      val grams = Tables.spread(Tables(s, dir, "documents"))
+        .filter($"doc_id" % 5 < 4)
+        .select($"doc_id",
+          posexplode(shingleHashes($"text", 8)).as(Seq("pos", "h")))
+        .withColumn("gb", pmod($"h", lit(32)).cast("int"))
+      graft.Graft.writePartitioned(grams.filter($"doc_id" % 10 =!= 7),
+        "gb", path)
+      graft.Graft.partitionedAppend(grams.filter($"doc_id" % 10 === 7),
+        "gb", path)
+      graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
+    }
+    path
+  }
+
+  /** d29 — tombstone deletion from the at-rest POSITIONAL GRAM index,
+    * extending the GDPR cycle to the FIFTH at-rest family the engine
+    * maintains (s29 LSH, s30 IVF, d26 labels, d27 fingerprints — and
+    * now d28's substring index, without which a forgotten document
+    * would keep surfacing as the lake side of verbatim-run reports).
+    * Unlike d27's shared-fingerprint subtlety, gram rows are
+    * PER-DOCUMENT positional facts — no other document carries them —
+    * so the tombstone set is simply the victims' (doc_id, gram
+    * bucket) pairs, recomputed batch-side from the purge request's
+    * text (the s29 request-not-index argument: at most `buckets` rows
+    * per victim, never an index scan).
+    *
+    * Gate: the incoming batch probes the MASKED index
+    * ([[graft.Graft.readMasked]] on doc_id — every row of a purged
+    * document drops) for substring runs, [[graft.Graft.compactOut]]
+    * physically rewrites only the tombstoned gram buckets, the probe
+    * re-runs over the plain layout, and the two reports must agree
+    * exactly (symmetric distributed exceptAll — the d27 r18
+    * discipline). Oracle: d28's cross-split runs SQL with the purged
+    * documents excluded from the lake side. */
+  def d29GramPurge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = d29IndexPath(s, dir)
+    val docs = Tables.spread(Tables(s, dir, "documents"))
+    // %20 ∈ {8, 16} ⊂ lake (mod 5 = 3, 1): roots the purge in the
+    // lake, and 16 hits planted run participants at every SF — the
+    // purge provably REMOVES cross runs, not just index rows
+    val purged = docs.filter($"doc_id" % 20 === 8 || $"doc_id" % 20 === 16)
+    val tomb = purged
+      .select($"doc_id", explode(shingleHashes($"text", 8)).as("h"))
+      .select($"doc_id", pmod($"h", lit(32)).cast("int").as("gb"))
+      .distinct()
+    graft.Graft.tombstone(path, tomb, "doc_id", "gb")
+    val batch = docs.filter($"doc_id" % 5 === 4)
+    def probe(idx: DataFrame) =
+      substringRunsIncrementalOver(idx, batch, "doc_id", "text")
+        .orderBy($"id_a", $"id_b", $"start_a", $"start_b")
+    val masked = probe(graft.Graft.readMasked(s, path, "doc_id"))
+      .localCheckpoint(true)
+    graft.Graft.compactOut(s, path, "gb", "doc_id"): Unit
+    val afterDf = probe(s.read.parquet(path))
+    val disagree = masked.exceptAll(afterDf).count() +
+      afterDf.exceptAll(masked).count()
+    require(disagree == 0,
+      "gram purge compact-out changed run reports — logical/physical deletion disagree")
+    afterDf
   }
 
   /** The d25 label STORE: d23's incremental-components cadence taken

@@ -1172,8 +1172,7 @@ object Streams {
   def st27LabelMaintenance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = graft.ops.Layout.tmpPath("cmp_stream", dir)
-    val marker = new java.io.File(path, "_BASE_DONE")
-    if (!marker.exists()) {
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_BASE_DONE")) {
       graft.ops.Layout.sweepStaleFor("cmp_stream", dir)
       val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
       val standing = cust
@@ -1181,7 +1180,7 @@ object Streams {
         .filter($"id_a" =!= $"id_b")
       graft.Graft.componentsIndex(
         graft.ops.TextDedup.componentMin(standing), path)
-      marker.createNewFile(): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_BASE_DONE")
     }
     val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
     val data = cust.filter($"c" % 35 === 0)
@@ -1215,6 +1214,84 @@ object Streams {
     graft.Graft.componentsRead(s, path)
       .select($"id".as("node_id"), $"root".as("component_id"))
       .orderBy($"node_id")
+  }
+
+  /** st28 — STREAMING maintenance of the PERSISTED positional-gram
+    * index (d28's artifact): each micro-batch of incoming documents
+    * probes the standing index for >= 20-token verbatim runs
+    * ([[graft.ops.TextDedup.substringRunsIncrementalOver]]), then
+    * APPENDS its own grams ([[graft.Graft.partitionedAppend]]) so
+    * later batches detect runs against it — the d28 daily-crawl
+    * cadence compressed to micro-batch cadence; st27's pattern
+    * applied to the substring family. Each batch ALSO self-pairs
+    * ([[graft.ops.TextDedup.substringRuns]] within the batch), which
+    * is what makes the sink CHUNKING-INDEPENDENT: a pair of incoming
+    * docs lands via self-pairing when they share a micro-batch and
+    * via the index probe when they don't, so the union over batches
+    * equals every maximal run involving >= 1 incoming doc regardless
+    * of chunk boundaries — exactly the from-scratch d24 oracle over
+    * lake ∪ batch minus its lake-lake pairs. Per-batch cost:
+    * batch-sized shingling, one capped bucket-pruned probe, one new
+    * file per touched gram bucket; the standing lake is never
+    * re-shingled. Per-batch reports land in a parquet staging sink
+    * (a distributed append — no driver gather of results); the
+    * returned frame is one read of it.
+    *
+    * The index copy (tag `sub_stream`) REBUILDS its base every
+    * invocation: gram appends are not idempotent (contrast st27's
+    * confluent union-find merges), so overwrite-then-replay is the
+    * recovery story — which is also the production one (a crashed
+    * ingest job replays its batches against the last committed
+    * snapshot). */
+  def st28GramMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = graft.ops.Layout.tmpPath("sub_stream", dir)
+    graft.ops.Layout.sweepStaleFor("sub_stream", dir)
+    val docs = Tables(s, dir, "documents")
+    def gramsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        posexplode(graft.ops.TextDedup.shingleHashes(col("text"), 8))
+          .as(Seq("pos", "h")))
+      .withColumn("gb", pmod(col("h"), lit(32)).cast("int"))
+    graft.Graft.writePartitioned(
+      gramsOf(Tables.spread(docs).filter($"doc_id" % 5 < 4)), "gb", path)
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-st28-out").toString + "/runs"
+    val data = docs.filter($"doc_id" % 5 === 4)
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id")
+      .as[(Long, String)].collect()
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], s2.sqlContext)
+    val q = in.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        // the batch feeds three consumers (probe, self-pair, append);
+        // checkpoint once so the MemoryStream scan runs once
+        val b = batch.localCheckpoint(true)
+        graft.ops.TextDedup.substringRunsIncrementalOver(
+            ss.read.parquet(path), b, "doc_id", "text")
+          .unionAll(graft.ops.TextDedup.substringRuns(b, "doc_id", "text"))
+          .write.mode("append").parquet(outPath)
+        graft.Graft.partitionedAppend(gramsOf(b), "gb", path)
+        ()
+      }
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val chunk = math.max(1, (data.length + 2) / 3)
+      data.grouped(chunk).foreach { c =>
+        in.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(outPath)
+      .orderBy($"id_a", $"id_b", $"start_a", $"start_b")
   }
 
   /** st16 — CHAINED stateful operators in one streaming query (two
