@@ -1284,7 +1284,9 @@ object Streams {
       .outputMode(OutputMode.Append)
       .start()
     try {
-      val chunk = math.max(1, (data.length + 2) / 3)
+      // 2 chunks exercise both pair routes (same-batch self-pair,
+      // cross-batch index probe); the replay helper's shared default
+      val chunk = math.max(1, (data.length + 1) / 2)
       data.grouped(chunk).foreach { c =>
         in.addData(c.toIndexedSeq: _*)
         q.processAllAvailable()
