@@ -231,8 +231,17 @@ object Streams {
       def blockOf(c: org.apache.spark.sql.Column,
           b: Int): org.apache.spark.sql.Column =
         shiftright(c, b * w).bitwiseAND(lit(mask))
+      // cached once: the static plan re-executes EVERY micro-batch,
+      // and each of the B bucket builds reads it — uncached that is
+      // B × batches evaluations of the (possibly expensive) standing
+      // fp derivation. The cache is index-sized (8 bytes/doc — the
+      // artifact production keeps AT REST pre-banded, per above) and
+      // lives as long as the query; callers owning `standingFps` can
+      // unpersist after stopping.
+      val fps = standingFps.select(col("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val joined = (0 until nb).foldLeft(deduped) { (acc, b) =>
-        val bucket = standingFps
+        val bucket = fps
           .groupBy(blockOf(col("fp"), b).as(s"__k$b"))
           .agg(collect_list(col("fp")).as(s"__fps$b"))
         acc.withColumn(s"__k$b", blockOf(col("__sh"), b))
