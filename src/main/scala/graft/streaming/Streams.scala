@@ -1246,24 +1246,46 @@ object Streams {
     * (a distributed append — no driver gather of results); the
     * returned frame is one read of it.
     *
-    * The index copy (tag `sub_stream`) REBUILDS its base every
-    * invocation: gram appends are not idempotent (contrast st27's
-    * confluent union-find merges), so overwrite-then-replay is the
-    * recovery story — which is also the production one (a crashed
-    * ingest job replays its batches against the last committed
-    * snapshot). */
+    * The index copy (tag `sub_stream`) RESETS to its base snapshot
+    * every invocation: gram appends are not idempotent (contrast
+    * st27's confluent union-find merges), so replay must start from
+    * the committed base — which is also the production recovery story
+    * (a crashed ingest job replays its batches against the last
+    * snapshot). The reset is METADATA-ONLY, not a rebuild:
+    * [[graft.Graft.partitionedAppend]] adds new files and never
+    * rewrites existing ones, so deleting every data file absent from
+    * the base manifest (written once at base build) restores the
+    * snapshot without re-shingling the lake. */
   def st28GramMaintenance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = graft.ops.Layout.tmpPath("sub_stream", dir)
-    graft.ops.Layout.sweepStaleFor("sub_stream", dir)
     val docs = Tables(s, dir, "documents")
     def gramsOf(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
         posexplode(graft.ops.TextDedup.shingleHashes(col("text"), 8))
           .as(Seq("pos", "h")))
       .withColumn("gb", pmod(col("h"), lit(32)).cast("int"))
-    graft.Graft.writePartitioned(
-      gramsOf(Tables.spread(docs).filter($"doc_id" % 5 < 4)), "gb", path)
+    val (lfs, rootP) = graft.internal.LayoutFs.of(s, path)
+    val manifest = new org.apache.hadoop.fs.Path(rootP, "_base_manifest")
+    def fileKeys(): Seq[String] =
+      lfs.partitionDirs(rootP, "gb").toSeq.flatMap(d =>
+        lfs.dataFiles(d).map(f => s"${d.getName}/${f.getPath.getName}"))
+    if (graft.internal.LayoutFs.markerExists(s, path, "_BASE_DONE")) {
+      val keep = lfs.readText(manifest).split("\n").filter(_.nonEmpty).toSet
+      lfs.partitionDirs(rootP, "gb").foreach { d =>
+        lfs.dataFiles(d).foreach { f =>
+          if (!keep.contains(s"${d.getName}/${f.getPath.getName}"))
+            lfs.deleteFile(f.getPath)
+        }
+        if (lfs.dataFiles(d).isEmpty) lfs.rmTree(d) // append-born dir
+      }
+    } else {
+      graft.ops.Layout.sweepStaleFor("sub_stream", dir)
+      graft.Graft.writePartitioned(
+        gramsOf(Tables.spread(docs).filter($"doc_id" % 5 < 4)), "gb", path)
+      lfs.writeText(manifest, fileKeys().mkString("\n"))
+      graft.internal.LayoutFs.touchMarker(s, path, "_BASE_DONE")
+    }
     val outPath = java.nio.file.Files
       .createTempDirectory("graft-st28-out").toString + "/runs"
     val data = docs.filter($"doc_id" % 5 === 4)
