@@ -312,7 +312,8 @@ object SparkEntry {
     "d28_inc_substring" -> (TextDedup.d28IncSubstringRuns _),
     "s31_ivf_migrate" -> (Similarity.s31MigratedSearch _),
     "d29_gram_purge" -> (TextDedup.d29GramPurge _),
-    "st28_gram_maint" -> (streaming.Streams.st28GramMaintenance _)
+    "st28_gram_maint" -> (streaming.Streams.st28GramMaintenance _),
+    "m12_resample" -> (Multimodal.m12Resample _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -2114,6 +2115,32 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(count(*) AS BIGINT) AS n_samples,
         |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m12: m09's lossless-PCM oracle restricted to the kept samples
+    // (t = 2u — stride-2 decimation), zero-cross lag over the
+    // DECIMATED sequence, sample_rate pinned 4000: the engine reads
+    // it from the re-encoded file's parsed fmt chunk, so a resampler
+    // that wrote a stale header surfaces here.
+    "m12_resample" ->
+      """WITH p AS (
+        |  SELECT doc_id, u.range AS u,
+        |    ((doc_id * 7 + 13) * (2 * u.range + 5) * (2 * u.range + 11)
+        |      + doc_id * 17) % 4001 - 2000 AS v
+        |  FROM documents CROSS JOIN range(80) u
+        |  WHERE 2 * u.range < 64 + (doc_id % 4) * 32),
+        |z AS (
+        |  SELECT doc_id, u, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY u) AS pv
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(4000 AS BIGINT) AS sample_rate,
         |  CAST(sum(v) AS BIGINT) AS sum_amp,
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0

@@ -195,6 +195,10 @@ private[graft] object SwapJournal {
     * intact). */
   def recover(lfs: LayoutFs, root: Path, staging: Path): Unit = {
     val j = journalPath(root)
+    // a torn half-written journal cannot exist: the writer lands it
+    // under a temp name and renames into place, so a .tmp here is a
+    // pre-commit crash — discard it, originals are authoritative
+    lfs.deleteFile(new Path(root, JournalName + ".tmp"))
     if (lfs.exists(j)) {
       val (prevStagingName, plan) = parse(lfs.readText(j))
       val prevStaging = new Path(root.getParent, prevStagingName)
@@ -205,11 +209,14 @@ private[graft] object SwapJournal {
     lfs.rmTree(staging)
   }
 
-  /** Commit the swap: durable journal first, then the move-in /
-    * delete / drop replay, then cleanup. */
+  /** Commit the swap: durable journal first (written to a temp name,
+    * renamed into place — the journal either exists whole or not at
+    * all), then the move-in / delete / drop replay, then cleanup. */
   def commit(lfs: LayoutFs, root: Path, staging: Path, plan: Plan): Unit = {
     val j = journalPath(root)
-    lfs.writeText(j, serialize(staging.getName, plan))
+    val tmp = new Path(root, JournalName + ".tmp")
+    lfs.writeText(tmp, serialize(staging.getName, plan))
+    lfs.fs.rename(tmp, j): Unit
     apply(lfs, root, staging, plan)
     lfs.deleteFile(j)
     lfs.rmTree(staging)

@@ -653,6 +653,25 @@ object Multimodal {
     * output is the PARSED fmt-chunk value, so the oracle's pinned
     * 8000 proves the header round-trip, not just the payload. */
   def decodeWavStats(docId: Long, wav: Array[Byte]): AudioStats = {
+    val (sampleRate, samples) = decodeWavSamples(wav)
+    var sum = 0L; var sumAbs = 0L; var zc = 0L; var peak = 0L
+    var prev = 0; var t = 0
+    while (t < samples.length) {
+      val v = samples(t).toInt
+      sum += v; sumAbs += math.abs(v)
+      if (t > 0 && v.toLong * prev < 0) zc += 1
+      if (math.abs(v) > peak) peak = math.abs(v)
+      prev = v
+      t += 1
+    }
+    AudioStats(docId, samples.length.toLong, sampleRate.toLong,
+      sum, sumAbs, zc, peak)
+  }
+
+  /** The WAV chunk walk alone: parsed sample rate + the raw int16
+    * mono samples — the decode seam [[decodeWavStats]] computes its
+    * stats over and m12's resampler transforms. */
+  def decodeWavSamples(wav: Array[Byte]): (Int, Array[Short]) = {
     val buf = java.nio.ByteBuffer.wrap(wav)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {
@@ -682,18 +701,36 @@ object Multimodal {
       s"expected 16-bit mono PCM, got fmt=$fmt ch=$channels bits=$bits")
     require(dataOff >= 0 && dataLen % 2 == 0, "missing/odd data chunk")
     val n = dataLen / 2
-    var sum = 0L; var sumAbs = 0L; var zc = 0L; var peak = 0L
-    var prev = 0; var t = 0
+    val samples = new Array[Short](n)
     buf.position(dataOff)
-    while (t < n) {
-      val v = buf.getShort.toInt
-      sum += v; sumAbs += math.abs(v)
-      if (t > 0 && v.toLong * prev < 0) zc += 1
-      if (math.abs(v) > peak) peak = math.abs(v)
-      prev = v
-      t += 1
-    }
-    AudioStats(docId, n.toLong, sampleRate.toLong, sum, sumAbs, zc, peak)
+    var t = 0
+    while (t < n) { samples(t) = buf.getShort; t += 1 }
+    (sampleRate, samples)
+  }
+
+  /** m12 — audio RESAMPLING through the real codec: decode the 8 kHz
+    * WAV, stride-2 DECIMATE to 4 kHz (naive drop-sample decimation,
+    * no anti-alias filter — documented: the synthetic signal carries
+    * no band structure to protect, and the Spark-side shape — a pure
+    * per-row transform in mapPartitions, codec work never leaving the
+    * task — is the point), RE-ENCODE at the halved rate, decode
+    * again, and emit the waveform statistics of the result. The row
+    * therefore proves the transform AND the codec roundtrip under
+    * transformation: a resampler that wrote a stale fmt header, an
+    * off-by-one stride, or a truncated data chunk hash-fails. Oracle:
+    * the m09 synthesis statistics restricted to even t (t = 2u), with
+    * sample_rate pinned 4000 — read back from the re-encoded file's
+    * parsed fmt chunk, never assumed. */
+  def m12Resample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, samples) = decodeWavSamples(encodeWav(synthPcm(id), 8000))
+        val dec = Array.tabulate((samples.length + 1) / 2)(u => samples(2 * u))
+        decodeWavStats(id, encodeWav(dec, rate / 2))
+      })
+      .toDF()
+      .orderBy($"doc_id")
   }
 
   // ---- real multi-frame container path (m10) ----
