@@ -1260,9 +1260,13 @@ object TextDedup {
       buckets: Int = 32): DataFrame = {
     require(minRunTokens >= k,
       s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    // checkpointed once: four consumers (bucket probe, hash semi-join,
+    // frequency gate, pair join) would otherwise re-shingle the batch
+    // per consumer; the checkpoint is batch-gram-sized
     val bg = batch
       .select(col(idCol).as("__bid"),
         posexplode(shingleHashes(col(textCol), k)).as(Seq("bpos", "h")))
+      .localCheckpoint(true)
     val probeBuckets = bg
       .select(pmod(col("h"), lit(buckets)).cast("int").as("gb"))
       .distinct().collect().map(_.getInt(0)).sorted
