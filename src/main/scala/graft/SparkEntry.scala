@@ -313,7 +313,8 @@ object SparkEntry {
     "s31_ivf_migrate" -> (Similarity.s31MigratedSearch _),
     "d29_gram_purge" -> (TextDedup.d29GramPurge _),
     "st28_gram_maint" -> (streaming.Streams.st28GramMaintenance _),
-    "m12_resample" -> (Multimodal.m12Resample _)
+    "m12_resample" -> (Multimodal.m12Resample _),
+    "t42_curriculum" -> (TextAnalysis.t42Curriculum _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -2121,6 +2122,15 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t42: the single-node spelling of the same total order — an
+    // un-partitioned row_number, exactly the plan the engine's
+    // distributed two-pass ordinal exists to avoid.
+    "t42_curriculum" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+        |    AS BIGINT) AS ordinal,
+        |  doc_id, n_chars
+        |FROM documents ORDER BY ordinal""".stripMargin,
 
     // m12: m09's lossless-PCM oracle restricted to the kept samples
     // (t = 2u — stride-2 decimation), zero-cross lag over the

@@ -1057,4 +1057,25 @@ object TextAnalysis {
       .withColumn("dup_permille", expr("1000L * n_dup div n_grams"))
       .orderBy($"doc_id")
   }
+
+  /** t42 — shortest-first CURRICULUM ordering of the corpus under the
+    * oracle gate: every document's global rank in the
+    * (n_chars, doc_id) total order, via [[graft.Graft.globalOrdinal]]
+    * — the range-partition + per-partition-index + offset-join
+    * pattern, NOT a single-partition `row_number() OVER (ORDER BY …)`
+    * (which is what the DuckDB oracle spells, single-node engines
+    * being exactly where that spelling belongs). The doc_id tiebreak
+    * makes the order total, which is what makes the ordinal
+    * deterministic and placement-independent; a boundary drift in the
+    * range sampler, a wrong partition-id decode, or a dropped offset
+    * all hash-fail. Length-ascending is the classic curriculum
+    * schedule; any total-order key column list works. */
+  def t42Curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.globalOrdinal(
+        Tables(s, dir, "documents").select($"doc_id", $"n_chars"),
+        Seq(col("n_chars"), col("doc_id")))
+      .select($"ordinal", $"doc_id", $"n_chars")
+      .orderBy($"ordinal")
+  }
 }

@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions._
 class GraftFacadeSpec extends SparkSuiteBase {
   import spark.implicits._
 
+  test("globalOrdinal: contiguous 0..n-1 total-order ranks across many partitions, window-free") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 1000).toDF("id")
+      .select((col("id") % 7).as("k"), col("id"))
+    val out = graft.Graft.globalOrdinal(df, Seq(col("k"), col("id")),
+      parts = 8)
+    val rows = out.orderBy(col("ordinal"))
+      .select(col("ordinal"), col("k"), col("id"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (0L until 1000L),
+      "ordinals must be the contiguous 0..n-1 global ranks")
+    val keys = rows.map(r => (r._2, r._3)).toSeq
+    assert(keys == keys.sorted,
+      "ordinal order must equal the (k, id) total order")
+    // the point of the two-pass shape: no window operator anywhere —
+    // an un-partitioned row_number would sort the corpus in ONE task
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "globalOrdinal must not plan a window")
+  }
+
   test("topKPerGroup keeps k rows per group with deterministic ties") {
     val df = Seq((1, "a", 10.0), (1, "b", 10.0), (1, "c", 5.0), (2, "d", 1.0))
       .toDF("g", "id", "score")
