@@ -314,7 +314,8 @@ object SparkEntry {
     "d29_gram_purge" -> (TextDedup.d29GramPurge _),
     "st28_gram_maint" -> (streaming.Streams.st28GramMaintenance _),
     "m12_resample" -> (Multimodal.m12Resample _),
-    "t42_curriculum" -> (TextAnalysis.t42Curriculum _)
+    "t42_curriculum" -> (TextAnalysis.t42Curriculum _),
+    "t43_corpus_shuffle" -> (TextAnalysis.t43CorpusShuffle _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -2130,6 +2131,16 @@ object SparkEntry {
       """SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
         |    AS BIGINT) AS ordinal,
         |  doc_id, n_chars
+        |FROM documents ORDER BY ordinal""".stripMargin,
+
+    // t43: the same total order spelled single-node — both engines'
+    // md5 emits identical lowercase hex over identical integer-string
+    // bytes (the t08 convention), so the permutation matches exactly.
+    "t43_corpus_shuffle" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS ordinal,
+        |  doc_id
         |FROM documents ORDER BY ordinal""".stripMargin,
 
     // m12: m09's lossless-PCM oracle restricted to the kept samples

@@ -1078,4 +1078,26 @@ object TextAnalysis {
       .select($"ordinal", $"doc_id", $"n_chars")
       .orderBy($"ordinal")
   }
+
+  /** t43 — DETERMINISTIC corpus shuffle under the oracle gate: each
+    * document's position in a salted-md5 total order, via
+    * [[graft.Graft.globalOrdinal]] — the reproducible training-data
+    * shuffle (same permutation every run, every engine, resumable by
+    * ordinal cursor — what `ORDER BY rand()` can never give and a
+    * single-partition `row_number` cannot give at scale). The salt
+    * prefix decouples this permutation from t08's split buckets and
+    * t13's stratified order (different salted hashes = independent
+    * permutations — the multi-epoch reshuffle knob: bump the salt per
+    * epoch). md5 hex is the t08 cross-engine hash convention; doc_id
+    * tiebreak totalizes (md5 collisions notwithstanding). */
+  def t43CorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables(s, dir, "documents")
+      .select($"doc_id",
+        md5(concat(lit("shuf:"), $"doc_id".cast("string"))
+          .cast("binary")).as("__skey"))
+    graft.Graft.globalOrdinal(keyed, Seq(col("__skey"), col("doc_id")))
+      .select($"ordinal", $"doc_id")
+      .orderBy($"ordinal")
+  }
 }
