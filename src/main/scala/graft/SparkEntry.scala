@@ -315,7 +315,8 @@ object SparkEntry {
     "st28_gram_maint" -> (streaming.Streams.st28GramMaintenance _),
     "m12_resample" -> (Multimodal.m12Resample _),
     "t42_curriculum" -> (TextAnalysis.t42Curriculum _),
-    "t43_corpus_shuffle" -> (TextAnalysis.t43CorpusShuffle _)
+    "t43_corpus_shuffle" -> (TextAnalysis.t43CorpusShuffle _),
+    "m13_keyframes" -> (Multimodal.m13Keyframes _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -2142,6 +2143,40 @@ object SparkEntry {
         |    AS BIGINT) AS ordinal,
         |  doc_id
         |FROM documents ORDER BY ordinal""".stripMargin,
+
+    // m13: the kept-frame set recomputed from the lossless synthesis
+    // formula — per-frame (sum, n_px) lag-compared under the SAME
+    // strict integer cross-multiplication; a selector that used
+    // absolute sums (size-dominated) or a float mean would hash-fail.
+    "m13_keyframes" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        |fr AS (
+        |  SELECT doc_id, f.range AS f,
+        |    (doc_id % 50) * 7 + f.range * 3 + 1 AS pid
+        |  FROM d CROSS JOIN range(5) f
+        |  WHERE f.range < 3 + doc_id % 3),
+        |px AS (
+        |  SELECT doc_id, f, pid, x.range AS x, y.range AS y
+        |  FROM fr CROSS JOIN range(24) x CROSS JOIN range(16) y
+        |  WHERE x.range < 8 * (1 + pid % 3)
+        |    AND y.range < 8 * (1 + pid % 2)),
+        |sums AS (
+        |  SELECT doc_id, f,
+        |    sum(((pid+1) * (x+3) * (y+7) + pid*7) % 199
+        |      + ((pid+2) * (x+5) * (y+11) + pid*11) % 199
+        |      + ((pid+3) * (x+7) * (y+13) + pid*13) % 199) AS s_sum,
+        |    count(*) AS n_px
+        |  FROM px GROUP BY doc_id, f),
+        |lagged AS (
+        |  SELECT doc_id, f, s_sum, n_px,
+        |    lag(s_sum) OVER (PARTITION BY doc_id ORDER BY f) AS ps,
+        |    lag(n_px) OVER (PARTITION BY doc_id ORDER BY f) AS pn
+        |  FROM sums)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        |  CAST(s_sum AS BIGINT) AS s_sum, CAST(n_px AS BIGINT) AS n_px
+        |FROM lagged
+        |WHERE f = 0 OR abs(s_sum * pn - ps * n_px) * 16 > ps * n_px
+        |ORDER BY doc_id, frame""".stripMargin,
 
     // m12: m09's lossless-PCM oracle restricted to the kept samples
     // (t = 2u — stride-2 decimation), zero-cross lag over the

@@ -825,6 +825,82 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** The container index walk alone: the ordered PNG frame payloads —
+    * the seam [[demuxStats]]'s stride sampler and m13's adaptive
+    * keyframe selector both slice by. */
+  def demuxFrames(container: Array[Byte]): Seq[Array[Byte]] = {
+    val buf = java.nio.ByteBuffer.wrap(container)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GFTV", "bad container magic")
+    val n = buf.getInt
+    require(n >= 1 && n <= 1024, s"implausible frame count $n")
+    val offs = Array.fill(n)(buf.getInt)
+    (0 until n).map { f =>
+      val until = if (f + 1 < n) offs(f + 1) else container.length
+      java.util.Arrays.copyOfRange(container, offs(f), until)
+    }
+  }
+
+  /** One decoded frame's scene-change metric: total r+g+b sum and
+    * pixel count — the pair the strict cross-multiplied mean compare
+    * runs on (frames vary in size, so ABSOLUTE sums are dominated by
+    * dimensions; integer-exact mean comparison needs no division). */
+  private def frameSum(png: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    var s = 0L; var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    (s, img.getWidth.toLong * img.getHeight)
+  }
+
+  case class KeyFrame(doc_id: Long, frame: Long, s_sum: Long, n_px: Long)
+
+  /** m13 — CONTENT-ADAPTIVE keyframe selection (the video-curation
+    * pass m10's fixed stride cannot express: a slideshow wants one
+    * frame per scene, not every second frame): demux the real
+    * container by its index, decode EVERY frame, and keep frame 0
+    * plus every frame whose mean brightness moves more than 1/16
+    * relative to its predecessor — the scene-change test, spelled as
+    * the strict integer cross-multiplication
+    * |S_f·N_{f−1} − S_{f−1}·N_f| · 16 > S_{f−1}·N_f (no floats, no
+    * division; frames of different sizes compare by MEANS). On this
+    * corpus the gate keeps ~37% of frames with 1–4 survivors per
+    * container (probed at every SF) — a genuine selection, not a
+    * pass-through. PNG is lossless, so the oracle recomputes the
+    * kept set and its metrics straight from the frame-synthesis
+    * formula with the identical lag inequality. Scale shape:
+    * embarrassingly parallel mapPartitions — container walk, decodes,
+    * and the per-container lag scan never leave the task (a container
+    * is one row; its frame sequence is task-local by construction). */
+  def m13Keyframes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select($"doc_id").as[Long]
+      .filter(_ % 10 == 0)
+      .mapPartitions(_.flatMap { id =>
+        val n = (3 + id % 3).toInt
+        val frames = (0 until n).map(f =>
+          encodePng(synthImage((id % 50) * 7 + f * 3 + 1,
+            offset = 0, perturb = false)))
+        val sums = demuxFrames(encodeContainer(frames)).map(frameSum)
+        sums.zipWithIndex.collect {
+          case ((sm, np), f) if f == 0 || {
+            val (ps, pn) = sums(f - 1)
+            math.abs(sm * pn - ps * np) * 16L > ps * np
+          } => KeyFrame(id, f.toLong, sm, np)
+        }
+      })
+      .toDF()
+      .orderBy($"doc_id", $"frame")
+  }
+
   /** m09 — REAL audio codec pipeline (the `javax.imageio` discipline
     * applied to sound): per document a deterministic 16-bit PCM
     * waveform is synthesized, encoded to honest RIFF/WAV bytes
