@@ -316,7 +316,8 @@ object SparkEntry {
     "m12_resample" -> (Multimodal.m12Resample _),
     "t42_curriculum" -> (TextAnalysis.t42Curriculum _),
     "t43_corpus_shuffle" -> (TextAnalysis.t43CorpusShuffle _),
-    "m13_keyframes" -> (Multimodal.m13Keyframes _)
+    "m13_keyframes" -> (Multimodal.m13Keyframes _),
+    "st29_ivf_maint" -> (streaming.Streams.st29IvfMaintenance _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -517,6 +518,11 @@ object SparkEntry {
       // incremental build must not change the answer, so it shares
       // s02's from-scratch oracle verbatim (the s25 discipline).
       ("s26_ivf_append" -> base("s02_ivf_topk")) +
+      // st29 maintains the IVF posting layout from a STREAM of
+      // embedding micro-batches; streamed maintenance must not change
+      // the answer, so it shares s02's from-scratch oracle verbatim
+      // (s26's argument at micro-batch cadence).
+      ("st29_ivf_maint" -> base("s02_ivf_topk")) +
       // s28 compacts the appended IVF layout in place; compaction is
       // answer-invariant, so it shares the same from-scratch oracle.
       ("s28_ivf_compact" -> base("s02_ivf_topk")) +

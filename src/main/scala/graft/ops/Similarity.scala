@@ -569,7 +569,7 @@ object Similarity {
     * corpus-independent. */
   private[graft] def s13PrunedScan(s: SparkSession, path: String,
       probeSigs: Seq[Int]): DataFrame =
-    s.read.parquet(path).filter(col("sig").isin(probeSigs: _*))
+    graft.Graft.readSnapshot(s, path).filter(col("sig").isin(probeSigs: _*))
 
   /** s13 — s12's ANN search OVER THE AT-REST INDEX: same probe set,
     * same scoring, same oracle (the layout must not change the
@@ -812,10 +812,19 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** st29's seams into the IVF family: cell assignment under a frozen
+    * centroid model and the shared at-rest search, exposed to the
+    * streaming maintainer
+    * ([[graft.streaming.Streams.st29IvfMaintenance]]). */
+  private[graft] def assignCells(df: DataFrame, cent: DataFrame): DataFrame =
+    s26Assign(df, cent)
+  private[graft] def ivfSearchAt(s: SparkSession, dir: String,
+      path: String): DataFrame = ivfSearchOver(s, dir, path)
+
   private def ivfSearchOver(s: SparkSession, dir: String,
       path: String): DataFrame =
     ivfSearchCorpus(s, dir, cells =>
-      s.read.parquet(path).filter(col("cell").isin(cells: _*)))
+      graft.Graft.readSnapshot(s, path).filter(col("cell").isin(cells: _*)))
 
   /** s28's own IVF base+append layout copy (tag `ivf_cmp`) — the s27
     * argument: compaction mutates the directory in place, so it must
@@ -1034,14 +1043,14 @@ object Similarity {
     val cent = s31Centroids(s, dir)
     val scratch = s26Assign(emb, cent.select(
       $"centroid_id", $"c"))
-    val atRest = s.read.parquet(path)
+    val atRest = graft.Graft.readSnapshot(s, path)
       .select($"vec_id", $"embedding", $"cell")
     val disagree = atRest.exceptAll(scratch).count() +
       scratch.exceptAll(atRest).count()
     require(disagree == 0,
       "migrated IVF layout diverged from from-scratch assignment")
     ivfSearchCorpusWith(s, dir, cent, cells =>
-      s.read.parquet(path).filter(col("cell").isin(cells: _*)))
+      graft.Graft.readSnapshot(s, path).filter(col("cell").isin(cells: _*)))
   }
 
   /** Generated DuckDB oracle for s12 — the d05 exactness rules

@@ -1207,6 +1207,7 @@ object TextDedup {
         "gb", path)
       graft.Graft.partitionedAppend(grams.filter($"doc_id" % 10 === 7),
         "gb", path)
+      writeGramBuckets(s, path, 32)
       graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
     }
     path
@@ -1245,9 +1246,41 @@ object TextDedup {
   def substringRunsIncremental(s: SparkSession, indexPath: String,
       batch: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minRunTokens: Int = 20, maxGramFreq: Int = 64,
-      buckets: Int = 32): DataFrame =
+      buckets: Int = 32): DataFrame = {
+    validateGramBuckets(s, indexPath, buckets)
     substringRunsIncrementalOver(s.read.parquet(indexPath), batch,
       idCol, textCol, k, minRunTokens, maxGramFreq, buckets)
+  }
+
+  /** Sidecar name recording a gram index's build-time bucket count. */
+  private val GramBucketsSidecar = "_GRAM_BUCKETS"
+
+  /** Record the bucket count a gram index was built with — probing
+    * with a DIFFERENT count makes the `gb isin` partition prune
+    * silently drop real cross runs, so the probe must be able to
+    * check, not assume (advisor r18). */
+  private[graft] def writeGramBuckets(s: SparkSession, indexPath: String,
+      buckets: Int): Unit = {
+    val (lfs, root) = graft.internal.LayoutFs.of(s, indexPath)
+    lfs.mkdirs(root)
+    lfs.writeText(new org.apache.hadoop.fs.Path(root, GramBucketsSidecar),
+      buckets.toString)
+  }
+
+  /** Validate a probe's `buckets` parameter against the index's
+    * recorded build-time count. Quiet when the sidecar is absent
+    * (pre-sidecar layouts keep reading); loud on a mismatch. */
+  private[graft] def validateGramBuckets(s: SparkSession, indexPath: String,
+      buckets: Int): Unit = {
+    val (lfs, root) = graft.internal.LayoutFs.of(s, indexPath)
+    val p = new org.apache.hadoop.fs.Path(root, GramBucketsSidecar)
+    if (lfs.exists(p)) {
+      val built = lfs.readText(p).trim.toInt
+      require(built == buckets,
+        s"gram index at $indexPath was built with $built buckets; " +
+          s"probing with $buckets would silently drop cross runs")
+    }
+  }
 
   /** [[substringRunsIncremental]] over an index FRAME instead of a
     * path — the seam d29 probes the tombstone-MASKED index through
@@ -1278,7 +1311,11 @@ object TextDedup {
       .join(bg.groupBy(col("h")).agg(count(lit(1)).as("__nb")), Seq("h"))
       .filter(col("__nl") + col("__nb") <= lit(maxGramFreq))
       .select(col("h"))
+    // a batch doc whose id already exists in the lake (a re-crawl)
+    // must not pair with its own index rows — without this it emits
+    // full-length self-runs with id_a == id_b (advisor r18)
     val pairs = lakeCand.join(okH, Seq("h")).join(bg, Seq("h"))
+      .filter(col("__lid") =!= col("__bid"))
       .select(
         when(col("__lid") < col("__bid"), col("__lid"))
           .otherwise(col("__bid")).as("id_a"),
@@ -1327,6 +1364,7 @@ object TextDedup {
         "gb", path)
       graft.Graft.partitionedAppend(grams.filter($"doc_id" % 10 === 7),
         "gb", path)
+      writeGramBuckets(s, path, 32)
       graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
     }
     path
@@ -1366,13 +1404,14 @@ object TextDedup {
       .distinct()
     graft.Graft.tombstone(path, tomb, "doc_id", "gb")
     val batch = docs.filter($"doc_id" % 5 === 4)
+    validateGramBuckets(s, path, 32)
     def probe(idx: DataFrame) =
       substringRunsIncrementalOver(idx, batch, "doc_id", "text")
         .orderBy($"id_a", $"id_b", $"start_a", $"start_b")
     val masked = probe(graft.Graft.readMasked(s, path, "doc_id"))
       .localCheckpoint(true)
     graft.Graft.compactOut(s, path, "gb", "doc_id"): Unit
-    val afterDf = probe(s.read.parquet(path))
+    val afterDf = probe(graft.Graft.readSnapshot(s, path))
     val disagree = masked.exceptAll(afterDf).count() +
       afterDf.exceptAll(masked).count()
     require(disagree == 0,
@@ -1513,7 +1552,7 @@ object TextDedup {
     val masked = dedupAgainst(
       graft.Graft.readMasked(s, path, "content_hash")).localCheckpoint(true)
     graft.Graft.compactOut(s, path, "hb", "content_hash"): Unit
-    val afterDf = dedupAgainst(s.read.parquet(path))
+    val afterDf = dedupAgainst(graft.Graft.readSnapshot(s, path))
     // symmetric multiset difference — zero rows both ways is exact
     // equality, computed as two distributed anti-aggregations
     val disagree = masked.exceptAll(afterDf).count() +

@@ -28,6 +28,16 @@ class GraftFacadeSpec extends SparkSuiteBase {
       "globalOrdinal must not plan a window")
   }
 
+  test("globalOrdinal: helper-column collision fails loudly instead of mis-ranking") {
+    val df = spark.range(0, 10).toDF("id")
+      .withColumn("ordinal", col("id") * 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.Graft.globalOrdinal(df, Seq(col("id")), parts = 2)
+    }
+    assert(e.getMessage.contains("ordinal"),
+      s"collision error must name the clashing column: ${e.getMessage}")
+  }
+
   test("topKPerGroup keeps k rows per group with deterministic ties") {
     val df = Seq((1, "a", 10.0), (1, "b", 10.0), (1, "c", 5.0), (2, "d", 1.0))
       .toDF("g", "id", "score")

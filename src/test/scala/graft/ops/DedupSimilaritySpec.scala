@@ -791,4 +791,42 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       k = 4, minRunTokens = 10, maxGramFreq = 6)
     assert(uncapped.count() == 15, "6 identical docs -> C(6,2) full-length runs")
   }
+
+  test("d28 incremental: a re-crawled doc_id never self-pairs; bucket-count mismatch aborts loudly") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val lake = Seq(
+      (1L, "one two three four five " + run + " tail1 tail2"),
+      (4L, "unrelated content that shares no gram with anything else at all")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-d28idx").toString + "/idx"
+    val grams = lake.select($"doc_id",
+        posexplode(TextDedup.shingleHashes($"text", 4)).as(Seq("pos", "h")))
+      .withColumn("gb", pmod($"h", lit(32)).cast("int"))
+    graft.Graft.writePartitioned(grams, "gb", path)
+    TextDedup.writeGramBuckets(spark, path, 32)
+    // the batch RE-CRAWLS doc 1 (same id, same text) and adds doc 2
+    // sharing the run — without the id_a =!= id_b guard the re-crawl
+    // emits a full-length self-run (advisor r18)
+    val batch = Seq(
+      (1L, "one two three four five " + run + " tail1 tail2"),
+      (2L, run + " other words here")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.substringRunsIncremental(spark, path, batch,
+        "doc_id", "text", k = 4, minRunTokens = 10)
+      .orderBy($"id_a", $"id_b", $"start_a")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(!got.exists(r => r._1 == r._2),
+      s"re-crawled doc self-paired: $got")
+    assert(got.contains((1L, 2L, 5L, 0L, 12L)),
+      s"cross run must survive the self-pair guard: $got")
+    // probing with a different bucket count would silently drop cross
+    // runs via the gb isin prune — the recorded sidecar must refuse
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.substringRunsIncremental(spark, path, batch,
+        "doc_id", "text", k = 4, minRunTokens = 10, buckets = 16)
+    }
+    assert(e.getMessage.contains("built with 32"),
+      s"mismatch must name the recorded count: ${e.getMessage}")
+  }
 }

@@ -300,6 +300,37 @@ class StreamsSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("nearDupIngestGate: duplicate standing fps change nothing, and the fp cache is registered + releasable") {
+    implicit val sc = spark.sqlContext
+    Streams.releaseGateCaches(): Unit // drain caches from other tests
+    val in = MemoryStream[(Long, Timestamp, String)]
+    // a crawl lake is full of exact duplicates — identical texts give
+    // identical fps; the gate's answer must not depend on multiplicity
+    // (the distinct-before-banding contract, advisor r18)
+    val standing = Seq.fill(4)("the quick brown fox jumps over the lazy dog")
+      .toDF("t")
+      .select(graft.ops.TextDedup.simhash($"t").as("fp"))
+    def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val q = Streams.nearDupIngestGate(
+        in.toDF().toDF("doc_id", "ts", "text"), standing, maxHamming = 6)
+      .writeStream.format("memory").queryName("gatedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (1L, t(1), "the quick brown fox jumps over the lazy dog"),
+        (2L, t(2), "completely different content about spark plans"))
+      q.processAllAvailable()
+      val admitted = spark.sql("SELECT doc_id FROM gatedup")
+        .as[Long].collect().toSeq.sorted
+      assert(admitted == Seq(2L), s"gate admitted $admitted")
+    } finally q.stop()
+    // the gate registered its persisted distinct-fp frame; the owner
+    // can free it after stopping — and the registry drains
+    assert(Streams.releaseGateCaches() >= 1,
+      "gate must register its fp cache for release")
+    assert(Streams.releaseGateCaches() == 0)
+  }
+
   test("file-queue stream reads docs and archives consumed files (S6)") {
     val in = Files.createTempDirectory("graft-stream-in")
     val archive = Files.createTempDirectory("graft-stream-archive")
