@@ -1384,15 +1384,26 @@ object Streams {
       }
       .outputMode(OutputMode.Append)
       .start()
-    try {
+    val chunks = {
       // 2 chunks exercise both pair routes (same-batch self-pair,
       // cross-batch index probe); the replay helper's shared default
       val chunk = math.max(1, (data.length + 1) / 2)
-      data.grouped(chunk).foreach { c =>
+      data.grouped(chunk).toSeq
+    }
+    try {
+      chunks.foreach { c =>
         in.addData(c.toIndexedSeq: _*)
         q.processAllAvailable()
       }
     } finally q.stop()
+    // re-deliver the final micro-batch with its original batchId (the
+    // checkpointed-source retry); the gate must no-op it — a blind
+    // re-run would duplicate the report rows AND the index grams, and
+    // the oracle below would hash-fail on the doubled runs (the st29
+    // discipline: exactly-once proven in the gated answer itself)
+    st28ApplyBatch(path, outPath,
+      chunks.last.toSeq.toDF("doc_id", "text"),
+      (chunks.length - 1).toLong)
     s.read.parquet(outPath)
       .orderBy($"id_a", $"id_b", $"start_a", $"start_b")
   }
@@ -1482,14 +1493,26 @@ object Streams {
       }
       .outputMode(OutputMode.Append)
       .start()
+    val chunks = {
+      val chunk = math.max(1, (data.length + 1) / 2)
+      data.grouped(chunk).toSeq
+    }
     try {
       // 2 chunks: a same-batch and a cross-batch append both occur
-      val chunk = math.max(1, (data.length + 1) / 2)
-      data.grouped(chunk).foreach { c =>
+      chunks.foreach { c =>
         in.addData(c.toIndexedSeq: _*)
         q.processAllAvailable()
       }
     } finally q.stop()
+    // RE-DELIVER the final micro-batch through the same body with its
+    // original batchId — the retry a checkpointed source performs
+    // after a sink-side failure. The BatchIdJournal gate must no-op
+    // it; a double-append would put duplicate postings in the probed
+    // cells and the oracle-gated search below would hash-fail. This
+    // makes exactly-once an ORACLE-GATED property, not only a spec.
+    st29ApplyBatch(path, centRows,
+      chunks.last.toSeq.toDF("vec_id", "embedding"),
+      (chunks.length - 1).toLong)
     graft.ops.Similarity.ivfSearchAt(s, dir, path)
   }
 
@@ -1837,13 +1860,22 @@ object Streams {
       }
       .outputMode(OutputMode.Append)
       .start()
-    try {
+    val chunks = {
       val chunk = math.max(1, (data.length + 2) / 3)
-      data.grouped(chunk).foreach { c =>
+      data.grouped(chunk).toSeq
+    }
+    try {
+      chunks.foreach { c =>
         in.addData(c.toIndexedSeq: _*)
         q.processAllAvailable()
       }
     } finally q.stop()
+    // re-deliver the final micro-batch (checkpointed-source retry):
+    // the batchId gate must no-op it — an ADDITIVE hdr re-merge would
+    // double every bucket count and the quantile oracle would fail
+    maintainer.apply(
+      chunks.last.toSeq.toDF("event_id", "event_type", "cents"),
+      (chunks.length - 1).toLong)
     val sketch = s.read.parquet(maintainer.currentPath)
     val out = graft.Graft.hdrQuantilesFromBuckets(sketch, "event_type",
         Seq(500, 950, 990))
@@ -1904,13 +1936,23 @@ object Streams {
       }
       .outputMode(OutputMode.Append)
       .start()
-    try {
+    val chunks = {
       val chunk = math.max(1, (data.length + 2) / 3)
-      data.grouped(chunk).foreach { c =>
+      data.grouped(chunk).toSeq
+    }
+    try {
+      chunks.foreach { c =>
         in.addData(c.toIndexedSeq: _*)
         q.processAllAvailable()
       }
     } finally q.stop()
+    // re-deliver the final micro-batch (checkpointed-source retry):
+    // HLL's register max happens to be idempotent, but the uniform
+    // exactly-once discipline still gates it — the no-op is pinned by
+    // the generation NOT advancing (BatchReplaySpec) and the oracle
+    // stays the from-scratch register rebuild either way
+    maintainer.apply(chunks.last.toSeq.toDF("event_id", "user_id"),
+      (chunks.length - 1).toLong)
     val out = s.read.parquet(maintainer.currentPath)
       .orderBy($"bucket")
       .localCheckpoint(true)

@@ -91,6 +91,36 @@ class SnapshotReadSpec extends SparkSuiteBase {
       s"snapshot read must include post-swap appends, got $snap")
   }
 
+  test("manifest-pinned read keeps plan-time partition pruning (the index-probe property)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-snapp").toString + "/idx"
+    graft.Graft.writePartitioned(
+      (0L until 40L).map(i => (i, (i % 4).toInt, s"p$i"))
+        .toDF("id", "sig", "payload"),
+      "sig", path)
+    // two files in sig=0 so compactIndex has work to do -> manifest
+    graft.Graft.partitionedAppend(
+      Seq((100L, 0, "x")).toDF("id", "sig", "payload"), "sig", path)
+    graft.Graft.compactIndex(spark, path, "sig"): Unit
+    val (lfs, root) = LayoutFs.of(spark, path)
+    assert(SnapshotManifest.exists(lfs, root))
+    val probe = graft.Graft.readSnapshot(spark, path)
+      .filter(col("sig") === 2)
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a file scan")
+    val partitions = scans.map(_.relation.location
+      .listFiles(Nil, Nil).length).sum
+    val pruned = scans.map { sc =>
+      sc.relation.location.listFiles(sc.partitionFilters, Nil).length
+    }.sum
+    assert(partitions == 4, s"manifest read must discover 4 partitions, got $partitions")
+    assert(pruned == 1,
+      s"sig=2 must prune the manifest-listed scan to 1 partition, got $pruned")
+    assert(probe.count() == 10)
+  }
+
   test("manifest-less layout: readSnapshot is the plain directory read") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-snapf").toString + "/idx"
