@@ -4391,6 +4391,63 @@ object Graft {
       .drop("__mid", "__pid", "__loc", "__off")
   }
 
+  /** Distributed WEIGHTED prefix sum over a total order — the
+    * [[globalOrdinal]] pattern generalized from counts to weights:
+    * `prefix` = sum of `weight` over all rows sorting STRICTLY before
+    * the row (the first row reads 0). The naive spelling —
+    * `sum(w) OVER (ORDER BY …)` with no PARTITION BY — plans a
+    * single-partition scan of the corpus; this is the same answer in
+    * distributed passes:
+    *   1. range-partition + sort on the key ([[globalOrdinal]]'s
+    *      step 1 — partition p's keys all sort before p+1's);
+    *   2. a PARTITION-LOCAL running sum (window partitioned on the
+    *      physical partition id — parallel across partitions, state
+    *      bounded by partition size, never the corpus);
+    *   3. per-partition weight totals (ONE partial-folded aggregate,
+    *      partition-count rows) prefix-sum driver-side and rejoin as
+    *      a broadcast; prefix = partition offset + local running sum
+    *      − own weight.
+    * Placement-independent given a TOTAL order (append a unique id as
+    * the last key); the eager checkpoint pins one materialization
+    * under the totals pass and the final window+join. Weights cast to
+    * long — token counts, byte sizes, row costs; fractional weights
+    * would float-reassociate under any distributed sum order anyway.
+    * This is the scale kernel behind concat-split sequence packing
+    * (t44): exact global token offsets without a single-partition
+    * sort. */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], weight: Column,
+      parts: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalPrefixSum needs at least one sort key")
+    val s = df.sparkSession
+    import s.implicits._
+    val helpers = Seq("__w", "__mid", "__pid", "__run", "__off", "prefix")
+    val clash = df.columns.toSet.intersect(helpers.toSet)
+    require(clash.isEmpty,
+      s"globalPrefixSum helper column collision: ${clash.mkString(", ")}")
+    val n = if (parts > 0) parts
+      else scala.util.Try(
+        s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(df.rdd.getNumPartitions).max(1)
+    val shaped = df.withColumn("__w", weight.cast("long"))
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .localCheckpoint(true)
+    val totals = shaped.groupBy(col("__pid"))
+      .agg(sum(col("__w")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (p, t) => val o = (p, acc); acc += t; o }
+    val offDf = broadcast(offs.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+    shaped
+      .withColumn("__run", sum(col("__w")).over(w))
+      .join(offDf, Seq("__pid"))
+      .withColumn("prefix", col("__off") + col("__run") - col("__w"))
+      .drop("__w", "__mid", "__pid", "__run", "__off")
+  }
+
   def reservoirSample(df: DataFrame, keyCol: String, hashCol: Column,
       payloadCol: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge

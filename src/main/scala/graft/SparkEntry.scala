@@ -317,7 +317,8 @@ object SparkEntry {
     "t42_curriculum" -> (TextAnalysis.t42Curriculum _),
     "t43_corpus_shuffle" -> (TextAnalysis.t43CorpusShuffle _),
     "m13_keyframes" -> (Multimodal.m13Keyframes _),
-    "st29_ivf_maint" -> (streaming.Streams.st29IvfMaintenance _)
+    "st29_ivf_maint" -> (streaming.Streams.st29IvfMaintenance _),
+    "t44_concat_split" -> (TextAnalysis.t44ConcatSplit _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -4599,6 +4600,24 @@ ORDER BY id_a, id_b""",
         |                 / (len(toks) - 2) END) > 0.2 THEN 'repetitive'
         |         ELSE 'keep' END AS reason
         |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t) u
+        |ORDER BY doc_id""".stripMargin,
+
+    // t44: DuckDB's GLOBAL window sum is the from-scratch spelling of
+    // the distributed prefix kernel (fine at oracle scale; the exact
+    // thing globalPrefixSum exists to avoid at corpus scale), then the
+    // same integer pack arithmetic. Token convention shared with t11.
+    "t44_concat_split" ->
+      """SELECT doc_id, n_tokens, tok_start,
+        |  CAST(tok_start // 512 AS BIGINT) AS pack_first,
+        |  CAST((tok_start + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS pack_last,
+        |  CAST(tok_start % 512 AS BIGINT) AS pack_offset
+        |FROM (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM (SELECT doc_id,
         |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
         |        FROM documents) t) u
         |ORDER BY doc_id""".stripMargin,

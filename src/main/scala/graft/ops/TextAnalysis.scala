@@ -1100,4 +1100,38 @@ object TextAnalysis {
       .select($"ordinal", $"doc_id")
       .orderBy($"ordinal")
   }
+
+  /** t44 — CONCAT-SPLIT sequence layout under the oracle gate: the
+    * GPT-pretraining data shape t11's bin packing deliberately is not
+    * — the corpus is logically CONCATENATED in a deterministic total
+    * order and sliced into fixed 512-token training windows, so
+    * documents SPAN pack boundaries (no padding waste, every window
+    * exactly full; t11's greedy fill keeps documents whole and eats
+    * the tail slack instead — the two industry layouts, now both
+    * covered). Each document's placement is fully described by its
+    * exact global token offset: `tok_start` =
+    * [[graft.Graft.globalPrefixSum]] over doc_id order (the
+    * distributed weighted-prefix kernel — a plain
+    * `sum() OVER (ORDER BY)` would serialize the corpus through one
+    * partition), then pack_first/pack_last/pack_offset are integer
+    * arithmetic on it. `greatest(n_tokens, 1)` keeps a hypothetical
+    * empty document inside its own start pack rather than emitting
+    * pack_last = pack_first − 1. Oracle: DuckDB's global window sum
+    * (correct at oracle scale, the exact thing that does not
+    * distribute) plus the same integer arithmetic. */
+  def t44ConcatSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 512
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+    graft.Graft.globalPrefixSum(docs, Seq(col("doc_id")), col("n_tokens"))
+      .withColumnRenamed("prefix", "tok_start")
+      .withColumn("pack_first", expr(s"tok_start DIV $B"))
+      .withColumn("pack_last",
+        expr(s"(tok_start + greatest(n_tokens, 1L) - 1) DIV $B"))
+      .withColumn("pack_offset", $"tok_start" % B)
+      .select($"doc_id", $"n_tokens", $"tok_start",
+        $"pack_first", $"pack_last", $"pack_offset")
+      .orderBy($"doc_id")
+  }
 }

@@ -28,6 +28,26 @@ class GraftFacadeSpec extends SparkSuiteBase {
       "globalOrdinal must not plan a window")
   }
 
+  test("globalPrefixSum: exact strictly-before weighted prefix over many partitions, no single-partition exchange") {
+    val df = spark.range(0, 500).toDF("id")
+      .select(col("id"), (col("id") % 13 + 1).as("w"))
+    val out = graft.Graft.globalPrefixSum(df, Seq(col("id")), col("w"),
+      parts = 8)
+    val rows = out.orderBy(col("id"))
+      .select(col("id"), col("w"), col("prefix"))
+      .as[(Long, Long, Long)].collect()
+    var acc = 0L
+    rows.foreach { case (_, w, p) =>
+      assert(p == acc, s"prefix must sum weights strictly before; got $p want $acc")
+      acc += w
+    }
+    // the point of the kernel: the running sum is PARTITION-LOCAL —
+    // a global `sum() OVER (ORDER BY id)` would plan SinglePartition
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("SinglePartition"),
+      "globalPrefixSum must not collapse to a single partition")
+  }
+
   test("globalOrdinal: helper-column collision fails loudly instead of mis-ranking") {
     val df = spark.range(0, 10).toDF("id")
       .withColumn("ordinal", col("id") * 2)
