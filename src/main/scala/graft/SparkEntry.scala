@@ -318,7 +318,8 @@ object SparkEntry {
     "t43_corpus_shuffle" -> (TextAnalysis.t43CorpusShuffle _),
     "m13_keyframes" -> (Multimodal.m13Keyframes _),
     "st29_ivf_maint" -> (streaming.Streams.st29IvfMaintenance _),
-    "t44_concat_split" -> (TextAnalysis.t44ConcatSplit _)
+    "t44_concat_split" -> (TextAnalysis.t44ConcatSplit _),
+    "st30_purge_stream" -> (streaming.Streams.st30PurgeStream _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -3066,6 +3067,10 @@ object SparkEntry {
     // sidecar) and after the physical compact-out; the byte-identical
     // masked-vs-compacted gate runs INSIDE the query.
     "s29_tombstone_purge" -> Similarity.s29OracleSql,
+    // st30 streams the SAME purge requests into its own layout copy
+    // micro-batch by micro-batch; request arrival cadence must not
+    // change the final answer, so it shares s29's from-scratch oracle.
+    "st30_purge_stream" -> Similarity.s29OracleSql,
 
     // s30: s02's from-scratch IVF pipeline with the purge set removed
     // from the ASSIGNED corpus only — centroids (vec_id < 16) and

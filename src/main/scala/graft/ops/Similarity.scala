@@ -812,6 +812,39 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** st30's seams into the LSH purge family: its own base+append
+    * layout copy (tag `lsh_sdel` — streamed tombstoning and
+    * compact-out mutate in place, the s29 isolation argument), the
+    * purge request set with BATCH-SIDE signatures (the s29
+    * request-not-index discipline), and the masked/plain at-rest
+    * searches, exposed to the streaming purge harness
+    * ([[graft.streaming.Streams.st30PurgeStream]]). */
+  private[graft] def st30IndexPath(s: SparkSession, dir: String): String = {
+    val path = Layout.tmpPath("lsh_sdel", dir)
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_APPEND_DONE")) {
+      Layout.sweepStaleFor("lsh_sdel", dir)
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
+        s12SigOf($"embedding").cast("int").as("sig"))
+      graft.Graft.writePartitioned(emb.filter($"vec_id" % 10 =!= 7),
+        "sig", path)
+      graft.Graft.partitionedAppend(emb.filter($"vec_id" % 10 === 7),
+        "sig", path)
+      graft.internal.LayoutFs.touchMarker(s, path, "_APPEND_DONE")
+    }
+    path
+  }
+  private[graft] def purgeRequests(s: SparkSession, dir: String): DataFrame =
+    purgeSet(s, dir)
+      .select(col("vec_id"), s12SigOf(col("embedding")).cast("int").as("sig"))
+  private[graft] def lshSearchMasked(s: SparkSession, dir: String,
+      path: String): DataFrame =
+    lshSearchCorpus(s, dir, sigs =>
+      graft.Graft.readMasked(s, path, "vec_id")
+        .filter(col("sig").isin(sigs: _*)))
+  private[graft] def lshSearchAt(s: SparkSession, dir: String,
+      path: String): DataFrame = lshSearchOver(s, dir, path)
+
   /** st29's seams into the IVF family: cell assignment under a frozen
     * centroid model and the shared at-rest search, exposed to the
     * streaming maintainer

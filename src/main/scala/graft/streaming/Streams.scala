@@ -1516,6 +1516,98 @@ object Streams {
     graft.ops.Similarity.ivfSearchAt(s, dir, path)
   }
 
+  /** st30's per-batch body: BatchIdJournal-gated tombstone append. A
+    * purge-request micro-batch re-delivered after a sink failure must
+    * not re-append its rows to the sidecar — tombstone duplicates are
+    * SEMANTICALLY harmless (readMasked and compactOut both distinct),
+    * so the gate here is what keeps the deletion LEDGER exact: the
+    * harness re-delivers the final batch and then requires the
+    * sidecar to hold exactly one row per request, which a blind
+    * re-append fails loudly. */
+  private[graft] def st30ApplyBatch(indexPath: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val ss = batch.sparkSession
+    val (lfs, root) = graft.internal.LayoutFs.of(ss, indexPath)
+    if (graft.internal.BatchIdJournal.alreadyApplied(lfs, root, batchId))
+      return
+    graft.Graft.tombstone(indexPath, batch, "vec_id", "sig")
+    graft.internal.BatchIdJournal.recordApplied(lfs, root, batchId)
+  }
+
+  /** st30 — GDPR purge requests arriving AS A STREAM: micro-batches
+    * of (vec_id, batch-side signature) tombstone into the at-rest LSH
+    * layout inside `foreachBatch` (exactly-once via
+    * [[graft.internal.BatchIdJournal]]), then ONE deferred
+    * [[graft.Graft.compactOut]] executes the accumulated logical
+    * deletes physically — the production deletion cadence (requests
+    * trickle in from a privacy queue all day; reads stay correct
+    * immediately via [[graft.Graft.readMasked]]; the partition-pruned
+    * rewrite runs once per maintenance window), completing the
+    * streaming at-rest verb set: ingest gate (st26), maintenance
+    * (st27 labels / st28 grams / st29 postings), deletion (st30).
+    * In-query gates: the re-delivered final batch must leave the
+    * sidecar at exactly one row per request (the ledger property the
+    * batchId gate buys — see [[st30ApplyBatch]]), and the masked
+    * search before compact-out must equal the plain search after
+    * (logical/physical deletion agree, the s29 discipline,
+    * distributed exceptAll). Oracle: s29's from-scratch search SQL
+    * over the surviving corpus — streamed request arrival must not
+    * change the answer. Per-batch cost is request-sized (one small
+    * sidecar append + a marker); the index's data files are untouched
+    * until the single compact pass. */
+  def st30PurgeStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = graft.ops.Similarity.st30IndexPath(s, dir)
+    val (lfs, rootP) = graft.internal.LayoutFs.of(s, path)
+    // layout mutation is idempotent across invocations (re-purging
+    // absent ids rewrites their partitions unchanged) but stream ids
+    // restart at 0 — forget the previous stream's applied markers
+    graft.internal.BatchIdJournal.clear(lfs, rootP)
+    val data = graft.ops.Similarity.purgeRequests(s, dir)
+      .orderBy($"vec_id").as[(Long, Int)].collect()
+    require(data.nonEmpty, s"st30: empty purge request set in $dir")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Int)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Int)]], s2.sqlContext)
+    val q = in.toDS().toDF("vec_id", "sig")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        st30ApplyBatch(path, batch, batchId)
+      }
+      .outputMode(OutputMode.Append)
+      .start()
+    val chunks = {
+      val chunk = math.max(1, (data.length + 1) / 2)
+      data.grouped(chunk).toSeq
+    }
+    try {
+      chunks.foreach { c =>
+        in.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the checkpointed-source retry: re-deliver the final batch; the
+    // gate must no-op it or the ledger check below fails
+    st30ApplyBatch(path, chunks.last.toSeq.toDF("vec_id", "sig"),
+      (chunks.length - 1).toLong)
+    val ledger = s.read.parquet(path + "/_tombstones").count()
+    require(ledger == data.length,
+      s"purge ledger holds $ledger rows for ${data.length} requests — " +
+        "a replayed batch re-appended")
+    val masked = graft.ops.Similarity.lshSearchMasked(s, dir, path)
+      .localCheckpoint(true)
+    graft.Graft.compactOut(s, path, "sig", "vec_id"): Unit
+    val afterDf = graft.ops.Similarity.lshSearchAt(s, dir, path)
+    val disagree = masked.exceptAll(afterDf).count() +
+      afterDf.exceptAll(masked).count()
+    require(disagree == 0,
+      "streamed purge compact-out changed search results — logical/physical deletion disagree")
+    afterDf
+  }
+
   /** st16 — CHAINED stateful operators in one streaming query (two
     * event-time windowed aggregations back-to-back), the multi-stage
     * rollup Spark could not express in a single query before 3.4/4.x:
