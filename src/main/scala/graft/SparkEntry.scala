@@ -319,7 +319,8 @@ object SparkEntry {
     "m13_keyframes" -> (Multimodal.m13Keyframes _),
     "st29_ivf_maint" -> (streaming.Streams.st29IvfMaintenance _),
     "t44_concat_split" -> (TextAnalysis.t44ConcatSplit _),
-    "st30_purge_stream" -> (streaming.Streams.st30PurgeStream _)
+    "st30_purge_stream" -> (streaming.Streams.st30PurgeStream _),
+    "t45_inc_concat_split" -> (TextAnalysis.t45IncConcatSplit _)
   )
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
@@ -4625,6 +4626,26 @@ ORDER BY id_a, id_b""",
         |  FROM (SELECT doc_id,
         |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
         |        FROM documents) t) u
+        |ORDER BY doc_id""".stripMargin,
+
+    // t45: the incremental packer places the batch from the persisted
+    // lake cursor; the oracle re-packs the WORLD from scratch in the
+    // same (lake-then-batch, doc_id) order and keeps the batch rows —
+    // the incremental answer must equal repacking everything.
+    "t45_inc_concat_split" ->
+      """SELECT doc_id, n_tokens, tok_start,
+        |  CAST(tok_start // 512 AS BIGINT) AS pack_first,
+        |  CAST((tok_start + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS pack_last,
+        |  CAST(tok_start % 512 AS BIGINT) AS pack_offset
+        |FROM (
+        |  SELECT doc_id, grp, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(len(toks)) OVER (ORDER BY grp, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS grp,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |        FROM documents) t) u
+        |WHERE grp = 1
         |ORDER BY doc_id""".stripMargin,
 
     "t11_sequence_pack" ->
