@@ -3784,16 +3784,30 @@ object Graft {
     val (lfs, root) = graft.internal.LayoutFs.of(s, path)
     graft.internal.SnapshotManifest.readLatest(lfs, root) match {
       case Some((stagingName, rels)) if rels.nonEmpty =>
-        val staging = new Path(root.getParent, stagingName)
-        val (finals, staged) = rels.partition { rel =>
-          lfs.exists(new Path(root, rel)) ||
-            // re-check covers the move racing between the two probes
-            !lfs.exists(new Path(staging, rel))
-        }
-        finals.foreach { rel =>
+        // Fast path: no pending journal means the swap that wrote this
+        // manifest fully applied — every entry is at its final path,
+        // and the read costs ONE metadata probe, not one per file
+        // (the O(files) exists() storm would be the real cost of
+        // snapshot reads on an object store). Per-entry resolution is
+        // paid only DURING a swap, and a swap's window is the moments
+        // between its journal landing and its cleanup.
+        val midSwap = lfs.exists(
+          graft.internal.SwapJournal.journalPath(root))
+        val (finals, staged) =
+          if (!midSwap) (rels, Seq.empty[String])
+          else {
+            val staging = new Path(root.getParent, stagingName)
+            rels.partition { rel =>
+              lfs.exists(new Path(root, rel)) ||
+                // re-check covers the move racing between the probes
+                !lfs.exists(new Path(staging, rel))
+            }
+          }
+        if (midSwap) finals.foreach { rel =>
           require(lfs.exists(new Path(root, rel)),
             s"snapshot manifest entry missing at both locations: $rel")
         }
+        val staging = new Path(root.getParent, stagingName)
         Seq((root, finals), (staging, staged))
           .filter(_._2.nonEmpty)
           .map { case (bp, fs) =>
