@@ -320,8 +320,35 @@ object SparkEntry {
     "st29_ivf_maint" -> (streaming.Streams.st29IvfMaintenance _),
     "t44_concat_split" -> (TextAnalysis.t44ConcatSplit _),
     "st30_purge_stream" -> (streaming.Streams.st30PurgeStream _),
-    "t45_inc_concat_split" -> (TextAnalysis.t45IncConcatSplit _)
+    "t45_inc_concat_split" -> (TextAnalysis.t45IncConcatSplit _),
+    "st31_pack_maint" -> (streaming.Streams.st31PackMaintenance _),
+    "d30_time_travel" -> (TextDedup.d30TimeTravel _)
   )
+
+  /** The incremental concat-split oracle: DuckDB's global window sum
+    * over (lake-then-batch, doc_id) order restricted to the batch
+    * slice — the from-scratch placement the incremental packer must
+    * equal. Shared VERBATIM by t45 (batch-mode incremental append from
+    * the persisted cursor) and st31 (the same math as a streaming
+    * `foreachBatch` maintainer): both claim "extending the layout
+    * without re-reading the lake places every document exactly where
+    * re-packing the world would", so they must be gated on one
+    * spelling. */
+  private val concatSplitIncrementalSql: String =
+    """SELECT doc_id, n_tokens, tok_start,
+      |  CAST(tok_start // 512 AS BIGINT) AS pack_first,
+      |  CAST((tok_start + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS pack_last,
+      |  CAST(tok_start % 512 AS BIGINT) AS pack_offset
+      |FROM (
+      |  SELECT doc_id, grp, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(coalesce(sum(len(toks)) OVER (ORDER BY grp, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS grp,
+      |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |        FROM documents) t) u
+      |WHERE grp = 1
+      |ORDER BY doc_id""".stripMargin
 
   /** The s07 two-iteration k-means unrolled as CTEs (see the s07
     * entry's comment for the exactness argument) ending in `c2` — the
@@ -4632,21 +4659,31 @@ ORDER BY id_a, id_b""",
     // lake cursor; the oracle re-packs the WORLD from scratch in the
     // same (lake-then-batch, doc_id) order and keeps the batch rows —
     // the incremental answer must equal repacking everything.
-    "t45_inc_concat_split" ->
-      """SELECT doc_id, n_tokens, tok_start,
-        |  CAST(tok_start // 512 AS BIGINT) AS pack_first,
-        |  CAST((tok_start + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS pack_last,
-        |  CAST(tok_start % 512 AS BIGINT) AS pack_offset
-        |FROM (
-        |  SELECT doc_id, grp, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(coalesce(sum(len(toks)) OVER (ORDER BY grp, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-        |  FROM (SELECT doc_id,
-        |          CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS grp,
-        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-        |        FROM documents) t) u
-        |WHERE grp = 1
-        |ORDER BY doc_id""".stripMargin,
+    "t45_inc_concat_split" -> concatSplitIncrementalSql,
+
+    // st31: the SAME from-scratch spelling as t45 — the streaming
+    // maintainer extends the identical pack layout over the identical
+    // lake/batch split, so streamed micro-batch arrival (plus the
+    // re-delivered final batch the atomic gate must no-op) must not
+    // change a single placement.
+    "st31_pack_maint" -> concatSplitIncrementalSql,
+
+    // d30: from-scratch closure over the STANDING edges ONLY — the
+    // pre-merge labeling the time-travel read must reproduce. The
+    // current version (standing ∪ merge batch) is d25's oracle on its
+    // own fixture; a d30 reader that resolves the wrong version
+    // hash-fails on every merged component.
+    "d30_time_travel" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS c FROM customer),
+        |e0 AS (SELECT c AS a, c - c % 5 AS b FROM cust WHERE c % 5 <> 0),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS node_id, least(a, min(b)) AS component_id
+        |FROM reach GROUP BY a
+        |ORDER BY node_id""".stripMargin,
 
     "t11_sequence_pack" ->
       """SELECT doc_id, shard, n_tokens, CAST(cum // 512 AS BIGINT) AS bin FROM (

@@ -1129,8 +1129,10 @@ object TextAnalysis {
   }
 
   /** The shared concat-split pack arithmetic over a frame carrying
-    * (`n_tokens`, `prefix`): exact 512-token window placement. */
-  private def packLayout(withPrefix: DataFrame): DataFrame = {
+    * (`n_tokens`, `prefix`): exact 512-token window placement.
+    * `private[graft]`: st31's streaming maintainer places each
+    * micro-batch through the same arithmetic. */
+  private[graft] def packLayout(withPrefix: DataFrame): DataFrame = {
     val B = 512
     withPrefix
       .withColumnRenamed("prefix", "tok_start")

@@ -166,7 +166,7 @@ class SwapRecoverySpec extends SparkSuiteBase {
     assert(graft.Graft.ivfMigrate(spark, path, cent) == 0)
   }
 
-  test("ivfMigrate drops a donor cell emptied of every row") {
+  test("ivfMigrate drops a donor cell emptied of every row (after retention expiry)") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-ivfmigdrop").toString + "/idx"
     val rows = Seq(
@@ -177,12 +177,22 @@ class SwapRecoverySpec extends SparkSuiteBase {
     val cent = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
       .toDF("centroid_id", "c")
     assert(graft.Graft.ivfMigrate(spark, path, cent) == 1)
-    val (lfs, root) = lfsOf(path)
-    assert(lfs.partitionDirs(root, "cell").map(_.getName).sorted.toSeq
-      == Seq("cell=1"), "emptied donor dir must drop")
-    val atRest = spark.read.parquet(path)
+    // the emptied donor's SNAPSHOT is gone immediately…
+    val atRest = graft.Graft.readSnapshot(spark, path)
       .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
     assert(atRest == Map(20L -> 1, 21L -> 1))
+    // …but its files stay on disk for the pre-migration snapshot until
+    // retention expires them — then the emptied dir drops physically
+    val (lfs, root) = lfsOf(path)
+    assert(lfs.partitionDirs(root, "cell").map(_.getName).sorted.toSeq
+      == Seq("cell=0", "cell=1"),
+      "donor dir must linger while the pre-migration snapshot is retained")
+    graft.Graft.expireSnapshots(spark, path, retain = 1)
+    assert(lfs.partitionDirs(root, "cell").map(_.getName).sorted.toSeq
+      == Seq("cell=1"), "emptied donor dir must drop at snapshot expiry")
+    assert(spark.read.parquet(path)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+      == Map(20L -> 1, 21L -> 1))
   }
 
   test("componentsPurge drops a fully-emptied bucket directory") {
