@@ -3946,14 +3946,32 @@ object Graft {
     * when the grace window a pinned reader needs has passed, or with
     * `retain = 1` to reclaim everything but the current snapshot.
     * Completes any pending swap first; takes the single-writer lease. */
-  def expireSnapshots(s: SparkSession, path: String, retain: Int = 1): Unit = {
+  def expireSnapshots(s: SparkSession, path: String, retain: Int = 1): Unit =
+    expireWith(s, path)(
+      graft.internal.SnapshotManifest.sweepTo(_, _, retain))
+
+  /** Age-based [[expireSnapshots]]: drop every retained version —
+    * except the latest, the live table — whose commit landed more than
+    * `maxAgeMs` ago (the Iceberg `expire_snapshots(older_than => …)`
+    * spelling; commit instant = the manifest file's own mtime). The
+    * operator-scheduled complement of the commit-time count window:
+    * run it on the cadence your longest pinned reader/time-travel
+    * window needs. */
+  def expireSnapshotsOlderThan(s: SparkSession, path: String,
+      maxAgeMs: Long): Unit =
+    expireWith(s, path)(
+      graft.internal.SnapshotManifest.sweepOlderThan(_, _, maxAgeMs))
+
+  private def expireWith(s: SparkSession, path: String)(
+      sweep: (graft.internal.LayoutFs, org.apache.hadoop.fs.Path) => Unit)
+      : Unit = {
     import org.apache.hadoop.fs.Path
     val (lfs, root) = graft.internal.LayoutFs.of(s, path)
     graft.internal.LayoutLease.acquire(lfs, root)
     try {
       graft.internal.SwapJournal.recover(lfs, root,
         new Path(root.getParent, root.getName + "__expiring"))
-      graft.internal.SnapshotManifest.sweepTo(lfs, root, retain)
+      sweep(lfs, root)
     } finally graft.internal.LayoutLease.release(lfs, root)
   }
 

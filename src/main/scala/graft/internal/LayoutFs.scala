@@ -272,7 +272,30 @@ private[graft] object SnapshotManifest {
   def sweepTo(lfs: LayoutFs, root: Path, retain: Int): Unit = {
     require(retain >= 1, s"snapshot retain must be >= 1: $retain")
     val vs = versions(lfs, root).sortBy(_._1)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
+    sweep(lfs, root, vs.splitAt(math.max(0, vs.length - retain)))
+  }
+
+  /** Age-based retention sweep: drop every version — except the
+    * latest, which is the live table whatever its age — whose manifest
+    * file landed more than `maxAgeMs` ago (the manifest's own
+    * modification time IS the commit instant; no clock is stored in
+    * the format). The count-based [[sweepTo]] bounds version buildup
+    * at commit time; this is the operator-scheduled expiry
+    * (Iceberg's `expire_snapshots(older_than => …)`). */
+  def sweepOlderThan(lfs: LayoutFs, root: Path, maxAgeMs: Long): Unit = {
+    require(maxAgeMs >= 0, s"maxAgeMs must be >= 0: $maxAgeMs")
+    val vs = versions(lfs, root).sortBy(_._1)
+    if (vs.nonEmpty) {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      val (old, recent) = vs.dropRight(1).partition { case (_, p) =>
+        lfs.fs.getFileStatus(p).getModificationTime < cutoff }
+      sweep(lfs, root, (old, recent :+ vs.last))
+    }
+  }
+
+  private def sweep(lfs: LayoutFs, root: Path,
+      dropKeep: (Seq[(Long, Path)], Seq[(Long, Path)])): Unit = {
+    val (drop, keep) = dropKeep
     if (drop.nonEmpty) {
       val kept = keep.flatMap { case (_, p) => readAt(lfs, p)._2 }.toSet
       val dead = drop.flatMap { case (_, p) => readAt(lfs, p)._2 }

@@ -125,6 +125,25 @@ class RetentionSpec extends SparkSuiteBase {
       s"nested snapshot read wrong: $snap")
   }
 
+  test("age-based expiry drops only versions older than the cutoff, never the latest") {
+    val (path, lfs, root) = freshLayout("retage")
+    assert(graft.Graft.compactIndex(spark, path, "p") == 2)
+    assert(graft.Graft.snapshotVersions(spark, path).size == 2)
+    // a generous cutoff keeps both; cutoff 0 drops everything but the
+    // live latest (whose exclusive files must survive whatever its age)
+    graft.Graft.expireSnapshotsOlderThan(spark, path, maxAgeMs = 3600000L)
+    assert(graft.Graft.snapshotVersions(spark, path).size == 2,
+      "versions younger than the cutoff must survive")
+    graft.Graft.expireSnapshotsOlderThan(spark, path, maxAgeMs = 0L)
+    assert(graft.Graft.snapshotVersions(spark, path).size == 1,
+      "everything but the latest expires at cutoff 0")
+    assert(graft.Graft.readSnapshot(spark, path).count() == 22,
+      "the live snapshot must be intact after age expiry")
+    // the pre-compact fragments are gone: each partition is 1 file
+    assert(lfs.partitionDirs(root, "p")
+      .forall(d => lfs.dataFiles(d).length == 1))
+  }
+
   test("single-writer lease: a second pass aborts loudly while one is live, takes over when stale (judge r19 item 3)") {
     val (path, lfs, root) = freshLayout("retlease")
     LayoutLease.acquire(lfs, root)
