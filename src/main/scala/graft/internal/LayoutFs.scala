@@ -443,6 +443,17 @@ private[graft] object LayoutLease {
     * holder delays the next pass by at most this. */
   val DefaultTtlMs: Long = 15 * 60 * 1000L
 
+  /** Re-entrancy ledger: per-thread hold depth per layout root, so a
+    * verb that already holds the lease can call another leased verb
+    * on the same layout (componentsIncremental → partitionedAppend,
+    * the st30 purge body → tombstone) without deadlocking on its own
+    * file. Thread-local because the lease's whole point is one
+    * MUTATING ACTOR per layout — a second thread is a second actor. */
+  private val held =
+    new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
+      override def initialValue() = scala.collection.mutable.Map.empty
+    }
+
   private def tryTake(lfs: LayoutFs, p: Path): Boolean =
     try {
       val out = lfs.fs.create(p, false)
@@ -454,6 +465,12 @@ private[graft] object LayoutLease {
 
   def acquire(lfs: LayoutFs, root: Path,
       ttlMs: Long = DefaultTtlMs): Unit = {
+    val key = root.toString
+    val depth = held.get()
+    if (depth.getOrElse(key, 0) > 0) {
+      depth(key) = depth(key) + 1
+      return
+    }
     lfs.mkdirs(root)
     val p = new Path(root, Name)
     if (!tryTake(lfs, p)) {
@@ -472,10 +489,19 @@ private[graft] object LayoutLease {
       require(tryTake(lfs, p),
         s"maintenance lease takeover on $root lost a race to a live pass")
     }
+    depth(key) = 1
   }
 
-  def release(lfs: LayoutFs, root: Path): Unit =
-    lfs.deleteFile(new Path(root, Name))
+  def release(lfs: LayoutFs, root: Path): Unit = {
+    val key = root.toString
+    val depth = held.get()
+    depth.get(key) match {
+      case Some(n) if n > 1 => depth(key) = n - 1
+      case _ =>
+        depth.remove(key)
+        lfs.deleteFile(new Path(root, Name))
+    }
+  }
 }
 
 private[graft] object SwapJournal {

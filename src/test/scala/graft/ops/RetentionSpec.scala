@@ -123,6 +123,28 @@ class RetentionSpec extends SparkSuiteBase {
       .collect().sorted.toSeq
     assert(snap == Seq((1L, 0, "x"), (2L, 0, "y"), (3L, 1, "x")),
       s"nested snapshot read wrong: $snap")
+    // the REWRITE verbs refuse nesting loudly (they partition their
+    // staged output by one column and would flatten the deeper level)
+    val e = intercept[IllegalArgumentException] {
+      graft.Graft.compactIndex(spark, path, "p")
+    }
+    assert(e.getMessage.contains("single-level"),
+      s"nested maintenance must refuse loudly, got: ${e.getMessage}")
+  }
+
+  test("lease is re-entrant on one thread: appends and tombstones nest under a holding pass") {
+    val (path, lfs, root) = freshLayout("retreent")
+    LayoutLease.acquire(lfs, root)
+    // partitionedAppend and tombstone take the lease themselves; held
+    // by this thread they must nest, not deadlock or abort
+    graft.Graft.partitionedAppend(
+      Seq((200L, 0, "n")).toDF("id", "p", "payload"), "p", path)
+    graft.Graft.tombstone(path, Seq((1L, 0)).toDF("id", "p"), "id", "p")
+    LayoutLease.release(lfs, root)
+    // fully released: an independent pass can take it again
+    assert(graft.Graft.compactIndex(spark, path, "p") >= 1)
+    assert(graft.Graft.readMasked(spark, path, "id").count() == 22,
+      "nested append and tombstone must both have landed")
   }
 
   test("age-based expiry drops only versions older than the cutoff, never the latest") {
@@ -146,7 +168,10 @@ class RetentionSpec extends SparkSuiteBase {
 
   test("single-writer lease: a second pass aborts loudly while one is live, takes over when stale (judge r19 item 3)") {
     val (path, lfs, root) = freshLayout("retlease")
-    LayoutLease.acquire(lfs, root)
+    // a FOREIGN live holder (another process/thread — same-thread
+    // nesting is legal re-entrancy): plant its lease file directly
+    lfs.writeText(new Path(root, "_maintenance_lease"),
+      System.currentTimeMillis().toString)
     val e = intercept[RuntimeException] {
       graft.Graft.compactIndex(spark, path, "p")
     }
