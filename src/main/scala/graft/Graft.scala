@@ -3946,6 +3946,32 @@ object Graft {
     graft.internal.SnapshotManifest.versionIds(lfs, root)
   }
 
+  /** The layout's retained snapshot history as a frame — Iceberg's
+    * `.snapshots` metadata table: one row per retained version with
+    * its commit instant (the manifest file's own mtime), file count,
+    * and total referenced bytes. Metadata-sized end to end (KB
+    * manifest reads + one `getFileStatus` per referenced file of the
+    * RETAINED versions — bounded by the retention window, not the
+    * layout's lifetime); the operator-facing view for choosing an
+    * [[expireSnapshots]]/[[expireSnapshotsOlderThan]] cadence and a
+    * [[readSnapshot(s,path,version)*]] target. */
+  def snapshotHistory(s: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val (lfs, root) = graft.internal.LayoutFs.of(s, path)
+    import s.implicits._
+    graft.internal.SnapshotManifest.versionIds(lfs, root).map { v =>
+      val (_, rels) =
+        graft.internal.SnapshotManifest.readVersion(lfs, root, v).get
+      val committedAtMs = lfs.fs.getFileStatus(
+        new Path(root, s"_manifest.v$v")).getModificationTime
+      val bytes = rels.map { rel =>
+        val p = new Path(root, rel)
+        if (lfs.exists(p)) lfs.fs.getFileStatus(p).getLen else 0L
+      }.sum
+      (v, committedAtMs, rels.size.toLong, bytes)
+    }.toDF("version", "committed_at_ms", "n_files", "total_bytes")
+  }
+
   /** Iceberg-style snapshot expiry: keep the newest `retain` manifest
     * versions and physically delete every file only older versions
     * reference (plus the partition dirs that empties). THE verb that

@@ -147,6 +147,25 @@ class RetentionSpec extends SparkSuiteBase {
       "nested append and tombstone must both have landed")
   }
 
+  test("snapshotHistory: one row per retained version with commit instant, file count, bytes") {
+    val (path, _, _) = freshLayout("rethist")
+    assert(graft.Graft.snapshotHistory(spark, path).count() == 0,
+      "manifest-less layout has no history")
+    val before = System.currentTimeMillis()
+    assert(graft.Graft.compactIndex(spark, path, "p") == 2)
+    val h = graft.Graft.snapshotHistory(spark, path)
+      .orderBy($"version")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(h.size == 2, s"bootstrap + post-compact expected, got $h")
+    val Seq((v1, t1, f1, b1), (v2, t2, f2, b2)) = h
+    assert(v1 < v2 && t1 >= before - 60000 && t2 >= t1)
+    assert(f1 == 4 && f2 == 2,
+      s"pre-compact 4 fragments -> post-compact 2 files, got $f1/$f2")
+    assert(b1 > 0 && b2 > 0)
+    graft.Graft.expireSnapshots(spark, path, retain = 1)
+    assert(graft.Graft.snapshotHistory(spark, path).count() == 1)
+  }
+
   test("age-based expiry drops only versions older than the cutoff, never the latest") {
     val (path, lfs, root) = freshLayout("retage")
     assert(graft.Graft.compactIndex(spark, path, "p") == 2)
