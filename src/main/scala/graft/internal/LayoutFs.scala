@@ -473,21 +473,40 @@ private[graft] object LayoutLease {
     }
     lfs.mkdirs(root)
     val p = new Path(root, Name)
-    if (!tryTake(lfs, p)) {
+    var attempts = 0
+    var taken = tryTake(lfs, p)
+    while (!taken) {
+      // Age the holder by its written timestamp; a lease whose content
+      // is unreadable — EMPTY because we probed between the holder's
+      // create and write, or torn by a crash right there — ages by the
+      // FILE's mtime instead. Content MaxValue'd that window: a probe
+      // could read a just-created live lease as "stale" and delete it
+      // out from under its holder (two live passes — the exact state
+      // the lease exists to prevent). mtime distinguishes the two
+      // correctly: live-but-empty is seconds old (abort loudly), a
+      // crash's torn leftover ages past the TTL like any other stale
+      // holder (taken over).
       val age =
         try System.currentTimeMillis() - lfs.readText(p).trim.toLong
         catch {
-          // holder released between our probe and read — retry below
-          case _: java.io.FileNotFoundException => Long.MaxValue
-          case _: NumberFormatException => Long.MaxValue
+          case _: java.io.FileNotFoundException =>
+            // holder released between probe and read — take it fresh
+            -1L
+          case _: NumberFormatException =>
+            try System.currentTimeMillis() -
+              lfs.fs.getFileStatus(p).getModificationTime
+            catch { case _: java.io.FileNotFoundException => -1L }
         }
-      if (age < ttlMs)
+      if (age >= 0 && age < ttlMs)
         sys.error(s"another maintenance pass holds the lease on $root " +
           s"(age ${age}ms < ttl ${ttlMs}ms) — concurrent maintenance of " +
           "one layout is not allowed; retry after it finishes or expires")
-      lfs.deleteFile(p)
-      require(tryTake(lfs, p),
-        s"maintenance lease takeover on $root lost a race to a live pass")
+      if (age >= ttlMs) lfs.deleteFile(p)
+      attempts += 1
+      require(attempts <= 3,
+        s"maintenance lease takeover on $root lost ${attempts - 1} " +
+        "races to live passes — concurrent maintenance contention")
+      taken = tryTake(lfs, p)
     }
     depth(key) = 1
   }

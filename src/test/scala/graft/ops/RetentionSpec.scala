@@ -206,4 +206,23 @@ class RetentionSpec extends SparkSuiteBase {
     LayoutLease.acquire(lfs, root, ttlMs = 1000L)
     LayoutLease.release(lfs, root)
   }
+
+  test("lease content torn/empty: live (fresh mtime) aborts, crashed (old mtime) is taken over") {
+    val (_, lfs, root) = freshLayout("retltorn")
+    val p = new Path(root, "_maintenance_lease")
+    // EMPTY lease with a fresh mtime = a holder probed mid-create (or
+    // just crashed): must read as LIVE — deleting it would put two
+    // passes on one layout
+    lfs.writeText(p, "")
+    val e = intercept[RuntimeException] {
+      LayoutLease.acquire(lfs, root, ttlMs = 60000L)
+    }
+    assert(e.getMessage.contains("lease"),
+      s"empty-but-fresh lease must abort as live, got: ${e.getMessage}")
+    // same torn file aged past the TTL = a crash's leftover: taken over
+    lfs.fs.setTimes(p, System.currentTimeMillis() - 120000L, -1)
+    LayoutLease.acquire(lfs, root, ttlMs = 60000L)
+    LayoutLease.release(lfs, root)
+    assert(!lfs.exists(p), "takeover pass must release its lease")
+  }
 }
