@@ -322,7 +322,8 @@ object SparkEntry {
     "st30_purge_stream" -> (streaming.Streams.st30PurgeStream _),
     "t45_inc_concat_split" -> (TextAnalysis.t45IncConcatSplit _),
     "st31_pack_maint" -> (streaming.Streams.st31PackMaintenance _),
-    "d30_time_travel" -> (TextDedup.d30TimeTravel _)
+    "d30_time_travel" -> (TextDedup.d30TimeTravel _),
+    "d31_snapshot_changes" -> (TextDedup.d31SnapshotChanges _)
   )
 
   /** The incremental concat-split oracle: DuckDB's global window sum
@@ -4683,6 +4684,40 @@ ORDER BY id_a, id_b""",
         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
         |SELECT a AS node_id, least(a, min(b)) AS component_id
         |FROM reach GROUP BY a
+        |ORDER BY node_id""".stripMargin,
+
+    // d31: per-node status between the two from-scratch closures —
+    // old = standing edges only (d30's world), new = standing + the
+    // merge batch (d25's world). The engine never recomputes either:
+    // it diffs the two retained snapshot versions of the at-rest
+    // store, and must agree node-for-node with this recompute.
+    "d31_snapshot_changes" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS c FROM customer),
+        |e0_old AS (SELECT c AS a, c - c % 5 AS b FROM cust WHERE c % 5 <> 0),
+        |e_old AS (SELECT a, b FROM e0_old UNION SELECT b, a FROM e0_old),
+        |reach_old(a, b) AS (
+        |  SELECT a, b FROM e_old
+        |  UNION
+        |  SELECT r.a, e.b FROM reach_old r JOIN e_old e ON r.b = e.a),
+        |old AS (SELECT a AS node_id, least(a, min(b)) AS component_id
+        |        FROM reach_old GROUP BY a),
+        |e0_new AS (
+        |  SELECT c AS a, c - c % 5 AS b FROM cust WHERE c % 5 <> 0
+        |  UNION ALL
+        |  SELECT c, c + 5 FROM cust WHERE c % 35 = 0),
+        |e_new AS (SELECT a, b FROM e0_new UNION SELECT b, a FROM e0_new),
+        |reach_new(a, b) AS (
+        |  SELECT a, b FROM e_new
+        |  UNION
+        |  SELECT r.a, e.b FROM reach_new r JOIN e_new e ON r.b = e.a),
+        |new AS (SELECT a AS node_id, least(a, min(b)) AS component_id
+        |        FROM reach_new GROUP BY a)
+        |SELECT coalesce(o.node_id, n.node_id) AS node_id,
+        |  CASE WHEN o.node_id IS NULL THEN 'added'
+        |       WHEN n.node_id IS NULL THEN 'removed'
+        |       WHEN o.component_id = n.component_id THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN new n ON o.node_id = n.node_id
         |ORDER BY node_id""".stripMargin,
 
     "t11_sequence_pack" ->

@@ -1513,6 +1513,37 @@ object TextDedup {
       .orderBy($"node_id")
   }
 
+  /** d31 — CHANGES BETWEEN SNAPSHOTS of the label store (Iceberg's
+    * incremental `changes` read, composed from verbs the engine
+    * already owns): the oldest retained version and the current state
+    * read via [[graft.Graft.readSnapshot]], diffed per node by
+    * [[graft.Graft.snapshotDiff]] — the CDC view a downstream consumer
+    * uses to process only what a maintenance window relabeled instead
+    * of re-reading the full store. On d30's fixture the incremental
+    * batch is merge-only, so the honest answer is exactly
+    * changed/unchanged per standing node — and the oracle derives
+    * that itself from the two from-scratch closures (standing edges
+    * vs standing+batch), so a diff that mis-classifies a single node,
+    * resolves the wrong version on either side, or drops the
+    * unchanged majority hash-fails. Scale shape: both sides are
+    * manifest-pinned pruned scans of the SAME layout and the diff is
+    * one null-safe full-outer hash join on the node id — snapshot-
+    * delta cost is two metadata reads plus one join over the store,
+    * never a recompute of either closure. */
+  def d31SnapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = d30IndexPath(s, dir)
+    val versions = graft.Graft.snapshotVersions(s, path)
+    require(versions.size >= 2,
+      s"d31 expects the pre-merge bootstrap version retained, got $versions")
+    val pre = graft.Graft.readSnapshot(s, path, versions.head)
+      .select($"id".as("node_id"), $"root".as("component_id"))
+    val cur = graft.Graft.readSnapshot(s, path)
+      .select($"id".as("node_id"), $"root".as("component_id"))
+    graft.Graft.snapshotDiff(pre, cur, "node_id")
+      .orderBy($"node_id")
+  }
+
   /** d26's own label-store copy (tag `cmp_del`) — purge mutates the
     * directory in place, so it must not share d25's fixture (the
     * s27/s29 isolation argument). Build cycle identical to
