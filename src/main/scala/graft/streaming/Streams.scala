@@ -1576,7 +1576,16 @@ object Streams {
     * so the gate here is what keeps the deletion LEDGER exact: the
     * harness re-delivers the final batch and then requires the
     * sidecar to hold exactly one row per request, which a blind
-    * re-append fails loudly. */
+    * re-append fails loudly. Residual window, stated plainly: unlike
+    * st28/st29's journal-carried commits, tombstone and marker here
+    * are TWO writes — a crash after the sidecar append is durable but
+    * before the marker lands re-appends that one batch on replay.
+    * That is the [[graft.internal.BatchIdJournal]] idempotent-mutation
+    * case (duplicate tombstone rows never change a masked read or a
+    * compact-out), which is why this body deliberately keeps the
+    * cheap two-write shape instead of staging request-sized batches
+    * through a journal; only the ledger COUNT is approximate through
+    * a crash, never the deletion semantics. */
   private[graft] def st30ApplyBatch(indexPath: String, batch: DataFrame,
       batchId: Long): Unit = {
     val ss = batch.sparkSession
