@@ -4008,6 +4008,47 @@ object Graft {
     } finally graft.internal.LayoutLease.release(lfs, root)
   }
 
+  /** ROLLBACK to a retained snapshot (Iceberg's
+    * `rollback_to_snapshot`): make `version`'s file set the CURRENT
+    * state by committing it as a NEW manifest version — history moves
+    * strictly forward, nothing is rewritten or deleted by the
+    * rollback itself, and the rolled-back-FROM state stays
+    * time-travelable until `retain` expires it (pass `retain = 1` for
+    * a destructive undo whose bad commit leaves disk at this sweep).
+    * Metadata-sized: under retention every file of a retained version
+    * is still at its path (verified loudly per entry), so the verb is
+    * one manifest write — no data movement, which is what makes
+    * undoing a bad 100 TB commit instant. A no-op when `version` is
+    * already current. GDPR coherence, by construction: the purge
+    * verbs commit with `retain = 1`, so a purged state's predecessor
+    * is NOT retained and rollback CANNOT resurrect purged rows — the
+    * target fails loudly as expired instead. */
+  def rollbackSnapshot(s: SparkSession, path: String, version: Long,
+      retain: Int = graft.internal.SnapshotManifest.DefaultRetain): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (lfs, root) = graft.internal.LayoutFs.of(s, path)
+    graft.internal.LayoutLease.acquire(lfs, root)
+    try {
+      graft.internal.SwapJournal.recover(lfs, root,
+        new Path(root.getParent, root.getName + "__rollback"))
+      val retained = graft.internal.SnapshotManifest.versionIds(lfs, root)
+      if (!retained.lastOption.contains(version)) {
+        val rels = graft.internal.SnapshotManifest
+          .readVersion(lfs, root, version).getOrElse(sys.error(
+            s"no retained snapshot version $version at $path " +
+              s"(retained: ${retained.mkString(", ")}) — expired by " +
+              "retention or never committed"))._2
+        rels.foreach { rel =>
+          require(lfs.exists(new Path(root, rel)),
+            s"rollback target $version entry expired from disk: $rel")
+        }
+        graft.internal.SnapshotManifest.writeNext(lfs, root,
+          graft.internal.SnapshotManifest.NoStaging, rels)
+        graft.internal.SnapshotManifest.sweepTo(lfs, root, retain)
+      }
+    } finally graft.internal.LayoutLease.release(lfs, root)
+  }
+
   /** Zero rows with the layout's schema, for a committed-EMPTY
     * manifest. Schema comes from whatever schema-bearing files remain
     * on disk (retention keeps the superseded ones around); a layout

@@ -323,7 +323,8 @@ object SparkEntry {
     "t45_inc_concat_split" -> (TextAnalysis.t45IncConcatSplit _),
     "st31_pack_maint" -> (streaming.Streams.st31PackMaintenance _),
     "d30_time_travel" -> (TextDedup.d30TimeTravel _),
-    "d31_snapshot_changes" -> (TextDedup.d31SnapshotChanges _)
+    "d31_snapshot_changes" -> (TextDedup.d31SnapshotChanges _),
+    "d32_snapshot_rollback" -> (TextDedup.d32SnapshotRollback _)
   )
 
   /** The incremental concat-split oracle: DuckDB's global window sum
@@ -4718,6 +4719,22 @@ ORDER BY id_a, id_b""",
         |       WHEN o.component_id = n.component_id THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN new n ON o.node_id = n.node_id
+        |ORDER BY node_id""".stripMargin,
+
+    // d32: rolling the store back to the pre-merge bootstrap must
+    // read as the from-scratch closure over the STANDING edges only —
+    // d30's oracle verbatim, but against the CURRENT state after the
+    // rollback commit rather than a time-travel read.
+    "d32_snapshot_rollback" ->
+      """WITH RECURSIVE cust AS (SELECT c_custkey AS c FROM customer),
+        |e0 AS (SELECT c AS a, c - c % 5 AS b FROM cust WHERE c % 5 <> 0),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS node_id, least(a, min(b)) AS component_id
+        |FROM reach GROUP BY a
         |ORDER BY node_id""".stripMargin,
 
     "t11_sequence_pack" ->

@@ -196,7 +196,7 @@ private[graft] object LayoutFs {
   * maintenance pass. */
 private[graft] object SnapshotManifest {
   private val Prefix = "_manifest.v"
-  private[internal] val NoStaging = "-"
+  private[graft] val NoStaging = "-"
 
   /** Grace window, counted in manifest versions (appends count): a
     * version's exclusively-referenced files survive until it is no

@@ -1544,6 +1544,45 @@ object TextDedup {
       .orderBy($"node_id")
   }
 
+  /** d32 — SNAPSHOT ROLLBACK under the oracle gate (the Iceberg
+    * `rollback_to_snapshot` verb completing the lifecycle: read,
+    * time-travel, history, expiry, changes, rollback): the d30-shaped
+    * build cycle leaves its OWN layout copy (tag `cmp_rb` — rollback
+    * mutates manifests, so it shares nothing with d30/d31, the d26
+    * isolation discipline) at two retained versions, and the query
+    * rolls the CURRENT state back to the pre-merge bootstrap with
+    * `retain = 1` — the destructive undo that also makes the verb
+    * idempotent across harness invocations (after the first run only
+    * the rolled-back version is retained; a re-run finds the target
+    * already current and no-ops). The oracle is the from-scratch
+    * closure over the STANDING edges only — a rollback that resolves
+    * the wrong version, loses a file, or silently keeps the merged
+    * state hash-fails on every merged component. Rollback itself is
+    * ONE manifest write (no data movement) — the property that makes
+    * undoing a bad 100 TB commit instant. */
+  def d32SnapshotRollback(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = Layout.tmpPath("cmp_rb", dir)
+    if (!graft.internal.LayoutFs.markerExists(s, path, "_INC_DONE")) {
+      Layout.sweepStaleFor("cmp_rb", dir)
+      val cust = Tables(s, dir, "customer").select($"c_custkey".as("c"))
+      val standing = cust
+        .select($"c".as("id_a"), ($"c" - $"c" % 5).as("id_b"))
+        .filter($"id_a" =!= $"id_b")
+      graft.Graft.componentsIndex(componentMin(standing), path)
+      val batch = cust.filter($"c" % 35 === 0)
+        .select($"c".as("id_a"), ($"c" + 5).as("id_b"))
+      graft.Graft.componentsIncremental(s, path, batch): Unit
+      graft.internal.LayoutFs.touchMarker(s, path, "_INC_DONE")
+    }
+    val versions = graft.Graft.snapshotVersions(s, path)
+    require(versions.nonEmpty, s"d32 expects a snapshot-carrying layout")
+    graft.Graft.rollbackSnapshot(s, path, versions.head, retain = 1)
+    graft.Graft.componentsRead(s, path)
+      .select($"id".as("node_id"), $"root".as("component_id"))
+      .orderBy($"node_id")
+  }
+
   /** d26's own label-store copy (tag `cmp_del`) — purge mutates the
     * directory in place, so it must not share d25's fixture (the
     * s27/s29 isolation argument). Build cycle identical to

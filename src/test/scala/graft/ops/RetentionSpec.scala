@@ -207,6 +207,44 @@ class RetentionSpec extends SparkSuiteBase {
     LayoutLease.release(lfs, root)
   }
 
+  test("rollbackSnapshot: restores a prior version's content as a new commit; no-op on current; expired target fails loudly") {
+    val (path, lfs, root) = freshLayout("retroll")
+    // v1 bootstrap (22 rows), v2 = post-compact (same rows, fewer files)
+    assert(graft.Graft.compactIndex(spark, path, "p") == 2)
+    // a content-CHANGING commit: purge two ids -> v3 (20 rows)
+    graft.Graft.tombstone(path,
+      Seq((100L, 0), (101L, 1)).toDF("id", "p"), "id", "p")
+    assert(graft.Graft.compactOut(spark, path, "p", "id") == 2)
+    assert(graft.Graft.readSnapshot(spark, path).count() == 20)
+    // GDPR coherence: compactOut committed with retain=1, so the
+    // pre-purge versions are NOT retained and rollback cannot
+    // resurrect the purged rows
+    val pre = graft.Graft.snapshotVersions(spark, path)
+    assert(pre.size == 1, s"purge must collapse retention, got $pre")
+    val e = intercept[RuntimeException] {
+      graft.Graft.rollbackSnapshot(spark, path, pre.head - 1)
+    }
+    assert(e.getMessage.contains("expired by retention"),
+      s"rollback past a purge must fail loudly, got: ${e.getMessage}")
+    // forward history: append -> new version; roll back to pre-append
+    graft.Graft.partitionedAppend(
+      Seq((200L, 0, "z")).toDF("id", "p", "payload"), "p", path)
+    assert(graft.Graft.readSnapshot(spark, path).count() == 21)
+    val vs = graft.Graft.snapshotVersions(spark, path)
+    assert(vs.size == 2)
+    graft.Graft.rollbackSnapshot(spark, path, vs.head)
+    assert(graft.Graft.readSnapshot(spark, path).count() == 20,
+      "rollback must restore the pre-append content")
+    // history moved FORWARD: the rollback is a new version, and the
+    // rolled-back-FROM state is still time-travelable
+    val vs2 = graft.Graft.snapshotVersions(spark, path)
+    assert(vs2.last > vs.last && vs2.contains(vs.last))
+    assert(graft.Graft.readSnapshot(spark, path, vs.last).count() == 21)
+    // no-op on current: same version set after
+    graft.Graft.rollbackSnapshot(spark, path, vs2.last)
+    assert(graft.Graft.snapshotVersions(spark, path) == vs2)
+  }
+
   test("lease content torn/empty: live (fresh mtime) aborts, crashed (old mtime) is taken over") {
     val (_, lfs, root) = freshLayout("retltorn")
     val p = new Path(root, "_maintenance_lease")
