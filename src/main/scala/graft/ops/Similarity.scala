@@ -682,6 +682,32 @@ object Similarity {
     path
   }
 
+  /** LIVE data-file count per partition directory — from the latest
+    * committed manifest when one exists, else the raw directory
+    * listing (manifest-less layout: disk IS the truth). Under the
+    * retention discipline a swap no longer deletes the superseded
+    * fragments at commit time (they stay readable for the retained
+    * pre-compact snapshot until [[graft.Graft.expireSnapshots]] —
+    * CompactIndexSpec pins exactly that), so a raw listing after a
+    * compact legitimately shows old fragments next to the new file;
+    * the single-file postcondition s27/s28 enforce is about the
+    * SNAPSHOT a pruned probe reads (one open per bucket), which is
+    * the manifest's file set. */
+  private def liveFilesPerPartition(s: SparkSession,
+      path: String): Map[String, Int] = {
+    val (lfs, root) = graft.internal.LayoutFs.of(s, path)
+    graft.internal.SnapshotManifest.readLatest(lfs, root) match {
+      case Some((_, files)) =>
+        files.filter(_.contains("/"))
+          .groupBy(_.takeWhile(_ != '/')).view.mapValues(_.size).toMap
+      case None =>
+        lfs.fs.listStatus(root).filter(st => st.isDirectory &&
+            st.getPath.getName.contains("="))
+          .map(st => st.getPath.getName ->
+            lfs.dataFiles(st.getPath).length).toMap
+    }
+  }
+
   /** s27 — index COMPACTION under the answer-invariance gate: the
     * s25-shaped appended layout (2 data files in every batch-touched
     * sig partition) searches once, [[graft.Graft.compactIndex]]
@@ -692,10 +718,13 @@ object Similarity {
     *   - byte-identical results: the before/after top-k rows must be
     *     EXACTLY equal (same doubles, same order) — compaction is a
     *     physical-layout operation with zero answer surface;
-    *   - single-file partitions: every sig directory holds exactly
-    *     one data file afterwards — the file-count win IS the point
-    *     (each pruned probe then pays one open per bucket, not one
-    *     per accumulated batch).
+    *   - single-file partitions: every sig bucket's LIVE snapshot
+    *     holds exactly one data file afterwards — the file-count win
+    *     IS the point (each pruned probe then pays one open per
+    *     bucket, not one per accumulated batch). Counted from the
+    *     committed manifest ([[liveFilesPerPartition]]): retention
+    *     keeps the superseded fragments on disk until snapshot
+    *     expiry, so a raw directory count would see them.
     * Gated on the same from-scratch oracle as s13/s25 — the full
     * maintenance cycle (build → append → compact) answers identically
     * to a one-shot index. Idempotent: a re-run finds zero multi-file
@@ -704,11 +733,10 @@ object Similarity {
     val path = s27IndexPath(s, dir)
     val before = lshSearchOver(s, dir, path).collect()
     graft.Graft.compactIndex(s, path, "sig")
-    val (lfs, rootP) = graft.internal.LayoutFs.of(s, path)
-    val fragmented = lfs.partitionDirs(rootP, "sig")
-      .filter(d => lfs.dataFiles(d).length != 1)
+    val fragmented = liveFilesPerPartition(s, path)
+      .filter(_._2 != 1).keys.toSeq.sorted
     require(fragmented.isEmpty,
-      s"compaction left multi-file partitions: ${fragmented.map(_.getName).mkString(",")}")
+      s"compaction left multi-file partitions: ${fragmented.mkString(",")}")
     val afterDf = lshSearchOver(s, dir, path)
     require(before.toSeq == afterDf.collect().toSeq,
       "compaction changed search results — answer invariance violated")
@@ -892,11 +920,12 @@ object Similarity {
     val path = s28IndexPath(s, dir)
     val before = ivfSearchOver(s, dir, path).collect()
     graft.Graft.compactIndex(s, path, "cell")
-    val (lfs, rootP) = graft.internal.LayoutFs.of(s, path)
-    val fragmented = lfs.partitionDirs(rootP, "cell")
-      .filter(d => lfs.dataFiles(d).length != 1)
+    // live per-manifest count, not a raw listing: retention keeps the
+    // pre-compact fragments on disk until expiry (see s27)
+    val fragmented = liveFilesPerPartition(s, path)
+      .filter(_._2 != 1).keys.toSeq.sorted
     require(fragmented.isEmpty,
-      s"compaction left multi-file cells: ${fragmented.map(_.getName).mkString(",")}")
+      s"compaction left multi-file cells: ${fragmented.mkString(",")}")
     val afterDf = ivfSearchOver(s, dir, path)
     require(before.toSeq == afterDf.collect().toSeq,
       "compaction changed IVF search results — answer invariance violated")
