@@ -737,7 +737,10 @@ object Similarity {
       .filter(_._2 != 1).keys.toSeq.sorted
     require(fragmented.isEmpty,
       s"compaction left multi-file partitions: ${fragmented.mkString(",")}")
-    val afterDf = lshSearchOver(s, dir, path)
+    // one compute serves the invariance gate and the returned frame
+    // (un-severed, the gate's collect and the caller's own action each
+    // re-ran the pruned search — within-invocation reuse only)
+    val afterDf = lshSearchOver(s, dir, path).localCheckpoint(true)
     require(before.toSeq == afterDf.collect().toSeq,
       "compaction changed search results — answer invariance violated")
     afterDf
@@ -926,7 +929,7 @@ object Similarity {
       .filter(_._2 != 1).keys.toSeq.sorted
     require(fragmented.isEmpty,
       s"compaction left multi-file cells: ${fragmented.mkString(",")}")
-    val afterDf = ivfSearchOver(s, dir, path)
+    val afterDf = ivfSearchOver(s, dir, path).localCheckpoint(true)
     require(before.toSeq == afterDf.collect().toSeq,
       "compaction changed IVF search results — answer invariance violated")
     afterDf
@@ -994,7 +997,9 @@ object Similarity {
       graft.Graft.readMasked(s, path, "vec_id")
         .filter(col("sig").isin(sigs: _*))).collect()
     graft.Graft.compactOut(s, path, "sig", "vec_id"): Unit
-    val afterDf = lshSearchOver(s, dir, path)
+    // one compute serves the gate and the returned frame (the s27
+    // discipline)
+    val afterDf = lshSearchOver(s, dir, path).localCheckpoint(true)
     require(masked.toSeq == afterDf.collect().toSeq,
       "purge compact-out changed search results — logical/physical deletion disagree")
     afterDf
@@ -1041,7 +1046,7 @@ object Similarity {
       graft.Graft.readMasked(s, path, "vec_id")
         .filter(col("cell").isin(cells: _*))).collect()
     graft.Graft.compactOut(s, path, "cell", "vec_id"): Unit
-    val afterDf = ivfSearchOver(s, dir, path)
+    val afterDf = ivfSearchOver(s, dir, path).localCheckpoint(true)
     require(masked.toSeq == afterDf.collect().toSeq,
       "purge compact-out changed IVF search results — logical/physical deletion disagree")
     afterDf
@@ -1103,12 +1108,16 @@ object Similarity {
     val path = s31IndexPath(s, dir)
     val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
     val cent = s31Centroids(s, dir)
+    // the from-scratch assignment is a full broadcast-argmax over the
+    // corpus — sever it so the two sides of the symmetric difference
+    // read ONE materialization instead of re-running it (atRest is a
+    // bare snapshot scan: cheaper re-read than checkpointed)
     val scratch = s26Assign(emb, cent.select(
-      $"centroid_id", $"c"))
+      $"centroid_id", $"c")).localCheckpoint(true)
     val atRest = graft.Graft.readSnapshot(s, path)
       .select($"vec_id", $"embedding", $"cell")
-    val disagree = atRest.exceptAll(scratch).count() +
-      scratch.exceptAll(atRest).count()
+    val disagree = atRest.exceptAll(scratch)
+      .unionAll(scratch.exceptAll(atRest)).count()
     require(disagree == 0,
       "migrated IVF layout diverged from from-scratch assignment")
     ivfSearchCorpusWith(s, dir, cent, cells =>

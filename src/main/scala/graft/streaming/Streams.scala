@@ -1662,9 +1662,13 @@ object Streams {
     val masked = graft.ops.Similarity.lshSearchMasked(s, dir, path)
       .localCheckpoint(true)
     graft.Graft.compactOut(s, path, "sig", "vec_id"): Unit
+    // one compute serves the gate and the returned frame (the d29
+    // discipline), and the symmetric difference folds into one job
+    // over the two checkpoint scans
     val afterDf = graft.ops.Similarity.lshSearchAt(s, dir, path)
-    val disagree = masked.exceptAll(afterDf).count() +
-      afterDf.exceptAll(masked).count()
+      .localCheckpoint(true)
+    val disagree =
+      masked.exceptAll(afterDf).unionAll(afterDf.exceptAll(masked)).count()
     require(disagree == 0,
       "streamed purge compact-out changed search results — logical/physical deletion disagree")
     afterDf
