@@ -2074,11 +2074,16 @@ object Graft {
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
     // two checkpointed copies, each pre-partitioned on its probe key:
     // eBySrc feeds the auth scatter (joins ranks on src), eByDst the
-    // hub gather (joins auths on dst)
+    // hub gather (joins auths on dst). eByDst derives from eBySrc —
+    // NOT from the caller's plan — so the upstream edge build (for
+    // q113: a lineitem⋈orders join + distinct) runs ONCE; the second
+    // copy costs one re-shuffle of the materialized edge list (r20:
+    // was two full upstream computations; interleaved same-window
+    // min-of-3 A/B at sf0.1 read 5.85 → 5.14 s on q113, ~the upstream
+    // build's warm cost).
     val eBySrc = checkpointOn(
       edges.select(col("src"), col("dst")), nPart, "src")
-    val eByDst = checkpointOn(
-      edges.select(col("src"), col("dst")), nPart, "dst")
+    val eByDst = checkpointOn(eBySrc, nPart, "dst")
     val nodes = checkpointOn(
       eBySrc.select(col("src").as("node"))
         .unionAll(eBySrc.select(col("dst").as("node"))).distinct(),
@@ -4928,27 +4933,35 @@ object Graft {
     * at them — not a violation, but the number that catches a
     * truncated child load).
     *
-    * Scale shape: the orphan side is a LEFT ANTI join streaming the
-    * child once (parent dims broadcast when small, AQE decides);
-    * the reverse side anti-joins the parent against the DISTINCT
-    * child keys — the distinct partial-aggregates map-side, so the
-    * shuffle carries unique keys, never child rows. */
+    * Scale shape: ONE scan per side (r20 optimization — the earlier
+    * anti-join spelling scanned the child 3x and the parent 2x per
+    * relation): both sides partial-fold to per-KEY counts map-side
+    * (the shuffle carries unique keys, never rows), one full-outer
+    * hash join classifies every key — child-only nonnull keys are
+    * orphans, parent-only keys are unreferenced — and a 1-row digest
+    * folds the row counts back out of the per-key counts. Null keys
+    * group but never JOIN (SQL equi-join semantics), which reproduces
+    * the FK rule exactly: null fks are not orphans (counted out via
+    * the isNotNull guard), null-keyed parent rows are unreferenced. */
   def fkAudit(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String, relation: String): DataFrame = {
-    val c = child.select(col(childKey).as("__ck"))
-    val p = parent.select(col(parentKey).as("__ck"))
-    val stats = c.agg(count(lit(1)).as("n_child"),
-      count(col("__ck")).as("n_child_nonnull"))
-    val orphans = c.filter(col("__ck").isNotNull)
-      .join(p, Seq("__ck"), "left_anti").agg(count(lit(1)).as("o"))
-    val unref = p.join(c.select(col("__ck")).distinct(), Seq("__ck"), "left_anti")
-      .agg(count(lit(1)).as("u"))
-    val np = p.agg(count(lit(1)).as("n_parent"))
-    stats.crossJoin(orphans).crossJoin(np).crossJoin(unref)
+    val cAgg = child.select(col(childKey).as("__ck"))
+      .groupBy(col("__ck")).agg(count(lit(1)).as("__nc"))
+    val pAgg = parent.select(col(parentKey).as("__ck"))
+      .groupBy(col("__ck")).agg(count(lit(1)).as("__np"))
+    cAgg.join(pAgg, Seq("__ck"), "full_outer")
+      .agg(
+        coalesce(sum(col("__nc")), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("__ck").isNotNull, col("__nc"))), lit(0L))
+          .as("n_child_nonnull"),
+        coalesce(sum(when(col("__ck").isNotNull && col("__np").isNull,
+          col("__nc"))), lit(0L)).as("n_orphan_rows"),
+        coalesce(sum(col("__np")), lit(0L)).as("n_parent"),
+        coalesce(sum(when(col("__nc").isNull, col("__np"))), lit(0L))
+          .as("n_unref_parents"))
       .select(lit(relation).as("relation"),
-        col("n_child"), col("n_child_nonnull"),
-        col("o").as("n_orphan_rows"),
-        col("n_parent"), col("u").as("n_unref_parents"))
+        col("n_child"), col("n_child_nonnull"), col("n_orphan_rows"),
+        col("n_parent"), col("n_unref_parents"))
   }
 
   // ---- association / frontier / spatial / series diagnostics ----

@@ -211,9 +211,10 @@ object Curation {
     * tripwire). c05 checks one FK as part of its expectation suite;
     * this is the schema-wide audit a warehouse runs nightly.
     *
-    * Scale shape: seven independent anti-join pairs, each following
-    * the fkAudit shape (child streamed once, distinct-key reverse
-    * probe); the per-edge one-row digests union into the report. */
+    * Scale shape: seven independent audits, each the fkAudit shape
+    * (one scan per side folding to per-key counts, one full-outer
+    * key join — r20); the per-edge one-row digests union into the
+    * report. */
   def c06RefIntegrity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String) = Tables(s, dir, n)
