@@ -1846,11 +1846,22 @@ object Graft {
     * mirrorable by unrolled integer CTEs. Seeds not present in the
     * graph are ignored (rank rows exist only for graph nodes).
     *
-    * Scale shape: identical to [[pageRank]] — pre-partitioned
-    * checkpointed edge/node builds, zero edge-sized exchange per
-    * iteration, node-sized state; the seed marker rides the node
-    * frame as a 0/1 column (one extra left join at build time, free
-    * thereafter). */
+    * Scale shape: pre-partitioned checkpointed edge/node builds and
+    * zero edge-sized exchange per iteration like [[pageRank]], but
+    * the per-round state is REACHED-sized, not node-sized (r20):
+    * a node outside the seeds' i-hop neighborhood has rank exactly 0
+    * (zero teleport, zero in-mass — pure integer arithmetic, so
+    * "exactly" is literal), and a zero rank contributes 0 div outdeg
+    * = 0 to every sum, so the scatter join and the rank update carry
+    * only the nonzero frontier — for the sparse seed sets PPR exists
+    * for (domain expansion from a few trusted nodes), that is the
+    * difference between shuffling the graph's node set per round and
+    * shuffling the seeds' growing neighborhood. The full node frame
+    * joins back exactly once, at the end, to restore the
+    * row-per-node contract (the [[hits]] sparse-iteration shape).
+    * Bit-identical to the dense spelling by induction: absent ≡ 0 at
+    * round 0 (non-seeds), and a round maps only-zero in-neighbors to
+    * 0 = absent. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 3, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
@@ -1868,9 +1879,13 @@ object Graft {
         .join(seedSet.withColumn("__seed", lit(1L)), Seq("node"), "left")
         .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed")),
       nPart, "node")
+    // graph-member seeds only (off-graph seeds are ignored by
+    // contract); a filter over the declared-partition checkpoint
+    // keeps the node partitioning — no exchange
+    val seedNodes = nodes.filter(col("__seed") === 1L).select(col("node"))
     val teleport = (100L - dampingPct) * 10000000L  // (1-d) * 1e9
-    var ranks = nodes.select(col("node"),
-      (col("__seed") * 1000000000L).as("rank_e9"))
+    var ranks = seedNodes.select(col("node"),
+      lit(1000000000L).as("rank_e9"))
     var i = 0
     while (i < iters) {
       val contrib = edgesD
@@ -1878,15 +1893,22 @@ object Graft {
         .select(col("dst").as("node"),
           expr("rank_e9 div __outdeg").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+      // sparse update: seeds keep their teleport term whether or not
+      // mass arrived; non-seed receivers carry propagated mass only.
+      // Absent nodes are exactly rank 0 (see scaladoc induction).
+      ranks = seedNodes.withColumn("__t", lit(teleport))
+        .join(contrib.hint("shuffle_hash"), Seq("node"), "full_outer")
         .select(col("node"),
-          (col("__seed") * lit(teleport) +
+          (coalesce(col("__t"), lit(0L)) +
             expr(s"($dampingPct * coalesce(__in, 0L)) div 100"))
             .as("rank_e9"))
       i += 1
       if (i % 4 == 0 && i < iters) ranks = checkpointOn(ranks, nPart, "node")
     }
-    ranks
+    // densify once: the contract is a rank row for EVERY graph node
+    nodes.join(ranks.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("rank_e9"), lit(0L)).as("rank_e9"))
   }
 
   /** Synchronous label propagation over an edge list (`src`, `dst`
