@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
   * emits ONE machine-parseable JSON line on stdout, additionally written
-  * to SPARK_GRAFT_BENCH_OUT (default BENCH_LOCAL.json) so a consumer
+  * to SPARK_GRAFT_BENCH_OUT (default BENCH_LOCAL_c<cpus>.json) so a consumer
   * never has to scrape build-tool output. A failing query records an
   * `errors` entry (exception class + message) instead of silently
   * benching as "fast". */
@@ -192,7 +192,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // default artifact is stamped per core count (BENCH_LOCAL_c32.json,
+    // BENCH_LOCAL_c8.json, ...) so a multi-cpus driver sweep stops
+    // overwriting one run's canary evidence with the next run's (the
+    // r20 32-core canaries were lost exactly this way); the stdout
+    // line — the driver's contract — is unchanged, and explicit
+    // SPARK_GRAFT_BENCH_OUT still wins
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_LOCAL_c$cpus.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -45,6 +45,36 @@ object Graft {
   private def guarded(bad: Column, msg: String, value: Column): Column =
     when(bad, raise_error(lit(msg))).otherwise(value)
 
+  /** One-compute materialization for the in-query certification-gate
+    * frames (d27/d29/s27–s31/st30): the gated frame computes once and
+    * every consumer — the symmetric-difference gate and the caller's
+    * own action — reads the materialization. r20 spelled this
+    * `localCheckpoint(true)`, which truncates lineage and pins the
+    * blocks to their executors: on a real cluster a lost executor
+    * makes the frame unrecoverable mid-query (VERDICT r20 item 1).
+    * This keeps lineage intact (the gate frames are all planned
+    * AFTER their layout's rewrite completed, so recomputing a lost
+    * block re-reads exactly the files the plan captured — valid) and
+    * spills to disk under memory pressure; off `local[*]` it also
+    * replicates each block once so a single executor loss doesn't
+    * even pay the recompute. Eager (count) so the one-compute
+    * property never depends on cache-population races between the
+    * gate's two difference scans. NOT result caching across runs:
+    * the persist lives inside a single invocation's plan — every
+    * call, and every bench rep, rebuilds and recomputes from the
+    * on-disk layout. (The MASKED pre-rewrite frames in d27/d29/st30
+    * must stay lineage-TRUNCATED instead: compactOut invalidates
+    * their lineage by design — see the comments at those sites.) */
+  private[graft] def gatePersist(df: DataFrame): DataFrame = {
+    val level =
+      if (df.sparkSession.sparkContext.isLocal)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2
+    df.persist(level)
+    df.count()
+    df
+  }
+
   // ---- relational conveniences ----
 
   /** Top-k rows per group, deterministic under ties via `tieBreak`. */
@@ -1719,21 +1749,45 @@ object Graft {
     * join. */
   def pageRank(edges: DataFrame, iters: Int = 3,
       dampingPct: Int = 85): DataFrame = {
-    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
-    require(dampingPct >= 0 && dampingPct <= 100,
-      s"dampingPct out of range: $dampingPct")
     // the caller's edge plan materializes exactly ONCE (an un-severed
     // lineage recomputes it per loop reference — measured 2x on q70),
     // PRE-PARTITIONED on the probe key via the partitioning-DECLARING
-    // checkpoint (checkpointOn): edgesD checkpoints hash-partitioned
-    // on src and nodes on node, so each iteration's two joins see
-    // co-partitioned inputs and plan ZERO exchange on the
-    // checkpointed sides — the only per-iteration shuffle left is the
-    // contrib scatter's groupBy(dst->node), the irreducible one. (A
-    // plain repartition+localCheckpoint does NOT suffice: under AQE
+    // checkpoint (checkpointOn). (A plain
+    // repartition+localCheckpoint does NOT suffice: under AQE
     // the checkpoint reports UnknownPartitioning — PERF.md r14.)
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "src")
+    pageRankRounds(
+      checkpointOn(edges.select(col("src"), col("dst")), nPart, "src"),
+      None, iters, dampingPct)
+  }
+
+  /** The shared [[pageRank]]/[[pageRankFrom]] loop over a PREPARED
+    * edge frame: `e` must already be materialized (a checkpoint scan,
+    * or a partitioning-preserving filter/projection over one) and
+    * hash-partitioned on `src` with the session shuffle-partition
+    * count — the public wrappers guarantee it by checkpointing the
+    * caller's plan; q119 enters here directly so its standing and
+    * merged graphs derive from ONE materialized flagged edge
+    * checkpoint instead of each call re-materializing its own copy
+    * (r21 — the hits() eByDst derivation, one level up).
+    *
+    * `init = None` is cold start (every rank 1e9, and round 1 uses
+    * the algebraic identity: the scatter is a direct projection of
+    * the degree-annotated edge list — one edge-sized join eliminated);
+    * `init = Some(prior)` is the warm start (prior ranks joined onto
+    * the current node set, new nodes cold at 1e9, every round joins
+    * because the init vector is arbitrary). Math and per-round plans
+    * are EXACTLY the two pre-r21 bodies' — edgesD checkpoints
+    * hash-partitioned on src and nodes on node, so each iteration's
+    * two joins see co-partitioned inputs and plan ZERO exchange on
+    * the checkpointed sides; the only per-iteration shuffle left is
+    * the contrib scatter's groupBy(dst->node), the irreducible one. */
+  private[graft] def pageRankRounds(e: DataFrame, init: Option[DataFrame],
+      iters: Int, dampingPct: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct out of range: $dampingPct")
+    val nPart = e.sparkSession.sessionState.conf.numShufflePartitions
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     val edgesD = checkpointOn(
       e.join(deg.hint("shuffle_hash"), "src"), nPart, "src")
@@ -1746,17 +1800,26 @@ object Graft {
         .unionAll(e.select(col("dst").as("node"))).distinct(),
       nPart, "node")
     val teleport = (100L - dampingPct) * 10000000L  // (1-d) * 1e9
-    var ranks = nodes.select(col("node"), lit(1000000000L).as("rank_e9"))
+    var ranks = init match {
+      case Some(prior) => checkpointOn(
+        nodes.join(prior.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("rank_e9"), lit(1000000000L)).as("rank_e9")),
+        nPart, "node")
+      case None =>
+        nodes.select(col("node"), lit(1000000000L).as("rank_e9"))
+    }
     var i = 0
     while (i < iters) {
-      // round 1's rank join is algebraically redundant: every rank is
-      // the constant 1e9, so the joined scatter equals a direct
-      // projection of the degree-annotated edge list — one edge-sized
-      // join eliminated per call (the labelPropagation identity).
-      // Rounds 2+ join; shuffle_hash on the node-sized side keeps a
-      // sort-merge plan from re-sorting the checkpointed edge list.
+      // cold round 1's rank join is algebraically redundant: every
+      // rank is the constant 1e9, so the joined scatter equals a
+      // direct projection of the degree-annotated edge list — one
+      // edge-sized join eliminated per call (the labelPropagation
+      // identity). Other rounds join; shuffle_hash on the node-sized
+      // side keeps a sort-merge plan from re-sorting the checkpointed
+      // edge list.
       val scatter =
-        if (i == 0) edgesD.select(col("dst").as("node"),
+        if (i == 0 && init.isEmpty) edgesD.select(col("dst").as("node"),
           expr("cast(1000000000 as bigint) div __outdeg").as("__c"))
         else edgesD
           .join(ranks.hint("shuffle_hash"), edgesD("src") === ranks("node"))
@@ -1797,41 +1860,10 @@ object Graft {
     * node-sized hash join at build time. */
   def pageRankFrom(edges: DataFrame, init: DataFrame, iters: Int = 2,
       dampingPct: Int = 85): DataFrame = {
-    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
-    require(dampingPct >= 0 && dampingPct <= 100,
-      s"dampingPct out of range: $dampingPct")
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "src")
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    val edgesD = checkpointOn(
-      e.join(deg.hint("shuffle_hash"), "src"), nPart, "src")
-    val nodes = checkpointOn(
-      e.select(col("src").as("node"))
-        .unionAll(e.select(col("dst").as("node"))).distinct(),
-      nPart, "node")
-    val teleport = (100L - dampingPct) * 10000000L
-    var ranks = checkpointOn(
-      nodes.join(init.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("rank_e9"), lit(1000000000L)).as("rank_e9")),
-      nPart, "node")
-    var i = 0
-    while (i < iters) {
-      val scatter = edgesD
-        .join(ranks.hint("shuffle_hash"), edgesD("src") === ranks("node"))
-        .select(col("dst").as("node"),
-          expr("rank_e9 div __outdeg").as("__c"))
-      val contrib = scatter
-        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($dampingPct * coalesce(__in, 0L)) div 100"))
-            .as("rank_e9"))
-      i += 1
-      if (i % 4 == 0 && i < iters) ranks = checkpointOn(ranks, nPart, "node")
-    }
-    ranks
+    pageRankRounds(
+      checkpointOn(edges.select(col("src"), col("dst")), nPart, "src"),
+      Some(init), iters, dampingPct)
   }
 
   /** Personalized PageRank: [[pageRank]] with the teleport mass

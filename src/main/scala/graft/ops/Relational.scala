@@ -1631,24 +1631,31 @@ object Relational {
     * truncating `div`. */
   def q119IncPageRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def edgesOf(pairs: DataFrame): DataFrame = {
-      val fwd = pairs.select(
-        ($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-      fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst")))
-    }
-    // ONE distinct pass serves both graphs: each pair carries a
-    // standing flag (any non-%10 order sources it), so the standing
-    // and merged edge sets derive from the same checkpointed
-    // pair-sized frame instead of two full lineitem shuffles
+    // ONE pairFlags-rooted, src-partitioned edge checkpoint serves
+    // BOTH graphs (r21; was: a pair-sized checkpoint that each rank
+    // call re-unioned and re-shuffled into its own private edge
+    // checkpoint): every symmetrized edge carries the standing flag
+    // (any non-%10 order sources its pair), the standing edge set is
+    // a partitioning-PRESERVING filter over the materialized
+    // checkpoint, and both rank calls enter through the
+    // prepared-edges seam ([[graft.Graft.pageRankRounds]]) so neither
+    // re-materializes an edge list — at 100 TB the lineitem-sized
+    // distinct and the edge shuffle happen once, not per graph.
+    val nPart = s.sessionState.conf.numShufflePartitions
     val pairFlags = Tables(s, dir, "lineitem")
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(max(when($"l_orderkey" % 10 =!= 0, 1).otherwise(0)).as("st"))
-      .localCheckpoint(true)
-    val standing = edgesOf(
-      pairFlags.filter($"st" === 1).select($"l_partkey", $"l_suppkey"))
-    val all = edgesOf(pairFlags.select($"l_partkey", $"l_suppkey"))
-    val r3 = graft.Graft.pageRank(standing, iters = 3, dampingPct = 85)
-    graft.Graft.pageRankFrom(all, r3, iters = 2, dampingPct = 85)
+    val fwd = pairFlags.select(
+      ($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"), $"st")
+    val flagged = org.apache.spark.sql.graftshim.PartitionedCheckpoint
+      .localCheckpointHashPartitioned(
+        fwd.unionAll(fwd.select($"dst".as("src"), $"src".as("dst"), $"st")),
+        nPart, "src")
+    val standing = flagged.filter($"st" === 1).select($"src", $"dst")
+    val all = flagged.select($"src", $"dst")
+    val r3 = graft.Graft.pageRankRounds(standing, None,
+      iters = 3, dampingPct = 85)
+    graft.Graft.pageRankRounds(all, Some(r3), iters = 2, dampingPct = 85)
       .select(
         when($"node" % 2 === 0, concat(lit("p:"), expr("node div 2")))
           .otherwise(concat(lit("s:"), expr("(node - 1) div 2")))

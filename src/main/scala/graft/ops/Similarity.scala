@@ -739,8 +739,10 @@ object Similarity {
       s"compaction left multi-file partitions: ${fragmented.mkString(",")}")
     // one compute serves the invariance gate and the returned frame
     // (un-severed, the gate's collect and the caller's own action each
-    // re-ran the pruned search — within-invocation reuse only)
-    val afterDf = lshSearchOver(s, dir, path).localCheckpoint(true)
+    // re-ran the pruned search — within-invocation reuse only). Spill-
+    // safe lineage-keeping persist, not localCheckpoint: the frame is
+    // planned post-compact, so a lost block recomputes validly (r21)
+    val afterDf = graft.Graft.gatePersist(lshSearchOver(s, dir, path))
     require(before.toSeq == afterDf.collect().toSeq,
       "compaction changed search results — answer invariance violated")
     afterDf
@@ -929,7 +931,7 @@ object Similarity {
       .filter(_._2 != 1).keys.toSeq.sorted
     require(fragmented.isEmpty,
       s"compaction left multi-file cells: ${fragmented.mkString(",")}")
-    val afterDf = ivfSearchOver(s, dir, path).localCheckpoint(true)
+    val afterDf = graft.Graft.gatePersist(ivfSearchOver(s, dir, path))
     require(before.toSeq == afterDf.collect().toSeq,
       "compaction changed IVF search results — answer invariance violated")
     afterDf
@@ -998,8 +1000,8 @@ object Similarity {
         .filter(col("sig").isin(sigs: _*))).collect()
     graft.Graft.compactOut(s, path, "sig", "vec_id"): Unit
     // one compute serves the gate and the returned frame (the s27
-    // discipline)
-    val afterDf = lshSearchOver(s, dir, path).localCheckpoint(true)
+    // discipline; spill-safe lineage-keeping persist since r21)
+    val afterDf = graft.Graft.gatePersist(lshSearchOver(s, dir, path))
     require(masked.toSeq == afterDf.collect().toSeq,
       "purge compact-out changed search results — logical/physical deletion disagree")
     afterDf
@@ -1046,7 +1048,7 @@ object Similarity {
       graft.Graft.readMasked(s, path, "vec_id")
         .filter(col("cell").isin(cells: _*))).collect()
     graft.Graft.compactOut(s, path, "cell", "vec_id"): Unit
-    val afterDf = ivfSearchOver(s, dir, path).localCheckpoint(true)
+    val afterDf = graft.Graft.gatePersist(ivfSearchOver(s, dir, path))
     require(masked.toSeq == afterDf.collect().toSeq,
       "purge compact-out changed IVF search results — logical/physical deletion disagree")
     afterDf
@@ -1109,11 +1111,13 @@ object Similarity {
     val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
     val cent = s31Centroids(s, dir)
     // the from-scratch assignment is a full broadcast-argmax over the
-    // corpus — sever it so the two sides of the symmetric difference
-    // read ONE materialization instead of re-running it (atRest is a
-    // bare snapshot scan: cheaper re-read than checkpointed)
-    val scratch = s26Assign(emb, cent.select(
-      $"centroid_id", $"c")).localCheckpoint(true)
+    // corpus — materialize it once so the two sides of the symmetric
+    // difference read ONE materialization instead of re-running it
+    // (atRest is a bare snapshot scan: cheaper re-read than cached).
+    // gatePersist, not localCheckpoint: the source is the immutable
+    // embeddings table, so lineage recompute is always valid (r21)
+    val scratch = graft.Graft.gatePersist(
+      s26Assign(emb, cent.select($"centroid_id", $"c")))
     val atRest = graft.Graft.readSnapshot(s, path)
       .select($"vec_id", $"embedding", $"cell")
     val disagree = atRest.exceptAll(scratch)

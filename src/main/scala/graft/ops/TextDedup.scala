@@ -1408,6 +1408,9 @@ object TextDedup {
     def probe(idx: DataFrame) =
       substringRunsIncrementalOver(idx, batch, "doc_id", "text")
         .orderBy($"id_a", $"id_b", $"start_a", $"start_b")
+    // masked stays lineage-TRUNCATED (localCheckpoint): compactOut
+    // rewrites the files under its plan, so recomputing a lost block
+    // from lineage would read post-rewrite data — d27's argument
     val masked = probe(graft.Graft.readMasked(s, path, "doc_id"))
       .localCheckpoint(true)
     graft.Graft.compactOut(s, path, "gb", "doc_id"): Unit
@@ -1417,8 +1420,9 @@ object TextDedup {
     // substring probe — 3x the dominant cost of this query, measured
     // 9.1 -> 5.6 s at sf0.1). Within-invocation reuse only: every
     // call still probes the freshly compacted layout from disk.
-    val afterDf = probe(graft.Graft.readSnapshot(s, path))
-      .localCheckpoint(true)
+    // gatePersist since r21: post-compact plan, lineage recompute valid.
+    val afterDf = graft.Graft.gatePersist(
+      probe(graft.Graft.readSnapshot(s, path)))
     // one symmetric-difference job instead of two (both sides are
     // checkpoint scans; the union halves the gate's job dispatch)
     val disagree =
@@ -1677,15 +1681,20 @@ object TextDedup {
     // driver collect — the gate must scale with the batch it
     // certifies), and eagerly: compactOut rewrites the files under
     // the lazy plan, and a post-rewrite evaluation could only ever
-    // agree with itself.
+    // agree with itself. Lineage TRUNCATION is load-bearing here, not
+    // just severing: after the rewrite the lineage no longer describes
+    // the data, so a lineage-keeping persist could recompute a lost
+    // block into post-rewrite rows — on a decommissioning cluster this
+    // frame needs a reliable checkpoint, never a recompute.
     val masked = dedupAgainst(
       graft.Graft.readMasked(s, path, "content_hash")).localCheckpoint(true)
     graft.Graft.compactOut(s, path, "hb", "content_hash"): Unit
     // one compute serves the gate and the returned frame (the d29
     // discipline: un-severed, the two exceptAll sides and the caller's
-    // action each re-ran the post-compact dedup probe)
-    val afterDf = dedupAgainst(graft.Graft.readSnapshot(s, path))
-      .localCheckpoint(true)
+    // action each re-ran the post-compact dedup probe). gatePersist:
+    // planned post-compact, so lineage recompute stays valid (r21)
+    val afterDf = graft.Graft.gatePersist(
+      dedupAgainst(graft.Graft.readSnapshot(s, path)))
     // symmetric multiset difference — zero rows both ways is exact
     // equality, one job over the two checkpoint-scan anti-aggregations
     val disagree =

@@ -1659,14 +1659,16 @@ object Streams {
     require(ledger == data.length,
       s"purge ledger holds $ledger rows for ${data.length} requests — " +
         "a replayed batch re-appended")
+    // masked stays lineage-TRUNCATED (localCheckpoint): compactOut
+    // rewrites the files under its plan — the d27/d29 argument
     val masked = graft.ops.Similarity.lshSearchMasked(s, dir, path)
       .localCheckpoint(true)
     graft.Graft.compactOut(s, path, "sig", "vec_id"): Unit
     // one compute serves the gate and the returned frame (the d29
-    // discipline), and the symmetric difference folds into one job
-    // over the two checkpoint scans
-    val afterDf = graft.ops.Similarity.lshSearchAt(s, dir, path)
-      .localCheckpoint(true)
+    // discipline), and the symmetric difference folds into one job.
+    // gatePersist since r21: post-compact plan, lineage recompute valid.
+    val afterDf = graft.Graft.gatePersist(
+      graft.ops.Similarity.lshSearchAt(s, dir, path))
     val disagree =
       masked.exceptAll(afterDf).unionAll(afterDf.exceptAll(masked)).count()
     require(disagree == 0,
