@@ -31,6 +31,21 @@ object Graft {
     org.apache.spark.sql.graftshim.PartitionedCheckpoint
       .localCheckpointHashPartitioned(df, nPart, keys: _*)
 
+  /** [[checkpointOn]] plus the row count its eager materialization
+    * already computed (r21): the iterative loops' convergence probes
+    * (k-core's per-round survivor `count()`, BFS's and frontier
+    * SSSP's exhausted-frontier `isEmpty`) were each a SECOND
+    * dispatched job against the checkpoint they had just built —
+    * pure scheduler round-trip, one per loop round, priced by the
+    * `__job_latency` canary at ~0.1–0.2 s each under load. The
+    * count comes back with the checkpoint instead; `count == 0` is
+    * exactly `isEmpty`, and a projection over the checkpoint has
+    * exactly its row count, so every fold below is an identity. */
+  private def checkpointOnCounted(df: DataFrame, nPart: Int,
+      keys: String*): (DataFrame, Long) =
+    org.apache.spark.sql.graftshim.PartitionedCheckpoint
+      .localCheckpointHashPartitionedCounted(df, nPart, keys: _*)
+
   /** In-plan eager validation: evaluates to `value`, or raises `msg`
     * on the first row where `bad` holds. Riding the guard on a column
     * the operator actually consumes keeps validation inside the SAME
@@ -2058,11 +2073,16 @@ object Graft {
       s"maxRounds out of range: $maxRounds")
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "dst")
-    var keep = checkpointOn(
+    // survivor counts ride the eager checkpoints (checkpointOnCounted,
+    // r21): the separate per-round keep.count() job is gone — keep is
+    // a projection of the round's deg checkpoint, so the checkpoint's
+    // own row count IS the survivor count
+    val (keep0, nKeep0) = checkpointOnCounted(
       e.select(col("src").as("node"))
         .unionAll(e.select(col("dst").as("node"))).distinct(),
       nPart, "node")
-    var nKeep = keep.count()
+    var keep = keep0
+    var nKeep = nKeep0
     var round = 0
     var done = false
     var deg = keep.select(col("node"), lit(0L).as("deg"))
@@ -2079,11 +2099,11 @@ object Graft {
             Seq("dst"))
           .groupBy(col("src")).agg(count(lit(1)).as("deg"))
           .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-      deg = checkpointOn(
+      val (degC, n) = checkpointOnCounted(
         d.filter(col("deg") >= k).select(col("src").as("node"), col("deg")),
         nPart, "node")
+      deg = degC
       keep = deg.select(col("node"))
-      val n = keep.count()
       done = n == nKeep
       nKeep = n
       round += 1
@@ -2223,17 +2243,23 @@ object Graft {
     require(maxHops >= 1 && maxHops <= 30, s"maxHops out of range: $maxHops")
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = checkpointOn(edges.select(col("src"), col("dst")), nPart, "src")
-    var visited = checkpointOn(
+    // frontier sizes ride the eager checkpoints (checkpointOnCounted,
+    // r21): the per-hop exhausted-frontier isEmpty probe was a second
+    // dispatched job on the hop's fresh checkpoint; count == 0 is the
+    // same predicate, already computed
+    val (v0, nSeeds) = checkpointOnCounted(
       seeds.select(col(seeds.columns(0)).as("node")).distinct()
         .withColumn("hop", lit(0L)),
       nPart, "node")
+    var visited = v0
     var frontier = visited.select(col("node"))
+    var nFront = nSeeds
     var i = 1
-    while (i <= maxHops && !frontier.isEmpty) {
+    while (i <= maxHops && nFront > 0) {
       // shuffle_hash on the node-sized sides: the declared-partition
       // checkpoints carry no size stats, so an unhinted plan falls to
       // sort-merge and re-sorts the EDGE list every hop
-      val next = checkpointOn(
+      val (next, n) = checkpointOnCounted(
         e.join(frontier.withColumnRenamed("node", "src")
             .hint("shuffle_hash"), "src")
           .select(col("dst").as("node")).distinct()
@@ -2247,6 +2273,7 @@ object Graft {
       // checkpoints)
       visited = visited.unionAll(next)
       frontier = next.select(col("node"))
+      nFront = n
       i += 1
     }
     visited
@@ -2781,19 +2808,24 @@ object Graft {
     // documented eager validation scan costs one in-memory pass.
     require(e.filter(col("w").isNull || col("w") < 0).isEmpty,
       "negative or null edge weight")
-    var dist = checkpointOn(
+    // frontier sizes ride the eager checkpoints (checkpointOnCounted,
+    // r21): the per-round exhausted-frontier isEmpty probe was a
+    // second dispatched job on the round's fresh checkpoint
+    val (dist0, nSeeds) = checkpointOnCounted(
       seeds.select(col(seeds.columns(0)).as("node")).distinct()
         .withColumn("d", lit(0L)),
       nPart, "node")
+    var dist = dist0
     var front = dist
+    var nFront = nSeeds
     var i = 0
-    while (i < iters && (!frontier || !front.isEmpty)) {
+    while (i < iters && (!frontier || nFront > 0)) {
       if (frontier) {
         val cand = e.join(front.hint("shuffle_hash"),
             e("src") === front("node"))
           .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
           .groupBy(col("node")).agg(min(col("d")).as("d"))
-        val improved = checkpointOn(
+        val (improved, nImp) = checkpointOnCounted(
           cand
             .join(dist.select(col("node"), col("d").as("__old")),
               Seq("node"), "left")
@@ -2803,6 +2835,7 @@ object Graft {
         dist = dist.unionByName(improved)
           .groupBy(col("node")).agg(min(col("d")).as("d"))
         front = improved
+        nFront = nImp
       } else {
         val relaxed = e.join(dist.hint("shuffle_hash"),
             e("src") === dist("node"))

@@ -43,14 +43,25 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object PartitionedCheckpoint {
   def localCheckpointHashPartitioned(
-      df: DataFrame, nPart: Int, keys: String*): DataFrame = {
+      df: DataFrame, nPart: Int, keys: String*): DataFrame =
+    localCheckpointHashPartitionedCounted(df, nPart, keys: _*)._1
+
+  /** [[localCheckpointHashPartitioned]] plus the ROW COUNT the eager
+    * materialization computes anyway (r21): the `rdd.count()` that
+    * makes the checkpoint eager was discarding its result, while the
+    * iterative loops (k-core, BFS, frontier SSSP) then dispatched a
+    * SECOND whole job — `count()` / `isEmpty` on the fresh
+    * checkpoint — just to learn the number this one already knew.
+    * One scheduler round-trip per loop ROUND saved for free. */
+  def localCheckpointHashPartitionedCounted(
+      df: DataFrame, nPart: Int, keys: String*): (DataFrame, Long) = {
     require(keys.nonEmpty, "need at least one partition key")
     val ds = df.repartition(nPart, keys.map(df.apply): _*)
       .asInstanceOf[Dataset[_]]
     val qe = ds.queryExecution
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // eager, like Dataset.localCheckpoint()
+    val n = rdd.count() // eager, like Dataset.localCheckpoint()
     val output = qe.analyzed.output
     val keyAttrs = keys.map { k =>
       output.find(a => ds.sparkSession.sessionState.conf.resolver(a.name, k))
@@ -60,6 +71,6 @@ object PartitionedCheckpoint {
     val plan = LogicalRDD(
       output, rdd, HashPartitioning(keyAttrs, nPart))(
       ds.sparkSession.asInstanceOf[SparkSession])
-    Dataset.ofRows(ds.sparkSession.asInstanceOf[SparkSession], plan)
+    (Dataset.ofRows(ds.sparkSession.asInstanceOf[SparkSession], plan), n)
   }
 }

@@ -1506,6 +1506,37 @@ class GraftFacadeSpec extends SparkSuiteBase {
     assert(round.agg(sum($"deg")).as[Long].head() == 5000L)
   }
 
+  test("counted checkpoint returns the true row count; partitioning-preserving views elide re-partitioning") {
+    // r21: the loops' convergence probes ride the eager checkpoint's
+    // own count (checkpointOnCounted) — the count must be the frame's
+    // exact row count, with the same partitioning declaration
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val edges = spark.range(0, 4000)
+      .select(($"id" % 83).as("src"), ($"id" % 79).as("dst"),
+        ($"id" % 3 === 0).cast("int").as("st"))
+    val (ck, n) = org.apache.spark.sql.graftshim.PartitionedCheckpoint
+      .localCheckpointHashPartitionedCounted(edges, nPart, "src")
+    assert(n == 4000L, s"counted checkpoint reported $n rows")
+    assert(n == ck.count())
+    assert(ck.queryExecution.executedPlan.outputPartitioning.toString
+      .toLowerCase.startsWith("hashpartitioning"))
+    // the q119 prepared-edges contract: a filter/projection over the
+    // declared-partition checkpoint keeps the partitioning, so a
+    // re-partition on the same key/count is ELIDED (zero Exchange)
+    // and a groupBy on the key aggregates exchange-free
+    val view = ck.filter($"st" === 1).select($"src", $"dst")
+    val rep = view.repartition(nPart, view("src"))
+    assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"),
+      "repartition over a partitioning-preserving checkpoint view " +
+        "planned an Exchange — the prepared-edges seam lost its " +
+        "zero-shuffle property:\n" +
+        rep.queryExecution.executedPlan.toString)
+    val agg = view.groupBy($"src").agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "groupBy over a partitioning-preserving checkpoint view " +
+        "planned an Exchange")
+  }
+
   test("hdrQuantiles: exact small buckets, log bucket lower bounds, nearest rank") {
     // subBits=3: values < 16 are exact singleton buckets; 20 -> b=4,
     // width 2, lo=20; 100 -> b=6, width 8, lo=96
