@@ -2798,16 +2798,20 @@ object Graft {
     // input is then a bare checkpoint scan — no per-round edge
     // exchange, no per-round edge sort
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = checkpointOn(
-      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")),
-      nPart, "src")
     // NULL weights (including uncastable strings under the long cast)
     // must be rejected, not silently min()-ignored: NULL < 0 is NULL,
     // so the negative-only guard let them through (r13 ADVICE). The
-    // guard runs on the already-materialized checkpoint, so the
-    // documented eager validation scan costs one in-memory pass.
-    require(e.filter(col("w").isNull || col("w") < 0).isEmpty,
-      "negative or null edge weight")
+    // guard rides the one projection the eager checkpoint
+    // materializes (the r15 in-plan guarded() discipline, r21 here):
+    // the separate require(filter.isEmpty) spelling dispatched one
+    // more whole job and one more pass over the checkpointed edge
+    // list per call. Still fails at build time, before any result.
+    val wl = col("w").cast("long")
+    val e = checkpointOn(
+      edges.select(col("src"), col("dst"),
+        guarded(wl.isNull || wl < 0,
+          "negative or null edge weight", wl).as("w")),
+      nPart, "src")
     // frontier sizes ride the eager checkpoints (checkpointOnCounted,
     // r21): the per-round exhausted-frontier isEmpty probe was a
     // second dispatched job on the round's fresh checkpoint

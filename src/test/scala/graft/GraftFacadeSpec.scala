@@ -1296,18 +1296,26 @@ class GraftFacadeSpec extends SparkSuiteBase {
       .as[(Long, Long)].collect().toMap
     assert(r3 == Map(1L -> 0L, 2L -> 20L, 3L -> 10L, 4L -> 25L),
       s"3 rounds find the cheap 2-hop path and its extension, got $r3")
-    intercept[IllegalArgumentException] {
-      Graft.shortestPaths(Seq((1L, 2L, -5L)).toDF("src", "dst", "w"),
-        seeds, iters = 1)
+    // r21: the weight guard rides the checkpoint projection
+    // (raise_error, the r15 in-plan discipline) instead of a separate
+    // require(filter.isEmpty) job — still a BUILD-time abort with the
+    // same message, now surfaced as the execution failure chain
+    def failsWeightGuard(df: org.apache.spark.sql.DataFrame): Unit = {
+      val ex = intercept[Throwable] {
+        Graft.shortestPaths(df, seeds, iters = 1)
+      }
+      def msgs(t: Throwable): List[String] = if (t == null) Nil
+        else Option(t.getMessage).toList ::: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("negative or null edge weight")),
+        s"expected weight-guard message in failure chain, got: $ex")
     }
+    failsWeightGuard(Seq((1L, 2L, -5L)).toDF("src", "dst", "w"))
     // NULL weight = malformed input, rejected like a negative (r13
     // ADVICE: NULL < 0 is NULL, so it slipped the guard and was
     // silently min()-ignored)
-    intercept[IllegalArgumentException] {
-      Graft.shortestPaths(
-        Seq((1L, 2L, Some(5L)), (2L, 3L, None: Option[Long]))
-          .toDF("src", "dst", "w"), seeds, iters = 1)
-    }
+    failsWeightGuard(
+      Seq((1L, 2L, Some(5L)), (2L, 3L, None: Option[Long]))
+        .toDF("src", "dst", "w"))
   }
 
   test("shortestPaths: frontier mode equals dense mode incl. re-improved distances") {
